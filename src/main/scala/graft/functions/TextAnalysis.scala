@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines (BASELINE.json
+  * extensions): token counting, quality scoring, language-ID heuristic,
+  * content fingerprinting. All pure Catalyst expressions — codegen'd,
+  * shuffle-free, linear scans that hold at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapse + lowercase canonical form (shared with Dedup). */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword token count: word chunks, numbers, and individual
+    * punctuation marks — the classic GPT-2 pre-tokenizer shape, counted
+    * with a codegen'd regex (no tokenizer library needed for counting). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Mean word length over whitespace tokens (double; exact rational). */
+  def avgWordLen(c: Column): Column = {
+    val t = trim(c)
+    (length(regexp_replace(t, "\\s+", "")).cast("double") /
+      wsTokenCount(c).cast("double"))
+  }
+
+  /** Ratio of stopword tokens (small embedded English list — the quality
+    * signal used by C4/Gopher-style filters). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "on", "for", "with", "as", "at", "by", "this", "that")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = split(normText(c), " ")
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", "")))
+      .cast("double") / length(c).cast("double")
+
+  /** Composite quality score in [0,1]: Gopher-ish rules folded into one
+    * deterministic expression (long enough, not punctuation-soup, has
+    * stopwords, sane mean word length). Exact rational arithmetic on
+    * counts, so engine-portable bit-for-bit. */
+  def qualityScore(c: Column): Column = {
+    val lenOk   = when(length(c) >= 100 && length(c) <= 20000, 0.25).otherwise(0.0)
+    val punctOk = when(punctRatio(c) <= 0.2, 0.25).otherwise(0.0)
+    val stopOk  = when(stopwordRatio(c) >= 0.01, 0.25).otherwise(0.0)
+    val wordOk  = when(avgWordLen(c) >= 2.0 && avgWordLen(c) <= 12.0, 0.25)
+      .otherwise(0.0)
+    lenOk + punctOk + stopOk + wordOk
+  }
+
+  /** Language-ID heuristic: score text against per-language marker-word
+    * lists (top function words per language), predict the argmax, 'und' if
+    * nothing matches. N-gram-free variant of the classic stopword profiler
+    * — linear scan, no shuffle. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+
+  def langScore(c: Column, lang: String): Column = {
+    val toks = split(normText(c), " ")
+    size(filter(toks, t => t.isin(langMarkers(lang).map(lit): _*)))
+  }
+
+  /** Predicted language: argmax of marker-word hit counts, ties broken by
+    * language code order, 'und' when all scores are zero. */
+  def langId(c: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.map(l => struct(langScore(c, l).as("score"),
+      lit(l).as("lang"))).reduce((a, b) =>
+        when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of the canonical form — the exact-dedup key.
+    * (md5 hex output is identical across Spark and the DuckDB oracle.) */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** 64-bit rolling polynomial fingerprint over tokens (Karp-Rabin shape):
+    * acc = acc*31 + token_hash, in Long arithmetic (wraps identically on
+    * any two's-complement engine). Token hash = xxhash64 — Spark-side only
+    * (paired with a Spark-side spec, not the SQL oracle). */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(split(normText(c), " "), lit(0L),
+      (acc, t) => acc * 31L + xxhash64(t))
+}

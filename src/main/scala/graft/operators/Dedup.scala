@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+
+/** Deduplication operators.
+  *
+  * 1. `priorityDedup` — the reference's DOI dedup (`main.py:101-166`): keep
+  *    one row per non-null key, preferring the highest source priority;
+  *    null/empty keys are always kept (`main.py:121`).
+  * 2. LLM-training-pipeline near-dup family (extensions mandated by
+  *    BASELINE.json): exact content hash, shingle-Jaccard via inverted
+  *    index, MinHash+LSH, SimHash banding, embedding cosine.
+  *
+  * 100 TB design notes, per operator, inline below.
+  */
+object Dedup {
+
+  /** Keep-first-per-key with priority (reference `main.py:101-166`).
+    *
+    * Spark-first shape: `row_number()` over (key) ordered by (priority desc,
+    * tiebreak asc). The reference's pandas sort is non-stable so its tie
+    * order is unspecified (SURVEY.md §7.4.2); we fix a total order with an
+    * explicit tiebreak column.
+    *
+    * Scale: rows with null/empty keys are split off BEFORE the window
+    * shuffle — at 100 TB the null-DOI population is the single hottest key
+    * and would skew one reducer; exempting it (required by reference
+    * semantics anyway) removes the skew source entirely. The remaining
+    * window shuffle partitions by `key`, which is high-cardinality.
+    */
+  def priorityDedup(df: DataFrame, key: Column, priority: Column,
+                    tiebreak: Column): DataFrame = {
+    val keyed   = df.where(key.isNotNull && key =!= "")
+    val keyless = df.where(key.isNull || key === "")
+    val w = Window.partitionBy(key).orderBy(priority.desc, tiebreak.asc)
+    keyed
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .unionByName(keyless)
+  }
+
+  /** Exact dedup by normalized-content hash: one survivor (min id) per
+    * md5(normalized text). Pure groupBy-aggregate — partial aggregation
+    * map-side, a single shuffle on the hash, no window needed.
+    */
+  def exactDedup(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val fp = md5(normalizeText(text))
+    docs
+      .groupBy(fp.as("fingerprint"))
+      .agg(min(id).as("survivor_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Whitespace-collapse + lowercase canonicalization used by every
+    * text-dedup operator (equivalent logic in both Spark and the DuckDB
+    * oracle so fingerprints agree).
+    */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Distinct word-level w-shingles of the normalized text, as an array
+    * column. w=3 by default (the standard near-dup shingle width).
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val norm  = normalizeText(text)
+    val words = split(norm, " ")
+    val n = size(words)
+    // greatest(...) keeps sequence() ascending even when n < w (Spark's
+    // sequence auto-descends when start > stop, which would be wrong here)
+    val full = transform(sequence(lit(1), greatest(n - (w - 1), lit(1))),
+      i => concat_ws(" ", (0 until w).map(k => element_at(words, i + k)): _*))
+    array_distinct(when(n >= w, full).otherwise(array(norm)))
+  }
+
+  /** Brute-force-equivalent n-gram Jaccard near-dup pairs, computed the
+    * scalable way: explode shingles into an inverted index, self-join on
+    * shingle to generate candidate pairs, then count |A∩B| per pair and
+    * derive Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Scale: never materializes the O(N²) pair space — only pairs sharing at
+    * least one shingle are generated, and the shuffle key is the shingle
+    * (then the pair), both high-cardinality. Hot shingles (stopword runs)
+    * can be capped with a document-frequency filter (`maxDf`), the standard
+    * trick at corpus scale; disabled by default so results equal exact
+    * brute force on the test corpus.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    * Jaccard is an exact rational (long/long division in double), so it is
+    * bit-identical across engines.
+    */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
+                   threshold: Double, w: Int = 3,
+                   maxDf: Option[Int] = None): DataFrame = {
+    val sh = docs.select(id.as("id"), shingles(text, w).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv0 = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        val dfc = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap)
+        inv0.join(dfc.select("shingle"), Seq("shingle"))
+      case None => inv0
+    }
+    val a = inv.select(col("id").as("id_a"), col("n_sh").as("na"), col("shingle"))
+    val b = inv.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * `xxhash64(shingle, seed_i)` minima. Returned as an array<long> column.
+    * Spark-internal only (signatures never cross the oracle boundary).
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash + LSH banding near-dup detection with exact verification.
+    *
+    * Pipeline: shingle → k-minhash signature → split into `bands` bands of
+    * k/bands rows → hash each band → shuffle on (band_idx, band_hash) →
+    * candidate pairs from same-bucket docs → verify candidates with EXACT
+    * shingle Jaccard → threshold filter.
+    *
+    * Scale: the only all-to-all operation keys on band hashes (uniform by
+    * construction); candidate verification joins back the (small) shingle
+    * sets only for candidate ids — a semi-join reduction exactly like the
+    * reference's distinct-before-API-call trick. With k=128, bands=16
+    * (r=8), P[miss | J=0.9] = (1-0.9^8)^16 ≈ 5e-5; on the test corpus the
+    * planted pairs are J≥0.9 so recall is effectively exact, and the final
+    * exact-Jaccard verify makes precision exact.
+    *
+    * Output schema identical to `jaccardPairs` (so the same DuckDB
+    * brute-force oracle verifies it).
+    */
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
+                      threshold: Double, w: Int = 3,
+                      k: Int = 128, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sh = docs.select(id.as("id"), shingles(text, w).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    val l = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_hash"))
+    val rr = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_hash"))
+    val cand = l.join(rr, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, threshold)
+  }
+
+  /** 64-bit SimHash over the normalized token multiset: each token hashes
+    * to 64 bits via xxhash64; bit b of the simhash = majority vote of token
+    * bits. Implemented as exploded token → per-(doc,bit) vote aggregation →
+    * bit reassembly, all shuffle-on-doc_id (no O(N²) anywhere).
+    */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("id"),
+      explode(split(normalizeText(text), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // one row per (doc, bit): vote +1 if bit set else -1
+    val votes = toks.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(63)),
+        b => when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))).as(Seq("bit", "vote")))
+    val bits = votes.groupBy("id", "bit")
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bitval",
+        when(col("v") > 0, shiftleft(lit(1L), col("bit").cast("int")))
+          .otherwise(0L))
+    bits.groupBy("id")
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit simhash into 8 bytes; any two
+    * hashes within Hamming distance 7 share at least one identical byte
+    * (pigeonhole), so banding on bytes has exact recall for d<=7. Candidates
+    * are then verified with exact shingle Jaccard, so the final output again
+    * equals the brute-force oracle (given planted pairs are within d<=7,
+    * which holds for J>=0.9 duplicates).
+    */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+                   threshold: Double, w: Int = 3): DataFrame = {
+    val hashed = simhash(docs, id, text)
+    val sh = docs.select(id.as("sid"), shingles(text, w).as("sh"))
+    val joined = hashed.join(sh, hashed("id") === sh("sid")).drop("sid")
+    val banded = joined.select(col("id"), col("sh"),
+      posexplode(array((0 until 8).map { byte =>
+        shiftright(col("simhash"), byte * 8).bitwiseAND(0xff)
+      }: _*)).as(Seq("band_idx", "band_val")))
+    val l = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val rr = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    val cand = l.join(rr, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs carrying their shingle
+    * arrays: |A∩B| via array_intersect (per-row, no shuffle). */
+  private def verifyJaccard(cand: DataFrame, threshold: Double): DataFrame =
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.JsonRepair
+
+/** External-service operators (SURVEY.md §2.9) — the only parts of the
+  * reference whose values come from outside the data:
+  *
+  *   X1 journal-metrics enrichment (`journal_metrics.py`): distinct-key
+  *      fetch with throttle + memo cache, broadcast-joined back.
+  *   X2 per-row LLM extraction (`llm_api.py`): per-abstract completion,
+  *      bounded concurrency, retries, JSON-repair of the response.
+  *
+  * Spark design: clients are injected behind traits so the oracle path uses
+  * deterministic pure stubs (SURVEY.md §5.2.5); production impls would own
+  * an HTTP client per partition inside `mapPartitions` — per-partition
+  * lifecycle + token-bucket throttling is exactly what mapPartitions gives
+  * and UDFs don't.
+  *
+  * Scale: X1 hits the service once per DISTINCT key (semi-join reduction,
+  * same trick as the reference `main.py:369-371`), then broadcasts the tiny
+  * metrics dim back onto the fact table. X2 is a straight map over rows —
+  * throughput scales with partitions; throttling is per-partition
+  * token-bucket so cluster-wide rate = partitions × bucket rate.
+  */
+object Enrich {
+
+  /** X1 client: journal key → metric values (impact factor, quartile). */
+  trait MetricsClient extends Serializable {
+    def fetch(journal: String): (Double, String)
+  }
+
+  /** Deterministic stub: pure function of the key, SQL-expressible so the
+    * whole X1 pipeline is DuckDB-verifiable end to end. */
+  object StubMetricsClient extends MetricsClient {
+    def fetch(journal: String): (Double, String) = {
+      val len = journal.length
+      val ifact = (len % 90) / 10.0 + 1.0
+      val quartile = "Q" + (1 + len % 4)
+      (ifact, quartile)
+    }
+  }
+
+  /** X1 — journal-metrics enrichment.
+    * distinct(journal_norm) → mapPartitions(fetch) → broadcast left join.
+    */
+  def journalMetrics(df: DataFrame, journalCol: String,
+                     client: MetricsClient): DataFrame = {
+    val spark = df.sparkSession
+    val keyDf = df.select(lower(trim(col(journalCol))).as("journal_norm"))
+      .where(col("journal_norm").isNotNull && col("journal_norm") =!= "")
+      .distinct()
+    val schema = StructType(Seq(
+      StructField("journal_norm", StringType),
+      StructField("impact_factor", DoubleType),
+      StructField("quartile", StringType)))
+    val metricsRdd = keyDf.rdd.mapPartitions { it =>
+      // per-partition client lifecycle lives here (HTTP pool, throttle);
+      // the stub is pure so nothing to manage
+      it.map { r =>
+        val j = r.getString(0)
+        val (ifact, q) = client.fetch(j)
+        Row(j, ifact, q)
+      }
+    }
+    val metricsDim = spark.createDataFrame(metricsRdd, schema)
+    df.withColumn("journal_norm", lower(trim(col(journalCol))))
+      .join(broadcast(metricsDim), Seq("journal_norm"), "left")
+  }
+
+  /** X2 client: prompt (built from an abstract) → raw LLM response text. */
+  trait LlmClient extends Serializable {
+    def complete(abstractText: String): String
+  }
+
+  /** Deterministic stub LLM: emits JSON derived purely from the input (the
+    * summary = first 8 whitespace tokens; n_words = token count), sometimes
+    * wrapped in markdown fences to exercise the repair ladder — keyed off
+    * the text length so behavior is reproducible and SQL-expressible. */
+  object StubLlmClient extends LlmClient {
+    def complete(abstractText: String): String = {
+      val toks = abstractText.trim.split("\\s+").filter(_.nonEmpty)
+      val summary = toks.take(8).mkString(" ")
+      val json = s"""{"summary": "$summary", "n_words": "${toks.length}"}"""
+      if (abstractText.length % 2 == 0) s"```json\n$json\n```" else json
+    }
+  }
+
+  /** X2 — per-row LLM field extraction: mapPartitions with an injected
+    * client, JSON-repair ladder on the response, one output column per
+    * template field. Null/empty inputs short-circuit to defaults without a
+    * call (reference `llm_api.py:226-228`). Row identity (not completion
+    * order) carries results — no order-restoration step needed, unlike the
+    * reference's index map (`llm_api.py:246-258`). */
+  def llmExtract(df: DataFrame, textCol: String, fields: Seq[String],
+                 client: LlmClient,
+                 defaults: Map[String, String] = Map.empty): DataFrame = {
+    val callAndRepair = udf((text: String) => {
+      val m = if (text == null || text.trim.isEmpty)
+        fields.map(f => f -> defaults.getOrElse(f, "")).toMap
+      else JsonRepair.repair(client.complete(text), fields, defaults)
+      fields.map(m).toArray
+    })
+    val withArr = df.withColumn("__llm", callAndRepair(col(textCol)))
+    fields.zipWithIndex.foldLeft(withArr) { case (d, (f, i)) =>
+      d.withColumn(f, element_at(col("__llm"), i + 1))
+    }.drop("__llm")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `ARRAY<FLOAT>` columns.
+  *
+  * All arithmetic is done in double precision via higher-order functions
+  * (`zip_with` + `aggregate`), which fold over the array IN INDEX ORDER —
+  * so the dot product is a deterministic sequential sum, bit-identical to
+  * a sequential fold in any other engine (the DuckDB oracle computes it the
+  * same way). No UDFs: HOFs are Catalyst expressions and stay codegen'd.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<numeric> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (sequential fold, double). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k nearest neighbors (cosine) for a set of probe
+    * ids. The probe side is tiny and broadcast; the corpus side streams —
+    * one pass, no shuffle until the (small) per-probe top-k reduction, which
+    * Catalyst plans as a partial TakeOrdered per partition.
+    *
+    * Scale: O(|corpus| · |probes| · dim) work but embarrassingly parallel
+    * and shuffle-free on the fact side; this is the correct baseline that
+    * IVF/LSH variants must beat, and the recall oracle for them.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"))
+    val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
+    val scored = c.join(broadcast(p), col("nbr_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("c_emb"), col("p_emb")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits` signed projections against
+    * deterministic pseudo-random hyperplanes (generated from xxhash64 of
+    * (dim_index, bit, seed) — no RNG state, reproducible across runs and
+    * engines). Returns the input with an integer `bucket` column.
+    *
+    * Scale path for ANN: shuffle corpus once on bucket (and probe into the
+    * same buckets ± multi-probe), search only within matching buckets —
+    * turns O(N·Q) into O(N·Q / 2^nBits) expected.
+    */
+  def lshBucket(df: DataFrame, embCol: String, nBits: Int,
+                seed: Int = 42): DataFrame = {
+    // hyperplane component h[b][i] in {-1,+1} derived from a hash — cheap,
+    // deterministic, and good enough for bucketing (Charikar 2002 rounding)
+    val emb = col(embCol)
+    val bits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
+          x.cast("double") *
+            when(xxhash64(i, lit(b), lit(seed)).bitwiseAND(1) === 1, 1.0)
+              .otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1), b)).otherwise(0)
+    }
+    df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
+    * the probe's bucket in ANY of `nTables` independent hash tables, then
+    * exact cosine re-rank. Output schema matches `bruteForceTopK`.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nBits: Int = 8, nTables: Int = 4,
+              idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val c = lshBucket(corpus, embCol, nBits, seed = 1000 + t)
+        .select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"), col("bucket"))
+      val p = lshBucket(probes, embCol, nBits, seed = 1000 + t)
+        .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("bucket"))
+      c.join(broadcast(p), Seq("bucket")).drop("bucket")
+    }
+    val cand = tables.reduce(_ unionByName _)
+      .where(col("nbr_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "nbr_id")
+      .withColumn("cos", cosine(col("c_emb"), col("p_emb")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine >= threshold.
+    * Implemented as a block-nested-loop via self-join with id ordering; at
+    * corpus scale this would first bucket by LSH (see `lshBucket`) — kept
+    * exact here because the oracle is exact.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}
