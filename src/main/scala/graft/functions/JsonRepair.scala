@@ -42,9 +42,30 @@ object JsonRepair {
     if (found.isEmpty) None else Some(found)
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t")
-      .replace("\\\\", "\\")
+  /** Single left-to-right pass so a literal backslash-n sequence (`\\n` in
+    * the source text) decodes to backslash + 'n', not a newline — chained
+    * String.replace calls get this wrong (`llm_api.py` decodes via
+    * json.loads, which is also a single pass). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => sb.append('\n')
+          case 't'  => sb.append('\t')
+          case 'r'  => sb.append('\r')
+          case '"'  => sb.append('"')
+          case '\\' => sb.append('\\')
+          case '/'  => sb.append('/')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
 
   /** The full repair ladder. `fields` fixes the output schema; `defaults`
     * fills anything unrecoverable (reference `llm_api.py:24-27`). The first
@@ -63,19 +84,29 @@ object JsonRepair {
       val m = """\{[\s\S]*\}""".r.findFirstIn(unfenced)
       m.flatMap(parseFlatJson)
     }
-    // stage 3: per-field regex recovery
+    // stage 3: per-field regex recovery — quoted values first, then the
+    // reference's unquoted-value pattern (`llm_api.py:64-76` tries both)
     val stage3 = stage2.orElse {
       val perField = fields.flatMap { f =>
-        val r = ("\"" + java.util.regex.Pattern.quote(f) +
+        val quotedR = ("\"" + java.util.regex.Pattern.quote(f) +
           "\"\\s*:\\s*\"([^\"]*)\"").r
-        r.findFirstMatchIn(unfenced).map(m => f -> m.group(1))
+        val bareR = ("\"" + java.util.regex.Pattern.quote(f) +
+          "\"\\s*:\\s*([^,}\\s\"]+)").r
+        quotedR.findFirstMatchIn(unfenced).map(m => f -> m.group(1))
+          .orElse(bareR.findFirstMatchIn(unfenced).map(m => f -> m.group(1)))
       }.toMap
       if (perField.isEmpty) None else Some(perField)
     }
     stage3 match {
       case Some(m) => dflt ++ m.filter { case (k, _) => fields.contains(k) }
-      // stage 4: whole text as the summary (first) field
-      case None => dflt + (fields.head -> unfenced)
+      // stage 4: whole text becomes the summary (first) field, but only
+      // under the reference's conditions (`llm_api.py:79-81`): the text is
+      // not itself a failed JSON object (doesn't start with '{') and is
+      // long enough to be a plausible summary (>10 chars)
+      case None =>
+        if (!unfenced.startsWith("{") && unfenced.length > 10)
+          dflt + (fields.head -> unfenced)
+        else dflt
     }
   }
 

@@ -22,12 +22,13 @@ object Normalize {
     * (`parsers_manager.py:173-194,198-230`). */
   def arrayJoined(c: Column, sep: String = ", "): Column = array_join(c, sep)
 
-  /** F2 — strip trailing " [doi]" / " [pii]" markers
-    * (`main.py:74-75`, `pubmed_parser.py:179-184`). Anchored at end so a
-    * single-replacement regex engine (DuckDB oracle) agrees with Spark's
-    * replace-all semantics. */
+  /** F2 — strip " [doi]" / " [pii]" markers EVERYWHERE, not just at the
+    * end: the reference's `clean_doi` (`main.py:74-75`) is a replace-all,
+    * and PubMed LID values like "S123 [pii], 10.1016/x [doi]" carry an
+    * embedded marker that must be gone before comma disambiguation (F3).
+    * The DuckDB oracle mirrors with regexp_replace(..., 'g'). */
   def stripDoiMarkers(c: Column): Column =
-    regexp_replace(c, "\\s*\\[(doi|pii)\\]\\s*$", "")
+    regexp_replace(c, "\\s*\\[(doi|pii)\\]", "")
 
   /** F3 — comma-disambiguation: if the value contains a comma, keep the
     * component that starts with "10." (`main.py:87-95,127-137`). */

@@ -24,11 +24,14 @@ object TextAnalysis {
   def bpeishTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Mean word length over whitespace tokens (double; exact rational). */
+  /** Mean word length over whitespace tokens (double; exact rational).
+    * Null (not an ANSI DIVIDE_BY_ZERO crash) for empty/whitespace-only
+    * text: the denominator is nullif-guarded, which DuckDB mirrors
+    * exactly with `x / nullif(cnt, 0)`. */
   def avgWordLen(c: Column): Column = {
     val t = trim(c)
     (length(regexp_replace(t, "\\s+", "")).cast("double") /
-      wsTokenCount(c).cast("double"))
+      nullif(wsTokenCount(c), lit(0)).cast("double"))
   }
 
   /** Ratio of stopword tokens (small embedded English list — the quality
@@ -40,13 +43,14 @@ object TextAnalysis {
   def stopwordRatio(c: Column): Column = {
     val toks = split(normText(c), " ")
     size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") /
-      size(toks).cast("double")
+      nullif(size(toks), lit(0)).cast("double")
   }
 
-  /** Punctuation-to-character ratio. */
+  /** Punctuation-to-character ratio; null for empty text (nullif guard —
+    * ANSI-safe, DuckDB-parity via the same nullif). */
   def punctRatio(c: Column): Column =
     (length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", "")))
-      .cast("double") / length(c).cast("double")
+      .cast("double") / nullif(length(c), lit(0)).cast("double")
 
   /** Composite quality score in [0,1]: Gopher-ish rules folded into one
     * deterministic expression (long enough, not punctuation-soup, has
@@ -91,11 +95,13 @@ object TextAnalysis {
     * (md5 hex output is identical across Spark and the DuckDB oracle.) */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** 64-bit rolling polynomial fingerprint over tokens (Karp-Rabin shape):
-    * acc = acc*31 + token_hash, in Long arithmetic (wraps identically on
-    * any two's-complement engine). Token hash = xxhash64 — Spark-side only
+  /** 64-bit rolling fingerprint over tokens (Karp-Rabin role): the
+    * accumulator is chained through xxhash64(acc, token) instead of a
+    * polynomial multiply — order-sensitive like Karp-Rabin, but overflow-
+    * free, so it cannot hit ANSI ARITHMETIC_OVERFLOW (Long multiply wraps
+    * only with ANSI off; xxhash64 never overflows). Spark-side only
     * (paired with a Spark-side spec, not the SQL oracle). */
   def rollingFingerprint(c: Column): Column =
     aggregate(split(normText(c), " "), lit(0L),
-      (acc, t) => acc * 31L + xxhash64(t))
+      (acc, t) => xxhash64(acc, t))
 }

@@ -177,16 +177,21 @@ object Dedup {
     val toks = docs.select(id.as("id"),
       explode(split(normalizeText(text), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    // one row per (doc, bit): vote +1 if bit set else -1
+    // one row per (doc, bit): vote +1 if bit set else -1. The 64 bit
+    // extractions are generated statically (shiftright's shift amount is a
+    // Scala Int) so the whole thing stays a codegen'd projection.
     val votes = toks.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(63)),
-        b => when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))).as(Seq("bit", "vote")))
+      array((0 until 64).map { b =>
+        when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)
+      }: _*)).as(Seq("bit", "vote")))
+    // reassemble: sum of the set bits' powers of two. Bit 63's power is
+    // Long.MinValue; every partial sum of {2^0..2^62} ∪ {-2^63} stays within
+    // Long range, so this is overflow-free even under ANSI mode.
+    val bitPower = element_at(
+      array((0 until 64).map(b => lit(1L << b)): _*), col("bit") + 1)
     val bits = votes.groupBy("id", "bit")
       .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval",
-        when(col("v") > 0, shiftleft(lit(1L), col("bit").cast("int")))
-          .otherwise(0L))
+      .withColumn("bitval", when(col("v") > 0, bitPower).otherwise(0L))
     bits.groupBy("id")
       .agg(sum(col("bitval")).as("simhash"))
   }

@@ -24,8 +24,11 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; null (not an ANSI DIVIDE_BY_ZERO) when either
+    * vector has zero norm — the nullif guard is mirrored verbatim in the
+    * DuckDB oracle SQL. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Brute-force exact top-k nearest neighbors (cosine) for a set of probe
     * ids. The probe side is tiny and broadcast; the corpus side streams —
