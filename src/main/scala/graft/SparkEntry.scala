@@ -1,13 +1,898 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Normalize, TextAnalysis}
+import graft.operators.{Dedup, Enrich, Events, Similarity}
+
+/** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
+  * each paired with DuckDB-equivalent SQL in `oracleSql` so the driver's
+  * hash compare verifies it at sf0.01.
+  *
+  * Float determinism policy (SURVEY.md §7.4.1): every SUM over parquet
+  * doubles goes through an exact per-row DECIMAL cast (both engines round
+  * the identical IEEE double to the same decimal), is summed exactly, and
+  * is cast back to double — so aggregation order can never flip a bit.
+  * AVGs are computed as exact-decimal-sum / count in double. Plain double
+  * passthroughs and per-row double arithmetic are bit-identical across
+  * engines by IEEE-754 determinism.
+  *
+  * Every query ends in an orderBy on a unique key: the Verify dump is then
+  * deterministic, and Catalyst's EliminateSorts removes the sort under
+  * Bench's count() action so it costs nothing in the benchmark.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared helpers -----------------------------------------------------
+
+  /** Exact 2-decimal cast for money-like doubles (see determinism note). */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  /** Exact cast for products of 2-decimal values (4-6 decimals). */
+  private def dec6(c: Column): Column = c.cast("decimal(28,6)")
+
+  private def sumd2(c: Column): Column = sum(dec2(c)).cast("double")
+  private def sumd6(c: Column): Column = sum(dec6(c)).cast("double")
+
+  /** ScholarMind-shaped bibliographic records simulated over `documents`:
+    * source_type = source, dedup key = 50-char prefix of the canonical
+    * text (the corpus plants prefix-sharing near-dups), priority derived
+    * from the source id (reference priority map shape, `main.py:113-114`).
+    */
+  private def bibRecords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("source_type", col("source"))
+      .withColumn("key",
+        substring(Dedup.normalizeText(col("text")), 1, 50))
+      .withColumn("priority",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 3)
+
+  private val bibRecordsSql =
+    """SELECT doc_id, n_chars, lang, source AS source_type,
+      |       substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 50) AS key,
+      |       CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 3 AS priority
+      |FROM documents""".stripMargin
+
+  /** DuckDB mirror of Dedup.normalizeText. */
+  private val normTextSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** DuckDB mirror of Dedup.shingles (w=3, distinct). */
+  private val shinglesSql =
+    s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
+       |wrd AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM nrm),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(ws) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+       |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |              ELSE [t] END AS s
+       |       FROM wrd)""".stripMargin
+
+  /** DuckDB brute-force jaccard pairs at a threshold — the oracle for all
+    * three near-dup detectors (jaccard / minhash-LSH / simhash all return
+    * exactly the true pair set on this corpus; see Dedup scaladoc). */
+  private def jaccardOracleSql(threshold: Double): String =
+    s"""$shinglesSql
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- driver smoke entry -------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    flagship(spark, "/root/testdata/sf0.001")
+
+  /** The reference's relational core in one query (SURVEY.md §7.2 M0):
+    * scan → normalize key → priority dedup (A3) → stub-metrics broadcast
+    * enrichment (X1/J1) → grouped aggregate (A2). */
+  private def flagship(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.priorityDedup(
+      bibRecords(s, dir), col("key"), col("priority"), col("doc_id"))
+    val enriched =
+      Enrich.journalMetrics(deduped, "lang", Enrich.StubMetricsClient)
+    enriched.groupBy("source_type")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(dec6(col("impact_factor"))).cast("double") / count(lit(1)))
+          .as("avg_if"),
+        min(col("quartile")).as("min_quartile"))
+      .orderBy("source_type")
+  }
+
+  // ---- the query battery --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- M0 flagship ---------------------------------------------------------
+    "q_flagship" -> ((s, dir) => flagship(s, dir)),
+
+    // -- scans / projections / filters (S1, P1-P8) ---------------------------
+    "q_scan_parquet" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1995-03-31").cast("timestamp")) && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_project_rename" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("order_id"),
+          col("l_linenumber").as("line_no"),
+          col("l_quantity").as("qty"),
+          (dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+            .cast("double").as("gross"))
+        .orderBy("order_id", "line_no")),
+
+    "q_filter_notnull" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    "q_filter_conjunctive" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("n_chars") >= 200 &&
+          col("text").rlike("join (fast|slow)") &&
+          col("text").contains("spark"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // -- scalar pipelines (F2-F5, F6/F7, F8, F13) -----------------------------
+    "q_scalar_normalize" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, lit("https://doi.org/"))
+            .when(col("doc_id") % 4 === 1, lit("doi:")).otherwise(lit("")),
+          lit("10."), (col("doc_id") % 1000).cast("string"), lit("/"),
+          col("lang"),
+          when(col("doc_id") % 3 === 0, lit(" [doi]")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(", 10.9999/extra"))
+            .otherwise(lit(""))).as("raw_doi"))
+      raw.select(col("doc_id"), col("raw_doi"),
+          Normalize.normalizeDoi(col("raw_doi")).as("doi"),
+          Normalize.extractYear(concat(lit("published in "),
+            (lit(1990) + col("doc_id") % 30).cast("string"))).as("pub_year"))
+        .orderBy("doc_id")
+    }),
+
+    "q_scalar_links" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("pubmed"))
+          .when(col("doc_id") % 3 === 1, lit("wos"))
+          .otherwise(lit("sciencedirect")).as("source_type"),
+        col("doc_id").cast("string").as("pmid"),
+        concat(lit("WOS:"), col("doc_id")).as("wos_id"),
+        when(col("doc_id") % 7 =!= 0,
+          concat(lit("10.1/d"), col("doc_id"))).otherwise(lit("")).as("doi"))
+      d.select(col("doc_id"),
+          Normalize.nullToEmpty(Normalize.pubmedLink(col("source_type"),
+            col("pmid"))).as("pubmed_link"),
+          Normalize.nullToEmpty(Normalize.wosLink(col("source_type"),
+            col("wos_id"))).as("wos_link"),
+          Normalize.nullToEmpty(Normalize.doiLink(col("doi"))).as("doi_link"))
+        .withColumn("title_link", Normalize.nullToEmpty(Normalize.titleLink(
+          col("wos_link"), col("pubmed_link"), lit(""), col("doi_link"))))
+        .orderBy("doc_id")
+    }),
+
+    "q_coalesce_fallback" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 7 =!= 0,
+            concat(lit("J"), col("doc_id") % 10)).as("journal"),
+          concat(lit("Full"), col("doc_id") % 10).as("journal_full"))
+        .withColumn("journal_resolved",
+          coalesce(col("journal"), col("journal_full")))
+        .orderBy("doc_id")),
+
+    // -- set ops (U1, U2) ----------------------------------------------------
+    "q_union_by_name" -> ((s, dir) => {
+      val a = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        lit("c").as("src"))
+      val b = Tables.supplier(s, dir).select(col("s_suppkey").as("id"),
+        col("s_name").as("name"), lit("s").as("src"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("src", "id")
+    }),
+
+    "q_intersect_except" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).withColumn("op", lit("intersect"))
+        .unionByName(cn.except(sn).withColumn("op", lit("except")))
+        .orderBy("op", "nationkey")
+    }),
+
+    // -- joins (J1, J3, J4) ---------------------------------------------------
+    "q_join_broadcast_enrich" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sumd2(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("r_name", "n_name")),
+
+    "q_join_smj_multiway" -> ((s, dir) =>
+      Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sumd6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    "q_join_semi" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).where(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    "q_join_left_anti" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = Seq((0, 900.0, 925.0), (1, 925.0, 950.0),
+        (2, 950.0, 975.0), (3, 975.0, 1000.0)).toDF("tier", "lo", "hi")
+      Tables.part(s, dir)
+        .join(broadcast(tiers),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_parts"),
+          sumd2(col("p_retailprice")).as("sum_price"))
+        .orderBy("tier")
+    }),
+
+    // -- aggregations (A1-A6) --------------------------------------------------
+    "q_agg_tpch_q1" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumd2(col("l_quantity")).as("sum_qty"),
+          sumd2(col("l_extendedprice")).as("sum_base_price"),
+          sumd6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          sumd6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)))
+            .as("avg_price"),
+          (sum(dec2(col("l_discount"))).cast("double") / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_count_by_group" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy("o_orderpriority", "o_orderstatus")),
+
+    "q_distinct" -> ((s, dir) =>
+      Tables.documents(s, dir).select("lang", "source").distinct()
+        .orderBy("lang", "source")),
+
+    // ROLLUP goes through the SQL surface: the Dataset rollup() API trips
+    // Spark's ambiguous-self-join detector when grouping columns flow out
+    // of a multiway join (false positive — the SQL path plans the identical
+    // Expand + partial/final HashAggregate).
+    "q_agg_rollup" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation")
+      Tables.region(s, dir).createOrReplaceTempView("graft_region")
+      s.sql("""SELECT r_name, n_name, count(*) AS n_cust,
+              |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS sum_acctbal
+              |FROM graft_customer
+              |JOIN graft_nation ON c_nationkey = n_nationkey
+              |JOIN graft_region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)
+              |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+        .stripMargin)
+    }),
+
+    "q_agg_distinct_exact" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // -- sorts / top-k (O1, O3) -------------------------------------------------
+    "q_orderby" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("n_nationkey"))
+        .orderBy(col("r_name").desc, col("n_name").asc)),
+
+    "q_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // -- windows (W1, W2) ---------------------------------------------------------
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_nationkey"), col("rn"), col("rk"), col("c_custkey"),
+          col("c_acctbal"))
+        .orderBy("c_nationkey", "rn")
+    }),
+
+    "q_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double")
+            .as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // -- dedup family (A3 + BASELINE.json extensions) ------------------------------
+    "q_dedup_priority" -> ((s, dir) =>
+      Dedup.priorityDedup(bibRecords(s, dir), col("key"), col("priority"),
+          col("doc_id"))
+        .select(col("doc_id"), col("key"), col("source_type"), col("priority"))
+        .orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dups = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.exactDedup(docs.unionByName(dups), col("text"), col("doc_id"))
+        .orderBy("fingerprint")
+    }),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), col("doc_id"),
+          col("text"), threshold = 0.6, k = 128, bands = 32)
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    // -- text analysis (BASELINE.json extensions) -----------------------------------
+    "q_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+          TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // -- external-op pipelines with deterministic stubs (X1, X2+F16) ----------------
+    "q_enrich_metrics" -> ((s, dir) =>
+      Enrich.journalMetrics(Tables.documents(s, dir), "lang",
+          Enrich.StubMetricsClient)
+        .select(col("journal_norm"), col("impact_factor"), col("quartile"))
+        .distinct()
+        .orderBy("journal_norm")),
+
+    "q_llm_extract" -> ((s, dir) =>
+      Enrich.llmExtract(Tables.documents(s, dir), "text",
+          Seq("summary", "n_words"), Enrich.StubLlmClient)
+        .select(col("doc_id"), col("summary"), col("n_words"))
+        .orderBy("doc_id")),
+
+    // -- embeddings: similarity search + near-dup (BASELINE.json extensions) --------
+    "q_embed_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("probe_id"), col("rank"), col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // -- semi-structured (F16/F17 shape on events.props) -----------------------------
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // -- event-time windowing (ST1-ST3, batch semantics) ------------------------------
+    "q_events_tumbling" -> ((s, dir) =>
+      Events.tumbling(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")),
+
+    "q_events_sliding" -> ((s, dir) =>
+      Events.sliding(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")),
+
+    "q_events_session" -> ((s, dir) =>
+      Events.sessions(Tables.events(s, dir))
+        .orderBy("user_id", "session_start")),
+
+    // -- multimodal column plumbing (binary + typed metadata) -------------------------
+    "q_multimodal_meta" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("blob", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).as("first_code"),
+          md5(col("blob")).as("content_md5"))
+        .orderBy("doc_id"))
+  )
+
+  // ---- DuckDB oracles -------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_flagship" ->
+      s"""WITH recs AS ($bibRecordsSql),
+         |ddp AS (SELECT * FROM (SELECT *, row_number() OVER
+         |          (PARTITION BY key ORDER BY priority DESC, doc_id ASC) AS rn
+         |        FROM recs) WHERE rn = 1),
+         |enr AS (SELECT d.*, (length(lang) % 90) / 10.0 + 1.0 AS impact_factor,
+         |               'Q' || CAST(1 + length(lang) % 4 AS VARCHAR) AS quartile
+         |        FROM ddp d)
+         |SELECT source_type, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(CAST(impact_factor AS DECIMAL(28,6))) AS DOUBLE)
+         |         / count(*) AS avg_if,
+         |       min(quartile) AS min_quartile
+         |FROM enr GROUP BY source_type ORDER BY source_type""".stripMargin,
+
+    "q_scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_project_rename" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |       l_quantity AS qty,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS gross
+        |FROM lineitem ORDER BY order_id, line_no""".stripMargin,
+
+    "q_filter_notnull" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE text IS NOT NULL AND lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "q_filter_conjunctive" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= 200 AND regexp_matches(text, 'join (fast|slow)')
+        |  AND contains(text, 'spark')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_scalar_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'https://doi.org/'
+        |          WHEN doc_id % 4 = 1 THEN 'doi:' ELSE '' END)
+        |    || '10.' || CAST(doc_id % 1000 AS VARCHAR) || '/' || lang
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ' [doi]' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ', 10.9999/extra' ELSE '' END)
+        |      AS raw_doi
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, raw_doi,
+        |         regexp_replace(raw_doi, '\s*\[(doi|pii)\]', '', 'g') AS a
+        |       FROM raw),
+        |s2 AS (SELECT doc_id, raw_doi,
+        |         CASE WHEN contains(a, ',') AND len(list_filter(
+        |                string_split(a, ','), x -> starts_with(trim(x), '10.'))) > 0
+        |              THEN trim(list_filter(string_split(a, ','),
+        |                     x -> starts_with(trim(x), '10.'))[1])
+        |              ELSE a END AS b
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, raw_doi,
+        |         regexp_replace(b, '^(https://doi\.org/|doi:)', '') AS c
+        |       FROM s2)
+        |SELECT doc_id, raw_doi,
+        |       lower(trim(regexp_replace(c, '[,.\s]+$', ''))) AS doi,
+        |       CAST(regexp_extract('published in '
+        |         || CAST(1990 + doc_id % 30 AS VARCHAR), '(\d{4})', 1) AS INT)
+        |         AS pub_year
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "q_scalar_links" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'pubmed'
+        |         WHEN doc_id % 3 = 1 THEN 'wos' ELSE 'sciencedirect' END AS st,
+        |    CAST(doc_id AS VARCHAR) AS pmid,
+        |    'WOS:' || CAST(doc_id AS VARCHAR) AS wos_id,
+        |    CASE WHEN doc_id % 7 <> 0 THEN '10.1/d' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END AS doi
+        |  FROM documents),
+        |links AS (
+        |  SELECT doc_id,
+        |    coalesce(CASE WHEN st = 'pubmed' AND pmid IS NOT NULL AND pmid <> ''
+        |      THEN 'https://pubmed.ncbi.nlm.nih.gov/' || pmid || '/' END, '')
+        |      AS pubmed_link,
+        |    coalesce(CASE WHEN st = 'wos' AND wos_id IS NOT NULL AND wos_id <> ''
+        |      THEN 'https://www.webofscience.com/wos/woscc/full-record/' || wos_id
+        |      END, '') AS wos_link,
+        |    coalesce(CASE WHEN doi IS NOT NULL AND doi <> ''
+        |      THEN 'https://doi.org/' || doi END, '') AS doi_link
+        |  FROM d)
+        |SELECT doc_id, pubmed_link, wos_link, doi_link,
+        |       coalesce(nullif(wos_link, ''), nullif(pubmed_link, ''),
+        |                nullif('', ''), nullif(doi_link, ''), '') AS title_link
+        |FROM links ORDER BY doc_id""".stripMargin,
+
+    "q_coalesce_fallback" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 <> 0
+        |       THEN 'J' || CAST(doc_id % 10 AS VARCHAR) END AS journal,
+        |  'Full' || CAST(doc_id % 10 AS VARCHAR) AS journal_full,
+        |  coalesce(CASE WHEN doc_id % 7 <> 0
+        |    THEN 'J' || CAST(doc_id % 10 AS VARCHAR) END,
+        |    'Full' || CAST(doc_id % 10 AS VARCHAR)) AS journal_resolved
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        |         'c' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, NULL, 's' FROM supplier)
+        |ORDER BY src, id""".stripMargin,
+
+    "q_intersect_except" ->
+      """SELECT * FROM (
+        |  SELECT nationkey, 'intersect' AS op FROM
+        |    (SELECT c_nationkey AS nationkey FROM customer
+        |     INTERSECT SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT nationkey, 'except' AS op FROM
+        |    (SELECT c_nationkey AS nationkey FROM customer
+        |     EXCEPT SELECT s_nationkey FROM supplier))
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "q_join_broadcast_enrich" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_smj_multiway" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  (0, 900.0, 925.0), (1, 925.0, 950.0),
+        |  (2, 950.0, 975.0), (3, 975.0, 1000.0))
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part JOIN tiers ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    "q_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_by_group" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_agg_distinct_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_orderby" ->
+      """SELECT r_name, n_name, n_nationkey FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name DESC, n_name ASC""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_nationkey, rn, rk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+        |    rank() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_dedup_priority" ->
+      s"""WITH recs AS ($bibRecordsSql)
+         |SELECT doc_id, key, source_type, priority FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY key ORDER BY priority DESC, doc_id ASC) AS rn
+         |  FROM recs) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         |SELECT md5($normTextSql) AS fingerprint,
+         |  CAST(min(doc_id) AS BIGINT) AS survivor_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM all_docs GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+    "q_dedup_jaccard" -> jaccardOracleSql(0.6),
+    "q_dedup_minhash" -> jaccardOracleSql(0.6),
+    "q_dedup_simhash" -> jaccardOracleSql(0.6),
+
+    "q_text_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $normTextSql AS nt,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS n_ws,
+         |    length(text) - length(regexp_replace(text,
+         |      '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |derived AS (
+         |  SELECT doc_id, n_ws AS n_ws_tokens,
+         |    len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS DOUBLE) / nullif(n_ws, 0) AS avg_word_len,
+         |    CAST(n_punct AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
+         |    CAST(len(list_filter(string_split(nt, ' '), t -> t IN
+         |      ('the','a','an','and','or','of','to','in','is','it','on','for',
+         |       'with','as','at','by','this','that'))) AS DOUBLE)
+         |      / nullif(len(string_split(nt, ' ')), 0) AS stopword_ratio,
+         |    length(text) AS n_chars2
+         |  FROM base)
+         |SELECT doc_id, n_ws_tokens, n_bpe_tokens, avg_word_len, punct_ratio,
+         |  stopword_ratio,
+         |  (CASE WHEN n_chars2 >= 100 AND n_chars2 <= 20000 THEN 0.25 ELSE 0.0 END)
+         |  + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+         |  + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+         |  + (CASE WHEN avg_word_len >= 2.0 AND avg_word_len <= 12.0
+         |     THEN 0.25 ELSE 0.0 END) AS quality
+         |FROM derived ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang, string_split($normTextSql, ' ') AS toks FROM documents),
+         |s2 AS (
+         |  SELECT lang,
+         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit','ein'))) AS s_de,
+         |    len(list_filter(toks, t -> t IN ('the','and','of','to','is','with','that'))) AS s_en,
+         |    len(list_filter(toks, t -> t IN ('el','la','de','que','los','una','por'))) AS s_es,
+         |    len(list_filter(toks, t -> t IN ('le','la','les','des','une','est','dans'))) AS s_fr,
+         |    len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我'))) AS s_zh
+         |  FROM scored),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |         ELSE 'zh' END AS pred
+         |  FROM s2)
+         |SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM p
+         |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5($normTextSql) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_enrich_metrics" ->
+      """SELECT DISTINCT lower(trim(lang)) AS journal_norm,
+        |  (length(lower(trim(lang))) % 90) / 10.0 + 1.0 AS impact_factor,
+        |  'Q' || CAST(1 + length(lower(trim(lang))) % 4 AS VARCHAR) AS quartile
+        |FROM documents WHERE lang IS NOT NULL AND lang <> ''
+        |ORDER BY journal_norm""".stripMargin,
+
+    "q_llm_extract" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(ws[1:8], ' ') AS summary,
+        |  CAST(len(ws) AS VARCHAR) AS n_words
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+        |           WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |s AS (SELECT pid, nid,
+        |        list_sum(list_transform(range(1, len(ce) + 1),
+        |          i -> CAST(ce[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+        |        / nullif(
+        |          sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x)))
+        |          * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * x))),
+        |          0) AS cos
+        |      FROM c, p WHERE nid <> pid),
+        |r AS (SELECT pid AS probe_id, nid AS nbr_id, cos,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY cos DESC, nid ASC) AS rank
+        |      FROM s)
+        |SELECT probe_id, rank, nbr_id FROM r WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |        / nullif(
+        |          sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+        |          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))),
+        |          0) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM s WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_events_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH ks(k) AS (VALUES (0), (1), (2), (3)),
+        |w AS (SELECT CAST(time_bucket(INTERVAL '15 minutes',
+        |               CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |             - k * INTERVAL '15 minutes' AS window_start,
+        |             event_type, value
+        |      FROM events CROSS JOIN ks)
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_events_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_code,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }
