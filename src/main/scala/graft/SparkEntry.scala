@@ -433,8 +433,11 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // threshold 0.45: the synthetic embeddings are near-orthogonal random
+    // vectors (max pairwise cos ≈ 0.6 at sf0.1), so 0.45 yields a real,
+    // non-empty tail while staying > 3σ above the cos≈N(0, 1/64) noise
     "q_embed_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.9)
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")),
 
@@ -838,7 +841,7 @@ object SparkEntry {
         |          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))),
         |          0) AS cos
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b FROM s WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+        |SELECT id_a, id_b FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -105,11 +105,13 @@ object Dedup {
         inv0.join(dfc.select("shingle"), Seq("shingle"))
       case None => inv0
     }
-    val a = inv.select(col("id").as("id_a"), col("n_sh").as("na"), col("shingle"))
-    val b = inv.select(col("id").as("id_b"), col("n_sh").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
+    // self-join on the IDENTICAL subtree (aliases, not divergent selects):
+    // both sides shuffle the same plan on `shingle`, so the exchange is
+    // computed once and reused (ReusedExchange) instead of twice
+    inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -146,26 +148,28 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       threshold: Double, w: Int = 3,
-                      k: Int = 128, bands: Int = 16): DataFrame = {
+                      k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val sh = docs.select(id.as("id"), shingles(text, w).as("sh"))
       .where(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sig.select(col("id"), col("sh"),
-      posexplode(array((0 until bands).map { b =>
+    // Band rows carry ONLY (id, band_idx, band_hash): the shingle arrays
+    // are the bulk of the bytes and must not ride through the all-to-all
+    // band shuffle — candidates re-acquire them via verifyWithShingles'
+    // semi-join-style lookup on the (small) candidate id set.
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
       }: _*)).as(Seq("band_idx", "band_hash")))
-    val l = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band_idx"), col("band_hash"))
-    val rr = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band_idx"), col("band_hash"))
-    val cand = l.join(rr, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, threshold)
+    verifyWithShingles(cand, sh, threshold)
   }
 
   /** 64-bit SimHash over the normalized token multiset: each token hashes
@@ -203,30 +207,49 @@ object Dedup {
     * equals the brute-force oracle (given planted pairs are within d<=7,
     * which holds for J>=0.9 duplicates).
     */
+  /** SimHash near-dup pairs. Contract: pairs within Hamming distance
+    * `maxHamming` (default 7) of each other, verified by exact shingle
+    * Jaccard >= threshold. Banding the 64-bit simhash into 8 bytes has
+    * EXACT recall for Hamming<=7 by pigeonhole (any two hashes differing
+    * in <=7 bits agree on at least one whole byte).
+    *
+    * Scale notes: byte bands are only 256-valued, so the band join can
+    * produce large candidate volumes on correlated corpora — therefore
+    * (a) band rows are skinny (id + simhash only, no shingle payload) and
+    * (b) the Hamming cut `bit_count(xor) <= maxHamming` is applied INSIDE
+    * the join condition, so wide-distance candidates die before any
+    * shuffle/dedup, and only survivors fetch their shingle sets for the
+    * exact verify.
+    */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   threshold: Double, w: Int = 3): DataFrame = {
+                   threshold: Double, w: Int = 3,
+                   maxHamming: Int = 7): DataFrame = {
     val hashed = simhash(docs, id, text)
-    val sh = docs.select(id.as("sid"), shingles(text, w).as("sh"))
-    val joined = hashed.join(sh, hashed("id") === sh("sid")).drop("sid")
-    val banded = joined.select(col("id"), col("sh"),
+    val banded = hashed.select(col("id"), col("simhash"),
       posexplode(array((0 until 8).map { byte =>
-        shiftright(col("simhash"), byte * 8).bitwiseAND(0xff)
+        shiftright(col("simhash"), byte * 8).bitwiseAND(0xffL)
       }: _*)).as(Seq("band_idx", "band_val")))
-    val l = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band_idx"), col("band_val"))
-    val rr = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band_idx"), col("band_val"))
-    val cand = l.join(rr, Seq("band_idx", "band_val"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id") &&
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, threshold)
+    val sh = docs.select(id.as("id"), shingles(text, w).as("sh"))
+    verifyWithShingles(cand, sh, threshold)
   }
 
-  /** Exact-Jaccard verification of candidate pairs carrying their shingle
-    * arrays: |A∩B| via array_intersect (per-row, no shuffle). */
-  private def verifyJaccard(cand: DataFrame, threshold: Double): DataFrame =
+  /** Exact-Jaccard verification: candidate (id_a, id_b) pairs re-acquire
+    * their shingle arrays via two joins against the shingle frame (the
+    * candidate set is small after banding/Hamming cuts — the joins are a
+    * semi-join reduction, same trick as the reference's
+    * distinct-before-API-call), then |A∩B| via array_intersect per row. */
+  private def verifyWithShingles(cand: DataFrame, sh: DataFrame,
+                                 threshold: Double): DataFrame =
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

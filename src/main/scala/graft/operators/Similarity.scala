@@ -30,6 +30,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  /** Statically-unrolled dot product for a KNOWN dimension: a left-fold of
+    * `dim` element_at products — plain arithmetic that stays inside
+    * whole-stage codegen, unlike higher-order-function lambdas (evaluated
+    * interpreted, with a per-row intermediate array from zip_with). The
+    * addition order (ascending index, left-associated) is identical to the
+    * sequential HOF fold and to DuckDB's list_sum, so results stay
+    * bit-identical. Used on all-pairs hot paths where the O(n²) row count
+    * makes interpreted evaluation the bottleneck. */
+  def staticDot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Vector dimension probed from the first row (driver-side, one tiny
+    * job) — lets all-pairs operators unroll arithmetic statically. */
+  def probeDim(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol))).head().getInt(0)
+
   /** Brute-force exact top-k nearest neighbors (cosine) for a set of probe
     * ids. The probe side is tiny and broadcast; the corpus side streams —
     * one pass, no shuffle until the (small) per-probe top-k reduction, which
@@ -42,10 +60,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"))
-    val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
+    val dim = probeDim(corpus, embCol)
+    // norms are computed ONCE per vector on each side, not per pair
+    val c = corpus.select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"),
+      norm(col(embCol)).as("c_nrm"))
+    val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+      norm(col(embCol)).as("p_nrm"))
     val scored = c.join(broadcast(p), col("nbr_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("c_emb"), col("p_emb")))
+      .withColumn("cos", staticDot(col("c_emb"), col("p_emb"), dim) /
+        nullif(col("c_nrm") * col("p_nrm"), lit(0.0)))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
     scored
@@ -114,11 +137,15 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          embCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+    val dim = probeDim(emb, embCol)
+    // norm once per vector; the O(n²) pair loop pays only the codegen'd
+    // static dot + one multiply/divide
+    val e = emb.select(col(idCol).as("id"), col(embCol).as("emb"),
+      norm(col(embCol)).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", staticDot(col("a.emb"), col("b.emb"), dim) /
+        nullif(col("a.nrm") * col("b.nrm"), lit(0.0)))
       .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 }

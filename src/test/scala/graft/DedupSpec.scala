@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** A3 priority dedup edge cases (reference main.py:101-166) and the
+  * near-dup family's exactness properties on small literal corpora. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val bib = Seq(
+    // (id, doi, source, priority)
+    (1L, "10.1/a", "wos", 3),
+    (2L, "10.1/a", "pubmed", 2),   // duplicate, lower priority -> dropped
+    (3L, "10.1/b", "pubmed", 2),
+    (4L, null.asInstanceOf[String], "wos", 3),      // null key -> always kept
+    (5L, "", "sciencedirect", 1),                    // empty key -> always kept
+    (6L, "10.1/b", "sciencedirect", 1),              // dropped
+    (7L, "10.1/c", "pubmed", 2),
+    (8L, "10.1/c", "wos", 2)                         // tie -> lowest id wins
+  ).toDF("id", "doi", "source", "prio")
+
+  test("priorityDedup keeps highest priority per key, all null/empty keys") {
+    val out = Dedup.priorityDedup(bib, col("doi"), col("prio"), col("id"))
+      .select("id").as[Long].collect().sorted
+    assert(out === Seq(1L, 3L, 4L, 5L, 7L))
+  }
+
+  test("priorityDedup is idempotent") {
+    val once = Dedup.priorityDedup(bib, col("doi"), col("prio"), col("id"))
+    val twice = Dedup.priorityDedup(once, col("doi"), col("prio"), col("id"))
+    assert(twice.select("id").as[Long].collect().sorted ===
+      once.select("id").as[Long].collect().sorted)
+  }
+
+  test("priorityDedup surviving row has max priority within its key") {
+    val out = Dedup.priorityDedup(bib, col("doi"), col("prio"), col("id"))
+    val maxByKey = bib.where(col("doi").isNotNull && col("doi") =!= "")
+      .groupBy("doi").agg(max("prio").as("mx"))
+    val bad = out.join(maxByKey, "doi").where(col("prio") =!= col("mx"))
+    assert(bad.count() === 0)
+  }
+
+  test("exactDedup groups identical normalized text") {
+    val docs = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),      // same after normalization
+      (3L, "different text")
+    ).toDF("id", "text")
+    val out = Dedup.exactDedup(docs, col("text"), col("id"))
+      .orderBy("survivor_id")
+      .select("survivor_id", "n_copies").as[(Long, Long)].collect()
+    assert(out === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: w=3 word shingles, short text falls back to whole text") {
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"))).as[Seq[String]].collect()
+    assert(r(0).toSet === Set("a b c", "b c d"))
+    assert(r(1) === Seq("a b"))
+  }
+
+  test("jaccardPairs equals brute force on a planted corpus") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (3L, "completely unrelated words appear in this document body"),
+      (4L, "the quick brown fox jumps over the lazy dog today")    // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // exact dup pair has jaccard exactly 1.0
+    val j14 = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5)
+      .where(col("id_a") === 1 && col("id_b") === 4)
+      .select("jaccard").as[Double].head()
+    assert(j14 === 1.0)
+  }
+
+  test("minhashLshPairs finds the same pairs as exact jaccard") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"),
+      (5L, "totally distinct content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 0.5,
+      k = 128, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(mh === exact)
+  }
+
+  test("simhashPairs matches exact jaccard on docs long enough for stable " +
+    "majority votes") {
+    // simhash majority margins scale with sqrt(token count): ~10-token docs
+    // flip many bits on a single word change (Hamming > 7), which is why
+    // the operator contract is Hamming<=7 — use realistic 60-token docs
+    val w60 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val w60b = (1 to 59).map(i => s"w$i").mkString(" ") + " zz"
+    val docs = Seq(
+      (1L, w60), (2L, w60), (3L, w60b),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, (100 to 160).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashPairs(docs, col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(sh === exact)
+  }
+
+  test("maxDf cap drops hot shingles from candidate generation") {
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "x y z g h i")
+    ).toDF("doc_id", "text")
+    // shared shingle "x y z" has df=3; cap at 2 -> no candidates survive
+    val capped = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.01,
+      maxDf = Some(2))
+    assert(capped.count() === 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Enrich, Events}
+
+/** Singleton so executor-side deserialization lands on the same instance
+  * (local mode = one JVM) and the call count is observable from the test. */
+object CountingMetricsClient extends Enrich.MetricsClient {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def fetch(j: String): (Double, String) = {
+    calls.incrementAndGet()
+    Enrich.StubMetricsClient.fetch(j)
+  }
+}
+
+class EventsEnrichSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val ev = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 10:20:00"), 7L, "click", 2.0),
+    (3L, ts("2024-01-01 10:59:59"), 7L, "view", 4.0),
+    (4L, ts("2024-01-01 11:00:00"), 7L, "click", 8.0),   // next hour
+    (5L, ts("2024-01-01 11:35:00"), 9L, "click", 16.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumbling windows bucket by event-time hour") {
+    val r = Events.tumbling(ev)
+      .orderBy("window_start", "event_type")
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect()
+    assert(r === Seq(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00", "view", 1L, 4.0),
+      ("2024-01-01 11:00:00", "click", 2L, 24.0)))
+  }
+
+  test("sliding windows: each event lands in width/slide windows") {
+    val one = ev.where(col("event_id") === 1) // 10:05
+    val r = Events.sliding(one).select(col("window_start").cast("string"))
+      .as[String].collect().sorted
+    assert(r === Seq("2024-01-01 09:15:00", "2024-01-01 09:30:00",
+      "2024-01-01 09:45:00", "2024-01-01 10:00:00"))
+  }
+
+  test("session windows split on >= gap inactivity, end = last + gap") {
+    val r = Events.sessions(ev)  // 30 min gap
+      .orderBy("user_id", "session_start")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect()
+    // user 7: events at 10:05, 10:20, 10:59:59, 11:00 -> gap 10:20->10:59:59
+    // is 39:59 > 30min -> two sessions
+    assert(r === Seq(
+      (7L, "2024-01-01 10:05:00", "2024-01-01 10:50:00", 2L),
+      (7L, "2024-01-01 10:59:59", "2024-01-01 11:30:00", 2L),
+      (9L, "2024-01-01 11:35:00", "2024-01-01 12:05:00", 1L)))
+  }
+
+  test("journalMetrics: one fetch per distinct key, broadcast back (X1)") {
+    CountingMetricsClient.calls.set(0)
+    val df = Seq(("a", "Journal One"), ("b", "journal one "),
+      ("c", "Other"), ("d", null.asInstanceOf[String]))
+      .toDF("id", "journal")
+    val out = Enrich.journalMetrics(df, "journal", CountingMetricsClient)
+    assert(out.count() === 4)
+    // "Journal One" and "journal one " normalize to the same key
+    assert(CountingMetricsClient.calls.get() === 2)
+    val nullRow = out.where(col("id") === "d").select("impact_factor")
+    assert(nullRow.head().isNullAt(0)) // left join: no metrics for null key
+  }
+
+  test("llmExtract splats repaired fields, empty input short-circuits (X2)") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, ""), (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Enrich.llmExtract(df, "text", Seq("summary", "n_words"),
+      Enrich.StubLlmClient, Map("n_words" -> "0"))
+      .orderBy("id")
+      .select("summary", "n_words").as[(String, String)].collect()
+    assert(out(0)._1 === "alpha beta gamma delta epsilon zeta eta theta")
+    assert(out(0)._2 === "9")
+    assert(out(1) === (("", "0"))) // defaults, no client call
+    assert(out(2) === (("", "0")))
+  }
+}

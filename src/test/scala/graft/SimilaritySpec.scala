@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f)),   // close to 1
+    (3L, Array(0f, 1f, 0f)),       // orthogonal to 1
+    (4L, Array(-1f, 0f, 0f)),      // opposite of 1
+    (5L, Array(0f, 0f, 0f))        // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identity, orthogonality, opposition, zero-norm null") {
+    val r = vecs.as("a").crossJoin(vecs.as("b"))
+      .where(col("a.vec_id") === 1)
+      .orderBy(col("b.vec_id"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .as[Option[Double]].collect()
+    assert(math.abs(r(0).get - 1.0) < 1e-12)
+    assert(r(1).get > 0.9)
+    assert(r(2).get === 0.0)
+    assert(r(3).get === -1.0)
+    assert(r(4).isEmpty) // zero norm -> null, no ANSI crash
+  }
+
+  test("staticDot equals HOF dot bit-for-bit") {
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(Similarity.dot(col("a.embedding"), col("b.embedding")).as("hof"),
+        Similarity.staticDot(col("a.embedding"), col("b.embedding"), 3)
+          .as("static"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (h, s) => assert(h === s) }
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 1),
+      k = 2)
+      .orderBy("rank")
+      .select("rank", "nbr_id").as[(Int, Long)].collect()
+    assert(out.length === 2)
+    assert(out(0)._2 === 2L) // closest
+    assert(out.forall(_._2 != 1L))
+  }
+
+  test("cosineNearDupPairs finds only the close pair at 0.9") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("lshTopK recall on an exact-duplicate probe") {
+    // duplicate vectors always share every LSH bucket -> guaranteed found
+    val dup = Seq((10L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs.unionByName(dup), dup, k = 1)
+      .select("nbr_id").as[Long].collect()
+    assert(out.headOption.contains(1L))
+  }
+}

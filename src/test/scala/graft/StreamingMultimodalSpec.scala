@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+
+class StreamingMultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("ST4: watermarked tumbling window finalizes closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(df, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      mem.addData((ts("2024-01-01 12:30:00"), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows === Set(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("ST5: dropDuplicatesWithinWatermark dedups by key on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupByKey(df, "event_id", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:01:00"), 2.0),   // dup within watermark
+        (2L, ts("2024-01-01 10:02:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("multimodal: binary payload -> per-partition decoded metadata") {
+    val df = Seq(
+      (1L, "img-payload-aaaa".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val out = Multimodal.withImageMeta(df, "payload").orderBy("id")
+    assert(out.schema("img_meta").dataType === Multimodal.metaSchema)
+    val rows = out.select(col("id"), col("img_meta.width"),
+      col("img_meta.mean_luma")).collect()
+    // deterministic fake: width = 16 + len%64
+    assert(rows(0).getInt(1) === 16 + "img-payload-aaaa".length % 64)
+    assert(rows(0).getDouble(2) > 0.0)
+    assert(rows(1).getInt(1) === 16)
+    assert(rows(2).isNullAt(1)) // null payload -> null metadata
+  }
+}
