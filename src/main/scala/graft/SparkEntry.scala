@@ -399,11 +399,13 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
-    "q_lang_id" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+    "q_lang_id" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.langIdFrame(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "pred")),
+        .orderBy("lang", "pred")
+    }),
 
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)

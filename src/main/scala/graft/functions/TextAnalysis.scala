@@ -81,6 +81,37 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(langMarkers(lang).map(lit): _*)))
   }
 
+  /** Relational language-ID over a whole frame: explode tokens ONCE (a
+    * generator evaluates its split() input once per row), score all
+    * languages with conditional aggregates in a single codegen'd pass,
+    * then pick the argmax with a CASE chain over plain attributes.
+    *
+    * Prefer this for datasets; the scalar `langId` column below evaluates
+    * the token split once per language score (expression-tree duplication
+    * — CollapseProject inlines common subexpressions), which is fine for
+    * a handful of rows and pathological for millions.
+    *
+    * Returns the input keyed by `idCol` plus a `pred` column. Ties break
+    * toward the alphabetically-first language; no hits → 'und'.
+    */
+  def langIdFrame(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val toks = df.select(col(idCol),
+      explode(split(normText(col(textCol)), " ")).as("tok"))
+    val scored = toks.groupBy(idCol).agg(
+      sum(when(col("tok").isin(langMarkers(langs.head).map(lit): _*), 1)
+        .otherwise(0)).as(s"s_${langs.head}"),
+      langs.tail.map(l =>
+        sum(when(col("tok").isin(langMarkers(l).map(lit): _*), 1)
+          .otherwise(0)).as(s"s_$l")): _*)
+    val g = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = langs.foldLeft(when(g === 0, "und")) { (acc, l) =>
+      acc.when(col(s"s_$l") === g, l)
+    }
+    scored.select(col(idCol), pred.as("pred"))
+  }
+
   /** Predicted language: argmax of marker-word hit counts, ties broken by
     * language code order, 'und' when all scores are zero. */
   def langId(c: Column): Column = {

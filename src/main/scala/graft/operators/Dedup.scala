@@ -62,19 +62,84 @@ object Dedup {
   def normalizeText(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Distinct word-level w-shingles of the normalized text, as an array
-    * column. w=3 by default (the standard near-dup shingle width).
+  /** Spread rows across all cores BEFORE per-row-expensive expressions
+    * (shingling, token explode, signature hashing). Small corpora arrive
+    * as 1-2 parquet splits, which would serialize the whole CPU-bound
+    * stage on one task; the round-robin shuffle of the skinny (id, text)
+    * projection is orders of magnitude cheaper than the work it unlocks.
+    * On a real cluster with thousands of input splits this is a no-op
+    * cost-wise (one extra narrow-ish exchange of the projected columns).
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val norm  = normalizeText(text)
-    val words = split(norm, " ")
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Distinct w-shingles from an ALREADY-MATERIALIZED words-array column.
+    *
+    * The words array must be a bound attribute, not an inline split(...)
+    * expression: CollapseProject inlines a common subexpression into every
+    * use site, so element_at over an inline split would re-run the full
+    * regex split per shingle element (measured 200+ splits/doc — the
+    * dominant cost of the whole dedup family before this refactor). The
+    * `shingleFrame` helper below materializes words behind a repartition
+    * exchange, which CollapseProject cannot cross.
+    */
+  def shinglesFromWords(words: Column, w: Int = 3): Column = {
     val n = size(words)
     // greatest(...) keeps sequence() ascending even when n < w (Spark's
     // sequence auto-descends when start > stop, which would be wrong here)
     val full = transform(sequence(lit(1), greatest(n - (w - 1), lit(1))),
       i => concat_ws(" ", (0 until w).map(k => element_at(words, i + k)): _*))
-    array_distinct(when(n >= w, full).otherwise(array(norm)))
+    array_distinct(when(n >= w, full).otherwise(array(array_join(words, " "))))
   }
+
+  /** Convenience form over raw text (tests / one-off use; the operators
+    * use shingleFrame to avoid the inline-split recompute trap). */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromWords(split(normalizeText(text), " "), w)
+
+  /** Distinct shingle POSTINGS (id, shingle, n_sh) built relationally:
+    * posexplode the word stream (a generator evaluates its input split()
+    * exactly once per doc — array-expression forms get re-inlined by
+    * CollapseProject into every lambda reference, re-running the regex
+    * split per shingle element; measured 8 split() copies in the executed
+    * plan), then assemble w-grams with lead() windows over (id, pos),
+    * dedupe with a (id, shingle) aggregate, and count distinct shingles
+    * per doc with a window.
+    *
+    * This is also the 100 TB-safe shape: the hot path streams skinny
+    * posting rows through exchanges keyed on high-cardinality (id) /
+    * (id, shingle); no per-doc array is built or recomputed anywhere.
+    * Docs shorter than w words contribute their whole normalized text as
+    * the single shingle (concat_ws skips the null leads), matching
+    * `shinglesFromWords`' fallback and the DuckDB oracle.
+    */
+  private def shinglePostings(docs: DataFrame, id: Column, text: Column,
+                              w: Int): DataFrame = {
+    val posted = spread(docs.select(id.as("id"), text.as("text")))
+      .select(col("id"),
+        posexplode(split(normalizeText(col("text")), " "))
+          .as(Seq("pos", "word")))
+    val ordered = Window.partitionBy("id").orderBy("pos")
+    val perDoc = Window.partitionBy("id")
+    posted
+      .withColumn("n_words", count(lit(1)).over(perDoc))
+      .withColumn("shingle", concat_ws(" ",
+        col("word") +:
+          (1 until w).map(k => lead(col("word"), k).over(ordered)): _*))
+      .where((col("n_words") >= w && col("pos") <= col("n_words") - w) ||
+        (col("n_words") < w && col("pos") === 0))
+      .groupBy("id", "shingle").agg(first(lit(1)))
+      .select("id", "shingle")
+      .withColumn("n_sh", count(lit(1)).over(perDoc))
+  }
+
+  /** Per-doc distinct shingle ARRAYS (id, sh) for candidate verification —
+    * assembled from the postings (order irrelevant: array_intersect is a
+    * set operation and |A| comes with the postings). */
+  private def shingleFrame(docs: DataFrame, id: Column, text: Column,
+                           w: Int): DataFrame =
+    shinglePostings(docs, id, text, w)
+      .groupBy("id").agg(collect_list(col("shingle")).as("sh"))
 
   /** Brute-force-equivalent n-gram Jaccard near-dup pairs, computed the
     * scalable way: explode shingles into an inverted index, self-join on
@@ -95,9 +160,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
                    threshold: Double, w: Int = 3,
                    maxDf: Option[Int] = None): DataFrame = {
-    val sh = docs.select(id.as("id"), shingles(text, w).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val inv0 = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val inv0 = shinglePostings(docs, id, text, w)
     val inv = maxDf match {
       case Some(cap) =>
         val dfc = inv0.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -119,10 +182,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * `xxhash64(shingle, seed_i)` minima. Returned as an array<long> column.
-    * Spark-internal only (signatures never cross the oracle boundary).
-    */
+  /** MinHash signature as an expression: k independent permutations
+    * approximated by `xxhash64(shingle, seed_i)` minima. Expression form
+    * for tests/ad-hoc use; the LSH operator computes the same minima
+    * relationally (explode → k codegen'd MIN aggregates) because k
+    * interpreted transform-lambdas per row don't codegen and the array
+    * column would be re-inlined at every use site. */
   def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map { seed =>
       array_min(transform(sh, s => xxhash64(s, lit(seed))))
@@ -151,17 +216,26 @@ object Dedup {
                       k: Int = 128, bands: Int = 32): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sh = docs.select(id.as("id"), shingles(text, w).as("sh"))
-      .where(size(col("sh")) > 0)
+    // Signature minima computed RELATIONALLY: k codegen'd xxhash64
+    // columns per shingle posting, one partial+final MIN aggregate keyed
+    // on id. This keeps the whole signature stage inside whole-stage
+    // codegen (the expression form pays k interpreted lambda sweeps per
+    // doc and re-inlines the array at every band reference).
+    // Values are identical: min over distinct shingles of xxhash64(s, j).
+    val inv = shinglePostings(docs, id, text, w).select("id", "shingle")
+    val hashed = inv.select(col("id") +:
+      (0 until k).map(j => xxhash64(col("shingle"), lit(j)).as(s"h$j")): _*)
+    val mins = hashed.groupBy("id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(j => min(col(s"h$j")).as(s"m$j")): _*)
     // Band rows carry ONLY (id, band_idx, band_hash): the shingle arrays
     // are the bulk of the bytes and must not ride through the all-to-all
     // band shuffle — candidates re-acquire them via verifyWithShingles'
     // semi-join-style lookup on the (small) candidate id set.
-    val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("id"), posexplode(array((0 until bands).map { b =>
+    val banded = mins.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
-          (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*))
+          (0 until r).map(i => col(s"m${b * r + i}")): _*))
       }: _*)).as(Seq("band_idx", "band_hash")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -169,7 +243,7 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyWithShingles(cand, sh, threshold)
+    verifyWithShingles(cand, shingleFrame(docs, id, text, w), threshold)
   }
 
   /** 64-bit SimHash over the normalized token multiset: each token hashes
@@ -178,8 +252,9 @@ object Dedup {
     * bit reassembly, all shuffle-on-doc_id (no O(N²) anywhere).
     */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = docs.select(id.as("id"),
-      explode(split(normalizeText(text), " ")).as("tok"))
+    val toks = spread(docs.select(id.as("id"), text.as("text")))
+      .select(col("id"),
+        explode(split(normalizeText(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     // one row per (doc, bit): vote +1 if bit set else -1. The 64 bit
     // extractions are generated statically (shiftright's shift amount is a
@@ -236,8 +311,7 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sh = docs.select(id.as("id"), shingles(text, w).as("sh"))
-    verifyWithShingles(cand, sh, threshold)
+    verifyWithShingles(cand, shingleFrame(docs, id, text, w), threshold)
   }
 
   /** Exact-Jaccard verification: candidate (id_a, id_b) pairs re-acquire

@@ -61,9 +61,12 @@ object Similarity {
                      idCol: String = "vec_id",
                      embCol: String = "embedding"): DataFrame = {
     val dim = probeDim(corpus, embCol)
-    // norms are computed ONCE per vector on each side, not per pair
-    val c = corpus.select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"),
-      norm(col(embCol)).as("c_nrm"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // norms are computed ONCE per vector on each side, not per pair;
+    // corpus spread over all cores (see cosineNearDupPairs)
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"),
+        norm(col(embCol)).as("c_nrm"))
     val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
       norm(col(embCol)).as("p_nrm"))
     val scored = c.join(broadcast(p), col("nbr_id") =!= col("probe_id"))
@@ -134,18 +137,59 @@ object Similarity {
     * corpus scale this would first bucket by LSH (see `lshBucket`) — kept
     * exact here because the oracle is exact.
     */
+  /** Embedding near-duplicate pairs: all pairs with cosine >= threshold.
+    *
+    * All-pairs cosine is a dense numeric kernel, not a relational join:
+    * a BroadcastNestedLoopJoin spends its time copying the two float
+    * arrays into every joined row (measured: array copies dominated the
+    * runtime, not arithmetic). So this is the one place we drop to
+    * mapPartitions (SURVEY.md §2 custom-operator preference (d)): the
+    * pair side is broadcast as plain JVM arrays — the same "one side must
+    * be broadcastable" constraint any broadcast join has — and each
+    * partition runs a tight double-precision loop.
+    *
+    * Bit-exactness with the DuckDB oracle: dot and norms are ascending-
+    * index sequential double sums, identical to the SQL list_transform/
+    * list_sum formulation.
+    *
+    * Scale path: at corpus sizes past broadcastability, LSH-bucket first
+    * (lshBucket) and run this kernel per bucket.
+    */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          embCol: String = "embedding"): DataFrame = {
-    val dim = probeDim(emb, embCol)
-    // norm once per vector; the O(n²) pair loop pays only the codegen'd
-    // static dot + one multiply/divide
-    val e = emb.select(col(idCol).as("id"), col(embCol).as("emb"),
-      norm(col(embCol)).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", staticDot(col("a.emb"), col("b.emb"), dim) /
-        nullif(col("a.nrm") * col("b.nrm"), lit(0.0)))
-      .where(col("cos") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("emb")).as[(Long, Array[Float])]
+    val all = e.collect().sortBy(_._1)
+    val norms = all.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((all, norms))
+    e.repartition(par).flatMap { case (idA, va) =>
+      val (vecs, nrms) = bc.value
+      var na = 0.0; var i = 0
+      while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
+      na = math.sqrt(na)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var j = 0
+      while (j < vecs.length) {
+        val (idB, vb) = vecs(j)
+        if (idB > idA) {
+          var dot = 0.0; var d = 0
+          while (d < va.length) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+          val den = na * nrms(j)
+          if (den != 0.0 && dot / den >= threshold)
+            out += ((idA, idB, dot / den))
+        }
+        j += 1
+      }
+      out.result()
+    }.toDF("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
   }
 }
