@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
 import graft.operators.{Dedup, Enrich, Events, Similarity}
+import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
   * each paired with DuckDB-equivalent SQL in `oracleSql` so the driver's
@@ -464,6 +465,56 @@ object SparkEntry {
     "q_events_session" -> ((s, dir) =>
       Events.sessions(Tables.events(s, dir))
         .orderBy("user_id", "session_start")),
+
+    // -- ingestion parsers S1/S2/S3/S5 + the reference's full pipeline ----------------
+    // (raw text-format inputs live in fixtures/, not the oracle's parquet
+    // tables, so these are rows-only checks — no oracleSql entries)
+    "q_scan_pubmed" -> ((s, _) =>
+      BibSources.pubmed(s, "/root/repo/fixtures/pubmed_sample.txt")
+        .orderBy("pmid")),
+
+    "q_scan_wos" -> ((s, _) =>
+      BibSources.wos(s, "/root/repo/fixtures/wos_sample.txt")
+        .orderBy("wos_id")),
+
+    "q_scan_csv" -> ((s, _) =>
+      BibSources.wosCsv(s, "/root/repo/fixtures/wos_sample.csv")
+        .orderBy("wos_id")),
+
+    "q_scan_sciencedirect" -> ((s, _) =>
+      BibSources.sciencedirect(s,
+        "/root/repo/fixtures/sciencedirect_sample.txt").orderBy("doi")),
+
+    // The reference's whole CLI pipeline (SURVEY.md §3.1 steps 4-5) as one
+    // query: parse all three sources -> union -> normalize -> priority
+    // dedup -> link columns -> stub enrichment
+    "q_pipeline_bibliographic" -> ((s, _) => {
+      val fx = "/root/repo/fixtures"
+      val combined = BibSources.combine(Seq(
+        BibSources.pubmed(s, s"$fx/pubmed_sample.txt"),
+        BibSources.wos(s, s"$fx/wos_sample.txt"),
+        BibSources.sciencedirect(s, s"$fx/sciencedirect_sample.txt")))
+      val normalized = combined
+        .withColumn("doi_norm", Normalize.normalizeDoi(col("doi")))
+        .withColumn("prio", Normalize.sourcePriority(col("source_type")))
+        .withColumn("rid", monotonically_increasing_id())
+      val deduped = Dedup.priorityDedup(normalized, col("doi_norm"),
+        col("prio"), col("rid"))
+      Enrich.journalMetrics(deduped, "journal", Enrich.StubMetricsClient)
+        .withColumn("pubmed_link",
+          Normalize.nullToEmpty(Normalize.pubmedLink(col("source_type"),
+            col("pmid"))))
+        .withColumn("wos_link",
+          Normalize.nullToEmpty(Normalize.wosLink(col("source_type"),
+            col("wos_id"))))
+        .withColumn("doi_link",
+          Normalize.nullToEmpty(Normalize.doiLink(col("doi_norm"))))
+        .withColumn("title_link", Normalize.titleLink(col("wos_link"),
+          col("pubmed_link"), lit(""), col("doi_link")))
+        .select("source_type", "title", "doi_norm", "publication_year",
+          "full_authors", "impact_factor", "quartile", "title_link")
+        .orderBy("source_type", "doi_norm")
+    }),
 
     // -- multimodal column plumbing (binary + typed metadata) -------------------------
     "q_multimodal_meta" -> ((s, dir) =>

@@ -1,0 +1,312 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion sources for the three bibliographic export formats the
+  * reference parses (SURVEY.md §2.1):
+  *
+  *   S1 PubMed tagged text  (`pubmed_parser.py:16-105`)
+  *   S2 WOS tagged text     (`wos_parser.py:45-109`)
+  *   S3 WOS CSV             (`wos_parser.py:111-139`)
+  *   S5 ScienceDirect text  (`sciencedirect_parser.py:17-253`)
+  *   S6 dispatch by extension (`wos_parser.py:31-43`)
+  *
+  * Scale design: records are segmented by a HADOOP RECORD DELIMITER
+  * (textinputformat.record.delimiter), not by whole-file reads — the input
+  * stays SPLITTABLE, so a single 100 GB export file still fans out across
+  * executors; per-record parsing is a pure String => Row function
+  * (unit-testable without Spark).
+  *
+  * Fidelity notes (SURVEY.md §7.4.3): WOS continuation lines are parsed
+  * CORRECTLY here (3-space indent), unlike the reference, which strips
+  * each line before testing for the indent (`wos_parser.py:55` vs `:90`)
+  * and therefore silently drops wrapped values.
+  */
+object BibSources {
+
+  /** Canonical raw-record schema shared by the three parsers (FIXTURES.md
+    * §B; the union edge fills what a source doesn't produce). */
+  val schema: StructType = StructType(Seq(
+    StructField("pmid", StringType),
+    StructField("title", StringType),
+    StructField("abstract", StringType),
+    StructField("journal", StringType),
+    StructField("journal_full", StringType),
+    StructField("publication_date", StringType),
+    StructField("authors", ArrayType(StringType)),
+    StructField("keywords", ArrayType(StringType)),
+    StructField("mesh_terms", ArrayType(StringType)),
+    StructField("issn", ArrayType(StringType)),
+    StructField("doi", StringType),
+    StructField("pii", StringType),
+    StructField("wos_id", StringType),
+    StructField("url", StringType),
+    StructField("volume", StringType),
+    StructField("issue", StringType),
+    StructField("pages", StringType),
+    StructField("publication_year", StringType),
+    StructField("source_type", StringType)))
+
+  private val fieldNames = schema.fieldNames
+
+  private def rowFrom(m: Map[String, Any], sourceType: String): Row =
+    Row.fromSeq(fieldNames.map {
+      case "source_type" => sourceType
+      case f => m.getOrElse(f, null)
+    }.toIndexedSeq)
+
+  /** Splittable segmented read: one string per delimited record. */
+  def readRecords(spark: SparkSession, path: String,
+                  delimiter: String): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", delimiter)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+    spark.createDataFrame(rdd.map(Row(_)),
+      StructType(Seq(StructField("record", StringType))))
+  }
+
+  // ---- S1: PubMed tagged text ----------------------------------------------
+
+  /** PubMed repeating tags accumulate into lists (`pubmed_parser.py:32`). */
+  private val pubmedMulti = Set("IS", "LID", "FAU", "AU", "AD", "OT", "PHST")
+  private val pubmedTag = "^([A-Z0-9]+)\\s*-\\s*(.*)$".r
+
+  /** Pure per-record parse: `TAG - value` lines, untagged lines continue
+    * the previous value (`pubmed_parser.py:84-91`), `AID ... [doi]/[pii]`
+    * routes to doi/pii (`:56-64`). */
+  def parsePubmedRecord(record: String): Option[Row] = {
+    val lines = record.split("\n")
+    var last: String = null
+    val single = collection.mutable.Map[String, String]()
+    val multi = collection.mutable.Map[String, Vector[String]]()
+    def append(tag: String, v: String): Unit =
+      if (pubmedMulti(tag)) multi(tag) = multi.getOrElse(tag, Vector()) :+ v
+      else single(tag) = v
+    def extendLast(extra: String): Unit = if (last != null) {
+      if (pubmedMulti(last)) {
+        val vs = multi(last); multi(last) = vs.init :+ (vs.last + " " + extra)
+      } else single(last) = single(last) + " " + extra
+    }
+    lines.foreach { line =>
+      pubmedTag.findFirstMatchIn(line) match {
+        case Some(m) =>
+          val (tag, v) = (m.group(1), m.group(2).trim)
+          if (tag == "AID") {
+            if (v.endsWith("[doi]"))
+              single("DOI") = v.stripSuffix("[doi]").trim
+            else if (v.endsWith("[pii]"))
+              single("PII") = v.stripSuffix("[pii]").trim
+            else { append(tag, v); last = tag }
+          } else { append(tag, v); last = tag }
+        case None if line.trim.nonEmpty => extendLast(line.trim)
+        case None => ()
+      }
+    }
+    if (single.isEmpty && multi.isEmpty) None
+    else Some(rowFrom(Map(
+      "pmid" -> single.get("PMID").orNull,
+      "title" -> single.get("TI").orNull,
+      "abstract" -> single.get("AB").orNull,
+      "journal" -> single.get("TA").orNull,
+      "journal_full" -> single.get("JT").orNull,
+      "publication_date" -> single.get("DP").orNull,
+      "authors" -> multi.get("FAU").orNull,
+      "keywords" -> multi.get("OT").orNull,
+      "mesh_terms" -> (if (single.contains("MH")) Vector(single("MH")) else null),
+      "issn" -> multi.get("IS").orNull,
+      "doi" -> single.get("DOI").orElse(
+        multi.get("LID").flatMap(_.find(_.endsWith("[doi]"))
+          .map(_.stripSuffix("[doi]").trim))).orNull,
+      "pii" -> single.get("PII").orNull
+    ), "pubmed"))
+  }
+
+  /** S1 — records separated by blank lines; splittable via "\n\n". */
+  def pubmed(spark: SparkSession, path: String): DataFrame = {
+    val rdd = readRecords(spark, path, "\n\n").rdd
+      .flatMap(r => parsePubmedRecord(r.getString(0)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---- S2: WOS tagged text --------------------------------------------------
+
+  private val wosTag = "^([A-Z][A-Z0-9]) (.*)$".r
+  private val wosMulti = Set("AU", "AF", "C1", "CR")
+
+  /** Pure per-record parse. Lines are NOT pre-stripped: the 3-space indent
+    * marks continuations, which the reference makes unreachable by
+    * stripping first (`wos_parser.py:55,90`). */
+  def parseWosRecord(record: String): Option[Row] = {
+    val lines = record.split("\n")
+      .filterNot(l => l.startsWith("FN ") || l.startsWith("VR ") ||
+        l.trim == "EF" || l.trim == "ER")
+    var last: String = null
+    val single = collection.mutable.Map[String, String]()
+    val multi = collection.mutable.Map[String, Vector[String]]()
+    lines.foreach { line =>
+      wosTag.findFirstMatchIn(line) match {
+        case Some(m) =>
+          val (tag, v) = (m.group(1), m.group(2))
+          if (wosMulti(tag)) multi(tag) = multi.getOrElse(tag, Vector()) :+ v
+          else single(tag) = v
+          last = tag
+        case None if line.startsWith("   ") && line.trim.nonEmpty &&
+          last != null =>
+          if (wosMulti(last))
+            multi(last) = multi(last) :+ line.trim
+          else single(last) = single(last) + " " + line.trim
+        case _ => ()
+      }
+    }
+    if (single.isEmpty && multi.isEmpty) None
+    else Some(rowFrom(Map(
+      "title" -> single.get("TI").orNull,
+      "abstract" -> single.get("AB").orNull,
+      "journal" -> single.get("SO").orNull,
+      "doi" -> single.get("DI").orNull,
+      "publication_year" -> single.get("PY").orNull,
+      "wos_id" -> single.get("UT").orNull,
+      "authors" -> multi.get("AF").orElse(multi.get("AU")).orNull
+    ), "wos"))
+  }
+
+  /** S2 — records end with an `ER` line; delimiter keeps splittability. */
+  def wos(spark: SparkSession, path: String): DataFrame = {
+    val rdd = readRecords(spark, path, "\nER").rdd
+      .flatMap(r => parseWosRecord(r.getString(0)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** S3 — WOS CSV export: plain DataFrameReader with explicit dialect
+    * options; the reference's encoding/separator sniffing loop
+    * (`wos_parser.py:111-139`) is a thin driver retry around this. */
+  def wosCsv(spark: SparkSession, path: String, sep: String = ",",
+             encoding: String = "UTF-8"): DataFrame = {
+    val raw = spark.read
+      .option("header", "true").option("sep", sep)
+      .option("encoding", encoding).csv(path)
+    val get = (names: Seq[String]) =>
+      names.collectFirst {
+        case n if raw.columns.contains(n) => col(n)
+      }.getOrElse(lit(null).cast(StringType))
+    raw.select(
+      lit(null).cast(StringType).as("pmid"),
+      get(Seq("TI", "Article Title")).as("title"),
+      get(Seq("AB", "Abstract")).as("abstract"),
+      get(Seq("SO", "Source Title")).as("journal"),
+      lit(null).cast(StringType).as("journal_full"),
+      lit(null).cast(StringType).as("publication_date"),
+      split(get(Seq("AF", "Author Full Names")), "; ").as("authors"),
+      lit(null).cast(ArrayType(StringType)).as("keywords"),
+      lit(null).cast(ArrayType(StringType)).as("mesh_terms"),
+      lit(null).cast(ArrayType(StringType)).as("issn"),
+      get(Seq("DI", "DOI")).as("doi"),
+      lit(null).cast(StringType).as("pii"),
+      get(Seq("UT", "UT (Unique WOS ID)")).as("wos_id"),
+      lit(null).cast(StringType).as("url"),
+      lit(null).cast(StringType).as("volume"),
+      lit(null).cast(StringType).as("issue"),
+      lit(null).cast(StringType).as("pages"),
+      get(Seq("PY", "Publication Year")).as("publication_year"),
+      lit("wos").as("source_type"))
+  }
+
+  // ---- S5: ScienceDirect citation text ---------------------------------------
+
+  private val sdDoi =
+    "(?:https://doi\\.org/|[Dd][Oo][Ii]:|/)(10\\.[0-9.]+/[^\\s,]+)".r
+  private val sdUrl = "(https?://[^\\s)]+)".r
+  private val sdVolIssue = "Volume\\s+(\\d+)(?:,\\s*Issue\\s+(\\d+))?".r
+  private val sdPages = "Pages?\\s+([\\dA-Za-z-]+)".r
+  private val sdYear = "^(\\d{4})\\b".r
+
+  /** Entry validity: >=3 lines, has `Volume \d+`, "Abstract", "Keywords"
+    * (`sciencedirect_parser.py:86-105`). */
+  def sdEntryValid(entry: String): Boolean = {
+    val lines = entry.split("\n").filter(_.trim.nonEmpty)
+    lines.length >= 3 &&
+      sdVolIssue.findFirstIn(entry).isDefined &&
+      entry.contains("Abstract") && entry.contains("Keywords")
+  }
+
+  /** Pure per-entry parse: positional lines 0-2 = authors/title/journal,
+    * regex extraction for the rest (`sciencedirect_parser.py:108-253`). */
+  def parseSdEntry(entry: String): Option[Row] = {
+    if (!sdEntryValid(entry)) return None
+    val lines = entry.split("\n").map(_.trim).filter(_.nonEmpty)
+    val authors = lines(0).replaceAll(",\\s*$", "")
+      .split("\\.,\\s*").map(_.trim).filter(_.nonEmpty)
+      .map(a => if (a.endsWith(".")) a else a + ".")
+    val title = lines(1).replaceAll(",\\s*$", "")
+    val journal = lines(2).replaceAll(",\\s*$", "")
+    val doi = sdDoi.findFirstMatchIn(entry).map(_.group(1)
+      .replaceAll("[,.]$", "")).orNull
+    val url = sdUrl.findAllMatchIn(entry).map(_.group(1))
+      .find(_.contains("sciencedirect.com")).orNull
+    val (vol, issue) = sdVolIssue.findFirstMatchIn(entry)
+      .map(m => (m.group(1), Option(m.group(2)).orNull))
+      .getOrElse((null, null))
+    val pages = sdPages.findFirstMatchIn(entry).map(_.group(1)).orNull
+    val year = lines.collectFirst {
+      case l if sdYear.findFirstIn(l).isDefined =>
+        sdYear.findFirstMatchIn(l).get.group(1)
+    }.orNull
+    val abstractText = "(?s)Abstract:?\\s*(.*?)\\s*Keywords".r
+      .findFirstMatchIn(entry).map(_.group(1).replaceAll("\\s+", " ").trim)
+      .orNull
+    val keywords = "(?s)Keywords:?\\s*(.*)$".r.findFirstMatchIn(entry)
+      .map(_.group(1).split(";").map(_.trim).filter(_.nonEmpty).toVector)
+      .orNull
+    Some(rowFrom(Map(
+      "title" -> title, "abstract" -> abstractText,
+      "journal" -> journal, "doi" -> doi, "url" -> url,
+      "volume" -> vol, "issue" -> issue, "pages" -> pages,
+      "publication_year" -> year,
+      "authors" -> (if (authors.nonEmpty) authors.toVector else null),
+      "keywords" -> keywords
+    ), "sciencedirect"))
+  }
+
+  /** S5 — entries separated by blank-line runs. */
+  def sciencedirect(spark: SparkSession, path: String): DataFrame = {
+    val rdd = readRecords(spark, path, "\n\n").rdd
+      .flatMap(r => parseSdEntry(r.getString(0)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---- S6: dispatch + U1 union ------------------------------------------------
+
+  /** Format dispatch by extension (`wos_parser.py:31-43`). */
+  def readAuto(spark: SparkSession, path: String,
+               sourceHint: String): DataFrame = {
+    val lower = path.toLowerCase
+    (sourceHint, lower) match {
+      case (_, p) if p.endsWith(".csv") => wosCsv(spark, path)
+      case ("pubmed", _) => pubmed(spark, path)
+      case ("wos", _) => wos(spark, path)
+      case ("sciencedirect", _) => sciencedirect(spark, path)
+      case _ => throw new IllegalArgumentException(
+        s"no parser for ($sourceHint, $path)")
+    }
+  }
+
+  /** U1 — combine per-source frames (all share `schema`, so this is the
+    * reference's concat, `parsers_manager.py:68-69`) and derive the
+    * standard columns (`parsers_manager.py:122-178`). */
+  def combine(frames: Seq[DataFrame]): DataFrame = {
+    val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    all
+      .withColumn("publication_year",
+        coalesce(col("publication_year"),
+          regexp_extract(col("publication_date"), "(\\d{4})", 1)))
+      .withColumn("full_authors", array_join(col("authors"), ", "))
+  }
+}
