@@ -114,11 +114,14 @@ object SparkEntry {
     "q_flagship" -> ((s, dir) => flagship(s, dir)),
 
     // -- scans / projections / filters (S1, P1-P8) ---------------------------
+    // literals cast to timestamp_ntz to MATCH the parquet column type —
+    // a with-TZ literal forces a cast onto the column and kills parquet
+    // predicate pushdown (verified via PushedFilters in the plan)
     "q_scan_parquet" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .where(col("l_shipdate").between(
-          lit("1995-01-01").cast("timestamp"),
-          lit("1995-03-31").cast("timestamp")) && col("l_quantity") > 45)
+          lit("1995-01-01").cast("timestamp_ntz"),
+          lit("1995-03-31").cast("timestamp_ntz")) && col("l_quantity") > 45)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_shipdate"))
         .orderBy("l_orderkey", "l_linenumber")),
@@ -313,6 +316,28 @@ object SparkEntry {
         .stripMargin)
     }),
 
+    "q_agg_cube" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  count(*) AS n_orders,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS sum_price
+              |FROM graft_orders
+              |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              |ORDER BY o_orderstatus ASC NULLS FIRST,
+              |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  count(*) AS n_orders
+              |FROM graft_orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus ASC NULLS FIRST,
+              |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
     "q_agg_distinct_exact" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -357,6 +382,33 @@ object SparkEntry {
           sum(dec2(col("o_totalprice"))).over(w).cast("double")
             .as("running_total"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    "q_window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // RANGE frame keyed on epoch seconds: per event, total value of the
+    // same user's events in the preceding 10 minutes (event-time analytic)
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"))
+        .rangeBetween(-600L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+            .as("sum_10m"),
+          count(lit(1)).over(w).as("n_10m"))
+        .orderBy("event_id")
     }),
 
     // -- dedup family (A3 + BASELINE.json extensions) ------------------------------
@@ -444,7 +496,43 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")),
 
+    // -- partitioned sink round-trip (S8: sheet-per-source ≙ partition-per-key) ------
+    "q_sink_partitioned" -> ((s, dir) => {
+      val out = s"/tmp/graft_sink/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.documents(s, dir).write.mode("overwrite")
+        .partitionBy("lang").parquet(out)
+      // read back through the partitioned layout; the lang filter is a
+      // partition-pruning predicate (only matching directories scanned)
+      s.read.parquet(out)
+        .where(col("lang").isin("en", "fr"))
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // -- semi-structured (F16/F17 shape on events.props) -----------------------------
+    "q_json_nested" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      // F17 — the metrics API's nested-JSON navigation shape
+      // (journal_metrics.py:127-134): prefer officialRank.select over .all.
+      // Payload synthesized deterministically from events.props; 1 in 3
+      // rows lacks the `select` branch to exercise the coalesce fallback.
+      val k = get_json_object(col("props"), "$.k")
+      val payload = when(col("event_id") % 3 =!= 0,
+        concat(lit("{\"officialRank\": {\"select\": {\"sciif\": \"S"), k,
+          lit("\"}, \"all\": {\"sciif\": \"fallback\"}}}")))
+        .otherwise(lit("{\"officialRank\": {\"all\": {\"sciif\": \"fallback\"}}}"))
+      val schema = StructType(Seq(StructField("officialRank", StructType(Seq(
+        StructField("select", StructType(Seq(StructField("sciif", StringType)))),
+        StructField("all", StructType(Seq(StructField("sciif", StringType)))))))))
+      Tables.events(s, dir).select(col("event_id"), payload.as("payload"))
+        .withColumn("parsed", from_json(col("payload"), schema))
+        .select(col("event_id"),
+          coalesce(col("parsed.officialRank.select.sciif"),
+            col("parsed.officialRank.all.sciif")).as("sciif"))
+        .orderBy("event_id")
+    }),
+
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -734,6 +822,58 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10m,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sink_partitioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_json_nested" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 <> 0
+        |       THEN 'S' || json_extract_string(props, '$.k')
+        |       ELSE 'fallback' END AS sciif
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_agg_distinct_exact" ->
       """SELECT l_returnflag,
