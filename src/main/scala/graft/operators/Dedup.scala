@@ -251,28 +251,34 @@ object Dedup {
     * bits. Implemented as exploded token → per-(doc,bit) vote aggregation →
     * bit reassembly, all shuffle-on-doc_id (no O(N²) anywhere).
     */
+  /** 64-bit SimHash over the normalized token multiset: bit b of the
+    * simhash = majority vote of the tokens' xxhash64 bit b.
+    *
+    * Shape: ONE aggregation with 64 conditional-SUM columns (vote +1 when
+    * the token's bit is set, else -1) — all whole-stage-codegen'd, one
+    * partial+final shuffle keyed on id. (The naive form — explode 64
+    * (doc, bit) vote rows per token — shuffles tokens×64 rows; this one
+    * shuffles per-doc partial sums only.) Bit reassembly sums the set
+    * bits' powers of two over plain attributes; every partial sum of
+    * {2^0..2^62} ∪ {-2^63} stays within Long range, so it is
+    * overflow-free even under ANSI mode.
+    */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = spread(docs.select(id.as("id"), text.as("text")))
       .select(col("id"),
         explode(split(normalizeText(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    // one row per (doc, bit): vote +1 if bit set else -1. The 64 bit
-    // extractions are generated statically (shiftright's shift amount is a
-    // Scala Int) so the whole thing stays a codegen'd projection.
-    val votes = toks.select(col("id"), posexplode(
-      array((0 until 64).map { b =>
-        when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)
-      }: _*)).as(Seq("bit", "vote")))
-    // reassemble: sum of the set bits' powers of two. Bit 63's power is
-    // Long.MinValue; every partial sum of {2^0..2^62} ∪ {-2^63} stays within
-    // Long range, so this is overflow-free even under ANSI mode.
-    val bitPower = element_at(
-      array((0 until 64).map(b => lit(1L << b)): _*), col("bit") + 1)
-    val bits = votes.groupBy("id", "bit")
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval", when(col("v") > 0, bitPower).otherwise(0L))
-    bits.groupBy("id")
-      .agg(sum(col("bitval")).as("simhash"))
+    val votes = toks.groupBy("id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as("v0"),
+      (1 until 64).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1)
+          .otherwise(-1)).as(s"v$b")
+      }: _*)
+    votes.select(col("id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit simhash into 8 bytes; any two
