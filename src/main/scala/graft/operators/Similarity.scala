@@ -60,7 +60,6 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      embCol: String = "embedding"): DataFrame = {
-    val dim = probeDim(corpus, embCol)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     // norms are computed ONCE per vector on each side, not per pair;
     // corpus spread over all cores (see cosineNearDupPairs)
@@ -70,8 +69,9 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
       norm(col(embCol)).as("p_nrm"))
     val scored = c.join(broadcast(p), col("nbr_id") =!= col("probe_id"))
-      .withColumn("cos", staticDot(col("c_emb"), col("p_emb"), dim) /
-        nullif(col("c_nrm") * col("p_nrm"), lit(0.0)))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("c_emb"), col("p_emb")) /
+          nullif(col("c_nrm") * col("p_nrm"), lit(0.0)))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
     scored

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the event-time operators (SURVEY.md §2.10
   * ST1/ST4/ST5). The reference has no streaming (`app.py`'s poll loop is
@@ -40,4 +43,69 @@ object EventStreams {
     stream
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  // ---- custom state: flatMapGroupsWithState sessionization -----------------
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long,
+                        sum_value: Double)
+
+  /** Custom stateful sessionization with EXPLICIT state — the
+    * flatMapGroupsWithState form of `session_window` (what you reach for
+    * when the built-in's semantics don't fit: custom close conditions,
+    * per-session enrichment, side outputs).
+    *
+    * State per user = the one open session; an event further than `gap`
+    * past the session end closes it (emitted immediately); the event-time
+    * timeout closes the trailing session once the watermark passes
+    * end + gap. State is O(users), evicted by timeout — bounded exactly
+    * like the built-in operator's.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30)
+      : Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, batch: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def emit(s: SessionState): SessionOut =
+        SessionOut(userId, new Timestamp(s.startMs),
+          new Timestamp(s.endMs + gapMs), s.n, s.sum)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).toIterator
+        state.remove()
+        return out
+      }
+      val evs = batch.toSeq.sortBy(_.ts.getTime)
+      var open = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t - s.endMs < gapMs =>
+            open = Some(SessionState(s.startMs, math.max(s.endMs, t),
+              s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += emit(s)
+            open = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            open = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.endMs + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

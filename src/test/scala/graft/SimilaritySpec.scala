@@ -27,13 +27,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(r(4).isEmpty) // zero norm -> null, no ANSI crash
   }
 
-  test("staticDot equals HOF dot bit-for-bit") {
+  test("staticDot, codegen DotProductF32, and SQL graft_dot_f32 all equal " +
+    "the HOF dot bit-for-bit") {
+    import graft.functions.VectorExpressions
     val both = vecs.as("a").crossJoin(vecs.as("b"))
       .select(Similarity.dot(col("a.embedding"), col("b.embedding")).as("hof"),
         Similarity.staticDot(col("a.embedding"), col("b.embedding"), 3)
-          .as("static"))
-      .as[(Double, Double)].collect()
-    both.foreach { case (h, s) => assert(h === s) }
+          .as("static"),
+        VectorExpressions.dotF32(col("a.embedding"), col("b.embedding"))
+          .as("codegen"),
+        call_function("graft_dot_f32", col("a.embedding"),
+          col("b.embedding")).as("sqlfn"))
+      .as[(Double, Double, Double, Double)].collect()
+    both.foreach { case (h, s, c, q) =>
+      assert(h === s); assert(h === c); assert(h === q)
+    }
+  }
+
+  test("DotProductF32 nulls: null array -> null; length mismatch -> min dim") {
+    import graft.functions.VectorExpressions
+    val df = Seq((Array(1f, 2f, 3f), Array(2f, 3f)),
+      (null.asInstanceOf[Array[Float]], Array(1f, 1f)))
+      .toDF("a", "b")
+      .select(VectorExpressions.dotF32(col("a"), col("b")).as("d"))
+    val r = df.as[Option[Double]].collect()
+    assert(r(0) === Some(8.0)) // 1*2 + 2*3
+    assert(r(1).isEmpty)
   }
 
   test("bruteForceTopK ranks by cosine desc with id tiebreak, excludes self") {

@@ -51,6 +51,42 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("custom state: flatMapGroupsWithState sessionization emits on gap " +
+    "and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventStreams.SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // burst 1: two events 10 min apart; burst 2 (same user) 2h later
+      // closes session 1 immediately (gap exceeded within the batch key)
+      mem.addData(
+        EventStreams.SessionEvent(7L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStreams.SessionEvent(7L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.SessionEvent(7L, ts("2024-01-01 12:30:00"), 4.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_test").as[EventStreams.SessionOut]
+        .collect().toSeq
+      assert(afterGap.map(s => (s.session_start.toString,
+        s.session_end.toString, s.n_events, s.sum_value)) ===
+        Seq(("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0)))
+      // advance the watermark far past 12:30 + gap -> trailing session
+      // closes via EventTimeTimeout (different user keeps state keyed)
+      mem.addData(EventStreams.SessionEvent(9L, ts("2024-01-01 16:00:00"), 8.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.SessionEvent(9L, ts("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+      val users = spark.table("sess_test").as[EventStreams.SessionOut]
+        .collect().toSeq
+      assert(users.exists(s => s.user_id == 7L &&
+        s.session_start.toString == "2024-01-01 12:30:00.0" &&
+        s.n_events == 1L))
+    } finally q.stop()
+  }
+
   test("multimodal: binary payload -> per-partition decoded metadata") {
     val df = Seq(
       (1L, "img-payload-aaaa".getBytes("UTF-8")),
