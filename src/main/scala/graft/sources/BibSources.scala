@@ -298,6 +298,14 @@ object BibSources {
     }
   }
 
+  /** P2 — drop rows with a null abstract, but ONLY when at least one
+    * non-null abstract exists; an all-null frame passes through unchanged
+    * (reference guard, `base_parser.py:49-52`). The existence probe is a
+    * cheap LIMIT-1 driver check, not a full count. */
+  def filterAbstracts(df: DataFrame): DataFrame =
+    if (df.where(col("abstract").isNotNull).isEmpty) df
+    else df.where(col("abstract").isNotNull)
+
   /** U1 — combine per-source frames (all share `schema`, so this is the
     * reference's concat, `parsers_manager.py:68-69`) and derive the
     * standard columns (`parsers_manager.py:122-178`). */

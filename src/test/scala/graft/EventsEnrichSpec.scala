@@ -86,4 +86,25 @@ class EventsEnrichSpec extends SparkTestBase {
     assert(out(1) === (("", "0"))) // defaults, no client call
     assert(out(2) === (("", "0")))
   }
+
+  test("journalMetricsThrottled: bucket + retry wrap the per-key fetch") {
+    CountingMetricsClient.calls.set(0)
+    val df = Seq(("a", "J One"), ("b", "J Two"), ("c", "J One"))
+      .toDF("id", "journal")
+    val out = Enrich.journalMetricsThrottled(df, "journal",
+      CountingMetricsClient, ratePerSec = 1000.0)
+    assert(out.count() === 3)
+    assert(CountingMetricsClient.calls.get() === 2) // distinct keys only
+    assert(out.where(col("impact_factor").isNotNull).count() === 3)
+  }
+
+  test("filterAbstracts: conditional guard (P2)") {
+    import graft.sources.BibSources
+    val some = Seq((1, "abs"), (2, null.asInstanceOf[String]))
+      .toDF("id", "abstract")
+    assert(BibSources.filterAbstracts(some).count() === 1)
+    val none = Seq((1, null.asInstanceOf[String]),
+      (2, null.asInstanceOf[String])).toDF("id", "abstract")
+    assert(BibSources.filterAbstracts(none).count() === 2) // passthrough
+  }
 }
