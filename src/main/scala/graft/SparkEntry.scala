@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{Dedup, Enrich, Events, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Enrich, Events, Similarity, Skew}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -265,7 +265,39 @@ object SparkEntry {
         .orderBy("tier")
     }),
 
+    // as-of join: for each click, the same user's most recent purchase at
+    // or before the click (composed union+window; DuckDB ASOF JOIN oracle)
+    "q_join_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("pvalue"))
+      AsOfJoin.asOf(clicks, purchases, "user_id", "ts", "pts",
+          Seq("pts", "pvalue"))
+        .select(col("event_id"), col("user_id"), col("asof_pts"),
+          col("asof_pvalue"))
+        .orderBy("event_id")
+    }),
+
     // -- aggregations (A1-A6) --------------------------------------------------
+    // salted two-phase aggregation over a deliberately hot 3-value key
+    // (skew-mitigation pattern; result identical to the plain groupBy)
+    "q_agg_salted" -> ((s, dir) =>
+      Skew.saltedSumCount(Tables.lineitem(s, dir), col("l_returnflag"),
+          dec2(col("l_quantity")), col("l_orderkey"))
+        .select(col("key").as("l_returnflag"), col("n"),
+          col("sum").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // deterministic hash sampling — the reproducible-sampling pattern for
+    // training pipelines (identical sample on any engine, no RNG state)
+    "q_sample_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+
     "q_agg_tpch_q1" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -822,6 +854,28 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT c.event_id, c.user_id, p.ts AS asof_pts,
+        |       p.value AS asof_pvalue
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY doc_id""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
