@@ -492,6 +492,39 @@ object SparkEntry {
         .orderBy("lang", "pred")
     }),
 
+    // corpus vocabulary: top-50 tokens by total occurrences (doc-frequency
+    // alongside) — the vocabulary-building pass of a training pipeline
+    "q_vocab_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normText(col("text")), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(50)),
+
+    // exact per-language length percentiles (Spark percentile() and DuckDB
+    // quantile_cont share R-7 linear interpolation — verified bit-equal)
+    "q_text_percentiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, array(0.25, 0.5, 0.75, 0.99))")
+          .as("pct"), count(lit(1)).as("n"))
+        .orderBy("lang")),
+
+    // training-data mixture: per-source deterministic sampling rates via
+    // md5-prefix ranges (1/16, 2/16, 4/16, 8/16 by source class) — the
+    // reproducible "data mixture" op, no RNG state, engine-portable
+    "q_train_mixture" -> ((s, dir) => {
+      val cls = regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4
+      val threshold = element_at(array(lit(1), lit(2), lit(4), lit(8)), cls + 1)
+      Tables.documents(s, dir)
+        .where(instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1)) <= threshold)
+        .select(col("doc_id"), col("source"), (cls).as("mix_class"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1041,6 +1074,30 @@ object SparkEntry {
     "q_fingerprint" ->
       s"""SELECT doc_id, md5($normTextSql) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok
+         |  FROM documents)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM toks GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50"""
+        .stripMargin,
+
+    "q_text_percentiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.99]) AS pct,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_train_mixture" ->
+      """SELECT doc_id, source,
+        |  CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 AS mix_class
+        |FROM documents
+        |WHERE instr('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+        |      <= [1, 2, 4, 8][(CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) + 1]
+        |ORDER BY doc_id""".stripMargin,
 
     "q_enrich_metrics" ->
       """SELECT DISTINCT lower(trim(lang)) AS journal_norm,

@@ -219,6 +219,33 @@ object BibSources {
       lit("wos").as("source_type"))
   }
 
+  /** S3 sniffing — the reference tries encodings × separators until the
+    * parse yields more than one column (`wos_parser.py:111-139`); same
+    * loop here, driver-side, over cheap 1-row probes. */
+  def wosCsvSniffed(spark: SparkSession, path: String): DataFrame = {
+    val dialects = for {
+      enc <- Seq("UTF-8", "ISO-8859-1")
+      sep <- Seq(",", "\t", ";")
+    } yield (enc, sep)
+    dialects.view.map { case (enc, sep) =>
+      val probe = spark.read.option("header", "true").option("sep", sep)
+        .option("encoding", enc).csv(path)
+      // >1 column AND no U+FFFD replacement chars: Spark's csv reader
+      // substitutes silently where pandas would throw a UnicodeDecodeError
+      // (the failure signal the reference's sniff loop relies on)
+      val ok = probe.columns.length > 1 && {
+        val rows = probe.limit(5).collect()
+        !rows.exists(_.toSeq.exists {
+          case s: String => s.contains('�')
+          case _ => false
+        })
+      }
+      (enc, sep, ok)
+    }.collectFirst { case (enc, sep, true) => wosCsv(spark, path, sep, enc) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no CSV dialect produced a clean >1-column parse for $path"))
+  }
+
   // ---- S5: ScienceDirect citation text ---------------------------------------
 
   private val sdDoi =

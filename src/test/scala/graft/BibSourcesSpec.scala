@@ -54,6 +54,14 @@ class BibSourcesSpec extends SparkTestBase {
     assert(r.getAs[String]("source_type") === "wos")
   }
 
+  test("S3 sniffing: latin1 + semicolon dialect detected and decoded") {
+    val df = BibSources.wosCsvSniffed(spark, s"$fx/wos_sample_latin1.csv")
+    val r = df.head()
+    assert(r.getAs[String]("title") === "Ein Bericht über etwas")
+    assert(r.getAs[String]("journal") === "ZEITSCHRIFT FÜR TESTS")
+    assert(r.getAs[Seq[String]]("authors") === Seq("Müller, Hans"))
+  }
+
   test("S5 sciencedirect: validity predicate + positional/regex extraction") {
     val df = BibSources.sciencedirect(spark, s"$fx/sciencedirect_sample.txt")
     assert(df.count() === 2) // invalid middle entry rejected
