@@ -132,11 +132,94 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine >= threshold.
-    * Implemented as a block-nested-loop via self-join with id ordering; at
-    * corpus scale this would first bucket by LSH (see `lshBucket`) — kept
-    * exact here because the oracle is exact.
+  /** IVF (inverted-file) approximate top-k — the second standard ANN
+    * scale path next to lshTopK: a coarse quantizer (k-means centroids
+    * trained driver-side on a broadcastable sample, deterministic init +
+    * fixed Lloyd iterations), corpus assigned once to its nearest
+    * centroid ("inverted lists"), probes search only the nProbe nearest
+    * lists with exact cosine re-rank inside.
+    *
+    * Scale: assignment is one codegen'd projection (nCentroids dot
+    * products per row); the search join is an equi-join on centroid id —
+    * each inverted list scanned only for probes routed to it. Search
+    * cost ≈ nProbe/nCentroids of brute force. Recall depends on the
+    * corpus actually clustering; with nProbe = nCentroids the operator
+    * degenerates to exact brute force (the property the spec pins).
     */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // ---- driver-side coarse-quantizer training (deterministic) ----
+    val sample = corpus.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])].sort(col(idCol)).limit(4096).collect()
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head._2.length
+    val step = math.max(1, sample.length / nCentroids)
+    var cents: Array[Array[Double]] =
+      (0 until math.min(nCentroids, sample.length))
+        .map(i => sample((i * step) % sample.length)._2.map(_.toDouble))
+        .toArray
+    def cosD(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else dot / den
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = Array.fill(cents.length)(0L)
+      sample.foreach { case (_, v) =>
+        var best = 0; var bestC = -3.0; var c = 0
+        while (c < cents.length) {
+          val s = cosD(cents(c), v)
+          if (s > bestC) { bestC = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    // ---- expression-level assignment: centroids ranked per row by
+    // (negated) dot/|c| — cosine ordering without the per-row norm ----
+    val ranked = array_sort(array(cents.zipWithIndex.map { case (cv, ci) =>
+      val cNorm = math.sqrt(cv.map(x => x * x).sum)
+      val score = graft.functions.VectorExpressions.dotF32(
+        col(embCol), typedlit(cv.map(_.toFloat))) /
+        lit(if (cNorm == 0.0) 1.0 else cNorm)
+      struct((score * lit(-1.0)).as("negScore"), lit(ci).as("cid"))
+    }: _*))
+    val cAssigned = corpus.withColumn("__ranked", ranked)
+      .withColumn("cid", col("__ranked")(0).getField("cid"))
+      .select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"),
+        norm(col(embCol)).as("c_nrm"), col("cid"))
+    val pAssigned = probes.withColumn("__ranked", ranked)
+      .withColumn("cid", explode(transform(
+        slice(col("__ranked"), 1, nProbe), s => s.getField("cid"))))
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        norm(col(embCol)).as("p_nrm"), col("cid"))
+    val scored = cAssigned.join(broadcast(pAssigned), Seq("cid"))
+      .where(col("nbr_id") =!= col("probe_id"))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("c_emb"), col("p_emb")) /
+          nullif(col("c_nrm") * col("p_nrm"), lit(0.0)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold.
     *
     * All-pairs cosine is a dense numeric kernel, not a relational join:

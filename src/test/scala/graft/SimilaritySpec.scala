@@ -71,6 +71,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("ivfTopK: exact on clustered data with nProbe=1; equals brute force " +
+    "when nProbe = nCentroids") {
+    // three well-separated clusters, 5 vectors each (base + small offset)
+    val bases = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f))
+    val clustered = (0 until 15).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) =>
+        x + (if (d == 3) 0.1f * (i / 3 + 1) else 0f) })
+    }.toDF("vec_id", "embedding")
+    val probes = clustered.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(clustered, probes, k = 3)
+      .select("probe_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val ivf1 = Similarity.ivfTopK(clustered, probes, k = 3,
+        nCentroids = 3, nProbe = 1, iters = 5)
+      .select("probe_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(ivf1 === exact) // clusters separated -> single-probe is exact
+    // exhaustive probing degenerates to brute force on ANY data
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p10 = emb.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, p10, k = 5)
+      .select("probe_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val ivfAll = Similarity.ivfTopK(emb, p10, k = 5,
+        nCentroids = 8, nProbe = 8, iters = 3)
+      .select("probe_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(ivfAll === bf)
+  }
+
   test("lshTopK recall on an exact-duplicate probe") {
     // duplicate vectors always share every LSH bucket -> guaranteed found
     val dup = Seq((10L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
