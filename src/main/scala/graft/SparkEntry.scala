@@ -650,7 +650,11 @@ object SparkEntry {
       val normalized = combined
         .withColumn("doi_norm", Normalize.normalizeDoi(col("doi")))
         .withColumn("prio", Normalize.sourcePriority(col("source_type")))
-        .withColumn("rid", monotonically_increasing_id())
+        // content-derived tiebreak: monotonically_increasing_id depends on
+        // partition layout, so a retry/replan could pick a different
+        // survivor among equal (key, priority) rows
+        .withColumn("rid", xxhash64(col("source_type"), col("title"),
+          col("doi_norm"), col("pmid"), col("wos_id")))
       val deduped = Dedup.priorityDedup(normalized, col("doi_norm"),
         col("prio"), col("rid"))
       Enrich.journalMetrics(deduped, "journal", Enrich.StubMetricsClient)
@@ -1053,11 +1057,11 @@ object SparkEntry {
          |  SELECT lang, string_split($normTextSql, ' ') AS toks FROM documents),
          |s2 AS (
          |  SELECT lang,
-         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit','ein'))) AS s_de,
-         |    len(list_filter(toks, t -> t IN ('the','and','of','to','is','with','that'))) AS s_en,
-         |    len(list_filter(toks, t -> t IN ('el','la','de','que','los','una','por'))) AS s_es,
-         |    len(list_filter(toks, t -> t IN ('le','la','les','des','une','est','dans'))) AS s_fr,
-         |    len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我'))) AS s_zh
+         |    coalesce(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit','ein'))), 0) AS s_de,
+         |    coalesce(len(list_filter(toks, t -> t IN ('the','and','of','to','is','with','that'))), 0) AS s_en,
+         |    coalesce(len(list_filter(toks, t -> t IN ('el','la','de','que','los','una','por'))), 0) AS s_es,
+         |    coalesce(len(list_filter(toks, t -> t IN ('le','la','les','des','une','est','dans'))), 0) AS s_fr,
+         |    coalesce(len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我'))), 0) AS s_zh
          |  FROM scored),
          |p AS (
          |  SELECT lang,

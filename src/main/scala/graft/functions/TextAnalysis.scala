@@ -105,11 +105,17 @@ object TextAnalysis {
       langs.tail.map(l =>
         sum(when(col("tok").isin(langMarkers(l).map(lit): _*), 1)
           .otherwise(0)).as(s"s_$l")): _*)
+    // NULL-text rows produce no exploded tokens and would silently vanish
+    // from the aggregate — re-attach every input id with a left join and
+    // score missing rows 0 so they classify as 'und', not as lost rows
+    val base = df.select(col(idCol)).distinct()
+    val rejoined = base.join(scored, Seq(idCol), "left")
+      .na.fill(0, langs.map(l => s"s_$l"))
     val g = greatest(langs.map(l => col(s"s_$l")): _*)
     val pred = langs.foldLeft(when(g === 0, "und")) { (acc, l) =>
       acc.when(col(s"s_$l") === g, l)
     }
-    scored.select(col(idCol), pred.as("pred"))
+    rejoined.select(col(idCol), pred.as("pred"))
   }
 
   /** Predicted language: argmax of marker-word hit counts, ties broken by

@@ -34,12 +34,17 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    // carry the right row as ONE struct: carrying each column through its
+    // own last(ignoreNulls) would stitch fields from DIFFERENT right rows
+    // whenever a right column holds a null (row tearing)
+    val rightStruct = when(col("__side") === 0,
+      struct(rightCols.map(col): _*))
+    val carried = unioned
+      .withColumn("__asof", last(rightStruct, ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col("__asof").getField(c))
     }
-    carried
       .where(col("__side") === 1)
-      .drop("__t" :: "__side" :: rightCols.toList: _*)
+      .drop("__t" :: "__side" :: "__asof" :: rightCols.toList: _*)
   }
 }

@@ -71,40 +71,37 @@ object Enrich {
       .join(broadcast(metricsDim), Seq("journal_norm"), "left")
   }
 
-  /** X1 with the reference's production behaviors composed in: a
-    * per-partition token bucket (metrics API budget: 2 req/s per client,
-    * `journal_metrics.py:83-90` — cluster-wide rate = partitions × rate,
-    * so size the distinct-key frame's partitioning to the service budget)
-    * and exponential-backoff retries. Same distinct→fetch→broadcast-join
-    * shape as `journalMetrics`. */
+  /** Decorator adding the reference's production behaviors to any
+    * MetricsClient: a token bucket (metrics API budget: 2 req/s per
+    * client, `journal_metrics.py:83-90`) and exponential-backoff retries
+    * (`llm_api.py:178-201`). The bucket is @transient-lazy, so every
+    * deserialized task copy owns its own — cluster-wide rate =
+    * concurrent tasks × ratePerSec; size the distinct-key frame's
+    * partitioning to the service budget. */
+  class ThrottledRetryingClient(inner: MetricsClient,
+                                ratePerSec: Double = 2.0,
+                                maxRetries: Int = 3,
+                                clock: External.Clock = External.SystemClock)
+      extends MetricsClient {
+    @transient private lazy val bucket =
+      new External.TokenBucket(ratePerSec, burst = 1, clock)
+    def fetch(journal: String): (Double, String) = {
+      bucket.acquire()
+      External.retryWithBackoff(maxRetries, baseMillis = 1000,
+        clock)(inner.fetch(journal))
+    }
+  }
+
+  /** X1 with throttle + retry: `journalMetrics` with the client wrapped
+    * in the decorator — one code path for the join shape. */
   def journalMetricsThrottled(df: DataFrame, journalCol: String,
                               client: MetricsClient,
                               ratePerSec: Double = 2.0,
                               maxRetries: Int = 3,
                               clock: External.Clock = External.SystemClock)
-      : DataFrame = {
-    val spark = df.sparkSession
-    val keyDf = df.select(lower(trim(col(journalCol))).as("journal_norm"))
-      .where(col("journal_norm").isNotNull && col("journal_norm") =!= "")
-      .distinct()
-    val schema = StructType(Seq(
-      StructField("journal_norm", StringType),
-      StructField("impact_factor", DoubleType),
-      StructField("quartile", StringType)))
-    val metricsRdd = keyDf.rdd.mapPartitions { it =>
-      val bucket = new External.TokenBucket(ratePerSec, burst = 1, clock)
-      it.map { r =>
-        val j = r.getString(0)
-        bucket.acquire()
-        val (ifact, q) = External.retryWithBackoff(maxRetries,
-          baseMillis = 1000, clock)(client.fetch(j))
-        Row(j, ifact, q)
-      }
-    }
-    val metricsDim = spark.createDataFrame(metricsRdd, schema)
-    df.withColumn("journal_norm", lower(trim(col(journalCol))))
-      .join(broadcast(metricsDim), Seq("journal_norm"), "left")
-  }
+      : DataFrame =
+    journalMetrics(df, journalCol,
+      new ThrottledRetryingClient(client, ratePerSec, maxRetries, clock))
 
   /** X2 client: prompt (built from an abstract) → raw LLM response text. */
   trait LlmClient extends Serializable {

@@ -66,7 +66,10 @@ object External {
     while (true) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: fatal errors (OOM) and InterruptedException from
+        // Spark task kills must propagate immediately, not be slept on
+        // and retried
+        case scala.util.control.NonFatal(e) =>
           if (attempt >= maxRetries) throw e
           clock.sleep(baseMillis * (1L << attempt))
           attempt += 1

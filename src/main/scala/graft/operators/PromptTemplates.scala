@@ -104,14 +104,23 @@ object PromptTemplates {
   }
 
   /** Load every .yaml in a directory into a type-keyed registry
-    * (`prompt_templates.py:172-189`). */
-  def loadDir(dir: String): Map[String, Template] =
-    Files.list(Paths.get(dir)).iterator().asScala
+    * (`prompt_templates.py:172-189`). Insertion-ordered (files sorted by
+    * name) so `select`'s fallback-to-first is deterministic, and the
+    * directory stream is closed (Files.list holds a file descriptor). */
+  def loadDir(dir: String): Map[String, Template] = {
+    val stream = Files.list(Paths.get(dir))
+    val paths =
+      try stream.iterator().asScala.toVector.sortBy(_.toString)
+      finally stream.close()
+    val entries = paths
       .filter(_.toString.endsWith(".yaml"))
       .map((p: Path) => fromYaml(Files.readString(p)))
-      .map(t => t.templateType -> t).toMap
+      .map(t => t.templateType -> t)
+    scala.collection.immutable.ListMap(entries: _*)
+  }
 
-  /** Factory with fallback-to-first (`prompt_templates.py:191-216`). */
+  /** Factory with fallback-to-first-loaded (`prompt_templates.py:191-216`;
+    * first = alphabetically-first file, made deterministic above). */
   def select(registry: Map[String, Template],
              templateType: String): Template =
     registry.getOrElse(templateType,

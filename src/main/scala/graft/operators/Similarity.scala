@@ -132,6 +132,39 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** LSH-bucketed near-duplicate pairs — the beyond-broadcast scale path
+    * for `cosineNearDupPairs`: candidates are pairs sharing a bucket in
+    * ANY of `nTables` independent random-hyperplane bucketings (skinny
+    * (id, bucket) rows through the shuffles), verified with an exact
+    * cosine at the end. Precision is exact; recall grows with nTables and
+    * shrinks with nBits (higher-cosine pairs collide with probability
+    * (1 - θ/π)^nBits per table, θ the angle).
+    */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double,
+                      nBits: Int = 8, nTables: Int = 4,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val cand = (0 until nTables).map { t =>
+      val b = lshBucket(slim, "emb", nBits, seed = 2000 + t)
+        .select(col("id"), col("bucket"))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    val withVecs = cand
+      .join(slim.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        norm(col("emb")).as("nrm_a")), Seq("id_a"))
+      .join(slim.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        norm(col("emb")).as("nrm_b")), Seq("id_b"))
+    withVecs
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("emb_a"), col("emb_b")) /
+          nullif(col("nrm_a") * col("nrm_b"), lit(0.0)))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the second standard ANN
     * scale path next to lshTopK: a coarse quantizer (k-means centroids
     * trained driver-side on a broadcastable sample, deterministic init +
@@ -220,23 +253,25 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine >= threshold.
+  /** EXACT embedding near-duplicate pairs: all pairs with cosine >=
+    * threshold.
     *
     * All-pairs cosine is a dense numeric kernel, not a relational join:
     * a BroadcastNestedLoopJoin spends its time copying the two float
     * arrays into every joined row (measured: array copies dominated the
     * runtime, not arithmetic). So this is the one place we drop to
     * mapPartitions (SURVEY.md §2 custom-operator preference (d)): the
-    * pair side is broadcast as plain JVM arrays — the same "one side must
-    * be broadcastable" constraint any broadcast join has — and each
-    * partition runs a tight double-precision loop.
+    * build side is COLLECTED TO THE DRIVER and broadcast as plain JVM
+    * arrays — the identical constraint and data path of any broadcast
+    * join's build side, and since this is a SELF-pair operator the build
+    * side is the whole corpus. This operator is therefore only for
+    * broadcastable corpora (≲ a few GB); past that, use
+    * `lshNearDupPairs` below — exact all-pairs at 100 TB does not exist
+    * on any engine.
     *
     * Bit-exactness with the DuckDB oracle: dot and norms are ascending-
     * index sequential double sums, identical to the SQL list_transform/
     * list_sum formulation.
-    *
-    * Scale path: at corpus sizes past broadcastability, LSH-bucket first
-    * (lshBucket) and run this kernel per bucket.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
                          idCol: String = "vec_id",

@@ -81,51 +81,56 @@ object BibSources {
 
   /** Pure per-record parse: `TAG - value` lines, untagged lines continue
     * the previous value (`pubmed_parser.py:84-91`), `AID ... [doi]/[pii]`
-    * routes to doi/pii (`:56-64`). */
+    * routes to doi/pii (`:56-64`). ALL tags accumulate on repeat
+    * (the reference promotes a repeated scalar to a list,
+    * `pubmed_parser.py:74-79`); array-schema fields expose the full list,
+    * scalar fields the FIRST value (the reference's downstream flatten
+    * takes element 0, `parsers_manager.py:226-230`). */
   def parsePubmedRecord(record: String): Option[Row] = {
     val lines = record.split("\n")
     var last: String = null
-    val single = collection.mutable.Map[String, String]()
-    val multi = collection.mutable.Map[String, Vector[String]]()
-    def append(tag: String, v: String): Unit =
-      if (pubmedMulti(tag)) multi(tag) = multi.getOrElse(tag, Vector()) :+ v
-      else single(tag) = v
-    def extendLast(extra: String): Unit = if (last != null) {
-      if (pubmedMulti(last)) {
-        val vs = multi(last); multi(last) = vs.init :+ (vs.last + " " + extra)
-      } else single(last) = single(last) + " " + extra
+    val vals = collection.mutable.LinkedHashMap[String, Vector[String]]()
+    def append(tag: String, v: String): Unit = {
+      vals(tag) = vals.getOrElse(tag, Vector()) :+ v
+      last = tag
     }
+    def extendLast(extra: String): Unit =
+      if (last != null && vals.contains(last)) {
+        val vs = vals(last)
+        vals(last) = vs.init :+ (vs.last + " " + extra)
+      }
     lines.foreach { line =>
       pubmedTag.findFirstMatchIn(line) match {
         case Some(m) =>
           val (tag, v) = (m.group(1), m.group(2).trim)
           if (tag == "AID") {
-            if (v.endsWith("[doi]"))
-              single("DOI") = v.stripSuffix("[doi]").trim
+            if (v.endsWith("[doi]")) append("DOI", v.stripSuffix("[doi]").trim)
             else if (v.endsWith("[pii]"))
-              single("PII") = v.stripSuffix("[pii]").trim
-            else { append(tag, v); last = tag }
-          } else { append(tag, v); last = tag }
+              append("PII", v.stripSuffix("[pii]").trim)
+            else append(tag, v)
+          } else append(tag, v)
         case None if line.trim.nonEmpty => extendLast(line.trim)
         case None => ()
       }
     }
-    if (single.isEmpty && multi.isEmpty) None
+    def first(tag: String): String = vals.get(tag).map(_.head).orNull
+    def all(tag: String): Vector[String] = vals.get(tag).orNull
+    if (vals.isEmpty) None
     else Some(rowFrom(Map(
-      "pmid" -> single.get("PMID").orNull,
-      "title" -> single.get("TI").orNull,
-      "abstract" -> single.get("AB").orNull,
-      "journal" -> single.get("TA").orNull,
-      "journal_full" -> single.get("JT").orNull,
-      "publication_date" -> single.get("DP").orNull,
-      "authors" -> multi.get("FAU").orNull,
-      "keywords" -> multi.get("OT").orNull,
-      "mesh_terms" -> (if (single.contains("MH")) Vector(single("MH")) else null),
-      "issn" -> multi.get("IS").orNull,
-      "doi" -> single.get("DOI").orElse(
-        multi.get("LID").flatMap(_.find(_.endsWith("[doi]"))
+      "pmid" -> first("PMID"),
+      "title" -> first("TI"),
+      "abstract" -> first("AB"),
+      "journal" -> first("TA"),
+      "journal_full" -> first("JT"),
+      "publication_date" -> first("DP"),
+      "authors" -> all("FAU"),
+      "keywords" -> all("OT"),
+      "mesh_terms" -> all("MH"),
+      "issn" -> all("IS"),
+      "doi" -> Option(first("DOI")).orElse(
+        Option(all("LID")).flatMap(_.find(_.endsWith("[doi]"))
           .map(_.stripSuffix("[doi]").trim))).orNull,
-      "pii" -> single.get("PII").orNull
+      "pii" -> first("PII")
     ), "pubmed"))
   }
 

@@ -85,9 +85,13 @@ object EventStreams {
       evs.foreach { e =>
         val t = e.ts.getTime
         open match {
-          case Some(s) if t - s.endMs < gapMs =>
-            open = Some(SessionState(s.startMs, math.max(s.endMs, t),
-              s.n + 1, s.sum + e.value))
+          // merge when the event falls within gap of the session INTERVAL
+          // — including out-of-order (still-within-watermark) events
+          // before the current start, which must extend the start
+          // backwards exactly like the built-in session_window
+          case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+            open = Some(SessionState(math.min(s.startMs, t),
+              math.max(s.endMs, t), s.n + 1, s.sum + e.value))
           case Some(s) =>
             closed += emit(s)
             open = Some(SessionState(t, t, 1, e.value))

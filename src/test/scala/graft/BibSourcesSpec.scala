@@ -23,6 +23,10 @@ class BibSourcesSpec extends SparkTestBase {
     assert(r.getAs[Seq[String]]("issn") ===
       Seq("1234-5678 (Print)", "8765-4321 (Electronic)"))
     assert(r.getAs[Seq[String]]("keywords") === Seq("synthetic data", "testing"))
+    // repeated non-multi tags accumulate (reference promotes to list);
+    // the continuation line extends the LAST repeated value
+    assert(r.getAs[Seq[String]]("mesh_terms") ===
+      Seq("Humans", "Animals", "Mice, Inbred C57BL"))
     assert(r.getAs[String]("doi") === "10.1000/jsr.2024.001") // AID [doi]
     assert(r.getAs[String]("pii") === "S0000-0000(24)00001-X") // AID [pii]
     assert(r.getAs[String]("journal") === "J Synth Res")
@@ -88,7 +92,8 @@ class BibSourcesSpec extends SparkTestBase {
     val normalized = all
       .withColumn("doi_norm", Normalize.normalizeDoi(col("doi")))
       .withColumn("prio", Normalize.sourcePriority(col("source_type")))
-      .withColumn("rid", monotonically_increasing_id())
+      .withColumn("rid", xxhash64(col("source_type"), col("title"),
+        col("doi_norm"), col("pmid"), col("wos_id")))
     val deduped = Dedup.priorityDedup(normalized, col("doi_norm"),
       col("prio"), col("rid"))
     // 6 records in, 3 share DOI 10.1000/jsr.2024.001 -> 4 survive

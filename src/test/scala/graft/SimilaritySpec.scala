@@ -104,6 +104,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfAll === bf)
   }
 
+  test("lshNearDupPairs: exact precision, finds duplicate vectors") {
+    val dup = Seq((10L, Array(1f, 0f, 0f)), (11L, Array(0.95f, 0.05f, 0f)))
+      .toDF("vec_id", "embedding")
+    val all = vecs.unionByName(dup)
+    val exact = Similarity.cosineNearDupPairs(all, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(all, 0.9, nBits = 4, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))       // precision exact by construction
+    assert(lsh.contains((1L, 10L)))   // identical vectors always collide
+  }
+
   test("lshTopK recall on an exact-duplicate probe") {
     // duplicate vectors always share every LSH bucket -> guaranteed found
     val dup = Seq((10L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
