@@ -450,6 +450,21 @@ object SparkEntry {
         .select(col("doc_id"), col("key"), col("source_type"), col("priority"))
         .orderBy("doc_id")),
 
+    // THE reference dedup edge case (main.py:121): rows with null/empty
+    // keys are ALWAYS kept — exercised with synthesized null/empty keys
+    // (the documents corpus has none), which is also the 100 TB skew
+    // story: the hot null key never enters the window shuffle
+    "q_dedup_priority_nullkeys" -> ((s, dir) => {
+      val recs = bibRecords(s, dir)
+        .withColumn("key",
+          when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 13 === 0, lit(""))
+            .otherwise(col("key")))
+      Dedup.priorityDedup(recs, col("key"), col("priority"), col("doc_id"))
+        .select(col("doc_id"), col("key"), col("priority"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val dups = docs.where(col("doc_id") % 10 === 0)
@@ -1006,6 +1021,23 @@ object SparkEntry {
          |  SELECT *, row_number() OVER
          |    (PARTITION BY key ORDER BY priority DESC, doc_id ASC) AS rn
          |  FROM recs) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_priority_nullkeys" ->
+      s"""WITH recs AS ($bibRecordsSql),
+         |keyed AS (
+         |  SELECT doc_id, priority,
+         |    CASE WHEN doc_id % 17 = 0 THEN NULL
+         |         WHEN doc_id % 13 = 0 THEN ''
+         |         ELSE key END AS key
+         |  FROM recs)
+         |SELECT doc_id, key, priority FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY key ORDER BY priority DESC, doc_id ASC) AS rn
+         |  FROM keyed WHERE key IS NOT NULL AND key <> '') WHERE rn = 1
+         |UNION ALL
+         |SELECT doc_id, key, priority FROM keyed
+         |WHERE key IS NULL OR key = ''
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH all_docs AS (
