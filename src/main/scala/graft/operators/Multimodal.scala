@@ -48,6 +48,45 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("mean_luma", DoubleType, nullable = false)))
 
+  /** Frame sampling for video-shaped payloads: every `stride`-th
+    * fixed-size chunk of the byte stream becomes one "frame" row
+    * (id, frame_idx, frame_bytes). A real container demuxer replaces
+    * `frameSize`/stride slicing with keyframe offsets — the Spark side
+    * (generator fan-out, per-frame rows, payload dropped after slicing so
+    * downstream never carries the full video) is what this pins.
+    *
+    * Scale: posexplode fan-out is a narrow op; output rows carry only
+    * their own frame bytes, never the source payload.
+    */
+  def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
+                   stride: Int, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol),
+        posexplode_outer(expr(
+          s"""transform(
+             |  filter(sequence(0, greatest(int(floor((octet_length($binCol) - 1) / $frameSize)), 0)),
+             |    i -> i % $stride = 0 AND octet_length($binCol) > 0),
+             |  i -> substring($binCol, i * $frameSize + 1, $frameSize))"""
+            .stripMargin)).as(Seq("sample_idx", "frame_bytes")))
+      .withColumnRenamed("sample_idx", "frame_idx")
+  }
+
+  /** Resize metadata derivation: target dimensions preserving aspect
+    * ratio against a bounding box — pure arithmetic on the decoded
+    * metadata struct (a real resize kernel consumes these numbers; the
+    * plumbing keeps it a codegen'd projection, no UDF). */
+  def withResizeTarget(df: DataFrame, metaCol: String, maxSide: Int,
+                       outCol: String = "resize_to"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = col(s"$metaCol.width").cast("double")
+    val h = col(s"$metaCol.height").cast("double")
+    val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    df.withColumn(outCol, when(col(metaCol).isNotNull, struct(
+      round(w * scale).cast("int").as("width"),
+      round(h * scale).cast("int").as("height"))))
+  }
+
   /** Decode a binary column into a metadata struct via mapPartitions:
     * per-partition decoder init (the real-codec lifecycle), row-at-a-time
     * decode, payload column preserved for downstream ops that need it. */

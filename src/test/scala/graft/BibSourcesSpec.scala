@@ -84,6 +84,20 @@ class BibSourcesSpec extends SparkTestBase {
     assert(r.getAs[String]("url").contains("sciencedirect.com"))
   }
 
+  test("S6 dispatch: extension + source hint route to the right parser") {
+    assert(BibSources.readAuto(spark, s"$fx/wos_sample.csv", "wos")
+      .count() === 2) // .csv wins regardless of hint
+    assert(BibSources.readAuto(spark, s"$fx/pubmed_sample.txt", "pubmed")
+      .count() === 2)
+    assert(BibSources.readAuto(spark, s"$fx/wos_sample.txt", "wos")
+      .count() === 2)
+    assert(BibSources.readAuto(spark, s"$fx/sciencedirect_sample.txt",
+      "sciencedirect").count() === 2)
+    intercept[IllegalArgumentException] {
+      BibSources.readAuto(spark, "/tmp/whatever.txt", "unknown")
+    }
+  }
+
   test("C4 pipeline: union -> normalize -> priority dedup keeps the WOS copy") {
     val all = BibSources.combine(Seq(
       BibSources.pubmed(spark, s"$fx/pubmed_sample.txt"),

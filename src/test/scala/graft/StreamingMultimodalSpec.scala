@@ -87,6 +87,38 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("multimodal: frame sampling slices every stride-th chunk, resize " +
+    "target preserves aspect ratio") {
+    val payload = (0 until 100).map(i => (i % 256).toByte).toArray
+    val df = Seq((1L, payload), (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    // frames of 16 bytes, keep every 2nd -> chunk indices 0,2,4,6
+    val frames = Multimodal.sampleFrames(df, "payload", frameSize = 16,
+      stride = 2, idCol = "id")
+    val f1 = frames.where(col("id") === 1)
+      .select("frame_idx", "frame_bytes").collect()
+    assert(f1.length === 4)
+    assert(f1.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    assert(f1(0).getAs[Array[Byte]](1).toSeq ===
+      payload.slice(0, 16).toSeq)
+    assert(f1(1).getAs[Array[Byte]](1).toSeq ===
+      payload.slice(32, 48).toSeq) // chunk 2 (stride skips chunk 1)
+    // last kept chunk (index 6) is the tail, shorter than frameSize
+    assert(f1(3).getAs[Array[Byte]](1).length === 4)
+    // empty and null payloads -> single null-frame row, no crash
+    assert(frames.where(col("id") =!= 1)
+      .filter(col("frame_bytes").isNotNull).count() === 0)
+    // resize targets
+    val meta = Multimodal.withImageMeta(df, "payload")
+    val rs = Multimodal.withResizeTarget(meta, "img_meta", maxSide = 32)
+      .where(col("id") === 1).select("img_meta.width", "img_meta.height",
+        "resize_to.width", "resize_to.height").head()
+    val (w0, h0) = (rs.getInt(0), rs.getInt(1))
+    val (w1, h1) = (rs.getInt(2), rs.getInt(3))
+    assert(math.max(w1, h1) === 32 || math.max(w0, h0) <= 32)
+    assert(math.abs(w1.toDouble / h1 - w0.toDouble / h0) < 0.2)
+  }
+
   test("multimodal: binary payload -> per-partition decoded metadata") {
     val df = Seq(
       (1L, "img-payload-aaaa".getBytes("UTF-8")),
