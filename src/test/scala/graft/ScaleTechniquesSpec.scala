@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Scale-technique demonstrations: file-source Structured Streaming
+  * (readStream → transform → writeStream over the real events parquet)
+  * and bucketed co-located joins (the shuffle-free join layout for
+  * repeated big-big joins). */
+class ScaleTechniquesSpec extends SparkTestBase {
+
+  test("readStream over the events parquet directory -> windowed agg -> " +
+    "memory sink") {
+    // stage the parquet into a directory the file source can watch
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(dir)
+    val q = EventStreams.tumblingCounts(stream, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode only finalizes windows the watermark passed; the
+      // batch-mode operator over the same input is the ground truth for
+      // those closed windows
+      val streamed = spark.table("file_stream_test")
+        .select("window_start", "event_type", "n_events", "sum_value")
+      val batchTruth = graft.operators.Events.tumbling(batch)
+      val unclosed = batchTruth.join(streamed,
+        Seq("window_start", "event_type"), "left_anti")
+      // everything the stream emitted must match batch semantics exactly
+      val mismatched = streamed.join(batchTruth,
+        Seq("window_start", "event_type", "n_events", "sum_value"),
+        "left_anti")
+      assert(mismatched.count() === 0)
+      assert(streamed.count() > 0) // watermark closed at least one window
+      assert(unclosed.count() < batchTruth.count()) // and not none
+    } finally q.stop()
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    // uses the default warehouse (repo-local spark-warehouse/, gitignored)
+    // — spark.sql.warehouse.dir is a static conf and can't move mid-session
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val l = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_orders_b")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_lineitem_b")
+    val joined = spark.table("graft_orders_b")
+      .join(spark.table("graft_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located layout: the join itself needs NO shuffle — the only
+    // exchange in the plan belongs to the final single-key aggregation
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(!exchanges.exists(_.contains("orderkey")),
+      s"join key was shuffled: $exchanges\n$plan")
+    // sanity: result matches the unbucketed join
+    val plainN = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(joined.orderBy("o_orderstatus").collect().toSeq ===
+      plainN.orderBy("o_orderstatus").collect().toSeq)
+    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+  }
+}
