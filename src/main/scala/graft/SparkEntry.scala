@@ -507,6 +507,47 @@ object SparkEntry {
         .orderBy("lang", "pred")
     }),
 
+    // within-doc repetition: fraction of trigram OCCURRENCES that are
+    // repeats of an earlier trigram in the same doc (Gopher-style
+    // repetition quality rule) — relational: total minus distinct
+    "q_text_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(TextAnalysis.normText(col("text")), " "))
+          .as(Seq("pos", "w")))
+      val ordered = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = toks
+        .withColumn("g", concat_ws(" ", col("w"),
+          lead(col("w"), 1).over(ordered), lead(col("w"), 2).over(ordered)))
+        .withColumn("n_words", count(lit(1)).over(
+          Window.partitionBy("doc_id")))
+        .where(col("n_words") >= 3 && col("pos") <= col("n_words") - 3)
+      grams.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct"))
+        .withColumn("repetition_ratio",
+          (col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // PII-shaped pattern counts; the corpus has none, so deterministic
+    // synthetic contacts are appended to 1-in-3 docs to make the
+    // detector's output non-vacuous
+    "q_text_pii" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("t",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.org or +1 555-000-"), col("doc_id") % 10000,
+              lit(" host 10.0.0."), col("doc_id") % 256))
+            .otherwise(lit(""))))
+      val (em, ph, ip) = TextAnalysis.piiCounts(col("t"))
+      docs.select(col("doc_id"), em.as("n_emails"), ph.as("n_phones"),
+          ip.as("n_ips"))
+        .orderBy("doc_id")
+    }),
+
     // corpus vocabulary: top-50 tokens by total occurrences (doc-frequency
     // alongside) — the vocabulary-building pass of a training pipeline
     "q_vocab_topk" -> ((s, dir) =>
@@ -998,7 +1039,8 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
 
     "q_window_rank" ->
-      """SELECT c_nationkey, rn, rk, c_custkey, c_acctbal FROM (
+      """SELECT c_nationkey, CAST(rn AS INTEGER) AS rn,
+        |  CAST(rk AS INTEGER) AS rk, c_custkey, c_acctbal FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
         |    row_number() OVER (PARTITION BY c_nationkey
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
@@ -1063,9 +1105,9 @@ object SparkEntry {
          |      '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
          |  FROM documents),
          |derived AS (
-         |  SELECT doc_id, n_ws AS n_ws_tokens,
-         |    len(regexp_extract_all(text,
-         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         |  SELECT doc_id, CAST(n_ws AS INTEGER) AS n_ws_tokens,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
          |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
          |      AS DOUBLE) / nullif(n_ws, 0) AS avg_word_len,
          |    CAST(n_punct AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
@@ -1110,6 +1152,39 @@ object SparkEntry {
     "q_fingerprint" ->
       s"""SELECT doc_id, md5($normTextSql) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
+         |wrd AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nrm),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+         |  FROM wrd WHERE len(ws) >= 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*)
+         |    AS repetition_ratio
+         |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.org or +1 555-000-'
+        |        || CAST(doc_id % 10000 AS VARCHAR)
+        |        || ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+?\d[\d -]{7,}\d')) AS INTEGER)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q_vocab_topk" ->
       s"""WITH toks AS (
@@ -1168,7 +1243,8 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY pid
         |          ORDER BY cos DESC, nid ASC) AS rank
         |      FROM s)
-        |SELECT probe_id, rank, nbr_id FROM r WHERE rank <= 5
+        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
+        |WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
 
     "q_embed_neardup" ->

@@ -128,6 +128,19 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** PII-shaped pattern counts (emails, phone-like digit runs, IPv4) —
+    * the redaction-triage signal of a training-data pipeline. Counting
+    * only (redaction = regexp_replace with the same patterns); all
+    * codegen'd regex, no UDFs. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?\\d[\\d -]{7,}\\d"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiCounts(c: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(c, lit(emailPattern), lit(0))),
+    size(regexp_extract_all(c, lit(phonePattern), lit(0))),
+    size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))))
+
   /** Content fingerprint: md5 of the canonical form — the exact-dedup key.
     * (md5 hex output is identical across Spark and the DuckDB oracle.) */
   def fingerprint(c: Column): Column = md5(normText(c))
