@@ -121,24 +121,36 @@ object Enrich {
     }
   }
 
-  /** X2 — per-row LLM field extraction: mapPartitions with an injected
-    * client, JSON-repair ladder on the response, one output column per
-    * template field. Null/empty inputs short-circuit to defaults without a
-    * call (reference `llm_api.py:226-228`). Row identity (not completion
-    * order) carries results — no order-restoration step needed, unlike the
-    * reference's index map (`llm_api.py:246-258`). */
+  /** X2 — per-row LLM field extraction via mapPartitions (SURVEY.md §2.9:
+    * external calls need a per-partition client lifecycle — connection
+    * pool open/close, bounded in-partition concurrency — which a per-row
+    * UDF cannot provide): JSON-repair ladder on each response, one output
+    * column per template field. Null/empty inputs short-circuit to
+    * defaults without a call (reference `llm_api.py:226-228`). Row
+    * identity (not completion order) carries results — no
+    * order-restoration step needed, unlike the reference's index map
+    * (`llm_api.py:246-258`). */
   def llmExtract(df: DataFrame, textCol: String, fields: Seq[String],
                  client: LlmClient,
                  defaults: Map[String, String] = Map.empty): DataFrame = {
-    val callAndRepair = udf((text: String) => {
-      val m = if (text == null || text.trim.isEmpty)
-        fields.map(f => f -> defaults.getOrElse(f, "")).toMap
-      else JsonRepair.repair(client.complete(text), fields, defaults)
-      fields.map(m).toArray
-    })
-    val withArr = df.withColumn("__llm", callAndRepair(col(textCol)))
-    fields.zipWithIndex.foldLeft(withArr) { case (d, (f, i)) =>
-      d.withColumn(f, element_at(col("__llm"), i + 1))
-    }.drop("__llm")
+    val spark = df.sparkSession
+    val textIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(df.schema.fields ++
+      fields.map(f => StructField(f, StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val dflt = fields.map(f => f -> defaults.getOrElse(f, "")).toMap
+    df.mapPartitions { it =>
+      // per-partition client lifecycle: a production impl opens its HTTP
+      // pool here and closes it when the iterator drains; the injected
+      // stub is pure so there is nothing to manage
+      val c = client
+      it.map { r =>
+        val text = if (r.isNullAt(textIdx)) null else r.getString(textIdx)
+        val m = if (text == null || text.trim.isEmpty) dflt
+        else JsonRepair.repair(c.complete(text), fields, defaults)
+        Row.fromSeq(r.toSeq ++ fields.map(m))
+      }
+    }(enc)
   }
 }
