@@ -560,12 +560,20 @@ object SparkEntry {
         .limit(50)),
 
     // exact per-language length percentiles (Spark percentile() and DuckDB
-    // quantile_cont share R-7 linear interpolation — verified bit-equal)
+    // quantile_cont share R-7 linear interpolation — verified bit-equal).
+    // Emitted as FOUR SCALAR columns, not one array: the driver's compare
+    // sorts rows with pandas, which cannot hash ndarray cells.
     "q_text_percentiles" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy("lang")
         .agg(expr("percentile(n_chars, array(0.25, 0.5, 0.75, 0.99))")
           .as("pct"), count(lit(1)).as("n"))
+        .select(col("lang"),
+          element_at(col("pct"), 1).as("p25"),
+          element_at(col("pct"), 2).as("p50"),
+          element_at(col("pct"), 3).as("p75"),
+          element_at(col("pct"), 4).as("p99"),
+          col("n"))
         .orderBy("lang")),
 
     // training-data mixture: per-source deterministic sampling rates via
@@ -676,23 +684,48 @@ object SparkEntry {
         .orderBy("user_id", "session_start")),
 
     // -- ingestion parsers S1/S2/S3/S5 + the reference's full pipeline ----------------
-    // (raw text-format inputs live in fixtures/, not the oracle's parquet
-    // tables, so these are rows-only checks — no oracleSql entries)
+    // Raw text-format inputs live in fixtures/ (static, 2-3 records each),
+    // so the oracles are hand-audited VALUES literals — full hash checks,
+    // not rows-only. Array fields are flattened with array_join(", ") (the
+    // reference's own downstream flatten, `parsers_manager.py:198-230`):
+    // the driver's pandas row-sort cannot hash ndarray cells.
     "q_scan_pubmed" -> ((s, _) =>
       BibSources.pubmed(s, "/root/repo/fixtures/pubmed_sample.txt")
+        .select(col("pmid"), col("title"), col("abstract"), col("journal"),
+          col("journal_full"), col("publication_date"),
+          array_join(col("authors"), ", ").as("authors"),
+          array_join(col("keywords"), ", ").as("keywords"),
+          array_join(col("mesh_terms"), ", ").as("mesh_terms"),
+          array_join(col("issn"), ", ").as("issn"),
+          col("doi"), col("pii"), col("source_type"))
         .orderBy("pmid")),
 
     "q_scan_wos" -> ((s, _) =>
       BibSources.wos(s, "/root/repo/fixtures/wos_sample.txt")
+        .select(col("wos_id"), col("title"), col("abstract"), col("journal"),
+          col("doi"), col("publication_year"),
+          array_join(col("authors"), ", ").as("authors"),
+          col("source_type"))
         .orderBy("wos_id")),
 
     "q_scan_csv" -> ((s, _) =>
       BibSources.wosCsv(s, "/root/repo/fixtures/wos_sample.csv")
+        .select(col("wos_id"), col("title"), col("abstract"), col("journal"),
+          col("doi"), col("publication_year"),
+          array_join(col("authors"), ", ").as("authors"),
+          col("source_type"))
         .orderBy("wos_id")),
 
     "q_scan_sciencedirect" -> ((s, _) =>
       BibSources.sciencedirect(s,
-        "/root/repo/fixtures/sciencedirect_sample.txt").orderBy("doi")),
+        "/root/repo/fixtures/sciencedirect_sample.txt")
+        .select(col("doi"), col("title"), col("abstract"), col("journal"),
+          col("url"), col("volume"), col("issue"), col("pages"),
+          col("publication_year"),
+          array_join(col("authors"), ", ").as("authors"),
+          array_join(col("keywords"), ", ").as("keywords"),
+          col("source_type"))
+        .orderBy("doi")),
 
     // The reference's whole CLI pipeline (SURVEY.md §3.1 steps 4-5) as one
     // query: parse all three sources -> union -> normalize -> priority
@@ -1197,9 +1230,92 @@ object SparkEntry {
 
     "q_text_percentiles" ->
       """SELECT lang,
-        |  quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.99]) AS pct,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.50) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.99) AS p99,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // -- parser / pipeline golden oracles --------------------------------------
+    // fixtures/ inputs are static 2-3 record files, so the expected outputs
+    // are hand-audited VALUES literals (checked against the fixture text and
+    // the reference's parse semantics) — upgrading these from rows-only
+    // checks to full hash checks.
+    "q_scan_pubmed" ->
+      """SELECT * FROM (VALUES
+        |  ('12345678', 'A study of synthetic literature records for pipeline testing.',
+        |   'Background: this is the abstract. It spans multiple lines. Results: fine.',
+        |   'J Synth Res', 'Journal of Synthetic Research', '2024 Mar 15',
+        |   'Smith, Jane, Doe, John', 'synthetic data, testing',
+        |   'Humans, Animals, Mice, Inbred C57BL',
+        |   '1234-5678 (Print), 8765-4321 (Electronic)',
+        |   '10.1000/jsr.2024.001', 'S0000-0000(24)00001-X', 'pubmed'),
+        |  ('12345679', 'Second record.', 'Another abstract.', 'J Synth Res',
+        |   NULL, '2023 Dec', NULL, NULL, NULL, NULL, NULL, NULL, 'pubmed')
+        |) AS t(pmid, title, abstract, journal, journal_full, publication_date,
+        |       authors, keywords, mesh_terms, issn, doi, pii, source_type)
+        |ORDER BY pmid""".stripMargin,
+
+    "q_scan_wos" ->
+      """SELECT * FROM (VALUES
+        |  ('WOS:000000000000001',
+        |   'A study of synthetic literature records for pipeline testing',
+        |   'Background: this is the abstract shared with the PubMed record, to exercise DOI dedup.',
+        |   'JOURNAL OF SYNTHETIC RESEARCH', '10.1000/jsr.2024.001', '2024',
+        |   'Smith, Jane, Doe, John', 'wos'),
+        |  ('WOS:000000000000002', 'A WOS-only record', 'Distinct abstract.',
+        |   'OTHER JOURNAL', '10.1000/oj.2023.042', '2023', 'Roe, R', 'wos')
+        |) AS t(wos_id, title, abstract, journal, doi, publication_year,
+        |       authors, source_type)
+        |ORDER BY wos_id""".stripMargin,
+
+    "q_scan_csv" ->
+      """SELECT * FROM (VALUES
+        |  ('WOS:000000000000003', 'A CSV-exported record', 'Some abstract',
+        |   'CSV JOURNAL', '10.3000/csv.1', '2021', 'Smith, Jane, Doe, John', 'wos'),
+        |  ('WOS:000000000000004', 'Another CSV record', 'More abstract',
+        |   'CSV JOURNAL', '10.3000/csv.2', '2020', 'Roe, Richard', 'wos')
+        |) AS t(wos_id, title, abstract, journal, doi, publication_year,
+        |       authors, source_type)
+        |ORDER BY wos_id""".stripMargin,
+
+    "q_scan_sciencedirect" ->
+      """SELECT * FROM (VALUES
+        |  ('10.1000/jsr.2024.001',
+        |   'A study of synthetic literature records for pipeline testing',
+        |   'Background: this is the abstract shared across sources.',
+        |   'Journal of Synthetic Research',
+        |   'https://www.sciencedirect.com/science/article/pii/S000000002400001X',
+        |   '12', '3', '100-110', '2024', 'Smith, J., Doe, J.',
+        |   'synthetic data, testing, pipelines', 'sciencedirect'),
+        |  ('10.2000/jot.2022.007',
+        |   'An SD-only record about something else entirely',
+        |   'Fully distinct abstract text here.', 'Journal of Other Things',
+        |   NULL, '7', '1', '1-9', '2022', 'Roe, R., Poe, E.',
+        |   'other, things', 'sciencedirect')
+        |) AS t(doi, title, abstract, journal, url, volume, issue, pages,
+        |       publication_year, authors, keywords, source_type)
+        |ORDER BY doi""".stripMargin,
+
+    "q_pipeline_bibliographic" ->
+      """SELECT * FROM (VALUES
+        |  ('pubmed', 'Second record.', CAST(NULL AS VARCHAR), '2023',
+        |   CAST(NULL AS VARCHAR), CAST(2.1 AS DOUBLE), 'Q4',
+        |   'https://pubmed.ncbi.nlm.nih.gov/12345679/'),
+        |  ('sciencedirect', 'An SD-only record about something else entirely',
+        |   '10.2000/jot.2022.007', '2022', 'Roe, R., Poe, E.',
+        |   CAST(3.3 AS DOUBLE), 'Q4', 'https://doi.org/10.2000/jot.2022.007'),
+        |  ('wos', 'A study of synthetic literature records for pipeline testing',
+        |   '10.1000/jsr.2024.001', '2024', 'Smith, Jane, Doe, John',
+        |   CAST(3.9 AS DOUBLE), 'Q2',
+        |   'https://www.webofscience.com/wos/woscc/full-record/WOS:000000000000001'),
+        |  ('wos', 'A WOS-only record', '10.1000/oj.2023.042', '2023',
+        |   'Roe, R', CAST(2.3 AS DOUBLE), 'Q2',
+        |   'https://www.webofscience.com/wos/woscc/full-record/WOS:000000000000002')
+        |) AS t(source_type, title, doi_norm, publication_year, full_authors,
+        |       impact_factor, quartile, title_link)
+        |ORDER BY source_type, doi_norm""".stripMargin,
 
     "q_train_mixture" ->
       """SELECT doc_id, source,
@@ -1217,14 +1333,20 @@ object SparkEntry {
         |FROM documents WHERE lang IS NOT NULL AND lang <> ''
         |ORDER BY journal_norm""".stripMargin,
 
+    // degenerate-text rows (NULL / whitespace-only) mirror llmExtract's
+    // short-circuit to defaults ('' for every field) — no call is made, so
+    // the oracle must not emit NULL summary / '0' n_words for them
     "q_llm_extract" ->
       """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |    t -> t <> '') AS ws
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t <> '') AS ws
         |  FROM documents)
         |SELECT doc_id,
-        |  array_to_string(ws[1:8], ' ') AS summary,
-        |  CAST(len(ws) AS VARCHAR) AS n_words
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN ''
+        |       ELSE array_to_string(ws[1:8], ' ') END AS summary,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN ''
+        |       ELSE CAST(len(ws) AS VARCHAR) END AS n_words
         |FROM toks ORDER BY doc_id""".stripMargin,
 
     "q_embed_cosine_topk" ->

@@ -24,6 +24,12 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            rightCols: Seq[String]): DataFrame = {
+    // the final drop(rightCols) removes ALL columns with those names, so a
+    // left column sharing a name with any rightCol would silently vanish
+    val clash = left.columns.toSeq.intersect(rightCols)
+    require(clash.isEmpty,
+      s"asOf: left columns ${clash.mkString(", ")} collide with rightCols; " +
+        "rename or prefix the right columns first")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))

@@ -85,11 +85,13 @@ object Enrich {
       extends MetricsClient {
     @transient private lazy val bucket =
       new External.TokenBucket(ratePerSec, burst = 1, clock)
-    def fetch(journal: String): (Double, String) = {
-      bucket.acquire()
-      External.retryWithBackoff(maxRetries, baseMillis = 1000,
-        clock)(inner.fetch(journal))
-    }
+    def fetch(journal: String): (Double, String) =
+      // acquire INSIDE the retried thunk: a retry is a fresh request
+      // against the service budget, so it must pay for its own token
+      External.retryWithBackoff(maxRetries, baseMillis = 1000, clock) {
+        bucket.acquire()
+        inner.fetch(journal)
+      }
   }
 
   /** X1 with throttle + retry: `journalMetrics` with the client wrapped

@@ -279,6 +279,19 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
+    require(emb.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"cosineNearDupPairs: id column '$idCol' must be numeric " +
+        s"(got ${emb.schema(idCol).dataType.simpleString}); " +
+        "map string ids to longs first (e.g. xxhash64)")
+    // the build side is collected to the driver (broadcast-join constraint);
+    // refuse corpora past the broadcastable range instead of OOMing silently
+    val maxBuildRows = 5000000L
+    val n = emb.count()
+    require(n <= maxBuildRows,
+      s"cosineNearDupPairs: corpus has $n rows (> $maxBuildRows); " +
+        "exact all-pairs needs a driver-broadcastable build side — " +
+        "use lshNearDupPairs for large corpora")
     val e = emb.select(col(idCol).cast("long").as("id"),
       col(embCol).as("emb")).as[(Long, Array[Float])]
     val all = e.collect().sortBy(_._1)

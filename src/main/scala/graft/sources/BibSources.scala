@@ -148,38 +148,45 @@ object BibSources {
 
   /** Pure per-record parse. Lines are NOT pre-stripped: the 3-space indent
     * marks continuations, which the reference makes unreachable by
-    * stripping first (`wos_parser.py:55,90`). */
+    * stripping first (`wos_parser.py:55,90`).
+    *
+    * ALL tags accumulate into vectors (the reference promotes ANY repeated
+    * tag to a list, `wos_parser.py:81-88`); scalar schema fields expose the
+    * FIRST value — same policy as `parsePubmedRecord`, so a record with a
+    * duplicated scalar tag (e.g. two TI lines) keeps the first rather than
+    * last-wins. */
   def parseWosRecord(record: String): Option[Row] = {
     val lines = record.split("\n")
       .filterNot(l => l.startsWith("FN ") || l.startsWith("VR ") ||
         l.trim == "EF" || l.trim == "ER")
     var last: String = null
-    val single = collection.mutable.Map[String, String]()
-    val multi = collection.mutable.Map[String, Vector[String]]()
+    val vals = collection.mutable.LinkedHashMap[String, Vector[String]]()
     lines.foreach { line =>
       wosTag.findFirstMatchIn(line) match {
         case Some(m) =>
           val (tag, v) = (m.group(1), m.group(2))
-          if (wosMulti(tag)) multi(tag) = multi.getOrElse(tag, Vector()) :+ v
-          else single(tag) = v
+          vals(tag) = vals.getOrElse(tag, Vector()) :+ v
           last = tag
         case None if line.startsWith("   ") && line.trim.nonEmpty &&
-          last != null =>
-          if (wosMulti(last))
-            multi(last) = multi(last) :+ line.trim
-          else single(last) = single(last) + " " + line.trim
+          last != null && vals.contains(last) =>
+          if (wosMulti(last)) vals(last) = vals(last) :+ line.trim
+          else {
+            val vs = vals(last)
+            vals(last) = vs.init :+ (vs.last + " " + line.trim)
+          }
         case _ => ()
       }
     }
-    if (single.isEmpty && multi.isEmpty) None
+    def first(tag: String): String = vals.get(tag).map(_.head).orNull
+    if (vals.isEmpty) None
     else Some(rowFrom(Map(
-      "title" -> single.get("TI").orNull,
-      "abstract" -> single.get("AB").orNull,
-      "journal" -> single.get("SO").orNull,
-      "doi" -> single.get("DI").orNull,
-      "publication_year" -> single.get("PY").orNull,
-      "wos_id" -> single.get("UT").orNull,
-      "authors" -> multi.get("AF").orElse(multi.get("AU")).orNull
+      "title" -> first("TI"),
+      "abstract" -> first("AB"),
+      "journal" -> first("SO"),
+      "doi" -> first("DI"),
+      "publication_year" -> first("PY"),
+      "wos_id" -> first("UT"),
+      "authors" -> vals.get("AF").orElse(vals.get("AU")).orNull
     ), "wos"))
   }
 
