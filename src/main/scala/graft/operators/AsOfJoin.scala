@@ -30,6 +30,15 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"asOf: left columns ${clash.mkString(", ")} collide with rightCols; " +
         "rename or prefix the right columns first")
+    // internal scratch names and the generated asof_<col> outputs would be
+    // silently clobbered by the withColumn/drop sequence below
+    val reserved = Set("__t", "__side", "__asof") ++ rightCols.map("asof_" + _)
+    val reservedClash =
+      (left.columns.toSeq ++ right.columns.toSeq).filter(reserved)
+    require(reservedClash.isEmpty,
+      s"asOf: columns ${reservedClash.distinct.mkString(", ")} collide with " +
+        "internal (__t/__side/__asof) or output (asof_<col>) names; " +
+        "rename them first")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))

@@ -281,38 +281,65 @@ object Dedup {
         .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit simhash into 8 bytes; any two
-    * hashes within Hamming distance 7 share at least one identical byte
-    * (pigeonhole), so banding on bytes has exact recall for d<=7. Candidates
-    * are then verified with exact shingle Jaccard, so the final output again
-    * equals the brute-force oracle (given planted pairs are within d<=7,
-    * which holds for J>=0.9 duplicates).
-    */
   /** SimHash near-dup pairs. Contract: pairs within Hamming distance
     * `maxHamming` (default 7) of each other, verified by exact shingle
-    * Jaccard >= threshold. Banding the 64-bit simhash into 8 bytes has
-    * EXACT recall for Hamming<=7 by pigeonhole (any two hashes differing
-    * in <=7 bits agree on at least one whole byte).
+    * Jaccard >= threshold.
     *
-    * Scale notes: byte bands are only 256-valued, so the band join can
-    * produce large candidate volumes on correlated corpora — therefore
-    * (a) band rows are skinny (id + simhash only, no shingle payload) and
+    * Banding: the 64-bit simhash is split into FOUR 16-bit chunks, and one
+    * side of the self-join additionally probes each chunk's 16 single-bit
+    * flips (multi-probe LSH). Two hashes within Hamming distance 7 have, by
+    * pigeonhole over 4 chunks, at least one chunk differing in <=1 bit — so
+    * the (chunk, probe) scheme has EXACT recall for d<=7, same contract as
+    * whole-byte banding, but the join key is (chunk_idx, chunk_val) with
+    * 4 x 65,536 distinct values instead of 8 x 256. That cardinality is the
+    * whole scale story: byte bands put O(N/256) correlated docs in one
+    * bucket (candidate volume O(N²/256) per band — measured 25s at a mere
+    * 5k docs); 16-bit chunks cut the per-bucket population ~256-fold for
+    * a 17/8 ≈ 2x row-count cost on the probe side. Further notes:
+    * (a) band rows are skinny (id + simhash only, no shingle payload),
     * (b) the Hamming cut `bit_count(xor) <= maxHamming` is applied INSIDE
     * the join condition, so wide-distance candidates die before any
     * shuffle/dedup, and only survivors fetch their shingle sets for the
-    * exact verify.
+    * exact verify,
+    * (c) `maxDf` optionally drops chunk values shared by more than that
+    * many docs (hot buckets on pathological corpora — e.g. boilerplate
+    * that drives many docs to the same simhash region). Recall is then no
+    * longer guaranteed exact, so it is default-off; at 100 TB enable it
+    * (a pair dense enough to hit the cap has plenty of other chunks).
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    threshold: Double, w: Int = 3,
-                   maxHamming: Int = 7): DataFrame = {
+                   maxHamming: Int = 7,
+                   maxDf: Option[Int] = None): DataFrame = {
+    require(maxHamming <= 7,
+      s"simhashPairs: 4-chunk single-bit multi-probe banding has exact " +
+        s"recall only for maxHamming <= 7 (got $maxHamming)")
     val hashed = simhash(docs, id, text)
-    val banded = hashed.select(col("id"), col("simhash"),
-      posexplode(array((0 until 8).map { byte =>
-        shiftright(col("simhash"), byte * 8).bitwiseAND(0xffL)
+    // exact side: 4 rows/doc, one per 16-bit chunk
+    val banded0 = hashed.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
       }: _*)).as(Seq("band_idx", "band_val")))
-    val cand = banded.as("a").join(banded.as("b"),
+    val banded = maxDf match {
+      case Some(cap) =>
+        val hot = banded0.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("df")).where(col("df") <= cap)
+        banded0.join(hot.select("band_idx", "band_val"),
+          Seq("band_idx", "band_val"))
+      case None => banded0
+    }
+    // probe side: each chunk value plus its 16 single-bit flips (17 rows per
+    // chunk). band_val is a materialized generator output, so the flip
+    // expressions are cheap XORs over a bound attribute — no re-inlining.
+    val probed = banded.select(col("id"), col("simhash"), col("band_idx"),
+      explode(array(col("band_val") +:
+        (0 until 16).map(b => col("band_val").bitwiseXOR(lit(1L << b))): _*))
+        .as("probe_val"))
+    // symmetric: hamming(chunk_a, chunk_b) <= 1 iff a's probe set contains
+    // b's exact value, so probing one side with a.id < b.id loses no pairs
+    val cand = probed.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
+        col("a.probe_val") === col("b.band_val") &&
         col("a.id") < col("b.id") &&
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

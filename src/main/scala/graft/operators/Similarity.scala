@@ -285,13 +285,20 @@ object Similarity {
         s"(got ${emb.schema(idCol).dataType.simpleString}); " +
         "map string ids to longs first (e.g. xxhash64)")
     // the build side is collected to the driver (broadcast-join constraint);
-    // refuse corpora past the broadcastable range instead of OOMing silently
-    val maxBuildRows = 5000000L
-    val n = emb.count()
-    require(n <= maxBuildRows,
-      s"cosineNearDupPairs: corpus has $n rows (> $maxBuildRows); " +
-        "exact all-pairs needs a driver-broadcastable build side — " +
-        "use lshNearDupPairs for large corpora")
+    // refuse corpora past the broadcastable range instead of OOMing silently.
+    // The bound is BYTES (rows × dim × 4 + per-row overhead), not rows — 5M
+    // rows of 768-dim float32 would be ~15 GB. Probing is cheap: dim from a
+    // 1-row job, the row count from a column-pruned limit(cap+1) scan that
+    // short-circuits instead of re-running the full upstream plan to count.
+    val maxBuildBytes = 2L << 30
+    val dim = probeDim(emb, embCol)
+    val rowCap = math.min(Int.MaxValue - 1L, maxBuildBytes / (4L * dim + 64L))
+    val n = emb.select(col(idCol)).limit(rowCap.toInt + 1).count()
+    require(n <= rowCap,
+      s"cosineNearDupPairs: corpus exceeds $rowCap rows of dim-$dim vectors " +
+        s"(~${maxBuildBytes >> 30} GiB build side); exact all-pairs needs a " +
+        "driver-broadcastable build side — use lshNearDupPairs for large " +
+        "corpora")
     val e = emb.select(col(idCol).cast("long").as("id"),
       col(embCol).as("emb")).as[(Long, Array[Float])]
     val all = e.collect().sortBy(_._1)
