@@ -378,6 +378,22 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // A6 proper — approx_count_distinct (HyperLogLog++). Rows-only check:
+    // HLL sketch values are engine-specific so there is no DuckDB hash
+    // oracle; the ≤2% relative-error contract vs the exact counts above is
+    // pinned by ScaleTechniquesSpec. At 100 TB this is THE distinct-count
+    // shape: one pass, fixed-size sketch per group, no count-distinct
+    // expand (the exact variant shuffles each distinct value once; the
+    // sketch shuffles 2^p registers per group regardless of cardinality).
+    "q_agg_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01)
+            .as("apx_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("apx_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // -- sorts / top-k (O1, O3) -------------------------------------------------
     "q_orderby" -> ((s, dir) =>
       Tables.nation(s, dir)
@@ -622,6 +638,21 @@ object SparkEntry {
     // non-empty tail while staying > 3σ above the cos≈N(0, 1/64) noise
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // the beyond-broadcast SCALE path for the same contract, verified
+    // against the same brute-force oracle. Params: collision prob per table
+    // is (1 - acos(cos)/pi)^nBits; this corpus's true pairs sit barely above
+    // the noise floor (cos 0.45-0.6 => p_bit ~ 0.65), so exact recall needs
+    // low selectivity (nBits=2, nTables=16 — verified 0 misses on both
+    // sf0.01 and sf0.1; deterministic hyperplanes make that stable). At a
+    // production near-dup threshold (cos >= 0.9 => p_bit ~ 0.86) the same
+    // operator runs selective: nBits=16, nTables=8 gives miss ~ 1e-4 with
+    // 65k-bucket join keys.
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.45,
+          nBits = 2, nTables = 16)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")),
 
@@ -1370,6 +1401,20 @@ object SparkEntry {
         |ORDER BY probe_id, rank""".stripMargin,
 
     "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |        / nullif(
+        |          sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+        |          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))),
+        |          0) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // LSH path must return exactly the brute-force pair set (recall tuned
+    // to exact on this corpus; precision exact by the final cosine verify)
+    "q_embed_neardup_lsh" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |        list_sum(list_transform(range(1, len(a.embedding) + 1),

@@ -72,4 +72,23 @@ class ScaleTechniquesSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_orders_b")
     spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
   }
+
+  test("approx_count_distinct stays within 2% of exact distinct counts") {
+    // A6 (SURVEY §2.4): the q_agg_approx_distinct entry is rows-only (HLL
+    // sketches are engine-specific); this spec pins the error contract
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_agg_distinct_exact")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, dir)
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (exParts, exSupps) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - exParts) <= 0.02 * exParts,
+        s"apx_parts ${r.getLong(1)} vs exact $exParts for ${r.getString(0)}")
+      assert(math.abs(r.getLong(2) - exSupps) <= 0.02 * exSupps,
+        s"apx_supps ${r.getLong(2)} vs exact $exSupps for ${r.getString(0)}")
+    }
+  }
 }
