@@ -1,0 +1,171 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Enrich, External, HttpClients}
+import graft.operators.HttpClients.{HttpConfig, HttpLlmClient, HttpMetricsClient}
+
+/** Integration spec for the production X1/X2 HTTP clients against an
+  * in-process JDK HttpServer: request shape, auth, retry-on-5xx, fail-open
+  * policy, and the end-to-end mapPartitions lifecycle through the same
+  * Enrich operators the oracle queries use with stubs. */
+class HttpClientsSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val metricsCalls = new AtomicInteger(0)
+  private val llmCalls = new AtomicInteger(0)
+  private val flakyCalls = new AtomicInteger(0)
+  @volatile private var lastLlmAuth: String = _
+  @volatile private var lastLlmBody: String = _
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      metricsCalls.incrementAndGet()
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val pub = q.split("&").collectFirst {
+        case p if p.startsWith("publication=") =>
+          java.net.URLDecoder.decode(p.drop("publication=".length), "UTF-8")
+      }.getOrElse("")
+      respond(ex, 200,
+        s"""{"impact_factor": ${pub.length}.5, "quartile": "Q${pub.length % 4 + 1}"}""")
+    })
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      // first two requests fail; the third succeeds — exercises the
+      // reference's 2^attempt backoff loop end to end over real HTTP
+      if (flakyCalls.incrementAndGet() <= 2) respond(ex, 503, "busy")
+      else respond(ex, 200, """{"impact_factor": 9.9, "quartile": "Q1"}""")
+    })
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      llmCalls.incrementAndGet()
+      lastLlmAuth = ex.getRequestHeaders.getFirst("Authorization")
+      lastLlmBody = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      // echo a fenced-JSON answer derived from the user content so the
+      // repair ladder downstream is exercised like the stub does
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(lastLlmBody)
+      val msgs = node.path("messages")
+      val user = msgs.path(msgs.size() - 1).path("content").asText("")
+      val toks = user.trim.split("\\s+").filter(_.nonEmpty)
+      val content = "```json\\n{\\\"summary\\\": \\\"" +
+        toks.take(3).mkString(" ") +
+        "\\\", \\\"n_words\\\": \\\"" + toks.length + "\\\"}\\n```"
+      respond(ex, 200,
+        s"""{"choices": [{"message": {"role": "assistant", "content": "$content"}}]}""")
+    })
+    server.createContext("/dead", (ex: HttpExchange) =>
+      respond(ex, 500, "nope"))
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  private def fastCfg(path: String) = HttpConfig(
+    baseUrl = s"$base$path", apiKey = Some("sekret"),
+    timeoutMillis = 5000, maxRetries = 3, retryBaseMillis = 1)
+
+  test("metrics client GETs and parses the generic metrics shape") {
+    val c = new HttpMetricsClient(fastCfg("/metrics"))
+    val (ifact, quart) = c.fetch("nature medicine")
+    assert(ifact === "nature medicine".length + 0.5)
+    assert(quart === s"Q${"nature medicine".length % 4 + 1}")
+  }
+
+  test("5xx responses are retried with backoff until success") {
+    flakyCalls.set(0)
+    val c = new HttpMetricsClient(fastCfg("/flaky"))
+    val (ifact, _) = c.fetch("x")
+    assert(ifact === 9.9)
+    assert(flakyCalls.get() === 3)
+  }
+
+  test("metrics client fails closed after the retry budget") {
+    val cfg = fastCfg("/dead").copy(maxRetries = 1)
+    val e = intercept[HttpClients.HttpStatusException] {
+      new HttpMetricsClient(cfg).fetch("x")
+    }
+    assert(e.code === 500)
+  }
+
+  test("llm client POSTs chat-completions shape with bearer auth and " +
+    "extracts choices[0].message.content") {
+    val c = new HttpLlmClient(fastCfg("/v1/chat/completions"),
+      model = "test-model", systemPrompt = Some("extract fields"))
+    val out = c.complete("alpha beta gamma delta")
+    assert(out.startsWith("```json"))
+    assert(out.contains("alpha beta gamma"))
+    assert(lastLlmAuth === "Bearer sekret")
+    val sent = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lastLlmBody)
+    assert(sent.path("model").asText() === "test-model")
+    assert(sent.path("messages").path(0).path("role").asText() === "system")
+    assert(sent.path("messages").path(1).path("content").asText() ===
+      "alpha beta gamma delta")
+    assert(sent.path("max_tokens").asInt() === 4096)
+  }
+
+  test("llm client fails open to \"\" after the retry budget " +
+    "(reference llm_api error policy)") {
+    val c = new HttpLlmClient(fastCfg("/dead").copy(maxRetries = 1), "m")
+    assert(c.complete("text") === "")
+    val strict = new HttpLlmClient(fastCfg("/dead").copy(maxRetries = 0),
+      model = "m", failOpen = false)
+    intercept[HttpClients.HttpStatusException] { strict.complete("text") }
+  }
+
+  test("end-to-end X1 enrichment through mapPartitions with the real " +
+    "HTTP client") {
+    import spark.implicits._
+    val df = Seq("Nature", "Cell", "Nature", null)
+      .toDF("journal")
+    val out = Enrich.journalMetrics(df, "journal",
+        new HttpMetricsClient(fastCfg("/metrics")))
+      .select("journal", "impact_factor", "quartile").collect()
+    val nature = out.find(_.getString(0) == "Nature").get
+    assert(nature.getDouble(1) === "nature".length + 0.5)
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1)) // left join keeps unenrichable rows
+  }
+
+  test("end-to-end X2 extraction through mapPartitions with the real " +
+    "HTTP client + JSON repair") {
+    import spark.implicits._
+    llmCalls.set(0)
+    val df = Seq((1L, "one two three four five"), (2L, ""), (3L, null))
+      .toDF("id", "text")
+    // no orderBy here: a global sort's RangePartitioner SAMPLES the child
+    // plan first, re-running the mapPartitions stage — and so re-issuing
+    // every HTTP call (worth knowing for real pipelines: sort AFTER
+    // persisting an external-call stage, not directly on top of it)
+    val out = Enrich.llmExtract(df, "text", Seq("summary", "n_words"),
+        new HttpLlmClient(fastCfg("/v1/chat/completions"), "m"),
+        defaults = Map("summary" -> "", "n_words" -> "0"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getString(2) === "one two three")
+    assert(out(0).getString(3) === "5")
+    // null/empty inputs short-circuit to defaults without an HTTP call
+    assert(out(1).getString(2) === "" && out(1).getString(3) === "0")
+    assert(out(2).getString(3) === "0")
+    assert(llmCalls.get() === 1)
+  }
+}
