@@ -35,6 +35,37 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** ST2 + ST4 — watermarked SLIDING-window aggregate: identical
+    * expression to the batch `Events.sliding`, plus the watermark. Each
+    * event lands in width/slide windows; state per group is bounded to
+    * (watermark horizon + width) / slide live windows. */
+  def slidingCounts(stream: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** ST3 + ST4 — watermarked SESSION-window aggregate: the built-in
+    * `session_window` under streaming merges/extends open sessions in the
+    * state store as events arrive and finalizes a session once the
+    * watermark passes its end (last event + gap). Same expression as the
+    * batch `Events.sessions`; state is O(open sessions per user), evicted
+    * by the watermark. */
+  def sessionCounts(stream: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** ST5 — stateful streaming dedup: at-most-once per event_id within the
     * watermark horizon (the streaming form of the reference's batch DOI
     * dedup, main.py:101-166 — state bounded instead of a global shuffle). */

@@ -33,6 +33,69 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST2: watermarked sliding window matches batch semantics for " +
+    "closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:20:00"), "click", 2.0),
+      (ts("2024-01-01 10:50:00"), "view", 4.0))
+    val late = (ts("2024-01-01 13:00:00"), "view", 8.0)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = EventStreams.slidingCounts(df, "1 hour", "15 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(late) // watermark -> 12:50, closes every window of `data`
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+      val batchTruth = graft.operators.Events.sliding(
+        data.toDF("ts", "event_type", "value"), "1 hour", "15 minutes")
+      // every window over `data` is closed, so parity must be EXACT
+      assert(streamed.count() === batchTruth.count())
+      val mismatched = streamed.join(batchTruth,
+        Seq("window_start", "event_type", "n_events", "sum_value"),
+        "left_anti")
+      assert(mismatched.count() === 0)
+      // each event lands in width/slide = 4 slides
+      assert(batchTruth.count() >= 4)
+    } finally q.stop()
+  }
+
+  test("ST3: watermarked session_window matches batch semantics for " +
+    "closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),  // same session (gap 30m)
+      (1L, ts("2024-01-01 11:30:00"), 3.0),  // new session
+      (2L, ts("2024-01-01 10:00:00"), 4.0))
+    val late = (2L, ts("2024-01-01 14:00:00"), 5.0) // pushes watermark
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF.toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionCounts(df, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData(late)
+      q.processAllAvailable()
+      val streamed = spark.table("session_test")
+      val batchTruth = graft.operators.Events.sessions(
+        data.toDF("user_id", "ts", "value"), "30 minutes")
+      assert(streamed.count() === batchTruth.count()) // 3 closed sessions
+      val mismatched = streamed.join(batchTruth,
+        Seq("user_id", "session_start", "session_end", "n_events",
+          "sum_value"), "left_anti")
+      assert(mismatched.count() === 0)
+    } finally q.stop()
+  }
+
   test("ST5: dropDuplicatesWithinWatermark dedups by key on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
