@@ -1,0 +1,332 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** S7 — configuration manager (reference `config_manager.py:7-180`):
+  * load a YAML or JSON config file (dispatched on extension, like the
+  * reference), then fill the reference's full defaulting tree —
+  * journal_metrics / llm (incl. per-backend endpoint defaults and
+  * model_parameters) / processing / prompt. Driver-side only; nothing
+  * here touches executors.
+  *
+  * The YAML subset parser is RECURSIVE (indentation-scoped): nested maps
+  * to any depth, lists of scalars, lists of flat maps (the `sources:`
+  * shape), `|`/`|-` block scalars, quoted/bare scalars with typed
+  * booleans/longs/doubles, and `#` comments outside quotes. That covers
+  * the reference's `config.yaml.example` and every prompt template file;
+  * PromptTemplates delegates here so the repo has ONE parser. No YAML
+  * library exists in the offline build — and the subset is small enough
+  * that a dependency would be the bigger liability.
+  */
+object ConfigManager {
+
+  type Conf = Map[String, Any]
+
+  // ---- YAML subset parser ---------------------------------------------------
+
+  private case class Line(raw: String, indent: Int, content: String)
+
+  /** Strip a `#` comment that sits outside single/double quotes and is
+    * either at the start or preceded by whitespace. */
+  private def stripComment(s: String): String = {
+    var inD = false; var inS = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' if !inS => inD = !inD
+        case '\'' if !inD => inS = !inS
+        case '#' if !inD && !inS &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) =>
+          return s.substring(0, i)
+        case _ => ()
+      }
+      i += 1
+    }
+    s
+  }
+
+  private def unquote(s: String): Any = {
+    val t = s.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+      (t.head == '\'' && t.last == '\'')))
+      t.substring(1, t.length - 1) // quoted: always a string
+    else t match {
+      case "true" => true
+      case "false" => false
+      case _ if t.matches("-?\\d+") => t.toLong
+      case _ if t.matches("-?\\d+\\.\\d+") => t.toDouble
+      case _ => t
+    }
+  }
+
+  def parseYaml(text: String): Conf = {
+    val raw = text.split("\n", -1)
+    val lines = raw.map { l =>
+      val c = stripComment(l)
+      Line(l, c.takeWhile(_ == ' ').length, c.trim)
+    }
+    def isBlank(i: Int) = lines(i).content.isEmpty
+
+    /** Block scalar: consume raw lines more indented than the key (or
+      * blank), strip the block's own minimum indent, rejoin. */
+    def parseBlock(start: Int, keyIndent: Int, keep: Boolean): (String, Int) = {
+      var j = start
+      val buf = collection.mutable.Buffer[String]()
+      while (j < lines.length &&
+        (raw(j).trim.isEmpty ||
+          raw(j).takeWhile(_ == ' ').length > keyIndent)) {
+        buf += raw(j)
+        j += 1
+      }
+      while (buf.nonEmpty && buf.last.trim.isEmpty) buf.remove(buf.length - 1)
+      val nonBlank = buf.filter(_.trim.nonEmpty)
+      val strip =
+        if (nonBlank.isEmpty) 0
+        else nonBlank.map(_.takeWhile(_ == ' ').length).min
+      val body = buf.map(l => if (l.length >= strip) l.substring(strip) else l)
+        .mkString("\n")
+      (if (keep && body.nonEmpty) body + "\n" else body, j)
+    }
+
+    def parseNode(start: Int, indent: Int): (Any, Int) =
+      if (start < lines.length && lines(start).content.startsWith("- "))
+        parseList(start, lines(start).indent)
+      else parseMap(start, indent)
+
+    def parseList(start: Int, indent: Int): (Seq[Any], Int) = {
+      val items = collection.mutable.Buffer[Any]()
+      var i = start
+      while (i < lines.length &&
+        (isBlank(i) || (lines(i).indent == indent &&
+          lines(i).content.startsWith("- ")))) {
+        if (isBlank(i)) i += 1
+        else {
+          val rest = lines(i).content.substring(2).trim
+          val inner = rest.split(":", 2)
+          if (inner.length == 2 &&
+            inner(0).matches("[A-Za-z_][A-Za-z0-9_]*")) {
+            // list of maps: first pair inline on the "- " line, the rest on
+            // following lines indented past the dash (the `sources:` shape)
+            val m = collection.mutable.LinkedHashMap[String, Any](
+              inner(0).trim -> unquote(inner(1)))
+            var j = i + 1
+            while (j < lines.length && (isBlank(j) ||
+              (lines(j).indent > indent &&
+                !lines(j).content.startsWith("- ")))) {
+              if (!isBlank(j)) {
+                val kv = lines(j).content.split(":", 2)
+                if (kv.length == 2) m(kv(0).trim) = unquote(kv(1))
+              }
+              j += 1
+            }
+            items += m.toMap
+            i = j
+          } else {
+            items += unquote(rest)
+            i += 1
+          }
+        }
+      }
+      // a trailing blank run beyond the list belongs to the parent
+      (items.toSeq, i)
+    }
+
+    def parseMap(start: Int, indent: Int): (Conf, Int) = {
+      val out = collection.mutable.LinkedHashMap[String, Any]()
+      var i = start
+      // bare or quoted keys ("sciif": v — the metrics-mapping shape)
+      val keyLine =
+        ("^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_-]*):\\s*(.*)$").r
+      while (i < lines.length &&
+        (isBlank(i) || lines(i).indent >= indent)) {
+        if (isBlank(i)) i += 1
+        else if (lines(i).indent > indent || // stray deeper line: skip
+          !keyLine.pattern.matcher(lines(i).content).matches()) i += 1
+        else {
+          val m = keyLine.findFirstMatchIn(lines(i).content).get
+          val key = unquote(m.group(1)).toString
+          val rest = m.group(2).trim
+          if (rest == "|" || rest == "|-") {
+            val (body, j) = parseBlock(i + 1, indent, keep = rest == "|")
+            out(key) = body
+            i = j
+          } else if (rest.isEmpty) {
+            // nested node if the next content line is deeper, else ""
+            var j = i + 1
+            while (j < lines.length && isBlank(j)) j += 1
+            if (j < lines.length && lines(j).indent > indent) {
+              val (node, k) = parseNode(j, lines(j).indent)
+              out(key) = node
+              i = k
+            } else {
+              out(key) = ""
+              i += 1
+            }
+          } else {
+            out(key) = unquote(rest)
+            i += 1
+          }
+        }
+      }
+      (out.toMap, i)
+    }
+
+    parseNode(0, 0)._1 match {
+      case m: Map[_, _] => m.asInstanceOf[Conf]
+      case other => Map("value" -> other)
+    }
+  }
+
+  // ---- JSON loading (extension dispatch, reference lines 34-41) -------------
+
+  private def jsonToScala(n: JsonNode): Any =
+    if (n.isObject) {
+      val it = n.properties().iterator()
+      val m = collection.mutable.LinkedHashMap[String, Any]()
+      while (it.hasNext) { val e = it.next(); m(e.getKey) = jsonToScala(e.getValue) }
+      m.toMap
+    }
+    else if (n.isArray) (0 until n.size()).map(i => jsonToScala(n.get(i)))
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isNull) null
+    else n.asText()
+
+  def load(path: String): Conf = {
+    val text = Files.readString(Paths.get(path))
+    val parsed =
+      if (path.endsWith(".yaml") || path.endsWith(".yml")) parseYaml(text)
+      else jsonToScala(new ObjectMapper().readTree(text)) match {
+        case m: Map[_, _] => m.asInstanceOf[Conf]
+        case _ => throw new IllegalArgumentException(
+          s"config root must be a map: $path")
+      }
+    applyDefaults(parsed)
+  }
+
+  // ---- defaulting tree (reference lines 47-176) -----------------------------
+
+  /** The reference's full default tree, applied by deep merge (loaded
+    * values win; nested maps merge key-wise). Values mirror
+    * `config_manager.py:47-176` exactly, including the per-backend
+    * endpoint defaults. */
+  val referenceDefaults: Conf = Map(
+    "journal_metrics" -> Map(
+      "enabled" -> true,
+      "metrics_to_fetch" -> Seq.empty[Any],
+      "metrics_column_mapping" -> Map.empty[String, Any]),
+    "llm" -> Map(
+      "enabled" -> false,
+      "type" -> "vllm",
+      "vllm_api_url" -> "http://localhost:8000/v1/completions",
+      "vllm_api_key" -> "",
+      "vllm_model" -> "qwen",
+      "siliconflow_api_key" -> "",
+      "siliconflow_base_url" -> "https://api.siliconflow.cn/v1",
+      "siliconflow_model" -> "deepseek-ai/DeepSeek-V3",
+      "siliconflow_rpm" -> 3000L,
+      "siliconflow_tpm" -> 200000L,
+      "ollama_api_url" -> "http://localhost:11434/api",
+      "ollama_model" -> "llama3",
+      "ollama_api_key" -> "",
+      "model_parameters" -> Map(
+        "temperature" -> 0.7,
+        "top_p" -> 0.9,
+        "max_tokens" -> 4096L)),
+    "processing" -> Map(
+      "disable_summary" -> false,
+      "batch_size" -> 16L,
+      "max_workers" -> 4L),
+    "prompt" -> Map(
+      "default_type" -> "medical",
+      "templates_dir" -> "config/prompts"))
+
+  def deepMerge(defaults: Conf, loaded: Conf): Conf = {
+    val keys = defaults.keys ++ loaded.keys
+    keys.map { k =>
+      k -> ((defaults.get(k), loaded.get(k)) match {
+        case (Some(d: Map[_, _]), Some(l: Map[_, _])) =>
+          deepMerge(d.asInstanceOf[Conf], l.asInstanceOf[Conf])
+        case (_, Some(l)) => l
+        case (Some(d), None) => d
+        case _ => throw new IllegalStateException("unreachable")
+      })
+    }.toMap
+  }
+
+  def applyDefaults(conf: Conf): Conf = {
+    val merged = deepMerge(referenceDefaults, conf)
+    // the one hard validation the reference enforces (lines 112-114): a
+    // key-less hosted backend cannot work at all
+    if (getString(merged, "llm.type").toLowerCase == "siliconflow")
+      require(getString(merged, "llm.siliconflow_api_key").nonEmpty,
+        "llm.type=siliconflow requires llm.siliconflow_api_key")
+    merged
+  }
+
+  // ---- dotted-path accessors ------------------------------------------------
+
+  def get(conf: Conf, path: String): Option[Any] =
+    path.split("\\.").foldLeft(Option[Any](conf)) {
+      case (Some(m: Map[_, _]), k) => m.asInstanceOf[Conf].get(k)
+      case _ => None
+    }
+
+  def getString(conf: Conf, path: String): String =
+    get(conf, path).map(_.toString).getOrElse("")
+  def getBoolean(conf: Conf, path: String): Boolean =
+    get(conf, path).exists { case b: Boolean => b; case s => s == "true" }
+  def getLong(conf: Conf, path: String): Long = get(conf, path) match {
+    case Some(l: Long) => l
+    case Some(d: Double) => d.toLong
+    case Some(s: String) if s.matches("-?\\d+") => s.toLong
+    case _ => 0L
+  }
+  def getDouble(conf: Conf, path: String): Double = get(conf, path) match {
+    case Some(d: Double) => d
+    case Some(l: Long) => l.toDouble
+    case Some(s: String) if s.matches("-?\\d+(\\.\\d+)?") => s.toDouble
+    case _ => 0.0
+  }
+  def getSeq(conf: Conf, path: String): Seq[Any] = get(conf, path) match {
+    case Some(s: Seq[_]) => s
+    case _ => Seq.empty
+  }
+
+  // ---- bridge into the production clients -----------------------------------
+
+  /** Resolve the `llm` section into an (HttpConfig, model) pair for
+    * `HttpClients.HttpLlmClient`, dispatching on `llm.type` exactly like
+    * the reference's client factory (`llm_api.py` backend selection):
+    * url/key/model come from the per-backend keys; hosted backends get
+    * their request budget as a token-bucket rate (rpm/60). */
+  def llmHttpConfig(conf: Conf): (HttpClients.HttpConfig, String) = {
+    def key(k: String): Option[String] = {
+      val v = getString(conf, s"llm.$k")
+      if (v.isEmpty) None else Some(v)
+    }
+    getString(conf, "llm.type").toLowerCase match {
+      case "siliconflow" =>
+        (HttpClients.HttpConfig(
+          baseUrl = getString(conf, "llm.siliconflow_base_url")
+            .stripSuffix("/") + "/chat/completions",
+          apiKey = key("siliconflow_api_key"),
+          ratePerSec = getLong(conf, "llm.siliconflow_rpm") / 60.0),
+          getString(conf, "llm.siliconflow_model"))
+      case "ollama" =>
+        (HttpClients.HttpConfig(
+          baseUrl = getString(conf, "llm.ollama_api_url")
+            .stripSuffix("/") + "/chat",
+          apiKey = key("ollama_api_key")),
+          getString(conf, "llm.ollama_model"))
+      case _ =>
+        (HttpClients.HttpConfig(
+          baseUrl = getString(conf, "llm.vllm_api_url"),
+          apiKey = key("vllm_api_key")),
+          getString(conf, "llm.vllm_model"))
+    }
+  }
+}

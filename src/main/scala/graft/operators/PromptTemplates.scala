@@ -28,65 +28,11 @@ object PromptTemplates {
       "user" -> userTemplate.replace("{abstract}", abstractText))
   }
 
-  /** Parse the template YAML subset: top-level `key: value` scalars
-    * (quoted or bare), `key: |` block scalars, `key:` + `- item` lists,
-    * and `key:` + indented `k: v` maps. */
-  def parseYaml(text: String): Map[String, Any] = {
-    val lines = text.split("\n")
-    val out = collection.mutable.LinkedHashMap[String, Any]()
-    var i = 0
-    def unquote(s: String): String = {
-      val t = s.trim
-      if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
-        (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
-      else t
-    }
-    val keyLine = "^([A-Za-z_][A-Za-z0-9_]*):\\s*(.*)$".r
-    while (i < lines.length) {
-      val line = lines(i)
-      keyLine.findFirstMatchIn(line) match {
-        case Some(m) if !line.startsWith(" ") =>
-          val key = m.group(1)
-          val rest = m.group(2).trim
-          if (rest == "|" || rest == "|-") {
-            // block scalar: subsequent lines indented >=2 (or blank inside
-            // the block), until the next non-indented non-empty line
-            val block = collection.mutable.Buffer[String]()
-            var j = i + 1
-            while (j < lines.length &&
-              (lines(j).startsWith("  ") || lines(j).trim.isEmpty)) {
-              block += lines(j).stripPrefix("  ")
-              j += 1
-            }
-            while (block.nonEmpty && block.last.trim.isEmpty)
-              block.remove(block.length - 1)
-            val body = block.mkString("\n")
-            out(key) = if (rest == "|-") body else body + "\n"
-            i = j - 1
-          } else if (rest.isEmpty) {
-            // list or nested map follows
-            val items = collection.mutable.Buffer[String]()
-            val nested = collection.mutable.LinkedHashMap[String, String]()
-            var j = i + 1
-            while (j < lines.length &&
-              (lines(j).startsWith(" ") || lines(j).trim.isEmpty)) {
-              val t = lines(j).trim
-              if (t.startsWith("- ")) items += unquote(t.substring(2))
-              else if (t.nonEmpty && t.contains(":")) {
-                val Array(k, v) = t.split(":", 2)
-                nested(k.trim) = unquote(v)
-              }
-              j += 1
-            }
-            out(key) = if (items.nonEmpty) items.toSeq else nested.toMap
-            i = j - 1
-          } else out(key) = unquote(rest)
-        case _ => ()
-      }
-      i += 1
-    }
-    out.toMap
-  }
+  /** Parse the template YAML subset — delegates to ConfigManager's
+    * recursive parser (one YAML parser in the repo; the template files
+    * are a strict subset of what it accepts). */
+  def parseYaml(text: String): Map[String, Any] =
+    ConfigManager.parseYaml(text)
 
   def fromYaml(text: String): Template = {
     val m = parseYaml(text)

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConfigManager
+import graft.operators.ConfigManager._
+
+/** S7 — config load + defaulting vs the reference's config_manager.py
+  * behavior (extension dispatch, full default tree, per-backend llm
+  * resolution). */
+class ConfigManagerSpec extends AnyFunSuite {
+
+  private val sample = "/root/repo/fixtures/config/config_sample.yaml"
+
+  test("parses the reference config.yaml.example shape: nesting, lists, " +
+    "lists of maps, inline comments, typed scalars") {
+    val conf = ConfigManager.load(sample)
+    assert(getString(conf, "easyscholar_api_key") === "TEST_KEY")
+    assert(getBoolean(conf, "journal_metrics.enabled"))
+    assert(getSeq(conf, "journal_metrics.metrics_to_fetch") ===
+      Seq("sciif", "sci", "sciUp"))
+    assert(getString(conf, "journal_metrics.metrics_column_mapping.sciif")
+      === "impact_factor")
+    val sources = getSeq(conf, "sources")
+    assert(sources.size === 2)
+    val pubmed = sources.head.asInstanceOf[Conf]
+    assert(pubmed("type") === "pubmed")
+    assert(pubmed("path") === "data/input/pubmed-data.txt")
+    assert(pubmed("enabled") === true)
+    assert(sources(1).asInstanceOf[Conf]("enabled") === false)
+    assert(getBoolean(conf, "output.separate_sheets"))
+    assert(getLong(conf, "processing.batch_size") === 32L)
+  }
+
+  test("defaulting fills the reference tree and deep merge keeps loaded " +
+    "values winning with sibling defaults intact") {
+    val conf = ConfigManager.load(sample)
+    // loaded wins
+    assert(getDouble(conf, "llm.model_parameters.temperature") === 0.2)
+    assert(getLong(conf, "llm.model_parameters.max_tokens") === 1024L)
+    // omitted sibling gets the reference default
+    assert(getDouble(conf, "llm.model_parameters.top_p") === 0.9)
+    // untouched sections fully defaulted
+    assert(getLong(conf, "processing.max_workers") === 4L)
+    assert(getBoolean(conf, "processing.disable_summary") === false)
+    assert(getString(conf, "llm.ollama_model") === "llama3")
+    assert(getLong(conf, "llm.siliconflow_rpm") === 3000L)
+  }
+
+  test("an empty config defaults the entire tree " +
+    "(config_manager.py:47-176)") {
+    val conf = ConfigManager.applyDefaults(Map.empty)
+    assert(getBoolean(conf, "journal_metrics.enabled"))
+    assert(getSeq(conf, "journal_metrics.metrics_to_fetch").isEmpty)
+    assert(getBoolean(conf, "llm.enabled") === false)
+    assert(getString(conf, "llm.type") === "vllm")
+    assert(getDouble(conf, "llm.model_parameters.temperature") === 0.7)
+    assert(getLong(conf, "llm.model_parameters.max_tokens") === 4096L)
+    assert(getLong(conf, "processing.batch_size") === 16L)
+    assert(getString(conf, "prompt.default_type") === "medical")
+  }
+
+  test("JSON configs load through the same defaulting (extension " +
+    "dispatch)") {
+    val f = Files.createTempFile("graft_conf", ".json")
+    Files.writeString(f,
+      """{"llm": {"enabled": true, "type": "ollama",
+        |         "ollama_model": "mistral"},
+        | "processing": {"batch_size": 8}}""".stripMargin)
+    val conf = ConfigManager.load(f.toString)
+    assert(getBoolean(conf, "llm.enabled"))
+    assert(getString(conf, "llm.ollama_model") === "mistral")
+    assert(getLong(conf, "processing.batch_size") === 8L)
+    assert(getDouble(conf, "llm.model_parameters.top_p") === 0.9) // default
+  }
+
+  test("a key-less hosted backend is rejected (reference hard exit)") {
+    intercept[IllegalArgumentException] {
+      ConfigManager.applyDefaults(
+        Map("llm" -> Map("type" -> "siliconflow")))
+    }
+  }
+
+  test("llmHttpConfig resolves backend endpoint, auth, model, and rate " +
+    "budget from the llm section") {
+    val (vllmCfg, vllmModel) = ConfigManager.llmHttpConfig(
+      ConfigManager.load(sample))
+    assert(vllmCfg.baseUrl === "http://127.0.0.1:8000/v1/chat/completions")
+    assert(vllmCfg.apiKey.isEmpty) // empty key -> no auth header
+    assert(vllmModel === "qwen")
+
+    val hosted = ConfigManager.applyDefaults(Map("llm" -> Map(
+      "type" -> "siliconflow", "siliconflow_api_key" -> "k",
+      "siliconflow_rpm" -> 600L)))
+    val (hc, hm) = ConfigManager.llmHttpConfig(hosted)
+    assert(hc.baseUrl.endsWith("/chat/completions"))
+    assert(hc.apiKey === Some("k"))
+    assert(hc.ratePerSec === 10.0) // 600 rpm
+    assert(hm === "deepseek-ai/DeepSeek-V3")
+  }
+}
