@@ -633,6 +633,19 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF machinery under the hash oracle: with nProbe = nCentroids every
+    // inverted list is searched, so the operator provably degenerates to
+    // exact brute force (the property SimilaritySpec pins) — the full
+    // coarse-quantizer train/assign/route path runs and must reproduce the
+    // brute-force oracle bit-for-bit. Production ANN sets nProbe << that.
+    "q_embed_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+          nCentroids = 16, nProbe = 16)
+        .select(col("probe_id"), col("rank"), col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // threshold 0.45: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cos ≈ 0.6 at sf0.1), so 0.45 yields a real,
     // non-empty tail while staying > 3σ above the cos≈N(0, 1/64) noise
@@ -1411,6 +1424,27 @@ object SparkEntry {
         |          0) AS cos
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // IVF at nProbe = nCentroids must equal exact brute-force top-k
+    "q_embed_ivf_topk" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+        |           WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |s AS (SELECT pid, nid,
+        |        list_sum(list_transform(range(1, len(ce) + 1),
+        |          i -> CAST(ce[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+        |        / nullif(
+        |          sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x)))
+        |          * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * x))),
+        |          0) AS cos
+        |      FROM c, p WHERE nid <> pid),
+        |r AS (SELECT pid AS probe_id, nid AS nbr_id, cos,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY cos DESC, nid ASC) AS rank
+        |      FROM s)
+        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
+        |WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // LSH path must return exactly the brute-force pair set (recall tuned
     // to exact on this corpus; precision exact by the final cosine verify)

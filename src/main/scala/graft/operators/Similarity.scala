@@ -89,12 +89,10 @@ object Similarity {
     * same buckets ± multi-probe), search only within matching buckets —
     * turns O(N·Q) into O(N·Q / 2^nBits) expected.
     */
-  def lshBucket(df: DataFrame, embCol: String, nBits: Int,
-                seed: Int = 42): DataFrame = {
-    // hyperplane component h[b][i] in {-1,+1} derived from a hash — cheap,
-    // deterministic, and good enough for bucketing (Charikar 2002 rounding)
-    val emb = col(embCol)
-    val bits = (0 until nBits).map { b =>
+  /** The bucket EXPRESSION for one table (shared by lshBucket and the
+    * single-pass multi-table operators below). */
+  private def bucketExpr(emb: Column, nBits: Int, seed: Int): Column =
+    (0 until nBits).map { b =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
           x.cast("double") *
@@ -102,9 +100,13 @@ object Similarity {
               .otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1), b)).otherwise(0)
-    }
-    df.withColumn("bucket", bits.reduce(_ + _))
-  }
+    }.reduce(_ + _)
+
+  def lshBucket(df: DataFrame, embCol: String, nBits: Int,
+                seed: Int = 42): DataFrame =
+    // hyperplane component h[b][i] in {-1,+1} derived from a hash — cheap,
+    // deterministic, and good enough for bucketing (Charikar 2002 rounding)
+    df.withColumn("bucket", bucketExpr(col(embCol), nBits, seed))
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * the probe's bucket in ANY of `nTables` independent hash tables, then
@@ -114,14 +116,18 @@ object Similarity {
               nBits: Int = 8, nTables: Int = 4,
               idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      val c = lshBucket(corpus, embCol, nBits, seed = 1000 + t)
-        .select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"), col("bucket"))
-      val p = lshBucket(probes, embCol, nBits, seed = 1000 + t)
-        .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("bucket"))
-      c.join(broadcast(p), Seq("bucket")).drop("bucket")
-    }
-    val cand = tables.reduce(_ unionByName _)
+    // all tables' buckets in one projection + posexplode (single corpus
+    // scan/bucket pass; see lshNearDupPairs) — the probe side stays tiny
+    // and is broadcast
+    def banded(df: DataFrame, outId: String, outEmb: String): DataFrame =
+      df.select(col(idCol).as(outId), col(embCol).as(outEmb),
+        posexplode(array((0 until nTables).map { t =>
+          bucketExpr(col(embCol), nBits, seed = 1000 + t)
+        }: _*)).as(Seq("table", "bucket")))
+    val cand = banded(corpus, "nbr_id", "c_emb")
+      .join(broadcast(banded(probes, "probe_id", "p_emb")),
+        Seq("table", "bucket"))
+      .drop("table", "bucket")
       .where(col("nbr_id") =!= col("probe_id"))
       .dropDuplicates("probe_id", "nbr_id")
       .withColumn("cos", cosine(col("c_emb"), col("p_emb")))
@@ -145,13 +151,22 @@ object Similarity {
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
     val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
-    val cand = (0 until nTables).map { t =>
-      val b = lshBucket(slim, "emb", nBits, seed = 2000 + t)
-        .select(col("id"), col("bucket"))
-      b.as("a").join(b.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    // ALL tables' buckets in one projection, exploded to skinny
+    // (id, table, bucket) rows — a per-table union of self-joins re-scans
+    // and re-buckets the corpus 2*nTables times (measured 34 scans in the
+    // executed plan at nTables=16); the generator form pays one scan and
+    // one bucket evaluation per row, and the banded self-join keys on
+    // (table, bucket) with both sides the identical subtree (exchange
+    // reuse) — the same shape as simhash banding.
+    val banded = slim.select(col("id"),
+      posexplode(array((0 until nTables).map { t =>
+        bucketExpr(col("emb"), nBits, seed = 2000 + t)
+      }: _*)).as(Seq("table", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val withVecs = cand
       .join(slim.select(col("id").as("id_a"), col("emb").as("emb_a"),
         norm(col("emb")).as("nrm_a")), Seq("id_a"))
