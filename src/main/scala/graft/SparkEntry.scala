@@ -83,6 +83,33 @@ object SparkEntry {
        |WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB oracle for the end-to-end near-dup dedup: brute-force pair
+    * set (as above) → symmetric edges → recursive-CTE transitive closure
+    * → survivor = min reachable id (docs in no pair survive as
+    * themselves). */
+  private def clusterOracleSql(threshold: Double): String =
+    s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= $threshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, min(dst) AS reach_min
+       |         FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       |  CAST(least(coalesce(c.reach_min, d.doc_id), d.doc_id) AS BIGINT)
+       |    AS survivor_id
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- driver smoke entry -------------------------------------------------
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -503,6 +530,18 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
           threshold = 0.6)
         .orderBy("id_a", "id_b")),
+
+    // pairs -> DECISIONS: the end-to-end near-dup dedup (detect with the
+    // 100 TB default detector, cluster the pair graph, keep min-id
+    // survivor per component). Oracle = DuckDB recursive-CTE transitive
+    // closure over the brute-force pair set.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.6, k = 128, bands = 32)
+      Dedup.nearDupSurvivors(docs, col("doc_id"), pairs)
+        .orderBy("doc_id")
+    }),
 
     // -- text analysis (BASELINE.json extensions) -----------------------------------
     "q_text_stats" -> ((s, dir) =>
@@ -1171,6 +1210,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardOracleSql(0.6),
     "q_dedup_minhash" -> jaccardOracleSql(0.6),
     "q_dedup_simhash" -> jaccardOracleSql(0.6),
+    "q_dedup_cluster" -> clusterOracleSql(0.6),
 
     "q_text_stats" ->
       s"""WITH base AS (

@@ -352,6 +352,70 @@ object Dedup {
     verifyWithShingles(cand, shingleFrame(docs, id, text, w), threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every vertex ends
+    * with `component` = the MINIMUM id reachable from it, i.e. the pair
+    * detectors' output becomes dedup DECISIONS (keep component == id,
+    * drop the rest).
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes min(own label, neighbors' labels); fixpoint when no label
+    * changes. Rounds needed = graph diameter, and near-dup clusters are
+    * shallow (a cluster of k near-identical docs is almost a clique), so
+    * 2-4 rounds in practice; `maxIter` bounds pathological chains. Each
+    * round is one join + one aggregate keyed on id — all-distributed,
+    * nothing driver-side except the convergence counter (an O(1) count
+    * per round, the standard Pregel-style driver loop; at 100 TB the
+    * well-known large-star/small-star variant [Kiveris et al. 2014]
+    * halves round count, same join/agg building blocks).
+    *
+    * Output: (id, component) for every vertex present in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list; self-loops make the aggregate carry own labels
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true) // iterated over: cut lineage once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("id"))
+        .select(col("id"), least(col("component"), col("nbr_min"))
+          .as("component"),
+          (col("nbr_min") < col("component")).as("changed"))
+        // each round's result is materialized once: the next round (and
+        // the convergence count) must not re-run the whole chain
+        .localCheckpoint(eager = true)
+      converged = next.where(col("changed")).limit(1).count() == 0
+      labels = next.select("id", "component")
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup decision per document: detect pairs (any
+    * detector with the (id_a, id_b, …) contract), cluster them, and
+    * assign every doc its cluster SURVIVOR (min doc id of the component;
+    * docs in no pair survive as themselves). The downstream filter is
+    * `where(survivor_id === id)` — the near-dup analogue of
+    * `priorityDedup`'s keep-first rule. */
+  def nearDupSurvivors(docs: DataFrame, id: Column,
+                       pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.select(id.as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("survivor_id"))
+  }
+
   /** Exact-Jaccard verification: candidate (id_a, id_b) pairs re-acquire
     * their shingle arrays from the shingle frame (a semi-join reduction —
     * only candidate ids fetch arrays, same trick as the reference's

@@ -125,4 +125,19 @@ class DedupSpec extends SparkTestBase {
       maxDf = Some(2))
     assert(capped.count() === 0)
   }
+
+  test("connectedComponents propagates min labels across chains, " +
+    "nearDupSurvivors keeps singletons as themselves") {
+    // chain 1-2-3 (NOT a clique: 1-3 only transitively connected),
+    // separate pair 5-6, singleton 4
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val surv = Dedup.nearDupSurvivors(docs, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(surv === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
 }
