@@ -73,6 +73,21 @@ class ScaleTechniquesSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
   }
 
+  test("plan shape: multi-table LSH and simhash read their source a " +
+    "bounded number of times") {
+    // regression guard for the single-pass banding rewrites: the per-table/
+    // per-side union forms re-scanned the corpus 2x per table (34 scans at
+    // nTables=16); the generator forms pay a small constant
+    val dir = "/root/testdata/sf0.001"
+    def scans(q: String): Int =
+      "Scan parquet".r.findAllIn(SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString).length
+    assert(scans("q_embed_neardup_lsh") <= 6)
+    assert(scans("q_embed_ivf_topk") <= 4)
+    assert(scans("q_dedup_simhash") <= 6)
+    assert(scans("q_dedup_minhash") <= 6)
+  }
+
   test("approx_count_distinct stays within 2% of exact distinct counts") {
     // A6 (SURVEY §2.4): the q_agg_approx_distinct entry is rows-only (HLL
     // sketches are engine-specific); this spec pins the error contract
