@@ -371,10 +371,13 @@ object Dedup {
     * Output: (id, component) for every vertex present in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // symmetric edge list; self-loops make the aggregate carry own labels
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"),
-        col("id_a").as("dst")))
+    // symmetric edge list via a generator (a two-projection union would
+    // evaluate the upstream pair DETECTOR twice — explode runs it once)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(eager = true) // iterated over: cut lineage once
     var labels = edges.select(col("src").as("id")).distinct()
