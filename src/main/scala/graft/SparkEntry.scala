@@ -603,6 +603,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // detection's completion: typed-tag redaction of the same planted PII
+    "q_text_redact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("t",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.org or +1 555-000-"), col("doc_id") % 10000,
+              lit(" host 10.0.0."), col("doc_id") % 256))
+            .otherwise(lit(""))))
+      docs.select(col("doc_id"),
+          TextAnalysis.redactPii(col("t")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // corpus vocabulary: top-50 tokens by total occurrences (doc-frequency
     // alongside) — the vocabulary-building pass of a training pipeline
     "q_vocab_topk" -> ((s, dir) =>
@@ -1301,6 +1315,26 @@ object SparkEntry {
         |    AS n_phones,
         |  CAST(len(regexp_extract_all(t,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.org or +1 555-000-'
+        |        || CAST(doc_id % 10000 AS VARCHAR)
+        |        || ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q_vocab_topk" ->

@@ -141,6 +141,18 @@ object TextAnalysis {
     size(regexp_extract_all(c, lit(phonePattern), lit(0))),
     size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))))
 
+  /** PII redaction: replace matches with typed tags. Order matters for
+    * safety, not correctness here — emails first (their local part may
+    * contain digit runs), then IPs (dots keep them out of the phone
+    * charset), then phones. Global replace, same regexes as the counts,
+    * all codegen'd. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Content fingerprint: md5 of the canonical form — the exact-dedup key.
     * (md5 hex output is identical across Spark and the DuckDB oracle.) */
   def fingerprint(c: Column): Column = md5(normText(c))
