@@ -827,6 +827,28 @@ object SparkEntry {
     // The reference's whole CLI pipeline (SURVEY.md §3.1 steps 4-5) as one
     // query: parse all three sources -> union -> normalize -> priority
     // dedup -> link columns -> stub enrichment
+    // the training-data flagship: quality/lang gate -> near-dup SURVIVOR
+    // selection (minhash detect -> components -> keep min id) -> PII
+    // redaction -> deterministic md5-prefix sampling. Every stage is the
+    // oracle-checked operator from its own query; this pins that they
+    // COMPOSE (the population each stage sees is defined by the previous
+    // one).
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      val gated = Tables.documents(s, dir)
+        .where(col("lang").isin("en", "fr", "de") && col("n_chars") >= 50)
+      val pairs = Dedup.minhashLshPairs(gated, col("doc_id"), col("text"),
+        threshold = 0.6, k = 128, bands = 32)
+      val survivors = Dedup.nearDupSurvivors(gated, col("doc_id"), pairs)
+        .where(col("survivor_id") === col("doc_id"))
+      gated.join(survivors.select("doc_id"), Seq("doc_id"))
+        .where(instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1)) <= 8)
+        .select(col("doc_id"), col("lang"),
+          md5(graft.functions.TextAnalysis.redactPii(col("text")))
+            .as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     "q_pipeline_bibliographic" -> ((s, _) => {
       val fx = "/root/repo/fixtures"
       val combined = BibSources.combine(Seq(
@@ -1415,6 +1437,46 @@ object SparkEntry {
         |) AS t(doi, title, abstract, journal, url, volume, issue, pages,
         |       publication_year, authors, keywords, source_type)
         |ORDER BY doi""".stripMargin,
+
+    "q_pipeline_pretrain" ->
+      """WITH RECURSIVE gated AS (
+        |  SELECT * FROM documents
+        |  WHERE lang IN ('en', 'fr', 'de') AND n_chars >= 50),
+        |nrm AS (SELECT doc_id,
+        |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |        FROM gated),
+        |wrd AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM nrm),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+        |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |              ELSE [t] END AS s
+        |       FROM wrd),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS reach_min
+        |         FROM reach GROUP BY src)
+        |SELECT d.doc_id, d.lang,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(d.text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d[\d -]{7,}\d', '<PHONE>', 'g')) AS content_hash
+        |FROM gated d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |WHERE least(coalesce(c.reach_min, d.doc_id), d.doc_id) = d.doc_id
+        |  AND instr('0123456789abcdef',
+        |        substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) <= 8
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_pipeline_bibliographic" ->
       """SELECT * FROM (VALUES
