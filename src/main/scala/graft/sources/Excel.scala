@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream,
+  FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.mutable
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.Element
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal dependency-free XLSX source/sink (S4 + the reference's Excel
+  * OUTPUT path).
+  *
+  * The reference reads WOS Excel exports with `pd.read_excel`
+  * (`wos_parser.py:141-148` — header row + string records) and its primary
+  * sink is a multi-sheet workbook, one sheet per source
+  * (`excel_formatter.py`, `output.separate_sheets` in config). No OSS
+  * Spark Excel reader exists in this offline build, but XLSX is just a
+  * zip of small XMLs — the JDK's zip + DOM cover the subset the reference
+  * exercises: one header row, string/number cells, multiple sheets.
+  *
+  * Posture: Excel is a DRIVER-SIDE exchange format, not a data-plane
+  * format — workbooks are capped at 1,048,576 rows by the format itself,
+  * so collect-to-driver is inherent, bounded, and guarded. The data plane
+  * stays parquet (S8); this sink exists for the reference's curated
+  * final-output UX.
+  *
+  * Writer emits `inlineStr` cells (valid OOXML, no sharedStrings table);
+  * reader handles both inline and shared strings so externally-produced
+  * files load too. All values surface as strings — the reference is
+  * string-typed at this boundary (SURVEY.md §1.2, excel_formatter
+  * coerces to string/number/"").
+  */
+object Excel {
+
+  private val excelMaxRows = 1048576 - 1 // minus header
+
+  private def colRef(i: Int): String = {
+    var n = i; var s = ""
+    while (n >= 0) { s = ('A' + n % 26).toChar.toString + s; n = n / 26 - 1 }
+    s
+  }
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+      case c => c.toString
+    }
+
+  /** Write `df` as an .xlsx workbook. With `sheetBy` set, one sheet per
+    * distinct value of that column (sheet ≙ partition — the reference's
+    * separate_sheets mode), sheets sorted by name; otherwise a single
+    * "data" sheet. */
+  def writeXlsx(df: DataFrame, path: String,
+                sheetBy: Option[String] = None): Unit = {
+    val cols = df.columns.filterNot(sheetBy.contains)
+    val rows = df.limit(excelMaxRows + 1).collect()
+    require(rows.length <= excelMaxRows,
+      s"writeXlsx: more than $excelMaxRows rows — Excel is a driver-side " +
+        "curated-output sink; use the parquet sink for data-plane output")
+    val sheetIdx = sheetBy.map(df.columns.indexOf(_))
+    val sheets: Seq[(String, Array[Row])] = sheetIdx match {
+      case Some(si) =>
+        rows.groupBy(r => if (r.isNullAt(si)) "null" else r.get(si).toString)
+          .toSeq.sortBy(_._1)
+      case None => Seq("data" -> rows)
+    }
+    val colIdxs = cols.map(df.columns.indexOf(_))
+
+    val zip = new ZipOutputStream(new BufferedOutputStream(
+      new FileOutputStream(path)))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes(StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    try {
+      val n = sheets.size
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (1 to n).map(i =>
+            s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+            .mkString + "</Types>")
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          "</Relationships>")
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+          sheets.zipWithIndex.map { case ((name, _), i) =>
+            s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+          }.mkString + "</sheets></workbook>")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          (1 to n).map(i =>
+            s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+            .mkString + "</Relationships>")
+      sheets.zipWithIndex.foreach { case ((_, sheetRows), si) =>
+        val sb = new StringBuilder
+        sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+        sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+        sb ++= "<row r=\"1\">"
+        cols.zipWithIndex.foreach { case (c, ci) =>
+          sb ++= s"""<c r="${colRef(ci)}1" t="inlineStr"><is><t>${xmlEscape(c)}</t></is></c>"""
+        }
+        sb ++= "</row>"
+        sheetRows.zipWithIndex.foreach { case (r, ri) =>
+          sb ++= s"""<row r="${ri + 2}">"""
+          colIdxs.zipWithIndex.foreach { case (src, ci) =>
+            if (!r.isNullAt(src)) {
+              val ref = s"${colRef(ci)}${ri + 2}"
+              r.get(src) match {
+                case num @ (_: Double | _: Float | _: Long | _: Int |
+                            _: Short | _: Byte | _: java.math.BigDecimal) =>
+                  sb ++= s"""<c r="$ref" t="n"><v>$num</v></c>"""
+                case other =>
+                  sb ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(other.toString)}</t></is></c>"""
+              }
+            }
+          }
+          sb ++= "</row>"
+        }
+        sb ++= "</sheetData></worksheet>"
+        entry(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
+      }
+    } finally zip.close()
+  }
+
+  /** Read every sheet of an .xlsx into one DataFrame with a `__sheet`
+    * column (the inverse of `writeXlsx(sheetBy = ...)`). First row of
+    * each sheet is the header; all cells surface as strings (the
+    * reference's own typing at this boundary); missing/blank cells are
+    * null. Sheets must share a header (unionByName aligns them). */
+  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    // ---- unzip the parts we need ----
+    val parts = mutable.Map[String, Array[Byte]]()
+    val zin = new ZipInputStream(new BufferedInputStream(
+      new FileInputStream(path)))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName.startsWith("xl/")) parts(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+
+    def parse(bytes: Array[Byte]) = {
+      val f = DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(false)
+      f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+    }
+    def elems(parent: org.w3c.dom.Document, tag: String): Seq[Element] = {
+      val nl = parent.getElementsByTagName(tag)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+    }
+
+    // shared strings (absent in our own files; present in external ones)
+    val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml")
+      .map(b => elems(parse(b), "si").map(_.getTextContent).toIndexedSeq)
+      .getOrElse(IndexedSeq.empty)
+
+    val sheetNames = elems(parse(parts("xl/workbook.xml")), "sheet")
+      .map(e => e.getAttribute("name"))
+
+    def cellCol(ref: String): Int =
+      ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+
+    val frames = sheetNames.zipWithIndex.map { case (sheetName, i) =>
+      val doc = parse(parts(s"xl/worksheets/sheet${i + 1}.xml"))
+      val rows: Seq[Array[(Int, String)]] = elems(doc, "row").map { r =>
+        val cells = r.getElementsByTagName("c")
+        (0 until cells.getLength).map { ci =>
+          val c = cells.item(ci).asInstanceOf[Element]
+          val idx = cellCol(c.getAttribute("r"))
+          val t = c.getAttribute("t")
+          val text = t match {
+            case "inlineStr" => c.getTextContent
+            case "s" => shared(c.getTextContent.trim.toInt)
+            case _ => c.getTextContent
+          }
+          idx -> text
+        }.toArray
+      }
+      require(rows.nonEmpty, s"readXlsx: sheet $sheetName has no header row")
+      val header = rows.head.sortBy(_._1).map(_._2)
+      val schema = StructType(header.map(StructField(_, StringType)) :+
+        StructField("__sheet", StringType))
+      val data = rows.tail.map { cells =>
+        val arr = Array.fill[String](header.length)(null)
+        cells.foreach { case (ci, v) =>
+          if (ci < header.length && v.nonEmpty) arr(ci) = v
+        }
+        Row.fromSeq(arr.toSeq :+ sheetName)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data.toSeq, 1), schema)
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** S4 — WOS Excel scan shaped like `BibSources.wosCsv`: read the
+    * workbook, keep the WOS columns, normalize like the CSV path. */
+  def wosExcel(spark: SparkSession, path: String): DataFrame =
+    readXlsx(spark, path).drop("__sheet")
+}
