@@ -370,19 +370,27 @@ object Dedup {
     *
     * Output: (id, component) for every vertex present in `pairs`.
     */
+  /** Materialize an iteration frontier, cutting lineage. Uses a RELIABLE
+    * checkpoint when the session has a checkpoint dir (executor loss
+    * replays from storage — required on a real cluster, where a lost
+    * executor would otherwise kill the job because localCheckpoint blocks
+    * are unrecoverable); falls back to localCheckpoint for local runs. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetric edge list via a generator (a two-projection union would
     // evaluate the upstream pair DETECTOR twice — explode runs it once)
-    val edges = pairs
+    val edges = materialize(pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .localCheckpoint(eager = true) // iterated over: cut lineage once
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(eager = true)
+      .distinct()) // iterated over: cut lineage once
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -390,13 +398,12 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("id"))
+      // each round's result is materialized once: the next round (and
+      // the convergence count) must not re-run the whole chain
+      val next = materialize(labels.join(neighborMin, Seq("id"))
         .select(col("id"), least(col("component"), col("nbr_min"))
           .as("component"),
-          (col("nbr_min") < col("component")).as("changed"))
-        // each round's result is materialized once: the next round (and
-        // the convergence count) must not re-run the whole chain
-        .localCheckpoint(eager = true)
+          (col("nbr_min") < col("component")).as("changed")))
       converged = next.where(col("changed")).limit(1).count() == 0
       labels = next.select("id", "component")
       iter += 1

@@ -61,4 +61,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(0) === r(2))
     assert(r(0) !== r(1))
   }
+
+  test("SQL surface: registered graft_* functions equal the Column API") {
+    val row = spark.sql(
+      """SELECT graft_fingerprint(' A   b ') AS fp,
+        |       graft_normalize_text(' A   b ') AS nt,
+        |       graft_redact_pii('mail a@b.co or +1 555-123-4567') AS red
+        |""".stripMargin).head()
+    val expect = Seq(" A   b ").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).as[String].head()
+    assert(row.getString(0) === expect)
+    assert(row.getString(1) === "a b")
+    assert(row.getString(2) === "mail <EMAIL> or <PHONE>")
+    // arity misuse is rejected at registration-builder level
+    intercept[Exception] { spark.sql("SELECT graft_fingerprint('a','b')") }
+  }
 }
