@@ -83,12 +83,21 @@ object SparkEntry {
        |WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** DuckDB oracle for the end-to-end near-dup dedup: brute-force pair
-    * set (as above) → symmetric edges → recursive-CTE transitive closure
-    * → survivor = min reachable id (docs in no pair survive as
-    * themselves). */
-  private def clusterOracleSql(threshold: Double): String =
-    s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+  /** Shared closure CTE stack (one definition — the cluster and pretrain
+    * oracles must never diverge): `base` (parameterized population) →
+    * shingles → brute-force pairs at `threshold` → symmetric edges →
+    * recursive-CTE transitive closure → `comp` (min reachable id per
+    * doc). Final SELECTs compose on top of `base`/`comp`. */
+  private def closureCtesSql(threshold: Double, baseSql: String): String =
+    s"""WITH RECURSIVE base AS ($baseSql),
+       |nrm AS (SELECT doc_id, $normTextSql AS t FROM base),
+       |wrd AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM nrm),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(ws) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+       |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |              ELSE [t] END AS s
+       |       FROM wrd),
        |pairs AS (
        |  SELECT id_a, id_b FROM (
        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -103,11 +112,18 @@ object SparkEntry {
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        |comp AS (SELECT src AS doc_id, min(dst) AS reach_min
-       |         FROM reach GROUP BY src)
-       |SELECT d.doc_id,
-       |  CAST(least(coalesce(c.reach_min, d.doc_id), d.doc_id) AS BIGINT)
-       |    AS survivor_id
-       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |         FROM reach GROUP BY src)""".stripMargin
+
+  /** Survivor expression shared by the closure-based oracles. */
+  private val survivorSql =
+    "least(coalesce(c.reach_min, d.doc_id), d.doc_id)"
+
+  /** DuckDB oracle for the end-to-end near-dup dedup: docs in no pair
+    * survive as themselves. */
+  private def clusterOracleSql(threshold: Double): String =
+    s"""${closureCtesSql(threshold, "SELECT * FROM documents")}
+       |SELECT d.doc_id, CAST($survivorSql AS BIGINT) AS survivor_id
+       |FROM base d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
   // ---- driver smoke entry -------------------------------------------------
@@ -1439,41 +1455,16 @@ object SparkEntry {
         |ORDER BY doi""".stripMargin,
 
     "q_pipeline_pretrain" ->
-      """WITH RECURSIVE gated AS (
-        |  SELECT * FROM documents
-        |  WHERE lang IN ('en', 'fr', 'de') AND n_chars >= 50),
-        |nrm AS (SELECT doc_id,
-        |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
-        |        FROM gated),
-        |wrd AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM nrm),
-        |sh AS (SELECT doc_id,
-        |         CASE WHEN len(ws) >= 3
-        |              THEN list_distinct(list_transform(range(1, len(ws) - 1),
-        |                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-        |              ELSE [t] END AS s
-        |       FROM wrd),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.6),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (SELECT src AS doc_id, min(dst) AS reach_min
-        |         FROM reach GROUP BY src)
+      s"""${closureCtesSql(0.6,
+             """SELECT * FROM documents
+               |  WHERE lang IN ('en', 'fr', 'de') AND n_chars >= 50""".stripMargin)}
         |SELECT d.doc_id, d.lang,
         |  md5(regexp_replace(regexp_replace(regexp_replace(d.text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |      '\+?\d[\d -]{7,}\d', '<PHONE>', 'g')) AS content_hash
-        |FROM gated d LEFT JOIN comp c ON d.doc_id = c.doc_id
-        |WHERE least(coalesce(c.reach_min, d.doc_id), d.doc_id) = d.doc_id
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |      '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')) AS content_hash
+        |FROM base d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |WHERE $survivorSql = d.doc_id
         |  AND instr('0123456789abcdef',
         |        substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) <= 8
         |ORDER BY d.doc_id""".stripMargin,

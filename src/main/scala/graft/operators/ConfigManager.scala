@@ -105,8 +105,13 @@ object ConfigManager {
         else {
           val rest = lines(i).content.substring(2).trim
           val inner = rest.split(":", 2)
+          // a map item needs ": " (or trailing ":") after the key — YAML
+          // mandates the space, and without this check scalar items
+          // containing a colon ("- http://x", "- 10:30") would misparse
+          // as single-entry maps
           if (inner.length == 2 &&
-            inner(0).matches("[A-Za-z_][A-Za-z0-9_]*")) {
+            inner(0).matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            (inner(1).isEmpty || inner(1).startsWith(" "))) {
             // list of maps: first pair inline on the "- " line, the rest on
             // following lines indented past the dash (the `sources:` shape)
             val m = collection.mutable.LinkedHashMap[String, Any](
@@ -317,9 +322,13 @@ object ConfigManager {
           ratePerSec = getLong(conf, "llm.siliconflow_rpm") / 60.0),
           getString(conf, "llm.siliconflow_model"))
       case "ollama" =>
+        // route to the server's OpenAI-compatible surface (/v1/chat/
+        // completions), NOT the native /api/chat — the native endpoint
+        // streams NDJSON and answers {"message":{"content":...}}, which
+        // the chat-completions client would silently read as ""
         (HttpClients.HttpConfig(
           baseUrl = getString(conf, "llm.ollama_api_url")
-            .stripSuffix("/") + "/chat",
+            .stripSuffix("/").stripSuffix("/api") + "/v1/chat/completions",
           apiKey = key("ollama_api_key")),
           getString(conf, "llm.ollama_model"))
       case _ =>

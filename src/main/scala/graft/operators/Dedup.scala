@@ -389,8 +389,12 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()) // iterated over: cut lineage once
-    var labels = materialize(edges.select(col("src").as("id")).distinct()
+    // `frontier` is always THE materialized frame (so unpersist hits the
+    // actual cached blocks, not a derived projection); `labels` is its
+    // (id, component) view
+    var frontier = materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
+    var labels = frontier
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -405,9 +409,21 @@ object Dedup {
           .as("component"),
           (col("nbr_min") < col("component")).as("changed")))
       converged = next.where(col("changed")).limit(1).count() == 0
+      // previous frontier is superseded once `next` is eagerly
+      // materialized — release it instead of pinning every round's
+      // snapshot in the block manager for the rest of the job
+      frontier.unpersist()
+      frontier = next
       labels = next.select("id", "component")
       iter += 1
     }
+    // an unconverged exit would return silently-wrong labels (a cluster
+    // could keep two survivors); diameter > maxIter means the corpus is
+    // pathological for plain propagation — fail loudly instead
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds " +
+        "(pair-graph diameter exceeds maxIter); raise maxIter or use a " +
+        "star-contraction variant for chain-shaped graphs")
     labels
   }
 

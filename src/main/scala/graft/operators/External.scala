@@ -59,9 +59,13 @@ object External {
 
   /** Exponential backoff retry: attempts at 0,1,..,maxRetries; sleep
     * base * 2^attempt between failures (reference `llm_api.py:196-201`).
-    * The last failure propagates. */
+    * The last failure propagates. `retryIf` classifies failures:
+    * non-retryable ones (e.g. HTTP 401 — the request will never succeed)
+    * propagate immediately instead of burning the backoff budget. */
   def retryWithBackoff[T](maxRetries: Int, baseMillis: Long = 1000,
-                          clock: Clock = SystemClock)(f: => T): T = {
+                          clock: Clock = SystemClock,
+                          retryIf: Throwable => Boolean = _ => true)
+                         (f: => T): T = {
     var attempt = 0
     while (true) {
       try return f
@@ -70,7 +74,7 @@ object External {
         // Spark task kills must propagate immediately, not be slept on
         // and retried
         case scala.util.control.NonFatal(e) =>
-          if (attempt >= maxRetries) throw e
+          if (attempt >= maxRetries || !retryIf(e)) throw e
           clock.sleep(baseMillis * (1L << attempt))
           attempt += 1
       }

@@ -75,8 +75,12 @@ object HttpClients {
         val text =
           if (code >= 400) drain(conn.getErrorStream)
           else drain(conn.getInputStream)
+        // no disconnect(): fully-drained-and-closed streams return the
+        // socket to the JDK's per-(host, port) keep-alive cache;
+        // disconnect() would close it and force a fresh TCP(+TLS)
+        // handshake per call
         (code, text)
-      } finally conn.disconnect()
+      } catch { case e: Throwable => conn.disconnect(); throw e }
     }
   }
 
@@ -84,13 +88,22 @@ object HttpClients {
 
   /** Shared throttle + retry envelope (one request = one token; a retry is
     * a fresh request against the service budget, so acquisition happens
-    * INSIDE the retried thunk — same rule as ThrottledRetryingClient). */
+    * INSIDE the retried thunk — same rule as ThrottledRetryingClient).
+    * Only transient failures retry: 5xx, 408 (timeout), 429 (throttled),
+    * and transport errors. Other 4xx (bad key, bad request, not found)
+    * can never succeed on retry and fail fast instead of burning the
+    * exponential-backoff budget per row. */
   private def request(transport: HttpTransport, bucket: External.TokenBucket,
                       cfg: HttpConfig, clock: External.Clock)
                      (method: String, url: String,
                       headers: Map[String, String],
                       body: Option[String]): String =
-    External.retryWithBackoff(cfg.maxRetries, cfg.retryBaseMillis, clock) {
+    External.retryWithBackoff(cfg.maxRetries, cfg.retryBaseMillis, clock,
+      retryIf = {
+        case h: HttpStatusException =>
+          h.code >= 500 || h.code == 408 || h.code == 429
+        case _ => true
+      }) {
       if (bucket != null) bucket.acquire()
       val (code, text) =
         transport.send(method, url, headers, body, cfg.timeoutMillis)

@@ -126,10 +126,17 @@ object Excel {
           colIdxs.zipWithIndex.foreach { case (src, ci) =>
             if (!r.isNullAt(src)) {
               val ref = s"${colRef(ci)}${ri + 2}"
+              // NaN/Infinity are not valid OOXML numerics (Excel would
+              // report the file corrupt) — fall through to inlineStr
+              def finite(d: Double) = !d.isNaN && !d.isInfinite
               r.get(src) match {
-                case num @ (_: Double | _: Float | _: Long | _: Int |
-                            _: Short | _: Byte | _: java.math.BigDecimal) =>
+                case num @ (_: Long | _: Int | _: Short | _: Byte |
+                            _: java.math.BigDecimal) =>
                   sb ++= s"""<c r="$ref" t="n"><v>$num</v></c>"""
+                case d: Double if finite(d) =>
+                  sb ++= s"""<c r="$ref" t="n"><v>$d</v></c>"""
+                case f: Float if finite(f.toDouble) =>
+                  sb ++= s"""<c r="$ref" t="n"><v>$f</v></c>"""
                 case other =>
                   sb ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(other.toString)}</t></is></c>"""
               }
@@ -176,19 +183,40 @@ object Excel {
       .map(b => elems(parse(b), "si").map(_.getTextContent).toIndexedSeq)
       .getOrElse(IndexedSeq.empty)
 
-    val sheetNames = elems(parse(parts("xl/workbook.xml")), "sheet")
-      .map(e => e.getAttribute("name"))
+    // sheet name -> worksheet PART via r:id -> workbook.xml.rels Target
+    // (externally-produced workbooks number parts by creation, not listing,
+    // order — e.g. sheet1.xml + sheet3.xml after a deletion — so matching
+    // by position would misattribute rows or miss parts entirely)
+    val relTargets: Map[String, String] =
+      parts.get("xl/_rels/workbook.xml.rels")
+        .map(b => elems(parse(b), "Relationship")
+          .map(e => e.getAttribute("Id") ->
+            e.getAttribute("Target").stripPrefix("/xl/").stripPrefix("./"))
+          .toMap)
+        .getOrElse(Map.empty)
+    val sheetParts: Seq[(String, String)] =
+      elems(parse(parts("xl/workbook.xml")), "sheet").zipWithIndex.map {
+        case (e, i) =>
+          val rid = e.getAttribute("r:id")
+          val target = relTargets.getOrElse(rid, s"worksheets/sheet${i + 1}.xml")
+          e.getAttribute("name") -> s"xl/$target"
+      }
 
     def cellCol(ref: String): Int =
       ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
-    val frames = sheetNames.zipWithIndex.map { case (sheetName, i) =>
-      val doc = parse(parts(s"xl/worksheets/sheet${i + 1}.xml"))
+    val frames = sheetParts.map { case (sheetName, part) =>
+      val doc = parse(parts(part))
       val rows: Seq[Array[(Int, String)]] = elems(doc, "row").map { r =>
         val cells = r.getElementsByTagName("c")
+        var prevIdx = -1
         (0 until cells.getLength).map { ci =>
           val c = cells.item(ci).asInstanceOf[Element]
-          val idx = cellCol(c.getAttribute("r"))
+          // the r attribute is OPTIONAL per ECMA-376: absent means "next
+          // column after the previous cell"
+          val ref = c.getAttribute("r")
+          val idx = if (ref.isEmpty) prevIdx + 1 else cellCol(ref)
+          prevIdx = idx
           val t = c.getAttribute("t")
           val text = t match {
             case "inlineStr" => c.getTextContent

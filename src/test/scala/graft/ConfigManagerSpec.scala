@@ -76,6 +76,25 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(getDouble(conf, "llm.model_parameters.top_p") === 0.9) // default
   }
 
+  test("unquoted scalar list items containing colons stay scalars") {
+    val conf = ConfigManager.parseYaml(
+      """endpoints:
+        |  - http://example.com/a
+        |  - 10:30
+        |  - plain
+        |""".stripMargin)
+    assert(ConfigManager.getSeq(conf, "endpoints") ===
+      Seq("http://example.com/a", "10:30", "plain"))
+  }
+
+  test("ollama routes to the OpenAI-compatible surface, not /api/chat") {
+    val conf = ConfigManager.applyDefaults(Map("llm" -> Map(
+      "type" -> "ollama")))
+    val (cfg, model) = ConfigManager.llmHttpConfig(conf)
+    assert(cfg.baseUrl === "http://localhost:11434/v1/chat/completions")
+    assert(model === "llama3")
+  }
+
   test("a key-less hosted backend is rejected (reference hard exit)") {
     intercept[IllegalArgumentException] {
       ConfigManager.applyDefaults(

@@ -22,6 +22,7 @@ class HttpClientsSpec extends SparkTestBase with BeforeAndAfterAll {
   private val metricsCalls = new AtomicInteger(0)
   private val llmCalls = new AtomicInteger(0)
   private val flakyCalls = new AtomicInteger(0)
+  private val authCalls = new AtomicInteger(0)
   @volatile private var lastLlmAuth: String = _
   @volatile private var lastLlmBody: String = _
 
@@ -71,6 +72,10 @@ class HttpClientsSpec extends SparkTestBase with BeforeAndAfterAll {
     })
     server.createContext("/dead", (ex: HttpExchange) =>
       respond(ex, 500, "nope"))
+    server.createContext("/unauthorized", (ex: HttpExchange) => {
+      authCalls.incrementAndGet()
+      respond(ex, 401, "bad key")
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -97,6 +102,15 @@ class HttpClientsSpec extends SparkTestBase with BeforeAndAfterAll {
     val (ifact, _) = c.fetch("x")
     assert(ifact === 9.9)
     assert(flakyCalls.get() === 3)
+  }
+
+  test("non-transient 4xx fails fast without burning the retry budget") {
+    authCalls.set(0)
+    val e = intercept[HttpClients.HttpStatusException] {
+      new HttpMetricsClient(fastCfg("/unauthorized")).fetch("x")
+    }
+    assert(e.code === 401)
+    assert(authCalls.get() === 1) // maxRetries=3 but 401 never retried
   }
 
   test("metrics client fails closed after the retry budget") {
