@@ -102,6 +102,33 @@ class ConfigManagerSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rendered nested maps/lists round-trip through the " +
+    "parser") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val key = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+    val scalarV = Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+      Gen.choose(-999L, 999L).map(_.toString), Gen.oneOf("true", "false"))
+    val leaf: Gen[Map[String, String]] =
+      Gen.mapOf(Gen.zip(key, scalarV)).map(_.take(4))
+    val prop = forAll(Gen.mapOf(Gen.zip(key, leaf)).map(_.take(4))) { tree =>
+      val yaml = tree.map { case (k, inner) =>
+        s"$k:\n" + inner.map { case (ik, iv) => s"  $ik: $iv" }.mkString("\n")
+      }.mkString("\n")
+      val parsed = ConfigManager.parseYaml(yaml)
+      tree.forall { case (k, inner) =>
+        inner.isEmpty || // "k:" with nothing under it parses as ""
+          inner.forall { case (ik, iv) =>
+            ConfigManager.getString(parsed, s"$k.$ik") == iv
+          }
+      }
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("llmHttpConfig resolves backend endpoint, auth, model, and rate " +
     "budget from the llm section") {
     val (vllmCfg, vllmModel) = ConfigManager.llmHttpConfig(
