@@ -126,6 +126,18 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() === 0)
   }
 
+  test("connectedComponents fails loudly when the graph diameter " +
+    "exceeds maxIter (silent wrong labels would keep extra survivors)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 3)
+    }
+    // and with enough rounds the same chain collapses to one component
+    val ok = Dedup.connectedComponents(chain, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(ok.forall(_._2 === 1L) && ok.length === 12)
+  }
+
   test("connectedComponents propagates min labels across chains, " +
     "nearDupSurvivors keeps singletons as themselves") {
     // chain 1-2-3 (NOT a clique: 1-3 only transitively connected),
