@@ -25,7 +25,14 @@ object Bench {
     // per-query regressions. Failures are NOT swallowed — a crashing query
     // must fail the bench (a -1s placeholder would IMPROVE the total).
     val failed = collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times =
         try {
           (0 until reps).map { _ =>
@@ -39,14 +46,25 @@ object Bench {
             failed += name
             Seq.empty[Double]
         }
+      // untimed GC between queries: local-mode broadcasts / checkpoint
+      // blocks are reclaimed by the ContextCleaner only after their driver
+      // references are GC'd — with a 100+ GiB heap that may never happen
+      // naturally within the battery, and the accumulated state degrades
+      // later queries (observed 6s -> 41s for the same query in round 4)
+      System.gc()
       name -> (if (times.isEmpty) Double.NaN else times(times.size / 2))
     }
     val ok = results.filter(!_._2.isNaN)
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the whole JSON line under ~2 KB: the
+    // harness that collects this output only retains a bounded tail of stdout,
+    // and full-precision doubles for 60+ queries pushed the line past that
+    // window in round 4 (the line was truncated mid-number -> unparseable).
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

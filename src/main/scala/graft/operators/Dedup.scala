@@ -188,8 +188,13 @@ object Dedup {
   }
 
   /** MinHash signature as an expression: k independent permutations
-    * approximated by `xxhash64(shingle, seed_i)` minima. Expression form
-    * for tests/ad-hoc use; the LSH operator computes the same minima
+    * approximated by `xxhash64(base, seed_i)` minima over the 64-bit BASE
+    * hash of each shingle (shingles are hashed to longs once; re-seeding
+    * the 8-byte long per permutation is ~4x cheaper than re-hashing the
+    * shingle string k times, and the per-pair min-collision statistics are
+    * unchanged — distinct shingles map to distinct bases up to 2^-64).
+    * Expression form for ad-hoc use over an ALREADY-HASHED shingle array
+    * (`shingleFrame`'s `sh`); the LSH operator computes the same minima
     * relationally (explode → k codegen'd MIN aggregates) because k
     * interpreted transform-lambdas per row don't codegen and the array
     * column would be re-inlined at every use site. */
@@ -226,10 +231,17 @@ object Dedup {
     // on id. This keeps the whole signature stage inside whole-stage
     // codegen (the expression form pays k interpreted lambda sweeps per
     // doc and re-inlines the array at every band reference).
-    // Values are identical: min over distinct shingles of xxhash64(s, j).
-    val inv = shinglePostings(docs, id, text, w).select("id", "shingle")
+    // The shingle STRING is hashed once to a 64-bit base; the k
+    // permutations re-seed the base long (2 xxhash64 rounds each) instead
+    // of re-hashing the ~25-byte string k times — same minima statistics
+    // (distinct shingles -> distinct bases up to 2^-64), ~4x less hash
+    // work in the single hottest projection of the pipeline, and
+    // value-identical to `minhashSignature` over `shingleFrame`'s hashed
+    // arrays.
+    val inv = shinglePostings(docs, id, text, w)
+      .select(col("id"), xxhash64(col("shingle")).as("base"))
     val hashed = inv.select(col("id") +:
-      (0 until k).map(j => xxhash64(col("shingle"), lit(j)).as(s"h$j")): _*)
+      (0 until k).map(j => xxhash64(col("base"), lit(j)).as(s"h$j")): _*)
     val mins = hashed.groupBy("id")
       .agg(min(col("h0")).as("m0"),
         (1 until k).map(j => min(col(s"h$j")).as(s"m$j")): _*)
@@ -380,6 +392,29 @@ object Dedup {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Release the storage behind a `materialize`d frame once a later round
+    * supersedes it. `Dataset.unpersist` is NOT enough here: it only
+    * releases cacheManager-tracked `persist()` plans, while checkpoint
+    * storage lives on the underlying RDD — localCheckpoint blocks sit in
+    * the block manager until the RDD is GC'd and the ContextCleaner
+    * notices, and reliable-checkpoint FILES are never deleted for the
+    * application's lifetime. Both are real leaks in an iterate-many-rounds
+    * operator, so this reaches through the plan's `LogicalRDD` to the
+    * checkpointed RDD: unpersist its blocks and delete its checkpoint
+    * files (if reliable). No-op on frames that aren't materialized. */
+  private def releaseMaterialized(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(path, true)
+        }
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetric edge list via a generator (a two-projection union would
     // evaluate the upstream pair DETECTOR twice — explode runs it once)
@@ -410,13 +445,17 @@ object Dedup {
           (col("nbr_min") < col("component")).as("changed")))
       converged = next.where(col("changed")).limit(1).count() == 0
       // previous frontier is superseded once `next` is eagerly
-      // materialized — release it instead of pinning every round's
-      // snapshot in the block manager for the rest of the job
-      frontier.unpersist()
+      // materialized — release its checkpoint storage instead of pinning
+      // every round's snapshot (blocks and/or files) for the rest of the
+      // job; round 1 supersedes the initial frontier, not the edge list
+      releaseMaterialized(frontier)
       frontier = next
       labels = next.select("id", "component")
       iter += 1
     }
+    // the edge list is only iterated over; once converged it is dead too.
+    // (`labels`' backing storage intentionally survives — it IS the result.)
+    releaseMaterialized(edges)
     // an unconverged exit would return silently-wrong labels (a cluster
     // could keep two survivors); diameter > maxIter means the corpus is
     // pathological for plain propagation — fail loudly instead

@@ -81,32 +81,46 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucketing: `nBits` signed projections against
-    * deterministic pseudo-random hyperplanes (generated from xxhash64 of
-    * (dim_index, bit, seed) — no RNG state, reproducible across runs and
-    * engines). Returns the input with an integer `bucket` column.
+    * deterministic pseudo-random hyperplanes. Returns the input with an
+    * integer `bucket` column.
     *
     * Scale path for ANN: shuffle corpus once on bucket (and probe into the
     * same buckets ± multi-probe), search only within matching buckets —
     * turns O(N·Q) into O(N·Q / 2^nBits) expected.
     */
+  /** Deterministic ±1 hyperplane component for (element i, bit b, seed):
+    * splitmix64 finalizer over the packed indices — stateless and
+    * reproducible across runs/JVMs (Charikar 2002 sign rounding). Same
+    * role as the per-row xxhash64 formulation it replaces, but evaluated
+    * ONCE on the driver instead of per element per row. */
+  private def hyperplaneSign(i: Int, b: Int, seed: Int): Float = {
+    var z = (seed.toLong << 42) + (b.toLong << 21) + i.toLong +
+      0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+  }
+
   /** The bucket EXPRESSION for one table (shared by lshBucket and the
-    * single-pass multi-table operators below). */
-  private def bucketExpr(emb: Column, nBits: Int, seed: Int): Column =
+    * single-pass multi-table operators below): nBits signed projections,
+    * each a codegen'd dotF32 against a driver-precomputed ±1 hyperplane
+    * LITERAL. The HOF predecessor (zip_with with a per-ELEMENT xxhash64 +
+    * aggregate lambda) evaluated interpreted and dominated both
+    * plan-compile and run time once nTables×nBits copies of it sat in the
+    * plan; this form is nTables×nBits tight codegen loops over the array.
+    * Needs the (probed) vector dimension to size the literals. */
+  private def bucketExpr(emb: Column, dim: Int, nBits: Int,
+                         seed: Int): Column =
     (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
-          x.cast("double") *
-            when(xxhash64(i, lit(b), lit(seed)).bitwiseAND(1) === 1, 1.0)
-              .otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = typedlit(Array.tabulate(dim)(i => hyperplaneSign(i, b, seed)))
+      val proj = graft.functions.VectorExpressions.dotF32(emb, plane)
       when(proj >= 0, shiftleft(lit(1), b)).otherwise(0)
     }.reduce(_ + _)
 
   def lshBucket(df: DataFrame, embCol: String, nBits: Int,
                 seed: Int = 42): DataFrame =
-    // hyperplane component h[b][i] in {-1,+1} derived from a hash — cheap,
-    // deterministic, and good enough for bucketing (Charikar 2002 rounding)
-    df.withColumn("bucket", bucketExpr(col(embCol), nBits, seed))
+    df.withColumn("bucket",
+      bucketExpr(col(embCol), probeDim(df, embCol), nBits, seed))
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * the probe's bucket in ANY of `nTables` independent hash tables, then
@@ -119,10 +133,11 @@ object Similarity {
     // all tables' buckets in one projection + posexplode (single corpus
     // scan/bucket pass; see lshNearDupPairs) — the probe side stays tiny
     // and is broadcast
+    val dim = probeDim(corpus, embCol)
     def banded(df: DataFrame, outId: String, outEmb: String): DataFrame =
       df.select(col(idCol).as(outId), col(embCol).as(outEmb),
         posexplode(array((0 until nTables).map { t =>
-          bucketExpr(col(embCol), nBits, seed = 1000 + t)
+          bucketExpr(col(embCol), dim, nBits, seed = 1000 + t)
         }: _*)).as(Seq("table", "bucket")))
     val cand = banded(corpus, "nbr_id", "c_emb")
       .join(broadcast(banded(probes, "probe_id", "p_emb")),
@@ -151,6 +166,18 @@ object Similarity {
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
     val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+    // one probe job covers both the empty-corpus case and the dimension
+    val dimOpt = slim.select(size(col("emb"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty)
+      slim.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cos")).limit(0)
+    else lshNearDupPairsImpl(slim, dimOpt.get, threshold, nBits, nTables)
+  }
+
+  private def lshNearDupPairsImpl(slim: DataFrame, dim: Int,
+                                  threshold: Double,
+                                  nBits: Int, nTables: Int): DataFrame = {
     // ALL tables' buckets in one projection, exploded to skinny
     // (id, table, bucket) rows — a per-table union of self-joins re-scans
     // and re-buckets the corpus 2*nTables times (measured 34 scans in the
@@ -160,7 +187,7 @@ object Similarity {
     // reuse) — the same shape as simhash banding.
     val banded = slim.select(col("id"),
       posexplode(array((0 until nTables).map { t =>
-        bucketExpr(col("emb"), nBits, seed = 2000 + t)
+        bucketExpr(col("emb"), dim, nBits, seed = 2000 + t)
       }: _*)).as(Seq("table", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") &&
