@@ -104,33 +104,39 @@ object ConfigManager {
         if (isBlank(i)) i += 1
         else {
           val rest = lines(i).content.substring(2).trim
-          val inner = rest.split(":", 2)
           // a map item needs ": " (or trailing ":") after the key — YAML
           // mandates the space, and without this check scalar items
           // containing a colon ("- http://x", "- 10:30") would misparse
-          // as single-entry maps
-          if (inner.length == 2 &&
-            inner(0).matches("[A-Za-z_][A-Za-z0-9_]*") &&
-            (inner(1).isEmpty || inner(1).startsWith(" "))) {
-            // list of maps: first pair inline on the "- " line, the rest on
-            // following lines indented past the dash (the `sources:` shape)
-            val m = collection.mutable.LinkedHashMap[String, Any](
-              inner(0).trim -> unquote(inner(1)))
-            var j = i + 1
-            while (j < lines.length && (isBlank(j) ||
-              (lines(j).indent > indent &&
-                !lines(j).content.startsWith("- ")))) {
-              if (!isBlank(j)) {
-                val kv = lines(j).content.split(":", 2)
-                if (kv.length == 2) m(kv(0).trim) = unquote(kv(1))
+          // as single-entry maps. The key grammar is the SAME as
+          // parseMap's keyLine (dashes allowed, quoted forms allowed) —
+          // a narrower grammar here silently parsed `- my-source: x`
+          // items as scalar strings instead of maps.
+          val itemKey =
+            "^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_-]*):(|\\s.*)$".r
+          rest match {
+            case itemKey(k, v) =>
+              // list of maps: first pair inline on the "- " line, the rest
+              // on following lines indented past the dash (the `sources:`
+              // shape)
+              val m = collection.mutable.LinkedHashMap[String, Any](
+                unquote(k).toString -> unquote(v))
+              var j = i + 1
+              while (j < lines.length && (isBlank(j) ||
+                (lines(j).indent > indent &&
+                  !lines(j).content.startsWith("- ")))) {
+                if (!isBlank(j)) {
+                  lines(j).content match {
+                    case itemKey(k2, v2) => m(unquote(k2).toString) = unquote(v2)
+                    case _ => ()
+                  }
+                }
+                j += 1
               }
-              j += 1
-            }
-            items += m.toMap
-            i = j
-          } else {
-            items += unquote(rest)
-            i += 1
+              items += m.toMap
+              i = j
+            case _ =>
+              items += unquote(rest)
+              i += 1
           }
         }
       }

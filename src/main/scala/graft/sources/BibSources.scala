@@ -205,6 +205,15 @@ object BibSources {
     val raw = spark.read
       .option("header", "true").option("sep", sep)
       .option("encoding", encoding).csv(path)
+    wosNormalize(raw)
+  }
+
+  /** Map a raw string-typed WOS export frame (CSV or Excel, tag or
+    * long-form headers) onto the unified bibliographic schema — the
+    * normalization the reference's `wos_parser` applies to every WOS
+    * record regardless of carrier format. Shared by `wosCsv` and
+    * `Excel.wosExcel` so both carriers union into `combine`. */
+  private[graft] def wosNormalize(raw: DataFrame): DataFrame = {
     val get = (names: Seq[String]) =>
       names.collectFirst {
         case n if raw.columns.contains(n) => col(n)

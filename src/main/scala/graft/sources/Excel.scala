@@ -227,13 +227,24 @@ object Excel {
         }.toArray
       }
       require(rows.nonEmpty, s"readXlsx: sheet $sheetName has no header row")
-      val header = rows.head.sortBy(_._1).map(_._2)
+      // data cells are looked up through the header cells' ACTUAL column
+      // indices, not by position in the compacted header array: an
+      // externally-produced sheet may have a gap in the header row (blank
+      // header cell over a populated column), and absolute indexing into
+      // the compacted array would silently shift those values one column
+      // left. Cells in columns with no header are dropped (the reference's
+      // pd.read_excel names them "Unnamed: N"; nothing downstream reads
+      // unnamed columns, so dropping keeps the schema to declared fields).
+      val headerCells = rows.head.sortBy(_._1)
+      val header = headerCells.map(_._2)
+      val posByCol: Map[Int, Int] =
+        headerCells.map(_._1).zipWithIndex.toMap
       val schema = StructType(header.map(StructField(_, StringType)) :+
         StructField("__sheet", StringType))
       val data = rows.tail.map { cells =>
         val arr = Array.fill[String](header.length)(null)
         cells.foreach { case (ci, v) =>
-          if (ci < header.length && v.nonEmpty) arr(ci) = v
+          posByCol.get(ci).foreach { p => if (v.nonEmpty) arr(p) = v }
         }
         Row.fromSeq(arr.toSeq :+ sheetName)
       }
@@ -244,7 +255,11 @@ object Excel {
   }
 
   /** S4 — WOS Excel scan shaped like `BibSources.wosCsv`: read the
-    * workbook, keep the WOS columns, normalize like the CSV path. */
+    * workbook and apply the SAME column normalization as the CSV path
+    * (`BibSources.wosNormalize`), so the output unions into
+    * `BibSources.combine` exactly like every other source — parity with
+    * the reference's `wos_parser`, which emits normalized records for
+    * Excel input too (`wos_parser.py:141-148`). */
   def wosExcel(spark: SparkSession, path: String): DataFrame =
-    readXlsx(spark, path).drop("__sheet")
+    BibSources.wosNormalize(readXlsx(spark, path).drop("__sheet"))
 }

@@ -87,6 +87,23 @@ class ConfigManagerSpec extends AnyFunSuite {
       Seq("http://example.com/a", "10:30", "plain"))
   }
 
+  test("list-of-maps item keys follow the same grammar as top-level map " +
+    "keys: dashes and quoted forms") {
+    // pre-fix, `- file-path: ...` parsed as the scalar string
+    // "file-path: a.csv" because the inline-map key grammar disallowed '-'
+    val conf = ConfigManager.parseYaml(
+      """sources:
+        |  - file-path: a.csv
+        |    source-type: wos
+        |  - "quoted-key": b.txt
+        |    kind: pubmed
+        |""".stripMargin)
+    val items = ConfigManager.getSeq(conf, "sources")
+    assert(items.length === 2)
+    assert(items(0) === Map("file-path" -> "a.csv", "source-type" -> "wos"))
+    assert(items(1) === Map("quoted-key" -> "b.txt", "kind" -> "pubmed"))
+  }
+
   test("ollama routes to the OpenAI-compatible surface, not /api/chat") {
     val conf = ConfigManager.applyDefaults(Map("llm" -> Map(
       "type" -> "ollama")))

@@ -54,19 +54,67 @@ class ExcelSpec extends SparkTestBase {
       === Array("pubmed", "sciencedirect", "wos"))
   }
 
-  test("wosExcel loads a WOS-shaped workbook (pd.read_excel parity: " +
-    "header row + string records)") {
+  test("wosExcel normalizes a WOS-shaped workbook onto the unified schema " +
+    "(wos_parser parity with the CSV path)") {
     val path = Files.createTempDirectory("graft_xlsx").toString + "/w.xlsx"
     val df = Seq(
-      ("Article Title A", "Smith, J", "10.1000/a1", "2021"),
-      ("Article Title B", "Doe, A; Roe, B", "10.1000/b2", "2022")
-    ).toDF("Article Title", "Authors", "DOI", "Publication Year")
+      ("Article Title A", "Smith, J", "10.1000/a1", "2021", "WOS:1"),
+      ("Article Title B", "Doe, A; Roe, B", "10.1000/b2", "2022", "WOS:2")
+    ).toDF("Article Title", "Author Full Names", "DOI", "Publication Year",
+      "UT (Unique WOS ID)")
     Excel.writeXlsx(df, path)
     val wos = Excel.wosExcel(spark, path)
-    assert(wos.count() === 2)
-    assert(wos.columns.toSeq ===
-      Seq("Article Title", "Authors", "DOI", "Publication Year"))
-    assert(wos.where(col("DOI") === "10.1000/a1").count() === 1)
+    // unified schema — identical to the CSV path, unionable into combine
+    assert(wos.columns.toSeq === Seq("pmid", "title", "abstract", "journal",
+      "journal_full", "publication_date", "authors", "keywords",
+      "mesh_terms", "issn", "doi", "pii", "wos_id", "url", "volume",
+      "issue", "pages", "publication_year", "source_type"))
+    val a = wos.where(col("doi") === "10.1000/a1").collect()
+    assert(a.length === 1)
+    assert(a(0).getAs[String]("title") === "Article Title A")
+    assert(a(0).getAs[String]("wos_id") === "WOS:1")
+    assert(a(0).getAs[String]("source_type") === "wos")
+    val b = wos.where(col("doi") === "10.1000/b2")
+      .select(col("authors")).as[Seq[String]].collect()
+    assert(b(0) === Seq("Doe, A", "Roe, B"))
+    // the point of normalization: wosExcel unions into combine like any
+    // other source frame
+    assert(graft.sources.BibSources.combine(Seq(wos)).count() === 2)
+  }
+
+  test("readXlsx maps data cells through header column INDICES: a gap in " +
+    "the header row does not shift values into the wrong column") {
+    // hand-build a sheet where the header row skips column B but a data
+    // row populates A, B, and C — B's value must be dropped (no header),
+    // and C's value must land under the C-column header, not shift left
+    val dir = Files.createTempDirectory("graft_xlsx").toString
+    val path = s"$dir/gap.xlsx"
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>ha</t></is></c><c r="C1" t="inlineStr"><is><t>hc</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>va</t></is></c><c r="B2" t="inlineStr"><is><t>orphan</t></is></c><c r="C2" t="inlineStr"><is><t>vc</t></is></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val back = Excel.readXlsx(spark, path)
+    assert(back.columns.toSeq === Seq("ha", "hc", "__sheet"))
+    val r = back.collect()(0)
+    assert(r.getAs[String]("ha") === "va")
+    assert(r.getAs[String]("hc") === "vc") // pre-fix: "orphan" shifted here
   }
 
   test("row cap guards the driver-side collect") {
