@@ -537,6 +537,27 @@ object SparkEntry {
           threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // containment (|A∩B|/min) — the subset-duplication detector; same
+    // inverted-index plan, different score
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"),
+          col("text"), threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    // benchmark decontamination: overlap of every non-benchmark doc's
+    // shingles against the (deterministic doc_id % 20 == 0) benchmark
+    // slice — the pre-training contamination check
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 20 === 0)
+      val corpus = docs.where(col("doc_id") % 20 =!= 0)
+      Dedup.contaminationScores(corpus, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_matched"),
+          col("contamination"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), col("doc_id"),
           col("text"), threshold = 0.6, k = 128, bands = 32)
@@ -1263,6 +1284,31 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracleSql(0.6),
     "q_dedup_simhash" -> jaccardOracleSql(0.6),
     "q_dedup_cluster" -> clusterOracleSql(0.6),
+
+    "q_dedup_containment" ->
+      s"""$shinglesSql
+         |SELECT id_a, id_b, containment FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |           least(len(a.s), len(b.s)) AS containment
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE containment >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""$shinglesSql,
+         |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+         |          WHERE doc_id % 20 = 0),
+         |post AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle
+         |         FROM sh WHERE doc_id % 20 <> 0),
+         |m AS (SELECT doc_id, count(*) AS n_matched
+         |      FROM post JOIN bench USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.n_sh AS BIGINT) AS n_sh,
+         |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  CAST(coalesce(m.n_matched, 0) AS DOUBLE) / d.n_sh AS contamination
+         |FROM (SELECT DISTINCT doc_id, n_sh FROM post) d
+         |LEFT JOIN m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH base AS (

@@ -77,6 +77,48 @@ class DedupSpec extends SparkTestBase {
     assert(j14 === 1.0)
   }
 
+  test("containmentPairs catches a short doc embedded in a long one that " +
+    "jaccard misses") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      // doc 1's full text embedded in a much longer doc: containment 1.0,
+      // jaccard |A|/|B| well under the threshold
+      (2L, "the quick brown fox jumps over the lazy dog and then many " +
+        "further unrelated words follow here making this document much " +
+        "longer than the embedded one by a wide margin indeed truly"),
+      (3L, "completely unrelated words appear in this document body")
+    ).toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jac === Set.empty) // symmetric score misses the subset dup
+    val cont = Dedup.containmentPairs(docs, col("doc_id"), col("text"), 0.6)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont === Set((1L, 2L, 1.0)))
+  }
+
+  test("contaminationScores: exact overlap fraction, zero-match docs kept") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // shingles: {alpha beta gamma, beta gamma delta, gamma delta zeta}:
+      // first two occur in the benchmark -> 2/3
+      (1L, "alpha beta gamma delta zeta"),
+      // no shingle overlap at all -> 0/‖sh‖, must still be in the output
+      (2L, "one two three four five"),
+      // exact benchmark doc -> 3/3
+      (3L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(docs, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"))
+      .select("id", "n_sh", "n_matched", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 2L, 2.0 / 3.0)))
+    assert(got(2L) === ((2L, 3L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 3L, 3L, 1.0)))
+  }
+
   test("minhashLshPairs finds the same pairs as exact jaccard") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
