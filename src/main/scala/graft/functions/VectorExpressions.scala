@@ -70,11 +70,141 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `nTables` random-hyperplane LSH bucket values of a float vector in
+  * ONE codegen'd pass: bucket bit b of table t = sign of the projection
+  * against hyperplane (t, b), hyperplanes a driver-precomputed ±1 sign
+  * matrix shipped as a codegen reference object.
+  *
+  * Why an Expression: the composed form — nTables × nBits separate
+  * dot-against-literal columns — is numerically identical but puts
+  * hundreds of 64-element array literals into the plan, twice once the
+  * banded frame sits on both sides of a self-join; at nTables=8/nBits=16
+  * the optimizer/codegen fixed cost alone reached ~19 s per query
+  * (measured on the 20k-vector probe, zero candidates). One expression
+  * node emits one tight loop and the plan stays constant-size in
+  * (nBits, nTables).
+  *
+  * Null vector → null array (callers band with posexplode, so null-
+  * embedding rows simply don't enter the candidate join — they could
+  * never verify against a threshold anyway). Vectors shorter than the
+  * probed `dim` project over their prefix.
+  */
+case class HyperplaneBuckets(child: Expression, dim: Int, nBits: Int,
+                             nTables: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nBits >= 1 && nBits <= 62, s"nBits out of range: $nBits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets requires ARRAY<FLOAT> input, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  /** ±1 hyperplane component for (element i, bit b, table seed) —
+    * splitmix64 finalizer, identical formula to Similarity's previous
+    * per-column literals (stateless, reproducible across runs/JVMs). */
+  private def sign(i: Int, b: Int, tableSeed: Int): Float = {
+    var z = (tableSeed.toLong << 42) + (b.toLong << 21) + i.toLong +
+      0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+  }
+
+  /** Flattened [table][bit][dim] sign matrix, built once on the driver. */
+  private lazy val signs: Array[Float] = {
+    val out = new Array[Float](nTables * nBits * dim)
+    var t = 0
+    while (t < nTables) {
+      var b = 0
+      while (b < nBits) {
+        var i = 0
+        while (i < dim) {
+          out((t * nBits + b) * dim + i) = sign(i, b, seed + t)
+          i += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val buckets = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        val off = (t * nBits + b) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getFloat(i).toDouble * signs(off + i); i += 1 }
+        if (s >= 0) bucket |= 1L << b
+        b += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buckets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val sgn = ctx.addReferenceObj("signs", signs, "float[]")
+      val n = ctx.freshName("n")
+      val bk = ctx.freshName("buckets")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val bu = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |long[] $bk = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bu = 0L;
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    int $off = ($t * $nBits + $b) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += ((double) $v.getFloat($i)) * $sgn[$off + $i];
+         |    }
+         |    if ($s >= 0) $bu |= 1L << $b;
+         |  }
+         |  $bk[$t] = $bu;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bk);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBuckets = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column form of the codegen'd dot product. */
   def dotF32(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProductF32(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column form of the all-tables LSH bucket array (see
+    * [[HyperplaneBuckets]]): element t = table t's nBits-bit bucket. */
+  def lshBuckets(emb: Column, dim: Int, nBits: Int, nTables: Int,
+                 seed: Int): Column =
+    GraftBridge.column(
+      HyperplaneBuckets(GraftBridge.expression(emb), dim, nBits, nTables,
+        seed))
 
   /** (name, info, builder) triple for SparkSessionExtensions
     * .injectFunction — exposes `graft_dot_f32(a, b)` to SQL. */

@@ -88,39 +88,25 @@ object Similarity {
     * same buckets ± multi-probe), search only within matching buckets —
     * turns O(N·Q) into O(N·Q / 2^nBits) expected.
     */
-  /** Deterministic ±1 hyperplane component for (element i, bit b, seed):
-    * splitmix64 finalizer over the packed indices — stateless and
-    * reproducible across runs/JVMs (Charikar 2002 sign rounding). Same
-    * role as the per-row xxhash64 formulation it replaces, but evaluated
-    * ONCE on the driver instead of per element per row. */
-  private def hyperplaneSign(i: Int, b: Int, seed: Int): Float = {
-    var z = (seed.toLong << 42) + (b.toLong << 21) + i.toLong +
-      0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
-  }
-
-  /** The bucket EXPRESSION for one table (shared by lshBucket and the
-    * single-pass multi-table operators below): nBits signed projections,
-    * each a codegen'd dotF32 against a driver-precomputed ±1 hyperplane
-    * LITERAL. The HOF predecessor (zip_with with a per-ELEMENT xxhash64 +
-    * aggregate lambda) evaluated interpreted and dominated both
-    * plan-compile and run time once nTables×nBits copies of it sat in the
-    * plan; this form is nTables×nBits tight codegen loops over the array.
-    * Needs the (probed) vector dimension to size the literals. */
-  private def bucketExpr(emb: Column, dim: Int, nBits: Int,
-                         seed: Int): Column =
-    (0 until nBits).map { b =>
-      val plane = typedlit(Array.tabulate(dim)(i => hyperplaneSign(i, b, seed)))
-      val proj = graft.functions.VectorExpressions.dotF32(emb, plane)
-      when(proj >= 0, shiftleft(lit(1), b)).otherwise(0)
-    }.reduce(_ + _)
+  /** All-tables banding column: `graft.functions.HyperplaneBuckets` —
+    * ONE codegen'd expression computing every (table, bucket) value from
+    * a driver-precomputed ±1 sign matrix (splitmix64-derived, stateless,
+    * Charikar 2002 sign rounding). The composed predecessors (interpreted
+    * zip_with HOFs in round 4, then nTables×nBits dot-against-literal
+    * columns) were numerically identical but paid plan-compile/codegen
+    * cost linear in nTables×nBits — measured ~19 s fixed cost per query
+    * at nTables=8/nBits=16 before this collapsed the plan to one node.
+    * Table t's seed is `seedBase + t`. */
+  private def bucketsExpr(emb: Column, dim: Int, nBits: Int, nTables: Int,
+                          seedBase: Int): Column =
+    graft.functions.VectorExpressions.lshBuckets(emb, dim, nBits, nTables,
+      seedBase)
 
   def lshBucket(df: DataFrame, embCol: String, nBits: Int,
                 seed: Int = 42): DataFrame =
     df.withColumn("bucket",
-      bucketExpr(col(embCol), probeDim(df, embCol), nBits, seed))
+      element_at(bucketsExpr(col(embCol), probeDim(df, embCol), nBits,
+        nTables = 1, seed), 1))
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * the probe's bucket in ANY of `nTables` independent hash tables, then
@@ -136,9 +122,8 @@ object Similarity {
     val dim = probeDim(corpus, embCol)
     def banded(df: DataFrame, outId: String, outEmb: String): DataFrame =
       df.select(col(idCol).as(outId), col(embCol).as(outEmb),
-        posexplode(array((0 until nTables).map { t =>
-          bucketExpr(col(embCol), dim, nBits, seed = 1000 + t)
-        }: _*)).as(Seq("table", "bucket")))
+        posexplode(bucketsExpr(col(embCol), dim, nBits, nTables,
+          seedBase = 1000)).as(Seq("table", "bucket")))
     val cand = banded(corpus, "nbr_id", "c_emb")
       .join(broadcast(banded(probes, "probe_id", "p_emb")),
         Seq("table", "bucket"))
@@ -186,9 +171,8 @@ object Similarity {
     // (table, bucket) with both sides the identical subtree (exchange
     // reuse) — the same shape as simhash banding.
     val banded = slim.select(col("id"),
-      posexplode(array((0 until nTables).map { t =>
-        bucketExpr(col("emb"), dim, nBits, seed = 2000 + t)
-      }: _*)).as(Seq("table", "bucket")))
+      posexplode(bucketsExpr(col("emb"), dim, nBits, nTables,
+        seedBase = 2000)).as(Seq("table", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

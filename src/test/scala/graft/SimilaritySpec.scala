@@ -123,4 +123,37 @@ class SimilaritySpec extends SparkTestBase {
       .select("nbr_id").as[Long].collect()
     assert(out.headOption.contains(1L))
   }
+
+  test("HyperplaneBuckets: interpreted eval equals the codegen'd path, " +
+    "null vector -> null, short vector projects over its prefix") {
+    import graft.functions.{HyperplaneBuckets, VectorExpressions}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val data = Seq(
+      (1L, Array(1f, -2f, 3f, 0.5f)),
+      (2L, Array(-1f, 2f, -3f, -0.5f)),
+      (3L, null.asInstanceOf[Array[Float]]),
+      (4L, Array(1f, -2f))                   // shorter than probed dim
+    ).toDF("vec_id", "embedding")
+    // codegen'd path (whole-stage codegen is on by default)
+    val viaDf = data
+      .select(col("vec_id"),
+        VectorExpressions.lshBuckets(col("embedding"), dim = 4, nBits = 5,
+          nTables = 3, seed = 7).as("b"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(viaDf(3L).isEmpty) // null in, null out — no crash
+    assert(viaDf(1L).get.length === 3)
+    // every bucket within nBits range
+    assert(viaDf(1L).get.forall(b => b >= 0 && b < 32))
+    // interpreted eval path (Literal input, no codegen) must agree exactly
+    def evalOf(v: Array[Float]): Seq[Long] =
+      HyperplaneBuckets(Literal.create(v, ArrayType(FloatType)),
+        dim = 4, nBits = 5, nTables = 3, seed = 7)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(evalOf(Array(1f, -2f, 3f, 0.5f)) === viaDf(1L).get)
+    assert(evalOf(Array(-1f, 2f, -3f, -0.5f)) === viaDf(2L).get)
+    // prefix semantics: the short vector equals the zero-padded one
+    assert(viaDf(4L).get === evalOf(Array(1f, -2f, 0f, 0f)))
+  }
 }

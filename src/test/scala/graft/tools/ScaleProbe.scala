@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only weak-scaling / adversarial probes for the near-dup and
+  * embedding operators (run with
+  * `SPARK_DRIVER_MEM=24g sbt "Test/runMain graft.tools.ScaleProbe [probe ...]"`).
+  *
+  * Probes (all built from sf0.1 — results land in BASELINE.md):
+  *   - `docs-weak`: 10 vocabulary-disjoint replicas of the 5k-doc corpus
+  *     (tokens prefixed per replica, ids offset) = 50k docs of independent
+  *     data. minhashLshPairs must return exactly 10x the per-replica pair
+  *     count, sublinear wall growth; then connectedComponents + survivors
+  *     over the pair graph.
+  *   - `emb-adversarial`: every embedding replicated x10 under new ids
+  *     (20k vectors, 90,000 true cos=1.0 pairs). lshNearDupPairs in the
+  *     SELECTIVE production regime (threshold 0.9, nBits=16, nTables=8)
+  *     must find exactly 2000*C(10,2) pairs with bounded candidates.
+  *   - `emb-weak`: 10 sign-flipped replicas (elementwise deterministic
+  *     +/-1 per replica — a diagonal orthogonal transform: within-replica
+  *     cosines are EXACTLY preserved, cross-replica cosines become
+  *     ~N(0, 1/dim) noise) = 20k independent vectors; selective regime
+  *     must return 0 pairs (nothing reaches 0.9) quickly.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val which = if (args.isEmpty) Set("docs-weak", "emb-adversarial",
+      "emb-weak") else args.toSet
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROBE $name result=$n t=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+
+    if (which("docs-weak")) {
+      val docs = graft.Tables.documents(spark, dir)
+        .select("doc_id", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          // per-replica token prefix => vocabulary-disjoint shingles
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("docs_weak_50k_rows")(big.count())
+      var pairs: org.apache.spark.sql.DataFrame = null
+      // checkpoint INSIDE the timed block — an eager checkpoint at val
+      // definition would run the whole detector untimed
+      t("docs_weak_minhash_pairs") {
+        pairs = graft.operators.Dedup.minhashLshPairs(big, col("doc_id"),
+          col("text"), threshold = 0.6, k = 128, bands = 32)
+          .localCheckpoint(true)
+        pairs.count()
+      }
+      t("docs_weak_survivors")(
+        graft.operators.Dedup.nearDupSurvivors(big, col("doc_id"), pairs)
+          .where(col("survivor_id") === col("doc_id")).count())
+    }
+
+    if (which("docs-stages")) {
+      // stage attribution for the 50k minhash pipeline: shingle postings,
+      // signature minima, banding+candidates, then the end-to-end detector
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("stages_rows")(big.count())
+      val posted = big.select(col("doc_id").as("id"), col("text"))
+        .repartition(32)
+        .select(col("id"), posexplode(
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+          .as(Seq("pos", "word")))
+      val ordered = Window.partitionBy("id").orderBy("pos")
+      val perDoc = Window.partitionBy("id")
+      val sh = posted.withColumn("n_words", count(lit(1)).over(perDoc))
+        .withColumn("shingle", concat_ws(" ", col("word"),
+          lead(col("word"), 1).over(ordered),
+          lead(col("word"), 2).over(ordered)))
+        .where((col("n_words") >= 3 && col("pos") <= col("n_words") - 3) ||
+          (col("n_words") < 3 && col("pos") === 0))
+        .groupBy("id", "shingle").agg(first(lit(1)))
+        .select("id", "shingle")
+      t("stages_postings")(sh.count())
+      val hashed = sh.select(col("id"), xxhash64(col("shingle")).as("base"))
+        .select(col("id") +:
+          (0 until 128).map(j => xxhash64(col("base"), lit(j)).as(s"h$j")): _*)
+      val mins = hashed.groupBy("id").agg(min(col("h0")).as("m0"),
+        (1 until 128).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+      t("stages_mins128")(mins.count())
+      val banded = mins.select(col("id"),
+        posexplode(array((0 until 32).map { b =>
+          xxhash64(concat_ws(",",
+            (0 until 4).map(i => col(s"m${b * 4 + i}")): _*))
+        }: _*)).as(Seq("band_idx", "band_hash")))
+      val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      t("stages_candidates")(cand.count())
+      t("stages_full_detector")(
+        graft.operators.Dedup.minhashLshPairs(big, col("doc_id"),
+          col("text"), threshold = 0.6, k = 128, bands = 32).count())
+    }
+
+    def emb: DataFrame = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+
+    if (which("emb-adversarial")) {
+      val replicas = (0 until 10).map { k =>
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("emb_adv_20k_rows")(big.count())
+      t("emb_adv_lsh_pairs_t0.9")(
+        graft.operators.Similarity.lshNearDupPairs(big, 0.9,
+          nBits = 16, nTables = 8).count())
+    }
+
+    if (which("emb-weak")) {
+      // deterministic +/-1 sign per (replica, dim index): diagonal
+      // orthogonal transform preserves within-replica dot products exactly
+      val replicas = (0 until 10).map { k =>
+        val signs = typedlit(Array.tabulate(64) { i =>
+          var z = (k.toLong << 32) + i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+        })
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("emb_weak_20k_rows")(big.count())
+      t("emb_weak_lsh_pairs_t0.9")(
+        graft.operators.Similarity.lshNearDupPairs(big, 0.9,
+          nBits = 16, nTables = 8).count())
+    }
+    spark.stop()
+  }
+}
