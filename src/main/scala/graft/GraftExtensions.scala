@@ -54,6 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.dotF32FunctionDescription)
+    ext.injectFunction(VectorExpressions.lshBucketsFunctionDescription)
     ext.injectFunction(register("graft_fingerprint", 1)(
       cs => fn("md5", normalizeExpr(cs.head))))
     ext.injectFunction(register("graft_redact_pii", 1)(

@@ -215,4 +215,27 @@ object VectorExpressions {
       new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot_f32"),
       (children: Seq[Expression]) =>
         DotProductF32(children.head, children(1)))
+
+  /** SQL form `graft_lsh_buckets(emb, dim, nBits, nTables, seed)` — the
+    * four config arguments must be integer literals (they size the
+    * driver-precomputed sign matrix, so they cannot be row-dependent). */
+  val lshBucketsFunctionDescription
+      : (org.apache.spark.sql.catalyst.FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName,
+        "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          s"graft_lsh_buckets takes 5 arguments, got ${children.size}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_buckets: $name must be an integer literal, " +
+              s"got $other")
+        }
+        HyperplaneBuckets(children.head,
+          intLit(children(1), "dim"), intLit(children(2), "nBits"),
+          intLit(children(3), "nTables"), intLit(children(4), "seed"))
+      })
 }

@@ -249,17 +249,21 @@ object Dedup {
                           bench: DataFrame, benchId: Column,
                           benchText: Column, w: Int = 3): DataFrame = {
     val docSh = shinglePostings(docs, id, text, w)
-      .select(col("id"), xxhash64(col("shingle")).as("sh"), col("n_sh"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
     val benchSh = shinglePostings(bench, benchId, benchText, w)
       .select(xxhash64(col("shingle")).as("sh")).distinct()
-    val matched = docSh.join(broadcast(benchSh), Seq("sh"))
-      .groupBy("id").agg(count(lit(1)).as("n_matched"))
-    docSh.select("id", "n_sh").distinct()
-      .join(matched, Seq("id"), "left")
-      .select(col("id"), col("n_sh"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        (coalesce(col("n_matched"), lit(0L)).cast("double") /
-          col("n_sh").cast("double")).as("contamination"))
+    // ONE corpus pass: flag each posting via the broadcast LEFT join (so
+    // zero-match docs survive), then count postings and hits in a single
+    // partial+final aggregate — a matched-postings inner join plus a
+    // second per-doc frame would scan the corpus twice (measured 3 scans
+    // in the executed plan) for no information this shape doesn't have.
+    docSh
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(col("__hit")), lit(0L)).cast("long").as("n_matched"))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_sh").cast("double"))
   }
 
   /** MinHash signature as an expression: k independent permutations

@@ -155,5 +155,10 @@ class SimilaritySpec extends SparkTestBase {
     assert(evalOf(Array(-1f, 2f, -3f, -0.5f)) === viaDf(2L).get)
     // prefix semantics: the short vector equals the zero-padded one
     assert(viaDf(4L).get === evalOf(Array(1f, -2f, 0f, 0f)))
+    // SQL surface agrees with the Column form
+    val viaSql = data.where(col("vec_id") === 1)
+      .selectExpr("graft_lsh_buckets(embedding, 4, 5, 3, 7) AS b")
+      .as[Seq[Long]].head()
+    assert(viaSql === viaDf(1L).get)
   }
 }
