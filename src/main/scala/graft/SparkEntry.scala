@@ -580,6 +580,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // same decisions through the O(log²)-round large-star/small-star
+    // clustering (the high-diameter 100 TB path) — identical oracle
+    "q_dedup_cluster_star" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.6, k = 128, bands = 32)
+      Dedup.nearDupSurvivors(docs, col("doc_id"), pairs,
+          cc = Dedup.connectedComponentsStar(_))
+        .orderBy("doc_id")
+    }),
+
     // -- text analysis (BASELINE.json extensions) -----------------------------------
     "q_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -1284,6 +1295,7 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracleSql(0.6),
     "q_dedup_simhash" -> jaccardOracleSql(0.6),
     "q_dedup_cluster" -> clusterOracleSql(0.6),
+    "q_dedup_cluster_star" -> clusterOracleSql(0.6),
 
     "q_dedup_containment" ->
       s"""$shinglesSql

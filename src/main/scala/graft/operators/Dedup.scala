@@ -455,9 +455,10 @@ object Dedup {
     * 2-4 rounds in practice; `maxIter` bounds pathological chains. Each
     * round is one join + one aggregate keyed on id — all-distributed,
     * nothing driver-side except the convergence counter (an O(1) count
-    * per round, the standard Pregel-style driver loop; at 100 TB the
-    * well-known large-star/small-star variant [Kiveris et al. 2014]
-    * halves round count, same join/agg building blocks).
+    * per round, the standard Pregel-style driver loop). For graphs whose
+    * diameter makes diameter-many rounds prohibitive, use
+    * `connectedComponentsStar` below — O(log²) rounds independent of
+    * diameter, same contract.
     *
     * Output: (id, component) for every vertex present in `pairs`.
     */
@@ -540,9 +541,106 @@ object Dedup {
     // pathological for plain propagation — fail loudly instead
     require(converged,
       s"connectedComponents: not converged after $maxIter rounds " +
-        "(pair-graph diameter exceeds maxIter); raise maxIter or use a " +
-        "star-contraction variant for chain-shaped graphs")
+        "(pair-graph diameter exceeds maxIter); raise maxIter or use " +
+        "connectedComponentsStar for chain-shaped graphs")
     labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the high-diameter scale path next to the plain
+    * min-propagation above. Plain propagation needs diameter rounds (a
+    * 10k-link chain needs 10k joins); star contraction converges in
+    * O(log²) rounds regardless of diameter, with the same join+aggregate
+    * building blocks per round:
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u});
+    *   small-star(u): every neighbor v < u, and u itself, re-attach to
+    *     m = min over the small neighborhood.
+    *
+    * Both are one conditional-min aggregate keyed on the center plus one
+    * join back to the (skinny, symmetric) edge list — no vertex state, no
+    * per-node adjacency arrays, shuffle keys always the high-cardinality
+    * node id. The fixpoint is a star forest: every node's single neighbor
+    * is its component minimum. Fixpoint detection is EXACT (`except` +
+    * count equality, two cheap jobs on canonical (child, root) edges),
+    * not a hash signature.
+    *
+    * Same contract as `connectedComponents`: (id, component = min
+    * reachable id) for every vertex in `pairs`; the spec cross-checks the
+    * two on graphs where both converge, and pins a 200-link chain that
+    * plain propagation (maxIter=20) refuses.
+    */
+  def connectedComponentsStar(pairs: DataFrame,
+                              maxIter: Int = 50): DataFrame = {
+    // every vertex of the ORIGINAL pair list (before self-pair removal),
+    // so the output contract matches `connectedComponents` exactly
+    val vertices = materialize(pairs.select(
+      explode(array(col("id_a"), col("id_b"))).as("id")).distinct())
+    // canonical directed form (hi, lo): both star steps emit (x, m) with
+    // m < x, so edges stay canonical across rounds
+    var edges = materialize(pairs
+      .where(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .distinct())
+    var prevCount = edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // symmetric neighbor view (center u, neighbor v)
+      def sym(e: DataFrame): DataFrame =
+        e.select(col("hi").as("u"), col("lo").as("v"))
+          .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      // ---- large-star: (v, m_u) for v > u, m_u = min(Γ(u) ∪ {u}) ----
+      val s1 = sym(edges)
+      val largeMin = s1.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val afterLarge = s1.join(largeMin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // ---- small-star: (v, m_u) for v < u plus (u, m_u), over Γ⁻ ----
+      // one materialization per FULL round: the large half is consumed
+      // exactly once right here, so checkpointing it separately would
+      // only add a job and a snapshot to release
+      val s2 = sym(afterLarge)
+      val smallMin = s2.where(col("v") < col("u")).groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val afterSmall = materialize(
+        s2.where(col("v") < col("u")).join(smallMin, Seq("u"))
+          .select(col("v"), col("m"))
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .unionAll(smallMin.where(col("u") =!= col("m"))
+            .select(col("u").as("hi"), col("m").as("lo")))
+          .distinct())
+      // exact fixpoint: identical canonical edge sets (both frames are
+      // materialized; set containment + count equality — no hash-signature
+      // approximation). The new count doubles as the next round's
+      // previous-count, so convergence costs one except-probe job and one
+      // count of an already-checkpointed frame per round. `edges` must
+      // only be released AFTER the except reads it.
+      val newCount = afterSmall.count()
+      converged = newCount == prevCount &&
+        afterSmall.except(edges).limit(1).count() == 0
+      releaseMaterialized(edges)
+      edges = afterSmall
+      prevCount = newCount
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar: not converged after $maxIter rounds")
+    // star forest: every hi points at its component min; roots (and any
+    // vertex with no remaining edge, e.g. a self-pair-only vertex) label
+    // themselves. `edges`/`vertices` back this result lazily — their
+    // storage intentionally survives, like `connectedComponents`' labels.
+    vertices.as("vtx")
+      .join(edges.select(col("hi").as("eid"), col("lo").as("component")),
+        col("vtx.id") === col("eid"), "left")
+      .select(col("vtx.id").as("id"),
+        coalesce(col("component"), col("vtx.id")).as("component"))
   }
 
   /** End-to-end near-dup dedup decision per document: detect pairs (any
@@ -551,9 +649,10 @@ object Dedup {
     * docs in no pair survive as themselves). The downstream filter is
     * `where(survivor_id === id)` — the near-dup analogue of
     * `priorityDedup`'s keep-first rule. */
-  def nearDupSurvivors(docs: DataFrame, id: Column,
-                       pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+  def nearDupSurvivors(docs: DataFrame, id: Column, pairs: DataFrame,
+                       cc: DataFrame => DataFrame =
+                         connectedComponents(_)): DataFrame = {
+    val comp = cc(pairs)
     docs.select(id.as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -194,4 +194,37 @@ class DedupSpec extends SparkTestBase {
     assert(surv === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L))
   }
+
+  test("connectedComponentsStar converges on a 200-link chain that plain " +
+    "propagation refuses at maxIter=20") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 20)
+    }
+    val star = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(star.length === 200)
+    assert(star.forall(_._2 === 1L)) // one component, min id 1
+  }
+
+  test("connectedComponentsStar labels equal plain propagation on a mixed " +
+    "pseudo-random graph") {
+    // deterministic multi-component graph: chains, a clique, crossing
+    // edges, singleton-pair islands — both algorithms must agree exactly
+    val rnd = new scala.util.Random(12345)
+    val edges = (
+      (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq ++   // chain
+      (for (a <- 40L to 45L; b <- (a + 1) to 45L) yield (a, b)) ++ // clique
+      Seq((30L, 40L), (50L, 51L), (60L, 61L), (61L, 62L)) ++
+      (1 to 40).map { _ =>
+        val a = 100L + rnd.nextInt(50); val b = 100L + rnd.nextInt(50)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+    ).toDF("id_a", "id_b")
+    val plain = Dedup.connectedComponents(edges, maxIter = 50)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star === plain)
+  }
 }
