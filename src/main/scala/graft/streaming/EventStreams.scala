@@ -66,6 +66,60 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-STATIC enrichment join + windowed aggregate: the streaming
+    * form of the J1 broadcast enrichment (reference `main.py:369-410`
+    * joins fetched journal metrics onto the batch frame; a production
+    * event stream joins its dimension tables the same way). The static
+    * side is broadcast — no state, no stream-stream complexity — and the
+    * downstream tumbling aggregate groups by the ENRICHED column, which
+    * is the part a plain `tumblingCounts` cannot express.
+    *
+    * Scale: stream-static BHJ re-broadcasts only on dim refresh; state is
+    * the same watermark-bounded window store as `tumblingCounts`. Events
+    * whose key misses the dim keep flowing with a null category (left
+    * join) — an inner join would silently drop them from the counts. */
+  def enrichedTumblingCounts(stream: DataFrame, dim: DataFrame,
+                             joinKey: String = "event_type",
+                             dimCol: String = "category",
+                             width: String = "1 hour",
+                             watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(joinKey), col(dimCol))),
+        Seq(joinKey), "left")
+      .groupBy(window(col("ts"), width).as("w"), col(dimCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col(dimCol),
+        col("n_events"), col("sum_value"))
+
+  /** STREAMING benchmark decontamination: per-document contamination
+    * score computed STATELESSLY per row — the expression form of
+    * `Dedup.contaminationScores` (same shingle semantics, same
+    * n_matched/n_sh arithmetic), with the benchmark's hashed shingle set
+    * shipped as a literal (benchmarks are bounded; the batch operator
+    * broadcasts the same set). No aggregation ⇒ no watermark/state: scores
+    * attach to documents as they arrive, which is how an ingest-time
+    * contamination gate actually runs. The per-row membership probe is
+    * linear in the bench set; for big benches the batch operator's
+    * broadcast join is the right tool (this is the gate, not the audit).
+    */
+  def contaminationStream(stream: DataFrame, benchShingleHashes: Array[Long],
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          w: Int = 3): DataFrame = {
+    val benchArr = typedlit(benchShingleHashes)
+    val hashed = transform(
+      graft.operators.Dedup.shingles(col(textCol), w), s => xxhash64(s))
+    stream.select(col(idCol), hashed.as("__sh"))
+      .select(col(idCol),
+        size(col("__sh")).cast("long").as("n_sh"),
+        size(filter(col("__sh"), h => array_contains(benchArr, h)))
+          .cast("long").as("n_matched"))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_sh").cast("double"))
+  }
+
   /** ST5 — stateful streaming dedup: at-most-once per event_id within the
     * watermark horizon (the streaming form of the reference's batch DOI
     * dedup, main.py:101-166 — state bounded instead of a global shuffle). */

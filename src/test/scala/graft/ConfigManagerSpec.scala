@@ -128,9 +128,17 @@ class ConfigManagerSpec extends AnyFunSuite {
       Gen.choose(-999L, 999L).map(_.toString), Gen.oneOf("true", "false"))
     val leaf: Gen[Map[String, String]] =
       Gen.mapOf(Gen.zip(key, scalarV)).map(_.take(4))
+    // a YAML emitter must QUOTE a string scalar whose plain rendering
+    // would parse as a different value — e.g. alphaNumStr's occasional
+    // leading-zero digit string "01" canonically parses as the integer 1
+    // (this was a rare-seed flake until quoted here)
+    def render(v: String): String =
+      if (v.matches("-?\\d+") && BigInt(v).toString != v) "\"" + v + "\""
+      else v
     val prop = forAll(Gen.mapOf(Gen.zip(key, leaf)).map(_.take(4))) { tree =>
       val yaml = tree.map { case (k, inner) =>
-        s"$k:\n" + inner.map { case (ik, iv) => s"  $ik: $iv" }.mkString("\n")
+        s"$k:\n" + inner.map { case (ik, iv) =>
+          s"  $ik: ${render(iv)}" }.mkString("\n")
       }.mkString("\n")
       val parsed = ConfigManager.parseYaml(yaml)
       tree.forall { case (k, inner) =>

@@ -96,6 +96,68 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: dim category drives the windowed " +
+    "counts; unmatched keys keep flowing with null category") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = EventStreams.enrichedTumblingCounts(df, dim)
+      .writeStream.format("memory").queryName("enriched_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:10:00"), "tap", 2.0),   // not in dim -> null
+        (ts("2024-01-01 10:40:00"), "view", 4.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:30:00"), "view", 8.0)) // close 10:00
+      q.processAllAvailable()
+      val rows = spark.table("enriched_test")
+        .select(col("window_start").cast("string"), col("category"),
+          col("n_events"), col("sum_value"))
+        .as[(String, Option[String], Long, Double)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00", Some("engagement"), 1L, 1.0),
+        ("2024-01-01 10:00:00", Some("impression"), 1L, 4.0),
+        ("2024-01-01 10:00:00", None, 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("streaming contamination gate matches the batch operator's scores " +
+    "row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta zeta"),
+      (2L, "one two three four five"),
+      (3L, "alpha beta gamma delta epsilon"))
+    // batch truth from the broadcast-join operator
+    val batch = graft.operators.Dedup.contaminationScores(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"))
+      .select(col("id"), col("n_sh"), col("n_matched"), col("contamination"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // bench hashed-shingle set, exactly as the batch operator derives it
+    val benchHashes = bench
+      .select(explode(graft.operators.Dedup.shingles(col("text"))).as("s"))
+      .select(xxhash64(col("s"))).distinct().as[Long].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.contaminationStream(
+        mem.toDF.toDF("doc_id", "text"), benchHashes)
+      .writeStream.format("memory").queryName("contamination_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("contamination_test")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("ST5: dropDuplicatesWithinWatermark dedups by key on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
