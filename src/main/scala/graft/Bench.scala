@@ -32,6 +32,10 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // a typo'd filter would otherwise bench nothing and print a healthy
+    // total of 0.000 with exit 0
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY matched no queries: ${only.getOrElse(Set())}")
     val results = selected.map { case (name, fn) =>
       val times =
         try {

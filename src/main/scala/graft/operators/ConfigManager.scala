@@ -111,8 +111,16 @@ object ConfigManager {
           // parseMap's keyLine (dashes allowed, quoted forms allowed) —
           // a narrower grammar here silently parsed `- my-source: x`
           // items as scalar strings instead of maps.
+          // the INLINE key (on the "- " line itself) requires YAML's
+          // space-after-colon so scalar items containing colons
+          // ("- http://x", "- 10:30") stay scalars; CONTINUATION lines
+          // below the dash have no scalar ambiguity and use parseMap's
+          // exact keyLine grammar (value side included — "timeout:30" is
+          // accepted there just like at map level)
           val itemKey =
             "^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_-]*):(|\\s.*)$".r
+          val contKey =
+            "^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_-]*):\\s*(.*)$".r
           rest match {
             case itemKey(k, v) =>
               // list of maps: first pair inline on the "- " line, the rest
@@ -126,7 +134,7 @@ object ConfigManager {
                   !lines(j).content.startsWith("- ")))) {
                 if (!isBlank(j)) {
                   lines(j).content match {
-                    case itemKey(k2, v2) => m(unquote(k2).toString) = unquote(v2)
+                    case contKey(k2, v2) => m(unquote(k2).toString) = unquote(v2)
                     case _ => ()
                   }
                 }

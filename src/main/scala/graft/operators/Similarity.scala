@@ -43,10 +43,20 @@ object Similarity {
       element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduce(_ + _)
 
-  /** Vector dimension probed from the first row (driver-side, one tiny
-    * job) — lets all-pairs operators unroll arithmetic statically. */
+  /** Vector dimension probed from the first row WITH a vector (driver-
+    * side, one tiny job) — lets all-pairs operators unroll arithmetic
+    * statically. Null-embedding rows are skipped (size(null) is null and
+    * would NPE the probe); None when the frame has no non-null vector. */
+  def probeDimOpt(df: DataFrame, embCol: String): Option[Int] =
+    df.where(col(embCol).isNotNull).select(size(col(embCol)))
+      .limit(1).collect().headOption.map(_.getInt(0))
+
+  /** Probe that requires at least one vector (all-pairs operators that
+    * cannot produce sensible output without one). */
   def probeDim(df: DataFrame, embCol: String): Int =
-    df.select(size(col(embCol))).head().getInt(0)
+    probeDimOpt(df, embCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"probeDim: no non-null '$embCol' row to probe the dimension from"))
 
   /** Brute-force exact top-k nearest neighbors (cosine) for a set of probe
     * ids. The probe side is tiny and broadcast; the corpus side streams —
@@ -104,9 +114,14 @@ object Similarity {
 
   def lshBucket(df: DataFrame, embCol: String, nBits: Int,
                 seed: Int = 42): DataFrame =
-    df.withColumn("bucket",
-      element_at(bucketsExpr(col(embCol), probeDim(df, embCol), nBits,
-        nTables = 1, seed), 1))
+    probeDimOpt(df, embCol) match {
+      case Some(dim) => df.withColumn("bucket",
+        element_at(bucketsExpr(col(embCol), dim, nBits, nTables = 1,
+          seed), 1))
+      // no vector anywhere (empty frame / all-null column): no bucket to
+      // compute — keep the schema, null buckets
+      case None => df.withColumn("bucket", lit(null).cast("long"))
+    }
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * the probe's bucket in ANY of `nTables` independent hash tables, then
@@ -115,11 +130,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nBits: Int = 8, nTables: Int = 4,
               idCol: String = "vec_id",
-              embCol: String = "embedding"): DataFrame = {
+              embCol: String = "embedding"): DataFrame =
+    probeDimOpt(corpus, embCol) match {
+      // empty/all-null corpus: no dimension and no possible neighbors —
+      // empty result, same schema
+      case None => corpus.select(col(idCol).as("probe_id"),
+        lit(0).as("rank"), col(idCol).as("nbr_id"),
+        lit(0.0).as("cos")).limit(0)
+      case Some(dim) => lshTopKImpl(corpus, probes, k, nBits, nTables,
+        idCol, embCol, dim)
+    }
+
+  private def lshTopKImpl(corpus: DataFrame, probes: DataFrame, k: Int,
+                          nBits: Int, nTables: Int, idCol: String,
+                          embCol: String, dim: Int): DataFrame = {
     // all tables' buckets in one projection + posexplode (single corpus
     // scan/bucket pass; see lshNearDupPairs) — the probe side stays tiny
     // and is broadcast
-    val dim = probeDim(corpus, embCol)
     def banded(df: DataFrame, outId: String, outEmb: String): DataFrame =
       df.select(col(idCol).as(outId), col(embCol).as(outEmb),
         posexplode(bucketsExpr(col(embCol), dim, nBits, nTables,
@@ -151,13 +178,16 @@ object Similarity {
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
     val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
-    // one probe job covers both the empty-corpus case and the dimension
-    val dimOpt = slim.select(size(col("emb"))).limit(1).collect()
-      .headOption.map(_.getInt(0))
-    if (dimOpt.isEmpty)
-      slim.select(col("id").as("id_a"), col("id").as("id_b"),
+    // one null-skipping probe job covers both the empty/all-null-corpus
+    // case and the dimension (null-embedding rows can never pair anyway —
+    // HyperplaneBuckets maps them to a null bucket array and posexplode
+    // drops them)
+    probeDimOpt(slim, "emb") match {
+      case None => slim.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cos")).limit(0)
-    else lshNearDupPairsImpl(slim, dimOpt.get, threshold, nBits, nTables)
+      case Some(dim) => lshNearDupPairsImpl(slim, dim, threshold, nBits,
+        nTables)
+    }
   }
 
   private def lshNearDupPairsImpl(slim: DataFrame, dim: Int,

@@ -77,7 +77,12 @@ object EventStreams {
     * Scale: stream-static BHJ re-broadcasts only on dim refresh; state is
     * the same watermark-bounded window store as `tumblingCounts`. Events
     * whose key misses the dim keep flowing with a null category (left
-    * join) — an inner join would silently drop them from the counts. */
+    * join) — an inner join would silently drop them from the counts.
+    *
+    * Precondition: `dim` must be UNIQUE on `joinKey` (the usual dimension
+    * contract — same as priorityDedup's key uniqueness after dedup). A
+    * duplicate key would fan each event out once per duplicate and
+    * silently inflate every count it touches; dedupe the dim first. */
   def enrichedTumblingCounts(stream: DataFrame, dim: DataFrame,
                              joinKey: String = "event_type",
                              dimCol: String = "category",
@@ -111,7 +116,13 @@ object EventStreams {
     val benchArr = typedlit(benchShingleHashes)
     val hashed = transform(
       graft.operators.Dedup.shingles(col(textCol), w), s => xxhash64(s))
-    stream.select(col(idCol), hashed.as("__sh"))
+    stream
+      // null-text docs have no shingles and are absent from the batch
+      // operator's output (its postings explode drops them); dropping
+      // them here keeps the row-for-row parity instead of emitting
+      // all-null score rows
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), hashed.as("__sh"))
       .select(col(idCol),
         size(col("__sh")).cast("long").as("n_sh"),
         size(filter(col("__sh"), h => array_contains(benchArr, h)))

@@ -104,6 +104,17 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(items(1) === Map("quoted-key" -> "b.txt", "kind" -> "pubmed"))
   }
 
+  test("list-item continuation lines accept colon-without-space values " +
+    "exactly like map level") {
+    val conf = ConfigManager.parseYaml(
+      """sources:
+        |  - name: a
+        |    timeout:30
+        |""".stripMargin)
+    assert(ConfigManager.getSeq(conf, "sources") ===
+      Seq(Map("name" -> "a", "timeout" -> 30L)))
+  }
+
   test("ollama routes to the OpenAI-compatible surface, not /api/chat") {
     val conf = ConfigManager.applyDefaults(Map("llm" -> Map(
       "type" -> "ollama")))

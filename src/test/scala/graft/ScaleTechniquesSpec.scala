@@ -123,6 +123,17 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(scans("q_dedup_minhash") <= 6)
   }
 
+  test("plan shape: contamination is one corpus scan + one bench scan " +
+    "joined broadcast, never a shuffle join") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the single-pass aggregate shape: minimum two scans (corpus + bench)
+    assert("Scan parquet".r.findAllIn(plan).length === 2)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("approx_count_distinct stays within 2% of exact distinct counts") {
     // A6 (SURVEY §2.4): the q_agg_approx_distinct entry is rows-only (HLL
     // sketches are engine-specific); this spec pins the error contract

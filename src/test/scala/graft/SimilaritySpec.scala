@@ -161,4 +161,30 @@ class SimilaritySpec extends SparkTestBase {
       .as[Seq[Long]].head()
     assert(viaSql === viaDf(1L).get)
   }
+
+  test("LSH operators tolerate null-embedding rows and empty corpora " +
+    "(the dim probe skips nulls; null rows can never pair)") {
+    // null embedding FIRST in scan order — the probe must skip it
+    val withNull = Seq((0L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+      .unionByName(vecs)
+    val dup = Seq((10L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(withNull.unionByName(dup), 0.9,
+        nBits = 4, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)))
+    assert(!pairs.exists(p => p._1 == 0L || p._2 == 0L)) // null row pairs nothing
+    val top = Similarity.lshTopK(withNull.unionByName(dup), dup, k = 1)
+      .select("nbr_id").as[Long].collect()
+    assert(top.headOption.contains(1L))
+    // empty / all-null corpora return empty results, not probe crashes
+    val empty = vecs.limit(0)
+    assert(Similarity.lshNearDupPairs(empty, 0.9).count() === 0)
+    assert(Similarity.lshTopK(empty, dup, k = 1).count() === 0)
+    assert(Similarity.lshBucket(empty, "embedding", 4).count() === 0)
+    val allNull = withNull.where(col("vec_id") === 0)
+    assert(Similarity.lshNearDupPairs(allNull, 0.9).count() === 0)
+    assert(Similarity.lshBucket(allNull, "embedding", 4)
+      .select("bucket").as[Option[Long]].collect() === Array(None))
+  }
 }

@@ -40,8 +40,12 @@ object Prof {
       .groupBy("id", "shingle").agg(first(lit(1)))
       .select("id", "shingle")
     t("postings_distinct")(sh.count())
-    val hashed = sh.select(col("id") +:
-      (0 until 128).map(j => xxhash64(col("shingle"), lit(j)).as(s"h$j")): _*)
+    // base-hash scheme, matching the production minhashLshPairs: hash the
+    // shingle string once, re-seed the 64-bit base per permutation
+    val hashed = sh
+      .select(col("id"), xxhash64(col("shingle")).as("base"))
+      .select(col("id") +:
+        (0 until 128).map(j => xxhash64(col("base"), lit(j)).as(s"h$j")): _*)
     val mins = hashed.groupBy("id").agg(min(col("h0")).as("m0"),
       (1 until 128).map(j => min(col(s"h$j")).as(s"m$j")): _*)
     t("mins128")(mins.count())
