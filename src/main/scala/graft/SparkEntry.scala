@@ -706,6 +706,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // stratified QUOTA sampling: at most 50 docs per lang stratum, chosen
+    // by deterministic md5 order (content-derived, partition-layout-free).
+    // Complements q_train_mixture's RATE sampling: quotas cap dominant
+    // strata instead of scaling them. Scale: rn <= k over a window gets
+    // WindowGroupLimit partial top-k per partition BEFORE the stratum
+    // shuffle, so a dominant stratum ships k rows per input partition,
+    // not its whole population
+    "q_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 50)
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1554,6 +1571,14 @@ object SparkEntry {
         |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
         |      <= [1, 2, 4, 8][(CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) + 1]
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
 
     "q_enrich_metrics" ->
       """SELECT DISTINCT lower(trim(lang)) AS journal_norm,
