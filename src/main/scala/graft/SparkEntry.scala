@@ -581,11 +581,14 @@ object SparkEntry {
     }),
 
     // same decisions through the O(log²)-round large-star/small-star
-    // clustering (the high-diameter 100 TB path) — identical oracle
+    // clustering (the high-diameter 100 TB path) — identical oracle. The
+    // detector here is exact inverted-index jaccard (vs q_dedup_cluster's
+    // minhash), so the two cluster queries also cross-cover both
+    // detector→cluster compositions
     "q_dedup_cluster_star" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
-        threshold = 0.6, k = 128, bands = 32)
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.6)
       Dedup.nearDupSurvivors(docs, col("doc_id"), pairs,
           cc = Dedup.connectedComponentsStar(_))
         .orderBy("doc_id")
