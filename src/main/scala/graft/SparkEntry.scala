@@ -563,6 +563,19 @@ object SparkEntry {
           col("text"), threshold = 0.6, k = 128, bands = 32)
         .orderBy("id_a", "id_b")),
 
+    // incremental ingestion dedup: the (deterministic doc_id % 10 == 0)
+    // "new batch" probes the existing corpus through broadcast band/
+    // shingle joins — the corpus never self-joins, so the cost scales
+    // with the batch, not |corpus|²
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDupPairs(
+          docs.where(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          threshold = 0.6, k = 128, bands = 32)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
           threshold = 0.6)
@@ -1314,6 +1327,18 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardOracleSql(0.6),
     "q_dedup_minhash" -> jaccardOracleSql(0.6),
     "q_dedup_simhash" -> jaccardOracleSql(0.6),
+
+    "q_dedup_incremental" ->
+      s"""$shinglesSql
+         |SELECT batch_id, corpus_id, jaccard FROM (
+         |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |           AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |WHERE jaccard >= 0.6
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     "q_dedup_cluster" -> clusterOracleSql(0.6),
     "q_dedup_cluster_star" -> clusterOracleSql(0.6),
 

@@ -303,36 +303,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       threshold: Double, w: Int = 3,
                       k: Int = 128, bands: Int = 32): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    // Signature minima computed RELATIONALLY: k codegen'd xxhash64
-    // columns per shingle posting, one partial+final MIN aggregate keyed
-    // on id. This keeps the whole signature stage inside whole-stage
-    // codegen (the expression form pays k interpreted lambda sweeps per
-    // doc and re-inlines the array at every band reference).
-    // The shingle STRING is hashed once to a 64-bit base; the k
-    // permutations re-seed the base long (2 xxhash64 rounds each) instead
-    // of re-hashing the ~25-byte string k times — same minima statistics
-    // (distinct shingles -> distinct bases up to 2^-64), ~4x less hash
-    // work in the single hottest projection of the pipeline, and
-    // value-identical to `minhashSignature` over `shingleFrame`'s hashed
-    // arrays.
-    val inv = shinglePostings(docs, id, text, w)
-      .select(col("id"), xxhash64(col("shingle")).as("base"))
-    val hashed = inv.select(col("id") +:
-      (0 until k).map(j => xxhash64(col("base"), lit(j)).as(s"h$j")): _*)
-    val mins = hashed.groupBy("id")
-      .agg(min(col("h0")).as("m0"),
-        (1 until k).map(j => min(col(s"h$j")).as(s"m$j")): _*)
-    // Band rows carry ONLY (id, band_idx, band_hash): the shingle arrays
-    // are the bulk of the bytes and must not ride through the all-to-all
-    // band shuffle — candidates re-acquire them via verifyWithShingles'
-    // semi-join-style lookup on the (small) candidate id set.
-    val banded = mins.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until r).map(i => col(s"m${b * r + i}")): _*))
-      }: _*)).as(Seq("band_idx", "band_hash")))
+    val banded = minhashBands(docs, id, text, w, k, bands)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -340,6 +311,99 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyWithShingles(cand, shingleFrame(docs, id, text, w), threshold)
+  }
+
+  /** (id, band_idx, band_hash) MinHash LSH band rows — the shared signature
+    * stage of the symmetric (`minhashLshPairs`) and incremental
+    * (`incrementalNearDupPairs`) detectors.
+    *
+    * Signature minima computed RELATIONALLY: k codegen'd xxhash64
+    * columns per shingle posting, one partial+final MIN aggregate keyed
+    * on id. This keeps the whole signature stage inside whole-stage
+    * codegen (the expression form pays k interpreted lambda sweeps per
+    * doc and re-inlines the array at every band reference).
+    * The shingle STRING is hashed once to a 64-bit base; the k
+    * permutations re-seed the base long (2 xxhash64 rounds each) instead
+    * of re-hashing the ~25-byte string k times — same minima statistics
+    * (distinct shingles -> distinct bases up to 2^-64), ~4x less hash
+    * work in the single hottest projection of the pipeline, and
+    * value-identical to `minhashSignature` over `shingleFrame`'s hashed
+    * arrays.
+    *
+    * Band rows carry ONLY (id, band_idx, band_hash): the shingle arrays
+    * are the bulk of the bytes and must not ride through the all-to-all
+    * band shuffle — candidates re-acquire them via the verify stage's
+    * semi-join-style lookup on the (small) candidate id set.
+    */
+  private def minhashBands(docs: DataFrame, id: Column, text: Column,
+                           w: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val inv = shinglePostings(docs, id, text, w)
+      .select(col("id"), xxhash64(col("shingle")).as("base"))
+    val hashed = inv.select(col("id") +:
+      (0 until k).map(j => xxhash64(col("base"), lit(j)).as(s"h$j")): _*)
+    val mins = hashed.groupBy("id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+    mins.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until r).map(i => col(s"m${b * r + i}")): _*))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** INCREMENTAL near-dup detection: match a new ingestion batch against
+    * an existing corpus without ever comparing the corpus to itself —
+    * the shape continuous training-data pipelines actually run (the
+    * corpus was deduped when it was ingested; only batch×corpus pairs
+    * are new information). Returns (batch_id, corpus_id, jaccard) with
+    * exact w-shingle Jaccard >= threshold; batch-internal duplicates are
+    * out of scope (run `minhashLshPairs` on the batch for those).
+    *
+    * Scale: both sides go through the same MinHash band stage, but the
+    * join is batch-bands × corpus-bands — candidate volume is
+    * O(|batch| × collisions), independent of |corpus|², and when the
+    * batch fits the broadcast threshold (`broadcastBatch`, default on —
+    * an ingestion increment is bounded by cadence) the corpus side
+    * streams through a shuffle-FREE broadcast-hash join: no all-to-all
+    * exchange of corpus band rows at all. Verification re-acquires
+    * shingle arrays per side, each frame joined exactly once (the
+    * round-4 multi-join trap was the SAME frame embedded per side); the
+    * batch frame is broadcast, so the only exchange left keys on
+    * corpus_id. At production scale the corpus band/shingle frames are
+    * write-once artifacts persisted at ingest, making the incremental
+    * cost one batch signature pass + one corpus probe.
+    */
+  def incrementalNearDupPairs(batch: DataFrame, batchId: Column,
+                              batchText: Column, corpus: DataFrame,
+                              corpusId: Column, corpusText: Column,
+                              threshold: Double, w: Int = 3,
+                              k: Int = 128, bands: Int = 32,
+                              broadcastBatch: Boolean = true): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
+    val bBands = bc(minhashBands(batch, batchId, batchText, w, k, bands))
+    val cBands = minhashBands(corpus, corpusId, corpusText, w, k, bands)
+    val cand = bBands.as("a").join(cBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val shB = shingleFrame(batch, batchId, batchText, w)
+      .select(col("id").as("batch_id"), col("sh").as("sh_a"))
+    val shC = shingleFrame(corpus, corpusId, corpusText, w)
+      .select(col("id").as("corpus_id"), col("sh").as("sh_b"))
+    cand
+      .join(bc(shB), Seq("batch_id"))
+      .join(shC, Seq("corpus_id"))
+      .where(least(size(col("sh_a")), size(col("sh_b"))) >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** 64-bit SimHash over the normalized token multiset: each token hashes

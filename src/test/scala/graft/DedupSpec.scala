@@ -136,6 +136,51 @@ class DedupSpec extends SparkTestBase {
     assert(mh === exact)
   }
 
+  test("incrementalNearDupPairs reports only batch×corpus matches, " +
+    "never corpus-internal ones") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // corpus-internal near-dup of 1 — must NOT appear in the output
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus 1 and 2
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      // novel content — admitted
+      (11L, "totally distinct content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(
+        batch, col("doc_id"), col("text"),
+        corpus, col("doc_id"), col("text"), threshold = 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L), (10L, 2L)))
+    // scores are the exact shingle jaccard (7 shared of 8+8 shingles)
+    val j = Dedup.incrementalNearDupPairs(
+        batch, col("doc_id"), col("text"),
+        corpus, col("doc_id"), col("text"), threshold = 0.5)
+      .where(col("batch_id") === 10L && col("corpus_id") === 1L)
+      .select("jaccard").as[Double].head()
+    assert(j === 7.0 / 9.0)
+  }
+
+  test("incrementalNearDupPairs broadcasts the batch side") {
+    val corpus = (1L to 40L)
+      .map(i => (i, s"corpus doc number $i with filler words appended"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "corpus doc number 7 with filler words appended"))
+      .toDF("doc_id", "text")
+    val df = Dedup.incrementalNearDupPairs(
+      batch, col("doc_id"), col("text"),
+      corpus, col("doc_id"), col("text"), threshold = 0.9)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for the batch side, got:\n$plan")
+    val got = df.select("batch_id", "corpus_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got === Set((100L, 7L)))
+  }
+
   test("simhashPairs matches exact jaccard on docs long enough for stable " +
     "majority votes") {
     // simhash majority margins scale with sqrt(token count): ~10-token docs
