@@ -556,7 +556,14 @@ object Dedup {
           fs.delete(path, true)
         }
         l.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other =>
+        // a frame that isn't a LogicalRDD was never materialize()d — if a
+        // Spark version bump changes the checkpoint plan shape, the storage
+        // leak this method fixes would quietly return. Be loud about it.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"releaseMaterialized: plan is ${other.getClass.getSimpleName}, " +
+            "not LogicalRDD — checkpoint storage NOT released (plan shape " +
+            "changed?)")
     }
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -626,10 +633,16 @@ object Dedup {
     * Both are one conditional-min aggregate keyed on the center plus one
     * join back to the (skinny, symmetric) edge list — no vertex state, no
     * per-node adjacency arrays, shuffle keys always the high-cardinality
-    * node id. The fixpoint is a star forest: every node's single neighbor
-    * is its component minimum. Fixpoint detection is EXACT (`except` +
-    * count equality, two cheap jobs on canonical (child, root) edges),
-    * not a hash signature.
+    * node id. Fixpoint detection is EXACT and costs ONE aggregate probe
+    * per round: a canonical (hi, lo) edge set is a fixpoint of
+    * large∘small iff it is a STAR FOREST — no node appears as both a
+    * child (hi) and a root (lo), and no child has two roots (hi appears
+    * once). Star forest ⇒ both steps re-emit the set unchanged (root r's
+    * large-star re-attaches every child to r; each child's small-star
+    * re-emits (child, r)); non-star ⇒ the next round rewires something.
+    * The probe also stops one round EARLIER than comparing against the
+    * previous round's edges (an `except`-based test only notices a round
+    * AFTER the one that landed on the star forest).
     *
     * Same contract as `connectedComponents`: (id, component = min
     * reachable id) for every vertex in `pairs`; the spec cross-checks the
@@ -649,7 +662,6 @@ object Dedup {
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .distinct())
-    var prevCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -680,18 +692,23 @@ object Dedup {
           .unionAll(smallMin.where(col("u") =!= col("m"))
             .select(col("u").as("hi"), col("m").as("lo")))
           .distinct())
-      // exact fixpoint: identical canonical edge sets (both frames are
-      // materialized; set containment + count equality — no hash-signature
-      // approximation). The new count doubles as the next round's
-      // previous-count, so convergence costs one except-probe job and one
-      // count of an already-checkpointed frame per round. `edges` must
-      // only be released AFTER the except reads it.
-      val newCount = afterSmall.count()
-      converged = newCount == prevCount &&
-        afterSmall.except(edges).limit(1).count() == 0
+      // exact fixpoint via the star-forest characterization (see the
+      // scaladoc): one aggregate over the freshly-checkpointed skinny
+      // frame — no count job, no except-join against the previous round.
+      // A node failing the test either parents one edge while being a
+      // child of another (nh>0 && nl>0: a 2-level chain the next round
+      // contracts) or has two parents (nh>1: impossible at a fixpoint,
+      // small-star would merge them).
+      val offenders = afterSmall
+        .select(col("hi").as("node"), lit(1L).as("h"), lit(0L).as("l"))
+        .unionAll(afterSmall
+          .select(col("lo").as("node"), lit(0L).as("h"), lit(1L).as("l")))
+        .groupBy("node")
+        .agg(sum(col("h")).as("nh"), sum(col("l")).as("nl"))
+        .where(col("nh") > 1 || (col("nh") > 0 && col("nl") > 0))
+      converged = offenders.limit(1).count() == 0
       releaseMaterialized(edges)
       edges = afterSmall
-      prevCount = newCount
       iter += 1
     }
     require(converged,

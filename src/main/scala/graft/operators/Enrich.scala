@@ -110,6 +110,21 @@ object Enrich {
     def complete(abstractText: String): String
   }
 
+  /** JSON string-literal escaping for the stubs: a well-formed client
+    * escapes `\` and `"` (and control chars) — without it any quote-bearing
+    * abstract silently mis-routes to the regex-repair rung, misrepresenting
+    * what a real API client returns. */
+  private[operators] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
   /** Deterministic stub LLM: emits JSON derived purely from the input (the
     * summary = first 8 whitespace tokens; n_words = token count), sometimes
     * wrapped in markdown fences to exercise the repair ladder — keyed off
@@ -117,7 +132,7 @@ object Enrich {
   object StubLlmClient extends LlmClient {
     def complete(abstractText: String): String = {
       val toks = abstractText.trim.split("\\s+").filter(_.nonEmpty)
-      val summary = toks.take(8).mkString(" ")
+      val summary = jsonEscape(toks.take(8).mkString(" "))
       val json = s"""{"summary": "$summary", "n_words": "${toks.length}"}"""
       if (abstractText.length % 2 == 0) s"```json\n$json\n```" else json
     }

@@ -242,8 +242,13 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // ---- driver-side coarse-quantizer training (deterministic) ----
+    // sample ordered by xxhash64(id), NOT by id: the id-prefix is a biased
+    // sample whenever content correlates with ingest order (it always does
+    // at scale — crawl batches, per-source shards); hashing gives a
+    // deterministic UNIFORM draw with the same reproducibility
     val sample = corpus.select(col(idCol).cast("long"), col(embCol))
-      .as[(Long, Array[Float])].sort(col(idCol)).limit(4096).collect()
+      .as[(Long, Array[Float])]
+      .sort(xxhash64(col(idCol)), col(idCol)).limit(4096).collect()
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head._2.length
     val step = math.max(1, sample.length / nCentroids)
