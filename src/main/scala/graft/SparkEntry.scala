@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Dedup, Enrich, Events, Similarity, Skew}
+import graft.operators.{AsOfJoin, Dedup, Enrich, Events, PromptTemplates, Similarity, Skew}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -758,6 +758,19 @@ object SparkEntry {
           Seq("summary", "n_words"), Enrich.StubLlmClient)
         .select(col("doc_id"), col("summary"), col("n_words"))
         .orderBy("doc_id")),
+
+    // X3→X2: the TEMPLATE drives the output schema, defaults, and prompt;
+    // the stub client only answers prompts whose messages match the
+    // template's 2-message build (anything else → defaults → oracle
+    // mismatch), so the hash check pins the composition, not just the shape
+    "q_llm_extract_template" -> ((s, dir) => {
+      val t = PromptTemplates.fromYaml(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/root/repo/fixtures/template_sample.yaml")))
+      Enrich.llmExtractWithTemplate(Tables.documents(s, dir), "text", t,
+          Enrich.StubTemplateChatClient(t))
+        .select(col("doc_id"), col("summary"), col("methods"))
+        .orderBy("doc_id")
+    }),
 
     // -- embeddings: similarity search + near-dup (BASELINE.json extensions) --------
     "q_embed_cosine_topk" -> ((s, dir) => {
@@ -1629,6 +1642,22 @@ object SparkEntry {
         |       ELSE array_to_string(ws[1:8], ' ') END AS summary,
         |  CASE WHEN text IS NULL OR trim(text) = '' THEN ''
         |       ELSE CAST(len(ws) AS VARCHAR) END AS n_words
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // template-driven variant: fields/defaults come from
+    // fixtures/template_sample.yaml (summary default '', methods default
+    // 'not stated'); the stub fills field i>0 with "<field>:<n_tokens>"
+    "q_llm_extract_template" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN ''
+        |       ELSE array_to_string(ws[1:8], ' ') END AS summary,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 'not stated'
+        |       ELSE 'methods:' || CAST(len(ws) AS VARCHAR) END AS methods
         |FROM toks ORDER BY doc_id""".stripMargin,
 
     "q_embed_cosine_topk" ->

@@ -149,8 +149,17 @@ object Enrich {
     * (`llm_api.py:246-258`). */
   def llmExtract(df: DataFrame, textCol: String, fields: Seq[String],
                  client: LlmClient,
-                 defaults: Map[String, String] = Map.empty): DataFrame = {
-    val spark = df.sparkSession
+                 defaults: Map[String, String] = Map.empty): DataFrame =
+    extractFields(df, textCol, fields, defaults)(client.complete)
+
+  /** Shared X2 executor shape: mapPartitions with a per-partition client
+    * lifecycle, null/empty short-circuit to defaults, repair ladder on
+    * every response, one output string column per field. `call` is the
+    * only thing that varies between the plain and template-driven paths. */
+  private def extractFields(df: DataFrame, textCol: String,
+                            fields: Seq[String],
+                            defaults: Map[String, String])
+                           (call: String => String): DataFrame = {
     val textIdx = df.schema.fieldIndex(textCol)
     val outSchema = StructType(df.schema.fields ++
       fields.map(f => StructField(f, StringType)))
@@ -161,13 +170,68 @@ object Enrich {
       // per-partition client lifecycle: a production impl opens its HTTP
       // pool here and closes it when the iterator drains; the injected
       // stub is pure so there is nothing to manage
-      val c = client
       it.map { r =>
         val text = if (r.isNullAt(textIdx)) null else r.getString(textIdx)
         val m = if (text == null || text.trim.isEmpty) dflt
-        else JsonRepair.repair(c.complete(text), fields, defaults)
+        else JsonRepair.repair(call(text), fields, defaults)
         Row.fromSeq(r.toSeq ++ fields.map(m))
       }
     }(enc)
   }
+
+  /** X2 client in the shape real chat-completion APIs take: the full
+    * role-tagged message list, not a bare abstract. The template-driven
+    * path (X3→X2) builds the messages; clients never see the template. */
+  trait ChatClient extends Serializable {
+    def chat(messages: Seq[(String, String)]): String
+  }
+
+  /** Deterministic stub chat client that only understands prompts built
+    * from `template`: it checks the system message verbatim and recovers
+    * the abstract by stripping the template's literal prefix/suffix around
+    * the `{abstract}` placeholder. Any structural deviation returns `{}`
+    * (every field falls to its default) — so the oracle hash-match on
+    * `q_llm_extract_template` pins that `llmExtractWithTemplate` really
+    * built the 2-message prompt from the template, not just its schema.
+    *
+    * Response values (SQL-expressible for the DuckDB oracle): first field
+    * = first 8 whitespace tokens of the abstract (the reference's
+    * `ai_summary` role); every other field f = "f:<token count>". Fenced
+    * on even-length abstracts to exercise the repair ladder, like
+    * `StubLlmClient`. */
+  final case class StubTemplateChatClient(
+      template: PromptTemplates.Template) extends ChatClient {
+    def chat(messages: Seq[(String, String)]): String = {
+      val parts = template.userTemplate
+        .split(java.util.regex.Pattern.quote("{abstract}"), -1)
+      val prefix = parts.head
+      val suffix = if (parts.length > 1) parts(1) else ""
+      val sysOk = messages.headOption.contains("system" -> template.system)
+      val user = messages.collectFirst { case ("user", c) => c }.getOrElse("")
+      if (!sysOk || user.length < prefix.length + suffix.length ||
+          !user.startsWith(prefix) || !user.endsWith(suffix)) return "{}"
+      val abs = user.substring(prefix.length, user.length - suffix.length)
+      val toks = abs.trim.split("\\s+").filter(_.nonEmpty)
+      val json = template.fields.zipWithIndex.map { case (f, i) =>
+        val v = if (i == 0) toks.take(8).mkString(" ")
+                else s"$f:${toks.length}"
+        s""""${jsonEscape(f)}": "${jsonEscape(v)}""""
+      }.mkString("{", ", ", "}")
+      if (abs.length % 2 == 0) s"```json\n$json\n```" else json
+    }
+  }
+
+  /** X3→X2 composition (reference `main.py:309-350` +
+    * `prompt_templates.py:128-133,161-167`): the TEMPLATE drives
+    * everything — output columns come from `template.fields`, per-field
+    * defaults from `template.defaults`, and each row's prompt is the
+    * template's 2-message build with the abstract substituted. A user
+    * loads `medical.yaml` and gets the reference's five ai_* columns
+    * without naming a field in code. */
+  def llmExtractWithTemplate(df: DataFrame, textCol: String,
+                             template: PromptTemplates.Template,
+                             client: ChatClient): DataFrame =
+    extractFields(df, textCol, template.fields, template.defaults) { text =>
+      client.chat(template.messages(text))
+    }
 }

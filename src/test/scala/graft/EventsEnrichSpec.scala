@@ -87,6 +87,52 @@ class EventsEnrichSpec extends SparkTestBase {
     assert(out(2) === (("", "0")))
   }
 
+  test("llmExtractWithTemplate: template drives schema, defaults, prompt (X3→X2)") {
+    import graft.operators.PromptTemplates
+    val tpl = PromptTemplates.fromYaml(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/repo/fixtures/template_sample.yaml")))
+    val df = Seq(
+      (1L, "alpha \"quoted\" beta gamma"), // quotes survive escape+unescape
+      (2L, ""), (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Enrich.llmExtractWithTemplate(df, "text", tpl,
+        Enrich.StubTemplateChatClient(tpl))
+      .orderBy("id").select("summary", "methods")
+      .as[(String, String)].collect()
+    // columns + defaults came from the template, nothing named in code
+    assert(out(0) === (("alpha \"quoted\" beta gamma", "methods:4")))
+    assert(out(1) === (("", "not stated"))) // template defaults, no call
+    assert(out(2) === (("", "not stated")))
+    // a client expecting a DIFFERENT template rejects the prompt: the
+    // stub pins that the messages were built from THIS template
+    val other = tpl.copy(system = "different system prompt")
+    val tampered = Enrich.llmExtractWithTemplate(df, "text", tpl,
+        Enrich.StubTemplateChatClient(other))
+      .orderBy("id").select("summary", "methods")
+      .as[(String, String)].collect()
+    assert(tampered(0) === (("", "not stated")))
+  }
+
+  test("reference medical.yaml shape loads and drives extraction (X3→X2)") {
+    import graft.operators.PromptTemplates
+    val p = java.nio.file.Paths.get(
+      "/root/reference/src/config/prompts/medical.yaml")
+    assume(java.nio.file.Files.exists(p), "reference checkout not present")
+    val tpl = PromptTemplates.fromYaml(java.nio.file.Files.readString(p))
+    assert(tpl.templateType === "medical")
+    assert(tpl.fields === Seq("ai_summary", "research_purpose",
+      "research_methods", "major_findings", "clinical_significance"))
+    assert(tpl.defaults.keySet === tpl.fields.toSet)
+    val msgs = tpl.messages("ABSTRACT HERE")
+    assert(msgs.head._1 === "system" && msgs(1)._2.contains("ABSTRACT HERE"))
+    val out = Enrich.llmExtractWithTemplate(
+      Seq((1L, "one two three")).toDF("id", "text"), "text", tpl,
+      Enrich.StubTemplateChatClient(tpl))
+    assert(out.columns.toSeq.drop(2) === tpl.fields) // all five ai_* columns
+    val row = out.select(tpl.fields.map(col): _*).head()
+    assert(row.getString(0) === "one two three")
+    assert(row.getString(1) === "research_purpose:3")
+  }
+
   test("journalMetricsThrottled: bucket + retry wrap the per-key fetch") {
     CountingMetricsClient.calls.set(0)
     val df = Seq(("a", "J One"), ("b", "J Two"), ("c", "J One"))
