@@ -566,13 +566,19 @@ object SparkEntry {
     // incremental ingestion dedup: the (deterministic doc_id % 10 == 0)
     // "new batch" probes the existing corpus through broadcast band/
     // shingle joins — the corpus never self-joins, so the cost scales
-    // with the batch, not |corpus|²
+    // with the batch, not |corpus|². Runs the PRODUCTION two-phase shape:
+    // persistIndex writes the corpus band/shingle artifacts (the
+    // ingest-time cost, idempotent overwrite), probePersistedIndex reads
+    // them back — the probe plan scans index parquet, not corpus text
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.incrementalNearDupPairs(
-          docs.where(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
-          docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
-          threshold = 0.6, k = 128, bands = 32)
+      val idx = System.getProperty("java.io.tmpdir") +
+        s"/graft_corpus_idx_${math.abs(dir.hashCode)}"
+      Dedup.persistIndex(docs.where(col("doc_id") % 10 =!= 0),
+        col("doc_id"), col("text"), idx, k = 128, bands = 32)
+      Dedup.probePersistedIndex(docs.where(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), idx, threshold = 0.6,
+          k = 128, bands = 32)
         .orderBy("batch_id", "corpus_id")
     }),
 

@@ -372,28 +372,42 @@ object Dedup {
     * round-4 multi-join trap was the SAME frame embedded per side); the
     * batch frame is broadcast, so the only exchange left keys on
     * corpus_id. At production scale the corpus band/shingle frames are
-    * write-once artifacts persisted at ingest, making the incremental
-    * cost one batch signature pass + one corpus probe.
+    * write-once artifacts persisted at ingest — `persistIndex` writes
+    * them, `probePersistedIndex` probes them — making the incremental
+    * cost one batch signature pass + one corpus scan, zero corpus
+    * recompute.
     */
   def incrementalNearDupPairs(batch: DataFrame, batchId: Column,
                               batchText: Column, corpus: DataFrame,
                               corpusId: Column, corpusText: Column,
                               threshold: Double, w: Int = 3,
                               k: Int = 128, bands: Int = 32,
-                              broadcastBatch: Boolean = true): DataFrame = {
+                              broadcastBatch: Boolean = true): DataFrame =
+    probeCorpus(
+      minhashBands(batch, batchId, batchText, w, k, bands),
+      minhashBands(corpus, corpusId, corpusText, w, k, bands),
+      shingleFrame(batch, batchId, batchText, w),
+      shingleFrame(corpus, corpusId, corpusText, w),
+      threshold, broadcastBatch)
+
+  /** The batch→corpus probe shared by the recompute
+    * (`incrementalNearDupPairs`) and persisted-index
+    * (`probePersistedIndex`) paths: broadcast band join for candidates,
+    * melted shingle re-acquisition, exact Jaccard verify. Band frames
+    * carry (id, band_idx, band_hash); shingle frames carry (id, sh). */
+  private def probeCorpus(bBands: DataFrame, cBands: DataFrame,
+                          bShingles: DataFrame, cShingles: DataFrame,
+                          threshold: Double,
+                          broadcastBatch: Boolean): DataFrame = {
     def bc(df: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(df) else df
-    val bBands = bc(minhashBands(batch, batchId, batchText, w, k, bands))
-    val cBands = minhashBands(corpus, corpusId, corpusText, w, k, bands)
-    val cand = bBands.as("a").join(cBands.as("b"),
+    val cand = bc(bBands).as("a").join(cBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash"))
       .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
-    val shB = shingleFrame(batch, batchId, batchText, w)
-      .select(col("id").as("batch_id"), col("sh").as("sh_a"))
-    val shC = shingleFrame(corpus, corpusId, corpusText, w)
-      .select(col("id").as("corpus_id"), col("sh").as("sh_b"))
+    val shB = bShingles.select(col("id").as("batch_id"), col("sh").as("sh_a"))
+    val shC = cShingles.select(col("id").as("corpus_id"), col("sh").as("sh_b"))
     cand
       .join(bc(shB), Seq("batch_id"))
       .join(shC, Seq("corpus_id"))
@@ -404,6 +418,56 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Persist the corpus's MinHash band rows and hashed shingle sets as
+    * write-once parquet artifacts — the ingest-time half of the
+    * incremental-dedup contract. A continuous pipeline pays the corpus
+    * signature pass ONCE per ingest; every later batch probe
+    * (`probePersistedIndex`) reads these frames instead of recomputing
+    * them, so probe cost = one batch signature pass + one corpus scan.
+    *
+    * Layout under `path`: `bands/` (id, band_idx, band_hash — the skinny
+    * all-to-all rows), `shingles/` (id, sh — the verify payload),
+    * `meta/` (w, k, bands: the signature parameters baked into the
+    * data; probes validate against it, because probing k=128 bands with
+    * a k=64 index would silently return garbage recall). Appending a new
+    * ingest batch to the index is `mode("append")` on the same layout. */
+  def persistIndex(corpus: DataFrame, id: Column, text: Column,
+                   path: String, w: Int = 3, k: Int = 128,
+                   bands: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    minhashBands(corpus, id, text, w, k, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    shingleFrame(corpus, id, text, w)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    Seq((w, k, bands)).toDF("w", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a `persistIndex` artifact with a new ingestion batch: same
+    * output contract as `incrementalNearDupPairs` (batch_id, corpus_id,
+    * exact jaccard >= threshold), but the corpus side is two parquet
+    * scans — no signature recompute, no shuffle of corpus rows (the
+    * batch side broadcasts through both joins). */
+  def probePersistedIndex(batch: DataFrame, batchId: Column,
+                          batchText: Column, path: String,
+                          threshold: Double, w: Int = 3, k: Int = 128,
+                          bands: Int = 32,
+                          broadcastBatch: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (mw, mk, mb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    require(mw == w && mk == k && mb == bands,
+      s"persisted index at $path was built with (w=$mw, k=$mk, bands=$mb)" +
+        s" but probe requested (w=$w, k=$k, bands=$bands)")
+    probeCorpus(
+      minhashBands(batch, batchId, batchText, w, k, bands),
+      spark.read.parquet(s"$path/bands"),
+      shingleFrame(batch, batchId, batchText, w),
+      spark.read.parquet(s"$path/shingles"),
+      threshold, broadcastBatch)
   }
 
   /** 64-bit SimHash over the normalized token multiset: each token hashes

@@ -181,6 +181,44 @@ class DedupSpec extends SparkTestBase {
     assert(got === Set((100L, 7L)))
   }
 
+  test("persistIndex/probePersistedIndex: probe equals recompute path, " +
+    "scans index parquet not corpus text, rejects parameter mismatch") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (11L, "totally distinct content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_idx_spec").toString
+    Dedup.persistIndex(corpus, col("doc_id"), col("text"), idx)
+    val probe = Dedup.probePersistedIndex(batch, col("doc_id"),
+      col("text"), idx, threshold = 0.5)
+    val direct = Dedup.incrementalNearDupPairs(
+      batch, col("doc_id"), col("text"),
+      corpus, col("doc_id"), col("text"), threshold = 0.5)
+    assert(probe.collect().toSet === direct.collect().toSet)
+    assert(probe.count() === 2)
+    // the probe's corpus side is the persisted artifact: the physical
+    // plan reads index parquet and holds NO scan of the corpus relation
+    // (the whole point — zero corpus signature recompute per probe)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains(idx.replace("\\", "/").stripPrefix("/")) ||
+      plan.contains("parquet"), s"expected index parquet scans:\n$plan")
+    assert(!plan.contains("LocalTableScan [doc_id#") ||
+      probe.queryExecution.optimizedPlan.collectLeaves().size === 4,
+      "probe should touch batch relation + index files only")
+    // probing with different signature parameters must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.probePersistedIndex(batch, col("doc_id"), col("text"), idx,
+        threshold = 0.5, k = 64, bands = 16)
+    }
+    assert(ex.getMessage.contains("built with"))
+  }
+
   test("simhashPairs matches exact jaccard on docs long enough for stable " +
     "majority votes") {
     // simhash majority margins scale with sqrt(token count): ~10-token docs
