@@ -323,6 +323,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // salted skew JOIN (SURVEY §4.2): every 3rd order rerouted to a
+    // deliberately hot customer 1, joined to the customer dim through
+    // Skew.saltedJoin — the hot key spreads over 32 salt buckets instead
+    // of swamping one reducer. The oracle pins exactness vs the plain
+    // join; the spec pins that the salt spreads the hot key's partitions
+    "q_join_skew" -> ((s, dir) => {
+      val fact = Tables.orders(s, dir)
+        .withColumn("cust",
+          when(col("o_orderkey") % 3 === 0, lit(1L))
+            .otherwise(col("o_custkey")))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment"))
+      Skew.saltedJoin(fact, dim, Seq("cust"), col("o_orderkey"))
+        .groupBy("cust", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sumd2(col("o_totalprice")).as("sum_price"))
+        .orderBy("cust")
+    }),
+
     // -- aggregations (A1-A6) --------------------------------------------------
     // salted two-phase aggregation over a deliberately hot 3-value key
     // (skew-mitigation pattern; result identical to the plain groupBy)
@@ -1210,6 +1229,17 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    // the salted join must be value-identical to the plain join+agg
+    "q_join_skew" ->
+      """SELECT cust, c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN CAST(1 AS BIGINT)
+        |             ELSE o_custkey END AS cust, o_totalprice
+        |      FROM orders) o
+        |JOIN customer c ON c.c_custkey = o.cust
+        |GROUP BY cust, c_mktsegment ORDER BY cust""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -44,4 +44,52 @@ class AsOfSkewSpec extends SparkTestBase {
       assert(math.abs(s._3 - p._3) < 1e-6)
     }
   }
+
+  test("saltedJoin equals plain join and actually spreads the hot key") {
+    // 1 hot key (900 rows) + 100 rare keys; dim of 101 keys
+    val fact = (1 to 1000)
+      .map(i => (if (i <= 900) 1L else (i % 100) + 2L, i.toLong))
+      .toDF("k", "id")
+    val dim = (1L to 102L).map(k => (k, s"name_$k")).toDF("k", "name")
+    // force the shuffle-join regime saltedJoin exists for (a broadcast
+    // join has no shuffle to skew)
+    withNoBroadcast {
+      val salted = Skew.saltedJoin(fact, dim, Seq("k"), col("id"),
+        buckets = 8)
+      val plain = fact.join(dim, Seq("k"))
+      assert(salted.select("k", "id", "name").collect().toSet ===
+        plain.select("k", "id", "name").collect().toSet)
+      // the mechanism engages: physical join keys include the salt...
+      val smj = salted.queryExecution.executedPlan.toString
+      assert(smj.contains("__salt"), s"salt not in the join plan:\n$smj")
+      // ...and the hot key's rows land in MORE distinct shuffle
+      // partitions than the unsalted join's single reducer
+      def hotSpread(df: org.apache.spark.sql.DataFrame): Long = df
+        .where(col("k") === 1L)
+        .select(org.apache.spark.sql.functions
+          .spark_partition_id().as("p"))
+        .distinct().count()
+      assert(hotSpread(plain) === 1L)
+      assert(hotSpread(Skew.saltedJoin(fact, dim, Seq("k"), col("id"),
+        buckets = 8)) > 1L)
+    }
+    // dim-preserving join types are rejected (a replica per salt value
+    // would surface each unmatched dim row `buckets` times)
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, Seq("k"), col("id"), joinType = "full")
+    }
+    assert(ex.getMessage.contains("FACT side"))
+  }
+
+  /** Disable broadcast (the regime saltedJoin targets) AND AQE partition
+    * coalescing (which would merge this tiny corpus into one partition
+    * and void the spread assertion). */
+  private def withNoBroadcast[T](body: => T): T = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
