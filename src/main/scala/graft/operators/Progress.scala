@@ -1,0 +1,168 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** The engine slice of the reference's upload/status surface (SURVEY.md
+  * §2.1 S9): a stage-weighted progress channel. The reference drives a
+  * polled status struct from per-stage callbacks with hard-coded weight
+  * bands — journal metrics 30%, AI analysis 65%, the rest 5%, capped
+  * during processing (`app.py:351-371`, weights `:359-366`). Here the
+  * same contract is driven by Spark's own scheduler events instead of
+  * manual callbacks: a `SparkListener` counts task completions for the
+  * jobs each stage submits (scoped via job groups), so progress within a
+  * stage is real executor work, not a driver-side guess.
+  */
+object Progress {
+
+  /** One polled snapshot — the reference's `processing_status` dict:
+    * message, overall percent, records done/remaining for the CURRENT
+    * stage (tasks here: the unit Spark actually schedules). */
+  final case class Status(stage: String, message: String, progress: Double,
+                          processed: Long, remaining: Long)
+
+  private final class Counts {
+    @volatile var total: Long = 0L
+    @volatile var done: Long = 0L
+  }
+
+  /** Driver-side tracker over a fixed stage plan. Weights are relative
+    * (normalized over their sum, reference-style 30/65/5 works as-is);
+    * `cap` reproduces the reference's "never report beyond X until
+    * finished" clamp (`app.py:370`, min(80, …)) and is lifted only by
+    * `finish()`. Progress is a HIGH-WATER mark: task-count denominators
+    * grow as a stage submits more jobs, so the raw fraction can dip —
+    * the reported value never does (the reference's polled UI assumes
+    * monotonicity).
+    *
+    * Usage: `tracker.stage("journal") { df1.count() }` — every Spark job
+    * the block submits is tagged with the stage's job group and counted
+    * by the listener; exiting the block marks the stage's full weight.
+    * Call `close()` when done (removes the listener).
+    */
+  final class StageWeightedTracker(spark: SparkSession,
+                                   stages: Seq[(String, Double)],
+                                   cap: Double = 100.0) {
+    require(stages.nonEmpty && stages.forall(_._2 > 0),
+      "stages must be non-empty with positive weights")
+    private val weightSum = stages.map(_._2).sum
+    private val groupOf =
+      stages.map { case (n, _) => n -> s"graft-progress-$n" }.toMap
+    private val counts = new ConcurrentHashMap[String, Counts]()
+    private val stageOfSparkStage = new ConcurrentHashMap[Int, String]()
+    @volatile private var completed: Set[String] = Set.empty
+    @volatile private var current: Option[String] = None
+    @volatile private var finished = false
+    @volatile private var highWater = 0.0
+
+    private val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+        val group = Option(jobStart.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        group.flatMap(g => groupOf.collectFirst {
+          case (name, gid) if gid == g => name
+        }).foreach { name =>
+          val c = counts.computeIfAbsent(name, _ => new Counts)
+          c.synchronized {
+            c.total += jobStart.stageInfos.map(_.numTasks.toLong).sum
+          }
+          jobStart.stageIds.foreach(sid =>
+            stageOfSparkStage.put(sid, name))
+        }
+      }
+      override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+        val name = stageOfSparkStage.get(taskEnd.stageId)
+        if (name != null) {
+          val c = counts.computeIfAbsent(name, _ => new Counts)
+          c.synchronized { c.done += 1 }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    /** Run `body` as the named stage: its Spark jobs are tagged and
+      * counted; exiting marks the stage complete (full weight). */
+    def stage[T](name: String)(body: => T): T = {
+      require(groupOf.contains(name), s"undeclared stage '$name'")
+      current = Some(name)
+      val sc = spark.sparkContext
+      sc.setJobGroup(groupOf(name),
+        s"graft progress stage: $name", interruptOnCancel = false)
+      try body
+      finally {
+        sc.clearJobGroup()
+        completed += name
+        current = None
+      }
+    }
+
+    /** Lift the cap and pin 100% — the reference's final
+      * `progress = 100` assignment once the output file exists. */
+    def finish(): Unit = { finished = true; highWater = 100.0 }
+
+    def close(): Unit = spark.sparkContext.removeSparkListener(listener)
+
+    /** Polled snapshot, reference-style. Never decreases. */
+    def status: Status = {
+      val cur = current
+      val (done, total) = cur.flatMap(n => Option(counts.get(n)))
+        .map(c => (c.done, c.total)).getOrElse((0L, 0L))
+      val frac =
+        if (total <= 0) 0.0 else math.min(1.0, done.toDouble / total)
+      val weightDone = stages.collect {
+        case (n, w) if completed.contains(n) => w
+      }.sum
+      val weightCur = cur.filterNot(completed.contains)
+        .flatMap(n => stages.collectFirst { case (`n`, w) => w * frac })
+        .getOrElse(0.0)
+      val raw = 100.0 * (weightDone + weightCur) / weightSum
+      val clamped = if (finished) 100.0 else math.min(cap, raw)
+      highWater = math.max(highWater, clamped)
+      val stageName = cur.getOrElse(if (finished) "done" else "idle")
+      Status(stageName, s"$stageName ($done/$total tasks)",
+        math.round(highWater * 100.0) / 100.0, done,
+        math.max(0L, total - done))
+    }
+  }
+
+  /** Streaming counterpart: relays `StreamingQueryListener` progress
+    * events into the same `Status` shape — one snapshot per microbatch,
+    * cumulative input rows as `processed`. With `expectedRows` set the
+    * percent interpolates toward it (a bounded replay/backfill); without
+    * it the stream is unbounded and percent stays 0 while the row/batch
+    * counters advance (the honest answer for an infinite source).
+    * Register with `spark.streams.addListener(relay)`. */
+  final class StreamingProgressRelay(expectedRows: Option[Long] = None,
+                                     onUpdate: Status => Unit = _ => ())
+      extends StreamingQueryListener {
+    @volatile private var rows = 0L
+    @volatile private var batches = 0L
+    @volatile private var last: Status = Status("stream", "no batches", 0.0, 0L, 0L)
+
+    override def onQueryStarted(
+        event: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        event: StreamingQueryListener.QueryProgressEvent): Unit = {
+      rows += event.progress.numInputRows
+      batches += 1
+      val pct = expectedRows match {
+        case Some(n) if n > 0 =>
+          math.min(100.0, 100.0 * rows.toDouble / n)
+        case _ => 0.0
+      }
+      val s = Status("stream",
+        s"batch ${event.progress.batchId} ($rows rows in $batches batches)",
+        math.round(pct * 100.0) / 100.0, rows,
+        expectedRows.map(n => math.max(0L, n - rows)).getOrElse(0L))
+      last = s
+      onUpdate(s)
+    }
+
+    def status: Status = last
+  }
+}
