@@ -118,9 +118,9 @@ object ConfigManager {
           // exact keyLine grammar (value side included — "timeout:30" is
           // accepted there just like at map level)
           val itemKey =
-            "^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_-]*):(|\\s.*)$".r
+            "^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_.-]*):(|\\s.*)$".r
           val contKey =
-            "^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_-]*):\\s*(.*)$".r
+            "^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_.-]*):\\s*(.*)$".r
           rest match {
             case itemKey(k, v) =>
               // list of maps: first pair inline on the "- " line, the rest
@@ -135,7 +135,14 @@ object ConfigManager {
                 if (!isBlank(j)) {
                   lines(j).content match {
                     case contKey(k2, v2) => m(unquote(k2).toString) = unquote(v2)
-                    case _ => ()
+                    case other =>
+                      // a continuation line matching no key grammar would
+                      // be DROPPED — misparsed config must be visible, not
+                      // silently absent (the easyscholar key shape bug
+                      // class)
+                      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                        s"config list item: dropping unparseable " +
+                          s"continuation line '$other'")
                   }
                 }
                 j += 1
@@ -155,9 +162,11 @@ object ConfigManager {
     def parseMap(start: Int, indent: Int): (Conf, Int) = {
       val out = collection.mutable.LinkedHashMap[String, Any]()
       var i = start
-      // bare or quoted keys ("sciif": v — the metrics-mapping shape)
+      // bare or quoted keys ("sciif": v — the metrics-mapping shape);
+      // bare keys admit dots (log.level-style config keys), same grammar
+      // as the list-item/continuation keys
       val keyLine =
-        ("^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_-]*):\\s*(.*)$").r
+        ("^(\"[^\"]+\"|'[^']+'|[A-Za-z_][A-Za-z0-9_.-]*):\\s*(.*)$").r
       while (i < lines.length &&
         (isBlank(i) || lines(i).indent >= indent)) {
         if (isBlank(i)) i += 1

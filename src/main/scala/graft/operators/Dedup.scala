@@ -292,10 +292,19 @@ object Dedup {
     * Scale: the only all-to-all operation keys on band hashes (uniform by
     * construction); candidate verification joins back the (small) shingle
     * sets only for candidate ids — a semi-join reduction exactly like the
-    * reference's distinct-before-API-call trick. With k=128, bands=16
-    * (r=8), P[miss | J=0.9] = (1-0.9^8)^16 ≈ 5e-5; on the test corpus the
-    * planted pairs are J≥0.9 so recall is effectively exact, and the final
-    * exact-Jaccard verify makes precision exact.
+    * reference's distinct-before-API-call trick.
+    *
+    * Recall bound at the DEFAULTS (k=128, bands=32, r=4): P[miss] =
+    * (1-J^4)^32 — ≈1.5e-15 at J=0.9, but ≈1.2% for a pair sitting AT a
+    * 0.6 query threshold. The oracle-checked queries pass exactly because
+    * the corpus's planted pairs are J≥0.9; a corpus dense in
+    * just-at-threshold pairs would deterministically diverge from an
+    * exact-Jaccard oracle by that ~1% band miss rate. Raise r (e.g.
+    * bands=16/r=8: miss at J=0.9 ≈ 5e-5, but at J=0.6 ≈ 63%) only when
+    * the threshold itself is high; r=4 is the sweet spot for 0.6-ish
+    * thresholds (r=2 floods candidates on word-soup corpora — measured in
+    * BASELINE.md). Precision is always exact (final exact-Jaccard
+    * verify).
     *
     * Output schema identical to `jaccardPairs` (so the same DuckDB
     * brute-force oracle verifies it).

@@ -232,13 +232,18 @@ object Excel {
       // externally-produced sheet may have a gap in the header row (blank
       // header cell over a populated column), and absolute indexing into
       // the compacted array would silently shift those values one column
-      // left. Cells in columns with no header are dropped (the reference's
-      // pd.read_excel names them "Unnamed: N"; nothing downstream reads
-      // unnamed columns, so dropping keeps the schema to declared fields).
-      val headerCells = rows.head.sortBy(_._1)
-      val header = headerCells.map(_._2)
-      val posByCol: Map[Int, Int] =
-        headerCells.map(_._1).zipWithIndex.toMap
+      // left. Columns populated below a missing/blank header get a
+      // synthesized "Unnamed: N" header (N = 0-based column index) —
+      // pd.read_excel's behavior in the reference — so no cell is ever
+      // silently dropped.
+      val headerByCol: Map[Int, String] = rows.head.toMap
+      val dataCols: Seq[Int] =
+        (rows.head.map(_._1) ++ rows.tail.flatMap(_.map(_._1)))
+          .distinct.sorted
+      val header = dataCols.map { ci =>
+        headerByCol.get(ci).filter(_.nonEmpty).getOrElse(s"Unnamed: $ci")
+      }
+      val posByCol: Map[Int, Int] = dataCols.zipWithIndex.toMap
       val schema = StructType(header.map(StructField(_, StringType)) :+
         StructField("__sheet", StringType))
       val data = rows.tail.map { cells =>

@@ -115,6 +115,21 @@ class ConfigManagerSpec extends AnyFunSuite {
       Seq(Map("name" -> "a", "timeout" -> 30L)))
   }
 
+  test("dotted keys (log.level style) parse at map level, in list items " +
+    "and in continuation lines") {
+    val conf = ConfigManager.parseYaml(
+      """log.level: debug
+        |sources:
+        |  - source.type: pubmed
+        |    retry.max: 3
+        |""".stripMargin)
+    // dotted key is stored as a LITERAL key (path getters navigate by
+    // dots, so access the raw map here)
+    assert(conf("log.level") === "debug")
+    assert(ConfigManager.getSeq(conf, "sources") ===
+      Seq(Map("source.type" -> "pubmed", "retry.max" -> 3L)))
+  }
+
   test("ollama routes to the OpenAI-compatible surface, not /api/chat") {
     val conf = ConfigManager.applyDefaults(Map("llm" -> Map(
       "type" -> "ollama")))

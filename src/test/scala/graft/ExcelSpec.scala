@@ -85,8 +85,9 @@ class ExcelSpec extends SparkTestBase {
   test("readXlsx maps data cells through header column INDICES: a gap in " +
     "the header row does not shift values into the wrong column") {
     // hand-build a sheet where the header row skips column B but a data
-    // row populates A, B, and C — B's value must be dropped (no header),
-    // and C's value must land under the C-column header, not shift left
+    // row populates A, B, and C — B's value must surface under a
+    // synthesized "Unnamed: 1" header (pd.read_excel behavior), and C's
+    // value must land under the C-column header, not shift left
     val dir = Files.createTempDirectory("graft_xlsx").toString
     val path = s"$dir/gap.xlsx"
     val zip = new java.util.zip.ZipOutputStream(
@@ -111,9 +112,10 @@ class ExcelSpec extends SparkTestBase {
         """</sheetData></worksheet>""")
     zip.close()
     val back = Excel.readXlsx(spark, path)
-    assert(back.columns.toSeq === Seq("ha", "hc", "__sheet"))
+    assert(back.columns.toSeq === Seq("ha", "Unnamed: 1", "hc", "__sheet"))
     val r = back.collect()(0)
     assert(r.getAs[String]("ha") === "va")
+    assert(r.getAs[String]("Unnamed: 1") === "orphan") // kept, named like pandas
     assert(r.getAs[String]("hc") === "vc") // pre-fix: "orphan" shifted here
   }
 
