@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Dedup, Enrich, Events, PromptTemplates, Similarity, Skew}
+import graft.operators.{AsOfJoin, Dedup, Enrich, Events, Pack, PromptTemplates, Similarity, Skew}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -770,6 +770,30 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
+    // division — rank-equivalent to tf·N/df and bit-reproducible across
+    // engines, so the oracle hashes the score itself)
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), col("doc_id"),
+          col("text"), k = 5)
+        .orderBy("doc_id", "rank")),
+
+    // sequence packing (concat-and-chunk): deterministic md5 order and
+    // doc_id-mod bucketing so DuckDB replays the exact layout; the
+    // production default is xxhash64 on both (operator parameters)
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ntok = when(col("text").isNull || trim(col("text")) === "",
+        lit(0L)).otherwise(
+        size(filter(split(trim(col("text")), "\\s+"),
+          t => t =!= "")).cast("long"))
+      Pack.concatChunk(docs, col("doc_id"), ntok, budget = 512L,
+          buckets = 8,
+          bucketExpr = Some(col("doc_id") % 8),
+          orderExpr = Some(md5(col("doc_id").cast("string"))))
+        .orderBy("doc_id")
+    }),
+
     // -- external-op pipelines with deterministic stubs (X1, X2+F16) ----------------
     "q_enrich_metrics" -> ((s, dir) =>
       Enrich.journalMetrics(Tables.documents(s, dir), "lang",
@@ -803,6 +827,20 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
         .select(col("probe_id"), col("rank"), col("nbr_id"))
         .orderBy("probe_id", "rank")
+    }),
+
+    // SEMANTIC dedup end-to-end: exact cosine near-dup pairs → large-star/
+    // small-star clustering → min-id survivor per embedding cluster — the
+    // embedding-space mirror of q_dedup_cluster(_star), cross-covering the
+    // cosine-detector → star-CC composition. Oracle: brute-force cosine
+    // pairs + recursive-CTE closure.
+    "q_embed_cluster" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.cosineNearDupPairs(emb, 0.45)
+      Dedup.nearDupSurvivors(emb, col("vec_id"), pairs,
+          Dedup.connectedComponentsStar(_))
+        .select(col("doc_id").as("vec_id"), col("survivor_id"))
+        .orderBy("vec_id")
     }),
 
     // IVF machinery under the hash oracle: with nProbe = nCentroids every
@@ -1474,6 +1512,43 @@ object SparkEntry {
       s"""SELECT doc_id, md5($normTextSql) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
+    // only tf-idf scoring a cross-engine hash oracle can pin
+    "q_text_tfidf" ->
+      s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+         |        FROM nrm),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, tok, tf, df,
+         |         CAST(tf AS DOUBLE) / df AS score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY CAST(tf AS DOUBLE) / df DESC, tok ASC) AS rank
+         |       FROM tf JOIN idf USING (tok))
+         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok,
+         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+         |FROM sc WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // concat-and-chunk packing: md5 concatenation order + mod bucketing
+    // (both engine-portable), integer div/mod on the running sum
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(list_filter(
+        |           regexp_split_to_array(trim(text), '\s+'),
+        |           x -> x <> '')) END AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS bucket,
+        |        CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY doc_id % 8
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |          - n_tokens AS cum_before
+        |      FROM t)
+        |SELECT doc_id, bucket, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS seq,
+        |  CAST(cum_before % 512 AS BIGINT) AS offset
+        |FROM o ORDER BY doc_id""".stripMargin,
+
     "q_text_repetition" ->
       s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
          |wrd AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nrm),
@@ -1727,6 +1802,32 @@ object SparkEntry {
         |          0) AS cos
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b FROM s WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // semantic dedup: cosine pairs -> transitive closure -> min survivor
+    "q_embed_cluster" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |        / nullif(
+        |          sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+        |          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))),
+        |          0) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM s WHERE cos >= 0.45),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+        |comp AS (SELECT src AS vec_id, min(dst) AS reach_min
+        |         FROM reach GROUP BY src)
+        |SELECT v.vec_id,
+        |  CAST(least(coalesce(c.reach_min, v.vec_id), v.vec_id) AS BIGINT)
+        |    AS survivor_id
+        |FROM e v LEFT JOIN comp c ON v.vec_id = c.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
 
     // IVF at nProbe = nCentroids must equal exact brute-force top-k
     "q_embed_ivf_topk" ->

@@ -18,6 +18,43 @@ object TextAnalysis {
   def wsTokenCount(c: Column): Column =
     when(length(trim(c)) === 0, 0).otherwise(size(split(trim(c), "\\s+")))
 
+  /** TF-IDF top-k characteristic terms per document, over the normalized
+    * token stream. Scoring uses the LINEAR idf variant: score = tf / df,
+    * which is rank-equivalent to tf · (N/df) (N, the corpus size, is
+    * constant) — chosen because one IEEE-754 division is bit-identical
+    * on every engine, so a DuckDB oracle can hash the score itself
+    * (ln-damped idf rides on libm and is not reproducible to the bit
+    * across engines; swapping `log` into the score expression is one
+    * line if damping matters more than exact replay).
+    *
+    * Scale: tokens explode → (doc, term) partial+final count (shuffle
+    * keys doc×term, high cardinality) → df by a second aggregate keyed
+    * on term alone → join back on term (both sides already hashed on
+    * term) → per-doc top-k through a rank window (WindowGroupLimit
+    * pushes the k-filter into a partial top-k before the window
+    * shuffle, same plan the stratified sample pins). No step is
+    * all-pairs; the widest frame is the distinct (doc, term) matrix.
+    *
+    * Output: (doc_id, rank, tok, tf, df, score), rank 1..k by
+    * (score desc, tok asc). */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, id: Column,
+                text: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("doc_id"),
+      explode(split(normText(text), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, Seq("tok"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** BPE-ish subword token count: word chunks, numbers, and individual
     * punctuation marks — the classic GPT-2 pre-tokenizer shape, counted
     * with a codegen'd regex (no tokenizer library needed for counting). */
