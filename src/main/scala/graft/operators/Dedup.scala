@@ -479,6 +479,84 @@ object Dedup {
       threshold, broadcastBatch)
   }
 
+  /** One microbatch of the CONTINUOUS ingestion dedup gate — the shape a
+    * 100 TB pipeline actually runs, as a `foreachBatch` body (see
+    * `EventStreams.startIngestDedupGate` for the stream wiring):
+    *
+    *   1. probe the persisted corpus index (`probePersistedIndex`) and
+    *      drop batch docs near-duplicating the corpus — batch×corpus
+    *      only, the corpus never self-joins and never recomputes;
+    *   2. dedup the batch INTERNALLY (minhash pairs → min-id survivor)
+    *      — without this, two near-identical docs arriving in the same
+    *      batch would both pass the corpus probe and poison the index;
+    *   3. append the admitted docs to the corpus table and their
+    *      band/shingle frames to the index, all partitioned by
+    *      `ingest_batch = batchId` with DYNAMIC partition overwrite —
+    *      so a replayed epoch (crash between write and offset commit)
+    *      rewrites its own partitions instead of appending duplicates:
+    *      at-least-once delivery × idempotent write = exactly-once
+    *      corpus/index state, the same argument as
+    *      `EventStreams.windowSinkBatch`.
+    *
+    * Batch N+1 probes a corpus that already contains batch N's
+    * survivors (the index read is partition-discovered fresh each
+    * epoch). First batch bootstraps the index (no probe, meta written).
+    */
+  def ingestGateBatch(indexPath: String, corpusPath: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      threshold: Double = 0.6, w: Int = 3, k: Int = 128,
+                      bands: Int = 32)
+                     (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val id = col(idCol)
+    val text = col(textCol)
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+    val fs = bandsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val afterCorpus =
+      if (!fs.exists(bandsPath)) batch
+      else {
+        val matched = probePersistedIndex(batch, id, text, indexPath,
+            threshold, w, k, bands)
+          .select(col("batch_id")).distinct()
+        batch.join(matched, id === col("batch_id"), "left_anti")
+      }
+    val pairs = minhashLshPairs(afterCorpus, id, text, threshold, w, k,
+      bands)
+    val keep = nearDupSurvivors(afterCorpus, id, pairs)
+      .where(col("survivor_id") === col("doc_id"))
+      .select(col("doc_id").as("__keep_id"))
+    // pin the admitted set once: three writes below must not re-run the
+    // probe + LSH chain per sink
+    val admitted = afterCorpus
+      .join(keep, id === col("__keep_id"), "left_semi").persist()
+    try {
+      if (!admitted.isEmpty) {
+        val conf = spark.conf
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = conf.get(key, "static")
+        conf.set(key, "dynamic")
+        try {
+          admitted.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(corpusPath)
+          minhashBands(admitted, id, text, w, k, bands)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(s"$indexPath/bands")
+          shingleFrame(admitted, id, text, w)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(s"$indexPath/shingles")
+          Seq((w, k, bands)).toDF("w", "k", "bands").coalesce(1)
+            .write.mode("overwrite").parquet(s"$indexPath/meta")
+        } finally conf.set(key, prev)
+      }
+    } finally admitted.unpersist(blocking = false)
+  }
+
   /** 64-bit SimHash over the normalized token multiset: each token hashes
     * to 64 bits via xxhash64; bit b of the simhash = majority vote of token
     * bits. Implemented as exploded token → per-(doc,bit) vote aggregation →

@@ -183,6 +183,27 @@ object EventStreams {
       .foreachBatch(windowSinkBatch(path) _)
       .start()
 
+  /** CONTINUOUS ingestion dedup: wire a document stream through
+    * `Dedup.ingestGateBatch` — every microbatch probes the persisted
+    * corpus index, drops corpus near-dups and batch-internal near-dups,
+    * and appends the survivors (docs + index frames) under its epoch's
+    * partition. The corpus/index at `corpusPath`/`indexPath` are plain
+    * partitioned parquet, readable mid-stream. This is the streaming
+    * closure of the incremental-dedup contract: detect → decide → admit,
+    * continuously, with exactly-once corpus state. */
+  def startIngestDedupGate(stream: DataFrame, indexPath: String,
+                           corpusPath: String, checkpoint: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           threshold: Double = 0.6)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Dedup.ingestGateBatch(
+        indexPath, corpusPath, idCol, textCol, threshold) _)
+      .start()
+
   // ---- custom state: flatMapGroupsWithState sessionization -----------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

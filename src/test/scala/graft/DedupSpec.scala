@@ -219,6 +219,43 @@ class DedupSpec extends SparkTestBase {
     assert(ex.getMessage.contains("built with"))
   }
 
+  test("ingest gate: corpus probe + batch-internal dedup + idempotent " +
+    "epoch replay (continuous ingestion shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val idx = s"$dir/idx"
+    val corpusPath = s"$dir/corpus"
+    val gate = Dedup.ingestGateBatch(idx, corpusPath, threshold = 0.5) _
+    def corpusIds(): Set[Long] = spark.read.parquet(corpusPath)
+      .select("doc_id").as[Long].collect().toSet
+    // epoch 0 bootstraps: two distinct docs admitted, index written
+    gate(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text"), 0L)
+    assert(corpusIds() === Set(1L, 2L))
+    // epoch 1: 10 near-dups corpus doc 1 (dropped by the probe);
+    // 11 is novel; 12/13 are near-dups of EACH OTHER (internal dedup
+    // keeps min id 12)
+    val epoch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      (11L, "completely novel content with no overlap whatsoever at all"),
+      (12L, "red orange yellow green blue indigo violet pink brown black"),
+      (13L, "red orange yellow green blue indigo violet pink brown white")
+    ).toDF("doc_id", "text")
+    gate(epoch1, 1L)
+    assert(corpusIds() === Set(1L, 2L, 11L, 12L))
+    // crash-replay: the SAME epoch re-runs (offset commit lost) — the
+    // dynamic partition overwrite rewrites ingest_batch=1, no dupes
+    gate(epoch1, 1L)
+    assert(corpusIds() === Set(1L, 2L, 11L, 12L))
+    // the index grew with the admissions: a near-dup of epoch-1 doc 11
+    // is now caught by the probe in epoch 2
+    gate(Seq(
+      (20L, "completely novel content with no overlap whatsoever at most")
+    ).toDF("doc_id", "text"), 2L)
+    assert(corpusIds() === Set(1L, 2L, 11L, 12L))
+  }
+
   test("simhashPairs matches exact jaccard on docs long enough for stable " +
     "majority votes") {
     // simhash majority margins scale with sqrt(token count): ~10-token docs

@@ -76,6 +76,29 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("continuous ingest dedup gate end-to-end: later microbatches probe " +
+    "the corpus earlier ones built") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_e2e")
+      .toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.startIngestDedupGate(
+      mem.toDF.toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/corpus", s"$dir/ckpt", threshold = 0.5)
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      q.processAllAvailable()
+      mem.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+        (11L, "totally distinct content with no overlap whatsoever here"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 11L)) // 10 near-dups doc 1 -> gated out
+    } finally q.stop()
+  }
+
   test("ST2: watermarked sliding window matches batch semantics for " +
     "closed windows") {
     implicit val sqlCtx = spark.sqlContext
