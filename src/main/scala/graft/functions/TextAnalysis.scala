@@ -28,12 +28,13 @@ object TextAnalysis {
     * line if damping matters more than exact replay).
     *
     * Scale: tokens explode → (doc, term) partial+final count (shuffle
-    * keys doc×term, high cardinality) → df by a second aggregate keyed
-    * on term alone → join back on term (both sides already hashed on
-    * term) → per-doc top-k through a rank window (WindowGroupLimit
-    * pushes the k-filter into a partial top-k before the window
-    * shuffle, same plan the stratified sample pins). No step is
-    * all-pairs; the widest frame is the distinct (doc, term) matrix.
+    * keys doc×term, high cardinality) → df as a COUNT WINDOW over the
+    * tf frame keyed on term (one shuffle; the aggregate+join-back form
+    * costs two more exchanges for the same rows) → per-doc top-k
+    * through a rank window (WindowGroupLimit pushes the k-filter into
+    * a partial top-k before the window shuffle, same plan the
+    * stratified sample pins — 3 exchanges total, plan-audited). No step
+    * is all-pairs; the widest frame is the distinct (doc, term) matrix.
     *
     * Output: (doc_id, rank, tok, tf, df, score), rank 1..k by
     * (score desc, tok asc). */
@@ -44,12 +45,11 @@ object TextAnalysis {
       explode(split(normText(text), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id")
+    val wRank = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
-    tf.join(df, Seq("tok"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("score", col("tf").cast("double") / col("df"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
         col("df"), col("score"))
