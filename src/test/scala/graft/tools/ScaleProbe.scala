@@ -116,6 +116,42 @@ object ScaleProbe {
     def emb: DataFrame = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
 
+    if (which("idx-weak")) {
+      // persisted-index probe at 10x: 50k-doc corpus persisted once, a
+      // 5k near-dup batch probes it — the recompute path re-signatures
+      // all 50k docs per probe, the persisted path none of them
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val corpus = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("idx_corpus_rows")(corpus.count())
+      // batch = replica-0 docs with one appended token: true near-dups
+      // of exactly the replica-0 slice of the corpus
+      val batch = docs.select(
+        (col("doc_id") + lit(50000000L)).as("doc_id"),
+        concat(regexp_replace(col("text"), "(\\S+)", "r0$1"), lit(" zz"))
+          .as("text")).localCheckpoint(true)
+      t("idx_batch_rows")(batch.count())
+      t("idx_direct_recompute_pairs")(
+        graft.operators.Dedup.incrementalNearDupPairs(
+          batch, col("doc_id"), col("text"),
+          corpus, col("doc_id"), col("text"), threshold = 0.6).count())
+      val idxPath = "/tmp/graft_scaleprobe_idx"
+      t("idx_persist_once") {
+        graft.operators.Dedup.persistIndex(corpus, col("doc_id"),
+          col("text"), idxPath)
+        0L
+      }
+      t("idx_probe_persisted_pairs")(
+        graft.operators.Dedup.probePersistedIndex(batch, col("doc_id"),
+          col("text"), idxPath, threshold = 0.6).count())
+      t("idx_probe_persisted_again")(
+        graft.operators.Dedup.probePersistedIndex(batch, col("doc_id"),
+          col("text"), idxPath, threshold = 0.6).count())
+    }
+
     if (which("emb-adversarial")) {
       val replicas = (0 until 10).map { k =>
         emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
