@@ -81,15 +81,43 @@ class AsOfSkewSpec extends SparkTestBase {
     assert(ex.getMessage.contains("FACT side"))
   }
 
-  /** Disable broadcast (the regime saltedJoin targets) AND AQE partition
-    * coalescing (which would merge this tiny corpus into one partition
-    * and void the spread assertion). */
-  private def withNoBroadcast[T](body: => T): T = {
-    val keys = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.enabled" -> "false")
+  test("AQE skew-join engages on a hot key — the runtime defense " +
+    "saltedJoin statically backs up (SURVEY §4.2)") {
+    withConfs(Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.shuffle.partitions" -> "8")) {
+      // half the fact rows pile onto key 1 with a fat payload — one
+      // reducer's partition dwarfs the median and the 8KB threshold
+      val fact = spark.range(1, 200001).select(
+        when(col("id") % 2 === 0, 1L).otherwise(col("id")).as("k"),
+        concat(lit("payload_payload_payload_"), col("id")).as("v"))
+      val dim = spark.range(1, 1001).select(col("id").as("k"),
+        concat(lit("n"), col("id")).as("name"))
+      val j = fact.join(dim, "k")
+      assert(j.collect().length === 100500) // 100k hot + 500 odd keys <= 1000
+      // the FINAL adaptive plan (inspect after execution) must carry the
+      // OptimizeSkewedJoin marker: the hot partition was split
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE skew-join did not engage:\n$plan")
+    }
+  }
+
+  /** Pin session confs for `body` (broadcast off = the regime saltedJoin
+    * targets; AQE knobs for the skew spec), restoring previous values. */
+  private def withConfs[T](keys: Seq[(String, String)])(body: => T): T = {
     val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
     finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  private def withNoBroadcast[T](body: => T): T =
+    withConfs(Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false"))(body)
 }

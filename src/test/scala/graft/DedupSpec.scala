@@ -327,6 +327,24 @@ class DedupSpec extends SparkTestBase {
     assert(star.forall(_._2 === 1L)) // one component, min id 1
   }
 
+  test("connectedComponentsStar: star-forest input is a fixpoint " +
+    "(detected immediately), 2-level trees contract") {
+    // already a star forest: children point at their component minimum
+    val stars = Seq((2L, 1L), (3L, 1L), (4L, 1L), (6L, 5L))
+      .toDF("id_a", "id_b")
+    val out1 = Dedup.connectedComponentsStar(stars)
+      .as[(Long, Long)].collect().toMap
+    assert(out1 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // NOT a star forest even though every edge points at a smaller id:
+    // 3 is both a parent (of 4, 5) and a child (of 1) — the probe must
+    // keep iterating until 4 and 5 re-attach to 1 directly
+    val chainish = Seq((3L, 1L), (4L, 3L), (5L, 3L)).toDF("id_a", "id_b")
+    val out2 = Dedup.connectedComponentsStar(chainish)
+      .as[(Long, Long)].collect().toMap
+    assert(out2 === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("connectedComponentsStar labels equal plain propagation on a mixed " +
     "pseudo-random graph") {
     // deterministic multi-component graph: chains, a clique, crossing
