@@ -152,6 +152,39 @@ object ScaleProbe {
           col("text"), idxPath, threshold = 0.6).count())
     }
 
+    if (which("ivf-recall")) {
+      // honest ANN quality numbers: recall@5 of ivfTopK vs brute force at
+      // nProbe << nCentroids, on (a) the near-orthogonal sf0.1 corpus
+      // (worst case: no cluster structure for the quantizer to exploit)
+      // and (b) a x10-replicated corpus (real clusters — each vector's
+      // true neighbors are its replicas)
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding").localCheckpoint(true)
+      def recall(corpus: DataFrame, nProbe: Int): Double = {
+        val probes = corpus.where(col("vec_id") % 20 === 0)
+        val exact = graft.operators.Similarity
+          .bruteForceTopK(corpus, probes, k = 5)
+          .select("probe_id", "nbr_id").localCheckpoint(true)
+        val denom = exact.count().toDouble
+        val hit = graft.operators.Similarity
+          .ivfTopK(corpus, probes, k = 5, nCentroids = 16, nProbe = nProbe)
+          .select("probe_id", "nbr_id")
+          .join(exact, Seq("probe_id", "nbr_id"), "left_semi").count()
+        hit / denom
+      }
+      for (np <- Seq(1, 4, 8, 16))
+        t(f"ivf_recall_flat_nprobe$np%02d_x1000")(
+          math.round(recall(emb, np) * 1000))
+      val replicas = (0 until 10).map { k =>
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }
+      val clustered = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      for (np <- Seq(1, 4))
+        t(f"ivf_recall_clustered_nprobe$np%02d_x1000")(
+          math.round(recall(clustered, np) * 1000))
+    }
+
     if (which("emb-adversarial")) {
       val replicas = (0 until 10).map { k =>
         emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
