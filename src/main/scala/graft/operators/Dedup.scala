@@ -500,8 +500,16 @@ object Dedup {
     *
     * Batch N+1 probes a corpus that already contains batch N's
     * survivors (the index read is partition-discovered fresh each
-    * epoch). First batch bootstraps the index (no probe, meta written).
-    */
+    * epoch). First batch bootstraps the index (no probe).
+    *
+    * Crash safety is keyed on `meta/`: it is written ONCE, at bootstrap,
+    * and LAST (after corpus → bands → shingles), and its presence is
+    * what flips later epochs onto the probe path. A crash anywhere
+    * inside the bootstrap epoch leaves meta absent, so the replay
+    * re-runs the full bootstrap and dynamic overwrite rewrites the
+    * partial partitions; a crash in any later epoch never touches meta
+    * at all — there is no window in which a probe can find bands without
+    * meta, or a half-written meta. */
   def ingestGateBatch(indexPath: String, corpusPath: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       threshold: Double = 0.6, w: Int = 3, k: Int = 128,
@@ -512,11 +520,12 @@ object Dedup {
     import spark.implicits._
     val id = col(idCol)
     val text = col(textCol)
-    val bandsPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
-    val fs = bandsPath.getFileSystem(
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val fs = metaPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(metaPath)
     val afterCorpus =
-      if (!fs.exists(bandsPath)) batch
+      if (bootstrap) batch
       else {
         val matched = probePersistedIndex(batch, id, text, indexPath,
             threshold, w, k, bands)
@@ -528,33 +537,30 @@ object Dedup {
     val keep = nearDupSurvivors(afterCorpus, id, pairs)
       .where(col("survivor_id") === col("doc_id"))
       .select(col("doc_id").as("__keep_id"))
-    // pin the admitted set once: three writes below must not re-run the
-    // probe + LSH chain per sink
+    // localCheckpoint (not .persist) pins the admitted set: the probe
+    // lineage reads the very bands/shingles parquet the writes below
+    // overwrite, so an evicted cache block could otherwise recompute
+    // against mutated input. Checkpointing severs that lineage — the
+    // three sinks replay from materialized blocks, never the index.
     val admitted = afterCorpus
-      .join(keep, id === col("__keep_id"), "left_semi").persist()
-    try {
-      if (!admitted.isEmpty) {
-        val conf = spark.conf
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = conf.get(key, "static")
-        conf.set(key, "dynamic")
-        try {
-          admitted.withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite").partitionBy("ingest_batch")
-            .parquet(corpusPath)
-          minhashBands(admitted, id, text, w, k, bands)
-            .withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite").partitionBy("ingest_batch")
-            .parquet(s"$indexPath/bands")
-          shingleFrame(admitted, id, text, w)
-            .withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite").partitionBy("ingest_batch")
-            .parquet(s"$indexPath/shingles")
-          Seq((w, k, bands)).toDF("w", "k", "bands").coalesce(1)
-            .write.mode("overwrite").parquet(s"$indexPath/meta")
-        } finally conf.set(key, prev)
-      }
-    } finally admitted.unpersist(blocking = false)
+      .join(keep, id === col("__keep_id"), "left_semi")
+      .localCheckpoint()
+    if (!admitted.isEmpty) {
+      // per-write option, not a session-conf flip: concurrent writers
+      // on the same session keep their own overwrite semantics
+      def dyn(df: DataFrame) = df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+      dyn(admitted).parquet(corpusPath)
+      dyn(minhashBands(admitted, id, text, w, k, bands))
+        .parquet(s"$indexPath/bands")
+      dyn(shingleFrame(admitted, id, text, w))
+        .parquet(s"$indexPath/shingles")
+      if (bootstrap)
+        Seq((w, k, bands)).toDF("w", "k", "bands").coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexPath/meta")
+    }
   }
 
   /** 64-bit SimHash over the normalized token multiset: each token hashes

@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
@@ -56,7 +57,17 @@ object Progress {
     @volatile private var completed: Set[String] = Set.empty
     @volatile private var current: Option[String] = None
     @volatile private var finished = false
-    @volatile private var highWater = 0.0
+    // monotone max via atomic CAS on the double's bit pattern: `status`
+    // is a polled API, and two concurrent pollers doing a plain
+    // read-modify-write could interleave so a later poll reports a
+    // LOWER value — violating the never-decreases contract
+    private val highWater = new AtomicLong(java.lang.Double.doubleToLongBits(0.0))
+    private def raiseHighWater(v: Double): Double =
+      java.lang.Double.longBitsToDouble(
+        highWater.accumulateAndGet(java.lang.Double.doubleToLongBits(v),
+          (a, b) =>
+            if (java.lang.Double.longBitsToDouble(a) >=
+                java.lang.Double.longBitsToDouble(b)) a else b))
 
     private val listener = new SparkListener {
       override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
@@ -101,7 +112,7 @@ object Progress {
 
     /** Lift the cap and pin 100% — the reference's final
       * `progress = 100` assignment once the output file exists. */
-    def finish(): Unit = { finished = true; highWater = 100.0 }
+    def finish(): Unit = { finished = true; raiseHighWater(100.0) }
 
     def close(): Unit = spark.sparkContext.removeSparkListener(listener)
 
@@ -120,10 +131,10 @@ object Progress {
         .getOrElse(0.0)
       val raw = 100.0 * (weightDone + weightCur) / weightSum
       val clamped = if (finished) 100.0 else math.min(cap, raw)
-      highWater = math.max(highWater, clamped)
+      val hw = raiseHighWater(clamped)
       val stageName = cur.getOrElse(if (finished) "done" else "idle")
       Status(stageName, s"$stageName ($done/$total tasks)",
-        math.round(highWater * 100.0) / 100.0, done,
+        math.round(hw * 100.0) / 100.0, done,
         math.max(0L, total - done))
     }
   }
@@ -134,12 +145,21 @@ object Progress {
     * percent interpolates toward it (a bounded replay/backfill); without
     * it the stream is unbounded and percent stays 0 while the row/batch
     * counters advance (the honest answer for an infinite source).
-    * Register with `spark.streams.addListener(relay)`. */
+    * Register with `spark.streams.addListener(relay)`.
+    *
+    * Listeners are SESSION-global — every active stream's progress
+    * events arrive here — so the relay tracks exactly ONE query: the
+    * one named by `queryId`, or (when unset) whichever query's event
+    * arrives first. Events from any other concurrent stream are
+    * ignored; without the filter two streams would interleave their
+    * row/batch counters into one meaningless total. */
   final class StreamingProgressRelay(expectedRows: Option[Long] = None,
-                                     onUpdate: Status => Unit = _ => ())
+                                     onUpdate: Status => Unit = _ => (),
+                                     queryId: Option[java.util.UUID] = None)
       extends StreamingQueryListener {
     @volatile private var rows = 0L
     @volatile private var batches = 0L
+    @volatile private var boundId: Option[java.util.UUID] = queryId
     @volatile private var last: Status = Status("stream", "no batches", 0.0, 0L, 0L)
 
     override def onQueryStarted(
@@ -148,6 +168,8 @@ object Progress {
         event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(
         event: StreamingQueryListener.QueryProgressEvent): Unit = {
+      if (boundId.isEmpty) boundId = Some(event.progress.id)
+      if (!boundId.contains(event.progress.id)) return
       rows += event.progress.numInputRows
       batches += 1
       val pct = expectedRows match {

@@ -233,15 +233,18 @@ object Excel {
       // header cell over a populated column), and absolute indexing into
       // the compacted array would silently shift those values one column
       // left. Columns populated below a missing/blank header get a
-      // synthesized "Unnamed: N" header (N = 0-based column index) —
-      // pd.read_excel's behavior in the reference — so no cell is ever
-      // silently dropped.
+      // synthesized "Unnamed: N" header — pd.read_excel's behavior in
+      // the reference — so no cell is ever silently dropped. N is the
+      // column's POSITION IN THE PARSED FRAME (dataCols order), matching
+      // pandas, which numbers unnamed columns by frame position and not
+      // by raw sheet column: the two diverge when the used range does
+      // not start at column A or skips fully-empty columns.
       val headerByCol: Map[Int, String] = rows.head.toMap
       val dataCols: Seq[Int] =
         (rows.head.map(_._1) ++ rows.tail.flatMap(_.map(_._1)))
           .distinct.sorted
-      val header = dataCols.map { ci =>
-        headerByCol.get(ci).filter(_.nonEmpty).getOrElse(s"Unnamed: $ci")
+      val header = dataCols.zipWithIndex.map { case (ci, pos) =>
+        headerByCol.get(ci).filter(_.nonEmpty).getOrElse(s"Unnamed: $pos")
       }
       val posByCol: Map[Int, Int] = dataCols.zipWithIndex.toMap
       val schema = StructType(header.map(StructField(_, StringType)) :+

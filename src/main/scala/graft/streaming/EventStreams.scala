@@ -160,13 +160,11 @@ object EventStreams {
     * to remove.) */
   def windowSinkBatch(path: String)(batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      val conf = batch.sparkSession.conf
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = conf.get(key, "static")
-      conf.set(key, "dynamic")
-      try batch.write.mode("overwrite")
+      // per-write option, not a session-conf flip: a concurrent writer
+      // on the same session keeps its own overwrite semantics
+      batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("window_start").parquet(path)
-      finally conf.set(key, prev)
     }
   }
 
