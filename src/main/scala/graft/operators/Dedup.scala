@@ -479,6 +479,39 @@ object Dedup {
       threshold, broadcastBatch)
   }
 
+  /** How `ingestGateBatch` pins the admitted set between computing it and
+    * writing it three times (corpus, bands, shingles). The pin exists
+    * because the admitted frame's lineage READS the very index parquet the
+    * writes mutate — an unpinned recompute mid-write could see its own
+    * half-written output. The modes trade recovery cost against storage:
+    *
+    *  - `Auto` (default): reliable checkpoint when the session has a
+    *    checkpoint dir, else `localCheckpoint`. Matches the session's own
+    *    durability posture.
+    *  - `Local`: `localCheckpoint` — cheapest, but the blocks live in
+    *    EXECUTOR storage and are non-recomputable: an executor loss
+    *    mid-epoch fails the epoch (recovery = streaming replay of the same
+    *    batchId, which is idempotent but re-pays the whole epoch). Wrong
+    *    choice on preemptible clusters, where every preemption becomes a
+    *    batch retry.
+    *  - `Reliable`: `checkpoint` to the session checkpoint dir — survives
+    *    executor loss; requires `setCheckpointDir`. Checkpoint files are
+    *    deleted after the writes (see `releaseMaterialized`).
+    *  - `CollectIds`: collect the admitted IDS (bounded by the BATCH, not
+    *    the corpus) to the driver and re-derive the admitted rows from the
+    *    raw batch via a broadcast semi-join. Zero pinned executor state —
+    *    each write recomputes the batch scan + filter, whose lineage reads
+    *    only the SOURCE, never the index. The regime for aggressively
+    *    preempted executors when no durable checkpoint dir exists.
+    */
+  sealed trait AdmittedPinning
+  object AdmittedPinning {
+    case object Auto extends AdmittedPinning
+    case object Local extends AdmittedPinning
+    case object Reliable extends AdmittedPinning
+    case object CollectIds extends AdmittedPinning
+  }
+
   /** One microbatch of the CONTINUOUS ingestion dedup gate — the shape a
     * 100 TB pipeline actually runs, as a `foreachBatch` body (see
     * `EventStreams.startIngestDedupGate` for the stream wiring):
@@ -503,27 +536,37 @@ object Dedup {
     * epoch). First batch bootstraps the index (no probe).
     *
     * Crash safety is keyed on `meta/`: it is written ONCE, at bootstrap,
-    * and LAST (after corpus → bands → shingles), and its presence is
-    * what flips later epochs onto the probe path. A crash anywhere
-    * inside the bootstrap epoch leaves meta absent, so the replay
-    * re-runs the full bootstrap and dynamic overwrite rewrites the
-    * partial partitions; a crash in any later epoch never touches meta
-    * at all — there is no window in which a probe can find bands without
-    * meta, or a half-written meta. */
+    * and LAST (after corpus → bands → shingles). "Written" means
+    * COMMITTED — bootstrap detection checks `meta/_SUCCESS` (the output
+    * committer's atomic job-commit marker), not the directory: a crash
+    * anywhere inside the bootstrap epoch — including mid-meta-write,
+    * which leaves a `meta/` directory without the marker — makes the
+    * replay re-run the full bootstrap (deleting the partial `meta/`) and
+    * dynamic overwrite rewrites the partial partitions. A crash in any
+    * later epoch never touches meta at all, and a replay of a FULLY
+    * committed epoch admits nothing (every batch doc self-matches the
+    * corpus), so no write path runs. The meta write itself uses
+    * `errorIfExists`, making the write-once contract self-enforcing: any
+    * future code path (or concurrent double-bootstrap) that tries to
+    * clobber a committed meta fails loudly instead of silently changing
+    * the index's signature parameters. */
   def ingestGateBatch(indexPath: String, corpusPath: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       threshold: Double = 0.6, w: Int = 3, k: Int = 128,
-                      bands: Int = 32)
+                      bands: Int = 32,
+                      pinning: AdmittedPinning = AdmittedPinning.Auto)
                      (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     import spark.implicits._
     val id = col(idCol)
     val text = col(textCol)
-    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
-    val fs = metaPath.getFileSystem(
+    val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val metaCommitted =
+      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
+    val fs = metaDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val bootstrap = !fs.exists(metaPath)
+    val bootstrap = !fs.exists(metaCommitted)
     val afterCorpus =
       if (bootstrap) batch
       else {
@@ -537,30 +580,61 @@ object Dedup {
     val keep = nearDupSurvivors(afterCorpus, id, pairs)
       .where(col("survivor_id") === col("doc_id"))
       .select(col("doc_id").as("__keep_id"))
-    // localCheckpoint (not .persist) pins the admitted set: the probe
-    // lineage reads the very bands/shingles parquet the writes below
-    // overwrite, so an evicted cache block could otherwise recompute
-    // against mutated input. Checkpointing severs that lineage — the
-    // three sinks replay from materialized blocks, never the index.
-    val admitted = afterCorpus
-      .join(keep, id === col("__keep_id"), "left_semi")
-      .localCheckpoint()
-    if (!admitted.isEmpty) {
-      // per-write option, not a session-conf flip: concurrent writers
-      // on the same session keep their own overwrite semantics
-      def dyn(df: DataFrame) = df.withColumn("ingest_batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-      dyn(admitted).parquet(corpusPath)
-      dyn(minhashBands(admitted, id, text, w, k, bands))
-        .parquet(s"$indexPath/bands")
-      dyn(shingleFrame(admitted, id, text, w))
-        .parquet(s"$indexPath/shingles")
-      if (bootstrap)
-        Seq((w, k, bands)).toDF("w", "k", "bands").coalesce(1)
-          .write.mode("overwrite").parquet(s"$indexPath/meta")
+    // Pin the admitted set before writing it three times: its lineage
+    // reads the very bands/shingles parquet the writes below overwrite,
+    // so an unpinned recompute could see mutated input (see
+    // `AdmittedPinning` for the mode trade-offs). Checkpoint-style pins
+    // are released in the finally — localCheckpoint blocks otherwise
+    // leak per microbatch for the stream's lifetime, and reliable
+    // checkpoint files for the application's.
+    val admittedRaw = afterCorpus.join(keep, id === col("__keep_id"),
+      "left_semi")
+    val (admitted, pinnedFrame) = pinning match {
+      case AdmittedPinning.CollectIds =>
+        val keptIds = admittedRaw.select(id.as("__keep_id")).distinct()
+        val keptRows = keptIds.collect() // bounded by the batch
+        val keptDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(keptRows.toIndexedSeq),
+          keptIds.schema)
+        // re-derive admitted rows from the RAW batch: this lineage reads
+        // only the streaming source, never the index being overwritten
+        (batch.join(broadcast(keptDf), id === col("__keep_id"),
+          "left_semi"), None)
+      case AdmittedPinning.Local =>
+        val m = admittedRaw.localCheckpoint(); (m, Some(m))
+      case AdmittedPinning.Reliable =>
+        require(spark.sparkContext.getCheckpointDir.isDefined,
+          "AdmittedPinning.Reliable requires " +
+            "spark.sparkContext.setCheckpointDir(...)")
+        val m = admittedRaw.checkpoint(); (m, Some(m))
+      case AdmittedPinning.Auto =>
+        val m = materialize(admittedRaw); (m, Some(m))
     }
+    try {
+      if (!admitted.isEmpty) {
+        // per-write option, not a session-conf flip: concurrent writers
+        // on the same session keep their own overwrite semantics
+        def dyn(df: DataFrame) = df.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+        dyn(admitted).parquet(corpusPath)
+        dyn(minhashBands(admitted, id, text, w, k, bands))
+          .parquet(s"$indexPath/bands")
+        dyn(shingleFrame(admitted, id, text, w))
+          .parquet(s"$indexPath/shingles")
+        if (bootstrap) {
+          // a crashed bootstrap can leave a partial (uncommitted) meta/
+          // behind — clear it; errorIfExists then guards the COMMITTED
+          // case, which is unreachable here by construction (committed
+          // meta ⇒ _SUCCESS ⇒ bootstrap=false), so any hit is a real
+          // double-bootstrap bug surfacing loudly
+          if (fs.exists(metaDir)) fs.delete(metaDir, true)
+          Seq((w, k, bands)).toDF("w", "k", "bands").coalesce(1)
+            .write.mode("errorifexists").parquet(s"$indexPath/meta")
+        }
+      }
+    } finally pinnedFrame.foreach(releaseMaterialized)
   }
 
   /** 64-bit SimHash over the normalized token multiset: each token hashes

@@ -193,13 +193,16 @@ object EventStreams {
                            corpusPath: String, checkpoint: String,
                            idCol: String = "doc_id",
                            textCol: String = "text",
-                           threshold: Double = 0.6)
+                           threshold: Double = 0.6,
+                           pinning: graft.operators.Dedup.AdmittedPinning =
+                             graft.operators.Dedup.AdmittedPinning.Auto)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch(graft.operators.Dedup.ingestGateBatch(
-        indexPath, corpusPath, idCol, textCol, threshold) _)
+        indexPath, corpusPath, idCol, textCol, threshold,
+        pinning = pinning) _)
       .start()
 
   // ---- custom state: flatMapGroupsWithState sessionization -----------------

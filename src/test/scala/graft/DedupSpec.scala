@@ -256,6 +256,101 @@ class DedupSpec extends SparkTestBase {
     assert(corpusIds() === Set(1L, 2L, 11L, 12L))
   }
 
+  private val gateEpoch0 = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten"))
+  private val gateEpoch1 = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+    (11L, "completely novel content with no overlap whatsoever at all"))
+
+  private def hadoopFs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def gateCorpusIds(corpusPath: String): Set[Long] =
+    spark.read.parquet(corpusPath).select("doc_id").as[Long].collect().toSet
+
+  test("ingest gate: a crash anywhere inside the bootstrap epoch " +
+    "(meta absent, or present but uncommitted) re-bootstraps on replay") {
+    import org.apache.hadoop.fs.Path
+    // shape 1: crash BETWEEN the shingle write and the meta write —
+    // bands/shingles/corpus partitions on disk, no meta/ at all
+    val d1 = java.nio.file.Files.createTempDirectory("graft_boot1").toString
+    val gate1 = Dedup.ingestGateBatch(s"$d1/idx", s"$d1/corpus",
+      threshold = 0.5) _
+    gate1(gateEpoch0.toDF("doc_id", "text"), 0L)
+    hadoopFs.delete(new Path(s"$d1/idx/meta"), true)
+    gate1(gateEpoch0.toDF("doc_id", "text"), 0L) // must re-bootstrap, not throw
+    assert(gateCorpusIds(s"$d1/corpus") === Set(1L, 2L))
+    assert(hadoopFs.exists(new Path(s"$d1/idx/meta/_SUCCESS")))
+    // shape 2: crash DURING the meta write — the directory exists with
+    // data files but the committer never placed the _SUCCESS marker
+    val d2 = java.nio.file.Files.createTempDirectory("graft_boot2").toString
+    val gate2 = Dedup.ingestGateBatch(s"$d2/idx", s"$d2/corpus",
+      threshold = 0.5) _
+    gate2(gateEpoch0.toDF("doc_id", "text"), 0L)
+    hadoopFs.delete(new Path(s"$d2/idx/meta/_SUCCESS"), false)
+    gate2(gateEpoch0.toDF("doc_id", "text"), 0L) // uncommitted ⇒ bootstrap
+    assert(gateCorpusIds(s"$d2/corpus") === Set(1L, 2L))
+    assert(hadoopFs.exists(new Path(s"$d2/idx/meta/_SUCCESS")))
+    // either way the rebuilt index must actually PROBE: a near-dup of
+    // corpus doc 1 is dropped in the next epoch, the novel doc admitted
+    for (d <- Seq(d1, d2)) {
+      Dedup.ingestGateBatch(s"$d/idx", s"$d/corpus", threshold = 0.5)(
+        gateEpoch1.toDF("doc_id", "text"), 1L)
+      assert(gateCorpusIds(s"$d/corpus") === Set(1L, 2L, 11L))
+    }
+  }
+
+  test("ingest gate: post-bootstrap epochs never touch meta/") {
+    import org.apache.hadoop.fs.Path
+    val d = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    val gate = Dedup.ingestGateBatch(s"$d/idx", s"$d/corpus",
+      threshold = 0.5) _
+    gate(gateEpoch0.toDF("doc_id", "text"), 0L)
+    def metaState(): Map[String, Long] = hadoopFs
+      .listStatus(new Path(s"$d/idx/meta"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val afterBootstrap = metaState()
+    gate(gateEpoch1.toDF("doc_id", "text"), 1L) // normal later epoch
+    gate(gateEpoch1.toDF("doc_id", "text"), 1L) // crash-replay of it
+    assert(metaState() === afterBootstrap,
+      "a post-bootstrap epoch rewrote meta/ — write-once contract broken")
+  }
+
+  test("ingest gate: Reliable and CollectIds pinning admit exactly what " +
+    "Local admits, and reliable checkpoint storage is released") {
+    import org.apache.hadoop.fs.Path
+    def run(p: Dedup.AdmittedPinning, tag: String): Set[Long] = {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_pin_$tag").toString
+      val gate = Dedup.ingestGateBatch(s"$d/idx", s"$d/corpus",
+        threshold = 0.5, pinning = p) _
+      gate(gateEpoch0.toDF("doc_id", "text"), 0L)
+      gate(gateEpoch1.toDF("doc_id", "text"), 1L)
+      gateCorpusIds(s"$d/corpus")
+    }
+    val cpDir = java.nio.file.Files
+      .createTempDirectory("graft_pin_cp").toString
+    spark.sparkContext.setCheckpointDir(cpDir)
+    val local = run(Dedup.AdmittedPinning.Local, "local")
+    val reliable = run(Dedup.AdmittedPinning.Reliable, "reliable")
+    val collected = run(Dedup.AdmittedPinning.CollectIds, "collect")
+    assert(local === Set(1L, 2L, 11L))
+    assert(reliable === local)
+    assert(collected === local)
+    // the finally released every reliable checkpoint (files deleted):
+    // leftover rdd-* dirs would accumulate per microbatch for the
+    // application's lifetime on a real stream
+    val it = hadoopFs.listFiles(new Path(cpDir), true)
+    var leftoverRdds = List.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath.toString
+      if (f.contains("/rdd-")) leftoverRdds ::= f
+    }
+    assert(leftoverRdds.isEmpty,
+      s"unreleased reliable checkpoints: $leftoverRdds")
+  }
+
   test("simhashPairs matches exact jaccard on docs long enough for stable " +
     "majority votes") {
     // simhash majority margins scale with sqrt(token count): ~10-token docs
