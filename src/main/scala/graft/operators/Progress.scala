@@ -159,7 +159,12 @@ object Progress {
       extends StreamingQueryListener {
     @volatile private var rows = 0L
     @volatile private var batches = 0L
-    @volatile private var boundId: Option[java.util.UUID] = queryId
+    // CAS, not check-then-act on a volatile: Spark currently delivers
+    // listener events on a single bus thread, but that is undocumented —
+    // two racing first events must not both win the auto-bind
+    private val boundId =
+      new java.util.concurrent.atomic.AtomicReference[java.util.UUID](
+        queryId.orNull)
     @volatile private var last: Status = Status("stream", "no batches", 0.0, 0L, 0L)
 
     override def onQueryStarted(
@@ -168,8 +173,8 @@ object Progress {
         event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(
         event: StreamingQueryListener.QueryProgressEvent): Unit = {
-      if (boundId.isEmpty) boundId = Some(event.progress.id)
-      if (!boundId.contains(event.progress.id)) return
+      boundId.compareAndSet(null, event.progress.id)
+      if (boundId.get() != event.progress.id) return
       rows += event.progress.numInputRows
       batches += 1
       val pct = expectedRows match {

@@ -235,14 +235,20 @@ object Excel {
       // left. Columns populated below a missing/blank header get a
       // synthesized "Unnamed: N" header — pd.read_excel's behavior in
       // the reference — so no cell is ever silently dropped. N is the
-      // column's POSITION IN THE PARSED FRAME (dataCols order), matching
-      // pandas, which numbers unnamed columns by frame position and not
-      // by raw sheet column: the two diverge when the used range does
-      // not start at column A or skips fully-empty columns.
+      // column's POSITION IN THE PARSED FRAME, matching pandas, which
+      // numbers unnamed columns by frame position and not by raw sheet
+      // column: the two diverge when the used range does not start at
+      // column A. The frame spans the used range CONTIGUOUSLY
+      // (min..max observed column), so an interior fully-empty column
+      // survives as an all-null "Unnamed: N" — pandas keeps it as an
+      // all-NaN column, and dropping it would renumber every unnamed
+      // column to its right.
       val headerByCol: Map[Int, String] = rows.head.toMap
-      val dataCols: Seq[Int] =
-        (rows.head.map(_._1) ++ rows.tail.flatMap(_.map(_._1)))
-          .distinct.sorted
+      val observed: Seq[Int] =
+        rows.head.map(_._1).toSeq ++ rows.tail.flatMap(_.map(_._1))
+      require(observed.nonEmpty,
+        s"readXlsx: sheet $sheetName has no cells")
+      val dataCols: Seq[Int] = observed.min to observed.max
       val header = dataCols.zipWithIndex.map { case (ci, pos) =>
         headerByCol.get(ci).filter(_.nonEmpty).getOrElse(s"Unnamed: $pos")
       }

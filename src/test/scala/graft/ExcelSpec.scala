@@ -88,8 +88,23 @@ class ExcelSpec extends SparkTestBase {
     // row populates A, B, and C — B's value must surface under a
     // synthesized "Unnamed: 1" header (pd.read_excel behavior), and C's
     // value must land under the C-column header, not shift left
-    val dir = Files.createTempDirectory("graft_xlsx").toString
-    val path = s"$dir/gap.xlsx"
+    val path = handBuiltXlsx("gap",
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>ha</t></is></c><c r="C1" t="inlineStr"><is><t>hc</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>va</t></is></c><c r="B2" t="inlineStr"><is><t>orphan</t></is></c><c r="C2" t="inlineStr"><is><t>vc</t></is></c></row>""")
+    val back = Excel.readXlsx(spark, path)
+    assert(back.columns.toSeq === Seq("ha", "Unnamed: 1", "hc", "__sheet"))
+    val r = back.collect()(0)
+    assert(r.getAs[String]("ha") === "va")
+    assert(r.getAs[String]("Unnamed: 1") === "orphan") // kept, named like pandas
+    assert(r.getAs[String]("hc") === "vc") // pre-fix: "orphan" shifted here
+  }
+
+  // a single-sheet workbook from raw sheetData rows — the shapes Excel
+  // itself produces (offset used ranges, header gaps) that our own
+  // writer, which always emits A-rooted contiguous rows, cannot
+  private def handBuiltXlsx(tag: String, sheetRowsXml: String): String = {
+    val path =
+      Files.createTempDirectory("graft_xlsx").toString + s"/$tag.xlsx"
     val zip = new java.util.zip.ZipOutputStream(
       new java.io.FileOutputStream(path))
     def entry(name: String, content: String): Unit = {
@@ -107,16 +122,41 @@ class ExcelSpec extends SparkTestBase {
       """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
     entry("xl/worksheets/sheet1.xml",
       """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
-        """<row r="1"><c r="A1" t="inlineStr"><is><t>ha</t></is></c><c r="C1" t="inlineStr"><is><t>hc</t></is></c></row>""" +
-        """<row r="2"><c r="A2" t="inlineStr"><is><t>va</t></is></c><c r="B2" t="inlineStr"><is><t>orphan</t></is></c><c r="C2" t="inlineStr"><is><t>vc</t></is></c></row>""" +
-        """</sheetData></worksheet>""")
+        sheetRowsXml + """</sheetData></worksheet>""")
     zip.close()
+    path
+  }
+
+  test("readXlsx numbers unnamed columns by FRAME position when the used " +
+    "range does not start at column A (pandas parity)") {
+    // used range C..E; D's header is blank over populated data. pandas
+    // numbers by position in the frame — "Unnamed: 1" — where numbering
+    // by raw sheet column would say "Unnamed: 3" (D is the 4th column)
+    val path = handBuiltXlsx("offset",
+      """<row r="1"><c r="C1" t="inlineStr"><is><t>x</t></is></c><c r="E1" t="inlineStr"><is><t>y</t></is></c></row>""" +
+        """<row r="2"><c r="C2" t="inlineStr"><is><t>vc</t></is></c><c r="D2" t="inlineStr"><is><t>vd</t></is></c><c r="E2" t="inlineStr"><is><t>ve</t></is></c></row>""")
     val back = Excel.readXlsx(spark, path)
-    assert(back.columns.toSeq === Seq("ha", "Unnamed: 1", "hc", "__sheet"))
+    assert(back.columns.toSeq === Seq("x", "Unnamed: 1", "y", "__sheet"))
     val r = back.collect()(0)
-    assert(r.getAs[String]("ha") === "va")
-    assert(r.getAs[String]("Unnamed: 1") === "orphan") // kept, named like pandas
-    assert(r.getAs[String]("hc") === "vc") // pre-fix: "orphan" shifted here
+    assert(r.getAs[String]("x") === "vc")
+    assert(r.getAs[String]("Unnamed: 1") === "vd")
+    assert(r.getAs[String]("y") === "ve")
+  }
+
+  test("readXlsx keeps an interior fully-empty column of the used range " +
+    "as an all-null Unnamed column (pandas parity)") {
+    // used range A..C; column B has NO cells anywhere. pandas keeps it
+    // as an all-NaN "Unnamed: 1"; dropping it would renumber C's frame
+    // position and shift any unnamed columns to its right
+    val path = handBuiltXlsx("interior",
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>va</t></is></c><c r="C2" t="inlineStr"><is><t>vc</t></is></c></row>""")
+    val back = Excel.readXlsx(spark, path)
+    assert(back.columns.toSeq === Seq("a", "Unnamed: 1", "c", "__sheet"))
+    val r = back.collect()(0)
+    assert(r.getAs[String]("a") === "va")
+    assert(r.getAs[String]("Unnamed: 1") === null)
+    assert(r.getAs[String]("c") === "vc")
   }
 
   test("row cap guards the driver-side collect") {

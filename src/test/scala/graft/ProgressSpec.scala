@@ -94,4 +94,41 @@ class ProgressSpec extends SparkTestBase {
       spark.streams.removeListener(relay)
     }
   }
+
+  test("streaming relay: with two concurrent queries, counters track only " +
+    "the bound query") {
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[Long]
+    val memB = MemoryStream[Long]
+    val qA = memA.toDF.writeStream.format("memory")
+      .queryName("relay_two_a").outputMode("append").start()
+    val qB = memB.toDF.writeStream.format("memory")
+      .queryName("relay_two_b").outputMode("append").start()
+    // bind explicitly to A: listener events are session-global, so with
+    // auto-bind the test would race on which query's event lands first
+    val relay = new Progress.StreamingProgressRelay(
+      expectedRows = Some(10L),
+      queryId = Some(qA.id))
+    spark.streams.addListener(relay)
+    try {
+      // B produces 3x A's rows; a relay without the query-id filter would
+      // interleave both streams' counters and overshoot expectedRows
+      memA.addData(1L to 10L: _*)
+      memB.addData(1L to 30L: _*)
+      qA.processAllAvailable()
+      qB.processAllAvailable()
+      assert(pollUntil(relay.status.processed >= 10L),
+        "relay never saw the bound query's batch")
+      // give B's events time to arrive (and be correctly ignored)
+      memB.addData(31L to 60L: _*)
+      qB.processAllAvailable()
+      Thread.sleep(200)
+      assert(relay.status.processed === 10L,
+        s"relay counted rows from the unbound query: ${relay.status}")
+      assert(relay.status.progress === 100.0)
+    } finally {
+      qA.stop(); qB.stop()
+      spark.streams.removeListener(relay)
+    }
+  }
 }

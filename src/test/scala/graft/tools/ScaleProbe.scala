@@ -152,6 +152,68 @@ object ScaleProbe {
           col("text"), idxPath, threshold = 0.6).count())
     }
 
+    if (which("gate-crash")) {
+      // crash-injection at size: bootstrap the continuous ingest gate on
+      // the 50k-doc corpus, kill it "mid-bootstrap" (meta uncommitted +
+      // a partial band partition — the worst on-disk state the committer
+      // can leave), replay epoch 0, then probe with a 5k batch at the
+      // 10:1 ratio and check admissions against the composed batch
+      // operators as an exact oracle
+      import org.apache.hadoop.fs.Path
+      val base = "/tmp/graft_scaleprobe_gate"
+      val fs = new Path(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val corpus = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      // batch = half near-dups of replica 0 (must be REJECTED against the
+      // persisted index) + half vocabulary-novel docs (must be ADMITTED),
+      // so the probe exercises both gate outcomes at size
+      val batch = docs.select(
+        (col("doc_id") + lit(50000000L)).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(regexp_replace(col("text"), "(\\S+)", "r0$1"), lit(" zz")))
+          .otherwise(regexp_replace(col("text"), "(\\S+)", "r99$1"))
+          .as("text")).localCheckpoint(true)
+      val gate = graft.operators.Dedup.ingestGateBatch(
+        s"$base/idx", s"$base/corpus", threshold = 0.6) _
+      def corpusRows(path: String): Long =
+        spark.read.parquet(path).count()
+      t("gate_bootstrap_50k") { gate(corpus, 0L); corpusRows(s"$base/corpus") }
+      // the injected crash state: job commit never happened for meta,
+      // and one band partition file is torn
+      fs.delete(new Path(s"$base/idx/meta/_SUCCESS"), false)
+      val aBand = fs.globStatus(
+        new Path(s"$base/idx/bands/ingest_batch=0/part-*")).head.getPath
+      fs.delete(aBand, false)
+      t("gate_replay_bootstrap_50k") {
+        gate(corpus, 0L); corpusRows(s"$base/corpus")
+      }
+      t("gate_epoch1_probe_5k_batch") {
+        gate(batch, 1L)
+        spark.read.parquet(s"$base/corpus")
+          .where(col("ingest_batch") === 1).count()
+      }
+      // exact oracle for the admissions: batch docs with no corpus match,
+      // collapsed to within-batch survivors by the same composed operators
+      t("gate_epoch1_expected") {
+        val matched = graft.operators.Dedup.incrementalNearDupPairs(
+          batch, col("doc_id"), col("text"),
+          corpus, col("doc_id"), col("text"), threshold = 0.6)
+          .select(col("batch_id").as("doc_id")).distinct()
+        val fresh = batch.join(matched, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val pairs = graft.operators.Dedup.minhashLshPairs(fresh,
+          col("doc_id"), col("text"), threshold = 0.6)
+        graft.operators.Dedup.nearDupSurvivors(fresh, col("doc_id"), pairs)
+          .where(col("survivor_id") === col("doc_id")).count()
+      }
+    }
+
     if (which("ivf-recall")) {
       // honest ANN quality numbers: recall@5 of ivfTopK vs brute force at
       // nProbe << nCentroids, on (a) the near-orthogonal sf0.1 corpus
