@@ -856,6 +856,18 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // full-corpus distributed k-means (the SemDeDup-style clustering
+    // primitive: assignment = one codegen'd projection pass, update = one
+    // partial-agg groupBy; only k×dim reaches the driver). Oracle: both
+    // Lloyd rounds unrolled in SQL — md5-ordered seeds, sequential-fold
+    // cosines, id-ordered sequential centroid means (the operator's
+    // deterministic mode computes the same fold; the spec pins that the
+    // scale-mode partial-agg avg yields identical ASSIGNMENTS)
+    "q_embed_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(Tables.embeddings(s, dir), k = 4, iters = 2,
+          deterministic = true)
+        .orderBy("vec_id")),
+
     // threshold 0.45: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cos ≈ 0.6 at sf0.1), so 0.45 yields a real,
     // non-empty tail while staying > 3σ above the cos≈N(0, 1/64) noise
@@ -1050,6 +1062,51 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracles -------------------------------------------------------
+
+  /** The q_embed_kmeans oracle, Lloyd rounds unrolled as CTE chains.
+    * Generated (not hand-written) so `iters` stays in lockstep with the
+    * Spark query's parameter: round r assigns against centroids c{r},
+    * then m{r+1}/c{r+1} re-means by the id-ordered sequential fold the
+    * operator's deterministic mode uses. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val cos = (cent: String) =>
+      s"""coalesce(
+         |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * $cent.cent[i]))
+         |  / nullif(
+         |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+         |    * sqrt(list_sum(list_transform($cent.cent, x -> x * x))), 0),
+         |  -2.0)""".stripMargin
+    def assign(r: Int, cent: String): String =
+      s"""sc$r AS (SELECT e.vec_id, $cent.cluster, ${cos(cent)} AS cos
+         |  FROM e, $cent),
+         |a$r AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rn
+         |  FROM sc$r) WHERE rn = 1)""".stripMargin
+    def update(r: Int): String =
+      s"""m$r AS (SELECT a${r - 1}.cluster, u.i AS i,
+         |    list_sum(list(CAST(e.embedding[u.i] AS DOUBLE)
+         |      ORDER BY e.vec_id)) / count(*) AS m
+         |  FROM a${r - 1} JOIN e USING (vec_id),
+         |    unnest(range(1, len(e.embedding) + 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |c$r AS (SELECT cluster, list(m ORDER BY i) AS cent
+         |  FROM m$r GROUP BY cluster)""".stripMargin
+    val rounds = (1 to iters)
+      .map(r => update(r) + ",\n" + assign(r, s"c$r")).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |      - 1 AS cluster,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |${assign(0, "seeds")},
+       |$rounds
+       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a$iters
+       |ORDER BY vec_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1828,6 +1885,11 @@ object SparkEntry {
         |    AS survivor_id
         |FROM e v LEFT JOIN comp c ON v.vec_id = c.vec_id
         |ORDER BY v.vec_id""".stripMargin,
+
+    // both Lloyd rounds unrolled: seeds -> assign -> mean -> assign ->
+    // mean -> assign; every float op mirrors the operator's deterministic
+    // mode (sequential folds, id-ordered means, ties to lower cluster)
+    "q_embed_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
 
     // IVF at nProbe = nCentroids must equal exact brute-force top-k
     "q_embed_ivf_topk" ->

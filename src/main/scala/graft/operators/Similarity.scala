@@ -238,50 +238,56 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5,
               idCol: String = "vec_id",
-              embCol: String = "embedding"): DataFrame = {
+              embCol: String = "embedding",
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // ---- driver-side coarse-quantizer training (deterministic) ----
+    // ---- coarse quantizer: caller-provided (e.g. a full-corpus `kMeans`
+    // when the corpus has structure a sample misses), else trained
+    // driver-side on a deterministic sample ----
     // sample ordered by xxhash64(id), NOT by id: the id-prefix is a biased
     // sample whenever content correlates with ingest order (it always does
     // at scale — crawl batches, per-source shards); hashing gives a
     // deterministic UNIFORM draw with the same reproducibility
-    val sample = corpus.select(col(idCol).cast("long"), col(embCol))
-      .as[(Long, Array[Float])]
-      .sort(xxhash64(col(idCol)), col(idCol)).limit(4096).collect()
-    require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head._2.length
-    val step = math.max(1, sample.length / nCentroids)
-    var cents: Array[Array[Double]] =
-      (0 until math.min(nCentroids, sample.length))
-        .map(i => sample((i * step) % sample.length)._2.map(_.toDouble))
-        .toArray
-    def cosD(a: Array[Double], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < dim) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
-        i += 1
-      }
-      val den = math.sqrt(na) * math.sqrt(nb)
-      if (den == 0.0) -2.0 else dot / den
-    }
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(cents.length, dim)(0.0)
-      val counts = Array.fill(cents.length)(0L)
-      sample.foreach { case (_, v) =>
-        var best = 0; var bestC = -3.0; var c = 0
-        while (c < cents.length) {
-          val s = cosD(cents(c), v)
-          if (s > bestC) { bestC = s; best = c }
-          c += 1
+    val cents: Array[Array[Double]] = centroids.getOrElse {
+      val sample = corpus.select(col(idCol).cast("long"), col(embCol))
+        .as[(Long, Array[Float])]
+        .sort(xxhash64(col(idCol)), col(idCol)).limit(4096).collect()
+      require(sample.nonEmpty, "empty corpus")
+      val dim = sample.head._2.length
+      val step = math.max(1, sample.length / nCentroids)
+      var cs: Array[Array[Double]] =
+        (0 until math.min(nCentroids, sample.length))
+          .map(i => sample((i * step) % sample.length)._2.map(_.toDouble))
+          .toArray
+      def cosD(a: Array[Double], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dim) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
+          i += 1
         }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) -2.0 else dot / den
       }
-      cents = cents.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cs.length, dim)(0.0)
+        val counts = Array.fill(cs.length)(0L)
+        sample.foreach { case (_, v) =>
+          var best = 0; var bestC = -3.0; var c = 0
+          while (c < cs.length) {
+            val s = cosD(cs(c), v)
+            if (s > bestC) { bestC = s; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        }
+        cs = cs.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
       }
+      cs
     }
     // ---- expression-level assignment: centroids ranked per row by
     // (negated) dot/|c| — cosine ordering without the per-row norm ----
@@ -312,6 +318,113 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  /** Distributed k-means over an embedding column (cosine geometry) —
+    * Lloyd's algorithm with the standard Spark division of labor: the
+    * ASSIGNMENT pass is a single codegen'd projection over the full
+    * corpus (k dot products per row against broadcast centroid
+    * literals), the UPDATE pass is one partial-aggregating groupBy of
+    * the posexploded (cluster, dim) cells, and only the k×dim centroid
+    * matrix ever reaches the driver. This is the full-corpus trainer
+    * behind semantic dedup at scale (cluster first, then near-dup only
+    * within clusters — the SemDeDup shape) and a better coarse
+    * quantizer for `ivfTopK` than its built-in 4096-row sample when the
+    * corpus has structure the sample misses; pass the result via
+    * `ivfTopK(centroids = ...)`.
+    *
+    * Determinism: seeds are the `k` rows first in `(md5(id), id)` order
+    * — a uniform, engine-reproducible draw (same trick as
+    * `q_sample_hash`); cluster j is the j-th seed, ties broken toward
+    * the lower cluster id, zero-norm vectors pinned to cosine -2 so
+    * they land in cluster 0 on every engine. With
+    * `deterministic = true` the centroid mean is computed as a
+    * SEQUENTIAL id-ordered fold (collect_list → array_sort → aggregate)
+    * so every low-order bit matches a sequential engine — that is the
+    * oracle/repro mode, and it holds whole clusters' cells in memory
+    * per group. The default keeps the scale-correct partial-agg `avg`,
+    * whose float rounding depends on merge order; the spec pins that
+    * both modes produce identical ASSIGNMENTS.
+    *
+    * `iters` counts centroid updates; the result is the assignment
+    * under the FINAL centroids. Empty clusters keep their previous
+    * centroid. Returns (id-named-as-input, cluster).
+    */
+  def kMeans(emb: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", embCol: String = "embedding",
+             deterministic: Boolean = false): DataFrame = {
+    val cents = kMeansCentroids(emb, k, iters, idCol, embCol, deterministic)
+    emb.select(col(idCol), assignExpr(col(embCol), cents).as("cluster"))
+  }
+
+  /** The trained centroid matrix from `kMeans` (driver-side, k×dim) —
+    * feed it to `ivfTopK(centroids = ...)` to replace the sample-trained
+    * coarse quantizer with the full-corpus one. */
+  def kMeansCentroids(emb: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding",
+                      deterministic: Boolean = false)
+      : Array[Array[Double]] = {
+    require(k > 0 && iters >= 0, s"kMeans: k=$k, iters=$iters")
+    val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .where(col("emb").isNotNull)
+    val seeds = slim
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(seeds.nonEmpty, "kMeans: no non-null embedding rows")
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      // two selects: a generator (posexplode) in the same projection as
+      // the struct-array assignment expression makes the analyzer
+      // normalize the struct field names away (col1/col2), breaking the
+      // getField("cluster") access inside assignExpr
+      val cells = slim
+        .select(col("id"), col("emb"),
+          assignExpr(col("emb"), cents).as("cluster"))
+        .select(col("id"), col("cluster"),
+          posexplode(col("emb")).as(Seq("i", "x")))
+      val means =
+        if (deterministic)
+          cells.groupBy("cluster", "i")
+            .agg(collect_list(struct(col("id"), col("x"))).as("xs"),
+              count(lit(1)).as("n"))
+            .select(col("cluster"), col("i"),
+              (aggregate(array_sort(col("xs")), lit(0.0),
+                (acc, s) => acc + s.getField("x").cast("double")) /
+                col("n")).as("m"))
+        else
+          cells.groupBy("cluster", "i")
+            .agg(avg(col("x").cast("double")).as("m"))
+      val byCluster = means.collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCluster.getOrElse(j, old)
+      }
+    }
+    cents
+  }
+
+  /** Nearest-centroid id for a vector, with the exact arithmetic the
+    * DuckDB oracle mirrors: sequential-fold double cosine against each
+    * centroid (centroid norms are driver constants summed in the same
+    * ascending-index order), best = max cosine, ties to the lower
+    * cluster id, null cosine (zero-norm vector) pinned below any real
+    * score. */
+  private def assignExpr(emb: Column,
+                         cents: Array[Array[Double]]): Column = {
+    val ranked = array_sort(array(cents.zipWithIndex.map { case (cv, j) =>
+      val cNorm = math.sqrt(cv.map(x => x * x).sum)
+      val cos = coalesce(
+        dot(emb, typedlit(cv)) /
+          nullif(norm(emb) * lit(cNorm), lit(0.0)),
+        lit(-2.0))
+      struct((cos * lit(-1.0)).as("neg"), lit(j).as("cluster"))
+    }: _*))
+    ranked(0).getField("cluster")
   }
 
   /** EXACT embedding near-duplicate pairs: all pairs with cosine >=

@@ -104,6 +104,86 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfAll === bf)
   }
 
+  test("kMeans recovers well-separated clusters, assignments equal " +
+    "nearest-final-centroid, both mean modes agree") {
+    // three tight clusters of 6 around orthogonal bases
+    val bases = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f))
+    val clustered = (0 until 18).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) =>
+        x + (if (d == 3) 0.05f * (i / 3 + 1) else 0f) })
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kMeans(clustered, k = 3, iters = 4)
+      .as[(Long, Int)].collect().toMap
+    // every ground-truth cluster maps to exactly one learned cluster
+    val grouped = (0 until 18).groupBy(_ % 3)
+      .map { case (_, ids) => ids.map(i => got(i.toLong)).toSet }
+    assert(grouped.forall(_.size === 1), s"split a true cluster: $got")
+    assert(grouped.reduce(_ ++ _).size === 3, s"merged true clusters: $got")
+    // assignment really is nearest-centroid under the final centroids
+    val cents = Similarity.kMeansCentroids(clustered, k = 3, iters = 4)
+    val manual = clustered.as[(Long, Array[Float])].collect().map {
+      case (id, v) =>
+        val cos = cents.map { c =>
+          val dot = c.zip(v).map { case (a, b) => a * b.toDouble }.sum
+          val den = math.sqrt(c.map(x => x * x).sum) *
+            math.sqrt(v.map(x => x.toDouble * x).sum)
+          if (den == 0.0) -2.0 else dot / den
+        }
+        id -> cos.zipWithIndex.maxBy { case (s, j) => (s, -j) }._2
+    }.toMap
+    assert(got === manual)
+    // the scale-mode partial-agg mean and the oracle-exact sequential
+    // fold must produce identical ASSIGNMENTS (centroid low-order bits
+    // may differ; decisions may not)
+    val det = Similarity.kMeans(clustered, k = 3, iters = 4,
+      deterministic = true).as[(Long, Int)].collect().toMap
+    assert(det === got)
+  }
+
+  test("kMeans: empty clusters keep their previous centroid; result is " +
+    "partitioning-invariant") {
+    // two far-apart points, duplicated: k=3 seeds from 6 rows, but only 2
+    // real positions -> at least one cluster ends every round empty
+    val dup = Seq(
+      (1L, Array(10f, 0f)), (2L, Array(10f, 0f)), (3L, Array(10f, 0f)),
+      (4L, Array(0f, 10f)), (5L, Array(0f, 10f)), (6L, Array(0f, 10f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroids(dup, k = 3, iters = 3)
+    assert(cents.length === 3) // survived despite an empty cluster
+    // every centroid is finite (an empty cluster that zeroed or NaN'd its
+    // centroid would poison every later assignment round)
+    assert(cents.forall(_.forall(d => !d.isNaN && !d.isInfinite)))
+    val a = Similarity.kMeans(dup, k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    // the two positions resolve to exactly two clusters, consistently
+    assert(Set(a(1L), a(2L), a(3L)).size === 1)
+    assert(Set(a(4L), a(5L), a(6L)).size === 1)
+    assert(a(1L) !== a(4L))
+    // partitioning must not change decisions (partial-agg merge order
+    // changes float low bits; ties in this fixture are far apart)
+    val b = Similarity.kMeans(dup.repartition(7), k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(b === a)
+  }
+
+  test("ivfTopK accepts external kMeans centroids and stays exact at " +
+    "nProbe = nCentroids") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select("probe_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val cents = Similarity.kMeansCentroids(emb, k = 8, iters = 2)
+    val ivf = Similarity.ivfTopK(emb, probes, k = 5,
+        nCentroids = 8, nProbe = 8, centroids = Some(cents))
+      .select("probe_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(ivf === bf)
+  }
+
   test("lshNearDupPairs: exact precision, finds duplicate vectors") {
     val dup = Seq((10L, Array(1f, 0f, 0f)), (11L, Array(0.95f, 0.05f, 0f)))
       .toDF("vec_id", "embedding")
