@@ -868,6 +868,17 @@ object SparkEntry {
           deterministic = true)
         .orderBy("vec_id")),
 
+    // SemDeDup composition: the kMeans partition bounds the pair search
+    // (shuffle key = cluster id), so the only all-pairs work left is
+    // within-cluster — the scale answer to q_embed_cluster's global
+    // kernel. Same star-CC → min-survivor decision; oracle = unrolled
+    // kmeans chain + same-cluster pairs + recursive closure.
+    "q_embed_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), kClusters = 4,
+          iters = 2, threshold = 0.45, deterministic = true)
+        .select(col("doc_id").as("vec_id"), col("survivor_id"))
+        .orderBy("vec_id")),
+
     // threshold 0.45: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cos ≈ 0.6 at sf0.1), so 0.45 yields a real,
     // non-empty tail while staying > 3σ above the cos≈N(0, 1/64) noise
@@ -1068,7 +1079,16 @@ object SparkEntry {
     * Spark query's parameter: round r assigns against centroids c{r},
     * then m{r+1}/c{r+1} re-means by the id-ordered sequential fold the
     * operator's deterministic mode uses. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCteChain(k, iters)}
+       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a$iters
+       |ORDER BY vec_id""".stripMargin
+
+  /** The CTE chain behind `kmeansOracleSql` (e, seeds, sc0/a0 …
+    * m{iters}/c{iters}/sc{iters}/a{iters}) without the WITH keyword or a
+    * final SELECT, so composite oracles (q_embed_semdedup) can extend
+    * it. The final assignment CTE is `a$iters`. */
+  private def kmeansCteChain(k: Int, iters: Int): String = {
     val cos = (cent: String) =>
       s"""coalesce(
          |  list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -1095,7 +1115,7 @@ object SparkEntry {
          |  FROM m$r GROUP BY cluster)""".stripMargin
     val rounds = (1 to iters)
       .map(r => update(r) + ",\n" + assign(r, s"c$r")).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |seeds AS (SELECT
        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
@@ -1103,10 +1123,40 @@ object SparkEntry {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
        |${assign(0, "seeds")},
-       |$rounds
-       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a$iters
-       |ORDER BY vec_id""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** q_embed_semdedup oracle: the kmeans chain, then exact cosine pairs
+    * restricted to same-cluster ids, recursive-CTE closure, min-id
+    * survivor — the SQL mirror of `Similarity.semanticDedup`. */
+  private def semdedupOracleSql(k: Int, iters: Int,
+                                threshold: Double): String =
+    s"""WITH RECURSIVE ${kmeansCteChain(k, iters)},
+       |v AS (SELECT e.vec_id, e.embedding, a.cluster
+       |      FROM e JOIN a$iters a USING (vec_id)),
+       |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |        / nullif(
+       |          sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+       |          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))),
+       |          0) AS cos
+       |      FROM v a JOIN v b
+       |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT id_a, id_b FROM s WHERE cos >= $threshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+       |comp AS (SELECT src AS vec_id, min(dst) AS reach_min
+       |         FROM reach GROUP BY src)
+       |SELECT v2.vec_id,
+       |  CAST(least(coalesce(c.reach_min, v2.vec_id), v2.vec_id) AS BIGINT)
+       |    AS survivor_id
+       |FROM embeddings v2 LEFT JOIN comp c ON v2.vec_id = c.vec_id
+       |ORDER BY v2.vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1890,6 +1940,10 @@ object SparkEntry {
     // mean -> assign; every float op mirrors the operator's deterministic
     // mode (sequential folds, id-ordered means, ties to lower cluster)
     "q_embed_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
+
+    // same kmeans chain + pairs restricted to a shared cluster + closure
+    "q_embed_semdedup" -> semdedupOracleSql(k = 4, iters = 2,
+      threshold = 0.45),
 
     // IVF at nProbe = nCentroids must equal exact brute-force top-k
     "q_embed_ivf_topk" ->

@@ -408,6 +408,49 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means the
+    * corpus, then search near-duplicates only WITHIN each cluster —
+    * turning global all-pairs (which does not exist at 100 TB) into
+    * Σ_c |c|² work shuffled once on the cluster id. Pairs above
+    * `threshold` feed the same star-CC → min-id survivor decision as
+    * every other dedup composition.
+    *
+    * Scale posture: the pair join's shuffle key is the cluster id, so
+    * its cardinality IS `kClusters` — size it well above the executor
+    * count (10k-100k at corpus scale; tiny k is for oracle-checkable
+    * tests). Per-cluster cost is bounded by the fattest cluster; a
+    * cluster too fat for exact pairs is exactly the case for running
+    * `lshNearDupPairs` on that cluster's slice instead. Vectors with a
+    * null embedding never pair and survive as themselves (same contract
+    * as the global composition in q_embed_cluster).
+    *
+    * Returns (doc_id, survivor_id) for every input row, survivor = min
+    * id of the near-dup component.
+    */
+  def semanticDedup(emb: DataFrame, kClusters: Int, iters: Int,
+                    threshold: Double, idCol: String = "vec_id",
+                    embCol: String = "embedding",
+                    deterministic: Boolean = false): DataFrame = {
+    val cents = kMeansCentroids(emb, kClusters, iters, idCol, embCol,
+      deterministic)
+    val assigned = emb
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
+      .where(col("emb").isNotNull)
+      .select(col("id"), col("emb"), norm(col("emb")).as("nrm"),
+        assignExpr(col("emb"), cents).as("cluster"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.id") < col("b.id"))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("a.emb"),
+          col("b.emb")) /
+          nullif(col("a.nrm") * col("b.nrm"), lit(0.0)))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+    Dedup.nearDupSurvivors(emb, col(idCol), pairs,
+      Dedup.connectedComponentsStar(_))
+  }
+
   /** Nearest-centroid id for a vector, with the exact arithmetic the
     * DuckDB oracle mirrors: sequential-fold double cosine against each
     * centroid (centroid norms are driver constants summed in the same

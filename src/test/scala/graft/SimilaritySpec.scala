@@ -168,6 +168,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("semanticDedup matches the global pair composition when clusters " +
+    "are well separated, and dedups within clusters") {
+    // two separated clusters, each containing an exact-duplicate pair and
+    // a singleton: survivors must collapse the dup pairs only
+    val data = Seq(
+      (1L, Array(10f, 0f, 0f)), (2L, Array(10f, 0f, 0f)), // dups, cluster A
+      (3L, Array(9f, 1f, 0f)),                             // near 1-2 (cos>0.98)
+      (4L, Array(0f, 10f, 0f)), (5L, Array(0f, 10f, 0f)), // dups, cluster B
+      (6L, Array(0f, 0f, 10f))                             // singleton
+    ).toDF("vec_id", "embedding")
+    val sem = Similarity.semanticDedup(data, kClusters = 3, iters = 3,
+        threshold = 0.95)
+      .as[(Long, Long)].collect().toMap
+    // global composition: the same pairs without the cluster restriction
+    val globalPairs = Similarity.cosineNearDupPairs(data, 0.95)
+    val global = graft.operators.Dedup.nearDupSurvivors(data,
+        col("vec_id"), globalPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(sem === global,
+      "cluster partition changed survivors despite separated clusters")
+    assert(sem(1L) === 1L && sem(2L) === 1L && sem(3L) === 1L)
+    assert(sem(4L) === 4L && sem(5L) === 4L)
+    assert(sem(6L) === 6L)
+  }
+
   test("ivfTopK accepts external kMeans centroids and stays exact at " +
     "nProbe = nCentroids") {
     val emb = spark.read
