@@ -551,6 +551,15 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // span-level exact dedup (RefinedWeb-style duplicated-span removal):
+    // 3-word spans, first occurrence corpus-wide survives, documents
+    // reassembled from their kept spans. chunkWords=3 over the 31-word
+    // synthetic vocabulary makes cross-doc span collisions real.
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), col("doc_id"), col("text"),
+          chunkWords = 3)
+        .orderBy("doc_id")),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
           threshold = 0.6)
@@ -1517,6 +1526,26 @@ object SparkEntry {
          |  CAST(min(doc_id) AS BIGINT) AS survivor_id,
          |  CAST(count(*) AS BIGINT) AS n_copies
          |FROM all_docs GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+    // 3-word spans, first occurrence by (doc_id, span_idx), reassembly
+    // by span index; empty results come back as '' (docs never vanish)
+    "q_dedup_spans" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
+         |           FROM documents WHERE text IS NOT NULL),
+         |sp AS (SELECT doc_id, u.i AS span_idx,
+         |         array_to_string(w[(u.i*3+1):((u.i+1)*3)], ' ') AS span
+         |       FROM d, unnest(range(0, greatest(
+         |         CAST(ceil(len(w) / 3.0) AS BIGINT), 1))) AS u(i)),
+         |ke AS (SELECT doc_id, span_idx, span, row_number() OVER (
+         |         PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+         |       FROM sp),
+         |rb AS (SELECT doc_id,
+         |         string_agg(span, ' ' ORDER BY span_idx) AS text_deduped
+         |       FROM ke WHERE rn = 1 GROUP BY doc_id)
+         |SELECT doc.doc_id,
+         |  coalesce(rb.text_deduped, '') AS text_deduped
+         |FROM documents doc LEFT JOIN rb USING (doc_id)
+         |ORDER BY doc.doc_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardOracleSql(0.6),
     "q_dedup_minhash" -> jaccardOracleSql(0.6),

@@ -55,6 +55,50 @@ object Dedup {
       .agg(min(id).as("survivor_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Span-level exact dedup (the RefinedWeb/Gopher "remove duplicated
+    * spans" op, reference has no analogue): chunk every document into
+    * fixed `chunkWords`-word spans, keep each distinct span's FIRST
+    * occurrence corpus-wide (first = min (doc_id, span index), so later
+    * re-quotes of boilerplate vanish while the original survives), and
+    * reassemble every document from its kept spans. Documents reduced to
+    * nothing come back as the empty string, never disappear.
+    *
+    * Plan shape at scale: chunking is one generator projection (no
+    * per-word explosion — spans are sliced from the split array in a
+    * single `transform`); first-occurrence is a partial-aggregating
+    * groupBy on the span TEXT (high-cardinality shuffle key) rather
+    * than a window (a window would buffer each span group in one task);
+    * reassembly is one groupBy on doc_id with an in-group sort.
+    * Two shuffles total, both on high-cardinality keys.
+    *
+    * Returns (doc_id, text_deduped).
+    */
+  def spanDedup(docs: DataFrame, id: Column, text: Column,
+                chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"spanDedup: chunkWords=$chunkWords")
+    val words = split(normalizeText(text), " ")
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
+    val spans = docs.where(text.isNotNull)
+      .select(id.as("doc_id"),
+        posexplode(transform(sequence(lit(0),
+            greatest(nChunks, lit(1)) - 1),
+          i => array_join(
+            slice(words, i * chunkWords + 1, lit(chunkWords)), " ")))
+          .as(Seq("span_idx", "span")))
+    val firsts = spans.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+    val kept = spans.join(firsts, Seq("span"))
+      .where(col("first") === struct(col("doc_id"), col("span_idx")))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("span_idx"), col("span")))),
+        s => s.getField("span")), " ").as("text_deduped"))
+    docs.select(id.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** Whitespace-collapse + lowercase canonicalization used by every
     * text-dedup operator (equivalent logic in both Spark and the DuckDB
     * oracle so fingerprints agree).

@@ -351,6 +351,32 @@ class DedupSpec extends SparkTestBase {
       s"unreleased reliable checkpoints: $leftoverRdds")
   }
 
+  test("spanDedup: first occurrence survives corpus-wide, later re-quotes " +
+    "vanish, docs reassemble in span order and never disappear") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),          // spans: "aa bb cc", "dd ee ff"
+      (2L, "aa bb cc xx yy zz"),          // re-quotes doc 1's first span
+      (3L, "dd ee ff dd ee ff"),          // re-quotes doc 1's second span twice
+      (4L, null.asInstanceOf[String]),    // null text -> empty, kept
+      (5L, "aa bb cc")                    // nothing left after dedup
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, col("doc_id"), col("text"), 3)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "aa bb cc dd ee ff") // first occurrences all survive
+    assert(got(2L) === "xx yy zz")          // quoted span removed, rest kept
+    assert(got(3L) === "")                  // both spans are doc-1 re-quotes
+    assert(got(4L) === "")
+    assert(got(5L) === "")
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // short tail span (< chunkWords) is its own span, deduped like any
+    val tails = Seq((1L, "aa bb cc dd"), (2L, "zz zz zz dd"))
+      .toDF("doc_id", "text")
+    val t = Dedup.spanDedup(tails, col("doc_id"), col("text"), 3)
+      .as[(Long, String)].collect().toMap
+    assert(t(1L) === "aa bb cc dd")
+    assert(t(2L) === "zz zz zz") // trailing "dd" was doc 1's tail span
+  }
+
   test("simhashPairs matches exact jaccard on docs long enough for stable " +
     "majority votes") {
     // simhash majority margins scale with sqrt(token count): ~10-token docs
