@@ -948,10 +948,15 @@ object Dedup {
       val s1 = sym(edges)
       val largeMin = s1.groupBy("u")
         .agg(least(min(col("v")), col("u")).as("m"))
+      // no distinct here: duplicate (hi, lo) rows (the same re-attach
+      // emitted from different centers) don't change the small-star MIN
+      // aggregate below, and the round-final distinct on afterSmall
+      // restores set semantics — one fewer full edge-set shuffle per
+      // round (locally noise-neutral; at cluster scale each avoided
+      // shuffle is a full pass over 10^9-edge rounds)
       val afterLarge = s1.join(largeMin, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
       // ---- small-star: (v, m_u) for v < u plus (u, m_u), over Γ⁻ ----
       // one materialization per FULL round: the large half is consumed
       // exactly once right here, so checkpointing it separately would
