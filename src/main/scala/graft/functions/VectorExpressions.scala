@@ -192,11 +192,138 @@ case class HyperplaneBuckets(child: Expression, dim: Int, nBits: Int,
       newChild: Expression): HyperplaneBuckets = copy(child = newChild)
 }
 
+/** Nearest-centroid assignment for k-means in ONE codegen'd pass: the
+  * index of the centroid with the highest cosine against the input
+  * vector, ties to the lower index, zero-norm denominators scored -2
+  * (below any real cosine).
+  *
+  * Why an Expression: the composed form — k parallel
+  * aggregate(zip_with(...))-against-literal cosines sorted in a struct
+  * array — rebuilds a plan tree LINEAR in k×dim, and Lloyd's algorithm
+  * re-plans it every round with fresh centroid literals; at k=64/dim=64
+  * the analyzer/optimizer fixed cost alone dominated the actual 20k-row
+  * assignment work (same failure mode as the pre-HyperplaneBuckets LSH
+  * literals above). One expression node holds the centroid matrix as a
+  * codegen reference object and the plan stays constant-size in k.
+  *
+  * Arithmetic is bit-identical to the composed HOF form (and the DuckDB
+  * oracle): ascending-index sequential double folds for the dot and the
+  * row norm; centroid norms are driver-precomputed with the same
+  * ascending sum. Null vector → null.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty, "NearestCentroid: no centroids")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid requires ARRAY<FLOAT> input, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  private def k: Int = cents.length
+  private def dim: Int = cents.head.length
+  /** Flattened [centroid][dim] matrix for the codegen reference. */
+  private lazy val flat: Array[Double] = {
+    val out = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) {
+      require(cents(j).length == dim,
+        s"NearestCentroid: centroid $j has dim ${cents(j).length}, not $dim")
+      System.arraycopy(cents(j), 0, out, j * dim, dim)
+      j += 1
+    }
+    out
+  }
+  /** Centroid L2 norms, ascending-index driver sum (same order as the
+    * SQL oracle's list_sum). */
+  private lazy val cNorms: Array[Double] = cents.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    var nrm = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val e = x.getFloat(i).toDouble; nrm += e * e; i += 1
+    }
+    nrm = math.sqrt(nrm)
+    var best = 0
+    var bestScore = java.lang.Double.NEGATIVE_INFINITY
+    var j = 0
+    while (j < k) {
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        dot += x.getFloat(i).toDouble * flat(j * dim + i); i += 1
+      }
+      val den = nrm * cNorms(j)
+      val score = if (den == 0.0) -2.0 else dot / den
+      if (score > bestScore) { bestScore = score; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val fl = ctx.addReferenceObj("cents", flat, "double[]")
+      val cn = ctx.addReferenceObj("cnorms", cNorms, "double[]")
+      val n = ctx.freshName("n")
+      val nrm = ctx.freshName("nrm")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val den = ctx.freshName("den")
+      val sc = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestScore")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |double $nrm = 0.0;
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  double e = (double) $v.getFloat($i);
+         |  $nrm += e * e;
+         |}
+         |$nrm = java.lang.Math.sqrt($nrm);
+         |int $best = 0;
+         |double $bestS = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $v.getFloat($i)) * $fl[$j * $dim + $i];
+         |  }
+         |  double $den = $nrm * $cn[$j];
+         |  double $sc = ($den == 0.0) ? -2.0 : $dot / $den;
+         |  if ($sc > $bestS) { $bestS = $sc; $best = $j; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column form of the codegen'd dot product. */
   def dotF32(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProductF32(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column form of the nearest-centroid assignment (see
+    * [[NearestCentroid]]). */
+  def nearestCentroid(emb: Column, cents: Array[Array[Double]]): Column =
+    GraftBridge.column(
+      NearestCentroid(GraftBridge.expression(emb), cents))
 
   /** Column form of the all-tables LSH bucket array (see
     * [[HyperplaneBuckets]]): element t = table t's nBits-bit bucket. */

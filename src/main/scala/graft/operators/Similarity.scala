@@ -354,7 +354,11 @@ object Similarity {
              idCol: String = "vec_id", embCol: String = "embedding",
              deterministic: Boolean = false): DataFrame = {
     val cents = kMeansCentroids(emb, k, iters, idCol, embCol, deterministic)
-    emb.select(col(idCol), assignExpr(col(embCol), cents).as("cluster"))
+    // null-embedding rows have no meaningful nearest centroid — they are
+    // excluded here exactly as they are from training (and from the
+    // oracle's not-null base CTE)
+    emb.where(col(embCol).isNotNull)
+      .select(col(idCol), assignExpr(col(embCol), cents).as("cluster"))
   }
 
   /** The trained centroid matrix from `kMeans` (driver-side, k×dim) —
@@ -451,14 +455,26 @@ object Similarity {
       Dedup.connectedComponentsStar(_))
   }
 
-  /** Nearest-centroid id for a vector, with the exact arithmetic the
-    * DuckDB oracle mirrors: sequential-fold double cosine against each
-    * centroid (centroid norms are driver constants summed in the same
-    * ascending-index order), best = max cosine, ties to the lower
-    * cluster id, null cosine (zero-norm vector) pinned below any real
-    * score. */
-  private def assignExpr(emb: Column,
-                         cents: Array[Array[Double]]): Column = {
+  /** Nearest-centroid id for a vector: ONE codegen'd
+    * `NearestCentroid` expression (see `VectorExpressions`) — the
+    * composed HOF-cosine struct-array form was bit-identical but built a
+    * plan tree linear in k×dim that Lloyd re-planned every round with
+    * fresh literals; at k=64 the analyzer/optimizer fixed cost dominated
+    * the assignment work itself. Arithmetic is unchanged (sequential
+    * double folds, driver-side ascending centroid norms, max cosine,
+    * ties to the lower cluster id, zero-norm scored -2) — the spec pins
+    * equality against the composed form, and the unrolled-SQL oracle
+    * still hash-matches. */
+  private[graft] def assignExpr(emb: Column,
+                                cents: Array[Array[Double]]): Column =
+    graft.functions.VectorExpressions.nearestCentroid(emb, cents)
+
+  /** The composed (pre-expression) nearest-centroid form, kept as the
+    * differential test surface for `NearestCentroid`: k HOF cosines
+    * against centroid literals, struct-array sort, ties to lower id. */
+  private[graft] def assignExprComposed(emb: Column,
+                                        cents: Array[Array[Double]])
+      : Column = {
     val ranked = array_sort(array(cents.zipWithIndex.map { case (cv, j) =>
       val cNorm = math.sqrt(cv.map(x => x * x).sum)
       val cos = coalesce(

@@ -168,6 +168,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("NearestCentroid equals the composed HOF form (codegen and " +
+    "interpreted), including ties and zero-norm vectors") {
+    import graft.functions.{NearestCentroid, VectorExpressions}
+    val cents = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(1.0, 0.0, 0.0), // duplicate of centroid 0: forces exact ties
+      Array(0.7, 0.7, 0.0))
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f)),     // ties centroids 0 and 2 -> lower wins
+      (2L, Array(0f, 2f, 0f)),
+      (3L, Array(0.5f, 0.5f, 0f)), // ties 3 exactly? close scores
+      (4L, Array(0f, 0f, 0f)),     // zero norm: all -2 -> cluster 0
+      (5L, Array(-1f, -1f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val fused = rows.select(col("vec_id"),
+      Similarity.assignExpr(col("embedding"), cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val composed = rows.select(col("vec_id"),
+      Similarity.assignExprComposed(col("embedding"), cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(fused === composed)
+    assert(fused(1L) === 0) // tie between 0 and 2 resolves low
+    assert(fused(4L) === 0) // zero-norm pinned to -2 everywhere -> 0
+    // interpreted eval (no codegen) agrees with the DataFrame (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val data = rows.as[(Long, Array[Float])].collect()
+    data.foreach { case (id, v) =>
+      val interp = NearestCentroid(
+        Literal(ArrayData.toArrayData(v), ArrayType(FloatType)), cents)
+        .eval(null)
+      assert(interp === fused(id), s"vec $id: interpreted $interp")
+    }
+  }
+
   test("semanticDedup matches the global pair composition when clusters " +
     "are well separated, and dedups within clusters") {
     // two separated clusters, each containing an exact-duplicate pair and

@@ -247,6 +247,49 @@ object ScaleProbe {
           math.round(recall(clustered, np) * 1000))
     }
 
+    if (which("emb-semdedup")) {
+      // SemDeDup at 20k: every vector x10 exact replicas under new ids.
+      // Replicas assign to the SAME k-means cluster (identical vectors),
+      // pair at cos=1 inside it, and must collapse to exactly 2,000
+      // survivor groups — near-orthogonal base vectors never merge at 0.9
+      val replicas = (0 until 10).map { k =>
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("semdedup_20k_rows")(big.count())
+      t("semdedup_kmeans_k64_train")(
+        graft.operators.Similarity.kMeans(big, k = 64, iters = 3).count())
+      // kClusters sized so clusters stay small (~300 rows) — the SemDeDup
+      // operating point: per-cluster all-pairs is the design's bounded
+      // cost, and the shuffle key cardinality must exceed the core count
+      t("semdedup_survivor_groups") {
+        graft.operators.Similarity
+          .semanticDedup(big, kClusters = 64, iters = 3, threshold = 0.9)
+          .select("survivor_id").distinct().count()
+      }
+    }
+
+    if (which("docs-spans")) {
+      // span dedup at 50k docs (10 vocabulary-disjoint replicas): spans
+      // never collide across replicas, so output = 10x the base corpus's
+      // dedup — the probe checks every doc comes back and measures the
+      // two-shuffle plan's wall at 10x
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("spans_50k_rows")(big.count())
+      t("spans_dedup_all_docs_back")(
+        graft.operators.Dedup.spanDedup(big, col("doc_id"), col("text"), 3)
+          .count())
+      t("spans_docs_fully_emptied")(
+        graft.operators.Dedup.spanDedup(big, col("doc_id"), col("text"), 3)
+          .where(col("text_deduped") === "").count())
+    }
+
     if (which("emb-adversarial")) {
       val replicas = (0 until 10).map { k =>
         emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
