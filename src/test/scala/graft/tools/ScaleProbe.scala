@@ -222,14 +222,16 @@ object ScaleProbe {
       // true neighbors are its replicas)
       val emb = graft.Tables.embeddings(spark, dir)
         .select("vec_id", "embedding").localCheckpoint(true)
-      def recall(corpus: DataFrame, nProbe: Int): Double = {
+      def recall(corpus: DataFrame, nProbe: Int,
+                 cents: Option[Array[Array[Double]]] = None): Double = {
         val probes = corpus.where(col("vec_id") % 20 === 0)
         val exact = graft.operators.Similarity
           .bruteForceTopK(corpus, probes, k = 5)
           .select("probe_id", "nbr_id").localCheckpoint(true)
         val denom = exact.count().toDouble
         val hit = graft.operators.Similarity
-          .ivfTopK(corpus, probes, k = 5, nCentroids = 16, nProbe = nProbe)
+          .ivfTopK(corpus, probes, k = 5, nCentroids = 16, nProbe = nProbe,
+            centroids = cents)
           .select("probe_id", "nbr_id")
           .join(exact, Seq("probe_id", "nbr_id"), "left_semi").count()
         hit / denom
@@ -245,6 +247,13 @@ object ScaleProbe {
       for (np <- Seq(1, 4))
         t(f"ivf_recall_clustered_nprobe$np%02d_x1000")(
           math.round(recall(clustered, np) * 1000))
+      // same corpus, FULL-CORPUS kMeans quantizer instead of the built-in
+      // 4096-row sample — the kMeans-feeds-IVF integration's recall story
+      val km = graft.operators.Similarity
+        .kMeansCentroids(clustered, k = 16, iters = 5)
+      for (np <- Seq(1, 4))
+        t(f"ivf_recall_clustered_kmeans_nprobe$np%02d_x1000")(
+          math.round(recall(clustered, np, Some(km)) * 1000))
     }
 
     if (which("emb-semdedup")) {
