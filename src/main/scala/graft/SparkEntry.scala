@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Dedup, Enrich, Events, Pack, PromptTemplates, Similarity, Skew}
+import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Pack, PromptTemplates, Similarity, Skew}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -888,6 +888,20 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("survivor_id"))
         .orderBy("vec_id")),
 
+    // trainable quality classifier (fasttext-style scoring, reduced to a
+    // batch perceptron — comparisons/mults/adds only, so training is
+    // bit-reproducible in SQL): 2 epoch-synchronous updates on the
+    // embeddings' label, then one scoring pass. Oracle: epochs unrolled
+    // in generated SQL, prediction signs compared.
+    "q_embed_classify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val w = Classify.perceptronTrain(emb, "vec_id", "embedding",
+        positive = col("label") < 5, epochs = 2, deterministic = true)
+      Classify.perceptronScore(emb, "vec_id", "embedding", w)
+        .select(col("vec_id"), col("predicted"))
+        .orderBy("vec_id")
+    }),
+
     // threshold 0.45: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cos ≈ 0.6 at sf0.1), so 0.45 yields a real,
     // non-empty tail while staying > 3σ above the cos≈N(0, 1/64) noise
@@ -1166,6 +1180,42 @@ object SparkEntry {
        |    AS survivor_id
        |FROM embeddings v2 LEFT JOIN comp c ON v2.vec_id = c.vec_id
        |ORDER BY v2.vec_id""".stripMargin
+
+  /** q_embed_classify oracle: batch-perceptron epochs unrolled. Epoch r
+    * computes every row's margin under w{r-1} (m$r), the id-ordered
+    * sequential gradient over misclassified rows (g$r), and w$r; the
+    * final select re-scores under w$epochs. Arithmetic mirrors
+    * `Classify.perceptronTrain(deterministic = true)` exactly. */
+  private def perceptronOracleSql(epochs: Int, lr: Double): String = {
+    val rounds = (1 to epochs).map { r =>
+      s"""m$r AS (SELECT e.vec_id, e.a, e.y,
+         |    e.y * list_sum(list_transform(range(1, len(e.a) + 1),
+         |      i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) AS margin
+         |  FROM e, w${r - 1} w),
+         |g$r AS (SELECT d.i,
+         |    list_sum(list(CAST(m.a[d.i] AS DOUBLE) * m.y
+         |      ORDER BY m.vec_id)) AS g
+         |  FROM dims d, (SELECT * FROM m$r WHERE margin <= 0) m
+         |  GROUP BY d.i),
+         |w$r AS (SELECT list(w.w[d.i] + $lr * coalesce(g$r.g, 0.0)
+         |    ORDER BY d.i) AS w
+         |  FROM dims d CROSS JOIN w${r - 1} w
+         |  LEFT JOIN g$r ON g$r.i = d.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    embedding || [CAST(1.0 AS FLOAT)] AS a,
+       |    CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS y
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dims AS (SELECT u.i
+       |  FROM (SELECT a FROM e ORDER BY vec_id LIMIT 1) s,
+       |    unnest(range(1, len(s.a) + 1)) AS u(i)),
+       |w0 AS (SELECT list(0.0 ORDER BY i) AS w FROM dims),
+       |$rounds
+       |SELECT e.vec_id,
+       |  list_sum(list_transform(range(1, len(e.a) + 1),
+       |    i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) > 0 AS predicted
+       |FROM e, w$epochs w ORDER BY e.vec_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1973,6 +2023,9 @@ object SparkEntry {
     // same kmeans chain + pairs restricted to a shared cluster + closure
     "q_embed_semdedup" -> semdedupOracleSql(k = 4, iters = 2,
       threshold = 0.45),
+
+    // batch-perceptron epochs unrolled, prediction signs compared
+    "q_embed_classify" -> perceptronOracleSql(epochs = 2, lr = 1.0),
 
     // IVF at nProbe = nCentroids must equal exact brute-force top-k
     "q_embed_ivf_topk" ->

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable linear quality classifier over an embedding column — the
+  * mechanism behind fasttext-style document-quality scoring in
+  * large-scale training-data pipelines (score every document, keep the
+  * top fraction), reduced to its Spark-native core: a batch
+  * (epoch-synchronous) PERCEPTRON.
+  *
+  * Why a perceptron and not logistic regression: the update rule is
+  * comparisons, multiplies and adds only — no `exp`, whose libm
+  * implementations differ across engines — so training is bit-for-bit
+  * reproducible against the DuckDB oracle the same way the k-means
+  * trainer is. The Spark division of labor is also identical to
+  * `Similarity.kMeans`: the per-epoch margin test is one projection
+  * pass over the full corpus, the gradient is one partial-aggregating
+  * groupBy of the misclassified rows' posexploded cells, and only the
+  * (dim+1)-vector of weights ever reaches the driver.
+  *
+  * The bias is folded in as feature augmentation: every vector gets a
+  * constant trailing 1.0f, so weights have dim+1 entries and the margin
+  * is a single sequential-fold dot product.
+  */
+object Classify {
+
+  /** Train `epochs` batch-perceptron updates:
+    * w ← w + lr · Σ_misclassified y·x (y ∈ {+1,-1} from `positive`;
+    * misclassified = y·(w·x) ≤ 0, so the zero-initialized first epoch
+    * sums every row). With `deterministic = true` the gradient sums are
+    * id-ordered sequential folds (bit-reproducible across engines and
+    * partitionings — the oracle/repro mode, which buffers each
+    * dimension's misclassified cells in memory); the default keeps the
+    * scale-correct partial-agg `sum`. Null-embedding rows are excluded.
+    * Returns the (dim+1) weights, bias last. */
+  def perceptronTrain(df: DataFrame, idCol: String, embCol: String,
+                      positive: Column, epochs: Int, lr: Double = 1.0,
+                      deterministic: Boolean = false): Array[Double] = {
+    require(epochs >= 0, s"perceptronTrain: epochs=$epochs")
+    val base = df.where(col(embCol).isNotNull)
+      .select(col(idCol).as("id"),
+        concat(col(embCol), array(lit(1.0f))).as("a"),
+        when(positive, 1.0d).otherwise(-1.0d).as("y"))
+    val dim = Similarity.probeDim(base, "a")
+    var w = new Array[Double](dim)
+    for (_ <- 0 until epochs) {
+      val margin = col("y") * Similarity.dot(col("a"), typedlit(w))
+      val cells = base.where(margin <= 0)
+        .select(col("id"), col("y"), posexplode(col("a")).as(Seq("i", "x")))
+        .select(col("id"), col("i"),
+          (col("y") * col("x").cast("double")).as("v"))
+      val agg =
+        if (deterministic)
+          cells.groupBy("i")
+            .agg(aggregate(array_sort(collect_list(struct(col("id"),
+                col("v")))), lit(0.0),
+              (acc, s) => acc + s.getField("v")).as("g"))
+        else cells.groupBy("i").agg(sum(col("v")).as("g"))
+      val g = agg.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = w.zipWithIndex.map { case (wi, i) => wi + lr * g.getOrElse(i, 0.0) }
+    }
+    w
+  }
+
+  /** Score every row with trained weights: margin = w · (x ++ 1.0).
+    * One projection pass — the shape that scores 100 TB. Returns
+    * (id-named-as-input, margin, predicted = margin > 0). */
+  def perceptronScore(df: DataFrame, idCol: String, embCol: String,
+                      weights: Array[Double]): DataFrame =
+    df.where(col(embCol).isNotNull)
+      .select(col(idCol),
+        Similarity.dot(concat(col(embCol), array(lit(1.0f))),
+          typedlit(weights)).as("margin"))
+      .withColumn("predicted", col("margin") > 0)
+}

@@ -348,7 +348,10 @@ object Similarity {
     *
     * `iters` counts centroid updates; the result is the assignment
     * under the FINAL centroids. Empty clusters keep their previous
-    * centroid. Returns (id-named-as-input, cluster).
+    * centroid; a corpus smaller than `k` shrinks the centroid count to
+    * the row count (the spec pins both). Null-embedding rows are
+    * excluded from training and assignment alike. Returns
+    * (id-named-as-input, cluster).
     */
   def kMeans(emb: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id", embCol: String = "embedding",

@@ -168,6 +168,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("kMeans edges: k larger than the corpus shrinks to the row count; " +
+    "iters=0 assigns against the raw seeds; null embeddings are excluded") {
+    val tiny = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroids(tiny, k = 10, iters = 2)
+    assert(cents.length === 2) // only 2 non-null rows to seed from
+    val a = Similarity.kMeans(tiny, k = 10, iters = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(a.keySet === Set(1L, 2L)) // null-embedding row excluded
+    assert(a(1L) !== a(2L))          // orthogonal vectors, distinct seeds
+    intercept[IllegalArgumentException](
+      Similarity.kMeansCentroids(tiny.limit(0), k = 2, iters = 1))
+    intercept[IllegalArgumentException](
+      Similarity.kMeansCentroids(tiny, k = 0, iters = 1))
+  }
+
   test("NearestCentroid equals the composed HOF form (codegen and " +
     "interpreted), including ties and zero-norm vectors") {
     import graft.functions.{NearestCentroid, VectorExpressions}
