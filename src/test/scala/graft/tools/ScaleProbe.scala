@@ -299,6 +299,27 @@ object ScaleProbe {
           .where(col("text_deduped") === "").count())
     }
 
+    if (which("emb-classify")) {
+      // perceptron at 20k rows (sign-flipped replicas keep a learnable
+      // structure: label = replica parity is NOT separable, so epochs do
+      // real gradient work every round — worst case for the train loop)
+      val replicas = (0 until 10).map { k =>
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("embedding"), lit(k % 2 == 0).as("is_pos"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("classify_20k_rows")(big.count())
+      var w: Array[Double] = null
+      t("classify_train_5_epochs") {
+        w = graft.operators.Classify.perceptronTrain(big, "vec_id",
+          "embedding", positive = col("is_pos"), epochs = 5)
+        w.length
+      }
+      t("classify_score_pass")(
+        graft.operators.Classify.perceptronScore(big, "vec_id",
+          "embedding", w).where(col("predicted")).count())
+    }
+
     if (which("emb-adversarial")) {
       val replicas = (0 until 10).map { k =>
         emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
