@@ -377,6 +377,53 @@ class DedupSpec extends SparkTestBase {
     assert(t(2L) === "zz zz zz") // trailing "dd" was doc 1's tail span
   }
 
+  test("spanDedup differential property: matches an in-memory reference " +
+    "on random corpora (chunk sizes 1-4, messy whitespace, case)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // sequential reference implementation of the same contract
+    def ref(docs: Seq[(Long, String)], n: Int): Map[Long, String] = {
+      def chunks(t: String): Vector[String] = {
+        val w = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+        val cs = w.grouped(n).map(_.mkString(" ")).toVector
+        if (cs.isEmpty) Vector("") else cs
+      }
+      val spanned = docs.collect { case (id, t) if t != null =>
+        id -> chunks(t)
+      }
+      val firsts = spanned
+        .flatMap { case (id, cs) =>
+          cs.zipWithIndex.map { case (c, i) => c -> (id, i) } }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+      docs.map { case (id, t) =>
+        if (t == null) id -> ""
+        else id -> chunks(t).zipWithIndex
+          .filter { case (c, i) => firsts(c) == (id, i) }
+          .map(_._1).mkString(" ")
+      }.toMap
+    }
+    val word = Gen.oneOf("aa", "bb", "CC", "dd")
+    val docGen = for {
+      nw <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(nw, word)
+      sep <- Gen.oneOf(" ", "  ")
+    } yield ws.mkString(sep)
+    val corpusGen = for {
+      nd <- Gen.choose(1, 6)
+      texts <- Gen.listOfN(nd, Gen.option(docGen))
+      n <- Gen.choose(1, 4)
+    } yield (texts.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, t.orNull) }, n)
+    val prop = Prop.forAll(corpusGen) { case (docs, n) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.spanDedup(df, col("doc_id"), col("text"), n)
+        .as[(Long, String)].collect().toMap
+      got == ref(docs, n)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhashPairs matches exact jaccard on docs long enough for stable " +
     "majority votes") {
     // simhash majority margins scale with sqrt(token count): ~10-token docs
