@@ -299,6 +299,27 @@ object ScaleProbe {
           .where(col("text_deduped") === "").count())
     }
 
+    if (which("emb-kmeans-100k")) {
+      // full-corpus trainer at 50x sf0.1 (100k vectors): 50 sign-flipped
+      // replicas (independent data, see emb-weak) — wall should track
+      // rows linearly (assignment = one codegen pass, update = one
+      // partial-agg groupBy of 6.4M cells per round)
+      val replicas = (0 until 50).map { k =>
+        val signs = typedlit(Array.tabulate(64) { i =>
+          var z = (k.toLong << 32) + i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+        })
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("kmeans100k_rows")(big.count())
+      t("kmeans100k_k64_iters3")(
+        graft.operators.Similarity.kMeans(big, k = 64, iters = 3).count())
+    }
+
     if (which("emb-classify")) {
       // perceptron at 20k rows (sign-flipped replicas keep a learnable
       // structure: label = replica parity is NOT separable, so epochs do
