@@ -1127,15 +1127,23 @@ object SparkEntry {
          |  SELECT vec_id, cluster, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rn
          |  FROM sc$r) WHERE rn = 1)""".stripMargin
-    def update(r: Int): String =
+    def update(r: Int): String = {
+      val prev = if (r == 1) "seeds" else s"c${r - 1}"
+      // LEFT JOIN against the previous round's centroids: a cluster that
+      // ends a round empty keeps its old centroid (mirrors the
+      // operator's byCluster.getOrElse(j, old)) instead of vanishing
+      // from the candidate set
       s"""m$r AS (SELECT a${r - 1}.cluster, u.i AS i,
          |    list_sum(list(CAST(e.embedding[u.i] AS DOUBLE)
          |      ORDER BY e.vec_id)) / count(*) AS m
          |  FROM a${r - 1} JOIN e USING (vec_id),
          |    unnest(range(1, len(e.embedding) + 1)) AS u(i)
          |  GROUP BY 1, 2),
-         |c$r AS (SELECT cluster, list(m ORDER BY i) AS cent
-         |  FROM m$r GROUP BY cluster)""".stripMargin
+         |cn$r AS (SELECT cluster, list(m ORDER BY i) AS cent
+         |  FROM m$r GROUP BY cluster),
+         |c$r AS (SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
+         |  FROM $prev p LEFT JOIN cn$r n USING (cluster))""".stripMargin
+    }
     val rounds = (1 to iters)
       .map(r => update(r) + ",\n" + assign(r, s"c$r")).mkString(",\n")
     s"""e AS (SELECT vec_id, embedding FROM embeddings

@@ -209,7 +209,10 @@ case class HyperplaneBuckets(child: Expression, dim: Int, nBits: Int,
   * Arithmetic is bit-identical to the composed HOF form (and the DuckDB
   * oracle): ascending-index sequential double folds for the dot and the
   * row norm; centroid norms are driver-precomputed with the same
-  * ascending sum. Null vector → null.
+  * ascending sum. Null vector → null; a vector whose length differs
+  * from the centroid dim resolves to cluster 0, exactly like the
+  * composed form (zip_with pads the shorter side with null → null
+  * cosine → coalesce(-2) for every centroid).
   */
 case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -248,10 +251,14 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, x.numElements())
+    // a vector whose length differs from the centroid dim scores every
+    // centroid -2 in the composed HOF form (zip_with pads the shorter
+    // side with null → null cosine → coalesce(-2)) and in the SQL oracle
+    // (out-of-range index → NULL) — all-equal scores resolve to cluster 0
+    if (x.numElements() != dim) return 0
     var nrm = 0.0
     var i = 0
-    while (i < x.numElements()) {
+    while (i < dim) {
       val e = x.getFloat(i).toDouble; nrm += e * e; i += 1
     }
     nrm = math.sqrt(nrm)
@@ -261,7 +268,7 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     while (j < k) {
       var dot = 0.0
       i = 0
-      while (i < n) {
+      while (i < dim) {
         dot += x.getFloat(i).toDouble * flat(j * dim + i); i += 1
       }
       val den = nrm * cNorms(j)
@@ -277,7 +284,6 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     nullSafeCodeGen(ctx, ev, v => {
       val fl = ctx.addReferenceObj("cents", flat, "double[]")
       val cn = ctx.addReferenceObj("cnorms", cNorms, "double[]")
-      val n = ctx.freshName("n")
       val nrm = ctx.freshName("nrm")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
@@ -287,23 +293,24 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       val best = ctx.freshName("best")
       val bestS = ctx.freshName("bestScore")
       s"""
-         |int $n = java.lang.Math.min($dim, $v.numElements());
-         |double $nrm = 0.0;
-         |for (int $i = 0; $i < $v.numElements(); $i++) {
-         |  double e = (double) $v.getFloat($i);
-         |  $nrm += e * e;
-         |}
-         |$nrm = java.lang.Math.sqrt($nrm);
          |int $best = 0;
-         |double $bestS = java.lang.Double.NEGATIVE_INFINITY;
-         |for (int $j = 0; $j < $k; $j++) {
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ((double) $v.getFloat($i)) * $fl[$j * $dim + $i];
+         |if ($v.numElements() == $dim) {
+         |  double $nrm = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double e = (double) $v.getFloat($i);
+         |    $nrm += e * e;
          |  }
-         |  double $den = $nrm * $cn[$j];
-         |  double $sc = ($den == 0.0) ? -2.0 : $dot / $den;
-         |  if ($sc > $bestS) { $bestS = $sc; $best = $j; }
+         |  $nrm = java.lang.Math.sqrt($nrm);
+         |  double $bestS = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += ((double) $v.getFloat($i)) * $fl[$j * $dim + $i];
+         |    }
+         |    double $den = $nrm * $cn[$j];
+         |    double $sc = ($den == 0.0) ? -2.0 : $dot / $den;
+         |    if ($sc > $bestS) { $bestS = $sc; $best = $j; }
+         |  }
          |}
          |${ev.value} = $best;
        """.stripMargin

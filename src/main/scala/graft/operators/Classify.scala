@@ -52,10 +52,8 @@ object Classify {
           (col("y") * col("x").cast("double")).as("v"))
       val agg =
         if (deterministic)
-          cells.groupBy("i")
-            .agg(aggregate(array_sort(collect_list(struct(col("id"),
-                col("v")))), lit(0.0),
-              (acc, s) => acc + s.getField("v")).as("g"))
+          Similarity.sequentialSumByKey(cells, Seq("i"), "id", "v")
+            .select(col("i"), col("__sum").as("g"))
         else cells.groupBy("i").agg(sum(col("v")).as("g"))
       val g = agg.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       w = w.zipWithIndex.map { case (wi, i) => wi + lr * g.getOrElse(i, 0.0) }

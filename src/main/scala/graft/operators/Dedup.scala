@@ -65,11 +65,16 @@ object Dedup {
     *
     * Plan shape at scale: chunking is one generator projection (no
     * per-word explosion — spans are sliced from the split array in a
-    * single `transform`); first-occurrence is a partial-aggregating
-    * groupBy on the span TEXT (high-cardinality shuffle key) rather
-    * than a window (a window would buffer each span group in one task);
-    * reassembly is one groupBy on doc_id with an in-group sort.
-    * Two shuffles total, both on high-cardinality keys.
+    * single `transform`); first-occurrence is a rank-1 window on the
+    * span TEXT (high-cardinality shuffle key), which Catalyst plans
+    * with a partial WindowGroupLimit below the exchange — each map task
+    * pre-prunes to its local first occurrence, so no span group is ever
+    * buffered whole AND the corpus is chunked exactly once (a
+    * groupBy-min + join-back formulation evaluates the whole chunking
+    * subtree twice: the join's build and probe sides can't share an
+    * exchange when one sits under a partial aggregate); reassembly is
+    * one groupBy on doc_id with an in-group sort. Two shuffles total,
+    * both on high-cardinality keys.
     *
     * Returns (doc_id, text_deduped).
     */
@@ -85,10 +90,11 @@ object Dedup {
           i => array_join(
             slice(words, i * chunkWords + 1, lit(chunkWords)), " ")))
           .as(Seq("span_idx", "span")))
-    val firsts = spans.groupBy("span")
-      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
-    val kept = spans.join(firsts, Seq("span"))
-      .where(col("first") === struct(col("doc_id"), col("span_idx")))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy("span").orderBy(col("doc_id"), col("span_idx"))
+    val kept = spans
+      .withColumn("__rn", row_number().over(firstOcc))
+      .where(col("__rn") === 1)
     val rebuilt = kept.groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("span_idx"), col("span")))),
@@ -581,19 +587,24 @@ object Dedup {
     *
     * Crash safety is keyed on `meta/`: it is written ONCE, at bootstrap,
     * and LAST (after corpus → bands → shingles). "Written" means
-    * COMMITTED — bootstrap detection checks `meta/_SUCCESS` (the output
-    * committer's atomic job-commit marker), not the directory: a crash
-    * anywhere inside the bootstrap epoch — including mid-meta-write,
-    * which leaves a `meta/` directory without the marker — makes the
-    * replay re-run the full bootstrap (deleting the partial `meta/`) and
-    * dynamic overwrite rewrites the partial partitions. A crash in any
-    * later epoch never touches meta at all, and a replay of a FULLY
-    * committed epoch admits nothing (every batch doc self-matches the
-    * corpus), so no write path runs. The meta write itself uses
-    * `errorIfExists`, making the write-once contract self-enforcing: any
-    * future code path (or concurrent double-bootstrap) that tries to
-    * clobber a committed meta fails loudly instead of silently changing
-    * the index's signature parameters. */
+    * COMMITTED — bootstrap detection checks an explicit
+    * `meta/_GRAFT_COMMITTED` marker created atomically AFTER the meta
+    * parquet write, not the directory and not the committer's `_SUCCESS`
+    * (which disappears entirely under
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, common on
+    * object-store committers — keying on it there would re-bootstrap
+    * every epoch and silently stop deduplicating). A crash anywhere
+    * inside the bootstrap epoch — including between the meta write and
+    * the marker — makes the replay re-run the full bootstrap (deleting
+    * the partial `meta/`) and dynamic overwrite rewrites the partial
+    * partitions. A crash in any later epoch never touches meta at all,
+    * and a replay of a FULLY committed epoch admits nothing (every batch
+    * doc self-matches the corpus), so no write path runs. The meta write
+    * itself uses `errorIfExists`, making the write-once contract
+    * self-enforcing: any future code path (or concurrent
+    * double-bootstrap) that tries to clobber a committed meta fails
+    * loudly instead of silently changing the index's signature
+    * parameters. */
   def ingestGateBatch(indexPath: String, corpusPath: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       threshold: Double = 0.6, w: Int = 3, k: Int = 128,
@@ -607,7 +618,7 @@ object Dedup {
     val text = col(textCol)
     val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
     val metaCommitted =
-      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
+      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_GRAFT_COMMITTED")
     val fs = metaDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val bootstrap = !fs.exists(metaCommitted)
@@ -671,11 +682,14 @@ object Dedup {
           // a crashed bootstrap can leave a partial (uncommitted) meta/
           // behind — clear it; errorIfExists then guards the COMMITTED
           // case, which is unreachable here by construction (committed
-          // meta ⇒ _SUCCESS ⇒ bootstrap=false), so any hit is a real
+          // meta ⇒ marker ⇒ bootstrap=false), so any hit is a real
           // double-bootstrap bug surfacing loudly
           if (fs.exists(metaDir)) fs.delete(metaDir, true)
           Seq((w, k, bands)).toDF("w", "k", "bands").coalesce(1)
             .write.mode("errorifexists").parquet(s"$indexPath/meta")
+          // explicit atomic commit marker, written LAST — independent of
+          // the committer's marksuccessfuljobs setting
+          fs.create(metaCommitted, false).close()
         }
       }
     } finally pinnedFrame.foreach(releaseMaterialized)

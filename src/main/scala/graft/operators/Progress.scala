@@ -157,11 +157,13 @@ object Progress {
                                      onUpdate: Status => Unit = _ => (),
                                      queryId: Option[java.util.UUID] = None)
       extends StreamingQueryListener {
-    @volatile private var rows = 0L
-    @volatile private var batches = 0L
-    // CAS, not check-then-act on a volatile: Spark currently delivers
+    // atomics, not volatile read-modify-writes: Spark currently delivers
     // listener events on a single bus thread, but that is undocumented —
-    // two racing first events must not both win the auto-bind
+    // under concurrent delivery two racing first events must not both
+    // win the auto-bind, and two progress events must not lose an
+    // increment between them
+    private val rows = new AtomicLong(0L)
+    private val batches = new AtomicLong(0L)
     private val boundId =
       new java.util.concurrent.atomic.AtomicReference[java.util.UUID](
         queryId.orNull)
@@ -175,17 +177,17 @@ object Progress {
         event: StreamingQueryListener.QueryProgressEvent): Unit = {
       boundId.compareAndSet(null, event.progress.id)
       if (boundId.get() != event.progress.id) return
-      rows += event.progress.numInputRows
-      batches += 1
+      val r = rows.addAndGet(event.progress.numInputRows)
+      val b = batches.incrementAndGet()
       val pct = expectedRows match {
         case Some(n) if n > 0 =>
-          math.min(100.0, 100.0 * rows.toDouble / n)
+          math.min(100.0, 100.0 * r.toDouble / n)
         case _ => 0.0
       }
       val s = Status("stream",
-        s"batch ${event.progress.batchId} ($rows rows in $batches batches)",
-        math.round(pct * 100.0) / 100.0, rows,
-        expectedRows.map(n => math.max(0L, n - rows)).getOrElse(0L))
+        s"batch ${event.progress.batchId} ($r rows in $b batches)",
+        math.round(pct * 100.0) / 100.0, r,
+        expectedRows.map(n => math.max(0L, n - r)).getOrElse(0L))
       last = s
       onUpdate(s)
     }

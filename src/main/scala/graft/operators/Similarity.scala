@@ -43,6 +43,29 @@ object Similarity {
       element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduce(_ + _)
 
+  /** Deterministic id-ordered sequential fold Σ value per key group —
+    * the bit-reproducibility-critical aggregation shared by the
+    * oracle/repro modes of `kMeansCentroids` and
+    * `Classify.perceptronTrain` (one definition so a future parity fix
+    * cannot drift between them): each group's (id, value) structs are
+    * collected, sorted by id, and summed in one ascending fold, matching
+    * a sequential engine's `list_sum(list(v ORDER BY id))` bit-for-bit.
+    * Holds each group's cells in memory — the repro modes' documented
+    * cost; scale paths use plain partial-agg sums. Returns the key
+    * columns plus (__sum, __count). */
+  private[operators] def sequentialSumByKey(cells: DataFrame,
+                                            keys: Seq[String],
+                                            idCol: String,
+                                            valCol: String): DataFrame =
+    cells.groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col(idCol), col(valCol))).as("__xs"),
+        count(lit(1)).as("__count"))
+      .select(keys.map(col) :+
+        aggregate(array_sort(col("__xs")), lit(0.0),
+          (acc, s) => acc + s.getField(valCol).cast("double"))
+          .as("__sum") :+
+        col("__count"): _*)
+
   /** Vector dimension probed from the first row WITH a vector (driver-
     * side, one tiny job) — lets all-pairs operators unroll arithmetic
     * statically. Null-embedding rows are skipped (size(null) is null and
@@ -393,13 +416,9 @@ object Similarity {
           posexplode(col("emb")).as(Seq("i", "x")))
       val means =
         if (deterministic)
-          cells.groupBy("cluster", "i")
-            .agg(collect_list(struct(col("id"), col("x"))).as("xs"),
-              count(lit(1)).as("n"))
+          sequentialSumByKey(cells, Seq("cluster", "i"), "id", "x")
             .select(col("cluster"), col("i"),
-              (aggregate(array_sort(col("xs")), lit(0.0),
-                (acc, s) => acc + s.getField("x").cast("double")) /
-                col("n")).as("m"))
+              (col("__sum") / col("__count")).as("m"))
         else
           cells.groupBy("cluster", "i")
             .agg(avg(col("x").cast("double")).as("m"))

@@ -246,22 +246,26 @@ object Excel {
       val headerByCol: Map[Int, String] = rows.head.toMap
       val observed: Seq[Int] =
         rows.head.map(_._1).toSeq ++ rows.tail.flatMap(_.map(_._1))
-      require(observed.nonEmpty,
-        s"readXlsx: sheet $sheetName has no cells")
-      val dataCols: Seq[Int] = observed.min to observed.max
+      // rows present but no cells anywhere (row elements without <c>):
+      // pandas returns an empty frame for such a sheet — contribute just
+      // the __sheet column rather than failing the whole workbook
+      val dataCols: Seq[Int] =
+        if (observed.isEmpty) Seq.empty else observed.min to observed.max
       val header = dataCols.zipWithIndex.map { case (ci, pos) =>
         headerByCol.get(ci).filter(_.nonEmpty).getOrElse(s"Unnamed: $pos")
       }
       val posByCol: Map[Int, Int] = dataCols.zipWithIndex.toMap
       val schema = StructType(header.map(StructField(_, StringType)) :+
         StructField("__sheet", StringType))
-      val data = rows.tail.map { cells =>
-        val arr = Array.fill[String](header.length)(null)
-        cells.foreach { case (ci, v) =>
-          posByCol.get(ci).foreach { p => if (v.nonEmpty) arr(p) = v }
+      val data =
+        if (dataCols.isEmpty) Seq.empty // cell-less sheet: zero rows
+        else rows.tail.map { cells =>
+          val arr = Array.fill[String](header.length)(null)
+          cells.foreach { case (ci, v) =>
+            posByCol.get(ci).foreach { p => if (v.nonEmpty) arr(p) = v }
+          }
+          Row.fromSeq(arr.toSeq :+ sheetName)
         }
-        Row.fromSeq(arr.toSeq :+ sheetName)
-      }
       spark.createDataFrame(
         spark.sparkContext.parallelize(data.toSeq, 1), schema)
     }

@@ -281,17 +281,17 @@ class DedupSpec extends SparkTestBase {
     hadoopFs.delete(new Path(s"$d1/idx/meta"), true)
     gate1(gateEpoch0.toDF("doc_id", "text"), 0L) // must re-bootstrap, not throw
     assert(gateCorpusIds(s"$d1/corpus") === Set(1L, 2L))
-    assert(hadoopFs.exists(new Path(s"$d1/idx/meta/_SUCCESS")))
+    assert(hadoopFs.exists(new Path(s"$d1/idx/meta/_GRAFT_COMMITTED")))
     // shape 2: crash DURING the meta write — the directory exists with
-    // data files but the committer never placed the _SUCCESS marker
+    // data files but the explicit commit marker was never placed
     val d2 = java.nio.file.Files.createTempDirectory("graft_boot2").toString
     val gate2 = Dedup.ingestGateBatch(s"$d2/idx", s"$d2/corpus",
       threshold = 0.5) _
     gate2(gateEpoch0.toDF("doc_id", "text"), 0L)
-    hadoopFs.delete(new Path(s"$d2/idx/meta/_SUCCESS"), false)
+    hadoopFs.delete(new Path(s"$d2/idx/meta/_GRAFT_COMMITTED"), false)
     gate2(gateEpoch0.toDF("doc_id", "text"), 0L) // uncommitted ⇒ bootstrap
     assert(gateCorpusIds(s"$d2/corpus") === Set(1L, 2L))
-    assert(hadoopFs.exists(new Path(s"$d2/idx/meta/_SUCCESS")))
+    assert(hadoopFs.exists(new Path(s"$d2/idx/meta/_GRAFT_COMMITTED")))
     // either way the rebuilt index must actually PROBE: a near-dup of
     // corpus doc 1 is dropped in the next epoch, the novel doc admitted
     for (d <- Seq(d1, d2)) {

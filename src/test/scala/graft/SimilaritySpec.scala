@@ -198,7 +198,9 @@ class SimilaritySpec extends SparkTestBase {
       (2L, Array(0f, 2f, 0f)),
       (3L, Array(0.5f, 0.5f, 0f)), // ties 3 exactly? close scores
       (4L, Array(0f, 0f, 0f)),     // zero norm: all -2 -> cluster 0
-      (5L, Array(-1f, -1f, -0.5f))
+      (5L, Array(-1f, -1f, -0.5f)),
+      (6L, Array(1f, 0f)),         // ragged (shorter than dim) -> cluster 0
+      (7L, Array(0f, 2f, 0f, 9f))  // ragged (longer than dim) -> cluster 0
     ).toDF("vec_id", "embedding")
     val fused = rows.select(col("vec_id"),
       Similarity.assignExpr(col("embedding"), cents).as("c"))
@@ -209,6 +211,8 @@ class SimilaritySpec extends SparkTestBase {
     assert(fused === composed)
     assert(fused(1L) === 0) // tie between 0 and 2 resolves low
     assert(fused(4L) === 0) // zero-norm pinned to -2 everywhere -> 0
+    assert(fused(6L) === 0) // dim mismatch: null cosine path -> cluster 0
+    assert(fused(7L) === 0)
     // interpreted eval (no codegen) agrees with the DataFrame (codegen) path
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -186,7 +186,7 @@ object ScaleProbe {
       t("gate_bootstrap_50k") { gate(corpus, 0L); corpusRows(s"$base/corpus") }
       // the injected crash state: job commit never happened for meta,
       // and one band partition file is torn
-      fs.delete(new Path(s"$base/idx/meta/_SUCCESS"), false)
+      fs.delete(new Path(s"$base/idx/meta/_GRAFT_COMMITTED"), false)
       val aBand = fs.globStatus(
         new Path(s"$base/idx/bands/ingest_batch=0/part-*")).head.getPath
       fs.delete(aBand, false)
