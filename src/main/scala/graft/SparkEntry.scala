@@ -1112,14 +1112,21 @@ object SparkEntry {
     * final SELECT, so composite oracles (q_embed_semdedup) can extend
     * it. The final assignment CTE is `a$iters`. */
   private def kmeansCteChain(k: Int, iters: Int): String = {
+    // the CASE mirrors NearestCentroid / the composed HOF form on
+    // degenerate vectors: a dim mismatch or a null element scores -2
+    // (DuckDB's list_sum SKIPS null products, which would otherwise
+    // yield a real truncated cosine here and diverge from the engine)
     val cos = (cent: String) =>
-      s"""coalesce(
-         |  list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |    i -> CAST(e.embedding[i] AS DOUBLE) * $cent.cent[i]))
-         |  / nullif(
-         |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
-         |    * sqrt(list_sum(list_transform($cent.cent, x -> x * x))), 0),
-         |  -2.0)""".stripMargin
+      s"""CASE WHEN len(e.embedding) <> len($cent.cent)
+         |    OR len(list_filter(e.embedding, x -> x IS NULL)) > 0
+         |  THEN -2.0
+         |  ELSE coalesce(
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * $cent.cent[i]))
+         |    / nullif(
+         |      sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+         |      * sqrt(list_sum(list_transform($cent.cent, x -> x * x))), 0),
+         |    -2.0) END""".stripMargin
     def assign(r: Int, cent: String): String =
       s"""sc$r AS (SELECT e.vec_id, $cent.cluster, ${cos(cent)} AS cos
          |  FROM e, $cent),

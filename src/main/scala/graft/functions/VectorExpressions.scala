@@ -210,9 +210,10 @@ case class HyperplaneBuckets(child: Expression, dim: Int, nBits: Int,
   * oracle): ascending-index sequential double folds for the dot and the
   * row norm; centroid norms are driver-precomputed with the same
   * ascending sum. Null vector → null; a vector whose length differs
-  * from the centroid dim resolves to cluster 0, exactly like the
-  * composed form (zip_with pads the shorter side with null → null
-  * cosine → coalesce(-2) for every centroid).
+  * from the centroid dim, or that carries a null element, resolves to
+  * cluster 0, exactly like the composed form (zip_with's null pad / the
+  * null product poison the fold → null cosine → coalesce(-2) for every
+  * centroid) and the SQL oracle's CASE guard.
   */
 case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -251,13 +252,16 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    // a vector whose length differs from the centroid dim scores every
-    // centroid -2 in the composed HOF form (zip_with pads the shorter
-    // side with null → null cosine → coalesce(-2)) and in the SQL oracle
-    // (out-of-range index → NULL) — all-equal scores resolve to cluster 0
+    // a vector whose length differs from the centroid dim, or that
+    // carries a null ELEMENT, scores every centroid -2 in the composed
+    // HOF form (zip_with's null pad / the null product poison the fold →
+    // null cosine → coalesce(-2)) and in the SQL oracle's CASE guard —
+    // all-equal scores resolve to cluster 0
     if (x.numElements() != dim) return 0
-    var nrm = 0.0
     var i = 0
+    while (i < dim) { if (x.isNullAt(i)) return 0; i += 1 }
+    var nrm = 0.0
+    i = 0
     while (i < dim) {
       val e = x.getFloat(i).toDouble; nrm += e * e; i += 1
     }
@@ -294,7 +298,11 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       val bestS = ctx.freshName("bestScore")
       s"""
          |int $best = 0;
-         |if ($v.numElements() == $dim) {
+         |boolean ${best}_ok = $v.numElements() == $dim;
+         |for (int $i = 0; ${best}_ok && $i < $dim; $i++) {
+         |  ${best}_ok = !$v.isNullAt($i);
+         |}
+         |if (${best}_ok) {
          |  double $nrm = 0.0;
          |  for (int $i = 0; $i < $dim; $i++) {
          |    double e = (double) $v.getFloat($i);

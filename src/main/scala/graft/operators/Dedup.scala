@@ -90,8 +90,8 @@ object Dedup {
           i => array_join(
             slice(words, i * chunkWords + 1, lit(chunkWords)), " ")))
           .as(Seq("span_idx", "span")))
-    val firstOcc = org.apache.spark.sql.expressions.Window
-      .partitionBy("span").orderBy(col("doc_id"), col("span_idx"))
+    val firstOcc = Window.partitionBy("span")
+      .orderBy(col("doc_id"), col("span_idx"))
     val kept = spans
       .withColumn("__rn", row_number().over(firstOcc))
       .where(col("__rn") === 1)
@@ -589,11 +589,15 @@ object Dedup {
     * and LAST (after corpus → bands → shingles). "Written" means
     * COMMITTED — bootstrap detection checks an explicit
     * `meta/_GRAFT_COMMITTED` marker created atomically AFTER the meta
-    * parquet write, not the directory and not the committer's `_SUCCESS`
-    * (which disappears entirely under
-    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, common on
+    * parquet write, not the directory and not (primarily) the
+    * committer's `_SUCCESS`, which disappears entirely under
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` (common on
     * object-store committers — keying on it there would re-bootstrap
-    * every epoch and silently stop deduplicating). A crash anywhere
+    * every epoch and silently stop deduplicating). A pre-marker legacy
+    * index carrying only `_SUCCESS` still reads as committed — the
+    * parquet job had fully committed when `_SUCCESS` appeared, and
+    * without the fallback an upgrade would silently re-bootstrap (and
+    * delete) every existing index. A crash anywhere
     * inside the bootstrap epoch — including between the meta write and
     * the marker — makes the replay re-run the full bootstrap (deleting
     * the partial `meta/`) and dynamic overwrite rewrites the partial
@@ -619,9 +623,15 @@ object Dedup {
     val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
     val metaCommitted =
       new org.apache.hadoop.fs.Path(s"$indexPath/meta/_GRAFT_COMMITTED")
+    // legacy committed form: indexes bootstrapped before the explicit
+    // marker existed carry only the committer's _SUCCESS — without this
+    // fallback an upgrade would silently re-bootstrap (and delete) every
+    // existing committed index
+    val metaLegacy =
+      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
     val fs = metaDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val bootstrap = !fs.exists(metaCommitted)
+    val bootstrap = !(fs.exists(metaCommitted) || fs.exists(metaLegacy))
     val afterCorpus =
       if (bootstrap) batch
       else {

@@ -226,7 +226,11 @@ object Excel {
           idx -> text
         }.toArray
       }
-      require(rows.nonEmpty, s"readXlsx: sheet $sheetName has no header row")
+      // an untouched blank tab (empty <sheetData/>) parses to zero rows:
+      // pandas returns an empty frame — treat it like the cell-less case
+      // below instead of failing the whole workbook
+      val headerRow: Array[(Int, String)] =
+        rows.headOption.getOrElse(Array.empty)
       // data cells are looked up through the header cells' ACTUAL column
       // indices, not by position in the compacted header array: an
       // externally-produced sheet may have a gap in the header row (blank
@@ -243,12 +247,14 @@ object Excel {
       // survives as an all-null "Unnamed: N" — pandas keeps it as an
       // all-NaN column, and dropping it would renumber every unnamed
       // column to its right.
-      val headerByCol: Map[Int, String] = rows.head.toMap
+      val headerByCol: Map[Int, String] = headerRow.toMap
       val observed: Seq[Int] =
-        rows.head.map(_._1).toSeq ++ rows.tail.flatMap(_.map(_._1))
-      // rows present but no cells anywhere (row elements without <c>):
-      // pandas returns an empty frame for such a sheet — contribute just
-      // the __sheet column rather than failing the whole workbook
+        headerRow.map(_._1).toSeq ++
+          rows.drop(1).flatMap(_.map(_._1))
+      // no rows, or rows with no cells anywhere (row elements without
+      // <c>): pandas returns an empty frame for such a sheet —
+      // contribute just the __sheet column rather than failing the
+      // whole workbook
       val dataCols: Seq[Int] =
         if (observed.isEmpty) Seq.empty else observed.min to observed.max
       val header = dataCols.zipWithIndex.map { case (ci, pos) =>
@@ -258,8 +264,8 @@ object Excel {
       val schema = StructType(header.map(StructField(_, StringType)) :+
         StructField("__sheet", StringType))
       val data =
-        if (dataCols.isEmpty) Seq.empty // cell-less sheet: zero rows
-        else rows.tail.map { cells =>
+        if (dataCols.isEmpty) Seq.empty // blank/cell-less sheet: zero rows
+        else rows.drop(1).map { cells =>
           val arr = Array.fill[String](header.length)(null)
           cells.foreach { case (ci, v) =>
             posByCol.get(ci).foreach { p => if (v.nonEmpty) arr(p) = v }

@@ -283,15 +283,36 @@ class DedupSpec extends SparkTestBase {
     assert(gateCorpusIds(s"$d1/corpus") === Set(1L, 2L))
     assert(hadoopFs.exists(new Path(s"$d1/idx/meta/_GRAFT_COMMITTED")))
     // shape 2: crash DURING the meta write — the directory exists with
-    // data files but the explicit commit marker was never placed
+    // data files but no commit evidence at all (neither the committer's
+    // _SUCCESS nor the explicit marker: a mid-job crash writes neither)
     val d2 = java.nio.file.Files.createTempDirectory("graft_boot2").toString
     val gate2 = Dedup.ingestGateBatch(s"$d2/idx", s"$d2/corpus",
       threshold = 0.5) _
     gate2(gateEpoch0.toDF("doc_id", "text"), 0L)
     hadoopFs.delete(new Path(s"$d2/idx/meta/_GRAFT_COMMITTED"), false)
+    hadoopFs.delete(new Path(s"$d2/idx/meta/_SUCCESS"), false)
     gate2(gateEpoch0.toDF("doc_id", "text"), 0L) // uncommitted ⇒ bootstrap
     assert(gateCorpusIds(s"$d2/corpus") === Set(1L, 2L))
     assert(hadoopFs.exists(new Path(s"$d2/idx/meta/_GRAFT_COMMITTED")))
+    // shape 3 (upgrade): an index committed by code that predates the
+    // explicit marker carries only the committer's _SUCCESS — it must
+    // read as COMMITTED, not silently re-bootstrap and delete itself
+    val d3 = java.nio.file.Files.createTempDirectory("graft_boot3").toString
+    val gate3 = Dedup.ingestGateBatch(s"$d3/idx", s"$d3/corpus",
+      threshold = 0.5) _
+    gate3(gateEpoch0.toDF("doc_id", "text"), 0L)
+    hadoopFs.delete(new Path(s"$d3/idx/meta/_GRAFT_COMMITTED"), false)
+    val metaFiles = hadoopFs
+      .listStatus(new Path(s"$d3/idx/meta"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    // epoch 1 on the legacy-format index: probes (near-dup dropped,
+    // novel admitted) and never rewrites meta/
+    gate3(gateEpoch1.toDF("doc_id", "text"), 1L)
+    assert(gateCorpusIds(s"$d3/corpus") === Set(1L, 2L, 11L))
+    assert(hadoopFs
+      .listStatus(new Path(s"$d3/idx/meta"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+      === metaFiles, "legacy-committed meta was rewritten on upgrade")
     // either way the rebuilt index must actually PROBE: a near-dup of
     // corpus doc 1 is dropped in the next epoch, the novel doc admitted
     for (d <- Seq(d1, d2)) {

@@ -99,10 +99,10 @@ class ExcelSpec extends SparkTestBase {
     assert(r.getAs[String]("hc") === "vc") // pre-fix: "orphan" shifted here
   }
 
-  // a single-sheet workbook from raw sheetData rows — the shapes Excel
-  // itself produces (offset used ranges, header gaps) that our own
-  // writer, which always emits A-rooted contiguous rows, cannot
-  private def handBuiltXlsx(tag: String, sheetRowsXml: String): String = {
+  // a workbook from raw per-sheet sheetData rows — the shapes Excel
+  // itself produces (offset used ranges, header gaps, blank tabs) that
+  // our own writer, which always emits A-rooted contiguous rows, cannot
+  private def handBuiltXlsx(tag: String, sheetRowsXml: String*): String = {
     val path =
       Files.createTempDirectory("graft_xlsx").toString + s"/$tag.xlsx"
     val zip = new java.util.zip.ZipOutputStream(
@@ -112,19 +112,40 @@ class ExcelSpec extends SparkTestBase {
       zip.write(content.getBytes("UTF-8"))
       zip.closeEntry()
     }
+    val n = sheetRowsXml.size
     entry("[Content_Types].xml",
-      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        (1 to n).map(i => s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
+        "</Types>")
     entry("_rels/.rels",
       """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
     entry("xl/workbook.xml",
-      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+        (1 to n).map(i => s"""<sheet name="s$i" sheetId="$i" r:id="rId$i"/>""").mkString +
+        "</sheets></workbook>")
     entry("xl/_rels/workbook.xml.rels",
-      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
-    entry("xl/worksheets/sheet1.xml",
-      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
-        sheetRowsXml + """</sheetData></worksheet>""")
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        (1 to n).map(i => s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
+        "</Relationships>")
+    sheetRowsXml.zipWithIndex.foreach { case (rowsXml, i) =>
+      entry(s"xl/worksheets/sheet${i + 1}.xml",
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+          rowsXml + """</sheetData></worksheet>""")
+    }
     zip.close()
     path
+  }
+
+  test("readXlsx tolerates blank and cell-less sheets in a multi-sheet " +
+    "workbook (empty frame, pandas-style) instead of failing the read") {
+    val path = handBuiltXlsx("blank",
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>v</t></is></c></row>""",
+      "", // genuinely blank tab: empty <sheetData/>
+      """<row r="1"/><row r="2"/>""") // rows present, zero cells
+    val back = Excel.readXlsx(spark, path)
+    assert(back.columns.toSeq === Seq("h", "__sheet"))
+    assert(back.as[(String, String)].collect().toSeq === Seq(("v", "s1")))
   }
 
   test("readXlsx numbers unnamed columns by FRAME position when the used " +

@@ -213,6 +213,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(fused(4L) === 0) // zero-norm pinned to -2 everywhere -> 0
     assert(fused(6L) === 0) // dim mismatch: null cosine path -> cluster 0
     assert(fused(7L) === 0)
+    // a null ELEMENT poisons the composed fold (null cosine -> -2 for
+    // every centroid -> cluster 0); fused + composed must agree, in both
+    // codegen (DataFrame) and interpreted paths
+    val nullElem = spark.sql(
+      "SELECT array(CAST(0 AS FLOAT), CAST(NULL AS FLOAT), " +
+        "CAST(2 AS FLOAT)) AS embedding")
+    val fe = nullElem.select(
+      Similarity.assignExpr(col("embedding"), cents).as("c"),
+      Similarity.assignExprComposed(col("embedding"), cents).as("cc"))
+      .as[(Int, Int)].head()
+    assert(fe === ((0, 0)))
     // interpreted eval (no codegen) agrees with the DataFrame (codegen) path
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -187,6 +187,7 @@ object ScaleProbe {
       // the injected crash state: job commit never happened for meta,
       // and one band partition file is torn
       fs.delete(new Path(s"$base/idx/meta/_GRAFT_COMMITTED"), false)
+      fs.delete(new Path(s"$base/idx/meta/_SUCCESS"), false)
       val aBand = fs.globStatus(
         new Path(s"$base/idx/bands/ingest_batch=0/part-*")).head.getPath
       fs.delete(aBand, false)
