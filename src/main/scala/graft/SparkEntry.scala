@@ -1151,17 +1151,20 @@ object SparkEntry {
          |c$r AS (SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
          |  FROM $prev p LEFT JOIN cn$r n USING (cluster))""".stripMargin
     }
-    val rounds = (1 to iters)
-      .map(r => update(r) + ",\n" + assign(r, s"c$r")).mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE embedding IS NOT NULL),
-       |seeds AS (SELECT
-       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-       |      - 1 AS cluster,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-       |${assign(0, "seeds")},
-       |$rounds""".stripMargin
+    val head =
+      s"""e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |seeds AS (SELECT
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+         |      - 1 AS cluster,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin
+    // Seq-joined so iters = 0 (assignment against raw seeds, a supported
+    // operator mode) yields valid SQL with no dangling comma
+    (Seq(head, assign(0, "seeds")) ++
+      (1 to iters).map(r => update(r) + ",\n" + assign(r, s"c$r")))
+      .mkString(",\n")
   }
 
   /** q_embed_semdedup oracle: the kmeans chain, then exact cosine pairs
@@ -1220,7 +1223,8 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id,
        |    embedding || [CAST(1.0 AS FLOAT)] AS a,
        |    CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS y
-       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
        |dims AS (SELECT u.i
        |  FROM (SELECT a FROM e ORDER BY vec_id LIMIT 1) s,
        |    unnest(range(1, len(s.a) + 1)) AS u(i)),
@@ -1230,6 +1234,28 @@ object SparkEntry {
        |  list_sum(list_transform(range(1, len(e.a) + 1),
        |    i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) > 0 AS predicted
        |FROM e, w$epochs w ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** q_dedup_spans oracle, generated from the same chunk width as the
+    * Spark query (mirrors `Dedup.spanDedup`). */
+  private def spansOracleSql(chunkWords: Int): String = {
+    val n = chunkWords
+    s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |sp AS (SELECT doc_id, u.i AS span_idx,
+       |         array_to_string(w[(u.i*$n+1):((u.i+1)*$n)], ' ') AS span
+       |       FROM d, unnest(range(0, greatest(
+       |         CAST(ceil(len(w) / $n.0) AS BIGINT), 1))) AS u(i)),
+       |ke AS (SELECT doc_id, span_idx, span, row_number() OVER (
+       |         PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+       |       FROM sp),
+       |rb AS (SELECT doc_id,
+       |         string_agg(span, ' ' ORDER BY span_idx) AS text_deduped
+       |       FROM ke WHERE rn = 1 GROUP BY doc_id)
+       |SELECT doc.doc_id,
+       |  coalesce(rb.text_deduped, '') AS text_deduped
+       |FROM documents doc LEFT JOIN rb USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1592,25 +1618,10 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_copies
          |FROM all_docs GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
 
-    // 3-word spans, first occurrence by (doc_id, span_idx), reassembly
-    // by span index; empty results come back as '' (docs never vanish)
-    "q_dedup_spans" ->
-      s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
-         |           FROM documents WHERE text IS NOT NULL),
-         |sp AS (SELECT doc_id, u.i AS span_idx,
-         |         array_to_string(w[(u.i*3+1):((u.i+1)*3)], ' ') AS span
-         |       FROM d, unnest(range(0, greatest(
-         |         CAST(ceil(len(w) / 3.0) AS BIGINT), 1))) AS u(i)),
-         |ke AS (SELECT doc_id, span_idx, span, row_number() OVER (
-         |         PARTITION BY span ORDER BY doc_id, span_idx) AS rn
-         |       FROM sp),
-         |rb AS (SELECT doc_id,
-         |         string_agg(span, ' ' ORDER BY span_idx) AS text_deduped
-         |       FROM ke WHERE rn = 1 GROUP BY doc_id)
-         |SELECT doc.doc_id,
-         |  coalesce(rb.text_deduped, '') AS text_deduped
-         |FROM documents doc LEFT JOIN rb USING (doc_id)
-         |ORDER BY doc.doc_id""".stripMargin,
+    // first occurrence by (doc_id, span_idx), reassembly by span index;
+    // empty results come back as '' (docs never vanish). Generated so the
+    // chunk width stays in lockstep with the Spark query's parameter.
+    "q_dedup_spans" -> spansOracleSql(chunkWords = 3),
 
     "q_dedup_jaccard" -> jaccardOracleSql(0.6),
     "q_dedup_minhash" -> jaccardOracleSql(0.6),

@@ -289,6 +289,7 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       val fl = ctx.addReferenceObj("cents", flat, "double[]")
       val cn = ctx.addReferenceObj("cnorms", cNorms, "double[]")
       val nrm = ctx.freshName("nrm")
+      val el = ctx.freshName("el")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val dot = ctx.freshName("dot")
@@ -305,8 +306,8 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
          |if (${best}_ok) {
          |  double $nrm = 0.0;
          |  for (int $i = 0; $i < $dim; $i++) {
-         |    double e = (double) $v.getFloat($i);
-         |    $nrm += e * e;
+         |    double $el = (double) $v.getFloat($i);
+         |    $nrm += $el * $el;
          |  }
          |  $nrm = java.lang.Math.sqrt($nrm);
          |  double $bestS = java.lang.Double.NEGATIVE_INFINITY;

@@ -32,20 +32,21 @@ object Classify {
     * id-ordered sequential folds (bit-reproducible across engines and
     * partitionings — the oracle/repro mode, which buffers each
     * dimension's misclassified cells in memory); the default keeps the
-    * scale-correct partial-agg `sum`. Null-embedding rows are excluded.
+    * scale-correct partial-agg `sum`. Null or null-element
+    * embeddings are excluded (see `Similarity.wellFormed`).
     * Returns the (dim+1) weights, bias last. */
   def perceptronTrain(df: DataFrame, idCol: String, embCol: String,
                       positive: Column, epochs: Int, lr: Double = 1.0,
                       deterministic: Boolean = false): Array[Double] = {
     require(epochs >= 0, s"perceptronTrain: epochs=$epochs")
-    val base = df.where(col(embCol).isNotNull)
+    val base = df.where(Similarity.wellFormed(col(embCol)))
       .select(col(idCol).as("id"),
         concat(col(embCol), array(lit(1.0f))).as("a"),
         when(positive, 1.0d).otherwise(-1.0d).as("y"))
     val dim = Similarity.probeDim(base, "a")
     var w = new Array[Double](dim)
     for (_ <- 0 until epochs) {
-      val margin = col("y") * Similarity.dot(col("a"), typedlit(w))
+      val margin = col("y") * weightDot(col("a"), w)
       val cells = base.where(margin <= 0)
         .select(col("id"), col("y"), posexplode(col("a")).as(Seq("i", "x")))
         .select(col("id"), col("i"),
@@ -66,9 +67,19 @@ object Classify {
     * (id-named-as-input, margin, predicted = margin > 0). */
   def perceptronScore(df: DataFrame, idCol: String, embCol: String,
                       weights: Array[Double]): DataFrame =
-    df.where(col(embCol).isNotNull)
+    df.where(Similarity.wellFormed(col(embCol)))
       .select(col(idCol),
-        Similarity.dot(concat(col(embCol), array(lit(1.0f))),
-          typedlit(weights)).as("margin"))
+        weightDot(concat(col(embCol), array(lit(1.0f))), weights)
+          .as("margin"))
       .withColumn("predicted", col("margin") > 0)
+
+  /** w · x for the full-corpus margin/scoring passes: the statically
+    * unrolled form stays inside whole-stage codegen (the HOF fold is
+    * evaluated interpreted with a per-row zip_with allocation — see
+    * Similarity's header) and is spec-pinned bit-identical; fall back to
+    * the HOF past the dim where unrolling would blow codegen method
+    * limits (Similarity.staticDot scaladoc). */
+  private def weightDot(a: Column, w: Array[Double]): Column =
+    if (w.length <= 128) Similarity.staticDot(a, typedlit(w), w.length)
+    else Similarity.dot(a, typedlit(w))
 }

@@ -64,8 +64,9 @@ object Dedup {
     * nothing come back as the empty string, never disappear.
     *
     * Plan shape at scale: chunking is one generator projection (no
-    * per-word explosion — spans are sliced from the split array in a
-    * single `transform`); first-occurrence is a rank-1 window on the
+    * per-word explosion — spans are sliced from a words array bound
+    * behind the `spread` exchange, so the normalize+split runs once per
+    * doc, not once per span); first-occurrence is a rank-1 window on the
     * span TEXT (high-cardinality shuffle key), which Catalyst plans
     * with a partial WindowGroupLimit below the exchange — each map task
     * pre-prunes to its local first occurrence, so no span group is ever
@@ -81,10 +82,18 @@ object Dedup {
   def spanDedup(docs: DataFrame, id: Column, text: Column,
                 chunkWords: Int): DataFrame = {
     require(chunkWords > 0, s"spanDedup: chunkWords=$chunkWords")
-    val words = split(normalizeText(text), " ")
-    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
-    val spans = docs.where(text.isNotNull)
+    // the words array is bound behind the spread exchange BEFORE the
+    // slicing lambda references it: CollapseProject would otherwise
+    // inline the regex normalize+split into every slice()/size() use
+    // site, re-running it once per span per document (the measured
+    // dominant-cost trap documented at shinglesFromWords)
+    val bound = spread(docs.where(text.isNotNull)
       .select(id.as("doc_id"),
+        split(normalizeText(text), " ").as("__w")))
+    val words = col("__w")
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
+    val spans = bound
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0),
             greatest(nChunks, lit(1)) - 1),
           i => array_join(

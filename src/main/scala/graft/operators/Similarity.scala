@@ -43,6 +43,16 @@ object Similarity {
       element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduce(_ + _)
 
+  /** A usable embedding: non-null array with no null elements. Degenerate
+    * vectors are excluded from the trainers (kMeans, the perceptron) and
+    * their assignment/scoring passes alike — a null element would
+    * null-poison the deterministic sequential fold (crashing the driver
+    * collect) while the scale-mode partial `avg`/`sum` silently SKIPS
+    * null cells, so the two modes would diverge; the SQL oracles carry
+    * the same `list_filter` predicate. */
+  private[operators] def wellFormed(emb: Column): Column =
+    emb.isNotNull && !exists(emb, _.isNull)
+
   /** Deterministic id-ordered sequential fold Σ value per key group —
     * the bit-reproducibility-critical aggregation shared by the
     * oracle/repro modes of `kMeansCentroids` and
@@ -372,18 +382,19 @@ object Similarity {
     * `iters` counts centroid updates; the result is the assignment
     * under the FINAL centroids. Empty clusters keep their previous
     * centroid; a corpus smaller than `k` shrinks the centroid count to
-    * the row count (the spec pins both). Null-embedding rows are
-    * excluded from training and assignment alike. Returns
-    * (id-named-as-input, cluster).
+    * the row count (the spec pins both). Degenerate embeddings (null, or
+    * carrying null elements — see `wellFormed`) are excluded from
+    * training and assignment alike. Returns (id-named-as-input,
+    * cluster).
     */
   def kMeans(emb: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id", embCol: String = "embedding",
              deterministic: Boolean = false): DataFrame = {
     val cents = kMeansCentroids(emb, k, iters, idCol, embCol, deterministic)
-    // null-embedding rows have no meaningful nearest centroid — they are
-    // excluded here exactly as they are from training (and from the
-    // oracle's not-null base CTE)
-    emb.where(col(embCol).isNotNull)
+    // degenerate (null / null-element) embeddings have no meaningful
+    // nearest centroid — excluded here exactly as they are from training
+    // (and from the oracle's base CTE)
+    emb.where(wellFormed(col(embCol)))
       .select(col(idCol), assignExpr(col(embCol), cents).as("cluster"))
   }
 
@@ -397,7 +408,7 @@ object Similarity {
       : Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"kMeans: k=$k, iters=$iters")
     val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .where(col("emb").isNotNull)
+      .where(wellFormed(col("emb")))
     val seeds = slim
       .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
       .select(col("emb")).collect()
@@ -461,7 +472,7 @@ object Similarity {
       deterministic)
     val assigned = emb
       .select(col(idCol).as("id"), col(embCol).as("emb"))
-      .where(col("emb").isNotNull)
+      .where(wellFormed(col("emb")))
       .select(col("id"), col("emb"), norm(col("emb")).as("nrm"),
         assignExpr(col("emb"), cents).as("cluster"))
     val pairs = assigned.as("a").join(assigned.as("b"),

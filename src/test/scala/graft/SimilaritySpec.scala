@@ -184,6 +184,16 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.kMeansCentroids(tiny.limit(0), k = 2, iters = 1))
     intercept[IllegalArgumentException](
       Similarity.kMeansCentroids(tiny, k = 0, iters = 1))
+    // a null ELEMENT excludes the vector like a null embedding — in the
+    // deterministic mode it would otherwise null-poison the sequential
+    // centroid fold and crash the driver collect
+    val withNullElem = spark.sql(
+      "SELECT CAST(9 AS BIGINT) AS vec_id, " +
+        "array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding")
+      .unionByName(tiny.where(col("embedding").isNotNull))
+    val a2 = Similarity.kMeans(withNullElem, k = 2, iters = 2,
+      deterministic = true).as[(Long, Int)].collect().toMap
+    assert(a2.keySet === Set(1L, 2L))
   }
 
   test("NearestCentroid equals the composed HOF form (codegen and " +
