@@ -557,7 +557,7 @@ object SparkEntry {
     // synthetic vocabulary makes cross-doc span collisions real.
     "q_dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), col("doc_id"), col("text"),
-          chunkWords = 3)
+          chunkWords = spansChunkWords)
         .orderBy("doc_id")),
 
     "q_dedup_jaccard" -> ((s, dir) =>
@@ -873,7 +873,8 @@ object SparkEntry {
     // deterministic mode computes the same fold; the spec pins that the
     // scale-mode partial-agg avg yields identical ASSIGNMENTS)
     "q_embed_kmeans" -> ((s, dir) =>
-      Similarity.kMeans(Tables.embeddings(s, dir), k = 4, iters = 2,
+      Similarity.kMeans(Tables.embeddings(s, dir), k = kmeansK,
+          iters = kmeansIters,
           deterministic = true)
         .orderBy("vec_id")),
 
@@ -883,8 +884,9 @@ object SparkEntry {
     // kernel. Same star-CC → min-survivor decision; oracle = unrolled
     // kmeans chain + same-cluster pairs + recursive closure.
     "q_embed_semdedup" -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.embeddings(s, dir), kClusters = 4,
-          iters = 2, threshold = 0.45, deterministic = true)
+      Similarity.semanticDedup(Tables.embeddings(s, dir),
+          kClusters = kmeansK, iters = kmeansIters,
+          threshold = semdedupThreshold, deterministic = true)
         .select(col("doc_id").as("vec_id"), col("survivor_id"))
         .orderBy("vec_id")),
 
@@ -896,7 +898,8 @@ object SparkEntry {
     "q_embed_classify" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val w = Classify.perceptronTrain(emb, "vec_id", "embedding",
-        positive = col("label") < 5, epochs = 2, deterministic = true)
+        positive = col("label") < 5, epochs = perceptronEpochs,
+        deterministic = true)
       Classify.perceptronScore(emb, "vec_id", "embedding", w)
         .select(col("vec_id"), col("predicted"))
         .orderBy("vec_id")
@@ -1102,7 +1105,16 @@ object SparkEntry {
     * Spark query's parameter: round r assigns against centroids c{r},
     * then m{r+1}/c{r+1} re-means by the id-ordered sequential fold the
     * operator's deterministic mode uses. */
-  private def kmeansOracleSql(k: Int, iters: Int): String =
+  // single source for every parameter that must stay in lockstep
+  // between a Spark query and its generated oracle — two independent
+  // literals would let the pair drift silently until a hash mismatch
+  private val spansChunkWords = 3
+  private val kmeansK = 4
+  private val kmeansIters = 2
+  private val semdedupThreshold = 0.45
+  private val perceptronEpochs = 2
+
+  private[graft] def kmeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ${kmeansCteChain(k, iters)}
        |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a$iters
        |ORDER BY vec_id""".stripMargin
@@ -1621,7 +1633,7 @@ object SparkEntry {
     // first occurrence by (doc_id, span_idx), reassembly by span index;
     // empty results come back as '' (docs never vanish). Generated so the
     // chunk width stays in lockstep with the Spark query's parameter.
-    "q_dedup_spans" -> spansOracleSql(chunkWords = 3),
+    "q_dedup_spans" -> spansOracleSql(spansChunkWords),
 
     "q_dedup_jaccard" -> jaccardOracleSql(0.6),
     "q_dedup_minhash" -> jaccardOracleSql(0.6),
@@ -2044,14 +2056,14 @@ object SparkEntry {
     // both Lloyd rounds unrolled: seeds -> assign -> mean -> assign ->
     // mean -> assign; every float op mirrors the operator's deterministic
     // mode (sequential folds, id-ordered means, ties to lower cluster)
-    "q_embed_kmeans" -> kmeansOracleSql(k = 4, iters = 2),
+    "q_embed_kmeans" -> kmeansOracleSql(kmeansK, kmeansIters),
 
     // same kmeans chain + pairs restricted to a shared cluster + closure
-    "q_embed_semdedup" -> semdedupOracleSql(k = 4, iters = 2,
-      threshold = 0.45),
+    "q_embed_semdedup" -> semdedupOracleSql(kmeansK, kmeansIters,
+      semdedupThreshold),
 
     // batch-perceptron epochs unrolled, prediction signs compared
-    "q_embed_classify" -> perceptronOracleSql(epochs = 2, lr = 1.0),
+    "q_embed_classify" -> perceptronOracleSql(perceptronEpochs, lr = 1.0),
 
     // IVF at nProbe = nCentroids must equal exact brute-force top-k
     "q_embed_ivf_topk" ->

@@ -39,11 +39,21 @@ object Classify {
                       positive: Column, epochs: Int, lr: Double = 1.0,
                       deterministic: Boolean = false): Array[Double] = {
     require(epochs >= 0, s"perceptronTrain: epochs=$epochs")
-    val base = df.where(Similarity.wellFormed(col(embCol)))
+    val dim = Similarity.probeDim(
+      df.where(Similarity.wellFormed(col(embCol))), embCol) + 1
+    // the augmented array is bound behind the spread exchange BEFORE the
+    // margin filter references it: the statically-unrolled margin reads
+    // `a` once per element, and a filter over an inline concat would
+    // re-build the (dim+1)-array per reference after predicate pushdown
+    // (FilterExec does no subexpression elimination). Rows whose
+    // dimension differs from the probed one are excluded like degenerate
+    // vectors — the unrolled dot would otherwise silently truncate them
+    // where the HOF form nulls them.
+    val base = Dedup.spread(df.where(Similarity.wellFormed(col(embCol)) &&
+        size(col(embCol)) === dim - 1)
       .select(col(idCol).as("id"),
         concat(col(embCol), array(lit(1.0f))).as("a"),
-        when(positive, 1.0d).otherwise(-1.0d).as("y"))
-    val dim = Similarity.probeDim(base, "a")
+        when(positive, 1.0d).otherwise(-1.0d).as("y")))
     var w = new Array[Double](dim)
     for (_ <- 0 until epochs) {
       val margin = col("y") * weightDot(col("a"), w)
@@ -67,18 +77,22 @@ object Classify {
     * (id-named-as-input, margin, predicted = margin > 0). */
   def perceptronScore(df: DataFrame, idCol: String, embCol: String,
                       weights: Array[Double]): DataFrame =
-    df.where(Similarity.wellFormed(col(embCol)))
+    // same dimension contract as training: rows that don't match the
+    // trained weights' dimension are excluded, not silently truncated
+    df.where(Similarity.wellFormed(col(embCol)) &&
+        size(col(embCol)) === weights.length - 1)
       .select(col(idCol),
         weightDot(concat(col(embCol), array(lit(1.0f))), weights)
           .as("margin"))
       .withColumn("predicted", col("margin") > 0)
 
   /** w · x for the full-corpus margin/scoring passes: the statically
-    * unrolled form stays inside whole-stage codegen (the HOF fold is
-    * evaluated interpreted with a per-row zip_with allocation — see
-    * Similarity's header) and is spec-pinned bit-identical; fall back to
+    * unrolled form stays inside whole-stage codegen (HOF lambdas are
+    * evaluated interpreted with a per-row zip_with allocation — see the
+    * Similarity header) and is spec-pinned bit-identical; fall back to
     * the HOF past the dim where unrolling would blow codegen method
-    * limits (Similarity.staticDot scaladoc). */
+    * limits (Similarity.staticDot scaladoc). Callers enforce the
+    * dimension contract, so both branches see equal-length inputs. */
   private def weightDot(a: Column, w: Array[Double]): Column =
     if (w.length <= 128) Similarity.staticDot(a, typedlit(w), w.length)
     else Similarity.dot(a, typedlit(w))

@@ -82,14 +82,18 @@ object Dedup {
   def spanDedup(docs: DataFrame, id: Column, text: Column,
                 chunkWords: Int): DataFrame = {
     require(chunkWords > 0, s"spanDedup: chunkWords=$chunkWords")
-    // the words array is bound behind the spread exchange BEFORE the
-    // slicing lambda references it: CollapseProject would otherwise
-    // inline the regex normalize+split into every slice()/size() use
-    // site, re-running it once per span per document (the measured
-    // dominant-cost trap documented at shinglesFromWords)
+    // the words array is bound in its own projection between the spread
+    // exchange and the generator: CollapseProject would otherwise inline
+    // the regex normalize+split into every slice()/size() use site,
+    // re-running it once per span per document (the measured
+    // dominant-cost trap documented at shinglesFromWords) — and
+    // computing it BELOW the exchange would serialize the regex onto the
+    // 1-2 input splits that `spread` exists to parallelize. The Generate
+    // node consumes the bound attribute, which CollapseProject cannot
+    // reach through.
     val bound = spread(docs.where(text.isNotNull)
-      .select(id.as("doc_id"),
-        split(normalizeText(text), " ").as("__w")))
+      .select(id.as("doc_id"), normalizeText(text).as("__t")))
+      .select(col("doc_id"), split(col("__t"), " ").as("__w"))
     val words = col("__w")
     val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
     val spans = bound
@@ -129,7 +133,7 @@ object Dedup {
     * On a real cluster with thousands of input splits this is a no-op
     * cost-wise (one extra narrow-ish exchange of the projected columns).
     */
-  private def spread(df: DataFrame): DataFrame =
+  private[operators] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Distinct w-shingles from an ALREADY-MATERIALIZED words-array column.

@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   * All arithmetic is done in double precision via higher-order functions
   * (`zip_with` + `aggregate`), which fold over the array IN INDEX ORDER —
   * so the dot product is a deterministic sequential sum, bit-identical to
-  * a sequential fold in any other engine (the DuckDB oracle computes it the
-  * same way). No UDFs: HOFs are Catalyst expressions and stay codegen'd.
+  * a sequential fold in any other engine (the DuckDB oracle computes it
+  * the same way). No UDFs — but note HOF LAMBDAS are evaluated
+  * interpreted (per-row lambda dispatch + a zip_with intermediate array),
+  * so full-corpus hot paths use the bit-identical `staticDot` (known
+  * small dim) or the codegen'd `DotProductF32` expression instead; the
+  * HOF forms remain the readable default for probe-sized inputs and the
+  * reference the others are spec-pinned against.
   */
 object Similarity {
 

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural checks on the GENERATED oracle SQL that the DuckDB gate
+  * can't cover until a query actually uses the parameter in question —
+  * pins the iters=0 dangling-comma fix (a supported operator mode with
+  * no oracle-checked query yet). */
+class OracleShapeSpec extends AnyFunSuite {
+
+  private def finalSelectFollowsCleanly(sql: String): Unit = {
+    val at = sql.lastIndexOf("SELECT vec_id")
+    assert(at > 0, "no final SELECT found")
+    val before = sql.substring(0, at).trim
+    assert(before.endsWith(")"),
+      s"final SELECT preceded by '${before.takeRight(20)}' — dangling comma?")
+  }
+
+  test("kmeans oracle SQL is well-formed at iters = 0, 1, 2") {
+    for (iters <- 0 to 2) {
+      val sql = SparkEntry.kmeansOracleSql(4, iters)
+      finalSelectFollowsCleanly(sql)
+      assert(sql.contains(s"FROM a$iters"), s"iters=$iters reads wrong CTE")
+      // round CTEs exist exactly up to iters
+      assert(sql.contains(s"a$iters AS"))
+      assert(!sql.contains(s"a${iters + 1} AS"))
+    }
+  }
+}
