@@ -288,9 +288,15 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")),
 
+    // customers with no RECENT order — the date filter makes the
+    // difference non-empty at sf0.01 (every customer has SOME order in
+    // this synthetic, so the unfiltered anti-join was vacuous: a 0-row
+    // expected result can't distinguish a correct anti-join from one
+    // that empties everything)
     "q_join_left_anti" -> ((s, dir) =>
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir),
+        .join(Tables.orders(s, dir)
+            .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
@@ -890,6 +896,38 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("survivor_id"))
         .orderBy("vec_id")),
 
+    // incremental SEMANTIC dedup — the embedding-side mirror of
+    // q_dedup_incremental, running the production two-phase shape:
+    // persistSemanticIndex trains k-means on the corpus slice ONCE and
+    // writes centroids + cluster-keyed vectors; probeSemanticIndex
+    // assigns the (vec_id % 10 == 0) batch against the PERSISTED
+    // centroids (no re-training) and exact-cosines it within its
+    // cluster only. Output: one row per batch vector (cluster,
+    // match count, best cosine) — never vacuous, every row carries the
+    // assignment even when nothing matches. Oracle: kmeans chain over
+    // the corpus slice, batch assigned against the final centroids,
+    // same-cluster pairs aggregated.
+    "q_embed_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = System.getProperty("java.io.tmpdir") +
+        s"/graft_sem_idx_${math.abs(dir.hashCode)}"
+      Similarity.persistSemanticIndex(emb.where(col("vec_id") % 10 =!= 0),
+        idx, kClusters = kmeansK, iters = kmeansIters, deterministic = true)
+      val batch = emb.where(col("vec_id") % 10 === 0)
+      val cents = Similarity.readSemanticCentroids(s, idx)
+      val matches = Similarity
+        .probeSemanticIndex(batch, idx, semdedupThreshold)
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_matched"), max(col("cos")).as("best_cos"))
+      batch.select(col("vec_id"),
+          Similarity.assignExpr(col("embedding"), cents).as("cluster"))
+        .join(matches, col("vec_id") === col("batch_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          col("best_cos"))
+        .orderBy("vec_id")
+    }),
+
     // trainable quality classifier (fasttext-style scoring, reduced to a
     // batch perceptron — comparisons/mults/adds only, so training is
     // bit-reproducible in SQL): 2 epoch-synchronous updates on the
@@ -1119,26 +1157,33 @@ object SparkEntry {
        |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a$iters
        |ORDER BY vec_id""".stripMargin
 
+  /** Row-vs-centroid cosine in DuckDB SQL, shared by every generated
+    * oracle that assigns against a centroid CTE. The CASE mirrors
+    * NearestCentroid / the composed HOF form on degenerate vectors: a
+    * dim mismatch or a null element scores -2 (DuckDB's list_sum SKIPS
+    * null products, which would otherwise yield a real truncated cosine
+    * here and diverge from the engine). */
+  private def centCosSql(row: String, cent: String): String =
+    s"""CASE WHEN len($row.embedding) <> len($cent.cent)
+       |    OR len(list_filter($row.embedding, x -> x IS NULL)) > 0
+       |  THEN -2.0
+       |  ELSE coalesce(
+       |    list_sum(list_transform(range(1, len($row.embedding) + 1),
+       |      i -> CAST($row.embedding[i] AS DOUBLE) * $cent.cent[i]))
+       |    / nullif(
+       |      sqrt(list_sum(list_transform($row.embedding, x -> CAST(x AS DOUBLE) * x)))
+       |      * sqrt(list_sum(list_transform($cent.cent, x -> x * x))), 0),
+       |    -2.0) END""".stripMargin
+
   /** The CTE chain behind `kmeansOracleSql` (e, seeds, sc0/a0 …
     * m{iters}/c{iters}/sc{iters}/a{iters}) without the WITH keyword or a
-    * final SELECT, so composite oracles (q_embed_semdedup) can extend
-    * it. The final assignment CTE is `a$iters`. */
-  private def kmeansCteChain(k: Int, iters: Int): String = {
-    // the CASE mirrors NearestCentroid / the composed HOF form on
-    // degenerate vectors: a dim mismatch or a null element scores -2
-    // (DuckDB's list_sum SKIPS null products, which would otherwise
-    // yield a real truncated cosine here and diverge from the engine)
-    val cos = (cent: String) =>
-      s"""CASE WHEN len(e.embedding) <> len($cent.cent)
-         |    OR len(list_filter(e.embedding, x -> x IS NULL)) > 0
-         |  THEN -2.0
-         |  ELSE coalesce(
-         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * $cent.cent[i]))
-         |    / nullif(
-         |      sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
-         |      * sqrt(list_sum(list_transform($cent.cent, x -> x * x))), 0),
-         |    -2.0) END""".stripMargin
+    * final SELECT, so composite oracles (q_embed_semdedup,
+    * q_embed_incremental) can extend it. The final assignment CTE is
+    * `a$iters`; `baseWhere` narrows the trained corpus (the incremental
+    * oracle trains on the corpus slice only). */
+  private def kmeansCteChain(k: Int, iters: Int,
+                             baseWhere: String = ""): String = {
+    val cos = (cent: String) => centCosSql("e", cent)
     def assign(r: Int, cent: String): String =
       s"""sc$r AS (SELECT e.vec_id, $cent.cluster, ${cos(cent)} AS cos
          |  FROM e, $cent),
@@ -1166,7 +1211,8 @@ object SparkEntry {
     val head =
       s"""e AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE embedding IS NOT NULL
-         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+         |    $baseWhere),
          |seeds AS (SELECT
          |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
          |      - 1 AS cluster,
@@ -1211,6 +1257,47 @@ object SparkEntry {
        |FROM embeddings v2 LEFT JOIN comp c ON v2.vec_id = c.vec_id
        |ORDER BY v2.vec_id""".stripMargin
 
+  /** q_embed_incremental oracle: the kmeans chain trained on the corpus
+    * slice, the batch assigned against the FINAL centroids (the SQL
+    * mirror of probing persisted centroids), exact cosine restricted to
+    * the assigned cluster's corpus vectors, per-batch-vector aggregate.
+    * One row per batch vector — cluster assignment even when nothing
+    * matches. */
+  private def semIncrementalOracleSql(k: Int, iters: Int,
+                                      threshold: Double): String = {
+    val fin = if (iters == 0) "seeds" else s"c$iters"
+    s"""WITH ${kmeansCteChain(k, iters, "AND vec_id % 10 <> 0")},
+       |bat AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |    AND vec_id % 10 = 0),
+       |bsc AS (SELECT bat.vec_id, $fin.cluster,
+       |    ${centCosSql("bat", fin)} AS cos
+       |  FROM bat, $fin),
+       |basn AS (SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rn
+       |  FROM bsc) WHERE rn = 1),
+       |corp AS (SELECT e.vec_id, e.embedding, a.cluster
+       |  FROM e JOIN a$iters a USING (vec_id)),
+       |pr AS (SELECT b.vec_id AS batch_id,
+       |    list_sum(list_transform(range(1, len(b.embedding) + 1),
+       |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |    / nullif(
+       |      sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))
+       |      * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x))),
+       |      0) AS cos
+       |  FROM bat b JOIN basn ON b.vec_id = basn.vec_id
+       |  JOIN corp c ON basn.cluster = c.cluster),
+       |m AS (SELECT batch_id, count(*) AS n_matched, max(cos) AS best_cos
+       |  FROM pr WHERE cos >= $threshold GROUP BY batch_id)
+       |SELECT b.vec_id, CAST(basn.cluster AS INTEGER) AS cluster,
+       |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched, m.best_cos
+       |FROM bat b JOIN basn ON b.vec_id = basn.vec_id
+       |LEFT JOIN m ON m.batch_id = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
   /** q_embed_classify oracle: batch-perceptron epochs unrolled. Epoch r
     * computes every row's margin under w{r-1} (m$r), the id-ordered
     * sequential gradient over misclassified rows (g$r), and w$r; the
@@ -1236,7 +1323,16 @@ object SparkEntry {
        |    embedding || [CAST(1.0 AS FLOAT)] AS a,
        |    CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS y
        |  FROM embeddings WHERE embedding IS NOT NULL
-       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |    -- dimension pin mirroring the Spark-side size(...) = dim
+       |    -- filter: without it a mixed-dimension corpus would keep
+       |    -- short/long rows whose out-of-range list indexing yields
+       |    -- NULL products that list_sum silently SKIPS (a truncated
+       |    -- dot product) instead of excluding the row
+       |    AND len(embedding) = (SELECT len(embedding) FROM embeddings
+       |      WHERE embedding IS NOT NULL
+       |        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |      ORDER BY vec_id LIMIT 1)),
        |dims AS (SELECT u.i
        |  FROM (SELECT a FROM e ORDER BY vec_id LIMIT 1) s,
        |    unnest(range(1, len(s.a) + 1)) AS u(i)),
@@ -1425,7 +1521,8 @@ object SparkEntry {
 
     "q_join_left_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_range" ->
@@ -2059,6 +2156,9 @@ object SparkEntry {
     "q_embed_kmeans" -> kmeansOracleSql(kmeansK, kmeansIters),
 
     // same kmeans chain + pairs restricted to a shared cluster + closure
+    "q_embed_incremental" -> semIncrementalOracleSql(kmeansK, kmeansIters,
+      semdedupThreshold),
+
     "q_embed_semdedup" -> semdedupOracleSql(kmeansK, kmeansIters,
       semdedupThreshold),
 

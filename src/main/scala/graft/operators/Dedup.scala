@@ -610,11 +610,16 @@ object Dedup {
     * index carrying only `_SUCCESS` still reads as committed — the
     * parquet job had fully committed when `_SUCCESS` appeared, and
     * without the fallback an upgrade would silently re-bootstrap (and
-    * delete) every existing index. A crash anywhere
-    * inside the bootstrap epoch — including between the meta write and
-    * the marker — makes the replay re-run the full bootstrap (deleting
-    * the partial `meta/`) and dynamic overwrite rewrites the partial
-    * partitions. A crash in any later epoch never touches meta at all,
+    * delete) every existing index. A crash BEFORE the meta parquet job
+    * commits makes the replay re-run the full bootstrap (deleting the
+    * partial `meta/`) and dynamic overwrite rewrites the partial
+    * partitions; a crash after the meta job commits but before the
+    * marker is treated as committed anyway — under the default
+    * committer the job left `_SUCCESS`, which the legacy fallback
+    * reads (and that is safe: every data write precedes the meta
+    * write, so a committed meta implies a complete bootstrap; only
+    * with `marksuccessfuljobs=false` does that crash window re-run
+    * the bootstrap, via the marker check). A crash in any later epoch never touches meta at all,
     * and a replay of a FULLY committed epoch admits nothing (every batch
     * doc self-matches the corpus), so no write path runs. The meta write
     * itself uses `errorIfExists`, making the write-once contract
@@ -843,7 +848,7 @@ object Dedup {
     * replays from storage — required on a real cluster, where a lost
     * executor would otherwise kill the job because localCheckpoint blocks
     * are unrecoverable); falls back to localCheckpoint for local runs. */
-  private def materialize(df: DataFrame): DataFrame =
+  private[operators] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
@@ -858,7 +863,7 @@ object Dedup {
     * operator, so this reaches through the plan's `LogicalRDD` to the
     * checkpointed RDD: unpersist its blocks and delete its checkpoint
     * files (if reliable). No-op on frames that aren't materialized. */
-  private def releaseMaterialized(df: DataFrame): Unit =
+  private[operators] def releaseMaterialized(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.getCheckpointFile.foreach { p =>

@@ -167,7 +167,17 @@ object Progress {
     private val boundId =
       new java.util.concurrent.atomic.AtomicReference[java.util.UUID](
         queryId.orNull)
-    @volatile private var last: Status = Status("stream", "no batches", 0.0, 0L, 0L)
+    // AtomicReference + monotonic CAS, not a plain @volatile write: the
+    // row/batch counters are atomic, but a plain `last = s` is not
+    // ordered with them — under concurrent delivery a slower thread
+    // could overwrite `last` with a Status built from OLDER totals and
+    // status would transiently regress. The CAS only ever replaces a
+    // Status with fewer processed rows; `onUpdate` fires only for the
+    // snapshots actually installed, so observers see the same monotone
+    // sequence `status` does.
+    private val last =
+      new java.util.concurrent.atomic.AtomicReference[Status](
+        Status("stream", "no batches", 0.0, 0L, 0L))
 
     override def onQueryStarted(
         event: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -188,10 +198,16 @@ object Progress {
         s"batch ${event.progress.batchId} ($r rows in $b batches)",
         math.round(pct * 100.0) / 100.0, r,
         expectedRows.map(n => math.max(0L, n - r)).getOrElse(0L))
-      last = s
-      onUpdate(s)
+      var installed = false
+      var done = false
+      while (!done) {
+        val prev = last.get()
+        if (s.processed < prev.processed) done = true // stale snapshot
+        else if (last.compareAndSet(prev, s)) { installed = true; done = true }
+      }
+      if (installed) onUpdate(s)
     }
 
-    def status: Status = last
+    def status: Status = last.get()
   }
 }

@@ -394,8 +394,11 @@ object Similarity {
     */
   def kMeans(emb: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id", embCol: String = "embedding",
-             deterministic: Boolean = false): DataFrame = {
-    val cents = kMeansCentroids(emb, k, iters, idCol, embCol, deterministic)
+             deterministic: Boolean = false,
+             tol: Double = 0.0,
+             seeding: KMeansSeeding = KMeansSeeding.HashOrder): DataFrame = {
+    val cents = kMeansCentroids(emb, k, iters, idCol, embCol, deterministic,
+      tol, seeding)
     // degenerate (null / null-element) embeddings have no meaningful
     // nearest centroid — excluded here exactly as they are from training
     // (and from the oracle's base CTE)
@@ -403,24 +406,80 @@ object Similarity {
       .select(col(idCol), assignExpr(col(embCol), cents).as("cluster"))
   }
 
+  /** Seeding strategies for `kMeansCentroids`:
+    *
+    *  - `HashOrder` (default, the oracle mode): the `k` rows first in
+    *    `(md5(id), id)` order — a uniform engine-reproducible draw, but
+    *    seeds can land arbitrarily close together, and close seeds are
+    *    what Lloyd then spends rounds pulling apart.
+    *  - `FarthestPoint`: greedy farthest-first traversal (Gonzalez 1985
+    *    — the deterministic k-center cousin of k-means++: the ++ D²
+    *    SAMPLING step is replaced by an argmax so no RNG enters the
+    *    result) over a 4096-row hash-ordered sample: seed 0 is the
+    *    sample's first row in `(md5(id), id)` order, each next seed the
+    *    sample point with maximal min cosine distance to those chosen,
+    *    ties to the earlier sample position. Spread seeds converge in
+    *    fewer Lloyd rounds (the BASELINE 100k probe measures it) —
+    *    at 100× scale wasted rounds ARE the k-means cost.
+    */
+  sealed trait KMeansSeeding
+  object KMeansSeeding {
+    case object HashOrder extends KMeansSeeding
+    case object FarthestPoint extends KMeansSeeding
+  }
+
+  /** Centroids + the number of Lloyd rounds actually run (< `iters`
+    * when `tol` stopped early) — the probe-facing result shape. */
+  final case class KMeansResult(centroids: Array[Array[Double]],
+                                rounds: Int)
+
   /** The trained centroid matrix from `kMeans` (driver-side, k×dim) —
     * feed it to `ivfTopK(centroids = ...)` to replace the sample-trained
-    * coarse quantizer with the full-corpus one. */
+    * coarse quantizer with the full-corpus one.
+    *
+    * `tol` > 0 enables EARLY STOP: Lloyd ends as soon as the max
+    * Euclidean centroid drift of a round falls below it — at a fixed
+    * point (assignments repeated, drift exactly 0) further rounds
+    * cannot change anything, so stopping is free; the spec pins that
+    * equivalence. The k×dim drift check is driver-side arithmetic on
+    * state the update step already collects — zero extra jobs. The
+    * default `tol = 0.0` never stops early, keeping the round count a
+    * pure function of `iters` (the oracle/repro contract
+    * `q_embed_kmeans` hash-pins). Production runs want
+    * `tol ~ 1e-6 · |centroid|` with `iters` as the backstop. */
   def kMeansCentroids(emb: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id",
                       embCol: String = "embedding",
-                      deterministic: Boolean = false)
-      : Array[Array[Double]] = {
+                      deterministic: Boolean = false,
+                      tol: Double = 0.0,
+                      seeding: KMeansSeeding = KMeansSeeding.HashOrder)
+      : Array[Array[Double]] =
+    kMeansTrain(emb, k, iters, idCol, embCol, deterministic, tol, seeding)
+      .centroids
+
+  /** `kMeansCentroids` plus the executed round count. */
+  def kMeansTrain(emb: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id",
+                  embCol: String = "embedding",
+                  deterministic: Boolean = false,
+                  tol: Double = 0.0,
+                  seeding: KMeansSeeding = KMeansSeeding.HashOrder)
+      : KMeansResult = {
     require(k > 0 && iters >= 0, s"kMeans: k=$k, iters=$iters")
     val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
       .where(wellFormed(col("emb")))
-    val seeds = slim
-      .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
-      .select(col("emb")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val seeds = seeding match {
+      case KMeansSeeding.HashOrder =>
+        slim.orderBy(md5(col("id").cast("string")), col("id")).limit(k)
+          .select(col("emb")).collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      case KMeansSeeding.FarthestPoint => farthestPointSeeds(slim, k)
+    }
     require(seeds.nonEmpty, "kMeans: no non-null embedding rows")
     var cents = seeds
-    for (_ <- 0 until iters) {
+    var r = 0
+    var converged = false
+    while (r < iters && !converged) {
       // two selects: a generator (posexplode) in the same projection as
       // the struct-array assignment expression makes the analyzer
       // normalize the struct field names away (col1/col2), breaking the
@@ -443,11 +502,70 @@ object Similarity {
         .map { case (c, rows) =>
           c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
         }
-      cents = cents.zipWithIndex.map { case (old, j) =>
+      val next = cents.zipWithIndex.map { case (old, j) =>
         byCluster.getOrElse(j, old)
       }
+      if (tol > 0.0) {
+        val drift = cents.zip(next).map { case (a, b) =>
+          math.sqrt(a.indices.map(i =>
+            (a(i) - b(i)) * (a(i) - b(i))).sum)
+        }.max
+        if (drift < tol) converged = true
+      }
+      cents = next
+      r += 1
     }
-    cents
+    KMeansResult(cents, r)
+  }
+
+  /** Greedy farthest-first seeds over a 4096-row hash-ordered sample
+    * (see `KMeansSeeding.FarthestPoint`). Distance is cosine distance
+    * (1 - cos); zero-norm vectors score distance 0 to everything so
+    * they are never picked as a spread-out seed. Fully deterministic:
+    * the sample order is `(md5(id), id)` and ties go to the earlier
+    * sample position. */
+  private def farthestPointSeeds(slim: DataFrame, k: Int)
+      : Array[Array[Double]] = {
+    val sample = slim
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(4096)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    if (sample.isEmpty) return Array.empty
+    val norms = sample.map(v => math.sqrt(v.map(x => x * x).sum))
+    def cosDist(i: Int, j: Int): Double = {
+      val den = norms(i) * norms(j)
+      if (den == 0.0) 0.0
+      else {
+        var d = 0.0; var t = 0
+        val a = sample(i); val b = sample(j)
+        while (t < a.length) { d += a(t) * b(t); t += 1 }
+        1.0 - d / den
+      }
+    }
+    val n = sample.length
+    val taken = new Array[Boolean](n)
+    taken(0) = true
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minDist = Array.tabulate(n)(i => cosDist(i, 0))
+    while (chosen.length < math.min(k, n)) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        if (!taken(i) && minDist(i) > bestD) {
+          bestD = minDist(i); best = i
+        }
+        i += 1
+      }
+      taken(best) = true
+      chosen += best
+      var j = 0
+      while (j < n) {
+        val d = cosDist(j, best)
+        if (d < minDist(j)) minDist(j) = d
+        j += 1
+      }
+    }
+    chosen.map(sample(_)).toArray
   }
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means the
@@ -460,11 +578,28 @@ object Similarity {
     * Scale posture: the pair join's shuffle key is the cluster id, so
     * its cardinality IS `kClusters` — size it well above the executor
     * count (10k-100k at corpus scale; tiny k is for oracle-checkable
-    * tests). Per-cluster cost is bounded by the fattest cluster; a
-    * cluster too fat for exact pairs is exactly the case for running
-    * `lshNearDupPairs` on that cluster's slice instead. Vectors with a
-    * null embedding never pair and survive as themselves (same contract
-    * as the global composition in q_embed_cluster).
+    * tests). Per-cluster cost is bounded by the fattest cluster, and
+    * real embedding spaces are LUMPY — k-means will hand one cluster a
+    * large slice of the corpus whenever the data has a dominant mode,
+    * and nothing about `kClusters` prevents it. So the pair search is
+    * GUARDED: clusters whose row count exceeds `maxClusterSize` (one
+    * cheap partial-agg count, ≤ kClusters rows to the driver — the same
+    * bounded-state budget as the centroids) are routed through an
+    * LSH-bucketed candidate join (random-hyperplane banding keyed on
+    * (cluster, table, bucket), the `lshNearDupPairs` shape) instead of
+    * the exact within-cluster self-join, bounding the quadratic by the
+    * bucket, not the cluster. Precision stays exact (every candidate is
+    * cosine-verified); recall inside a guarded cluster becomes LSH
+    * recall — (1-θ/π)^`guardBits` per table — which is the standard
+    * SemDeDup-at-scale trade and ~1.0 for the near-identical pairs
+    * dedup cares about (θ≈0 collides in every table; exact copies
+    * collide deterministically). Small clusters keep the exact kernel,
+    * so the oracle-checked operating point is untouched. The default
+    * `maxClusterSize` = 100k caps the exact kernel at ~5·10⁹ fused
+    * cosines per hot cluster — past that the LSH path is strictly
+    * better. Vectors with a null embedding never pair and survive as
+    * themselves (same contract as the global composition in
+    * q_embed_cluster).
     *
     * Returns (doc_id, survivor_id) for every input row, survivor = min
     * id of the near-dup component.
@@ -472,7 +607,11 @@ object Similarity {
   def semanticDedup(emb: DataFrame, kClusters: Int, iters: Int,
                     threshold: Double, idCol: String = "vec_id",
                     embCol: String = "embedding",
-                    deterministic: Boolean = false): DataFrame = {
+                    deterministic: Boolean = false,
+                    maxClusterSize: Long = 100000L,
+                    guardBits: Int = 8, guardTables: Int = 8): DataFrame = {
+    require(maxClusterSize > 0,
+      s"semanticDedup: maxClusterSize=$maxClusterSize")
     val cents = kMeansCentroids(emb, kClusters, iters, idCol, embCol,
       deterministic)
     val assigned = emb
@@ -480,7 +619,30 @@ object Similarity {
       .where(wellFormed(col("emb")))
       .select(col("id"), col("emb"), norm(col("emb")).as("nrm"),
         assignExpr(col("emb"), cents).as("cluster"))
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    // ≤ kClusters rows — same driver-state bound as the centroid matrix
+    val fatClusters = assigned.groupBy("cluster").count()
+      .where(col("count") > maxClusterSize)
+      .select("cluster").collect().map(_.getInt(0))
+    val pairs =
+      if (fatClusters.isEmpty) exactWithinClusterPairs(assigned, threshold)
+      else {
+        val fat = fatClusters.toSeq
+        exactWithinClusterPairs(
+          assigned.where(!col("cluster").isin(fat: _*)), threshold)
+          .unionByName(lshWithinClusterPairs(
+            assigned.where(col("cluster").isin(fat: _*)),
+            cents.head.length, threshold, guardBits, guardTables))
+      }
+    Dedup.nearDupSurvivors(emb, col(idCol), pairs,
+      Dedup.connectedComponentsStar(_))
+  }
+
+  /** The exact within-cluster pair kernel of `semanticDedup`: self-join
+    * keyed on the cluster id, fused-codegen cosine, O(m²) in the
+    * cluster size m — correct and fastest below `maxClusterSize`. */
+  private def exactWithinClusterPairs(assigned: DataFrame,
+                                      threshold: Double): DataFrame =
+    assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.id") < col("b.id"))
       .withColumn("cos",
@@ -489,8 +651,37 @@ object Similarity {
           nullif(col("a.nrm") * col("b.nrm"), lit(0.0)))
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
-    Dedup.nearDupSurvivors(emb, col(idCol), pairs,
-      Dedup.connectedComponentsStar(_))
+
+  /** The guarded-cluster pair kernel: random-hyperplane banding INSIDE
+    * each oversized cluster — candidates share (cluster, table, bucket),
+    * so the self-join's quadratic is per-bucket (expected m/2^guardBits
+    * rows), then the exact fused cosine verifies every candidate. Same
+    * banding expression and join shape as `lshNearDupPairs`, with the
+    * cluster id prepended to the key. */
+  private def lshWithinClusterPairs(fat: DataFrame, dim: Int,
+                                    threshold: Double,
+                                    nBits: Int, nTables: Int): DataFrame = {
+    val banded = fat.select(col("id"), col("cluster"),
+      posexplode(bucketsExpr(col("emb"), dim, nBits, nTables,
+        seedBase = 3000)).as(Seq("table", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val slim = fat.select(col("id"), col("emb"), col("nrm"))
+    cand
+      .join(slim.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(slim.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("emb_a"),
+          col("emb_b")) /
+          nullif(col("nrm_a") * col("nrm_b"), lit(0.0)))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Nearest-centroid id for a vector: ONE codegen'd
@@ -522,6 +713,198 @@ object Similarity {
       struct((cos * lit(-1.0)).as("neg"), lit(j).as("cluster"))
     }: _*))
     ranked(0).getField("cluster")
+  }
+
+  // ---- persisted semantic index (embedding-side incremental dedup) ----
+
+  /** Persist the semantic-dedup index: the embedding-side mirror of
+    * `Dedup.persistIndex`. A continuous pipeline trains k-means ONCE per
+    * corpus build and persists:
+    *
+    *  - `vectors/`  — (id, emb, nrm, cluster): every usable corpus
+    *    vector with its precomputed norm and cluster assignment (the
+    *    "inverted lists" a probe joins against; cluster is the shuffle/
+    *    join key, so probes touch only the clusters they route to);
+    *  - `centroids/` — (cluster, cent): the k×dim coarse quantizer;
+    *  - `meta/`     — (k, dim), written LAST (same commit-order
+    *    contract as the minhash index: data before meta, so a
+    *    committed meta implies complete data).
+    *
+    * Every later ingestion batch probes with `probeSemanticIndex` —
+    * assignment against the PERSISTED centroids, no re-training — so
+    * incremental cost tracks the batch, not the corpus. Degenerate
+    * (null / null-element) vectors are not persisted: they can never
+    * pair, and the index stores only usable vectors. */
+  def persistSemanticIndex(corpus: DataFrame, path: String,
+                           kClusters: Int, iters: Int,
+                           idCol: String = "vec_id",
+                           embCol: String = "embedding",
+                           deterministic: Boolean = false,
+                           tol: Double = 0.0,
+                           seeding: KMeansSeeding = KMeansSeeding.HashOrder)
+      : Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kMeansCentroids(corpus, kClusters, iters, idCol, embCol,
+      deterministic, tol, seeding)
+    assignedFrame(corpus, idCol, embCol, cents)
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    cents.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }
+      .toDF("cluster", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((cents.length, cents.head.length)).toDF("k", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (id, emb, nrm, cluster) under the given centroids — the persisted
+    * `vectors/` schema and the probe-side assignment shape. */
+  private def assignedFrame(emb: DataFrame, idCol: String, embCol: String,
+                            cents: Array[Array[Double]]): DataFrame =
+    emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .where(wellFormed(col("emb")))
+      .select(col("id"), col("emb"), norm(col("emb")).as("nrm"),
+        assignExpr(col("emb"), cents).as("cluster"))
+
+  /** The persisted coarse quantizer, cluster-ordered (k×dim to the
+    * driver — the same bounded state the trainer held). */
+  def readSemanticCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").select("cent").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Probe a `persistSemanticIndex` artifact with a new ingestion
+    * batch: assign each batch vector to its nearest PERSISTED centroid
+    * (one codegen'd projection, no re-training), then exact-cosine it
+    * against only that cluster's corpus vectors. Returns (batch_id,
+    * corpus_id, cos >= threshold) — the embedding mirror of
+    * `Dedup.probePersistedIndex`, with the same cost shape: one batch
+    * assignment pass + a broadcast join into the cluster-keyed corpus
+    * scan; corpus vectors outside the probed clusters are pruned by
+    * the join, never paired. Recall is SemDeDup recall: a true pair
+    * whose halves assign to different clusters is not searched —
+    * exactly the operator's batch-mode behavior. */
+  def probeSemanticIndex(batch: DataFrame, path: String, threshold: Double,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding",
+                         broadcastBatch: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (mk, mdim) = (meta.getInt(0), meta.getInt(1))
+    val cents = readSemanticCentroids(spark, path)
+    require(cents.length == mk,
+      s"semantic index at $path: meta says k=$mk but centroids/ has " +
+        s"${cents.length} rows — torn index")
+    probeDimOpt(batch, embCol).foreach(bd => require(bd == mdim,
+      s"semantic index at $path holds dim-$mdim vectors but the probe " +
+        s"batch is dim-$bd"))
+    val basn = assignedFrame(batch, idCol, embCol, cents)
+      .select(col("id").as("batch_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cluster"))
+    val b = if (broadcastBatch) broadcast(basn) else basn
+    spark.read.parquet(s"$path/vectors")
+      .join(b, Seq("cluster"))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("emb"), col("b_emb")) /
+          nullif(col("nrm") * col("b_nrm"), lit(0.0)))
+      .where(col("cos") >= threshold)
+      .select(col("batch_id"), col("id").as("corpus_id"), col("cos"))
+  }
+
+  /** One microbatch of the CONTINUOUS semantic ingestion gate — the
+    * embedding-side mirror of `Dedup.ingestGateBatch`, and the
+    * `foreachBatch` body `EventStreams.startSemanticIngestGate` wires
+    * to a stream:
+    *
+    *   1. probe the persisted index (`probeSemanticIndex`) and drop
+    *      batch vectors near-duplicating the corpus — batch×cluster
+    *      only, the corpus never self-joins and is never re-trained;
+    *   2. dedup the batch INTERNALLY (same-cluster exact pairs under
+    *      the PERSISTED centroids → min-id survivor) — without this,
+    *      two near-identical vectors arriving together would both pass
+    *      the corpus probe and poison the index;
+    *   3. append the admitted vectors to `vectors/`, partitioned by
+    *      `ingest_batch = batchId` with dynamic partition overwrite —
+    *      a replayed epoch rewrites its own partitions, and a replay
+    *      of a fully committed epoch admits nothing (every admitted
+    *      vector self-matches at cos = 1.0 ≥ threshold; within-batch
+    *      losers match their survivor), so at-least-once delivery ×
+    *      idempotent write = exactly-once index state.
+    *
+    * Bootstrap (no committed `meta/`): train k-means ON the first
+    * batch, self-dedup it, write vectors → centroids → meta
+    * (`errorIfExists`) → the atomic `meta/_GRAFT_COMMITTED` marker,
+    * exactly the `Dedup.ingestGateBatch` crash contract: a crash
+    * before the meta job commits re-bootstraps on replay (partial
+    * `meta/` deleted, partial partitions dynamically overwritten); a
+    * crash after meta commit reads as committed (marker, or the
+    * default committer's `_SUCCESS` as the legacy fallback).
+    *
+    * Centroids are write-once: later epochs assign against the
+    * bootstrap quantizer and never retrain — the production answer to
+    * distribution drift is a periodic re-bootstrap into a fresh index
+    * path, not silent in-place centroid movement (which would
+    * invalidate every persisted assignment). `requires threshold <=
+    * 1.0` — above it nothing self-matches and replay idempotence is
+    * lost. */
+  def semanticGateBatch(indexPath: String, kClusters: Int, iters: Int,
+                        threshold: Double, idCol: String = "vec_id",
+                        embCol: String = "embedding")
+                       (batch: DataFrame, batchId: Long): Unit = {
+    require(threshold <= 1.0,
+      s"semanticGateBatch: threshold=$threshold > 1.0 breaks replay " +
+        "idempotence (nothing self-matches)")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val marker =
+      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_GRAFT_COMMITTED")
+    val legacy = new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
+    val bootstrap = !(fs.exists(marker) || fs.exists(legacy))
+    val cents =
+      if (bootstrap) kMeansCentroids(batch, kClusters, iters, idCol, embCol)
+      else readSemanticCentroids(spark, indexPath)
+    val afterCorpus =
+      if (bootstrap) batch
+      else {
+        val matched = probeSemanticIndex(batch, indexPath, threshold,
+          idCol, embCol).select(col("batch_id")).distinct()
+        batch.join(matched, col(idCol) === col("batch_id"), "left_anti")
+      }
+    val assigned = assignedFrame(afterCorpus, idCol, embCol, cents)
+    val pairs = exactWithinClusterPairs(assigned, threshold)
+    val keep = Dedup.nearDupSurvivors(
+        afterCorpus.select(col(idCol)), col(idCol), pairs,
+        Dedup.connectedComponentsStar(_))
+      .where(col("survivor_id") === col("doc_id"))
+      .select(col("doc_id").as("__keep_id"))
+    // pin the admitted set before the write: its lineage reads the very
+    // vectors/ parquet the write below appends partitions to (same
+    // hazard and same release-in-finally as Dedup.ingestGateBatch)
+    val admitted = Dedup.materialize(
+      assigned.join(keep, col("id") === col("__keep_id"), "left_semi"))
+    try {
+      if (!admitted.isEmpty) {
+        admitted.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(s"$indexPath/vectors")
+        if (bootstrap) {
+          cents.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }
+            .toDF("cluster", "cent").coalesce(1)
+            .write.mode("overwrite").parquet(s"$indexPath/centroids")
+          if (fs.exists(metaDir)) fs.delete(metaDir, true)
+          Seq((cents.length, cents.head.length)).toDF("k", "dim")
+            .coalesce(1).write.mode("errorifexists")
+            .parquet(s"$indexPath/meta")
+          fs.create(marker, false).close()
+        }
+      }
+    } finally Dedup.releaseMaterialized(admitted)
   }
 
   /** EXACT embedding near-duplicate pairs: all pairs with cosine >=

@@ -352,10 +352,18 @@ class DedupSpec extends SparkTestBase {
     }
     val cpDir = java.nio.file.Files
       .createTempDirectory("graft_pin_cp").toString
+    // the session is shared across suites and a set checkpoint dir flips
+    // Dedup.materialize (Auto pinning, connectedComponents) to reliable-
+    // checkpoint mode for every later test — restore the previous state
+    // (normally unset => null => None) in a finally
+    val prevCpDir = spark.sparkContext.getCheckpointDir
     spark.sparkContext.setCheckpointDir(cpDir)
-    val local = run(Dedup.AdmittedPinning.Local, "local")
-    val reliable = run(Dedup.AdmittedPinning.Reliable, "reliable")
-    val collected = run(Dedup.AdmittedPinning.CollectIds, "collect")
+    val (local, reliable, collected) =
+      try {
+        (run(Dedup.AdmittedPinning.Local, "local"),
+          run(Dedup.AdmittedPinning.Reliable, "reliable"),
+          run(Dedup.AdmittedPinning.CollectIds, "collect"))
+      } finally spark.sparkContext.setCheckpointDir(prevCpDir.orNull)
     assert(local === Set(1L, 2L, 11L))
     assert(reliable === local)
     assert(collected === local)

@@ -272,6 +272,109 @@ class SimilaritySpec extends SparkTestBase {
     assert(sem(6L) === 6L)
   }
 
+  test("semanticDedup cluster-size guard: oversized clusters route " +
+    "through LSH banding with identical survivors on exact-dup pairs") {
+    // cluster A: 20 members (8 exact-dup pairs + 4 singletons) around one
+    // base; cluster B: 4 members (1 dup pair + 2 singletons). threshold
+    // 0.9999 admits ONLY exact copies (perturbed members top out ~0.999),
+    // and exact copies have IDENTICAL hyperplane signs, so the guarded
+    // path's recall is deterministic — guarded and unguarded results must
+    // be byte-equal, not just close
+    val a = (0 until 8).flatMap { p =>
+      val v = Array(10f, 0.2f * p, 0.1f * p)
+      Seq((p * 2L, v), (p * 2L + 1, v)) // exact-dup pair
+    } ++ (8 until 12).map(p => (p * 2L, Array(10f, 0.2f * p, -0.3f * p)))
+    val b = Seq((100L, Array(0f, 0f, -10f)), (101L, Array(0f, 0f, -10f)),
+      (102L, Array(0f, 1f, -10f)), (103L, Array(0f, -1f, -10f)))
+    val data = (a ++ b).toDF("vec_id", "embedding")
+    val unguarded = Similarity.semanticDedup(data, kClusters = 2,
+        iters = 3, threshold = 0.9999)
+      .as[(Long, Long)].collect().toMap
+    val guarded = Similarity.semanticDedup(data, kClusters = 2,
+        iters = 3, threshold = 0.9999, maxClusterSize = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(guarded === unguarded,
+      "the guarded (LSH within-cluster) path changed survivors")
+    // the dedup actually did something: each dup pair collapsed to min id
+    (0 until 8).foreach { p =>
+      assert(guarded(p * 2L) === p * 2L && guarded(p * 2L + 1) === p * 2L)
+    }
+    assert(guarded(101L) === 100L)
+    (8 until 12).foreach(p => assert(guarded(p * 2L) === p * 2L))
+    // guard boundary: maxClusterSize at exactly the cluster size leaves
+    // the exact kernel in place (strictly-greater engages)
+    val atBoundary = Similarity.semanticDedup(data, kClusters = 2,
+        iters = 3, threshold = 0.9999, maxClusterSize = 20L)
+      .as[(Long, Long)].collect().toMap
+    assert(atBoundary === unguarded)
+    intercept[IllegalArgumentException](
+      Similarity.semanticDedup(data, kClusters = 2, iters = 1,
+        threshold = 0.9, maxClusterSize = 0L))
+  }
+
+  test("kMeans early stop: tol ends Lloyd at the fixed point with " +
+    "assignments identical to the full fixed-iteration run") {
+    val bases = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f))
+    val clustered = (0 until 18).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) =>
+        x + (if (d == 3) 0.05f * (i / 3 + 1) else 0f) })
+    }.toDF("vec_id", "embedding")
+    // deterministic mode: once assignments repeat, the sequential-fold
+    // means are bit-identical => drift exactly 0 => tol stops the loop
+    val early = Similarity.kMeansTrain(clustered, k = 3, iters = 25,
+      deterministic = true, tol = 1e-12)
+    assert(early.rounds < 25,
+      s"early stop never engaged (ran all ${early.rounds} rounds)")
+    val fixed = Similarity.kMeans(clustered, k = 3, iters = 25,
+      deterministic = true).as[(Long, Int)].collect().toMap
+    val earlyAssign = clustered
+      .select(col("vec_id"),
+        Similarity.assignExpr(col("embedding"), early.centroids).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(earlyAssign === fixed,
+      "early-stopped centroids assign differently than the full run")
+    // tol = 0 (the oracle contract) never stops early
+    val full = Similarity.kMeansTrain(clustered, k = 3, iters = 4,
+      deterministic = true)
+    assert(full.rounds === 4)
+  }
+
+  test("kMeans farthest-point seeding: deterministic, seeds spread one " +
+    "per true cluster, converges in no more rounds than hash-order") {
+    val bases = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f))
+    val clustered = (0 until 18).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) =>
+        x + (if (d == 3) 0.05f * (i / 3 + 1) else 0f) })
+    }.toDF("vec_id", "embedding")
+    // farthest-first on separated data picks one seed per true cluster,
+    // so a SINGLE Lloyd round already recovers the structure
+    val oneRound = Similarity.kMeans(clustered, k = 3, iters = 1,
+        seeding = Similarity.KMeansSeeding.FarthestPoint)
+      .as[(Long, Int)].collect().toMap
+    val grouped = (0 until 18).groupBy(_ % 3)
+      .map { case (_, ids) => ids.map(i => oneRound(i.toLong)).toSet }
+    assert(grouped.forall(_.size === 1), s"split a true cluster: $oneRound")
+    assert(grouped.reduce(_ ++ _).size === 3, s"merged clusters: $oneRound")
+    // deterministic: repeated runs produce identical centroids
+    val c1 = Similarity.kMeansCentroids(clustered, k = 3, iters = 2,
+      seeding = Similarity.KMeansSeeding.FarthestPoint)
+    val c2 = Similarity.kMeansCentroids(clustered, k = 3, iters = 2,
+      seeding = Similarity.KMeansSeeding.FarthestPoint)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    // spread seeds never need MORE rounds than hash-order seeds
+    val fp = Similarity.kMeansTrain(clustered, k = 3, iters = 25,
+      deterministic = true, tol = 1e-12,
+      seeding = Similarity.KMeansSeeding.FarthestPoint)
+    val ho = Similarity.kMeansTrain(clustered, k = 3, iters = 25,
+      deterministic = true, tol = 1e-12)
+    assert(fp.rounds <= ho.rounds,
+      s"farthest-point took ${fp.rounds} rounds vs hash-order ${ho.rounds}")
+  }
+
   test("ivfTopK accepts external kMeans centroids and stays exact at " +
     "nProbe = nCentroids") {
     val emb = spark.read
