@@ -943,6 +943,33 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // the classifier AS A PIPELINE STAGE (margin-calibrated quality
+    // gating, the fasttext-style shape a pretrain pipeline actually
+    // runs): train the perceptron on the LABELED slice only
+    // (vec_id % 5 == 0 — the "human-rated" subset), score the whole
+    // corpus in one projection pass, then keep the top-`qualityQuota`
+    // documents BY MARGIN per language — the stratified-quota sampler
+    // with the hash order replaced by the learned quality order. At
+    // scale: train cost tracks the labeled slice, scoring is one
+    // codegen'd pass, the gate is one partial top-k window
+    // (WindowGroupLimit) per language.
+    "q_pipeline_quality" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val w = Classify.perceptronTrain(
+        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        positive = col("label") < 5, epochs = perceptronEpochs,
+        deterministic = true)
+      val scored = Classify.perceptronScore(emb, "vec_id", "embedding", w)
+      val wn = Window.partitionBy(col("lang"))
+        .orderBy(col("margin").desc, col("doc_id").asc)
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(scored, col("doc_id") === col("vec_id"))
+        .withColumn("rk", row_number().over(wn))
+        .where(col("rk") <= qualityQuota)
+        .select(col("doc_id"), col("lang"), col("margin"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // threshold 0.45: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cos ≈ 0.6 at sf0.1), so 0.45 yields a real,
     // non-empty tail while staying > 3σ above the cos≈N(0, 1/64) noise
@@ -1151,6 +1178,7 @@ object SparkEntry {
   private val kmeansIters = 2
   private val semdedupThreshold = 0.45
   private val perceptronEpochs = 2
+  private val qualityQuota = 25
 
   private[graft] def kmeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ${kmeansCteChain(k, iters)}
@@ -1298,17 +1326,22 @@ object SparkEntry {
        |ORDER BY b.vec_id""".stripMargin
   }
 
-  /** q_embed_classify oracle: batch-perceptron epochs unrolled. Epoch r
-    * computes every row's margin under w{r-1} (m$r), the id-ordered
-    * sequential gradient over misclassified rows (g$r), and w$r; the
-    * final select re-scores under w$epochs. Arithmetic mirrors
-    * `Classify.perceptronTrain(deterministic = true)` exactly. */
-  private def perceptronOracleSql(epochs: Int, lr: Double): String = {
+  /** The CTE chain behind the perceptron oracles (e, tr, dims, w0,
+    * m$r/g$r/w$r) without the WITH keyword or a final SELECT, so
+    * composite oracles (q_pipeline_quality) can extend it. Epoch r
+    * computes the TRAINING rows' margins under w{r-1} (m$r), the
+    * id-ordered sequential gradient over misclassified rows (g$r), and
+    * w$r; `trainWhere` narrows the training slice (tr), mirroring a
+    * Spark-side `perceptronTrain` on a filtered frame. Arithmetic
+    * mirrors `Classify.perceptronTrain(deterministic = true)`
+    * exactly. */
+  private def perceptronCteChain(epochs: Int, lr: Double,
+                                 trainWhere: String = ""): String = {
     val rounds = (1 to epochs).map { r =>
-      s"""m$r AS (SELECT e.vec_id, e.a, e.y,
-         |    e.y * list_sum(list_transform(range(1, len(e.a) + 1),
-         |      i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) AS margin
-         |  FROM e, w${r - 1} w),
+      s"""m$r AS (SELECT tr.vec_id, tr.a, tr.y,
+         |    tr.y * list_sum(list_transform(range(1, len(tr.a) + 1),
+         |      i -> CAST(tr.a[i] AS DOUBLE) * w.w[i])) AS margin
+         |  FROM tr, w${r - 1} w),
          |g$r AS (SELECT d.i,
          |    list_sum(list(CAST(m.a[d.i] AS DOUBLE) * m.y
          |      ORDER BY m.vec_id)) AS g
@@ -1319,7 +1352,7 @@ object SparkEntry {
          |  FROM dims d CROSS JOIN w${r - 1} w
          |  LEFT JOIN g$r ON g$r.i = d.i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |    embedding || [CAST(1.0 AS FLOAT)] AS a,
        |    CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS y
        |  FROM embeddings WHERE embedding IS NOT NULL
@@ -1333,16 +1366,42 @@ object SparkEntry {
        |      WHERE embedding IS NOT NULL
        |        AND len(list_filter(embedding, x -> x IS NULL)) = 0
        |      ORDER BY vec_id LIMIT 1)),
+       |tr AS (SELECT * FROM e $trainWhere),
        |dims AS (SELECT u.i
-       |  FROM (SELECT a FROM e ORDER BY vec_id LIMIT 1) s,
+       |  FROM (SELECT a FROM tr ORDER BY vec_id LIMIT 1) s,
        |    unnest(range(1, len(s.a) + 1)) AS u(i)),
        |w0 AS (SELECT list(0.0 ORDER BY i) AS w FROM dims),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** q_embed_classify oracle: the perceptron chain trained on every
+    * usable row, then every row re-scored under w$epochs. */
+  private def perceptronOracleSql(epochs: Int, lr: Double): String =
+    s"""WITH ${perceptronCteChain(epochs, lr)}
        |SELECT e.vec_id,
        |  list_sum(list_transform(range(1, len(e.a) + 1),
        |    i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) > 0 AS predicted
        |FROM e, w$epochs w ORDER BY e.vec_id""".stripMargin
-  }
+
+  /** q_pipeline_quality oracle: the perceptron chain trained on the
+    * labeled slice only, the WHOLE corpus scored under w$epochs, then
+    * the stratified top-quota by margin per language — the SQL mirror
+    * of train → score → gate. */
+  private def qualityOracleSql(epochs: Int, lr: Double,
+                               quota: Int): String =
+    s"""WITH ${perceptronCteChain(epochs, lr,
+          "WHERE vec_id % 5 = 0")}
+       |SELECT doc_id, lang, margin FROM (
+       |  SELECT d.doc_id, d.lang, s.margin, row_number() OVER (
+       |      PARTITION BY d.lang ORDER BY s.margin DESC, d.doc_id ASC)
+       |      AS rk
+       |  FROM (SELECT e.vec_id,
+       |      list_sum(list_transform(range(1, len(e.a) + 1),
+       |        i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) AS margin
+       |    FROM e, w$epochs w) s
+       |  JOIN documents d ON d.doc_id = s.vec_id)
+       |WHERE rk <= $quota
+       |ORDER BY lang, doc_id""".stripMargin
 
   /** q_dedup_spans oracle, generated from the same chunk width as the
     * Spark query (mirrors `Dedup.spanDedup`). */
@@ -2164,6 +2223,11 @@ object SparkEntry {
 
     // batch-perceptron epochs unrolled, prediction signs compared
     "q_embed_classify" -> perceptronOracleSql(perceptronEpochs, lr = 1.0),
+
+    // perceptron trained on the labeled slice, corpus scored, stratified
+    // top-quota by margin per language
+    "q_pipeline_quality" -> qualityOracleSql(perceptronEpochs, lr = 1.0,
+      qualityQuota),
 
     // IVF at nProbe = nCentroids must equal exact brute-force top-k
     "q_embed_ivf_topk" ->

@@ -205,6 +205,28 @@ object EventStreams {
         pinning = pinning) _)
       .start()
 
+  /** Continuous SEMANTIC ingestion gate — the embedding-side sibling of
+    * `startIngestDedupGate`: each microbatch of (id, embedding) rows
+    * probes the persisted k-means index (`Similarity.semanticGateBatch`
+    * — centroids trained once at bootstrap, never per-batch), drops
+    * vectors near-duplicating the corpus or each other, and appends the
+    * admitted ones to the cluster-keyed index. Exactly-once by the same
+    * argument as the text gate: at-least-once replay × dynamic
+    * partition overwrite × everything-self-matches. */
+  def startSemanticIngestGate(stream: DataFrame, indexPath: String,
+                              checkpoint: String,
+                              kClusters: Int, iters: Int,
+                              threshold: Double,
+                              idCol: String = "vec_id",
+                              embCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Similarity.semanticGateBatch(
+        indexPath, kClusters, iters, threshold, idCol, embCol) _)
+      .start()
+
   // ---- custom state: flatMapGroupsWithState sessionization -----------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

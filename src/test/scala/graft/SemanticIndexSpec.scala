@@ -151,6 +151,31 @@ class SemanticIndexSpec extends SparkTestBase {
       "a post-bootstrap epoch RETRAINED centroids — assignments now torn")
   }
 
+  test("streaming semantic gate: later microbatches probe the persisted " +
+    "centroids earlier ones trained (MemoryStream end-to-end)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("stream")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EventStreams.startSemanticIngestGate(
+      mem.toDF.toDF("vec_id", "embedding"),
+      s"$dir/idx", s"$dir/ckpt", kClusters = 2, iters = 2,
+      threshold = 0.95)
+    try {
+      mem.addData(semEpoch0: _*)
+      q.processAllAvailable()
+      assert(indexIds(s"$dir/idx") === Set(1L, 2L))
+      mem.addData(semEpoch1: _*)
+      q.processAllAvailable()
+      // 10 near-dups corpus 1 (gated), 11 novel (admitted), 12 survives
+      // its in-batch dup 13 — identical decisions to the batch gate
+      assert(indexIds(s"$dir/idx") === Set(1L, 2L, 11L, 12L))
+      // the bootstrap quantizer was not retrained by epoch 1
+      assert(hadoopFs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/idx/meta/_GRAFT_COMMITTED")))
+    } finally q.stop()
+  }
+
   test("semanticDedup equals gate-admitted survivors on a single batch " +
     "(the gate's internal dedup is the batch operator)") {
     val data = semEpoch1.toDF("vec_id", "embedding")

@@ -373,6 +373,154 @@ object ScaleProbe {
         graft.operators.Similarity.lshNearDupPairs(big, 0.9,
           nBits = 16, nTables = 8).count())
     }
+
+    if (which("semdedup-imbalanced")) {
+      // the hot-cluster guard under an ADVERSARIALLY imbalanced corpus:
+      // 48k vectors = 12 exact copies of 4,000 identities (identity =
+      // one of the 2,000 sf0.1 base vectors under one of 2 sign-flip
+      // replicas). The IMBALANCED corpus adds one shared dominant
+      // direction h to 80% of identities — k-means hands those ~38k
+      // rows to a handful of hot clusters (pairwise cos ≈ 0.5 between
+      // DISTINCT hot identities, far below threshold 0.99, so the hot
+      // cluster is fat but NOT mostly-duplicate: the all-pairs regime
+      // the guard exists for). The BALANCED reference is the same rows
+      // without h. Both corpora carry exactly C(12,2)=66 copy-pairs ×
+      // 4,000 identities; copies are identical vectors, so cluster
+      // routing and LSH collision are deterministic — the survivor
+      // count must be EXACTLY 4,000 in both, guard engaged or not.
+      def corpus(withHot: Boolean): DataFrame = {
+        val h = typedlit(emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray)
+        val flips = (0 until 2).map { r =>
+          val signs = typedlit(Array.tabulate(64) { i =>
+            var z = (r.toLong << 32) + i + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+          })
+          emb.select((col("vec_id") + lit(r * 2000L)).as("t"),
+            zip_with(col("embedding"), signs, (x, s) => x * s).as("b"))
+        }
+        val ident = flips.reduce(_.unionByName(_))
+          .withColumn("b",
+            when(lit(withHot) && col("t") % 2000 < 1600,
+              zip_with(col("b"), h, (x, y) => x + y)).otherwise(col("b")))
+        (0 until 12).map(c =>
+          ident.select((col("t") + lit(c * 10000L)).as("vec_id"),
+            col("b").as("embedding")))
+          .reduce(_.unionByName(_))
+      }
+      // kClusters = 4 models the k-too-small-for-the-lumpiness regime
+      // (the SemDeDup-paper reality: few Lloyd rounds + a dominant mode
+      // => long-tailed cell sizes; with enough centroids k-means would
+      // re-split the mode itself — measured: at kClusters=64 every cell
+      // stays under the cap and guarded == unguarded == ~7 s). Every
+      // cell here exceeds maxClusterSize, so the guard carries BOTH
+      // corpora; the judged claim is that the 80%-mode corpus stays
+      // within ~2x the even corpus at identical (exact) output.
+      def run(tag: String, withHot: Boolean,
+              maxClusterSize: Long = 5000L): Unit = {
+        val big = corpus(withHot).localCheckpoint(true)
+        t(s"semdedup_${tag}_rows")(big.count())
+        t(s"semdedup_${tag}_survivors") {
+          graft.operators.Similarity.semanticDedup(big, kClusters = 4,
+              iters = 2, threshold = 0.99,
+              maxClusterSize = maxClusterSize)
+            .where(col("survivor_id") === col("doc_id")).count()
+        }
+      }
+      run("balanced", withHot = false)
+      run("imbalanced", withHot = true)
+      // the cost the guard removes: same imbalanced corpus, guard off —
+      // exact all-pairs inside the ~28k-row hot cell (~400M fused
+      // cosines + candidate-row materialization). Run separately; it is
+      // minutes where the guarded run is seconds.
+      if (which("semdedup-unguarded"))
+        run("imbalanced_UNGUARDED", withHot = true,
+          maxClusterSize = Long.MaxValue)
+    }
+
+    if (which("kmeans-earlystop")) {
+      // early stop + seeding at 100k, on a corpus with TRUE cluster
+      // structure (64 well-separated modes + 0.3-scaled noise): k-means
+      // on structureless noise never settles (measured: max drift stays
+      // > 1e-2 through 10 rounds on the sign-flip corpus — boundary
+      // vectors churn forever), so that corpus cannot demonstrate
+      // convergence; a 100 TB SemDeDup corpus is clustered by
+      // construction or the operator wouldn't be running. Member i =
+      // h_{i%64} + 0.3 · flip_{i/2000}(e_{i%2000}) — within-mode cos ≈
+      // 0.92, cross-mode ≈ noise; 1e6 % 64 = 0, so replica offsets
+      // preserve the mode pattern.
+      val hs = emb.where(col("vec_id") < 64).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq)
+      val hLit = typedlit(hs.toSeq)
+      val replicas = (0 until 50).map { k =>
+        val signs = typedlit(Array.tabulate(64) { i =>
+          var z = (k.toLong << 32) + i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+        })
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("noise"))
+      }
+      val big = replicas.reduce(_.unionByName(_))
+        .withColumn("h", element_at(hLit,
+          (pmod(col("vec_id"), lit(64)) + 1).cast("int")))
+        .select(col("vec_id"),
+          zip_with(col("h"), col("noise"),
+            (h, n) => h + n * lit(0.3f)).as("embedding"))
+        .localCheckpoint(true)
+      t("earlystop_rows")(big.count())
+      import graft.operators.Similarity
+      var full: Similarity.KMeansResult = null
+      t("earlystop_full_rounds_cap10") {
+        full = Similarity.kMeansTrain(big, k = 64, iters = 10)
+        full.rounds.toLong
+      }
+      def diffs(cents: Array[Array[Double]]): Long = {
+        val a = big.select(col("vec_id"),
+          Similarity.assignExpr(col("embedding"), cents).as("ca"))
+        val b = big.select(col("vec_id"),
+          Similarity.assignExpr(col("embedding"), full.centroids).as("cb"))
+        a.join(b, Seq("vec_id")).where(col("ca") =!= col("cb")).count()
+      }
+      // drift-tolerance sweep: rounds saved vs assignments changed
+      // relative to the full 10-round run — BASELINE records the pair
+      // (the production answer is tol where diffs ~ 0 at fewer rounds)
+      for ((tol, tag) <- Seq((1e-2, "1e-2"), (3e-3, "3e-3"),
+          (1e-3, "1e-3"))) {
+        var early: Similarity.KMeansResult = null
+        t(s"earlystop_tol${tag}_rounds_cap10") {
+          early = Similarity.kMeansTrain(big, k = 64, iters = 10, tol = tol)
+          early.rounds.toLong
+        }
+        t(s"earlystop_tol${tag}_assignment_diffs_of100k")(
+          diffs(early.centroids))
+      }
+      // farthest-point seeding: one seed per true mode => converges in
+      // ~2 rounds where hash-order still churns at the cap; the early
+      // stop banks the saved rounds, and the banked rounds change
+      // NOTHING (early-stopped assignments == the full capped run's)
+      var fpEarly: Similarity.KMeansResult = null
+      t("earlystop_fp_seeding_rounds_tol1e-3_cap10") {
+        fpEarly = Similarity.kMeansTrain(big, k = 64, iters = 10,
+          tol = 1e-3, seeding = Similarity.KMeansSeeding.FarthestPoint)
+        fpEarly.rounds.toLong
+      }
+      t("earlystop_fp_vs_fpfull_assignment_diffs") {
+        val fpFull = Similarity.kMeansTrain(big, k = 64, iters = 10,
+          seeding = Similarity.KMeansSeeding.FarthestPoint)
+        val a = big.select(col("vec_id"),
+          Similarity.assignExpr(col("embedding"), fpEarly.centroids)
+            .as("ca"))
+        val b = big.select(col("vec_id"),
+          Similarity.assignExpr(col("embedding"), fpFull.centroids)
+            .as("cb"))
+        a.join(b, Seq("vec_id")).where(col("ca") =!= col("cb")).count()
+      }
+    }
     spark.stop()
   }
 }
