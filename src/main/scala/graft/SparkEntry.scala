@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Pack, PromptTemplates, Similarity, Skew}
+import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Pack, Pq, PromptTemplates, Shard, Similarity, Skew}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -592,6 +592,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the Bloom-filter scale path for the same contamination check,
+    // gated through the hash oracle via its CONTRACT: a Bloom filter
+    // cannot false-negative, so per document bloom n_matched >= exact
+    // n_matched must hold ALWAYS — the query runs both paths and emits
+    // the exact counts plus the superset boolean; any false negative
+    // (or a doc the bloom path drops) hash-mismatches the all-true
+    // oracle column. FP behavior is engine-specific by nature and
+    // deliberately not hashed (the spec bounds it instead).
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 20 === 0)
+      val corpus = docs.where(col("doc_id") % 20 =!= 0)
+      val exact = Dedup.contaminationScores(corpus, col("doc_id"),
+        col("text"), bench, col("doc_id"), col("text"))
+      val bloom = Dedup.contaminationScoresBloom(corpus, col("doc_id"),
+        col("text"), bench, col("doc_id"), col("text"))
+      exact.select(col("id"), col("n_sh"), col("n_matched"))
+        .join(bloom.select(col("id"), col("n_matched").as("nm_bloom")),
+          Seq("id"))
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_matched"),
+          (col("nm_bloom") >= col("n_matched")).as("bloom_superset"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), col("doc_id"),
           col("text"), threshold = 0.6, k = 128, bands = 32)
@@ -762,6 +786,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic corpus shuffle + shard: the "shuffle then cut into
+    // training files" stage — seed-keyed md5 permutation, shard = 4-hex-
+    // digit draw mod nShards (ONE hash exchange), pos = per-shard window
+    // sort; never a global orderBy. Epoch reshuffle = new seed string.
+    "q_train_shuffle" -> ((s, dir) =>
+      Shard.trainingOrder(Tables.documents(s, dir), seed = "epoch0",
+          nShards = 8)
+        .orderBy("shard", "pos")),
+
     // stratified QUOTA sampling: at most 50 docs per lang stratum, chosen
     // by deterministic md5 order (content-derived, partition-layout-free).
     // Complements q_train_mixture's RATE sampling: quotas cap dominant
@@ -926,6 +959,37 @@ object SparkEntry {
           coalesce(col("n_matched"), lit(0L)).as("n_matched"),
           col("best_cos"))
         .orderBy("vec_id")
+    }),
+
+    // product quantization, the COMPRESSION tier of the ANN ladder
+    // (Jégou et al. 2011): per-subspace codebooks trained driver-side on
+    // the hash-ordered sample, corpus encoded to m small codes in one
+    // codegen'd projection (PqEncodeL2). Oracle: training unrolled per
+    // subspace in generated SQL (seeds → Lloyd → full-corpus argmin), so
+    // the whole train → encode path must reproduce the codes exactly.
+    "q_embed_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Pq.pqTrain(emb, m = pqM, ksub = pqKsub, iters = pqIters,
+        sampleN = pqSampleN)
+      Pq.encoded(emb, cb)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    }),
+
+    // ADC top-k over the SAME trained codebook: corpus encode → decode
+    // (asymmetric: probes stay raw), exact top-k kernel over the
+    // reconstructions. Oracle: the codes chain joined back to the final
+    // codebook CTEs, reconstruction flattened in subspace order, then
+    // the q_embed_cosine_topk ranking over reconstructed corpus ×
+    // raw probes.
+    "q_embed_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Pq.pqTrain(emb, m = pqM, ksub = pqKsub, iters = pqIters,
+        sampleN = pqSampleN)
+      Pq.pqTopK(emb, emb.where(col("vec_id") < 10), k = 5, cb)
+        .select(col("probe_id"), col("rank"), col("nbr_id"))
+        .orderBy("probe_id", "rank")
     }),
 
     // trainable quality classifier (fasttext-style scoring, reduced to a
@@ -1179,6 +1243,16 @@ object SparkEntry {
   private val semdedupThreshold = 0.45
   private val perceptronEpochs = 2
   private val qualityQuota = 25
+  // PQ battery point: dim 64 → 4 subspaces × 16 elements, 4 codewords
+  // each, 1 Lloyd round — small enough for the generated oracle to
+  // replay training per subspace, real enough to exercise the full
+  // train → encode → ADC path (compression here 64·4B → 4·4B; the m/ksub
+  // of a production run change only reference-object sizes, not plans)
+  private val pqM = 4
+  private val pqKsub = 4
+  private val pqIters = 1
+  private val pqSampleN = 4096
+  private val embedDim = 64
 
   private[graft] def kmeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ${kmeansCteChain(k, iters)}
@@ -1252,6 +1326,126 @@ object SparkEntry {
       (1 to iters).map(r => update(r) + ",\n" + assign(r, s"c$r")))
       .mkString(",\n")
   }
+
+  /** The PQ training + encoding chain, generated per subspace (the PQ
+    * mirror of `kmeansCteChain`): `samp` is the hash-ordered ≤`sampleN`
+    * training sample, subspace `s` gets seeds (first `ksub` sample rows'
+    * subvectors in hash order) → `iters` Lloyd rounds (argmin by
+    * ascending-index L2² fold, ties to the lower code; means folded in
+    * vec_id order; empty codes keep their previous codeword) → a
+    * full-corpus argmin. Ends with `codes` (vec_id, sub, code) over
+    * every well-formed corpus row and `cball` (sub, code, cent), the
+    * final codebook — exactly the state `Pq.pqTrain`/`PqEncodeL2`
+    * compute. */
+  private def pqCteChain(dim: Int, m: Int, ksub: Int, iters: Int,
+                         sampleN: Int): String = {
+    val dsub = dim / m
+    // L2² between frame-alias `t`'s subvector (offset `off`) and cents
+    // CTE `x`'s codeword — the ascending sequential fold PqEncodeL2 runs
+    def dist(t: String, off: Int, x: String): String =
+      s"""list_sum(list_transform(range(1, $dsub + 1),
+         |      i -> (CAST($t.embedding[$off + i] AS DOUBLE) - $x.cent[i])
+         |         * (CAST($t.embedding[$off + i] AS DOUBLE) - $x.cent[i])))""".stripMargin
+    def argmin(outCte: String, scCte: String): String =
+      s"""$outCte AS (SELECT vec_id, code FROM (
+         |  SELECT vec_id, code, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
+         |  FROM $scCte) WHERE rn = 1)""".stripMargin
+    val head =
+      s"""e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+         |    AND len(embedding) = $dim),
+         |samp AS (SELECT vec_id, embedding FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN)""".stripMargin
+    val subChains = (0 until m).map { s =>
+      val off = s * dsub
+      val seeds =
+        s"""p${s}s AS (SELECT
+           |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           |      - 1 AS code,
+           |    list_transform(range(1, $dsub + 1),
+           |      i -> CAST(embedding[$off + i] AS DOUBLE)) AS cent
+           |  FROM samp ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           |  LIMIT $ksub)""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        val prevA = if (r == 1) s"p${s}s" else s"p${s}c${r - 1}"
+        val assignPrev =
+          s"""p${s}sc${r - 1} AS (SELECT samp.vec_id, $prevA.code,
+             |    ${dist("samp", off, prevA)} AS d
+             |  FROM samp, $prevA),
+             |${argmin(s"p${s}a${r - 1}", s"p${s}sc${r - 1}")}""".stripMargin
+        val update =
+          s"""p${s}m$r AS (SELECT a.code, u.i AS i,
+             |    list_sum(list(CAST(samp.embedding[$off + u.i] AS DOUBLE)
+             |      ORDER BY samp.vec_id)) / count(*) AS mval
+             |  FROM p${s}a${r - 1} a JOIN samp USING (vec_id),
+             |    unnest(range(1, $dsub + 1)) AS u(i)
+             |  GROUP BY 1, 2),
+             |p${s}cn$r AS (SELECT code, list(mval ORDER BY i) AS cent
+             |  FROM p${s}m$r GROUP BY code),
+             |p${s}c$r AS (SELECT p.code, coalesce(n.cent, p.cent) AS cent
+             |  FROM $prevA p LEFT JOIN p${s}cn$r n USING (code))""".stripMargin
+        assignPrev + ",\n" + update
+      }
+      val fin = if (iters == 0) s"p${s}s" else s"p${s}c$iters"
+      val corpusAssign =
+        s"""p${s}fc AS (SELECT e.vec_id, $fin.code,
+           |    ${dist("e", off, fin)} AS d
+           |  FROM e, $fin),
+           |${argmin(s"p${s}code", s"p${s}fc")}""".stripMargin
+      (Seq(seeds) ++ rounds ++ Seq(corpusAssign)).mkString(",\n")
+    }
+    val codes = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS sub, code FROM p${s}code")
+      .mkString("codes AS (", "\n  UNION ALL ", ")")
+    val cball = (0 until m).map { s =>
+      val fin = if (iters == 0) s"p${s}s" else s"p${s}c$iters"
+      s"SELECT $s AS sub, code, cent FROM $fin"
+    }.mkString("cball AS (", "\n  UNION ALL ", ")")
+    (Seq(head) ++ subChains ++ Seq(codes, cball)).mkString(",\n")
+  }
+
+  /** q_embed_pq oracle: the PQ chain's codes, one scalar row per
+    * (vec_id, subspace). */
+  private def pqOracleSql(dim: Int, m: Int, ksub: Int, iters: Int,
+                          sampleN: Int): String =
+    s"""WITH ${pqCteChain(dim, m, ksub, iters, sampleN)}
+       |SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+       |  CAST(code AS INTEGER) AS code
+       |FROM codes ORDER BY vec_id, sub""".stripMargin
+
+  /** q_embed_pq_topk oracle: reconstruct each coded corpus vector from
+    * the final codebook (codeword floats — CAST(x AS REAL) mirrors the
+    * engine's float storage, the outer DOUBLE cast the fold arithmetic),
+    * then the q_embed_cosine_topk ranking over reconstructed corpus ×
+    * raw probes. */
+  private def pqTopKOracleSql(dim: Int, m: Int, ksub: Int, iters: Int,
+                              sampleN: Int, k: Int): String =
+    s"""WITH ${pqCteChain(dim, m, ksub, iters, sampleN)},
+       |rec AS (SELECT cd.vec_id,
+       |    flatten(list(list_transform(cb.cent,
+       |      x -> CAST(CAST(x AS REAL) AS DOUBLE)) ORDER BY cd.sub)) AS re
+       |  FROM codes cd JOIN cball cb
+       |    ON cb.sub = cd.sub AND cb.code = cd.code
+       |  GROUP BY cd.vec_id),
+       |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+       |      WHERE vec_id < 10),
+       |sc AS (SELECT rec.vec_id AS nid, p.pid,
+       |        list_sum(list_transform(range(1, len(re) + 1),
+       |          i -> re[i] * CAST(pe[i] AS DOUBLE)))
+       |        / nullif(
+       |          sqrt(list_sum(list_transform(re, x -> x * x)))
+       |          * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * x))),
+       |          0) AS cos
+       |      FROM rec, p WHERE rec.vec_id <> p.pid),
+       |r AS (SELECT pid AS probe_id, nid AS nbr_id, cos,
+       |        row_number() OVER (PARTITION BY pid
+       |          ORDER BY cos DESC, nid ASC) AS rank
+       |      FROM sc)
+       |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
+       |WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
 
   /** q_embed_semdedup oracle: the kmeans chain, then exact cosine pairs
     * restricted to same-cluster ids, recursive-CTE closure, min-id
@@ -1834,6 +2028,24 @@ object SparkEntry {
          |LEFT JOIN m USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // the exact chain again + TRUE for the contract column: the engine
+    // side computes bloom_superset from the real Bloom probe, and a
+    // false negative anywhere breaks the hash
+    "q_decontaminate_bloom" ->
+      s"""$shinglesSql,
+         |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+         |          WHERE doc_id % 20 = 0),
+         |post AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle
+         |         FROM sh WHERE doc_id % 20 <> 0),
+         |m AS (SELECT doc_id, count(*) AS n_matched
+         |      FROM post JOIN bench USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.n_sh AS BIGINT) AS n_sh,
+         |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  true AS bloom_superset
+         |FROM (SELECT DISTINCT doc_id, n_sh FROM post) d
+         |LEFT JOIN m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $normTextSql AS nt,
@@ -2104,6 +2316,25 @@ object SparkEntry {
         |      <= [1, 2, 4, 8][(CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) + 1]
         |ORDER BY doc_id""".stripMargin,
 
+    // hex prefix expanded base-16 per char with instr (the engine's
+    // conv(substr(h,1,4),16,10)); shard mod + per-shard rank mirror
+    // Shard.trainingOrder
+    "q_train_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |sh AS (SELECT doc_id, h,
+        |    CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |        + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |        + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |        + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8
+        |      AS INTEGER) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS INTEGER) AS pos
+        |FROM sh ORDER BY shard, pos""".stripMargin,
+
     "q_sample_stratified" ->
       """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT doc_id, lang, row_number() OVER (
@@ -2213,6 +2444,13 @@ object SparkEntry {
     // mean -> assign; every float op mirrors the operator's deterministic
     // mode (sequential folds, id-ordered means, ties to lower cluster)
     "q_embed_kmeans" -> kmeansOracleSql(kmeansK, kmeansIters),
+
+    // PQ training unrolled per subspace + full-corpus argmin encode
+    "q_embed_pq" -> pqOracleSql(embedDim, pqM, pqKsub, pqIters, pqSampleN),
+
+    // the codes chain + codebook reconstruction + exact ranking
+    "q_embed_pq_topk" ->
+      pqTopKOracleSql(embedDim, pqM, pqKsub, pqIters, pqSampleN, k = 5),
 
     // same kmeans chain + pairs restricted to a shared cluster + closure
     "q_embed_incremental" -> semIncrementalOracleSql(kmeansK, kmeansIters,

@@ -329,6 +329,233 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       newChild: Expression): NearestCentroid = copy(child = newChild)
 }
 
+/** Product-quantization encoder in ONE codegen'd pass: split the input
+  * vector into `m` contiguous subvectors of `dsub` elements and emit, per
+  * subspace, the index of the L2-nearest codeword from a driver-trained
+  * codebook (`[m][ksub][dsub]`, see `Pq.pqTrain`). Ties go to the lower
+  * code, mirroring the generated SQL oracle's `ORDER BY d ASC, code ASC`.
+  *
+  * Why an Expression: the composed form is m × ksub
+  * distance-against-literal columns sorted in struct arrays — the plan
+  * tree grows linear in m×ksub×dsub and lands on BOTH sides of any later
+  * self-join, the exact failure mode that motivated NearestCentroid and
+  * HyperplaneBuckets above. One node holds the codebook as a codegen
+  * reference object; the plan stays constant-size in (m, ksub).
+  *
+  * Distance arithmetic is an ascending-index sequential double fold of
+  * squared differences — bit-identical to the DuckDB oracle's
+  * `list_sum(list_transform(range(...), i -> (x-c)*(x-c)))`. Degenerate
+  * inputs mirror NearestCentroid's contract: null vector → null; a
+  * vector whose length differs from m·dsub, or with a null element,
+  * encodes as code 0 in every subspace.
+  */
+case class PqEncodeL2(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(codebook.nonEmpty && codebook.head.nonEmpty,
+    "PqEncodeL2: empty codebook")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode requires ARRAY<FLOAT> input, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  private def m: Int = codebook.length
+  private def ksub: Int = codebook.head.length
+  private def dsub: Int = codebook.head.head.length
+  /** Flattened [sub][code][dsub] codebook for the codegen reference. */
+  private lazy val flat: Array[Double] = {
+    val out = new Array[Double](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      require(codebook(s).length == ksub,
+        s"PqEncodeL2: subspace $s has ${codebook(s).length} codes, not $ksub")
+      var j = 0
+      while (j < ksub) {
+        require(codebook(s)(j).length == dsub,
+          s"PqEncodeL2: codeword ($s,$j) has dim ${codebook(s)(j).length}, " +
+            s"not $dsub")
+        System.arraycopy(codebook(s)(j), 0, out, (s * ksub + j) * dsub, dsub)
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var ok = x.numElements() == m * dsub
+    var i = 0
+    while (ok && i < m * dsub) { ok = !x.isNullAt(i); i += 1 }
+    if (ok) {
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = java.lang.Double.POSITIVE_INFINITY
+        var j = 0
+        while (j < ksub) {
+          var d = 0.0
+          i = 0
+          while (i < dsub) {
+            val diff = x.getFloat(s * dsub + i).toDouble -
+              flat((s * ksub + j) * dsub + i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        codes(s) = best
+        s += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cb = ctx.addReferenceObj("codebook", flat, "double[]")
+      val codes = ctx.freshName("codes")
+      val ok = ctx.freshName("ok")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int[] $codes = new int[$m];
+         |boolean $ok = $v.numElements() == ${m * dsub};
+         |for (int $i = 0; $ok && $i < ${m * dsub}; $i++) {
+         |  $ok = !$v.isNullAt($i);
+         |}
+         |if ($ok) {
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    int $best = 0;
+         |    double $bestD = java.lang.Double.POSITIVE_INFINITY;
+         |    for (int $j = 0; $j < $ksub; $j++) {
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $dsub; $i++) {
+         |        double $diff = ((double) $v.getFloat($s * $dsub + $i))
+         |          - $cb[($s * $ksub + $j) * $dsub + $i];
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |    }
+         |    $codes[$s] = $best;
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeL2 = copy(child = newChild)
+}
+
+/** PQ reconstruction (the decode half of asymmetric distance computation):
+  * map an `m`-element code array back to the m·dsub float vector whose
+  * subvector `s` is codeword `codes[s]` of subspace `s`, each element cast
+  * double→float — the precision the reconstruction is STORED at, so the
+  * downstream `DotProductF32` fold is bit-identical to the SQL oracle's
+  * `CAST(cent[i] AS REAL)`. Null codes array, wrong code-array length, or
+  * an out-of-range code → null (malformed codes cannot come from
+  * `PqEncodeL2`; null propagation keeps the contract total).
+  */
+case class PqDecodeF32(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(codebook.nonEmpty && codebook.head.nonEmpty,
+    "PqDecodeF32: empty codebook")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_decode requires ARRAY<INT> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_decode"
+
+  private def m: Int = codebook.length
+  private def ksub: Int = codebook.head.length
+  private def dsub: Int = codebook.head.head.length
+  /** Flattened [sub][code][dsub] codebook, pre-cast to the float the
+    * reconstruction is emitted at. */
+  private lazy val flatF: Array[Float] = {
+    val out = new Array[Float](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
+        var i = 0
+        while (i < dsub) {
+          out((s * ksub + j) * dsub + i) = codebook(s)(j)(i).toFloat
+          i += 1
+        }
+        j += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != m) return null
+    val out = new Array[Float](m * dsub)
+    var s = 0
+    while (s < m) {
+      if (x.isNullAt(s)) return null
+      val c = x.getInt(s)
+      if (c < 0 || c >= ksub) return null
+      System.arraycopy(flatF, (s * ksub + c) * dsub, out, s * dsub, dsub)
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cb = ctx.addReferenceObj("codebookF", flatF, "float[]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val bad = ctx.freshName("bad")
+      s"""
+         |float[] $out = new float[${m * dsub}];
+         |boolean $bad = $v.numElements() != $m;
+         |for (int $s = 0; !$bad && $s < $m; $s++) {
+         |  if ($v.isNullAt($s)) { $bad = true; break; }
+         |  int $c = $v.getInt($s);
+         |  if ($c < 0 || $c >= $ksub) { $bad = true; break; }
+         |  System.arraycopy($cb, ($s * $ksub + $c) * $dsub,
+         |    $out, $s * $dsub, $dsub);
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqDecodeF32 = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column form of the codegen'd dot product. */
   def dotF32(a: Column, b: Column): Column =
@@ -340,6 +567,16 @@ object VectorExpressions {
   def nearestCentroid(emb: Column, cents: Array[Array[Double]]): Column =
     GraftBridge.column(
       NearestCentroid(GraftBridge.expression(emb), cents))
+
+  /** Column form of the PQ encoder (see [[PqEncodeL2]]). */
+  def pqEncode(emb: Column, codebook: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(
+      PqEncodeL2(GraftBridge.expression(emb), codebook))
+
+  /** Column form of the PQ reconstruction (see [[PqDecodeF32]]). */
+  def pqDecode(codes: Column, codebook: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(
+      PqDecodeF32(GraftBridge.expression(codes), codebook))
 
   /** Column form of the all-tables LSH bucket array (see
     * [[HyperplaneBuckets]]): element t = table t's nBits-bit bucket. */

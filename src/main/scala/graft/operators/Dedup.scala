@@ -329,6 +329,75 @@ object Dedup {
         col("n_matched").cast("double") / col("n_sh").cast("double"))
   }
 
+  /** `contaminationScores`' beyond-broadcast scale path: the benchmark
+    * shingle set compressed into a BLOOM FILTER instead of a broadcast
+    * hash relation. The broadcast side shrinks from 64 bits per distinct
+    * shingle (the xxhash64 set) to ~`1.44·log2(1/fpp)` bits (≈ 9.6 at
+    * fpp 1%, a ~6.7× cut; tighter fpp trades bits for false positives
+    * linearly in log-space) — the difference between "fits the broadcast
+    * budget" and not when decontaminating against something bigger than
+    * a benchmark suite, e.g. an entire held-out corpus or every eval set
+    * a lab owns at once.
+    *
+    * Built from Spark's own runtime-filter machinery (the
+    * `BloomFilterAggregate` / `BloomFilterMightContain` expression pair
+    * that AQE's InjectRuntimeFilter plants): ONE aggregate pass builds
+    * the serialized filter (partial per-partition filters OR-merged —
+    * commutative, so no ordering concerns), a single-row broadcast
+    * carries it to every executor, and the probe is a codegen'd
+    * might-contain against the corpus's 64-bit shingle hashes — same
+    * one-pass, shuffle-free-on-the-corpus shape as the exact operator.
+    *
+    * Contract: NO false negatives ever (a Bloom filter cannot miss an
+    * inserted element), false positives at ≈`fpp` per probe — so
+    * `n_matched` here is an UPPER bound on the exact operator's, and
+    * contamination gating with it errs toward dropping clean documents,
+    * never toward keeping contaminated ones. The q_decontaminate_bloom
+    * oracle pins the superset contract per document; the spec pins
+    * recall exactness on planted contamination. An EMPTY benchmark side
+    * yields a null filter and `might_contain(null, _)` is null → zero
+    * matches, mirroring the exact operator's empty-broadcast behavior.
+    */
+  def contaminationScoresBloom(docs: DataFrame, id: Column, text: Column,
+                               bench: DataFrame, benchId: Column,
+                               benchText: Column, w: Int = 3,
+                               expectedItems: Long = 1L << 20,
+                               fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0.0 && fpp < 1.0,
+      s"contaminationScoresBloom: expectedItems=$expectedItems, fpp=$fpp")
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // optimal bit count for the target fpp: n·ln(fpp)/ln²2, the standard
+    // Bloom sizing (Spark clamps internally to its own max)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val docSh = shinglePostings(docs, id, text, w)
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val benchSh = shinglePostings(bench, benchId, benchText, w)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(col("sh")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // might_contain requires its filter side be a constant or a scalar
+    // subquery (never a per-row column) — hand it the aggregate's plan
+    // as exactly the ScalarSubquery AQE's InjectRuntimeFilter would
+    // build: the filter computes once as a subquery stage, ships to
+    // executors as a query-level constant, and the probe stays codegen'd
+    val filterSubquery = org.apache.spark.sql.catalyst.expressions
+      .ScalarSubquery(benchSh.agg(bloomAgg.as("__bf"))
+        .queryExecution.analyzed)
+    val hit = GraftBridge.column(BloomFilterMightContain(
+      filterSubquery, GraftBridge.expression(col("sh"))))
+    docSh
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(when(hit, 1L)), lit(0L)).cast("long").as("n_matched"))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_sh").cast("double"))
+  }
+
   /** MinHash signature as an expression: k independent permutations
     * approximated by `xxhash64(base, seed_i)` minima over the 64-bit BASE
     * hash of each shingle (shingles are hashed to longs once; re-seeding

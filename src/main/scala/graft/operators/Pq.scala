@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid 2011: "Product quantization
+  * for nearest neighbor search") — the COMPRESSION tier of the ANN ladder
+  * (brute → LSH → IVF → PQ): split each dim-d vector into `m` contiguous
+  * subvectors, vector-quantize every subspace independently against a
+  * `ksub`-codeword codebook, and store each vector as m small integer
+  * codes instead of d floats.
+  *
+  * Why this matters at 100 TB: a 64-dim float corpus is 256 bytes/vector;
+  * its PQ codes at m=8 are 8 bytes — a 32× cut in what every scan,
+  * shuffle, and cache level moves (real embedding dims 768–4096 give the
+  * same ratio: compression is d·4 / m bytes). The codebook itself is
+  * m·ksub·dsub doubles — kilobytes, a codegen reference object shipped
+  * with the plan like the k-means centroid matrix, never a join side.
+  *
+  * Execution shape, Spark-first:
+  *  - TRAIN (`pqTrain`) is driver-side Lloyd per subspace over a
+  *    hash-ordered bounded sample (the IVF coarse-quantizer pattern at
+  *    `Similarity.ivfTopK`): deterministic — sample order is
+  *    `(md5(id), id)`, seeds are the first `ksub` sample rows, update
+  *    folds run in ascending `id` order — so the generated SQL oracle
+  *    reproduces training bit-for-bit. Driver state is m·ksub·dsub
+  *    doubles, independent of corpus size.
+  *  - ENCODE (`encoded`) is ONE codegen'd projection pass
+  *    (`PqEncodeL2`): no shuffle, no join — the pass a pipeline runs
+  *    once and persists, after which every ANN query scans codes.
+  *  - SEARCH (`pqTopK`) is asymmetric distance computation in its
+  *    decode-then-dot form: reconstruct each corpus vector from its
+  *    codes (`PqDecodeF32`, one codegen'd projection — the probe side
+  *    stays raw/uncompressed, hence "asymmetric"), then the exact
+  *    brute-force top-k kernel over reconstructions. Same
+  *    broadcast-probes / stream-corpus / partial-TakeOrdered plan as
+  *    `Similarity.bruteForceTopK` — recall is the quantization's, the
+  *    plan is the exact kernel's.
+  */
+object Pq {
+
+  /** A trained codebook: `cents(s)(j)` = codeword `j` of subspace `s`,
+    * each of length `dsub = dim / m`. */
+  final case class Codebook(cents: Array[Array[Array[Double]]]) {
+    def m: Int = cents.length
+    def ksub: Int = cents.head.length
+    def dsub: Int = cents.head.head.length
+    def dim: Int = m * dsub
+  }
+
+  /** Train per-subspace codebooks with Lloyd's algorithm on a
+    * hash-ordered sample (≤ `sampleN` rows collected — bounded driver
+    * state, same budget as the IVF sample trainer). Fully deterministic:
+    * no RNG anywhere, so the SQL oracle can replay training exactly.
+    *
+    * `dim` must divide into `m` equal subspaces; rows whose embedding is
+    * null, carries a null element, or has a different length are
+    * excluded from training (and from every PQ query — they have no
+    * meaningful code).
+    */
+  def pqTrain(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              sampleN: Int = 4096): Codebook = {
+    require(m > 0 && ksub > 0 && iters >= 0,
+      s"pqTrain: m=$m, ksub=$ksub, iters=$iters")
+    val dim = Similarity.probeDim(emb, embCol)
+    require(dim % m == 0, s"pqTrain: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val sample = emb
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .where(wellFormedDim(col("emb"), dim))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "pqTrain: no usable embedding rows")
+    require(sample.length >= ksub,
+      s"pqTrain: sample has ${sample.length} rows < ksub=$ksub")
+    // update folds run in ascending id order (the SQL oracle's
+    // `list_sum(list(x ORDER BY vec_id))`); seeds use the hash order
+    val byId = sample.sortBy(_._1)
+    val cents = Array.tabulate(m) { s =>
+      val off = s * dsub
+      var cs: Array[Array[Double]] = sample.take(ksub)
+        .map(_._2.slice(off, off + dsub).map(_.toDouble))
+      var r = 0
+      while (r < iters) {
+        val sums = Array.fill(ksub, dsub)(0.0)
+        val counts = Array.fill(ksub)(0L)
+        byId.foreach { case (_, v) =>
+          val c = nearestCode(v, off, dsub, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += v(off + i).toDouble; i += 1 }
+        }
+        cs = cs.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(_ / counts(c))
+        }
+        r += 1
+      }
+      cs
+    }
+    Codebook(cents)
+  }
+
+  /** Ascending-index sequential L2² fold + lowest-code tie-break — the
+    * same arithmetic `PqEncodeL2` runs per row. */
+  private def nearestCode(v: Array[Float], off: Int, dsub: Int,
+                          cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = java.lang.Double.POSITIVE_INFINITY
+    var j = 0
+    while (j < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < dsub) {
+        val diff = v(off + i).toDouble - cs(j)(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Non-null, no null elements, exactly `dim` long — the rows PQ can
+    * code. (`Similarity.wellFormed` without the length pin would let a
+    * wrong-length vector through to the all-zero-codes degenerate
+    * path.) */
+  private def wellFormedDim(emb: Column, dim: Int): Column =
+    Similarity.wellFormed(emb) && size(emb) === dim
+
+  /** The corpus with its PQ code array: `(idCol, codes)` — one codegen'd
+    * projection pass, the form a pipeline persists (codes are m ints vs
+    * dim floats; parquet stores them as such). */
+  def encoded(corpus: DataFrame, cb: Codebook,
+              idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame =
+    corpus
+      .where(wellFormedDim(col(embCol), cb.dim))
+      .select(col(idCol),
+        graft.functions.VectorExpressions.pqEncode(col(embCol), cb.cents)
+          .as("codes"))
+
+  /** Reconstruct `(idCol, embCol)` from a coded frame — the decode half
+    * of ADC; elements are the codeword floats. */
+  def reconstructed(codes: DataFrame, cb: Codebook,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame =
+    codes.select(col(idCol),
+      graft.functions.VectorExpressions.pqDecode(col("codes"), cb.cents)
+        .as(embCol))
+
+  /** PQ approximate top-k (asymmetric distance): corpus encoded then
+    * reconstructed (both single codegen'd projections, fused into one
+    * pass here), probes RAW, exact top-k kernel over the pair. Output
+    * schema matches `Similarity.bruteForceTopK`; recall is the
+    * quantizer's — ksub^m cells must separate what the corpus
+    * distinguishes (the spec pins exactness on a corpus drawn FROM the
+    * codebook's cells, and measures recall on the synthetic corpus).
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int, cb: Codebook,
+             idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame = {
+    val rec = corpus
+      .where(wellFormedDim(col(embCol), cb.dim))
+      .select(col(idCol),
+        graft.functions.VectorExpressions.pqDecode(
+          graft.functions.VectorExpressions.pqEncode(col(embCol), cb.cents),
+          cb.cents).as(embCol))
+    Similarity.bruteForceTopK(rec, probes, k, idCol, embCol)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shuffling + sharding — the "shuffle the corpus,
+  * then cut it into training files" stage every pretraining pipeline runs
+  * between curation and the trainer (the global random document order
+  * that breaks source/crawl locality, re-derivable per epoch by changing
+  * the seed string).
+  *
+  * Spark-first shape, and why it scales where the naive form doesn't:
+  * a GLOBAL `orderBy(rand())` is (a) non-reproducible and (b) a full
+  * range-partitioned sort of the corpus — at 100 TB that is the single
+  * most expensive operation you can ask of the cluster, and the global
+  * order is immediately thrown away when the result is split into files.
+  * What training actually needs is (1) a uniform, seed-deterministic
+  * assignment of documents to `nShards` files and (2) a pseudo-random
+  * order WITHIN each file. Both come from one content-independent hash:
+  *
+  *   - `key  = md5(seed || ':' || id)` — uniform, engine-reproducible,
+  *     changes completely with the seed (epoch reshuffles are free);
+  *   - `shard = hexDigit(key[0]) mod nShards` — the hash exchange key;
+  *   - `pos  = row_number over (partition shard, order key, id)` — a
+  *     per-shard sort, never a global one.
+  *
+  * Executed plan: ONE hash exchange on `shard` + a per-shard window sort
+  * (WindowExec after the exchange) — each shard sorts independently in
+  * executor memory/spill, so the cost is `nShards` parallel sorts of
+  * |corpus|/nShards rows. Size `nShards` to the training-file count
+  * (thousands at 100 TB), and every sort fits comfortably.
+  */
+object Shard {
+
+  /** Value of the first FOUR hex characters of an md5 hex string
+    * (0..65535) — the cross-engine uniform bucket draw. Four digits, not
+    * one: `mod nShards` of a 16-value draw is uniform only when nShards
+    * divides 16; over 65536 values the worst-case bias is nShards/65536,
+    * negligible for any practical shard count (DuckDB mirror: the
+    * strpos-per-char base-16 expansion, see the q_train_shuffle
+    * oracle). */
+  private def hexPrefix(h: org.apache.spark.sql.Column) =
+    conv(substring(h, 1, 4), 16, 10).cast("int")
+
+  /** `(idCol, shard, pos)` for every input row: a deterministic
+    * permutation of the corpus, cut into `nShards` shards with a
+    * pseudo-random order inside each. Same seed → identical output on
+    * every run/engine; new seed → an independent permutation. */
+  def trainingOrder(docs: DataFrame, seed: String, nShards: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"trainingOrder: nShards=$nShards out of [1,4096] — four md5 hex " +
+        "digits drive the shard draw; widen hexPrefix before raising " +
+        "the cap")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol), key.as("__key"))
+      .withColumn("shard", hexPrefix(col("__key")) % nShards)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    keyed
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** The payload-carrying form: the full input rows plus (shard, pos),
+    * repartitioned BY shard and sorted within each partition by pos —
+    * exactly the layout `write.partitionBy("shard")` turns into one
+    * training file per shard with rows in shuffled order. */
+  def shardedForWrite(docs: DataFrame, seed: String, nShards: Int,
+                      idCol: String = "doc_id"): DataFrame =
+    docs
+      .join(trainingOrder(docs, seed, nShards, idCol), Seq(idCol))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+}

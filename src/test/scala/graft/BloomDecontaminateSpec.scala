@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class BloomDecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val bench = Seq(
+    (1000L, "the quick brown fox jumps over the lazy dog"),
+    (1001L, "colorless green ideas sleep furiously tonight again")
+  ).toDF("doc_id", "text")
+
+  private lazy val corpus = Seq(
+    // verbatim benchmark contamination
+    (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+    // partial overlap (one shared trigram window region)
+    (2L, "green ideas sleep furiously under bridges"),
+    // clean
+    (3L, "entirely unrelated content about spark physical plans"),
+    (4L, "another clean document with its own vocabulary set")
+  ).toDF("doc_id", "text")
+
+  private def byId(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "n_sh", "n_matched").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("bloom path never false-negatives: per doc n_matched >= exact, " +
+    "and planted contamination is fully recalled") {
+    val exact = byId(Dedup.contaminationScores(
+      corpus, col("doc_id"), col("text"), bench, col("doc_id"), col("text")))
+    val bloom = byId(Dedup.contaminationScoresBloom(
+      corpus, col("doc_id"), col("text"), bench, col("doc_id"), col("text")))
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (id, (nSh, nMatched)) =>
+      val (bSh, bMatched) = bloom(id)
+      assert(bSh === nSh)
+      assert(bMatched >= nMatched,
+        s"doc $id: bloom $bMatched < exact $nMatched — false negative")
+    }
+    // the verbatim-contaminated doc really is flagged by both paths
+    assert(exact(1L)._2 > 0)
+    assert(bloom(1L)._2 > 0)
+  }
+
+  test("false-positive excess is bounded by the sizing at a tight fpp") {
+    val exact = byId(Dedup.contaminationScores(
+      corpus, col("doc_id"), col("text"), bench, col("doc_id"), col("text")))
+    val bloom = byId(Dedup.contaminationScoresBloom(
+      corpus, col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
+      expectedItems = 1024, fpp = 1e-6))
+    // ~20 probes at fpp 1e-6: any FP at all would be a sizing bug
+    exact.foreach { case (id, (_, nMatched)) =>
+      assert(bloom(id)._2 === nMatched,
+        s"doc $id: unexpected false positive at fpp=1e-6")
+    }
+  }
+
+  test("empty benchmark side -> zero matches but every document present " +
+    "(null-filter probe mirrors the empty-broadcast exact path)") {
+    val emptyBench = bench.where(lit(false))
+    val bloom = byId(Dedup.contaminationScoresBloom(
+      corpus, col("doc_id"), col("text"), emptyBench,
+      col("doc_id"), col("text")))
+    assert(bloom.keySet === Set(1L, 2L, 3L, 4L))
+    bloom.values.foreach { case (_, nMatched) => assert(nMatched === 0L) }
+  }
+
+  test("sizing guards reject degenerate parameters") {
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationScoresBloom(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), fpp = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationScoresBloom(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), expectedItems = 0)
+    }
+  }
+}
