@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *     cosines are EXACTLY preserved, cross-replica cosines become
   *     ~N(0, 1/dim) noise) = 20k independent vectors; selective regime
   *     must return 0 pairs (nothing reaches 0.9) quickly.
+  *   - `pq-100k`: product quantization at 100k vectors — sample-bounded
+  *     train, one-pass encode, at-rest raw-vs-coded parquet bytes, and
+  *     ADC-vs-brute top-10 recall.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -319,6 +322,64 @@ object ScaleProbe {
       t("kmeans100k_rows")(big.count())
       t("kmeans100k_k64_iters3")(
         graft.operators.Similarity.kMeans(big, k = 64, iters = 3).count())
+    }
+
+    if (which("pq-100k")) {
+      // PQ at 50x sf0.1 (100k vectors, production-shaped codebook:
+      // m=8 subspaces x 256 codewords): train cost is sample-bounded,
+      // encode is one codegen pass, and the at-rest size win is measured
+      // directly by writing raw vs coded parquet side by side
+      val replicas = (0 until 50).map { k =>
+        val signs = typedlit(Array.tabulate(64) { i =>
+          var z = (k.toLong << 32) + i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+        })
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("pq100k_rows")(big.count())
+      var cb: graft.operators.Pq.Codebook = null
+      t("pq100k_train_m8_k256") {
+        cb = graft.operators.Pq.pqTrain(big, m = 8, ksub = 256, iters = 3)
+        cb.cents.length
+      }
+      var coded: DataFrame = null
+      t("pq100k_encode_pass") {
+        coded = graft.operators.Pq.encoded(big, cb).localCheckpoint(true)
+        coded.count()
+      }
+      def dirBytes(p: String): Long = {
+        val d = new java.io.File(p)
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+      }
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_pq_probe").toString
+      big.write.parquet(s"$base/raw")
+      coded.write.parquet(s"$base/codes")
+      t("pq100k_raw_bytes")(dirBytes(s"$base/raw"))
+      t("pq100k_coded_bytes")(dirBytes(s"$base/codes"))
+      val probes = big.where(col("vec_id") < 10)
+      var bruteSet: Set[(Long, Long)] = null
+      t("pq100k_brute_topk10") {
+        bruteSet = graft.operators.Similarity
+          .bruteForceTopK(big, probes, k = 10)
+          .select("probe_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        bruteSet.size
+      }
+      var pqSet: Set[(Long, Long)] = null
+      t("pq100k_adc_topk10") {
+        pqSet = graft.operators.Pq.pqTopK(big, probes, k = 10, cb)
+          .select("probe_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        pqSet.size
+      }
+      t("pq100k_recall_of_100")(
+        pqSet.intersect(bruteSet).size.toLong * 100L / bruteSet.size)
     }
 
     if (which("emb-classify")) {
