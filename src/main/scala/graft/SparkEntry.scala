@@ -992,6 +992,19 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF-PQ, the canonical billion-scale ANN composition (coarse
+    // k-means routing × residual PQ compression): probes search only
+    // nProbe of the inverted lists, candidates scored by ADC over
+    // centroid + decoded residual. Both approximation dials (routing
+    // AND quantization) are replayed exactly by the generated oracle.
+    "q_embed_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.ivfPqTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+          nCentroids = kmeansK, nProbe = 2, coarseIters = kmeansIters,
+          m = pqM, ksub = pqKsub, pqIters = pqIters, deterministic = true)
+        .orderBy("probe_id", "rank")
+    }),
+
     // trainable quality classifier (fasttext-style scoring, reduced to a
     // batch perceptron — comparisons/mults/adds only, so training is
     // bit-reproducible in SQL): 2 epoch-synchronous updates on the
@@ -1338,8 +1351,13 @@ object SparkEntry {
     * final codebook — exactly the state `Pq.pqTrain`/`PqEncodeL2`
     * compute. */
   private def pqCteChain(dim: Int, m: Int, ksub: Int, iters: Int,
-                         sampleN: Int): String = {
+                         sampleN: Int, base: Option[String] = None)
+      : String = {
     val dsub = dim / m
+    // `base` names an existing CTE with (vec_id, embedding) to quantize
+    // (the IVF-PQ oracle passes its residual CTE); None = build the
+    // standard well-formed `e` base from the embeddings table
+    val baseName = base.getOrElse("e")
     // L2² between frame-alias `t`'s subvector (offset `off`) and cents
     // CTE `x`'s codeword — the ascending sequential fold PqEncodeL2 runs
     def dist(t: String, off: Int, x: String): String =
@@ -1351,12 +1369,14 @@ object SparkEntry {
          |  SELECT vec_id, code, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
          |  FROM $scCte) WHERE rn = 1)""".stripMargin
-    val head =
+    val head = (if (base.isEmpty)
       s"""e AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE embedding IS NOT NULL
          |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
          |    AND len(embedding) = $dim),
-         |samp AS (SELECT vec_id, embedding FROM e
+         |""".stripMargin
+    else "") +
+      s"""samp AS (SELECT vec_id, embedding FROM $baseName
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN)""".stripMargin
     val subChains = (0 until m).map { s =>
       val off = s * dsub
@@ -1390,9 +1410,9 @@ object SparkEntry {
       }
       val fin = if (iters == 0) s"p${s}s" else s"p${s}c$iters"
       val corpusAssign =
-        s"""p${s}fc AS (SELECT e.vec_id, $fin.code,
-           |    ${dist("e", off, fin)} AS d
-           |  FROM e, $fin),
+        s"""p${s}fc AS (SELECT $baseName.vec_id, $fin.code,
+           |    ${dist(baseName, off, fin)} AS d
+           |  FROM $baseName, $fin),
            |${argmin(s"p${s}code", s"p${s}fc")}""".stripMargin
       (Seq(seeds) ++ rounds ++ Seq(corpusAssign)).mkString(",\n")
     }
@@ -1446,6 +1466,71 @@ object SparkEntry {
        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
        |WHERE rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
+
+  /** q_embed_ivfpq_topk oracle: the kmeans chain (coarse quantizer +
+    * corpus assignment), float residuals (REAL-cast, double-rounding-safe
+    * — for +,-,*,/ of two float32s, computing exactly in double and
+    * rounding once to float IS the float32 operation, since double's 53
+    * bits ≥ 2·24+2), the PQ chain over the residual CTE, reconstruction
+    * = centroid + decoded residual in the same float arithmetic, probe
+    * routing by dot/|c| against FLOAT-cast centroids (the engine ranks
+    * with float centroid literals but double norms), and the exact
+    * ranking over reconstructions. */
+  private def ivfPqOracleSql(kc: Int, kcIters: Int, m: Int, ksub: Int,
+                             pqIters: Int, sampleN: Int, dim: Int,
+                             nProbe: Int, k: Int): String = {
+    val fin = if (kcIters == 0) "seeds" else s"c$kcIters"
+    s"""WITH ${kmeansCteChain(kc, kcIters)},
+       |er AS (SELECT e.vec_id,
+       |    list_transform(range(1, $dim + 1),
+       |      i -> CAST(CAST(e.embedding[i] AS DOUBLE)
+       |           - CAST(CAST(c.cent[i] AS REAL) AS DOUBLE) AS REAL))
+       |      AS embedding
+       |  FROM e JOIN a$kcIters a USING (vec_id)
+       |    JOIN $fin c ON a.cluster = c.cluster
+       |  WHERE len(e.embedding) = $dim),
+       |${pqCteChain(dim, m, ksub, pqIters, sampleN, base = Some("er"))},
+       |recf AS (SELECT cd.vec_id,
+       |    flatten(list(list_transform(cb.cent, x -> CAST(x AS REAL))
+       |      ORDER BY cd.sub)) AS rr
+       |  FROM codes cd JOIN cball cb
+       |    ON cb.sub = cd.sub AND cb.code = cd.code
+       |  GROUP BY cd.vec_id),
+       |recon AS (SELECT r.vec_id, a.cluster,
+       |    list_transform(range(1, $dim + 1),
+       |      i -> CAST(CAST(CAST(c.cent[i] AS REAL) AS DOUBLE)
+       |           + CAST(r.rr[i] AS DOUBLE) AS REAL)) AS re
+       |  FROM recf r JOIN a$kcIters a USING (vec_id)
+       |    JOIN $fin c ON a.cluster = c.cluster),
+       |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+       |      WHERE vec_id < 10),
+       |pr AS (SELECT pid, cluster FROM (
+       |    SELECT p.pid, c.cluster, row_number() OVER (PARTITION BY p.pid
+       |      ORDER BY
+       |        list_sum(list_transform(range(1, $dim + 1),
+       |          i -> CAST(p.pe[i] AS DOUBLE)
+       |               * CAST(CAST(c.cent[i] AS REAL) AS DOUBLE)))
+       |        / sqrt(list_sum(list_transform(c.cent, x -> x * x)))
+       |        DESC, c.cluster ASC) AS rn
+       |    FROM p, $fin c) WHERE rn <= $nProbe),
+       |sc AS (SELECT rec.vec_id AS nid, pr.pid,
+       |    list_sum(list_transform(range(1, $dim + 1),
+       |      i -> CAST(rec.re[i] AS DOUBLE) * CAST(p.pe[i] AS DOUBLE)))
+       |    / nullif(
+       |      sqrt(list_sum(list_transform(rec.re, x -> CAST(x AS DOUBLE) * x)))
+       |      * sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE) * x))),
+       |      0) AS cos
+       |  FROM recon rec JOIN pr ON rec.cluster = pr.cluster
+       |    AND rec.vec_id <> pr.pid
+       |  JOIN p ON p.pid = pr.pid),
+       |r AS (SELECT pid AS probe_id, nid AS nbr_id, cos,
+       |    row_number() OVER (PARTITION BY pid
+       |      ORDER BY cos DESC, nid ASC) AS rank
+       |  FROM sc)
+       |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
+       |WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+  }
 
   /** q_embed_semdedup oracle: the kmeans chain, then exact cosine pairs
     * restricted to same-cluster ids, recursive-CTE closure, min-id
@@ -2451,6 +2536,10 @@ object SparkEntry {
     // the codes chain + codebook reconstruction + exact ranking
     "q_embed_pq_topk" ->
       pqTopKOracleSql(embedDim, pqM, pqKsub, pqIters, pqSampleN, k = 5),
+
+    // coarse kmeans chain + residual PQ chain + routed ADC ranking
+    "q_embed_ivfpq_topk" -> ivfPqOracleSql(kmeansK, kmeansIters,
+      pqM, pqKsub, pqIters, pqSampleN, embedDim, nProbe = 2, k = 5),
 
     // same kmeans chain + pairs restricted to a shared cluster + closure
     "q_embed_incremental" -> semIncrementalOracleSql(kmeansK, kmeansIters,

@@ -172,4 +172,88 @@ object Pq {
           cb.cents).as(embCol))
     Similarity.bruteForceTopK(rec, probes, k, idCol, embCol)
   }
+
+  /** IVF-PQ: the canonical billion-scale ANN index (Jégou et al. 2011
+    * §V; what FAISS calls `IVFx,PQy`) — the IVF coarse quantizer routes
+    * the search, and PQ codes compress what each inverted list stores.
+    * Crucially PQ encodes the RESIDUAL (vector − its coarse centroid),
+    * not the raw vector: within a list every member shares the centroid
+    * direction, and quantizing what's LEFT spends the codebook's
+    * resolution on what distinguishes list members (the same residual
+    * insight as `Similarity.lshWithinClusterPairs`' hyperplane fix).
+    *
+    * Pipeline (train + index once, per-query cost is the probed lists):
+    *   1. coarse k-means (`Similarity.kMeansCentroids` — full-corpus
+    *      distributed Lloyd), corpus assigned in one fused
+    *      `NearestCentroid` pass;
+    *   2. residual = emb − centroid[cluster], float arithmetic, one
+    *      `zip_with` projection;
+    *   3. PQ codebook trained on residual samples, residuals encoded —
+    *      the stored index is (id, cluster, m codes): cluster is the
+    *      shuffle/join key, codes the d·4/m-byte payload;
+    *   4. search: probes ranked against the coarse centroids
+    *      (`centroidRanking`), routed to their `nProbe` nearest lists
+    *      (broadcast — probes are tiny), each candidate scored by ADC:
+    *      reconstruct centroid + decoded residual, exact cosine against
+    *      the raw probe, per-probe top-k window.
+    *
+    * Recall has two independent dials: `nProbe`/`nCentroids` (routing
+    * recall — a true neighbor in an unprobed list is never seen) and
+    * `m`/`ksub` (quantization recall within probed lists); the oracle
+    * replays BOTH exactly, so approximation never diverges from it.
+    * Output schema matches `bruteForceTopK` minus the cos column
+    * (reconstructed cosines are approximations; ranks are the
+    * contract). */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                nCentroids: Int, nProbe: Int, coarseIters: Int,
+                m: Int, ksub: Int, pqIters: Int,
+                idCol: String = "vec_id", embCol: String = "embedding",
+                deterministic: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.kMeansCentroids(corpus, nCentroids, coarseIters,
+      idCol, embCol, deterministic)
+    val dim = cents.head.length
+    val centLit = typedlit(cents.map(_.map(_.toFloat).toSeq).toSeq)
+    // float residual: float(emb) - float(centroid), elementwise FloatType
+    // arithmetic (the SQL oracle mirrors it with the REAL-cast /
+    // double-rounding-safe form)
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
+      .where(wellFormedDim(col("emb"), dim))
+      .select(col("id"), col("emb"),
+        graft.functions.VectorExpressions
+          .nearestCentroid(col("emb"), cents).as("cluster"))
+      .withColumn("resid", zip_with(col("emb"),
+        element_at(centLit, col("cluster") + 1), (x, c) => x - c))
+    val cb = pqTrain(assigned, m, ksub, pqIters, idCol = "id",
+      embCol = "resid")
+    // the stored index shape: (id, cluster, codes) — emb/resid dropped
+    val index = assigned.select(col("id"), col("cluster"),
+      graft.functions.VectorExpressions.pqEncode(col("resid"), cb.cents)
+        .as("codes"))
+    // ADC reconstruction at scan time: centroid + decoded residual
+    val recon = zip_with(element_at(centLit, col("cluster") + 1),
+      graft.functions.VectorExpressions.pqDecode(col("codes"), cb.cents),
+      (c, r) => c + r)
+    val cSide = index
+      .withColumn("c_emb", recon)
+      .select(col("id").as("nbr_id"), col("cluster"),
+        col("c_emb"), Similarity.norm(col("c_emb")).as("c_nrm"))
+    val pSide = probes
+      .withColumn("__ranked", Similarity.centroidRanking(col(embCol), cents))
+      .withColumn("cluster", explode(transform(
+        slice(col("__ranked"), 1, nProbe), s => s.getField("cid"))))
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        Similarity.norm(col(embCol)).as("p_nrm"), col("cluster"))
+    val scored = cSide.join(broadcast(pSide), Seq("cluster"))
+      .where(col("nbr_id") =!= col("probe_id"))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("c_emb"), col("p_emb")) /
+          nullif(col("c_nrm") * col("p_nrm"), lit(0.0)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("nbr_id"))
+  }
 }

@@ -329,13 +329,7 @@ object Similarity {
     }
     // ---- expression-level assignment: centroids ranked per row by
     // (negated) dot/|c| — cosine ordering without the per-row norm ----
-    val ranked = array_sort(array(cents.zipWithIndex.map { case (cv, ci) =>
-      val cNorm = math.sqrt(cv.map(x => x * x).sum)
-      val score = graft.functions.VectorExpressions.dotF32(
-        col(embCol), typedlit(cv.map(_.toFloat))) /
-        lit(if (cNorm == 0.0) 1.0 else cNorm)
-      struct((score * lit(-1.0)).as("negScore"), lit(ci).as("cid"))
-    }: _*))
+    val ranked = centroidRanking(col(embCol), cents)
     val cAssigned = corpus.withColumn("__ranked", ranked)
       .withColumn("cid", col("__ranked")(0).getField("cid"))
       .select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"),
@@ -357,6 +351,24 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
   }
+
+  /** Full centroid ranking per row as a sorted struct array
+    * ((negScore, cid), ascending — ties to the lower cid): element 0 is
+    * the nearest centroid, a `slice(_, 1, nProbe)` the probe routing
+    * set. Rank key is dot/|c|, cosine-ordered without the per-row norm.
+    * Shared by `ivfTopK` and `Pq.ivfPqTopK`; plan size is linear in the
+    * centroid count — fine for coarse quantizers (≤ a few hundred), use
+    * the fused `NearestCentroid` when only the argmax is needed. */
+  private[operators] def centroidRanking(emb: Column,
+                                         cents: Array[Array[Double]])
+      : Column =
+    array_sort(array(cents.zipWithIndex.map { case (cv, ci) =>
+      val cNorm = math.sqrt(cv.map(x => x * x).sum)
+      val score = graft.functions.VectorExpressions.dotF32(
+        emb, typedlit(cv.map(_.toFloat))) /
+        lit(if (cNorm == 0.0) 1.0 else cNorm)
+      struct((score * lit(-1.0)).as("negScore"), lit(ci).as("cid"))
+    }: _*))
 
   /** Distributed k-means over an embedding column (cosine geometry) —
     * Lloyd's algorithm with the standard Spark division of labor: the

@@ -124,6 +124,40 @@ class PqSpec extends SparkTestBase {
     assert(e2.getMessage.contains("< ksub"))
   }
 
+  test("ivfPqTopK with full routing and a representable codebook equals " +
+    "brute force; nProbe=1 searches only the probe's own list") {
+    // full routing (nProbe = nCentroids) + residuals representable in
+    // ksub cells per subspace -> the composition must be EXACT
+    val ivfpq = Pq.ivfPqTopK(cellCorpus, cellCorpus, k = 3,
+        nCentroids = 2, nProbe = 2, coarseIters = 2,
+        m = 2, ksub = 4, pqIters = 3)
+      .orderBy("probe_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brute = Similarity.bruteForceTopK(cellCorpus, cellCorpus, k = 3)
+      .select("probe_id", "rank", "nbr_id")
+      .orderBy("probe_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ivfpq.toSeq === brute.toSeq)
+
+    // nProbe = 1: every returned neighbor shares the probe's own coarse
+    // cluster (routing really restricts the search)
+    val cents = Similarity.kMeansCentroids(cellCorpus, 2, 2)
+    val cluster = cellCorpus.select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .nearestCentroid(col("embedding"), cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val routed = Pq.ivfPqTopK(cellCorpus, cellCorpus, k = 3,
+        nCentroids = 2, nProbe = 1, coarseIters = 2,
+        m = 2, ksub = 4, pqIters = 3)
+      .select("probe_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(routed.nonEmpty)
+    routed.foreach { case (p, n) =>
+      assert(cluster(p) === cluster(n),
+        s"probe $p (cluster ${cluster(p)}) reached $n in ${cluster(n)}")
+    }
+  }
+
   test("ADC recall on the synthetic embeddings table is measured and " +
     "reconstruction error falls as ksub grows") {
     val emb = Seq.tabulate(200) { i =>

@@ -380,6 +380,19 @@ object ScaleProbe {
       }
       t("pq100k_recall_of_100")(
         pqSet.intersect(bruteSet).size.toLong * 100L / bruteSet.size)
+      // IVF-PQ: routing cuts the scan to ~nProbe/nCentroids of the
+      // corpus; recall loss is routing + quantization combined
+      var ivfpqSet: Set[(Long, Long)] = null
+      t("pq100k_ivfpq_c64_p8_topk10") {
+        ivfpqSet = graft.operators.Pq.ivfPqTopK(big, probes, k = 10,
+            nCentroids = 64, nProbe = 8, coarseIters = 3,
+            m = 8, ksub = 256, pqIters = 3)
+          .select("probe_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ivfpqSet.size
+      }
+      t("pq100k_ivfpq_recall_of_100")(
+        ivfpqSet.intersect(bruteSet).size.toLong * 100L / bruteSet.size)
     }
 
     if (which("emb-classify")) {
