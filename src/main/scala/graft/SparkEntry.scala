@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Pack, Pq, PromptTemplates, Shard, Similarity, Skew}
+import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Pack, Pq, PromptTemplates, Shard, Similarity, Skew, Sq}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -1005,6 +1005,47 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // int8 scalar quantization, the near-lossless 4x tier below PQ:
+    // per-dim min/max affine codes. Order-independent training + fixed-
+    // structure double arithmetic = fully hash-oracle-able, unlike
+    // approximate-ANN recall.
+    "q_embed_sq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val p = Sq.sqTrain(emb)
+      Sq.encoded(emb, p)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("i", "code")))
+        .orderBy("vec_id", "i")
+    }),
+
+    // ranking over the int8-reconstructed corpus: recall is ~exact (the
+    // oracle replays quantize -> dequantize -> rank bit-for-bit)
+    "q_embed_sq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val p = Sq.sqTrain(emb)
+      Sq.sqTopK(emb, emb.where(col("vec_id") < 10), k = 5, p)
+        .select(col("probe_id"), col("rank"), col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // the PERSISTED IVF-PQ index (ANN serving tier): the corpus slice
+    // trains + persists once (inverted lists partitioned by cluster,
+    // codes not vectors), the (vec_id % 10 == 0) batch probes the
+    // persisted artifacts with zero re-training — routing reads only
+    // nProbe list partitions (DPP on the partition column). Oracle: the
+    // same ivfpq chain with the corpus narrowed and probes re-based.
+    "q_embed_ivfpq_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = System.getProperty("java.io.tmpdir") +
+        s"/graft_ivfpq_idx_${math.abs(dir.hashCode)}"
+      Pq.persistIvfPqIndex(emb.where(col("vec_id") % 10 =!= 0), idx,
+        nCentroids = kmeansK, coarseIters = kmeansIters,
+        m = pqM, ksub = pqKsub, pqIters = pqIters, deterministic = true)
+      Pq.probeIvfPqIndex(emb.where(col("vec_id") % 10 === 0), idx,
+          k = 3, nProbe = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
     // trainable quality classifier (fasttext-style scoring, reduced to a
     // batch perceptron — comparisons/mults/adds only, so training is
     // bit-reproducible in SQL): 2 epoch-synchronous updates on the
@@ -1478,9 +1519,11 @@ object SparkEntry {
     * ranking over reconstructions. */
   private def ivfPqOracleSql(kc: Int, kcIters: Int, m: Int, ksub: Int,
                              pqIters: Int, sampleN: Int, dim: Int,
-                             nProbe: Int, k: Int): String = {
+                             nProbe: Int, k: Int,
+                             corpusWhere: String = "",
+                             probeWhere: String = "vec_id < 10"): String = {
     val fin = if (kcIters == 0) "seeds" else s"c$kcIters"
-    s"""WITH ${kmeansCteChain(kc, kcIters)},
+    s"""WITH ${kmeansCteChain(kc, kcIters, corpusWhere)},
        |er AS (SELECT e.vec_id,
        |    list_transform(range(1, $dim + 1),
        |      i -> CAST(CAST(e.embedding[i] AS DOUBLE)
@@ -1503,7 +1546,7 @@ object SparkEntry {
        |  FROM recf r JOIN a$kcIters a USING (vec_id)
        |    JOIN $fin c ON a.cluster = c.cluster),
        |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
-       |      WHERE vec_id < 10),
+       |      WHERE $probeWhere),
        |pr AS (SELECT pid, cluster FROM (
        |    SELECT p.pid, c.cluster, row_number() OVER (PARTITION BY p.pid
        |      ORDER BY
@@ -1531,6 +1574,57 @@ object SparkEntry {
        |WHERE rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
   }
+
+  /** The shared SQ CTE chain (e → per-dim min/max → codes), and the two
+    * oracles over it: codes as scalar rows, and ranking over the
+    * reconstructed corpus. All arithmetic is mirrored term-for-term
+    * from `Sq` (floor + clamp quantize; recon float-cast once). */
+  private def sqCteChain(dim: Int): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |    AND len(embedding) = $dim),
+       |mm AS (SELECT u.i AS i,
+       |    min(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+       |    max(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+       |  FROM e, unnest(range(1, $dim + 1)) AS u(i)
+       |  GROUP BY 1),
+       |codes AS (SELECT e.vec_id, m.i,
+       |    CAST(CASE WHEN m.mx = m.mn THEN 0
+       |      ELSE least(255, greatest(0,
+       |        floor((CAST(e.embedding[m.i] AS DOUBLE) - m.mn)
+       |          / (m.mx - m.mn) * 255 + 0.5)))
+       |      END AS INTEGER) AS code
+       |  FROM e, mm m)""".stripMargin
+
+  private def sqOracleSql(dim: Int): String =
+    s"""WITH ${sqCteChain(dim)}
+       |SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, code
+       |FROM codes ORDER BY vec_id, i""".stripMargin
+
+  private def sqTopKOracleSql(dim: Int, k: Int): String =
+    s"""WITH ${sqCteChain(dim)},
+       |recon AS (SELECT c.vec_id,
+       |    list(CAST(CAST(m.mn + c.code * ((m.mx - m.mn) / 255) AS REAL)
+       |      AS DOUBLE) ORDER BY c.i) AS re
+       |  FROM codes c JOIN mm m ON c.i = m.i GROUP BY c.vec_id),
+       |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+       |      WHERE vec_id < 10),
+       |sc AS (SELECT rec.vec_id AS nid, p.pid,
+       |    list_sum(list_transform(range(1, $dim + 1),
+       |      i -> rec.re[i] * CAST(p.pe[i] AS DOUBLE)))
+       |    / nullif(
+       |      sqrt(list_sum(list_transform(rec.re, x -> x * x)))
+       |      * sqrt(list_sum(list_transform(p.pe, x -> CAST(x AS DOUBLE) * x))),
+       |      0) AS cos
+       |  FROM recon rec, p WHERE rec.vec_id <> p.pid),
+       |r AS (SELECT pid AS probe_id, nid AS nbr_id, cos,
+       |    row_number() OVER (PARTITION BY pid
+       |      ORDER BY cos DESC, nid ASC) AS rank
+       |  FROM sc)
+       |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
+       |WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
 
   /** q_embed_semdedup oracle: the kmeans chain, then exact cosine pairs
     * restricted to same-cluster ids, recursive-CTE closure, min-id
@@ -2540,6 +2634,20 @@ object SparkEntry {
     // coarse kmeans chain + residual PQ chain + routed ADC ranking
     "q_embed_ivfpq_topk" -> ivfPqOracleSql(kmeansK, kmeansIters,
       pqM, pqKsub, pqIters, pqSampleN, embedDim, nProbe = 2, k = 5),
+
+    // the same chain, corpus narrowed to the persisted slice and probes
+    // re-based to the incremental batch — the SQL mirror of probing
+    // persisted coarse/codebook/list artifacts
+    "q_embed_ivfpq_probe" -> ivfPqOracleSql(kmeansK, kmeansIters,
+      pqM, pqKsub, pqIters, pqSampleN, embedDim, nProbe = 2, k = 3,
+      corpusWhere = "AND vec_id % 10 <> 0",
+      probeWhere = "vec_id % 10 = 0"),
+
+    // int8 affine codes per dimension
+    "q_embed_sq" -> sqOracleSql(embedDim),
+
+    // ranking over the int8 reconstruction
+    "q_embed_sq_topk" -> sqTopKOracleSql(embedDim, k = 5),
 
     // same kmeans chain + pairs restricted to a shared cluster + closure
     "q_embed_incremental" -> semIncrementalOracleSql(kmeansK, kmeansIters,

@@ -209,9 +209,20 @@ object Pq {
                 m: Int, ksub: Int, pqIters: Int,
                 idCol: String = "vec_id", embCol: String = "embedding",
                 deterministic: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = Similarity.kMeansCentroids(corpus, nCentroids, coarseIters,
       idCol, embCol, deterministic)
+    val (index, cb) = buildIvfPqIndex(corpus, cents, m, ksub, pqIters,
+      idCol, embCol)
+    adcSearch(index, probes, k, nProbe, cents, cb, idCol, embCol)
+  }
+
+  /** The IVF-PQ index frame (id, cluster, codes) plus its residual
+    * codebook, under the given coarse centroids. */
+  private def buildIvfPqIndex(corpus: DataFrame,
+                              cents: Array[Array[Double]],
+                              m: Int, ksub: Int, pqIters: Int,
+                              idCol: String, embCol: String)
+      : (DataFrame, Codebook) = {
     val dim = cents.head.length
     val centLit = typedlit(cents.map(_.map(_.toFloat).toSeq).toSeq)
     // float residual: float(emb) - float(centroid), elementwise FloatType
@@ -228,9 +239,20 @@ object Pq {
     val cb = pqTrain(assigned, m, ksub, pqIters, idCol = "id",
       embCol = "resid")
     // the stored index shape: (id, cluster, codes) — emb/resid dropped
-    val index = assigned.select(col("id"), col("cluster"),
+    (assigned.select(col("id"), col("cluster"),
       graft.functions.VectorExpressions.pqEncode(col("resid"), cb.cents)
-        .as("codes"))
+        .as("codes")), cb)
+  }
+
+  /** ADC search over an IVF-PQ index frame (id, cluster, codes): probes
+    * routed to their `nProbe` nearest coarse lists, candidates scored on
+    * centroid + decoded residual, per-probe top-k. */
+  private def adcSearch(index: DataFrame, probes: DataFrame, k: Int,
+                        nProbe: Int, cents: Array[Array[Double]],
+                        cb: Codebook, idCol: String, embCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centLit = typedlit(cents.map(_.map(_.toFloat).toSeq).toSeq)
     // ADC reconstruction at scan time: centroid + decoded residual
     val recon = zip_with(element_at(centLit, col("cluster") + 1),
       graft.functions.VectorExpressions.pqDecode(col("codes"), cb.cents),
@@ -255,5 +277,84 @@ object Pq {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("nbr_id"))
+  }
+
+  // ---- persisted IVF-PQ index (ANN serving tier) -----------------------
+
+  /** Persist the IVF-PQ index: train ONCE per corpus build, probe
+    * forever — the ANN-serving mirror of `Similarity
+    * .persistSemanticIndex` (same data-before-meta commit order), laid
+    * out the way a 100 TB serving scan wants it:
+    *
+    *  - `vectors/cluster=N/` — (id, codes): the inverted lists,
+    *    PARTITIONED BY cluster, holding m int codes per vector instead
+    *    of dim floats. A probe touching `nProbe` lists reads only those
+    *    directories — the broadcast-hash join on the partition column
+    *    gives Spark's dynamic partition pruning exactly the shape it
+    *    fires on, so unprobed lists are never scanned, and what IS
+    *    scanned is the d·4/m-compressed codes;
+    *  - `coarse/`   — (cluster, cent): the routing quantizer;
+    *  - `codebook/` — (sub, code, cent): the residual PQ codebook;
+    *  - `meta/`     — (dim, k, m, ksub), written LAST.
+    */
+  def persistIvfPqIndex(corpus: DataFrame, path: String,
+                        nCentroids: Int, coarseIters: Int,
+                        m: Int, ksub: Int, pqIters: Int,
+                        idCol: String = "vec_id",
+                        embCol: String = "embedding",
+                        deterministic: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.kMeansCentroids(corpus, nCentroids, coarseIters,
+      idCol, embCol, deterministic)
+    val (index, cb) = buildIvfPqIndex(corpus, cents, m, ksub, pqIters,
+      idCol, embCol)
+    index.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/vectors")
+    cents.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }
+      .toDF("cluster", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    (for (s <- cb.cents.indices; j <- cb.cents(s).indices)
+      yield (s, j, cb.cents(s)(j).toSeq)).toDF("sub", "code", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((cb.dim, cents.length, cb.m, cb.ksub)).toDF("dim", "k", "m", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a persisted IVF-PQ index with a batch of query vectors: route
+    * each against the PERSISTED coarse centroids (no re-training
+    * anywhere), scan only the routed lists' code partitions, score by
+    * ADC. Returns (probe_id, rank, nbr_id) — `ivfPqTopK`'s output over
+    * `ivfPqTopK`'s arithmetic, at probe-side cost. */
+  def probeIvfPqIndex(batch: DataFrame, path: String, k: Int, nProbe: Int,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (mdim, mk, mm, mksub) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val cents = spark.read.parquet(s"$path/coarse")
+      .orderBy("cluster").select("cent").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.length == mk,
+      s"IVF-PQ index at $path: meta says k=$mk but coarse/ has " +
+        s"${cents.length} rows — torn index")
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cb = Codebook((0 until mm).map { s =>
+      val rows = cbRows.filter(_._1 == s).sortBy(_._2)
+      require(rows.length == mksub,
+        s"IVF-PQ index at $path: subspace $s has ${rows.length} " +
+          s"codewords, meta says $mksub")
+      rows.map(_._3)
+    }.map(_.toArray).toArray)
+    Similarity.probeDimOpt(batch, embCol).foreach(bd => require(bd == mdim,
+      s"IVF-PQ index at $path holds dim-$mdim vectors but the probe " +
+        s"batch is dim-$bd"))
+    val index = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("cluster").cast("int").as("cluster"),
+        col("codes"))
+    adcSearch(index, batch, k, nProbe, cents, cb, idCol, embCol)
   }
 }

@@ -158,6 +158,39 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("persisted IVF-PQ index: cluster-partitioned list layout, and " +
+    "exact-copy probes find their source at rank 1 with no re-training") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").toString + "/idx"
+    Pq.persistIvfPqIndex(cellCorpus, path, nCentroids = 2, coarseIters = 2,
+      m = 2, ksub = 4, pqIters = 3)
+    // inverted lists really are partitioned by cluster on disk
+    val listDirs = new java.io.File(s"$path/vectors").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
+    assert(listDirs.nonEmpty)
+    // batch = exact copies of the corpus under new ids: with the
+    // representable codebook each probe's best neighbor is its source
+    // vector at reconstructed cos 1.0 (id ties -> lowest id, so the
+    // duplicate pairs 1=5 and 4=6 both resolve to the lower id)
+    val batch = cellCorpus.select((col("vec_id") + 100).as("vec_id"),
+      col("embedding"))
+    val top1 = Pq.probeIvfPqIndex(batch, path, k = 1, nProbe = 2)
+      .orderBy("probe_id")
+      .select("probe_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.toSeq === Seq((101L, 1L), (102L, 2L), (103L, 3L),
+      (104L, 4L), (105L, 1L), (106L, 4L)))
+    // torn-index guard: meta k disagreeing with coarse/ must refuse
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((8, 99, 2, 4)).toDF("dim", "k", "m", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val e = intercept[IllegalArgumentException] {
+      Pq.probeIvfPqIndex(batch, path, k = 1, nProbe = 1)
+    }
+    assert(e.getMessage.contains("torn index"))
+  }
+
   test("ADC recall on the synthetic embeddings table is measured and " +
     "reconstruction error falls as ksub grows") {
     val emb = Seq.tabulate(200) { i =>
