@@ -66,11 +66,28 @@ object Shard {
   /** The payload-carrying form: the full input rows plus (shard, pos),
     * repartitioned BY shard and sorted within each partition by pos —
     * exactly the layout `write.partitionBy("shard")` turns into one
-    * training file per shard with rows in shuffled order. */
+    * training file per shard with rows in shuffled order.
+    *
+    * Computed inline on the payload frame, NOT by joining
+    * `trainingOrder` back on the id: the key/shard/pos derivation is a
+    * projection plus the same per-shard window the id-only form runs,
+    * so recomputing it costs nothing extra, while a join would add a
+    * full shuffle of the payload on id before the shard exchange —
+    * at corpus scale that join IS the most expensive stage of the
+    * naive plan. */
   def shardedForWrite(docs: DataFrame, seed: String, nShards: Int,
-                      idCol: String = "doc_id"): DataFrame =
+                      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"shardedForWrite: nShards=$nShards out of [1,4096]")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
     docs
-      .join(trainingOrder(docs, seed, nShards, idCol), Seq(idCol))
+      .withColumn("__key", key)
+      .withColumn("shard", hexPrefix(col("__key")) % nShards)
+      .withColumn("pos", row_number().over(w))
+      .drop("__key")
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
+  }
 }

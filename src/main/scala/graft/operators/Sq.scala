@@ -42,8 +42,7 @@ object Sq {
 
   /** Per-dimension min/max over the corpus — dim rows to the driver,
     * order-independent, so exact on any engine/partitioning. */
-  def sqTrain(emb: DataFrame, idCol: String = "vec_id",
-              embCol: String = "embedding"): SqParams = {
+  def sqTrain(emb: DataFrame, embCol: String = "embedding"): SqParams = {
     val dim = Similarity.probeDim(emb, embCol)
     val rows = emb.select(col(embCol).as("emb"))
       .where(wellFormedDim(col("emb"), dim))

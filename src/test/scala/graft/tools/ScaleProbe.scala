@@ -380,6 +380,25 @@ object ScaleProbe {
       }
       t("pq100k_recall_of_100")(
         pqSet.intersect(bruteSet).size.toLong * 100L / bruteSet.size)
+      // int8 scalar quantization: the near-lossless 4x tier — recall
+      // should stay ~exact where PQ's 32x trades it away
+      val sqp = graft.operators.Sq.sqTrain(big)
+      var sqCoded: DataFrame = null
+      t("pq100k_sq_encode_pass") {
+        sqCoded = graft.operators.Sq.encoded(big, sqp).localCheckpoint(true)
+        sqCoded.count()
+      }
+      sqCoded.write.parquet(s"$base/sqcodes")
+      t("pq100k_sq_bytes")(dirBytes(s"$base/sqcodes"))
+      var sqSet: Set[(Long, Long)] = null
+      t("pq100k_sq_topk10") {
+        sqSet = graft.operators.Sq.sqTopK(big, probes, k = 10, sqp)
+          .select("probe_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        sqSet.size
+      }
+      t("pq100k_sq_recall_of_100")(
+        sqSet.intersect(bruteSet).size.toLong * 100L / bruteSet.size)
       // IVF-PQ: routing cuts the scan to ~nProbe/nCentroids of the
       // corpus; recall loss is routing + quantization combined
       var ivfpqSet: Set[(Long, Long)] = null
