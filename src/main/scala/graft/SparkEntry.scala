@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Pack, Pq, PromptTemplates, Shard, Similarity, Skew, Sq}
+import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Importance, Pack, Pq, PromptTemplates, Shard, Similarity, Skew, Sq}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -58,6 +58,17 @@ object SparkEntry {
   /** DuckDB mirror of Dedup.normalizeText. */
   private val normTextSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** DuckDB mirror of the engine's md5-hex-prefix integer draw
+    * (`conv(substr(h, 1, chars), 16, 10)`) — base-16 expansion per char
+    * with instr, the q_train_shuffle trick, factored out because the
+    * importance oracles need 4- AND 8-char prefixes. */
+  private def hexPrefixSql(h: String, chars: Int): String =
+    (1 to chars).map { i =>
+      val mult = (0 until (chars - i)).foldLeft(1L)((a, _) => a * 16L)
+      val digit = s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+      if (mult == 1L) digit else s"$digit * $mult"
+    }.mkString(" + ")
 
   /** DuckDB mirror of Dedup.shingles (w=3, distinct). */
   private val shinglesSql =
@@ -825,6 +836,34 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(Tables.documents(s, dir), col("doc_id"),
           col("text"), k = 5)
         .orderBy("doc_id", "rank")),
+
+    // BM25 retrieval top-k (rational idf — the inside of Robertson's
+    // ln, chosen like tfidf's linear idf so the oracle hashes the
+    // score itself); the per-doc sum is a term-ordered sequential fold
+    "q_text_bm25" -> ((s, dir) =>
+      graft.functions.Retrieval.bm25TopK(Tables.documents(s, dir),
+        col("doc_id"), col("text"), Seq("spark", "join", "window"),
+        k = 20)),
+
+    // DSIR hashed-bigram feature frame (integer-exact: pins the md5
+    // bucket draw and the gram multiset on a bounded doc slice)
+    "q_importance_features" -> ((s, dir) =>
+      Importance.hashedNgramCounts(
+          Tables.documents(s, dir).where(col("doc_id") < 200),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id", "bucket")),
+
+    // DSIR importance resampling toward the src0 slice: the oracle
+    // hashes selected MEMBERSHIP + integer features only (the
+    // log-weights ride libm ln — see Importance scaladoc)
+    "q_importance_resample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Importance.importanceResample(d, col("doc_id"), col("text"),
+          col("source") === "src0", quota = 300)
+        .join(d.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_grams"))
+        .orderBy("doc_id")
+    }),
 
     // sequence packing (concat-and-chunk): deterministic md5 order and
     // doc_id-mod bucketing so DuckDB replays the exact layout; the
@@ -2299,6 +2338,101 @@ object SparkEntry {
          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok,
          |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
          |FROM sc WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25 with the rational idf (N−df+0.5)/(df+0.5): every double op
+    // mirrors Retrieval.bm25TopK's expression order exactly, the
+    // per-doc sum is list_sum(list(s ORDER BY tok)) = the engine's
+    // term-ordered fold, so the score itself hash-matches
+    "q_text_bm25" ->
+      s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
+         |dd AS (SELECT doc_id, string_split(t, ' ') AS ws,
+         |         len(string_split(t, ' ')) AS dl FROM nrm),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+         |tok AS (SELECT doc_id, dl, unnest(ws) AS tok FROM dd),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok
+         |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+         |wdf AS (SELECT doc_id, dl, tok, tf,
+         |          count(*) OVER (PARTITION BY tok) AS df FROM tf),
+         |sc AS (SELECT doc_id, dl, tok,
+         |         -- k1 = 1.2 must be CAST to DOUBLE: DuckDB's bare 1.2
+         |         -- is DECIMAL, and (tf * (1.2 + 1.0)) in exact decimal
+         |         -- rounds to double ONCE where the engine's double ops
+         |         -- round per-step — a 1-ulp score split (0.5/0.75/0.25
+         |         -- are binary-exact either way)
+         |         (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+         |           * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+         |           / (tf + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75)
+         |               + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         |           AS s
+         |       FROM wdf, st),
+         |agg AS (SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,
+         |          list_sum(list(s ORDER BY tok)) AS score
+         |        FROM sc GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, dl, n_terms, score, row_number() OVER (
+         |         ORDER BY score DESC, doc_id ASC) AS rank FROM agg)
+         |SELECT doc_id, CAST(dl AS INTEGER) AS dl, n_terms, score,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // DSIR hashed-bigram features: md5-hex-prefix bucket draw, integer
+    // counts — exact on any engine
+    "q_importance_features" ->
+      s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents
+         |             WHERE doc_id < 200),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nrm),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |        i -> ws[i] || ' ' || ws[i+1])) AS gram
+         |      FROM w WHERE len(ws) >= 2),
+         |hb AS (SELECT doc_id, md5(gram) AS h FROM g)
+         |SELECT doc_id,
+         |  CAST((${hexPrefixSql("h", 4)}) % 4096 AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM hb GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    // DSIR importance resample: per-bucket smoothed LLR model via sum
+    // windows (mirroring the engine's single-pass shape), Gumbel keys
+    // from the md5 draw; output is selected membership + integer
+    // features only — ln() is libm, not bit-portable, so the DOUBLE
+    // scores stay out of the hashed columns
+    "q_importance_resample" ->
+      s"""WITH nrm AS (SELECT doc_id, source, $normTextSql AS t
+         |             FROM documents),
+         |w AS (SELECT doc_id, source, string_split(t, ' ') AS ws FROM nrm),
+         |g AS (SELECT doc_id, source,
+         |        unnest(list_transform(range(1, len(ws)),
+         |          i -> ws[i] || ' ' || ws[i+1])) AS gram
+         |      FROM w WHERE len(ws) >= 2),
+         |hb AS (SELECT doc_id, source, md5(gram) AS h FROM g),
+         |c AS (SELECT doc_id, source,
+         |        CAST((${hexPrefixSql("h", 4)}) % 4096 AS INTEGER) AS bucket,
+         |        count(*) AS cnt
+         |      FROM hb GROUP BY 1, 2, 3),
+         |m AS (SELECT doc_id, bucket, cnt,
+         |        sum(cnt) OVER (PARTITION BY bucket) AS raw_n,
+         |        sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END)
+         |          OVER (PARTITION BY bucket) AS tgt_n,
+         |        sum(cnt) OVER () AS raw_t,
+         |        sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END)
+         |          OVER () AS tgt_t
+         |      FROM c),
+         |x AS (SELECT doc_id, bucket, cnt,
+         |        cnt * (ln(CAST(tgt_n + 1 AS DOUBLE)
+         |                  / CAST(tgt_t + 4096 AS DOUBLE))
+         |             - ln(CAST(raw_n + 1 AS DOUBLE)
+         |                  / CAST(raw_t + 4096 AS DOUBLE))) AS x
+         |      FROM m),
+         |lw AS (SELECT doc_id, sum(cnt) AS n_grams,
+         |         list_sum(list(x ORDER BY bucket)) AS logw
+         |       FROM x GROUP BY 1),
+         |sk AS (SELECT doc_id, n_grams, logw,
+         |         md5('dsir:' || CAST(doc_id AS VARCHAR)) AS h FROM lw),
+         |sel AS (SELECT doc_id, n_grams,
+         |          logw / 1.0 - ln(-ln(((${hexPrefixSql("h", 8)}) + 1)
+         |            / 4294967297.0)) AS skey
+         |        FROM sk ORDER BY skey DESC, doc_id LIMIT 300)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  CAST(sel.n_grams AS BIGINT) AS n_grams
+         |FROM sel JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // concat-and-chunk packing: md5 concatenation order + mod bucketing
     // (both engine-portable), integer div/mod on the running sum

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-shaped data selection via importance resampling (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance
+  * Resampling"): score every raw document by how much more likely its
+  * hashed n-gram features are under a TARGET distribution (the
+  * high-quality slice you want more of) than under the RAW corpus
+  * distribution, then draw a without-replacement sample weighted by
+  * those importance ratios (Gumbel top-k). The reference has no
+  * selection operator; this extends the engine's training-data family
+  * next to dedup/quality-gating.
+  *
+  * Feature space: whitespace n-grams over the `TextAnalysis.normText`
+  * token stream, hashed into `buckets` cells with the engine's
+  * deterministic md5-hex-prefix draw (the `Shard.trainingOrder` trick,
+  * so every engine reproduces the same bucketing bit-for-bit). Both
+  * distributions come from ONE pass over the corpus: the per-bucket
+  * aggregate carries (raw count, target count) side by side, so the
+  * target slice is never re-scanned.
+  *
+  * Scale posture: the only corpus-sized shuffles are the
+  * (doc, bucket) partial+final count (high-cardinality key) and the
+  * per-doc fold (keyed on doc_id). The bucket→LLR table is ≤ `buckets`
+  * rows — broadcast back, never shuffled on. Driver state is zero;
+  * totals ride a one-row broadcast cross join.
+  *
+  * Determinism: bucketing/counts are integer-exact on any engine. The
+  * log-likelihood ratios ride on libm `ln`, which is engine-exact only
+  * to the ulp — fine WITHIN an engine (selection is a deterministic
+  * function of the corpus + seed) and stable across engines except for
+  * documents whose scores differ by < 1 ulp at the exact quota
+  * boundary; cross-engine oracles should therefore hash the integer
+  * feature frame and the selected MEMBERSHIP, not the double scores
+  * (`q_importance_features` / `q_importance_resample` do exactly
+  * that).
+  *
+  * Documents with fewer than `n` tokens have no features, hence no
+  * estimable ratio — they are excluded from weights and resampling
+  * (gate them separately; a length floor is already part of any
+  * quality gate worth running).
+  */
+object Importance {
+
+  private def hexPrefix4(h: Column): Column =
+    conv(substring(h, 1, 4), 16, 10).cast("int")
+
+  private def hexPrefix8(h: Column): Column =
+    conv(substring(h, 1, 8), 16, 10).cast("long")
+
+  /** (doc_id, bucket, cnt): hashed n-gram bucket counts per document —
+    * the integer-exact feature frame behind the weights (public so the
+    * feature hashing itself is oracle-checkable). */
+  def hashedNgramCounts(docs: DataFrame, id: Column, text: Column,
+                        n: Int = 2, buckets: Int = 4096): DataFrame =
+    gramCounts(docs, id, text, lit(false), n, buckets)
+      .select("doc_id", "bucket", "cnt")
+
+  /** The shared count pass, carrying the target flag through the
+    * explode so `importanceWeights` never joins back on doc_id. */
+  private def gramCounts(docs: DataFrame, id: Column, text: Column,
+                         targetPred: Column, n: Int,
+                         buckets: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"hashedNgramCounts: n=$n out of [1,8]")
+    require(buckets >= 2 && buckets <= 65536,
+      s"hashedNgramCounts: buckets=$buckets out of [2,65536] — four md5 " +
+        "hex digits drive the bucket draw; widen hexPrefix4 to raise it")
+    val ws = split(graft.functions.TextAnalysis.normText(text), " ")
+    // sequence(1, m) REVERSES when m < 1 (descending step), so short
+    // docs must take the empty-array branch, not an empty sequence
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
+    ).otherwise(array().cast("array<string>"))
+    docs
+      .select(id.as("doc_id"), targetPred.as("__tgt"),
+        explode(grams).as("gram"))
+      .select(col("doc_id"), col("__tgt"),
+        (hexPrefix4(md5(col("gram"))) % buckets).as("bucket"))
+      .groupBy("doc_id", "__tgt", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** (doc_id, n_grams, logw): per-document importance log-weight
+    *   logw(d) = Σ_b c_db · [ln p̂_tgt(b) − ln p̂_raw(b)]
+    * under add-1-smoothed hashed-n-gram unigram models fit to the
+    * target slice (`targetPred` rows) and the whole input.
+    *
+    * One explode pass: the per-bucket model counts ride a sum WINDOW
+    * keyed on the bucket over the (doc, bucket) count frame (the
+    * `tfidfTopK` df trick — an aggregate+join-back would re-run the
+    * explode+count lineage a second time), and the two global totals
+    * come from a separate NON-exploded scan (Σ max(dl−n+1, 0), exactly
+    * the corpus gram count, integer-identical to summing the heavy
+    * frame) broadcast as one row. Three exchanges total: (doc, bucket)
+    * count, bucket window, doc fold. */
+  def importanceWeights(docs: DataFrame, id: Column, text: Column,
+                        targetPred: Column, n: Int = 2,
+                        buckets: Int = 4096): DataFrame = {
+    val counts = gramCounts(docs, id, text, targetPred, n, buckets)
+    val dl = size(split(graft.functions.TextAnalysis.normText(text), " "))
+    val perDoc = when(dl >= n, (dl - lit(n - 1)).cast("long"))
+      .otherwise(0L)
+    val totals = docs.agg(
+      sum(perDoc).as("raw_t"),
+      sum(when(targetPred, perDoc).otherwise(0L)).as("tgt_t"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    counts
+      // one select, one Window node: chained withColumns interpose a
+      // Project that defeats CollapseWindow, leaving two same-spec
+      // Window passes in the plan
+      .select(col("doc_id"), col("bucket"), col("cnt"),
+        sum(col("cnt")).over(wB).as("raw_n"),
+        sum(when(col("__tgt"), col("cnt")).otherwise(0L)).over(wB)
+          .as("tgt_n"))
+      .crossJoin(broadcast(totals))
+      .withColumn("llr",
+        log((col("tgt_n") + lit(1L)).cast("double") /
+            (col("tgt_t") + lit(buckets.toLong)).cast("double")) -
+          log((col("raw_n") + lit(1L)).cast("double") /
+            (col("raw_t") + lit(buckets.toLong)).cast("double")))
+      .select(col("doc_id"), col("cnt"),
+        struct(col("bucket"), (col("cnt") * col("llr")).as("x")).as("__s"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_grams"),
+        aggregate(array_sort(collect_list(col("__s"))), lit(0.0),
+          (acc, s) => acc + s.getField("x")).as("logw"))
+  }
+
+  /** Gumbel top-`quota` importance resample: draw `quota` documents
+    * without replacement with P(d) ∝ exp(logw(d) / temperature), using
+    * the md5-derived uniform u(d) = (hex8(md5(seed:id)) + 1) / (2³²+1)
+    * so the "randomness" is an engine-reproducible function of
+    * (seed, doc_id) — same seed replays the same sample anywhere, a new
+    * seed is an independent draw. temperature → 0 approaches greedy
+    * top-logw; large temperature approaches a uniform sample. Output:
+    * (doc_id, n_grams, logw, skey), one row per selected document. */
+  def importanceResample(docs: DataFrame, id: Column, text: Column,
+                         targetPred: Column, quota: Int,
+                         n: Int = 2, buckets: Int = 4096,
+                         temperature: Double = 1.0,
+                         seed: String = "dsir"): DataFrame = {
+    require(quota > 0, s"importanceResample: quota=$quota")
+    require(temperature > 0.0,
+      s"importanceResample: temperature=$temperature")
+    importanceWeights(docs, id, text, targetPred, n, buckets)
+      .withColumn("__u",
+        (hexPrefix8(md5(concat(lit(s"$seed:"),
+          col("doc_id").cast("string")))) + lit(1L)) / lit(4294967297.0))
+      .withColumn("skey",
+        col("logw") / lit(temperature) - log(-log(col("__u"))))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(quota)
+      .select("doc_id", "n_grams", "logw", "skey")
+  }
+}
