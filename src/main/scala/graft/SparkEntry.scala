@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Importance, Pack, Pq, PromptTemplates, Shard, Similarity, Skew, Sq}
+import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Importance, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Sq}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -852,6 +852,27 @@ object SparkEntry {
           Tables.documents(s, dir).where(col("doc_id") < 200),
           col("doc_id"), col("text"))
         .orderBy("doc_id", "bucket")),
+
+    // CCNet-style bigram LM: the reference-slice model counts are
+    // integer-exact — the oracle pins them directly
+    "q_perplexity_model" -> ((s, dir) =>
+      Perplexity.bigramModel(Tables.documents(s, dir), col("doc_id"),
+          col("text"), col("source") === "src0")
+        .orderBy(col("c_big").desc, col("w1"), col("w2"))
+        .limit(100)),
+
+    // CCNet-style perplexity gate: keep the 250 most reference-like
+    // docs; membership + integer features hashed (ln/exp ride libm —
+    // see Perplexity scaladoc)
+    "q_perplexity_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Perplexity.perplexityGate(d, col("doc_id"), col("text"),
+          col("source") === "src0", quota = 250)
+        .join(d.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_bigrams"))
+        .orderBy("doc_id")
+    }),
 
     // DSIR importance resampling toward the src0 slice: the oracle
     // hashes selected MEMBERSHIP + integer features only (the
@@ -2388,6 +2409,57 @@ object SparkEntry {
          |  CAST((${hexPrefixSql("h", 4)}) % 4096 AS INTEGER) AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt
          |FROM hb GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    // bigram LM model table: raw strings + integer counts, context
+    // totals as a sum window over the bigram counts — exact on any
+    // engine
+    "q_perplexity_model" ->
+      s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents
+         |             WHERE source = 'src0'),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nrm),
+         |d AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+         |        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |          i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |        FROM w WHERE len(ws) >= 2)),
+         |c AS (SELECT w1, w2, count(*) AS c_big FROM d GROUP BY 1, 2),
+         |m AS (SELECT w1, w2, c_big,
+         |        sum(c_big) OVER (PARTITION BY w1) AS c_ctx FROM c)
+         |SELECT w1, w2, CAST(c_big AS BIGINT) AS c_big,
+         |  CAST(c_ctx AS BIGINT) AS c_ctx
+         |FROM m ORDER BY c_big DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // perplexity gate: add-one bigram scores under the src0 model,
+    // lowest-ppl quota; membership + integer counts hashed only
+    "q_perplexity_gate" ->
+      s"""WITH nrm AS (SELECT doc_id, source, $normTextSql AS t
+         |             FROM documents),
+         |w AS (SELECT doc_id, source, string_split(t, ' ') AS ws FROM nrm),
+         |d AS (SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+         |        SELECT doc_id, source,
+         |          unnest(list_transform(range(1, len(ws)),
+         |            i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |        FROM w WHERE len(ws) >= 2)),
+         |rc AS (SELECT w1, w2, count(*) AS c_big FROM d
+         |       WHERE source = 'src0' GROUP BY 1, 2),
+         |m AS (SELECT w1, w2, c_big,
+         |        sum(c_big) OVER (PARTITION BY w1) AS c_ctx FROM rc),
+         |v AS (SELECT count(DISTINCT w2) + 1 AS v FROM rc),
+         |cc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM d
+         |       GROUP BY 1, 2, 3),
+         |x AS (SELECT cc.doc_id, cc.w1, cc.w2, cc.cnt,
+         |        cc.cnt * ln(CAST(coalesce(m.c_big, 0) + 1 AS DOUBLE)
+         |          / CAST(coalesce(m.c_ctx, 0) + v.v AS DOUBLE)) AS x
+         |      FROM cc LEFT JOIN m USING (w1, w2), v),
+         |lw AS (SELECT doc_id, sum(cnt) AS n_bigrams,
+         |         list_sum(list(x ORDER BY w1, w2)) AS logprob
+         |       FROM x GROUP BY 1),
+         |sel AS (SELECT doc_id, n_bigrams,
+         |          exp(-logprob / n_bigrams) AS ppl
+         |        FROM lw ORDER BY ppl ASC, doc_id ASC LIMIT 250)
+         |SELECT doc.doc_id, doc.lang, doc.source,
+         |  CAST(sel.n_bigrams AS BIGINT) AS n_bigrams
+         |FROM sel JOIN documents doc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // DSIR importance resample: per-bucket smoothed LLR model via sum
     // windows (mirroring the engine's single-pass shape), Gumbel keys

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model quality filtering (Wenzek et al. 2020):
+  * fit a small LM to a clean reference slice, score every raw document
+  * by its per-token perplexity under that model, and keep the
+  * low-perplexity head of the corpus. CCNet uses a KenLM 5-gram; the
+  * honest in-engine equivalent is an add-one-smoothed BIGRAM model —
+  * no external artifacts, everything derived from the frames the
+  * engine already reads, and every count relational:
+  *
+  *   P(w₂|w₁) = (c_ref(w₁w₂) + 1) / (c_ref(w₁·) + V)
+  *
+  * with c_ref(w₁·) the count of reference bigrams STARTING at w₁ (a
+  * sum window over the bigram table keyed on w₁ — not a second
+  * unigram pass) and V = |distinct second tokens in the reference| + 1
+  * (one unseen-mass slot). Unknown contexts fall back to 1/V.
+  *
+  * Scale posture: the model IS a DataFrame — never collected, never
+  * broadcast by assumption (reference vocabulary² can be huge). The
+  * score join runs on the (w₁, w₂) key: high cardinality, partial+final
+  * counted on both sides before the join, so the shuffled rows are
+  * distinct-bigram-sized, not token-stream-sized. Per-doc totals ride
+  * the usual doc-keyed fold. Driver state: one row (V).
+  *
+  * Determinism: counts and membership are integer-exact; log-prob /
+  * perplexity ride libm ln/exp — deterministic within an engine, equal
+  * across engines to the ulp — so cross-engine oracles hash the MODEL
+  * COUNTS (`q_perplexity_model`) and the gated MEMBERSHIP
+  * (`q_perplexity_gate`), never the double scores (the Importance
+  * policy). Documents with fewer than 2 tokens have no bigrams, hence
+  * no perplexity — excluded from scoring and gating, like every other
+  * length-floored quality signal.
+  */
+object Perplexity {
+
+  /** (doc_id, w1, w2, cnt) distinct-bigram counts per document over the
+    * `TextAnalysis.normText` token stream. */
+  private def bigramCounts(docs: DataFrame, id: Column,
+                           text: Column): DataFrame = {
+    val ws = split(graft.functions.TextAnalysis.normText(text), " ")
+    val pairs = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - lit(1)),
+        i => struct(element_at(ws, i).as("w1"),
+          element_at(ws, i + lit(1)).as("w2")))
+    ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.select(id.as("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The reference bigram model: (w1, w2, c_big, c_ctx) — bigram count
+    * and its w₁-context total (sum window, the one-pass trick). */
+  def bigramModel(docs: DataFrame, id: Column, text: Column,
+                  refPred: Column): DataFrame = {
+    val wCtx = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    bigramCounts(docs.where(refPred), id, text)
+      .groupBy("w1", "w2").agg(sum(col("cnt")).as("c_big"))
+      .select(col("w1"), col("w2"), col("c_big"),
+        sum(col("c_big")).over(wCtx).as("c_ctx"))
+  }
+
+  /** (doc_id, n_bigrams, logprob, ppl): per-document add-one bigram
+    * log-likelihood and per-bigram perplexity exp(−logprob/n) under the
+    * model fit to `refPred` rows. Lower ppl = more reference-like. */
+  def perplexityScores(docs: DataFrame, id: Column, text: Column,
+                       refPred: Column): DataFrame = {
+    val model = bigramModel(docs, id, text, refPred)
+    // V as a one-row broadcast: |distinct reference w2| + 1 unseen slot
+    val v = model.agg((countDistinct(col("w2")) + lit(1L)).as("v"))
+    bigramCounts(docs, id, text)
+      .join(model, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("cnt"),
+        struct(col("w1"), col("w2"),
+          (col("cnt") * log(
+            (coalesce(col("c_big"), lit(0L)) + lit(1L)).cast("double") /
+              (coalesce(col("c_ctx"), lit(0L)) + col("v")).cast("double")))
+            .as("x")).as("__s"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        aggregate(array_sort(collect_list(col("__s"))), lit(0.0),
+          (acc, s) => acc + s.getField("x")).as("logprob"))
+      .withColumn("ppl", exp(-col("logprob") / col("n_bigrams")))
+  }
+
+  /** Keep the `quota` most reference-like documents (lowest ppl, ties
+    * to the lower doc_id) — the CCNet "head" cut with an explicit
+    * budget instead of a percentile, so selection is exact and the
+    * plan is a TakeOrderedAndProject, not a global sort. Output:
+    * (doc_id, n_bigrams, logprob, ppl). */
+  def perplexityGate(docs: DataFrame, id: Column, text: Column,
+                     refPred: Column, quota: Int): DataFrame = {
+    require(quota > 0, s"perplexityGate: quota=$quota")
+    perplexityScores(docs, id, text, refPred)
+      .orderBy(col("ppl").asc, col("doc_id").asc)
+      .limit(quota)
+  }
+}
