@@ -59,7 +59,17 @@ object Importance {
       .select("doc_id", "bucket", "cnt")
 
   /** The shared count pass, carrying the target flag through the
-    * explode so `importanceWeights` never joins back on doc_id. */
+    * explode so `importanceWeights` never joins back on doc_id.
+    *
+    * Grams are assembled RELATIONALLY (posexplode the token stream,
+    * lead() windows over (doc, pos) — the `Dedup.shinglePostings`
+    * shape): a lambda-transform over an inline split() gets re-inlined
+    * by CollapseProject into every element reference, re-running the
+    * normalize regex per gram element — measured 2-4x wall on the
+    * sf0.1 battery / 50k probe before this rewrite, growing with doc
+    * length. The generator evaluates its
+    * split input exactly once per document, and everything downstream
+    * is skinny posting rows through high-cardinality exchanges. */
   private def gramCounts(docs: DataFrame, id: Column, text: Column,
                          targetPred: Column, n: Int,
                          buckets: Int): DataFrame = {
@@ -67,16 +77,22 @@ object Importance {
     require(buckets >= 2 && buckets <= 65536,
       s"hashedNgramCounts: buckets=$buckets out of [2,65536] — four md5 " +
         "hex digits drive the bucket draw; widen hexPrefix4 to raise it")
-    val ws = split(graft.functions.TextAnalysis.normText(text), " ")
-    // sequence(1, m) REVERSES when m < 1 (descending step), so short
-    // docs must take the empty-array branch, not an empty sequence
-    val grams = when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
-    ).otherwise(array().cast("array<string>"))
-    docs
-      .select(id.as("doc_id"), targetPred.as("__tgt"),
-        explode(grams).as("gram"))
+    val posted = Dedup.spread(docs.select(id.as("doc_id"),
+        targetPred.as("__tgt"), text.as("__text")))
+      .select(col("doc_id"), col("__tgt"),
+        posexplode(split(graft.functions.TextAnalysis
+          .normText(col("__text")), " ")).as(Seq("pos", "w")))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val unordered = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    posted
+      .select(col("doc_id"), col("__tgt"), col("pos"),
+        concat_ws(" ", col("w") +:
+          (1 until n).map(j => lead(col("w"), j).over(ordered)): _*)
+          .as("gram"),
+        count(lit(1)).over(unordered).as("n_words"))
+      .where(col("n_words") >= n && col("pos") <= col("n_words") - n)
       .select(col("doc_id"), col("__tgt"),
         (hexPrefix4(md5(col("gram"))) % buckets).as("bucket"))
       .groupBy("doc_id", "__tgt", "bucket")

@@ -37,17 +37,26 @@ import org.apache.spark.sql.functions._
 object Perplexity {
 
   /** (doc_id, w1, w2, cnt) distinct-bigram counts per document over the
-    * `TextAnalysis.normText` token stream. */
+    * `TextAnalysis.normText` token stream — assembled relationally
+    * (posexplode + lead window, the `Dedup.shinglePostings` shape) so
+    * the normalize/split runs once per document, not once per gram
+    * element (the CollapseProject inline-split trap). */
   private def bigramCounts(docs: DataFrame, id: Column,
                            text: Column): DataFrame = {
-    val ws = split(graft.functions.TextAnalysis.normText(text), " ")
-    val pairs = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - lit(1)),
-        i => struct(element_at(ws, i).as("w1"),
-          element_at(ws, i + lit(1)).as("w2")))
-    ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    docs.select(id.as("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val posted = Dedup.spread(docs.select(id.as("doc_id"),
+        text.as("__text")))
+      .select(col("doc_id"),
+        posexplode(split(graft.functions.TextAnalysis
+          .normText(col("__text")), " ")).as(Seq("pos", "w1")))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val unordered = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    posted
+      .select(col("doc_id"), col("pos"), col("w1"),
+        lead(col("w1"), 1).over(ordered).as("w2"),
+        count(lit(1)).over(unordered).as("n_words"))
+      .where(col("pos") <= col("n_words") - 2)
       .groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).as("cnt"))
   }

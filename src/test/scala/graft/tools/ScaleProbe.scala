@@ -467,6 +467,34 @@ object ScaleProbe {
           nBits = 16, nTables = 8).count())
     }
 
+    if (which("text-pipeline")) {
+      // 5k -> 50k weak scaling for the r9 text operators: 10 id-offset
+      // SAME-vocabulary replicas (tf/df/model counts grow 10x, the
+      // selection problems stay statistically identical), so wall
+      // growth isolates the operators' shuffle scaling
+      val docs = graft.Tables.documents(spark, dir)
+        .select("doc_id", "text", "source")
+      val big = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("text"), col("source"))
+      }.reduce(_.unionByName(_)).localCheckpoint(true)
+      def runAll(tag: String, d: DataFrame, quota: Int): Unit = {
+        t(s"textpipe_${tag}_bm25_top100")(
+          graft.functions.Retrieval.bm25TopK(d, col("doc_id"),
+            col("text"), Seq("spark", "join", "window"), k = 100).count())
+        t(s"textpipe_${tag}_importance_resample")(
+          graft.operators.Importance.importanceResample(d, col("doc_id"),
+            col("text"), col("source") === "src0", quota = quota).count())
+        t(s"textpipe_${tag}_perplexity_gate")(
+          graft.operators.Perplexity.perplexityGate(d, col("doc_id"),
+            col("text"), col("source") === "src0", quota = quota).count())
+      }
+      t("textpipe_5k_rows")(docs.count())
+      runAll("5k", docs, quota = 500)
+      t("textpipe_50k_rows")(big.count())
+      runAll("50k", big, quota = 5000)
+    }
+
     if (which("semdedup-imbalanced")) {
       // the hot-cluster guard under an ADVERSARIALLY imbalanced corpus:
       // 48k vectors = 12 exact copies of 4,000 identities (identity =
