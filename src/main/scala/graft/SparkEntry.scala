@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Importance, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Sq}
+import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Importance, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Sq}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -852,6 +852,19 @@ object SparkEntry {
           Tables.documents(s, dir).where(col("doc_id") < 200),
           col("doc_id"), col("text"))
         .orderBy("doc_id", "bucket")),
+
+    // temperature mixture (p_d ∝ c_d^0.5): quotas DERIVED from domain
+    // counts — sqrt is IEEE-correctly-rounded on every engine, so the
+    // weight and quota columns hash-match exactly
+    "q_mixture_quotas" -> ((s, dir) =>
+      Mixture.temperatureQuotas(Tables.documents(s, dir), col("source"),
+          budget = 3000)
+        .orderBy("domain")),
+
+    "q_mixture_sample" -> ((s, dir) =>
+      Mixture.temperatureSample(Tables.documents(s, dir), col("doc_id"),
+          col("source"), budget = 300)
+        .orderBy("doc_id")),
 
     // CCNet-style bigram LM: the reference-slice model counts are
     // integer-exact — the oracle pins them directly
@@ -2409,6 +2422,35 @@ object SparkEntry {
          |  CAST((${hexPrefixSql("h", 4)}) % 4096 AS INTEGER) AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt
          |FROM hb GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    // temperature-mixture quotas: sqrt weights (correctly rounded per
+    // IEEE on both engines), domain-ordered fold for the total, floor
+    // to integer quotas — every column hash-exact
+    "q_mixture_quotas" ->
+      """WITH c AS (SELECT source AS domain, count(*) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT domain, n_docs,
+        |        sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
+        |t AS (SELECT list_sum(list(w ORDER BY domain)) AS tw FROM w)
+        |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, w,
+        |  CAST(floor(3000 * w / tw) AS BIGINT) AS quota
+        |FROM w, t ORDER BY domain""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT source AS domain, count(*) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT domain, n_docs,
+        |        sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
+        |t AS (SELECT list_sum(list(w ORDER BY domain)) AS tw FROM w),
+        |q AS (SELECT domain,
+        |        CAST(floor(300 * w / tw) AS BIGINT) AS quota FROM w, t),
+        |r AS (SELECT doc_id, source AS domain, row_number() OVER (
+        |        PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.domain, CAST(r.rk AS INTEGER) AS rk
+        |FROM r JOIN q USING (domain) WHERE r.rk <= q.quota
+        |ORDER BY doc_id""".stripMargin,
 
     // bigram LM model table: raw strings + integer counts, context
     // totals as a sum window over the bigram counts — exact on any

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temperature-based domain mixture sampling — the data-mixing step of
+  * a pretraining pipeline (multilingual / multi-source rebalancing, the
+  * `p_d ∝ c_d^α` rule of mT5/XLM-R): derive per-domain quotas from the
+  * OBSERVED domain counts under a concavity exponent α (α = 1
+  * reproduces natural proportions, α → 0 approaches uniform across
+  * domains, α = 0.5 is the common sqrt temperature), then fill each
+  * quota with the engine's deterministic md5-rank draw (the
+  * `q_sample_stratified` shape — WindowGroupLimit plans a partial
+  * per-partition top-k before the domain shuffle).
+  *
+  * Complements the existing sampling family: `q_train_mixture` applies
+  * CONFIGURED per-source rates, `q_sample_stratified` CONFIGURED
+  * per-stratum quotas; here the quotas themselves are computed from
+  * the data — quota_d = ⌊budget · c_d^α / Σ_e c_e^α⌋ (floor, so the
+  * realized total can undershoot `budget` by < |domains|; the exact
+  * contract, not a largest-remainder repair).
+  *
+  * Determinism: for α = 0.5 the weight is `sqrt`, which IEEE 754
+  * requires correctly rounded — Java and any libm agree to the BIT, so
+  * quotas and weights are cross-engine hash-exact (the Σ rides a
+  * domain-ordered sequential fold). Other α use `pow`, which libm only
+  * promises to the ulp — same within-engine determinism, but oracles
+  * should then hash membership, not the weight column.
+  *
+  * Scale posture: domains are a tiny set — the count aggregate is
+  * partial+final, the quota table broadcasts back, and the only
+  * corpus-sized work is one domain-keyed rank window. Driver state:
+  * zero (the fold runs in a one-row aggregate, not a collect).
+  */
+object Mixture {
+
+  /** (domain, n_docs, w, quota): the derived mixture table. */
+  def temperatureQuotas(docs: DataFrame, domain: Column, budget: Long,
+                        alpha: Double = 0.5): DataFrame = {
+    require(budget > 0, s"temperatureQuotas: budget=$budget")
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureQuotas: alpha=$alpha out of (0,1]")
+    val counts = docs.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn("w",
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha)))
+    // Σ w as a domain-ordered sequential fold — the engine's standard
+    // bit-reproducible sum over a small keyed set
+    val total = weighted
+      .agg(aggregate(array_sort(collect_list(struct(col("domain"),
+          col("w")))), lit(0.0), (acc, s) => acc + s.getField("w"))
+        .as("tw"))
+    weighted.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"), col("w"),
+        floor(lit(budget) * col("w") / col("tw")).as("quota"))
+  }
+
+  /** The selected rows: (id-named-as-input, domain, rk) — the first
+    * `quota_d` documents of each domain in `(md5(id), id)` order.
+    *
+    * The quota table is collected (|domains| rows — the same bounded
+    * driver-state budget as the k-means centroids) so the rank filter
+    * can run in two steps: `rk <= max(quota)` as a LITERAL — the form
+    * WindowGroupLimit turns into a partial per-partition top-k BEFORE
+    * the domain exchange (a quota-column comparison from a join defeats
+    * it, leaving a full per-domain sort) — then the exact per-domain
+    * cut against the broadcast quotas. */
+  def temperatureSample(docs: DataFrame, id: Column, domain: Column,
+                        budget: Long, alpha: Double = 0.5): DataFrame = {
+    val quotas = temperatureQuotas(docs, domain, budget, alpha)
+      .select(col("domain"), col("quota"))
+    val maxQ = quotas.agg(max(col("quota"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+      .getOrElse(0L)
+    val idName = docs.select(id).columns.head
+    val ranked = docs
+      .select(id.as(idName), domain.as("domain"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("domain")
+          .orderBy(md5(col(idName).cast("string")), col(idName))))
+    ranked
+      .where(col("rk") <= lit(maxQ))
+      .join(broadcast(quotas), Seq("domain"))
+      .where(col("rk") <= col("quota"))
+      .select(col(idName), col("domain"), col("rk"))
+  }
+}

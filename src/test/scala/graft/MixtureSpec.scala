@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mixture
+
+class MixtureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 100 / 25 / 4 docs across three domains
+  private val docs = (
+    (1L to 100L).map(i => (i, "web")) ++
+    (101L to 125L).map(i => (i, "books")) ++
+    (126L to 129L).map(i => (i, "code"))
+  ).toDF("doc_id", "src")
+
+  test("temperatureQuotas: sqrt weights, exact floor allocation, " +
+    "flattening vs natural proportions") {
+    val q = Mixture.temperatureQuotas(docs, col("src"), budget = 60)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // weights: 10, 5, 2 → total 17; quotas: floor(60·w/17)
+    assert(q("web") === ((100L, 10.0, (60.0 * 10 / 17).floor.toLong)))
+    assert(q("books") === ((25L, 5.0, (60.0 * 5 / 17).floor.toLong)))
+    assert(q("code") === ((4L, 2.0, (60.0 * 2 / 17).floor.toLong)))
+    // α=0.5 flattens: code gets 2/17 ≈ 11.7% of the budget vs 3.1%
+    // natural share; web drops from 77.5% to 58.8%
+    val natural = 100.0 / 129.0
+    assert(q("web")._3.toDouble / 60 < natural)
+    // α=1 reproduces natural proportions exactly
+    val n1 = Mixture.temperatureQuotas(docs, col("src"), budget = 129,
+        alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(n1 === Map("web" -> 100L, "books" -> 25L, "code" -> 4L))
+  }
+
+  test("temperatureSample: per-domain md5-rank fill, caps respected, " +
+    "deterministic across runs") {
+    val s = Mixture.temperatureSample(docs, col("doc_id"), col("src"),
+      budget = 60)
+    val byDomain = s.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain === Map("web" -> 35L, "books" -> 17L, "code" -> 4L))
+    // a domain smaller than its quota contributes all its docs
+    assert(byDomain("code") === 4L)
+    // determinism: same draw both times
+    val a = s.select("doc_id").as[Long].collect().toSet
+    val b = Mixture.temperatureSample(docs, col("doc_id"), col("src"),
+      budget = 60).select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // ranks within a domain are 1..n in (md5(id), id) order
+    val webRanks = s.where(col("domain") === "web")
+      .select("rk").as[Int].collect().sorted
+    assert(webRanks.toSeq === (1 to 35))
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureQuotas(docs, col("src"), budget = 0) }
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureQuotas(docs, col("src"), budget = 10,
+        alpha = 1.5) }
+  }
+}
