@@ -132,11 +132,7 @@ object Importance {
         sum(when(col("__tgt"), col("cnt")).otherwise(0L)).over(wB)
           .as("tgt_n"))
       .crossJoin(broadcast(totals))
-      .withColumn("llr",
-        log((col("tgt_n") + lit(1L)).cast("double") /
-            (col("tgt_t") + lit(buckets.toLong)).cast("double")) -
-          log((col("raw_n") + lit(1L)).cast("double") /
-            (col("raw_t") + lit(buckets.toLong)).cast("double")))
+      .withColumn("llr", llrCol(buckets))
       .select(col("doc_id"), col("cnt"),
         struct(col("bucket"), (col("cnt") * col("llr")).as("x")).as("__s"))
       .groupBy("doc_id")
@@ -144,6 +140,15 @@ object Importance {
         aggregate(array_sort(collect_list(col("__s"))), lit(0.0),
           (acc, s) => acc + s.getField("x")).as("logw"))
   }
+
+  /** ln p̂_tgt − ln p̂_raw over (tgt_n, raw_n, tgt_t, raw_t) columns —
+    * ONE definition shared by the in-query window path and the
+    * persisted-model table so the two can never drift. */
+  private def llrCol(buckets: Int): Column =
+    log((col("tgt_n") + lit(1L)).cast("double") /
+        (col("tgt_t") + lit(buckets.toLong)).cast("double")) -
+      log((col("raw_n") + lit(1L)).cast("double") /
+        (col("raw_t") + lit(buckets.toLong)).cast("double"))
 
   /** Gumbel top-`quota` importance resample: draw `quota` documents
     * without replacement with P(d) ∝ exp(logw(d) / temperature), using
@@ -170,5 +175,80 @@ object Importance {
       .orderBy(col("skey").desc, col("doc_id").asc)
       .limit(quota)
       .select("doc_id", "n_grams", "logw", "skey")
+  }
+
+  // ---- persisted LLR model + continuous gate -------------------------------
+
+  /** The explicit (bucket, llr) model table — the aggregate form of
+    * the distributions `importanceWeights` computes inline (identical
+    * `llrCol` arithmetic), for freezing to parquet. ≤ `buckets` rows. */
+  def llrModel(docs: DataFrame, id: Column, text: Column,
+               targetPred: Column, n: Int = 2,
+               buckets: Int = 4096): DataFrame = {
+    val counts = gramCounts(docs, id, text, targetPred, n, buckets)
+    val perBucket = counts.groupBy("bucket")
+      .agg(sum(col("cnt")).as("raw_n"),
+        sum(when(col("__tgt"), col("cnt")).otherwise(0L)).as("tgt_n"))
+    val totals = perBucket.agg(sum(col("raw_n")).as("raw_t"),
+      sum(col("tgt_n")).as("tgt_t"))
+    perBucket.crossJoin(broadcast(totals))
+      .withColumn("llr", llrCol(buckets))
+      .select(col("bucket"), col("llr"), col("raw_t"), col("tgt_t"))
+  }
+
+  /** Freeze the LLR model: `$path/llr` (bucket, llr) then `$path/meta`
+    * (n, buckets, raw_t, tgt_t) LAST — meta presence is the commit
+    * marker; the totals let the gate price UNSEEN buckets with the same
+    * add-1 mass: llr_unseen = ln(1/(tgt_t+B)) − ln(1/(raw_t+B)). */
+  def persistLlrModel(docs: DataFrame, id: Column, text: Column,
+                      targetPred: Column, path: String, n: Int = 2,
+                      buckets: Int = 4096): Unit = {
+    val m = llrModel(docs, id, text, targetPred, n, buckets)
+    m.select("bucket", "llr").write.mode("error").parquet(s"$path/llr")
+    m.limit(1)
+      .select(lit(n).as("n"), lit(buckets).as("buckets"),
+        col("raw_t"), col("tgt_t"))
+      .write.mode("error").parquet(s"$path/meta")
+  }
+
+  /** Continuous importance gate: score one microbatch against the
+    * PERSISTED LLR table (≤ `buckets` rows — always broadcastable, so
+    * the model side never shuffles) and admit rows with
+    * logw ≥ `minLogw`, appended under this epoch's `ingest_batch`
+    * partition with dynamic overwrite (at-least-once replay ×
+    * idempotent rewrite = exactly-once admitted state). Featureless
+    * documents (< n tokens) have no estimable weight and are not
+    * admitted. Reading `$path/meta` first doubles as the commit
+    * check. */
+  def importanceGateBatch(modelPath: String, outPath: String,
+                          minLogw: Double, idCol: String = "doc_id",
+                          textCol: String = "text")
+                         (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$modelPath/meta").head()
+    val (n, buckets) = (meta.getAs[Int]("n"), meta.getAs[Int]("buckets"))
+    val (rawT, tgtT) =
+      (meta.getAs[Long]("raw_t"), meta.getAs[Long]("tgt_t"))
+    val unseenLlr = math.log(1.0 / (tgtT + buckets).toDouble) -
+      math.log(1.0 / (rawT + buckets).toDouble)
+    val llr = spark.read.parquet(s"$modelPath/llr")
+    val keep = gramCounts(batch, col(idCol), col(textCol), lit(false),
+        n, buckets)
+      .join(broadcast(llr), Seq("bucket"), "left")
+      .select(col("doc_id"),
+        struct(col("bucket"),
+          (col("cnt") * coalesce(col("llr"), lit(unseenLlr))).as("x"))
+          .as("__s"))
+      .groupBy("doc_id")
+      .agg(aggregate(array_sort(collect_list(col("__s"))), lit(0.0),
+        (acc, s) => acc + s.getField("x")).as("logw"))
+      .where(col("logw") >= minLogw)
+      .select(col("doc_id").as(idCol))
+    batch.join(keep, Seq(idCol))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(outPath)
   }
 }

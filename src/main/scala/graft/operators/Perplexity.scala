@@ -80,9 +80,20 @@ object Perplexity {
     val model = bigramModel(docs, id, text, refPred)
     // V as a one-row broadcast: |distinct reference w2| + 1 unseen slot
     val v = model.agg((countDistinct(col("w2")) + lit(1L)).as("v"))
+    scoresAgainstModel(docs, id, text, model, v)
+  }
+
+  /** Score a frame against an EXPLICIT model — the shared kernel of
+    * the in-query operator (model fit in the same plan) and the frozen
+    * persisted-model gate (`perplexityGateBatch`). Unseen bigrams fall
+    * through the left join to (0 + 1)/(0 + V) = 1/V — the same add-one
+    * mass whether the model came from this plan or from parquet. */
+  def scoresAgainstModel(docs: DataFrame, id: Column, text: Column,
+                         model: DataFrame, v: DataFrame): DataFrame =
     bigramCounts(docs, id, text)
-      .join(model, Seq("w1", "w2"), "left")
-      .crossJoin(broadcast(v))
+      .join(model.select("w1", "w2", "c_big", "c_ctx"),
+        Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(v.select(col("v"))))
       .select(col("doc_id"), col("cnt"),
         struct(col("w1"), col("w2"),
           (col("cnt") * log(
@@ -94,7 +105,6 @@ object Perplexity {
         aggregate(array_sort(collect_list(col("__s"))), lit(0.0),
           (acc, s) => acc + s.getField("x")).as("logprob"))
       .withColumn("ppl", exp(-col("logprob") / col("n_bigrams")))
-  }
 
   /** Keep the `quota` most reference-like documents (lowest ppl, ties
     * to the lower doc_id) — the CCNet "head" cut with an explicit
@@ -107,5 +117,50 @@ object Perplexity {
     perplexityScores(docs, id, text, refPred)
       .orderBy(col("ppl").asc, col("doc_id").asc)
       .limit(quota)
+  }
+
+  // ---- persisted model + continuous gate -----------------------------------
+
+  /** Fit the bigram model once and write it frozen: `$path/model`
+    * (w1, w2, c_big, c_ctx) then `$path/meta` (v) LAST — meta presence
+    * is the commit marker (`errorIfExists` on both: a torn write leaves
+    * no meta, a re-run fails loudly instead of silently refitting). */
+  def persistModel(docs: DataFrame, id: Column, text: Column,
+                   refPred: Column, path: String): Unit = {
+    val model = bigramModel(docs, id, text, refPred)
+    model.write.mode("error").parquet(s"$path/model")
+    model.agg((countDistinct(col("w2")) + lit(1L)).as("v"))
+      .write.mode("error").parquet(s"$path/meta")
+  }
+
+  /** The continuous quality gate: score one microbatch of documents
+    * against the PERSISTED model (never refit per batch — the CCNet
+    * contract is a frozen reference LM), keep rows with
+    * ppl ≤ `maxPpl`, and append them (full payload) under this epoch's
+    * `ingest_batch` partition with dynamic overwrite — at-least-once
+    * replay × idempotent partition rewrite = exactly-once admitted
+    * state (the `windowSinkBatch` argument). Documents without bigrams
+    * (< 2 tokens / null text) have no perplexity and are NOT admitted —
+    * gate them with a separate length floor, as in the batch operator.
+    *
+    * Reading `$path/meta` first doubles as the commit check: a torn
+    * `persistModel` leaves no meta and the batch fails loudly. */
+  def perplexityGateBatch(modelPath: String, outPath: String,
+                          maxPpl: Double, idCol: String = "doc_id",
+                          textCol: String = "text")
+                         (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val v = spark.read.parquet(s"$modelPath/meta")
+    val model = spark.read.parquet(s"$modelPath/model")
+    val keep = scoresAgainstModel(batch, col(idCol), col(textCol),
+        model, v)
+      .where(col("ppl") <= maxPpl)
+      .select(col("doc_id").as(idCol))
+    batch.join(keep, Seq(idCol))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(outPath)
   }
 }

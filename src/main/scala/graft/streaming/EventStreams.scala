@@ -227,6 +227,39 @@ object EventStreams {
         indexPath, kClusters, iters, threshold, idCol, embCol) _)
       .start()
 
+  /** Continuous CCNet-style quality gate: each microbatch of documents
+    * is scored against the FROZEN persisted bigram model
+    * (`Perplexity.persistModel` — fit once, never per batch) and rows
+    * with ppl ≤ `maxPpl` are appended under their epoch partition.
+    * Exactly-once by the `windowSinkBatch` argument. */
+  def startPerplexityGate(stream: DataFrame, modelPath: String,
+                          outPath: String, checkpoint: String,
+                          maxPpl: Double, idCol: String = "doc_id",
+                          textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Perplexity.perplexityGateBatch(
+        modelPath, outPath, maxPpl, idCol, textCol) _)
+      .start()
+
+  /** Continuous DSIR-style importance gate: microbatches scored against
+    * the frozen LLR table (`Importance.persistLlrModel`; ≤ buckets rows,
+    * broadcast per batch), rows with logw ≥ `minLogw` admitted under
+    * their epoch partition. */
+  def startImportanceGate(stream: DataFrame, modelPath: String,
+                          outPath: String, checkpoint: String,
+                          minLogw: Double, idCol: String = "doc_id",
+                          textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Importance.importanceGateBatch(
+        modelPath, outPath, minLogw, idCol, textCol) _)
+      .start()
+
   // ---- custom state: flatMapGroupsWithState sessionization -----------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Importance, Perplexity}
+import graft.streaming.EventStreams
+
+/** Streaming closure of the round-9 quality gates: the persisted
+  * frozen models (bigram LM / LLR table) drive foreachBatch gates whose
+  * admissions must match the batch operators' scores row-for-row. */
+class QualityGateStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val refDocs = Seq(
+    (100L, "spark join spark join spark join spark join", "good"),
+    (101L, "spark join spark window spark join spark join", "good"),
+    (102L, "select where select where group order select where", "raw"),
+    (103L, "select where group order select where group order", "raw")
+  )
+  private val batch1 = Seq(
+    (1L, "spark join spark join"),          // on-model
+    (2L, "select where group order"))       // off-model
+  private val batch2 = Seq(
+    (3L, "spark window spark join"),        // on-model
+    (4L, "zeta eta theta iota"),            // unseen everything
+    (5L, "x"))                              // featureless: never admitted
+
+  test("streaming perplexity gate: frozen persisted model, admissions " +
+    "match the batch scorer, replay-safe epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ppl_gate").toString
+    val ref = refDocs.toDF("doc_id", "text", "src")
+    Perplexity.persistModel(ref, col("doc_id"), col("text"),
+      col("src") === "good", s"$dir/model")
+    // threshold from the BATCH scorer: midway between the on-model and
+    // off-model populations of the stream's union
+    val union = (batch1 ++ batch2).toDF("doc_id", "text")
+    val scores = Perplexity.scoresAgainstModel(union, col("doc_id"),
+        col("text"), spark.read.parquet(s"$dir/model/model"),
+        spark.read.parquet(s"$dir/model/meta"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1L) < scores(2L) && scores(3L) < scores(4L))
+    val maxPpl = (scores(1L) max scores(3L)) * 1.001
+    val expected = scores.filter(_._2 <= maxPpl).keySet
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.startPerplexityGate(
+      mem.toDF.toDF("doc_id", "text"), s"$dir/model", s"$dir/out",
+      s"$dir/ckpt", maxPpl = maxPpl)
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted === expected)
+      // replaying epoch 1's body rewrites its partition, not appends
+      Perplexity.perplexityGateBatch(s"$dir/model", s"$dir/out",
+        maxPpl)(batch1.toDF("doc_id", "text"), 0L)
+      val after = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect()
+      assert(after.length === after.distinct.length &&
+        after.toSet === expected, "replayed epoch duplicated rows")
+    } finally q.stop()
+    // a torn persist (no meta) must fail loudly, not refit silently
+    intercept[Exception] {
+      Perplexity.perplexityGateBatch(s"$dir/nonexistent", s"$dir/out2",
+        10.0)(batch1.toDF("doc_id", "text"), 0L) }
+  }
+
+  test("streaming importance gate: frozen LLR table, admissions match " +
+    "the batch weights, unseen buckets priced with the add-1 mass") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_imp_gate").toString
+    val ref = refDocs.toDF("doc_id", "text", "src")
+    Importance.persistLlrModel(ref, col("doc_id"), col("text"),
+      col("src") === "good", s"$dir/model")
+    // batch-side weights ON THE REFERENCE CORPUS pin the model; the
+    // stream docs are scored under it frozen — expected membership is
+    // anything with positive target-affinity
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.startImportanceGate(
+      mem.toDF.toDF("doc_id", "text"), s"$dir/model", s"$dir/out",
+      s"$dir/ckpt", minLogw = 0.0)
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().toSet
+      // on-model docs score positive, off-model negative; doc 4's
+      // unseen grams take the neutral-ish unseen mass (tgt_t < raw_t →
+      // slightly positive constant), doc 5 has no features at all
+      assert(admitted.contains(1L) && admitted.contains(3L))
+      assert(!admitted.contains(2L) && !admitted.contains(5L))
+    } finally q.stop()
+  }
+}
