@@ -1161,6 +1161,26 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // the round-9 selection stages COMPOSED: CCNet gate first (the 400
+    // most reference-like docs), then DSIR resampling whose RAW
+    // distribution is fit to the GATED population (the target stays the
+    // src0 slice of it) — pinning that each stage defines the
+    // population the next one models, exactly like q_pipeline_pretrain
+    // does for the dedup family
+    "q_pipeline_selection" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val gated = Perplexity.perplexityGate(d, col("doc_id"),
+          col("text"), col("source") === "src0", quota = 400)
+        .select("doc_id")
+      val pop = d.join(gated, Seq("doc_id"))
+      Importance.importanceResample(pop, col("doc_id"), col("text"),
+          col("source") === "src0", quota = 150)
+        .join(d.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // threshold 0.45: the synthetic embeddings are near-orthogonal random
     // vectors (max pairwise cos ≈ 0.6 at sf0.1), so 0.45 yields a real,
     // non-empty tail while staying > 3σ above the cos≈N(0, 1/64) noise
@@ -2501,6 +2521,73 @@ object SparkEntry {
          |SELECT doc.doc_id, doc.lang, doc.source,
          |  CAST(sel.n_bigrams AS BIGINT) AS n_bigrams
          |FROM sel JOIN documents doc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the composed selection pipeline: the perplexity chain selects the
+    // gated 400, then the WHOLE importance chain re-runs with its
+    // distributions fit to that population (bigram stream d reused —
+    // the DSIR gram "w1 w2" IS the bigram pair joined on a space)
+    "q_pipeline_selection" ->
+      s"""WITH nrm AS (SELECT doc_id, source, $normTextSql AS t
+         |             FROM documents),
+         |w AS (SELECT doc_id, source, string_split(t, ' ') AS ws FROM nrm),
+         |d AS (SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+         |        SELECT doc_id, source,
+         |          unnest(list_transform(range(1, len(ws)),
+         |            i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |        FROM w WHERE len(ws) >= 2)),
+         |rc AS (SELECT w1, w2, count(*) AS c_big FROM d
+         |       WHERE source = 'src0' GROUP BY 1, 2),
+         |m AS (SELECT w1, w2, c_big,
+         |        sum(c_big) OVER (PARTITION BY w1) AS c_ctx FROM rc),
+         |v AS (SELECT count(DISTINCT w2) + 1 AS v FROM rc),
+         |cc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM d
+         |       GROUP BY 1, 2, 3),
+         |px AS (SELECT cc.doc_id, cc.w1, cc.w2, cc.cnt,
+         |        cc.cnt * ln(CAST(coalesce(m.c_big, 0) + 1 AS DOUBLE)
+         |          / CAST(coalesce(m.c_ctx, 0) + v.v AS DOUBLE)) AS x
+         |      FROM cc LEFT JOIN m USING (w1, w2), v),
+         |plw AS (SELECT doc_id, sum(cnt) AS n_bigrams,
+         |         list_sum(list(x ORDER BY w1, w2)) AS logprob
+         |       FROM px GROUP BY 1),
+         |gsel AS (SELECT doc_id FROM (
+         |           SELECT doc_id, exp(-logprob / n_bigrams) AS ppl
+         |           FROM plw ORDER BY ppl ASC, doc_id ASC LIMIT 400)
+         |         AS tsub),
+         |g2 AS (SELECT d.doc_id, d.source, d.w1 || ' ' || d.w2 AS gram
+         |       FROM d JOIN gsel USING (doc_id)),
+         |hb2 AS (SELECT doc_id, source, md5(gram) AS h FROM g2),
+         |c2 AS (SELECT doc_id, source,
+         |         CAST((${hexPrefixSql("h", 4)}) % 4096 AS INTEGER)
+         |           AS bucket,
+         |         count(*) AS cnt
+         |       FROM hb2 GROUP BY 1, 2, 3),
+         |m2 AS (SELECT doc_id, bucket, cnt,
+         |         sum(cnt) OVER (PARTITION BY bucket) AS raw_n,
+         |         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END)
+         |           OVER (PARTITION BY bucket) AS tgt_n,
+         |         sum(cnt) OVER () AS raw_t,
+         |         sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END)
+         |           OVER () AS tgt_t
+         |       FROM c2),
+         |x2 AS (SELECT doc_id, bucket, cnt,
+         |         cnt * (ln(CAST(tgt_n + 1 AS DOUBLE)
+         |                   / CAST(tgt_t + 4096 AS DOUBLE))
+         |              - ln(CAST(raw_n + 1 AS DOUBLE)
+         |                   / CAST(raw_t + 4096 AS DOUBLE))) AS x
+         |       FROM m2),
+         |lw2 AS (SELECT doc_id, sum(cnt) AS n_grams,
+         |          list_sum(list(x ORDER BY bucket)) AS logw
+         |        FROM x2 GROUP BY 1),
+         |sk2 AS (SELECT doc_id, n_grams, logw,
+         |          md5('dsir:' || CAST(doc_id AS VARCHAR)) AS h FROM lw2),
+         |sel2 AS (SELECT doc_id, n_grams,
+         |           logw / 1.0 - ln(-ln(((${hexPrefixSql("h", 8)}) + 1)
+         |             / 4294967297.0)) AS skey
+         |         FROM sk2 ORDER BY skey DESC, doc_id LIMIT 150)
+         |SELECT doc.doc_id, doc.lang, doc.source,
+         |  CAST(sel2.n_grams AS BIGINT) AS n_grams
+         |FROM sel2 JOIN documents doc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     // DSIR importance resample: per-bucket smoothed LLR model via sum
