@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** (domain, n_docs, w, quota): the derived mixture table. */
+  /** (domain, n_docs, w, quota): the derived mixture table. A NULL
+    * domain gets its own quota row here, but `temperatureSample`'s
+    * equi-join never matches it (SQL null ≠ null), so null-domain
+    * documents are never drawn — normalize or drop them upstream. */
   def temperatureQuotas(docs: DataFrame, domain: Column, budget: Long,
                         alpha: Double = 0.5): DataFrame = {
     require(budget > 0, s"temperatureQuotas: budget=$budget")

@@ -96,6 +96,13 @@ class QualityGateStreamSpec extends SparkTestBase {
       // slightly positive constant), doc 5 has no features at all
       assert(admitted.contains(1L) && admitted.contains(3L))
       assert(!admitted.contains(2L) && !admitted.contains(5L))
+      // replaying epoch 0's body rewrites its partition, not appends
+      Importance.importanceGateBatch(s"$dir/model", s"$dir/out",
+        0.0)(batch1.toDF("doc_id", "text"), 0L)
+      val after = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect()
+      assert(after.length === after.distinct.length &&
+        after.toSet === admitted, "replayed epoch duplicated rows")
     } finally q.stop()
   }
 }

@@ -493,6 +493,20 @@ object ScaleProbe {
       runAll("5k", docs, quota = 500)
       t("textpipe_50k_rows")(big.count())
       runAll("50k", big, quota = 5000)
+      // the composed selection pipeline (gate -> resample over the
+      // gated population) and the derived-quota mixture draw at 50k
+      t("textpipe_50k_pipeline_selection") {
+        val gated = graft.operators.Perplexity.perplexityGate(big,
+            col("doc_id"), col("text"), col("source") === "src0",
+            quota = 20000)
+          .select("doc_id")
+        graft.operators.Importance.importanceResample(
+          big.join(gated, Seq("doc_id")), col("doc_id"), col("text"),
+          col("source") === "src0", quota = 5000).count()
+      }
+      t("textpipe_50k_mixture_sample")(
+        graft.operators.Mixture.temperatureSample(big, col("doc_id"),
+          col("source"), budget = 10000).count())
     }
 
     if (which("semdedup-imbalanced")) {
