@@ -116,12 +116,7 @@ object Importance {
                         targetPred: Column, n: Int = 2,
                         buckets: Int = 4096): DataFrame = {
     val counts = gramCounts(docs, id, text, targetPred, n, buckets)
-    val dl = size(split(graft.functions.TextAnalysis.normText(text), " "))
-    val perDoc = when(dl >= n, (dl - lit(n - 1)).cast("long"))
-      .otherwise(0L)
-    val totals = docs.agg(
-      sum(perDoc).as("raw_t"),
-      sum(when(targetPred, perDoc).otherwise(0L)).as("tgt_t"))
+    val totals = gramTotals(docs, id, text, targetPred, n)
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     counts
       // one select, one Window node: chained withColumns interpose a
@@ -189,11 +184,24 @@ object Importance {
     val perBucket = counts.groupBy("bucket")
       .agg(sum(col("cnt")).as("raw_n"),
         sum(when(col("__tgt"), col("cnt")).otherwise(0L)).as("tgt_n"))
-    val totals = perBucket.agg(sum(col("raw_n")).as("raw_t"),
-      sum(col("tgt_n")).as("tgt_t"))
-    perBucket.crossJoin(broadcast(totals))
+    // totals from the cheap NON-exploded scan (integer-identical to
+    // summing perBucket — see importanceWeights), so the heavy count
+    // lineage runs once, not once per aggregate
+    perBucket.crossJoin(broadcast(
+        gramTotals(docs, id, text, targetPred, n)))
       .withColumn("llr", llrCol(buckets))
       .select(col("bucket"), col("llr"), col("raw_t"), col("tgt_t"))
+  }
+
+  /** (raw_t, tgt_t) as one row, from a scan that never explodes:
+    * Σ max(dl − n + 1, 0) IS the corpus gram count. */
+  private def gramTotals(docs: DataFrame, id: Column, text: Column,
+                         targetPred: Column, n: Int): DataFrame = {
+    val dl = size(split(graft.functions.TextAnalysis.normText(text), " "))
+    val perDoc = when(dl >= n, (dl - lit(n - 1)).cast("long"))
+      .otherwise(0L)
+    docs.agg(sum(perDoc).as("raw_t"),
+      sum(when(targetPred, perDoc).otherwise(0L)).as("tgt_t"))
   }
 
   /** Freeze the LLR model: `$path/llr` (bucket, llr) then `$path/meta`
@@ -203,9 +211,11 @@ object Importance {
   def persistLlrModel(docs: DataFrame, id: Column, text: Column,
                       targetPred: Column, path: String, n: Int = 2,
                       buckets: Int = 4096): Unit = {
-    val m = llrModel(docs, id, text, targetPred, n, buckets)
-    m.select("bucket", "llr").write.mode("error").parquet(s"$path/llr")
-    m.limit(1)
+    llrModel(docs, id, text, targetPred, n, buckets)
+      .select("bucket", "llr").write.mode("error").parquet(s"$path/llr")
+    // meta rides the light totals pass — re-selecting from the llr
+    // frame would re-run the heavy count lineage a second time
+    gramTotals(docs, id, text, targetPred, n)
       .select(lit(n).as("n"), lit(buckets).as("buckets"),
         col("raw_t"), col("tgt_t"))
       .write.mode("error").parquet(s"$path/meta")

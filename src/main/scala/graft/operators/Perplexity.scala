@@ -129,7 +129,12 @@ object Perplexity {
                    refPred: Column, path: String): Unit = {
     val model = bigramModel(docs, id, text, refPred)
     model.write.mode("error").parquet(s"$path/model")
-    model.agg((countDistinct(col("w2")) + lit(1L)).as("v"))
+    // v from the WRITTEN bytes, not the model lineage: re-aggregating
+    // `model` would re-run the whole reference explode a second time,
+    // and deriving meta from the committed file also ties it to
+    // exactly what the gate will read
+    docs.sparkSession.read.parquet(s"$path/model")
+      .agg((countDistinct(col("w2")) + lit(1L)).as("v"))
       .write.mode("error").parquet(s"$path/meta")
   }
 
