@@ -1019,8 +1019,14 @@ object SparkEntry {
         s"/graft_sem_idx_${math.abs(dir.hashCode)}"
       Similarity.persistSemanticIndex(emb.where(col("vec_id") % 10 =!= 0),
         idx, kClusters = kmeansK, iters = kmeansIters, deterministic = true)
-      val batch = emb.where(col("vec_id") % 10 === 0)
       val cents = Similarity.readSemanticCentroids(s, idx)
+      // mirror the oracle's bat CTE exactly: degenerate (null /
+      // null-element / wrong-dim) batch vectors have no assignable
+      // cluster and are excluded from the output, not emitted with a
+      // garbage assignment
+      val batch = emb.where(col("vec_id") % 10 === 0 &&
+        Similarity.wellFormed(col("embedding")) &&
+        size(col("embedding")) === cents.head.length)
       val matches = Similarity
         .probeSemanticIndex(batch, idx, semdedupThreshold)
         .groupBy("batch_id")
@@ -1764,6 +1770,8 @@ object SparkEntry {
        |bat AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL
        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |    AND len(embedding) = (SELECT len(embedding) FROM embeddings
+       |      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1)
        |    AND vec_id % 10 = 0),
        |bsc AS (SELECT bat.vec_id, $fin.cluster,
        |    ${centCosSql("bat", fin)} AS cos

@@ -394,24 +394,15 @@ case class PqEncodeL2(child: Expression, codebook: Array[Array[Array[Double]]])
     var i = 0
     while (ok && i < m * dsub) { ok = !x.isNullAt(i); i += 1 }
     if (ok) {
+      val sub = new Array[Double](dsub)
       var s = 0
       while (s < m) {
-        var best = 0
-        var bestD = java.lang.Double.POSITIVE_INFINITY
-        var j = 0
-        while (j < ksub) {
-          var d = 0.0
-          i = 0
-          while (i < dsub) {
-            val diff = x.getFloat(s * dsub + i).toDouble -
-              flat((s * ksub + j) * dsub + i)
-            d += diff * diff
-            i += 1
-          }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
+        i = 0
+        while (i < dsub) {
+          sub(i) = x.getFloat(s * dsub + i).toDouble
+          i += 1
         }
-        codes(s) = best
+        codes(s) = PqEncodeL2.nearestCode(sub, codebook(s))
         s += 1
       }
     }
@@ -460,6 +451,32 @@ case class PqEncodeL2(child: Expression, codebook: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(
       newChild: Expression): PqEncodeL2 = copy(child = newChild)
+}
+
+object PqEncodeL2 {
+  /** The ONE L2² argmin over one subspace: ascending-index sequential
+    * fold of squared differences, first-minimum (= lowest-code)
+    * tie-break. `Pq.pqTrain`'s sample assignment and the interpreted
+    * eval above both call this, so training and corpus encoding can
+    * never drift (`doGenCode` transcribes the same statements; the
+    * codegen ≡ interpreted equality is spec-pinned). */
+  def nearestCode(v: Array[Double], codes: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = java.lang.Double.POSITIVE_INFINITY
+    var j = 0
+    while (j < codes.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i) - codes(j)(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
 }
 
 /** PQ reconstruction (the decode half of asymmetric distance computation):

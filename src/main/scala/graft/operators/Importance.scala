@@ -44,11 +44,11 @@ import org.apache.spark.sql.functions._
   */
 object Importance {
 
-  private def hexPrefix4(h: Column): Column =
-    conv(substring(h, 1, 4), 16, 10).cast("int")
+  // the ONE md5-hex-prefix draw, shared with the sharder (see the
+  // Shard.hexPrefix4 scaladoc for the uniformity argument)
+  private def hexPrefix4(h: Column): Column = Shard.hexPrefix4(h)
 
-  private def hexPrefix8(h: Column): Column =
-    conv(substring(h, 1, 8), 16, 10).cast("long")
+  private def hexPrefix8(h: Column): Column = Shard.hexPrefix8(h)
 
   /** (doc_id, bucket, cnt): hashed n-gram bucket counts per document —
     * the integer-exact feature frame behind the weights (public so the

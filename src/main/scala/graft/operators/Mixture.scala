@@ -62,20 +62,26 @@ object Mixture {
   /** The selected rows: (id-named-as-input, domain, rk) — the first
     * `quota_d` documents of each domain in `(md5(id), id)` order.
     *
-    * The quota table is collected (|domains| rows — the same bounded
-    * driver-state budget as the k-means centroids) so the rank filter
-    * can run in two steps: `rk <= max(quota)` as a LITERAL — the form
-    * WindowGroupLimit turns into a partial per-partition top-k BEFORE
-    * the domain exchange (a quota-column comparison from a join defeats
-    * it, leaving a full per-domain sort) — then the exact per-domain
-    * cut against the broadcast quotas. */
+    * The quota table is collected ONCE (|domains| rows — the same
+    * bounded driver-state budget as the k-means centroids): max(quota)
+    * and the broadcast join side are both rebuilt from the collected
+    * rows, so the corpus-wide count aggregate behind the quotas runs a
+    * single time. The rank filter then runs in two steps:
+    * `rk <= max(quota)` as a LITERAL — the form WindowGroupLimit turns
+    * into a partial per-partition top-k BEFORE the domain exchange (a
+    * quota-column comparison from a join defeats it, leaving a full
+    * per-domain sort) — then the exact per-domain cut against the
+    * broadcast quotas. */
   def temperatureSample(docs: DataFrame, id: Column, domain: Column,
                         budget: Long, alpha: Double = 0.5): DataFrame = {
-    val quotas = temperatureQuotas(docs, domain, budget, alpha)
+    val spark = docs.sparkSession
+    val quotaTbl = temperatureQuotas(docs, domain, budget, alpha)
       .select(col("domain"), col("quota"))
-    val maxQ = quotas.agg(max(col("quota"))).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
-      .getOrElse(0L)
+    val quotaRows = quotaTbl.collect()
+    val quotas = spark.createDataFrame(
+      java.util.Arrays.asList(quotaRows: _*), quotaTbl.schema)
+    val maxQ =
+      if (quotaRows.isEmpty) 0L else quotaRows.map(_.getLong(1)).max
     val idName = docs.select(id).columns.head
     val ranked = docs
       .select(id.as(idName), domain.as("domain"))

@@ -104,25 +104,15 @@ object Pq {
     Codebook(cents)
   }
 
-  /** Ascending-index sequential L2² fold + lowest-code tie-break — the
-    * same arithmetic `PqEncodeL2` runs per row. */
+  /** Sample-row assignment during training — delegates to the ONE
+    * shared argmin (`PqEncodeL2.nearestCode`, the arithmetic the corpus
+    * encoder runs per row) so the two can never drift. */
   private def nearestCode(v: Array[Float], off: Int, dsub: Int,
                           cs: Array[Array[Double]]): Int = {
-    var best = 0
-    var bestD = java.lang.Double.POSITIVE_INFINITY
-    var j = 0
-    while (j < cs.length) {
-      var d = 0.0
-      var i = 0
-      while (i < dsub) {
-        val diff = v(off + i).toDouble - cs(j)(i)
-        d += diff * diff
-        i += 1
-      }
-      if (d < bestD) { bestD = d; best = j }
-      j += 1
-    }
-    best
+    val sub = new Array[Double](dsub)
+    var i = 0
+    while (i < dsub) { sub(i) = v(off + i).toDouble; i += 1 }
+    graft.functions.PqEncodeL2.nearestCode(sub, cs)
   }
 
   /** Non-null, no null elements, exactly `dim` long — the rows PQ can

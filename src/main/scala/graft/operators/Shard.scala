@@ -39,9 +39,18 @@ object Shard {
     * divides 16; over 65536 values the worst-case bias is nShards/65536,
     * negligible for any practical shard count (DuckDB mirror: the
     * strpos-per-char base-16 expansion, see the q_train_shuffle
-    * oracle). */
-  private def hexPrefix(h: org.apache.spark.sql.Column) =
+    * oracle). The ONE Scala definition of the draw — `Importance`'s
+    * feature bucketing shares it, like the SQL side shares one
+    * hexPrefixSql — so a widening (e.g. raising the bucket caps the
+    * require messages mention) can never desynchronize operators that
+    * must agree on the bucketing. */
+  private[operators] def hexPrefix4(h: org.apache.spark.sql.Column) =
     conv(substring(h, 1, 4), 16, 10).cast("int")
+
+  /** Eight-hex-digit variant (0..2³²−1, as long) — the wider draw
+    * behind `Importance.importanceResample`'s uniform. */
+  private[operators] def hexPrefix8(h: org.apache.spark.sql.Column) =
+    conv(substring(h, 1, 8), 16, 10).cast("long")
 
   /** `(idCol, shard, pos)` for every input row: a deterministic
     * permutation of the corpus, cut into `nShards` shards with a
@@ -51,11 +60,11 @@ object Shard {
                     idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1 && nShards <= 4096,
       s"trainingOrder: nShards=$nShards out of [1,4096] — four md5 hex " +
-        "digits drive the shard draw; widen hexPrefix before raising " +
+        "digits drive the shard draw; widen hexPrefix4 before raising " +
         "the cap")
     val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
     val keyed = docs.select(col(idCol), key.as("__key"))
-      .withColumn("shard", hexPrefix(col("__key")) % nShards)
+      .withColumn("shard", hexPrefix4(col("__key")) % nShards)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__key"), col(idCol))
     keyed
@@ -84,7 +93,7 @@ object Shard {
       .orderBy(col("__key"), col(idCol))
     docs
       .withColumn("__key", key)
-      .withColumn("shard", hexPrefix(col("__key")) % nShards)
+      .withColumn("shard", hexPrefix4(col("__key")) % nShards)
       .withColumn("pos", row_number().over(w))
       .drop("__key")
       .repartition(nShards, col("shard"))

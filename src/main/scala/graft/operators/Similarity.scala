@@ -55,7 +55,7 @@ object Similarity {
     * collect) while the scale-mode partial `avg`/`sum` silently SKIPS
     * null cells, so the two modes would diverge; the SQL oracles carry
     * the same `list_filter` predicate. */
-  private[operators] def wellFormed(emb: Column): Column =
+  private[graft] def wellFormed(emb: Column): Column =
     emb.isNotNull && !exists(emb, _.isNull)
 
   /** Deterministic id-ordered sequential fold Σ value per key group —
@@ -750,7 +750,11 @@ object Similarity {
     *  - `vectors/`  — (id, emb, nrm, cluster): every usable corpus
     *    vector with its precomputed norm and cluster assignment (the
     *    "inverted lists" a probe joins against; cluster is the shuffle/
-    *    join key, so probes touch only the clusters they route to);
+    *    join key, so probes touch only the clusters they route to),
+    *    PARTITIONED BY `ingest_batch = -1` (the corpus build) — the
+    *    same layout `semanticGateBatch` appends its epochs under, so a
+    *    gate pointed at a batch-built index keeps every file at ONE
+    *    directory depth (mixed depths make the whole tree unreadable);
     *  - `centroids/` — (cluster, cent): the k×dim coarse quantizer;
     *  - `meta/`     — (k, dim), written LAST (same commit-order
     *    contract as the minhash index: data before meta, so a
@@ -774,12 +778,21 @@ object Similarity {
     val cents = kMeansCentroids(corpus, kClusters, iters, idCol, embCol,
       deterministic, tol, seeding)
     assignedFrame(corpus, idCol, embCol, cents)
-      .write.mode("overwrite").parquet(s"$path/vectors")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$path/vectors")
     cents.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }
       .toDF("cluster", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((cents.length, cents.head.length)).toDF("k", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the same commit marker the gate writes, so a gate pointed at this
+    // index reads it as committed on any committer (not just those that
+    // leave meta/_SUCCESS behind)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED"), false).close()
   }
 
   /** (id, emb, nrm, cluster) under the given centroids — the persisted

@@ -104,6 +104,30 @@ class SemanticIndexSpec extends SparkTestBase {
         semEpoch0.toDF("vec_id", "embedding"), 3L))
   }
 
+  test("semanticGateBatch composes with a persistSemanticIndex base: " +
+    "appended epochs keep one partition depth and the index stays " +
+    "readable") {
+    val idx = tmp("compose")
+    Similarity.persistSemanticIndex(corpus, idx, kClusters = 2, iters = 2)
+    // the batch-built index reads as committed (marker, not just the
+    // committer's _SUCCESS), so the gate probes instead of re-training
+    assert(hadoopFs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/meta/_GRAFT_COMMITTED")))
+    val gate = Similarity.semanticGateBatch(idx, kClusters = 2, iters = 2,
+      threshold = 0.95) _
+    gate(semEpoch1.toDF("vec_id", "embedding"), 0L)
+    // 10 dups corpus 1/2 -> dropped; 11 novel -> admitted; 12 survives
+    // its in-batch dup 13. Before vectors/ was partition-aligned, this
+    // very read died with conflicting directory structures.
+    assert(indexIds(idx) === Set(1L, 2L, 3L, 4L, 11L, 12L))
+    // a second epoch probes the GROWN index: a dup of 11 is now gated
+    gate(Seq((20L, Array(0f, 0f, 10f))).toDF("vec_id", "embedding"), 1L)
+    assert(indexIds(idx) === Set(1L, 2L, 3L, 4L, 11L, 12L))
+    // replay of epoch 0 rewrites its own partition, nothing dupes
+    gate(semEpoch1.toDF("vec_id", "embedding"), 0L)
+    assert(indexIds(idx) === Set(1L, 2L, 3L, 4L, 11L, 12L))
+  }
+
   test("semanticGateBatch crash injection: uncommitted meta " +
     "re-bootstraps; committed meta is never rewritten") {
     import org.apache.hadoop.fs.Path
