@@ -627,6 +627,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination: the embedding-side mirror of
+    // q_decontaminate — catches paraphrased leakage sharing no n-grams
+    // with the benchmark. Benchmark = vec_id % 20 == 0 (broadcast build
+    // side), corpus streams; every corpus row is emitted so clean rows
+    // (n_matched = 0) stay observable.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticContaminationScores(
+          emb.where(col("vec_id") % 20 =!= 0),
+          emb.where(col("vec_id") % 20 === 0), threshold = 0.30)
+        .orderBy("vec_id")
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), col("doc_id"),
           col("text"), threshold = 0.6, k = 128, bands = 32)
@@ -844,6 +857,25 @@ object SparkEntry {
       graft.functions.Retrieval.bm25TopK(Tables.documents(s, dir),
         col("doc_id"), col("text"), Seq("spark", "join", "window"),
         k = 20)),
+
+    // hybrid retrieval: the lexical BM25 list and the semantic cosine
+    // list (probe = embedding 0; vec_id ≡ doc_id in this corpus) fused
+    // by reciprocal rank — rank positions, not raw scores, are what is
+    // comparable across retrievers. Both lists cut at 50, fusion cut
+    // at 20; the tag-ordered fold makes the fused score hash-exact.
+    "q_retrieval_rrf" -> ((s, dir) => {
+      val lex = graft.functions.Retrieval.bm25TopK(Tables.documents(s, dir),
+          col("doc_id"), col("text"), Seq("spark", "join", "window"),
+          k = 50)
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") === 0), k = 50)
+        .select(col("nbr_id").as("doc_id"), col("rank"))
+      graft.functions.Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+          k = 20)
+        .orderBy("rank")
+    }),
 
     // DSIR hashed-bigram feature frame (integer-exact: pins the md5
     // bucket draw and the gram multiset on a bounded doc slice)
@@ -1757,6 +1789,37 @@ object SparkEntry {
        |FROM embeddings v2 LEFT JOIN comp c ON v2.vec_id = c.vec_id
        |ORDER BY v2.vec_id""".stripMargin
 
+  /** The BM25 ranking chain (nrm → dd → st → tok → tf → wdf → sc → agg
+    * → rk) without the WITH keyword or a final SELECT, shared by
+    * q_text_bm25 (cut at rank 20) and q_retrieval_rrf (cut at rank 50
+    * before fusion). `rk` ranks EVERY matching document; consumers cut.
+    * k1 = 1.2 must be CAST to DOUBLE: DuckDB's bare 1.2 is DECIMAL,
+    * and (tf * (1.2 + 1.0)) in exact decimal rounds to double ONCE
+    * where the engine's double ops round per-step — a 1-ulp score
+    * split (0.5/0.75/0.25 are binary-exact either way). */
+  private def bm25RankCtes: String =
+    s"""nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
+       |dd AS (SELECT doc_id, string_split(t, ' ') AS ws,
+       |         len(string_split(t, ' ')) AS dl FROM nrm),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+       |tok AS (SELECT doc_id, dl, unnest(ws) AS tok FROM dd),
+       |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok
+       |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+       |wdf AS (SELECT doc_id, dl, tok, tf,
+       |          count(*) OVER (PARTITION BY tok) AS df FROM tf),
+       |sc AS (SELECT doc_id, dl, tok,
+       |         (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+       |           * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+       |           / (tf + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75)
+       |               + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+       |           AS s
+       |       FROM wdf, st),
+       |agg AS (SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,
+       |          list_sum(list(s ORDER BY tok)) AS score
+       |        FROM sc GROUP BY 1, 2),
+       |rk AS (SELECT doc_id, dl, n_terms, score, row_number() OVER (
+       |         ORDER BY score DESC, doc_id ASC) AS rank FROM agg)""".stripMargin
+
   /** q_embed_incremental oracle: the kmeans chain trained on the corpus
     * slice, the batch assigned against the FINAL centroids (the SQL
     * mirror of probing persisted centroids), exact cosine restricted to
@@ -2308,6 +2371,38 @@ object SparkEntry {
          |LEFT JOIN m USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // semantic decontamination: cross cosine of every well-formed
+    // corpus embedding against the benchmark slice, count + max over
+    // matches, every corpus row kept via the left join (max is
+    // order-independent over bit-identical cos values, so max_cos
+    // itself hash-matches)
+    "q_decontaminate_semantic" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id % 20 <> 0),
+        |b AS (SELECT embedding FROM embeddings
+        |      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL
+        |        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |cw AS (SELECT vec_id, embedding FROM c
+        |       WHERE embedding IS NOT NULL
+        |         AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |s AS (SELECT cw.vec_id,
+        |        list_sum(list_transform(range(1, len(cw.embedding) + 1),
+        |          i -> CAST(cw.embedding[i] AS DOUBLE)
+        |            * CAST(b.embedding[i] AS DOUBLE)))
+        |        / nullif(
+        |          sqrt(list_sum(list_transform(cw.embedding,
+        |            x -> CAST(x AS DOUBLE) * x)))
+        |          * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> CAST(x AS DOUBLE) * x))),
+        |          0) AS cos
+        |      FROM cw, b),
+        |m AS (SELECT vec_id, count(*) AS n_matched, max(cos) AS max_cos
+        |      FROM s WHERE cos >= 0.3 GROUP BY 1)
+        |SELECT c.vec_id, CAST(coalesce(m.n_matched, 0) AS BIGINT)
+        |    AS n_matched, m.max_cos
+        |FROM c LEFT JOIN m USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
+
     // the exact chain again + TRUE for the contract column: the engine
     // side computes bloom_superset from the real Bloom probe, and a
     // false negative anywhere breaks the hash
@@ -2404,37 +2499,48 @@ object SparkEntry {
     // BM25 with the rational idf (N−df+0.5)/(df+0.5): every double op
     // mirrors Retrieval.bm25TopK's expression order exactly, the
     // per-doc sum is list_sum(list(s ORDER BY tok)) = the engine's
-    // term-ordered fold, so the score itself hash-matches
+    // term-ordered fold, so the score itself hash-matches (chain shared
+    // with q_retrieval_rrf via bm25RankCtes)
     "q_text_bm25" ->
-      s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
-         |dd AS (SELECT doc_id, string_split(t, ' ') AS ws,
-         |         len(string_split(t, ' ')) AS dl FROM nrm),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
-         |tok AS (SELECT doc_id, dl, unnest(ws) AS tok FROM dd),
-         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok
-         |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
-         |wdf AS (SELECT doc_id, dl, tok, tf,
-         |          count(*) OVER (PARTITION BY tok) AS df FROM tf),
-         |sc AS (SELECT doc_id, dl, tok,
-         |         -- k1 = 1.2 must be CAST to DOUBLE: DuckDB's bare 1.2
-         |         -- is DECIMAL, and (tf * (1.2 + 1.0)) in exact decimal
-         |         -- rounds to double ONCE where the engine's double ops
-         |         -- round per-step — a 1-ulp score split (0.5/0.75/0.25
-         |         -- are binary-exact either way)
-         |         (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
-         |           * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
-         |           / (tf + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75)
-         |               + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
-         |           AS s
-         |       FROM wdf, st),
-         |agg AS (SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,
-         |          list_sum(list(s ORDER BY tok)) AS score
-         |        FROM sc GROUP BY 1, 2),
-         |rk AS (SELECT doc_id, dl, n_terms, score, row_number() OVER (
-         |         ORDER BY score DESC, doc_id ASC) AS rank FROM agg)
+      s"""WITH $bm25RankCtes
          |SELECT doc_id, CAST(dl AS INTEGER) AS dl, n_terms, score,
          |  CAST(rank AS INTEGER) AS rank
          |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // RRF hybrid retrieval: the BM25 chain (top-50) and the brute-force
+    // cosine chain for probe 0 (top-50) each contribute
+    // 1.0/(60 + rank); the per-doc sum is a tag-ordered fold
+    // (list_sum(list(x ORDER BY src)) ≡ the engine's array_sort fold),
+    // so the fused score hash-matches bit-for-bit
+    "q_retrieval_rrf" ->
+      s"""WITH $bm25RankCtes,
+         |lex AS (SELECT doc_id, rank FROM rk WHERE rank <= 50),
+         |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |      WHERE vec_id = 0),
+         |cc AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+         |sv AS (SELECT pid, nid,
+         |        list_sum(list_transform(range(1, len(ce) + 1),
+         |          i -> CAST(ce[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+         |        / nullif(
+         |          sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x)))
+         |          * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * x))),
+         |          0) AS cos
+         |      FROM cc, p WHERE nid <> pid),
+         |semr AS (SELECT nid AS doc_id, row_number() OVER (
+         |           ORDER BY cos DESC, nid ASC) AS rank FROM sv),
+         |sem AS (SELECT doc_id, rank FROM semr WHERE rank <= 50),
+         |u AS (SELECT doc_id, 'lex' AS src,
+         |        CAST(1.0 AS DOUBLE) / (60 + rank) AS x FROM lex
+         |      UNION ALL
+         |      SELECT doc_id, 'sem' AS src,
+         |        CAST(1.0 AS DOUBLE) / (60 + rank) AS x FROM sem),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |         list_sum(list(x ORDER BY src)) AS score
+         |       FROM u GROUP BY 1),
+         |fr AS (SELECT doc_id, n_lists, score, row_number() OVER (
+         |         ORDER BY score DESC, doc_id ASC) AS rank FROM ag)
+         |SELECT doc_id, n_lists, score, CAST(rank AS INTEGER) AS rank
+         |FROM fr WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // DSIR hashed-bigram features: md5-hex-prefix bucket draw, integer
     // counts — exact on any engine

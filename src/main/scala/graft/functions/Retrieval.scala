@@ -87,4 +87,53 @@ object Retrieval {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id").asc)))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009: RRF
+    * outperforms Condorcet and individual-rank learning) — the standard
+    * way to combine a lexical and a semantic ranking without score
+    * calibration: each input ranking contributes 1/(kRrf + rank) for a
+    * document it ranked, and documents are re-ranked by the summed
+    * contribution. Rank positions are comparable across retrievers
+    * where raw scores (BM25 vs cosine) never are, which is why hybrid
+    * search engines fuse on ranks.
+    *
+    * Inputs are (tag, ranking) pairs, each ranking a frame carrying
+    * `idCol` and `rankCol` (1-based; `bm25TopK` and the ANN top-k
+    * family all emit exactly that shape). Tags must be distinct — the
+    * per-document sum is a TAG-ORDERED sequential fold (the engine's
+    * standard bit-reproducible sum over a small keyed set), so a DuckDB
+    * oracle replays the score to the bit with
+    * `list_sum(list(x ORDER BY src))`.
+    *
+    * Scale posture: the inputs are already top-k frames (bounded —
+    * k rows per retriever), so the union + groupBy is driver-trivial
+    * at any corpus scale; the heavy lifting happened inside the input
+    * retrievers. Output: (idCol, n_lists, score, rank), rank 1..k by
+    * (score desc, id asc). */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int,
+              kRrf: Int = 60, idCol: String = "doc_id",
+              rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no input rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"rrfFuse: duplicate ranking tags in ${rankings.map(_._1)} — the " +
+        "tag orders the per-document fold and must identify its list")
+    require(k > 0 && kRrf > 0, s"rrfFuse: k=$k, kRrf=$kRrf")
+    val tagged = rankings.map { case (tag, r) =>
+      r.select(col(idCol),
+        lit(tag).as("__src"),
+        (lit(1.0) / (lit(kRrf).cast("double") + col(rankCol)))
+          .as("__x"))
+    }.reduce(_ unionByName _)
+    tagged
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lists"),
+        aggregate(array_sort(collect_list(struct(col("__src"),
+            col("__x")))), lit(0.0),
+          (acc, s) => acc + s.getField("__x")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol).asc)))
+  }
 }

@@ -1023,4 +1023,109 @@ object Similarity {
     }.toDF("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
+
+  /** SEMANTIC benchmark decontamination — the embedding-side mirror of
+    * `Dedup.contaminationScores`: for EVERY corpus embedding, how many
+    * benchmark embeddings it near-duplicates (cos >= threshold) and the
+    * best such cosine (null when clean). Shingle decontamination
+    * catches verbatim leakage; this catches paraphrased/translated
+    * leakage that shares no n-grams with the benchmark — the modern
+    * eval-contamination concern.
+    *
+    * Execution shape: the BENCHMARK is the build side — eval sets are
+    * small by nature — collected to the driver and broadcast as plain
+    * JVM arrays (the `cosineNearDupPairs` kernel rationale: a dense
+    * numeric scan beats a BroadcastNestedLoopJoin's per-row array
+    * copies), and the corpus STREAMS through one mapPartitions pass:
+    * no shuffle anywhere, cost = |corpus| × |bench| fused dot products,
+    * embarrassingly parallel at any corpus scale. The same bytes guard
+    * as `cosineNearDupPairs` refuses a non-broadcastable benchmark and
+    * names the alternative: persist the corpus as a semantic index and
+    * probe it with the benchmark (`persistSemanticIndex` /
+    * `probeSemanticIndex` — cluster-routed, both sides unbounded).
+    *
+    * Contract: every corpus row is returned (a decontamination gate
+    * filters on the result — dropping unmatched rows here would make
+    * `n_matched = 0` unobservable). Degenerate corpus vectors (null /
+    * null-element) and zero-norm vectors can never match: n_matched =
+    * 0, max_cos null. Benchmark rows of a different dimension than a
+    * corpus row are skipped for that row (they have no defined cosine).
+    * Arithmetic is the oracle contract: ascending-index sequential
+    * double folds for dot and norms, so a DuckDB oracle hashes the
+    * max_cos value itself. */
+  def semanticContaminationScores(corpus: DataFrame, bench: DataFrame,
+                                  threshold: Double,
+                                  idCol: String = "vec_id",
+                                  embCol: String = "embedding")
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(corpus.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"semanticContaminationScores: id column '$idCol' must be numeric")
+    val maxBuildBytes = 2L << 30
+    val bwf = bench
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .where(wellFormed(col("emb")))
+    probeDimOpt(bench, embCol).foreach { dim =>
+      val rowCap =
+        math.min(Int.MaxValue - 1L, maxBuildBytes / (4L * dim + 64L))
+      val n = bwf.select(col("id")).limit(rowCap.toInt + 1).count()
+      require(n <= rowCap,
+        s"semanticContaminationScores: benchmark exceeds $rowCap rows of " +
+          s"dim-$dim vectors (~${maxBuildBytes >> 30} GiB build side); " +
+          "persist the corpus with persistSemanticIndex and probe it " +
+          "with the benchmark instead")
+    }
+    // benchmark order is irrelevant to the aggregate (count + max), but
+    // sort anyway so partial-failure reruns scan identically
+    val ball = bwf.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bvecs = ball.map(_._2)
+    val bnorms = bvecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((bvecs, bnorms))
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        when(wellFormed(col(embCol)), col(embCol)).as("emb"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (vecs, nrms) = bc.value
+        it.map { case (id, va) =>
+          if (va == null || vecs.isEmpty) (id, 0L, None: Option[Double])
+          else {
+            var na = 0.0; var i = 0
+            while (i < va.length) {
+              na += va(i).toDouble * va(i).toDouble; i += 1
+            }
+            na = math.sqrt(na)
+            var n = 0L
+            var best = Double.NegativeInfinity
+            var j = 0
+            while (j < vecs.length) {
+              val vb = vecs(j)
+              if (vb.length == va.length) {
+                var dot = 0.0; var d = 0
+                while (d < va.length) {
+                  dot += va(d).toDouble * vb(d).toDouble; d += 1
+                }
+                val den = na * nrms(j)
+                if (den != 0.0) {
+                  val cos = dot / den
+                  if (cos >= threshold) {
+                    n += 1
+                    if (cos > best) best = cos
+                  }
+                }
+              }
+              j += 1
+            }
+            (id, n, if (n > 0) Some(best) else None)
+          }
+        }
+      }
+      .toDF(idCol, "n_matched", "max_cos")
+  }
 }

@@ -72,4 +72,46 @@ class RetrievalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(docs, col("doc_id"), col("text"), Seq("x"), 0) }
   }
+
+  test("rrfFuse: hand-computed fusion, single-list docs fuse at their " +
+    "solo contribution, ties break toward the lower id") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val r = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), k = 10)
+      .orderBy("rank")
+      .select("doc_id", "n_lists", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    def c(rank: Int): Double = 1.0 / (60.0 + rank)
+    val expected = Map(
+      10L -> c(1), 20L -> (c(2) + c(1)), 30L -> c(3), 40L -> c(2))
+    assert(r.map(_._1).toSet === expected.keySet)
+    r.foreach { case (id, nl, s, _) =>
+      assert(s === expected(id), s"doc $id")
+      assert(nl === (if (id == 20L) 2L else 1L))
+    }
+    // doc 20 appears in both lists and must outrank every solo doc
+    assert(r.head._1 === 20L)
+    // 10 (solo rank 1) vs 40 (solo rank 2): larger contribution first
+    assert(r.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+    // exact tie (same solo rank in different lists) → lower id first
+    val t = Retrieval.rrfFuse(
+        Seq("a" -> Seq((7L, 1)).toDF("doc_id", "rank"),
+            "b" -> Seq((5L, 1)).toDF("doc_id", "rank")), k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(t.toSeq === Seq(5L, 7L))
+  }
+
+  test("rrfFuse: k truncates, duplicate tags and degenerate params " +
+    "refuse loudly") {
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((4L, 1)).toDF("doc_id", "rank")
+    assert(Retrieval.rrfFuse(Seq("l" -> lex, "s" -> sem), k = 2)
+      .count() === 2)
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("x" -> lex, "x" -> sem), k = 2) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, k = 2) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("l" -> lex), k = 0) }
+  }
 }

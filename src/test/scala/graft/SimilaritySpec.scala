@@ -71,6 +71,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("semanticContaminationScores: every corpus row kept, counts and " +
+    "max over the broadcast benchmark, degenerates can never match") {
+    // benchmark: one vector near corpus 1/2, one null (filtered from
+    // the build side)
+    val bench = Seq(
+      (100L, Array(1f, 0.05f, 0f)),
+      (101L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    // corpus: vecs plus a null-ELEMENT row (degenerate, reported clean)
+    val corpus = vecs.unionByName(Seq(
+      (6L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        array(col("embedding")(0), lit(null).cast("float"),
+          col("embedding")(2)).as("embedding")))
+    val r = Similarity.semanticContaminationScores(corpus, bench,
+        threshold = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "n_matched", "max_cos")
+      .as[(Long, Long, Option[Double])].collect()
+    // ALL six corpus rows come back — clean rows stay observable
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(1L)._2 === 1L && byId(1L)._3.get > 0.99)
+    assert(byId(2L)._2 === 1L)          // 0.9/0.1 vs 1/0.05: cos ≈ 0.93
+    assert(byId(3L)._2 === 0L && byId(3L)._3.isEmpty) // orthogonal
+    assert(byId(4L)._2 === 0L)          // opposite
+    assert(byId(5L)._2 === 0L)          // zero norm never matches
+    assert(byId(6L)._2 === 0L && byId(6L)._3.isEmpty) // null element
+    // empty / all-degenerate benchmark: everything reports clean
+    val clean = Similarity.semanticContaminationScores(corpus,
+        bench.where(col("vec_id") === 101L), threshold = 0.5)
+      .agg(sum(col("n_matched")), count(lit(1)))
+      .as[(Long, Long)].head()
+    assert(clean === ((0L, 6L)))
+    // non-numeric id refused loudly (the broadcast kernel contract)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticContaminationScores(
+        corpus.select(col("vec_id").cast("string").as("vec_id"),
+          col("embedding")), bench, 0.5) }
+    assert(ex.getMessage.contains("numeric"))
+  }
+
   test("ivfTopK: exact on clustered data with nProbe=1; equals brute force " +
     "when nProbe = nCentroids") {
     // three well-separated clusters, 5 vectors each (base + small offset)
