@@ -898,6 +898,22 @@ object SparkEntry {
           col("source"), budget = 300)
         .orderBy("doc_id")),
 
+    // UniMax (budget-capped) mixture over the SKEWED lang column:
+    // ascending-size processing, min(c_d, rem/n_rem) integer fold —
+    // at budget 400 the four tail languages keep all their data (cap
+    // binds) and en absorbs the reclaimed budget (fair-share binds),
+    // so both branches are under the hash. Oracle replays the fold as
+    // a recursive CTE.
+    "q_mixture_unimax" -> ((s, dir) =>
+      Mixture.uniMaxQuotas(Tables.documents(s, dir), col("lang"),
+          budget = 400)
+        .orderBy("domain")),
+
+    "q_mixture_unimax_sample" -> ((s, dir) =>
+      Mixture.uniMaxSample(Tables.documents(s, dir), col("doc_id"),
+          col("lang"), budget = 400)
+        .orderBy("doc_id")),
+
     // CCNet-style bigram LM: the reference-slice model counts are
     // integer-exact — the oracle pins them directly
     "q_perplexity_model" -> ((s, dir) =>
@@ -1789,6 +1805,29 @@ object SparkEntry {
        |FROM embeddings v2 LEFT JOIN comp c ON v2.vec_id = c.vec_id
        |ORDER BY v2.vec_id""".stripMargin
 
+  /** The UniMax quota fold as a recursive CTE, shared by the quota and
+    * sample oracles: `o` numbers domains ascending by (n_docs, domain)
+    * — the operator's exact processing order — and `r` threads the
+    * remaining budget through `quota_i = least(maxEpochs·c_i,
+    * rem // n_remaining)`. Budget 400, maxEpochs 1, domain = lang. */
+  private def uniMaxCtes: String =
+    """WITH RECURSIVE c AS (SELECT lang AS domain, count(*) AS n_docs
+      |           FROM documents GROUP BY 1),
+      |o AS (SELECT domain, n_docs,
+      |        row_number() OVER (ORDER BY n_docs, domain) AS i,
+      |        count(*) OVER () AS nd
+      |      FROM c),
+      |r AS (
+      |  SELECT CAST(0 AS BIGINT) AS i, CAST(400 AS BIGINT) AS rem,
+      |         CAST(NULL AS VARCHAR) AS domain,
+      |         CAST(NULL AS BIGINT) AS n_docs,
+      |         CAST(NULL AS BIGINT) AS quota
+      |  UNION ALL
+      |  SELECT o.i, r.rem - least(o.n_docs, r.rem // (o.nd - o.i + 1)),
+      |         o.domain, o.n_docs,
+      |         least(o.n_docs, r.rem // (o.nd - o.i + 1))
+      |  FROM r JOIN o ON o.i = r.i + 1)""".stripMargin
+
   /** The BM25 ranking chain (nrm → dd → st → tok → tf → wdf → sc → agg
     * → rk) without the WITH keyword or a final SELECT, shared by
     * q_text_bm25 (cut at rank 20) and q_retrieval_rrf (cut at rank 50
@@ -2585,6 +2624,26 @@ object SparkEntry {
         |SELECT r.doc_id, r.domain, CAST(r.rk AS INTEGER) AS rk
         |FROM r JOIN q USING (domain) WHERE r.rk <= q.quota
         |ORDER BY doc_id""".stripMargin,
+
+    // UniMax: the ascending-size sequential fold replayed as a
+    // recursive CTE — rem carries across domains, quota = least(cap,
+    // floor-division fair share), all integer arithmetic
+    "q_mixture_unimax" ->
+      s"""$uniMaxCtes
+         |SELECT domain, n_docs, quota FROM r WHERE i > 0
+         |ORDER BY domain""".stripMargin,
+
+    "q_mixture_unimax_sample" ->
+      s"""$uniMaxCtes,
+         |rk AS (SELECT doc_id, lang AS domain, row_number() OVER (
+         |         PARTITION BY lang
+         |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |       FROM documents)
+         |SELECT rk.doc_id, rk.domain, CAST(rk.rk AS INTEGER) AS rk
+         |FROM rk JOIN (SELECT domain, quota FROM r WHERE i > 0) q
+         |  USING (domain)
+         |WHERE rk.rk <= q.quota
+         |ORDER BY doc_id""".stripMargin,
 
     // bigram LM model table: raw strings + integer counts, context
     // totals as a sum window over the bigram counts — exact on any

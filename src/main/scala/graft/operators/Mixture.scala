@@ -73,13 +73,84 @@ object Mixture {
     * per-domain sort) — then the exact per-domain cut against the
     * broadcast quotas. */
   def temperatureSample(docs: DataFrame, id: Column, domain: Column,
-                        budget: Long, alpha: Double = 0.5): DataFrame = {
+                        budget: Long, alpha: Double = 0.5): DataFrame =
+    rankFill(docs, id, domain, temperatureQuotas(docs, domain, budget,
+      alpha))
+
+  /** UniMax budget-capped quotas (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): process domains ASCENDING by corpus size; each
+    * gets min(maxEpochs · c_d, an equal share of the remaining
+    * budget), and whatever a small domain leaves unused flows forward
+    * to the larger ones. Where the temperature rule oversamples the
+    * tail by a fixed exponent regardless of how much tail data exists,
+    * UniMax caps tail REPETITION at `maxEpochs` and reallocates the
+    * reclaimed budget to head domains — the fairer mixture at a fixed
+    * token budget.
+    *
+    * All arithmetic is INTEGER (floor division, min) — quotas
+    * hash-match any engine exactly, no libm anywhere. The processing
+    * order is (n_docs, domain) ascending with nulls last — exactly the
+    * `row_number() OVER (ORDER BY n_docs, domain)` a SQL oracle
+    * replays (ASCII domain names; exotic collations out of contract).
+    *
+    * Scale posture: one corpus-sized partial+final count; the fold
+    * runs on the collected |domains|-row table (the same bounded
+    * driver-state budget as `temperatureSample`) and the result is a
+    * |domains|-row local relation. A NULL domain gets a quota row;
+    * `uniMaxSample`'s equi-join never matches it — normalize or drop
+    * upstream (the `temperatureQuotas` caveat). */
+  def uniMaxQuotas(docs: DataFrame, domain: Column, budget: Long,
+                   maxEpochs: Int = 1): DataFrame = {
+    require(budget > 0, s"uniMaxQuotas: budget=$budget")
+    require(maxEpochs >= 1, s"uniMaxQuotas: maxEpochs=$maxEpochs")
     val spark = docs.sparkSession
-    val quotaTbl = temperatureQuotas(docs, domain, budget, alpha)
-      .select(col("domain"), col("quota"))
-    val quotaRows = quotaTbl.collect()
+    val counts = docs.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val sorted = counts.collect().sortBy(r =>
+      (r.getLong(1), r.isNullAt(0), String.valueOf(r.get(0))))
+    var rem = budget
+    val n = sorted.length
+    val out = new Array[org.apache.spark.sql.Row](n)
+    var i = 0
+    while (i < n) {
+      val cd = sorted(i).getLong(1)
+      val q = math.min(cd * maxEpochs, rem / (n - i))
+      rem -= q
+      out(i) = org.apache.spark.sql.Row(sorted(i).get(0), cd, q)
+      i += 1
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("domain",
+          counts.schema("domain").dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("quota",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The selected rows under UniMax quotas — the same deterministic
+    * `(md5(id), id)` rank fill as `temperatureSample`. */
+  def uniMaxSample(docs: DataFrame, id: Column, domain: Column,
+                   budget: Long, maxEpochs: Int = 1): DataFrame =
+    rankFill(docs, id, domain, uniMaxQuotas(docs, domain, budget,
+      maxEpochs))
+
+  /** Fill per-domain quotas with the deterministic md5-rank draw. The
+    * quota table is collected ONCE (|domains| rows): max(quota) and
+    * the broadcast join side are both rebuilt from the collected rows,
+    * so the count aggregate behind the quotas runs a single time, and
+    * the `rk <= max(quota)` LITERAL lets WindowGroupLimit plan a
+    * partial per-partition top-k BEFORE the domain exchange (a
+    * quota-column comparison from a join defeats it). */
+  private def rankFill(docs: DataFrame, id: Column, domain: Column,
+                       quotaTbl: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val sel = quotaTbl.select(col("domain"), col("quota"))
+    val quotaRows = sel.collect()
     val quotas = spark.createDataFrame(
-      java.util.Arrays.asList(quotaRows: _*), quotaTbl.schema)
+      java.util.Arrays.asList(quotaRows: _*), sel.schema)
     val maxQ =
       if (quotaRows.isEmpty) 0L else quotaRows.map(_.getLong(1)).max
     val idName = docs.select(id).columns.head

@@ -57,4 +57,57 @@ class MixtureSpec extends SparkTestBase {
       Mixture.temperatureQuotas(docs, col("src"), budget = 10,
         alpha = 1.5) }
   }
+
+  test("uniMaxQuotas: ascending-size fold, caps bind for the tail and " +
+    "the reclaimed budget flows to the head") {
+    // budget 60 across (code 4, books 25, web 100), ascending:
+    //   code:  min(4,  60/3=20) = 4,  rem 56
+    //   books: min(25, 56/2=28) = 25, rem 31
+    //   web:   min(100, 31/1)   = 31  — the reclaimed 16+3 landed here
+    val q = Mixture.uniMaxQuotas(docs, col("src"), budget = 60)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(q === Map("code" -> ((4L, 4L)), "books" -> ((25L, 25L)),
+      "web" -> ((100L, 31L))))
+    // maxEpochs raises the tail cap: code may repeat ×3 = 12
+    val q3 = Mixture.uniMaxQuotas(docs, col("src"), budget = 60,
+        maxEpochs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q3("code") === 12L)     // min(4*3, 20)
+    assert(q3.values.sum === 60L)  // head absorbs the rest exactly
+    // budget below the domain count: floor shares give the earliest
+    // (smallest) domains 0 until the divisor catches up
+    val tiny = Mixture.uniMaxQuotas(docs, col("src"), budget = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tiny === Map("code" -> 0L, "books" -> 1L, "web" -> 1L))
+    intercept[IllegalArgumentException] {
+      Mixture.uniMaxQuotas(docs, col("src"), budget = 0) }
+    intercept[IllegalArgumentException] {
+      Mixture.uniMaxQuotas(docs, col("src"), budget = 10, maxEpochs = 0) }
+  }
+
+  test("uniMaxSample: fill equals quotas per domain, deterministic, " +
+    "null domains are never drawn") {
+    val s = Mixture.uniMaxSample(docs, col("doc_id"), col("src"),
+      budget = 60)
+    val byDomain = s.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain === Map("web" -> 31L, "books" -> 25L, "code" -> 4L))
+    // the web fill is the SAME md5-rank prefix temperatureSample uses
+    val webTemp = Mixture.temperatureSample(docs, col("doc_id"),
+        col("src"), budget = 60)
+      .where(col("domain") === "web").where(col("rk") <= 31)
+      .select("doc_id").as[Long].collect().toSet
+    val webUni = s.where(col("domain") === "web")
+      .select("doc_id").as[Long].collect().toSet
+    assert(webUni === webTemp)
+    // a null domain gets a quota row but is never drawn by the fill
+    val withNull = docs.unionByName(
+      Seq((900L, null.asInstanceOf[String])).toDF("doc_id", "src"))
+    val qn = Mixture.uniMaxQuotas(withNull, col("src"), budget = 60)
+    assert(qn.where(col("domain").isNull).count() === 1)
+    val sn = Mixture.uniMaxSample(withNull, col("doc_id"), col("src"),
+      budget = 60)
+    assert(sn.where(col("doc_id") === 900L).count() === 0)
+  }
 }
