@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Importance, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Sq}
+import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Importance, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -566,6 +566,25 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 100000)
       Dedup.exactDedup(docs.unionByName(dups), col("text"), col("doc_id"))
         .orderBy("fingerprint")
+    }),
+
+    // snapshot diff (build-over-build corpus delta): the "new" build is
+    // derived deterministically from documents — every doc_id % 7 == 0
+    // removed, % 5 == 0 edited, 50 fresh ids appended — so both engines
+    // reconstruct the same two snapshots and the same delta
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val rebuilt = docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string"))
+              .as("text")))
+      Snapshot.diff(docs, rebuilt, "doc_id", Seq("text"))
+        .where(col("status") =!= "unchanged")
+        .orderBy("doc_id")
     }),
 
     // span-level exact dedup (RefinedWeb-style duplicated-span removal):
@@ -2361,6 +2380,29 @@ object SparkEntry {
          |  CAST(min(doc_id) AS BIGINT) AS survivor_id,
          |  CAST(count(*) AS BIGINT) AS n_copies
          |FROM all_docs GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+    // the Spark side compares md5 fingerprints (so only 32 hex chars
+    // shuffle per row); the oracle compares raw text with IS DISTINCT
+    // FROM — equivalent because the fingerprint is null-safe-injective
+    // on the compared payload
+    "q_snapshot_diff" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM docs WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM docs WHERE doc_id < 50),
+        |d AS (
+        |  SELECT coalesce(docs.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN docs.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN docs.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM docs FULL OUTER JOIN n ON docs.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
 
     // first occurrence by (doc_id, span_idx), reassembly by span index;
     // empty results come back as '' (docs never vanish). Generated so the

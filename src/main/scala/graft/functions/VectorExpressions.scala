@@ -329,6 +329,131 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       newChild: Expression): NearestCentroid = copy(child = newChild)
 }
 
+/** The SCORE half of [[NearestCentroid]]: the best cosine similarity a
+  * vector achieves against any centroid, as a double. The k-means‖
+  * seeding rounds need the cost term `1 - bestCos` (how badly the
+  * current candidate set covers each point) to weight the oversampling
+  * draw, and the index-only sibling discards exactly that value.
+  *
+  * Same arithmetic contract as NearestCentroid (ascending-index
+  * sequential double folds, driver-side centroid norms, zero-norm
+  * scored -2.0) so `(NearestCentroid, NearestCentroidScore)` over the
+  * same centroid matrix are the argmax/max pair of one scan.
+  *
+  * Degenerate inputs DIFFER deliberately: a vector whose length
+  * mismatches the centroid dim, or that carries a null element, scores
+  * `1.0` (cost 0) — a degenerate row must never look "uncovered" to the
+  * seeding draw, or it would be oversampled as a candidate seed. The
+  * training path filters them out anyway (`wellFormed` + the dim pin);
+  * this is defense in depth for direct callers.
+  */
+case class NearestCentroidScore(child: Expression,
+                                cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty, "NearestCentroidScore: no centroids")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid_score requires ARRAY<FLOAT> input, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_nearest_centroid_score"
+
+  private def k: Int = cents.length
+  private def dim: Int = cents.head.length
+  private lazy val flat: Array[Double] = {
+    val out = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) {
+      require(cents(j).length == dim,
+        s"NearestCentroidScore: centroid $j has dim ${cents(j).length}, " +
+          s"not $dim")
+      System.arraycopy(cents(j), 0, out, j * dim, dim)
+      j += 1
+    }
+    out
+  }
+  private lazy val cNorms: Array[Double] = cents.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return 1.0
+    var i = 0
+    while (i < dim) { if (x.isNullAt(i)) return 1.0; i += 1 }
+    var nrm = 0.0
+    i = 0
+    while (i < dim) {
+      val e = x.getFloat(i).toDouble; nrm += e * e; i += 1
+    }
+    nrm = math.sqrt(nrm)
+    var bestScore = java.lang.Double.NEGATIVE_INFINITY
+    var j = 0
+    while (j < k) {
+      var dot = 0.0
+      i = 0
+      while (i < dim) {
+        dot += x.getFloat(i).toDouble * flat(j * dim + i); i += 1
+      }
+      val den = nrm * cNorms(j)
+      val score = if (den == 0.0) -2.0 else dot / den
+      if (score > bestScore) bestScore = score
+      j += 1
+    }
+    bestScore
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val fl = ctx.addReferenceObj("cents", flat, "double[]")
+      val cn = ctx.addReferenceObj("cnorms", cNorms, "double[]")
+      val nrm = ctx.freshName("nrm")
+      val el = ctx.freshName("el")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val den = ctx.freshName("den")
+      val sc = ctx.freshName("score")
+      val bestS = ctx.freshName("bestScore")
+      val ok = ctx.freshName("ok")
+      s"""
+         |double $bestS = 1.0;
+         |boolean $ok = $v.numElements() == $dim;
+         |for (int $i = 0; $ok && $i < $dim; $i++) {
+         |  $ok = !$v.isNullAt($i);
+         |}
+         |if ($ok) {
+         |  double $nrm = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $el = (double) $v.getFloat($i);
+         |    $nrm += $el * $el;
+         |  }
+         |  $nrm = java.lang.Math.sqrt($nrm);
+         |  $bestS = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += ((double) $v.getFloat($i)) * $fl[$j * $dim + $i];
+         |    }
+         |    double $den = $nrm * $cn[$j];
+         |    double $sc = ($den == 0.0) ? -2.0 : $dot / $den;
+         |    if ($sc > $bestS) { $bestS = $sc; }
+         |  }
+         |}
+         |${ev.value} = $bestS;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidScore = copy(child = newChild)
+}
+
 /** Product-quantization encoder in ONE codegen'd pass: split the input
   * vector into `m` contiguous subvectors of `dsub` elements and emit, per
   * subspace, the index of the L2-nearest codeword from a driver-trained
@@ -584,6 +709,13 @@ object VectorExpressions {
   def nearestCentroid(emb: Column, cents: Array[Array[Double]]): Column =
     GraftBridge.column(
       NearestCentroid(GraftBridge.expression(emb), cents))
+
+  /** Column form of the best-cosine score (see
+    * [[NearestCentroidScore]]). */
+  def nearestCentroidScore(emb: Column,
+                           cents: Array[Array[Double]]): Column =
+    GraftBridge.column(
+      NearestCentroidScore(GraftBridge.expression(emb), cents))
 
   /** Column form of the PQ encoder (see [[PqEncodeL2]]). */
   def pqEncode(emb: Column, codebook: Array[Array[Array[Double]]]): Column =

@@ -433,11 +433,35 @@ object Similarity {
     *    ties to the earlier sample position. Spread seeds converge in
     *    fewer Lloyd rounds (the BASELINE 100k probe measures it) —
     *    at 100× scale wasted rounds ARE the k-means cost.
+    *  - `Parallel(l, rounds)`: k-means‖ (Bahmani et al., "Scalable
+    *    K-Means++", VLDB 2012) — the DISTRIBUTED seeding for k beyond
+    *    what a driver sample can carry. FarthestPoint picks from a
+    *    4096-row sample, so it cannot produce more than 4096 distinct
+    *    seeds and sees none of the corpus structure outside the sample;
+    *    the Scaladoc of `semanticDedup` recommends kClusters 10k-100k
+    *    at corpus scale, which only this mode can seed. Each of
+    *    `rounds` passes oversamples ~`l` candidates (default 2k)
+    *    cost-weighted by `1 - bestCos` against the candidates so far —
+    *    poorly-covered regions draw more seeds — then one assignment
+    *    pass weights every candidate by its covered-point count and a
+    *    deterministic weighted greedy (argmax weight × min-distance,
+    *    the argmax cousin of weighted k-means++, same RNG-free move as
+    *    FarthestPoint) reduces the ~`rounds·l` candidates to `k` on the
+    *    driver. All randomness is the engine-standard hash draw
+    *    (`md5(id:round)` mapped to [0,1)), so the result is a pure
+    *    function of the corpus — reproducible across runs and cluster
+    *    layouts. Driver state is O(rounds·l·dim), the same envelope as
+    *    the k×dim centroid matrix it exists to initialize.
     */
   sealed trait KMeansSeeding
   object KMeansSeeding {
     case object HashOrder extends KMeansSeeding
     case object FarthestPoint extends KMeansSeeding
+    /** `l` = expected candidates drawn per round (0 → `2·k`);
+      * `rounds` = oversampling passes (Bahmani: O(log φ₀), ~5 in
+      * practice). */
+    final case class Parallel(l: Int = 0, rounds: Int = 5)
+        extends KMeansSeeding
   }
 
   /** Centroids + the number of Lloyd rounds actually run (< `iters`
@@ -486,6 +510,7 @@ object Similarity {
           .select(col("emb")).collect()
           .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       case KMeansSeeding.FarthestPoint => farthestPointSeeds(slim, k)
+      case p: KMeansSeeding.Parallel => parallelSeeds(slim, k, p)
     }
     require(seeds.nonEmpty, "kMeans: no non-null embedding rows")
     var cents = seeds
@@ -578,6 +603,108 @@ object Similarity {
       }
     }
     chosen.map(sample(_)).toArray
+  }
+
+  /** k-means‖ candidate oversampling + weighted driver reduction (see
+    * `KMeansSeeding.Parallel`). Reference shape: Bahmani et al. 2012
+    * §3.3, with two engine-standard substitutions — the per-point coin
+    * flip is the deterministic hash draw `md5(id:round) → [0,1)`, and
+    * the final weighted k-means++ over candidates is its argmax cousin
+    * (pick argmax weight·minDist instead of sampling ∝ weight·minDist²),
+    * so no RNG enters the result.
+    *
+    * Cost shape per round: ONE aggregate for the potential
+    * φ = Σ (1 - bestCos(x, C)) and ONE filtered collect for the drawn
+    * candidates, both through the codegen'd `NearestCentroidScore` —
+    * the corpus is scanned O(rounds) times and nothing wider than
+    * (id, emb) shuffles. The draw is capped at 8·l rows per round
+    * (hash-ordered limit): E[draw] = l, so the cap only fires on
+    * pathological cost concentration, where it degrades spread, not
+    * correctness. A round whose φ reaches 0 (candidates already cover
+    * every point exactly) stops early — further draws cannot fire. */
+  private def parallelSeeds(slim: DataFrame, k: Int,
+                            cfg: KMeansSeeding.Parallel)
+      : Array[Array[Double]] = {
+    require(cfg.rounds > 0, s"kMeans‖: rounds=${cfg.rounds}")
+    require(cfg.l >= 0, s"kMeans‖: l=${cfg.l}")
+    val l = if (cfg.l > 0) cfg.l else 2 * k
+    val first = slim.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(1).select(col("emb")).collect()
+    if (first.isEmpty) return Array.empty
+    val cands = scala.collection.mutable.ArrayBuffer(
+      first.head.getSeq[Float](0).toArray.map(_.toDouble))
+    var r = 0
+    var covered = false
+    while (r < cfg.rounds && !covered) {
+      val cost = lit(1.0) - graft.functions.VectorExpressions
+        .nearestCentroidScore(col("emb"), cands.toArray)
+      val phi = slim.agg(sum(cost)).collect().head.getDouble(0)
+      if (phi <= 0.0) covered = true
+      else {
+        // 60-bit hash → uniform [0,1): first 15 hex digits of
+        // md5(id:round) over 2^60
+        val u = conv(substring(md5(concat_ws(":",
+          col("id").cast("string"), lit(r.toString))), 1, 15), 16, 10)
+          .cast("long") / lit(1.152921504606846976e18)
+        val drawn = slim
+          .where(u < lit(l.toDouble) * cost / lit(phi))
+          .orderBy(md5(col("id").cast("string")), col("id"))
+          .limit(8 * l)
+          .select(col("emb")).collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        cands ++= drawn
+        r += 1
+      }
+    }
+    val candArr = cands.toArray
+    if (candArr.length <= k) return candArr
+    // weight = covered-point count under the full candidate set: one
+    // assignment pass, ≤ |cands| rows back to the driver
+    val weightRows = slim
+      .select(assignExpr(col("emb"), candArr).as("c"))
+      .groupBy("c").count().collect()
+    val w = new Array[Double](candArr.length)
+    weightRows.foreach(row => w(row.getInt(0)) = row.getLong(1).toDouble)
+    // deterministic weighted greedy reduction to k seeds
+    val norms = candArr.map(v => math.sqrt(v.map(x => x * x).sum))
+    def cosDist(i: Int, j: Int): Double = {
+      val den = norms(i) * norms(j)
+      if (den == 0.0) 0.0
+      else {
+        var d = 0.0; var t = 0
+        val a = candArr(i); val b = candArr(j)
+        while (t < a.length) { d += a(t) * b(t); t += 1 }
+        1.0 - d / den
+      }
+    }
+    val n = candArr.length
+    val taken = new Array[Boolean](n)
+    var h = 0
+    var i = 1
+    while (i < n) { if (w(i) > w(h)) h = i; i += 1 }
+    taken(h) = true
+    val chosen = scala.collection.mutable.ArrayBuffer(h)
+    val minDist = Array.tabulate(n)(j => cosDist(j, h))
+    while (chosen.length < k) {
+      var best = -1; var bestS = -1.0
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val s = w(j) * minDist(j)
+          if (s > bestS) { bestS = s; best = j }
+        }
+        j += 1
+      }
+      taken(best) = true
+      chosen += best
+      var t = 0
+      while (t < n) {
+        val d = cosDist(t, best)
+        if (d < minDist(t)) minDist(t) = d
+        t += 1
+      }
+    }
+    chosen.map(candArr(_)).toArray
   }
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means the

@@ -516,4 +516,96 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.lshBucket(allNull, "embedding", 4)
       .select("bucket").as[Option[Long]].collect() === Array(None))
   }
+
+  test("NearestCentroidScore is the max of the composed cosines and the " +
+    "argmax/max pair of NearestCentroid; degenerate inputs score 1.0") {
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val rows = Seq(
+      (1L, Array(2f, 1f, 0f)),           // best vs centroid 0
+      (2L, Array(0f, 3f, 4f)),           // best vs centroid 1
+      (3L, Array(0f, 0f, 0f)),           // zero norm: every cos = -2
+      (4L, Array(1f, 1f)),               // dim mismatch -> 1.0
+      (5L, Array(1f, null.asInstanceOf[Float], 0f))
+    ).toDF("vec_id", "embedding")
+      // row 5's null element must survive into the array
+      .withColumn("embedding",
+        when(col("vec_id") === 5L,
+          array(lit(1f), lit(null).cast("float"), lit(0f)))
+          .otherwise(col("embedding")))
+    val got = rows.select(col("vec_id"),
+        graft.functions.VectorExpressions
+          .nearestCentroidScore(col("embedding"), cents).as("s"),
+        graft.functions.VectorExpressions
+          .nearestCentroid(col("embedding"), cents).as("c"))
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    def cos(v: Array[Double], c: Array[Double]): Double = {
+      val den = math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(c.map(x => x * x).sum)
+      if (den == 0.0) -2.0 else v.zip(c).map { case (a, b) => a * b }.sum / den
+    }
+    assert(math.abs(got(1L)._1 -
+      cos(Array(2.0, 1.0, 0.0), cents(0))) < 1e-12)
+    assert(got(1L)._2 === 0)
+    assert(math.abs(got(2L)._1 -
+      cos(Array(0.0, 3.0, 4.0), cents(1))) < 1e-12)
+    assert(got(2L)._2 === 1)
+    assert(got(3L)._1 === -2.0)  // zero norm scores -2 against everything
+    assert(got(4L)._1 === 1.0)   // dim mismatch: covered, never oversampled
+    assert(got(5L)._1 === 1.0)   // null element: same
+    // null array -> null score (UnaryExpression null propagation)
+    val nullRow = Seq(Tuple1(null.asInstanceOf[Array[Float]]))
+      .toDF("embedding")
+    assert(nullRow.select(graft.functions.VectorExpressions
+        .nearestCentroidScore(col("embedding"), cents).as("s"))
+      .as[Option[Double]].head().isEmpty)
+  }
+
+  test("kMeans parallel (k-means‖) seeding: deterministic, one-round " +
+    "recovery on separated clusters, candidate shrink mirrors the other " +
+    "seedings") {
+    val bases = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f))
+    val clustered = (0 until 18).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.zipWithIndex.map { case (x, d) =>
+        x + (if (d == 3) 0.05f * (i / 3 + 1) else 0f) })
+    }.toDF("vec_id", "embedding")
+    val par = Similarity.KMeansSeeding.Parallel(l = 6, rounds = 3)
+    // the weighted reduction lands one seed per true mode => a single
+    // Lloyd round recovers the structure, exactly like FarthestPoint
+    val oneRound = Similarity.kMeans(clustered, k = 3, iters = 1,
+        seeding = par)
+      .as[(Long, Int)].collect().toMap
+    val grouped = (0 until 18).groupBy(_ % 3)
+      .map { case (_, ids) => ids.map(i => oneRound(i.toLong)).toSet }
+    assert(grouped.forall(_.size === 1), s"split a true cluster: $oneRound")
+    assert(grouped.reduce(_ ++ _).size === 3, s"merged clusters: $oneRound")
+    // hash-draw randomness is a pure function of the corpus: identical
+    // centroids run-to-run AND partitioning-invariant
+    val c1 = Similarity.kMeansCentroids(clustered, k = 3, iters = 2,
+      seeding = par)
+    val c2 = Similarity.kMeansCentroids(clustered.repartition(7), k = 3,
+      iters = 2, seeding = par)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    // a corpus that yields fewer candidates than k shrinks the seed set
+    // instead of failing — same contract as HashOrder/FarthestPoint on
+    // corpora smaller than k
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroids(tiny, k = 10, iters = 1,
+      seeding = Similarity.KMeansSeeding.Parallel(l = 4, rounds = 2))
+    assert(cents.length <= 10 && cents.nonEmpty)
+    val assigned = Similarity.kMeans(tiny, k = 10, iters = 1,
+        seeding = Similarity.KMeansSeeding.Parallel(l = 4, rounds = 2))
+      .as[(Long, Int)].collect().toMap
+    assert(assigned(1L) !== assigned(2L)) // orthogonal rows split
+    // a fully-covered corpus (every row identical) stops drawing early
+    // and still trains: one candidate covers everything, phi = 0
+    val same = (0 until 8).map(i => (i.toLong, Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val sameCents = Similarity.kMeansCentroids(same, k = 2, iters = 1,
+      seeding = Similarity.KMeansSeeding.Parallel(l = 4, rounds = 3))
+    assert(sameCents.length === 1) // phi=0 after candidate 0: no more draws
+  }
 }

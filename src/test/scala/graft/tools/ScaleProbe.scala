@@ -656,6 +656,88 @@ object ScaleProbe {
         a.join(b, Seq("vec_id")).where(col("ca") =!= col("cb")).count()
       }
     }
+
+    if (which("kmeans-par")) {
+      // k-means‖ seeding at 100k on the same 64-mode corpus as
+      // kmeans-earlystop. Two regimes:
+      //  (a) k=64 (the SemDeDup oracle regime): Parallel seeding must
+      //      reach the FarthestPoint convergence profile (~2 Lloyd
+      //      rounds at tol=1e-3) WITHOUT any driver-sample step — the
+      //      evidence that production runs can drop the 4096-row sample
+      //      entirely;
+      //  (b) k=6000 (the big-k regime the semanticDedup Scaladoc
+      //      recommends): FarthestPoint hard-caps at its 4096-row
+      //      sample, so it silently returns 4096 seeds; Parallel draws
+      //      candidates from the FULL corpus and delivers all 6000,
+      //      with mean residual cost (1 - bestCos, ppm) reported for
+      //      both so the coverage win is a measured number, not an
+      //      assertion.
+      import graft.operators.Similarity
+      val hs = emb.where(col("vec_id") < 64).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq)
+      val hLit = typedlit(hs.toSeq)
+      val replicas = (0 until 50).map { k =>
+        val signs = typedlit(Array.tabulate(64) { i =>
+          var z = (k.toLong << 32) + i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+        })
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("noise"))
+      }
+      val big = replicas.reduce(_.unionByName(_))
+        .withColumn("h", element_at(hLit,
+          (pmod(col("vec_id"), lit(64)) + 1).cast("int")))
+        .select(col("vec_id"),
+          zip_with(col("h"), col("noise"),
+            (h, n) => h + n * lit(0.3f)).as("embedding"))
+        .localCheckpoint(true)
+      t("par_rows")(big.count())
+      var par: Similarity.KMeansResult = null
+      t("par_k64_rounds_tol1e-3_cap10") {
+        par = Similarity.kMeansTrain(big, k = 64, iters = 10, tol = 1e-3,
+          seeding = Similarity.KMeansSeeding.Parallel(l = 128, rounds = 5))
+        par.rounds.toLong
+      }
+      // different seedings permute the cluster LABELS, so a direct
+      // label comparison is meaningless; the partitions are identical
+      // up to relabeling iff the (ca, cb) contingency table has exactly
+      // k=64 occupied cells (a permutation matrix)
+      t("par_vs_fp_contingency_cells_64_means_identical_partitions") {
+        val fp = Similarity.kMeansTrain(big, k = 64, iters = 10,
+          tol = 1e-3, seeding = Similarity.KMeansSeeding.FarthestPoint)
+        val a = big.select(col("vec_id"),
+          Similarity.assignExpr(col("embedding"), par.centroids).as("ca"))
+        val b = big.select(col("vec_id"),
+          Similarity.assignExpr(col("embedding"), fp.centroids).as("cb"))
+        a.join(b, Seq("vec_id")).select("ca", "cb").distinct().count()
+      }
+      // big-k regime: seeding only (iters=0 trains nothing; the probe
+      // isolates what each seeding can deliver)
+      def meanCostPpm(cents: Array[Array[Double]]): Long = {
+        val n = 100000.0
+        val phi = big.agg(sum(lit(1.0) - graft.functions.VectorExpressions
+          .nearestCentroidScore(col("embedding"), cents)))
+          .collect().head.getDouble(0)
+        math.round(phi / n * 1e6)
+      }
+      var fpBig: Array[Array[Double]] = null
+      t("par_bigk_fp_seed_count_k6000") {
+        fpBig = Similarity.kMeansCentroids(big, k = 6000, iters = 0,
+          seeding = Similarity.KMeansSeeding.FarthestPoint)
+        fpBig.length.toLong
+      }
+      t("par_bigk_fp_mean_cost_ppm")(meanCostPpm(fpBig))
+      var parBig: Array[Array[Double]] = null
+      t("par_bigk_par_seed_count_k6000") {
+        parBig = Similarity.kMeansCentroids(big, k = 6000, iters = 0,
+          seeding = Similarity.KMeansSeeding.Parallel(l = 4096, rounds = 2))
+        parBig.length.toLong
+      }
+      t("par_bigk_par_mean_cost_ppm")(meanCostPpm(parBig))
+    }
     spark.stop()
   }
 }
