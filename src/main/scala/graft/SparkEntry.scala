@@ -799,6 +799,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok").asc)
         .limit(50)),
 
+    // BPE training's per-round counting step at round 1 (symbols =
+    // single characters): the full frequency-weighted adjacent-pair
+    // distribution over the corpus vocabulary — the argmax of this
+    // table IS the first learned merge, so hashing the whole table
+    // pins the trainer's counting arithmetic and its corpus→vocab
+    // reduction. Multi-round training + encode are differential-spec'd
+    // (BpeSpec) against a driver-side reference.
+    "q_text_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Bpe
+        .initialPairCounts(Tables.documents(s, dir), col("text"))
+        .orderBy("left", "right")),
+
     // exact per-language length percentiles (Spark percentile() and DuckDB
     // quantile_cont share R-7 linear interpolation — verified bit-equal).
     // Emitted as FOUR SCALAR columns, not one array: the driver's compare
@@ -2931,6 +2943,19 @@ object SparkEntry {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
          |FROM toks GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50"""
         .stripMargin,
+
+    "q_text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word)
+        |SELECT substr(word, i, 1) AS "left",
+        |  substr(word, i + 1, 1) AS "right",
+        |  CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM w, unnest(range(1, length(word))) AS t(i)
+        |WHERE length(word) >= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_text_percentiles" ->
       """SELECT lang,
