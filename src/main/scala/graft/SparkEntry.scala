@@ -916,6 +916,20 @@ object SparkEntry {
           col("doc_id"), col("text"))
         .orderBy("doc_id", "bucket")),
 
+    // fasttext-shaped sparse TEXT perceptron: hashed-bigram features,
+    // all-integer weights (lr=1, labels ±1), trained 2 epochs on a
+    // bounded slice and scored over the same slice — margins hash
+    // exactly because no float ever enters training; the oracle unrolls
+    // the epoch chain (margins → misclassified → gradient → weights) in
+    // generated SQL, the q_embed_classify pattern on the text side
+    "q_text_classify" -> ((s, dir) => {
+      val slice = Tables.documents(s, dir).where(col("doc_id") < 300)
+      val w = Classify.textPerceptronTrain(slice, "doc_id", "text",
+        col("lang") === "en", epochs = perceptronEpochs)
+      Classify.textPerceptronScore(slice, "doc_id", "text", w)
+        .orderBy("doc_id")
+    }),
+
     // temperature mixture (p_d ∝ c_d^0.5): quotas DERIVED from domain
     // counts — sqrt is IEEE-correctly-rounded on every engine, so the
     // weight and quota columns hash-match exactly
@@ -1989,6 +2003,57 @@ object SparkEntry {
        |  list_sum(list_transform(range(1, len(e.a) + 1),
        |    i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) > 0 AS predicted
        |FROM e, w$epochs w ORDER BY e.vec_id""".stripMargin
+
+  /** q_text_classify oracle: the sparse TEXT perceptron's epoch chain
+    * unrolled in SQL. All quantities are integers (counts, ±1 labels,
+    * lr=1 weights), so the chain hash-matches with no float caveats:
+    * per epoch, margins under the previous weight table → misclassified
+    * rows (y·m ≤ 0) → per-bucket gradient Σ y·cnt → full-outer weight
+    * update. Bucket −1 is the bias feature (cnt 1 on every doc). */
+  private def textPerceptronOracleSql(epochs: Int): String = {
+    val head =
+      s"""nrm AS (SELECT doc_id, $normTextSql AS t FROM documents
+         |        WHERE doc_id < 300),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nrm),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |        i -> ws[i] || ' ' || ws[i+1])) AS gram
+         |      FROM tok WHERE len(ws) >= 2),
+         |hb AS (SELECT doc_id, md5(gram) AS h FROM g),
+         |fh AS (SELECT doc_id,
+         |         CAST((${hexPrefixSql("h", 4)}) % 4096 AS INTEGER)
+         |           AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |       FROM hb GROUP BY 1, 2),
+         |f AS (SELECT * FROM fh
+         |      UNION ALL
+         |      SELECT doc_id, -1, 1 FROM nrm),
+         |y AS (SELECT doc_id,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |      FROM documents WHERE doc_id < 300),
+         |w0 AS (SELECT CAST(NULL AS INTEGER) AS bucket,
+         |              CAST(NULL AS BIGINT) AS w WHERE FALSE)"""
+        .stripMargin
+    val chain = (1 to epochs).map { e =>
+      s"""m$e AS (SELECT f.doc_id, sum(f.cnt * coalesce(w.w, 0)) AS m
+         |  FROM f LEFT JOIN w${e - 1} w ON f.bucket = w.bucket
+         |  GROUP BY 1),
+         |mis$e AS (SELECT y.doc_id, y.y FROM y
+         |  JOIN m$e ON y.doc_id = m$e.doc_id WHERE y.y * m$e.m <= 0),
+         |g$e AS (SELECT f.bucket, sum(mis$e.y * f.cnt) AS g
+         |  FROM f JOIN mis$e ON f.doc_id = mis$e.doc_id GROUP BY 1),
+         |w$e AS (SELECT coalesce(w.bucket, g$e.bucket) AS bucket,
+         |  coalesce(w.w, 0) + coalesce(g$e.g, 0) AS w
+         |  FROM w${e - 1} w FULL OUTER JOIN g$e ON w.bucket = g$e.bucket)"""
+        .stripMargin
+    }
+    val tail =
+      s"""SELECT f.doc_id,
+         |  CAST(sum(f.cnt * coalesce(w.w, 0)) AS BIGINT) AS margin,
+         |  sum(f.cnt * coalesce(w.w, 0)) > 0 AS predicted
+         |FROM f LEFT JOIN w$epochs w ON f.bucket = w.bucket
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    "WITH " + (Seq(head) ++ chain).mkString(",\n") + "\n" + tail
+  }
 
   /** q_pipeline_quality oracle: the perceptron chain trained on the
     * labeled slice only, the WHOLE corpus scored under w$epochs, then
@@ -3233,6 +3298,8 @@ object SparkEntry {
 
     // batch-perceptron epochs unrolled, prediction signs compared
     "q_embed_classify" -> perceptronOracleSql(perceptronEpochs, lr = 1.0),
+
+    "q_text_classify" -> textPerceptronOracleSql(perceptronEpochs),
 
     // perceptron trained on the labeled slice, corpus scored, stratified
     // top-quota by margin per language

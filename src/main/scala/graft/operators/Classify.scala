@@ -96,4 +96,100 @@ object Classify {
   private def weightDot(a: Column, w: Array[Double]): Column =
     if (w.length <= 128) Similarity.staticDot(a, typedlit(w), w.length)
     else Similarity.dot(a, typedlit(w))
+
+  // ---- sparse text perceptron (hashed n-gram features) ----------------
+
+  /** Feature frame for the TEXT classifier: `Importance
+    * .hashedNgramCounts` (md5-bucketed n-grams, integer counts) plus a
+    * bias feature — bucket −1 (outside the hash range [0, buckets)),
+    * count 1 on every document, so gram-less documents still score. */
+  private def textFeatures(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, buckets: Int): DataFrame =
+    Importance.hashedNgramCounts(docs, col(idCol), col(textCol), n, buckets)
+      .unionByName(docs.select(col(idCol).as("doc_id"),
+        lit(-1).as("bucket"), lit(1L).as("cnt")))
+
+  /** margin(d) = Σ_b cnt_db · w_b under the current weight table: one
+    * BROADCAST join (weights ≤ buckets+1 rows by construction) and one
+    * doc-keyed partial-agg sum — the scoring pass that runs at corpus
+    * scale, shared by training epochs and `textPerceptronScore`. */
+  private def textMargins(feats: DataFrame, weights: DataFrame): DataFrame =
+    feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+
+  private def emptyWeights(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType))))
+
+  /** The fasttext-shaped TEXT classifier: a batch perceptron over
+    * hashed-n-gram bucket features — what a quality pipeline trains
+    * when embeddings are too expensive to compute for the whole corpus
+    * (the embedding-side sibling is `perceptronTrain`).
+    *
+    * ALL-INTEGER training: counts, labels (±1) and weights are longs
+    * and the learning rate is fixed at 1 (scale-free — prediction is
+    * sign(margin)), so there is no float aggregation anywhere and the
+    * unrolled-epoch DuckDB oracle hash-matches exactly.
+    *
+    * Scale shape per epoch: margins = broadcast-weight join +
+    * doc-keyed sum; misclassified = one join on the skinny label
+    * frame; gradient = bucket-keyed sum over misclassified rows;
+    * update = a ≤(buckets+1)-row full-outer join. The feature frame is
+    * materialized ONCE (the n-gram explode never re-runs); weight
+    * tables are materialized per epoch and the superseded epoch's
+    * storage released. Driver state: nothing — weights live as a
+    * (bucket, w) table, so `buckets` can exceed driver memory; they are
+    * broadcast per epoch, which bounds `buckets` at broadcast size
+    * (~10⁸ cells), far above the 65536 the hex-prefix draw supports.
+    *
+    * Returns the trained weight table (bucket, w) — the persistable
+    * model artifact. Zero-weight buckets may appear (a bucket pushed
+    * to net zero stays as an explicit row); margins are unaffected. */
+  def textPerceptronTrain(docs: DataFrame, idCol: String, textCol: String,
+                          positive: Column, epochs: Int,
+                          n: Int = 2, buckets: Int = 4096): DataFrame = {
+    require(epochs >= 0, s"textPerceptronTrain: epochs=$epochs")
+    val feats = Dedup.materialize(
+      textFeatures(docs, idCol, textCol, n, buckets))
+    val labels = Dedup.materialize(docs.select(col(idCol).as("doc_id"),
+      when(positive, 1L).otherwise(-1L).as("y")))
+    var weights = emptyWeights(docs.sparkSession)
+    var e = 0
+    while (e < epochs) {
+      val mis = labels.join(textMargins(feats, weights), Seq("doc_id"))
+        .where(col("y") * col("margin") <= 0)
+        .select("doc_id", "y")
+      val grad = feats.join(mis, Seq("doc_id"))
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
+      val next = Dedup.materialize(
+        weights.join(grad, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("g"), lit(0L)))
+              .as("w")))
+      Dedup.releaseMaterialized(weights)
+      weights = next
+      e += 1
+    }
+    Dedup.releaseMaterialized(feats)
+    Dedup.releaseMaterialized(labels)
+    weights
+  }
+
+  /** Score with a trained (bucket, w) table: one feature pass + the
+    * broadcast margin join. Returns (id-named-as-input, margin,
+    * predicted = margin > 0). `n`/`buckets` must match training — the
+    * model is meaningless under a different feature hash. */
+  def textPerceptronScore(docs: DataFrame, idCol: String, textCol: String,
+                          weights: DataFrame,
+                          n: Int = 2, buckets: Int = 4096): DataFrame =
+    textMargins(textFeatures(docs, idCol, textCol, n, buckets), weights)
+      .select(col("doc_id").as(idCol), col("margin"),
+        (col("margin") > 0).as("predicted"))
 }

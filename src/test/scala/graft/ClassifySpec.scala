@@ -50,4 +50,51 @@ class ClassifySpec extends SparkTestBase {
       positive = col("is_pos"), epochs = 11, deterministic = true)
     assert(w10.toSeq === w11.toSeq)
   }
+
+  test("text perceptron separates a vocabulary-disjoint corpus and " +
+    "predicts its training labels") {
+    val docs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "good solid prose with substance", true)
+      else (i.toLong, "spam junk noise filler garbage", false)
+    }.toDF("doc_id", "text", "is_pos")
+    val w = Classify.textPerceptronTrain(docs, "doc_id", "text",
+      positive = col("is_pos"), epochs = 3)
+    val scored = Classify.textPerceptronScore(docs, "doc_id", "text", w)
+      .join(docs.select("doc_id", "is_pos"), Seq("doc_id"))
+    assert(scored.where(col("predicted") =!= col("is_pos")).count() === 0)
+    // all-integer margins: longs, no float column anywhere
+    assert(scored.schema("margin").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // partitioning-invariant (integer partial aggs cannot drift)
+    val w2 = Classify.textPerceptronTrain(docs.repartition(7), "doc_id",
+      "text", positive = col("is_pos"), epochs = 3)
+    assert(w.orderBy("bucket").collect().toSeq ===
+      w2.orderBy("bucket").collect().toSeq)
+  }
+
+  test("text perceptron: bias carries gram-less documents; epochs=0 " +
+    "scores zero margins") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "", false),           // no grams: bias feature only
+      (3L, "zz", false)          // single token: no bigram, bias only
+    ).toDF("doc_id", "text", "is_pos")
+    val w = Classify.textPerceptronTrain(docs, "doc_id", "text",
+      positive = col("is_pos"), epochs = 2)
+    val m = Classify.textPerceptronScore(docs, "doc_id", "text", w)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    // every doc scores (the bias reaches all three), margins defined
+    assert(m.keySet === Set(1L, 2L, 3L))
+    // gram-less docs carry exactly the bias weight as margin
+    val bias = w.where(col("bucket") === -1)
+      .select("w").as[Long].collect().head
+    assert(m(2L) === bias && m(3L) === bias)
+    // zero epochs: empty weight table, margin 0, predicted false
+    val w0 = Classify.textPerceptronTrain(docs, "doc_id", "text",
+      positive = col("is_pos"), epochs = 0)
+    assert(w0.count() === 0)
+    val s0 = Classify.textPerceptronScore(docs, "doc_id", "text", w0)
+      .as[(Long, Long, Boolean)].collect()
+    assert(s0.forall(r => r._2 === 0L && !r._3))
+  }
 }

@@ -63,4 +63,31 @@ class SnapshotSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Snapshot.diff(oldSnap, newSnap, "id", Seq.empty))
   }
+
+  test("plan shape: the payload is fingerprinted BELOW the full-outer " +
+    "join, so only (id, md5) reaches the exchanges") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rebuilt = docs.where(col("doc_id") % 7 =!= 0)
+    val d = Snapshot.diff(docs, rebuilt, "doc_id", Seq("text"))
+    d.count()
+    val plan = d.queryExecution.executedPlan.toString
+    // one full-outer join, keyed on the id
+    assert(plan.contains("FullOuter"), s"no full-outer join:\n$plan")
+    // the md5 projection sits below the exchange: no exchange row
+    // carries the text column (32-hex fingerprints shuffle, pages of
+    // payload do not)
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange")).toList
+    assert(exchangeLines.nonEmpty)
+    assert(!exchangeLines.exists(_.contains("text")),
+      s"payload column reached an exchange:\n$plan")
+    // and the scan itself is pruned to the two needed columns
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(reads.nonEmpty && reads.forall(r =>
+      r.contains("doc_id") && r.contains("text") && !r.contains("lang")),
+      s"scan not pruned to (doc_id, text): $reads")
+  }
 }

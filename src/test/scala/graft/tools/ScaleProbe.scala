@@ -738,6 +738,40 @@ object ScaleProbe {
       }
       t("par_bigk_par_mean_cost_ppm")(meanCostPpm(parBig))
     }
+
+    if (which("bpe-50k")) {
+      // BPE's scale claim is corpus-size INDEPENDENCE of the merge
+      // rounds: the corpus is reduced once to the word-frequency vocab
+      // and every round runs over the vocab alone. 10 vocabulary-
+      // disjoint replicas (docs-weak recipe) grow the corpus 10× AND
+      // the vocab 10× (~31 → ~310 distinct words) — the hardest case
+      // for the claim, since both passes grow; walls should still be
+      // dominated by the fixed per-round job overhead, not data size.
+      import graft.operators.Bpe
+      val docs = graft.Tables.documents(spark, dir)
+        .select("doc_id", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("bpe_rows_5k")(docs.count())
+      t("bpe_rows_50k")(big.count())
+      var m5: Array[(String, String)] = null
+      t("bpe_5k_train20_merges") {
+        m5 = Bpe.train(docs, col("text"), 20); m5.length.toLong
+      }
+      var m50: Array[(String, String)] = null
+      t("bpe_50k_train20_merges") {
+        m50 = Bpe.train(big, col("text"), 20); m50.length.toLong
+      }
+      // one-pass encode of the 50k corpus with the trained table:
+      // total token count (the Pack/token-budget input at scale)
+      t("bpe_50k_encode_tokens") {
+        big.select(explode(Bpe.encode(col("text"), m50)).as("t"))
+          .count()
+      }
+    }
     spark.stop()
   }
 }
