@@ -2010,7 +2010,7 @@ object SparkEntry {
     * per epoch, margins under the previous weight table → misclassified
     * rows (y·m ≤ 0) → per-bucket gradient Σ y·cnt → full-outer weight
     * update. Bucket −1 is the bias feature (cnt 1 on every doc). */
-  private def textPerceptronOracleSql(epochs: Int): String = {
+  private[graft] def textPerceptronOracleSql(epochs: Int): String = {
     val head =
       s"""nrm AS (SELECT doc_id, $normTextSql AS t FROM documents
          |        WHERE doc_id < 300),

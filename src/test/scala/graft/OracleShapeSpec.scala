@@ -26,4 +26,19 @@ class OracleShapeSpec extends AnyFunSuite {
       assert(!sql.contains(s"a${iters + 1} AS"))
     }
   }
+
+  test("text perceptron oracle SQL is well-formed at epochs = 0, 1, 2") {
+    for (e <- 0 to 2) {
+      val sql = SparkEntry.textPerceptronOracleSql(e)
+      // the final score joins the LAST epoch's weight table (w0 = the
+      // empty seed table at epochs = 0 — margins all zero, a supported
+      // mode textPerceptronTrain's spec pins)
+      assert(sql.contains(s"LEFT JOIN w$e w"), s"epochs=$e reads wrong CTE")
+      assert(sql.contains("w0 AS"))
+      assert(!sql.contains(s"w${e + 1} AS"), s"epochs=$e has extra CTEs")
+      // epoch CTE chain present exactly up to e
+      if (e > 0) assert(sql.contains(s"g$e AS"))
+      assert(!sql.contains(s"g${e + 1} AS"))
+    }
+  }
 }
