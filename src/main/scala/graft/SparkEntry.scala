@@ -788,6 +788,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // overlapping character chunking (RAG / context-window shard prep):
+    // 200-char chunks every 150 chars; (doc_id, chunk_idx) is the stable
+    // downstream key. Pure generator projection — zero shuffles.
+    "q_text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+          chunkChars = 200, strideChars = 150)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Gopher-style rule-pack quality gate: per-rule boolean flags + the
+    // conjunctive pass bit. The corpus is single-line word-bags, so the
+    // line-shape rules (bullets / ellipses / symbol-soup) are exercised
+    // through the same deterministic augmentation pattern q_text_pii
+    // uses — structure planted by doc_id modulus, identically in the
+    // oracle.
+    "q_text_gopher" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("t",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            repeat(lit("\n- bullet item"), 12)).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            repeat(lit("\ntrailing line..."), 4)).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" "), repeat(lit("### "), 10))).otherwise(lit(""))))
+      // minAvgWordLen raised from Gopher's 3.0: the synthetic word-bag
+      // corpus sits at awl 3.7-5.3, so 4.0 keeps the rule non-vacuous
+      val flags = TextAnalysis.gopherFlags(col("t"), minAvgWordLen = 4.0)
+      docs.select(col("doc_id") +:
+          flags.map { case (n, c) => c.as(n) } :+
+          flags.map(_._2).reduce(_ && _).as("pass"): _*)
+        .orderBy("doc_id")
+    }),
+
     // corpus vocabulary: top-50 tokens by total occurrences (doc-frequency
     // alongside) — the vocabulary-building pass of a training pipeline
     "q_vocab_topk" -> ((s, dir) =>
@@ -1041,6 +1073,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
         .select(col("probe_id"), col("rank"), col("nbr_id"))
         .orderBy("probe_id", "rank")
+    }),
+
+    // contrastive training-pair mining (DPR/SimCSE shape): per anchor,
+    // top-2 positives (cos ≥ 0.35) and top-5 HARD negatives (the most
+    // similar neighbors strictly below the threshold) — filter-then-rank,
+    // so duplicates never crowd negatives out of the top-k. Same
+    // broadcast-probe / streaming-corpus posture as q_embed_cosine_topk.
+    "q_embed_hardneg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.contrastiveMine(emb, emb.where(col("vec_id") < 10),
+          kPos = 2, kNeg = 5, posThreshold = 0.35)
+        .select(col("probe_id"), col("kind"), col("rank"), col("nbr_id"))
+        .orderBy("probe_id", "kind", "rank")
     }),
 
     // SEMANTIC dedup end-to-end: exact cosine near-dup pairs → large-star/
@@ -3000,6 +3045,75 @@ object SparkEntry {
         |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
 
+    "q_text_chunk" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(length(text), 1), 150)) AS cs
+        |  FROM documents)
+        |SELECT doc_id, CAST(cs // 150 AS INTEGER) AS chunk_idx,
+        |  CAST(cs AS INTEGER) AS chunk_start,
+        |  substr(text, CAST(cs AS INTEGER) + 1, 200) AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors TextAnalysis.gopherFlags expression-for-expression: same
+    // augmentation moduli, same regex splits, same double ratios — the
+    // boolean flags are exact because every comparison happens on
+    // identical rational values
+    "q_text_gopher" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |      THEN repeat(chr(10) || '- bullet item', 12) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0
+        |      THEN repeat(chr(10) || 'trailing line...', 4) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0
+        |      THEN ' ' || repeat('### ', 10) ELSE '' END) AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN length(trim(t)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(t), '\s+')) END
+        |      AS n_words,
+        |    regexp_split_to_array(trim(t), '\s+') AS ws,
+        |    string_split(t, chr(10)) AS ls
+        |  FROM aug),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    list_sum(list_transform(ws, w -> length(w) * 1.0)) / n_words
+        |      AS awl,
+        |    length(t) - length(regexp_replace(t, '[#…]', '', 'g')) AS n_sym,
+        |    len(list_filter(ls, l -> starts_with(l, '-')
+        |      OR starts_with(l, chr(8226)))) AS n_bullet,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS n_alpha,
+        |    len(list_intersect(
+        |      list_distinct(regexp_split_to_array(lower(trim(t)), '\s+')),
+        |      ['the','a','an','and','or','of','to','in','is','it','on',
+        |       'for','with','as','at','by','this','that'])) AS n_stop
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id,
+        |    (n_words >= 20 AND n_words <= 90) AS r_word_count,
+        |    (awl >= 4.0 AND awl <= 10.0) AS r_avg_word_len,
+        |    (CAST(n_sym AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0)
+        |      < 0.1) AS r_symbol_ratio,
+        |    (CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9)
+        |      AS r_bullet_lines,
+        |    (CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3)
+        |      AS r_ellipsis_lines,
+        |    (CAST(n_alpha AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0)
+        |      >= 0.8) AS r_alpha_words,
+        |    (n_stop >= 2) AS r_stopwords
+        |  FROM m)
+        |SELECT doc_id, r_word_count, r_avg_word_len, r_symbol_ratio,
+        |  r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+        |  (r_word_count AND r_avg_word_len AND r_symbol_ratio
+        |   AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+        |   AND r_stopwords) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "q_vocab_topk" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok
@@ -3220,6 +3334,32 @@ object SparkEntry {
         |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
         |WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // same scored kernel as q_embed_cosine_topk, partitioned by
+    // (anchor, kind) with kind decided by the 0.35 threshold BEFORE the
+    // rank — filter-then-rank, the contrastiveMine contract
+    "q_embed_hardneg" ->
+      """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+        |           WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |s AS (SELECT pid, nid,
+        |        list_sum(list_transform(range(1, len(ce) + 1),
+        |          i -> CAST(ce[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+        |        / nullif(
+        |          sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x)))
+        |          * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * x))),
+        |          0) AS cos
+        |      FROM c, p WHERE nid <> pid),
+        |k AS (SELECT pid, nid, cos,
+        |        CASE WHEN cos >= 0.35 THEN 'pos' ELSE 'neg' END AS kind
+        |      FROM s),
+        |r AS (SELECT pid AS probe_id, kind, nid AS nbr_id,
+        |        row_number() OVER (PARTITION BY pid, kind
+        |          ORDER BY cos DESC, nid ASC) AS rank
+        |      FROM k)
+        |SELECT probe_id, kind, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
+        |WHERE (kind = 'pos' AND rank <= 2) OR (kind = 'neg' AND rank <= 5)
+        |ORDER BY probe_id, kind, rank""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

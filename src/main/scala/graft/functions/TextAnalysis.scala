@@ -203,4 +203,80 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     aggregate(split(normText(c), " "), lit(0L),
       (acc, t) => xxhash64(acc, t))
+
+  /** Overlapping fixed-size character chunking (RAG / context-window shard
+    * prep): chunks of `chunkChars` starting every `strideChars` (overlap =
+    * chunkChars − strideChars), last chunks run short rather than padding.
+    * Output: one row per chunk — (idCol, chunk_idx, chunk_start 0-based,
+    * chunk_text). Chunk identity (id, chunk_idx) is deterministic, so
+    * downstream span-dedup / embedding stages key on it stably across
+    * re-runs.
+    *
+    * Scale: a narrow projection + generator — NO shuffle, no state; the
+    * explode multiplies rows by ceil(len/stride) locally, so output
+    * partitioning inherits the scan's. Empty/short docs yield exactly one
+    * chunk (possibly empty) rather than zero, preserving doc coverage
+    * invariants for downstream joins. */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkChars: Int,
+                strideChars: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkChars > 0 && strideChars > 0 && strideChars <= chunkChars,
+      s"chunkDocs: chunkChars=$chunkChars strideChars=$strideChars")
+    df.select(col(idCol), col(textCol).as("t"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0),
+          greatest(length(col("t")) - 1, lit(0)), lit(strideChars)))
+          .as(Seq("chunk_idx", "chunk_start")),
+        col("t"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        col("t").substr(col("chunk_start") + 1, lit(chunkChars))
+          .as("chunk_text"))
+  }
+
+  /** Gopher-style quality rule pack (Rae et al. 2021 §A1.1 shape, bounds
+    * tuned to the corpus at hand): per-document boolean flags plus the
+    * conjunctive `pass` gate. All pure codegen'd expressions — one linear
+    * scan, no shuffle, no UDFs. Rules:
+    *   r_word_count    word count within [minWords, maxWords]
+    *   r_avg_word_len  mean word length within [minAvgWordLen,
+    *                   maxAvgWordLen] (Gopher's published bound is [3,10];
+    *                   corpora of atypical word shape tighten it)
+    *   r_symbol_ratio  (# + …) chars per word < 0.1
+    *   r_bullet_lines  < 90% of lines start with a bullet ('-' / '•')
+    *   r_ellipsis_lines< 30% of lines end with '...'
+    *   r_alpha_words   ≥ 80% of words contain a letter
+    *   r_stopwords     ≥ 2 distinct stopwords present (Gopher's "stop
+    *                   word" natural-language evidence rule)
+    */
+  def gopherFlags(text: Column, minWords: Int = 20, maxWords: Int = 90,
+                  minAvgWordLen: Double = 3.0,
+                  maxAvgWordLen: Double = 10.0): Seq[(String, Column)] = {
+    val words = split(trim(text), "\\s+")
+    val nWords = when(length(trim(text)) === 0, 0).otherwise(size(words))
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val awl = aggregate(words, lit(0.0),
+      (acc, w) => acc + length(w).cast("double")) / nWords
+    val nSym = length(text) - length(regexp_replace(text, "[#…]", ""))
+    val nBullet = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("•")))
+    val nEllipsis = size(filter(lines, l => l.endsWith("...")))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val nStop = size(array_intersect(
+      array_distinct(split(lower(trim(text)), "\\s+")),
+      array(stopwords.map(lit): _*)))
+    Seq(
+      "r_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "r_avg_word_len" -> (awl >= minAvgWordLen && awl <= maxAvgWordLen),
+      "r_symbol_ratio" ->
+        (nSym.cast("double") / nullif(nWords.cast("double"), lit(0.0)) < 0.1),
+      "r_bullet_lines" ->
+        (nBullet.cast("double") / nLines.cast("double") < 0.9),
+      "r_ellipsis_lines" ->
+        (nEllipsis.cast("double") / nLines.cast("double") < 0.3),
+      "r_alpha_words" ->
+        (nAlpha.cast("double") / nullif(nWords.cast("double"), lit(0.0))
+          >= 0.8),
+      "r_stopwords" -> (nStop >= 2))
+  }
 }

@@ -108,6 +108,19 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      embCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scoredAgainstProbes(corpus, probes, idCol, embCol)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  /** The exact scored-pair kernel shared by `bruteForceTopK` and
+    * `contrastiveMine`: every (probe, corpus) pair with its cosine, probe
+    * side broadcast, corpus side streaming shuffle-free. */
+  private def scoredAgainstProbes(corpus: DataFrame, probes: DataFrame,
+                                  idCol: String, embCol: String): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     // norms are computed ONCE per vector on each side, not per pair;
     // corpus spread over all cores (see cosineNearDupPairs)
@@ -116,16 +129,48 @@ object Similarity {
         norm(col(embCol)).as("c_nrm"))
     val p = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
       norm(col(embCol)).as("p_nrm"))
-    val scored = c.join(broadcast(p), col("nbr_id") =!= col("probe_id"))
+    c.join(broadcast(p), col("nbr_id") =!= col("probe_id"))
       .withColumn("cos",
         graft.functions.VectorExpressions.dotF32(col("c_emb"), col("p_emb")) /
           nullif(col("c_nrm") * col("p_nrm"), lit(0.0)))
-    val w = Window.partitionBy(col("probe_id"))
+  }
+
+  /** Contrastive training-pair mining (DPR / SimCSE-style): for each
+    * anchor in `probes`, emit its top-`kPos` POSITIVES (nearest neighbors
+    * at or above `posThreshold` cosine — near-duplicate paraphrase
+    * candidates) and its top-`kNeg` HARD NEGATIVES (the most-similar
+    * neighbors strictly BELOW the threshold — the informative negatives a
+    * random sampler never finds). Output: (probe_id, kind 'pos'|'neg',
+    * rank, nbr_id), rank dense from 1 within each (anchor, kind) by
+    * descending cosine, ties broken by ascending neighbor id.
+    *
+    * The filter runs BEFORE the rank, so negatives are never crowded out
+    * of the top-k by duplicates — the failure mode of mining via a plain
+    * top-k-then-filter over-fetch.
+    *
+    * Scale: identical posture to `bruteForceTopK` — one broadcast of the
+    * (small) anchor batch, one streaming pass over the corpus, per-probe
+    * partial top-k under the window. Mining for ALL anchors at 100 TB
+    * routes through `ivfTopK`-style coarse quantization instead (anchor
+    * batches iterate; each batch is one pass), or restricts candidates to
+    * k-means clusters as `semanticDedup` does.
+    */
+  def contrastiveMine(corpus: DataFrame, probes: DataFrame,
+                      kPos: Int, kNeg: Int, posThreshold: Double,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    require(kPos >= 0 && kNeg >= 0 && (kPos > 0 || kNeg > 0),
+      s"contrastiveMine: kPos=$kPos kNeg=$kNeg")
+    val w = Window.partitionBy(col("probe_id"), col("kind"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored
+    scoredAgainstProbes(corpus, probes, idCol, embCol)
+      .withColumn("kind",
+        when(col("cos") >= posThreshold, lit("pos")).otherwise(lit("neg")))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
+      .where((col("kind") === "pos" && col("rank") <= kPos) ||
+        (col("kind") === "neg" && col("rank") <= kNeg))
+      .select(col("probe_id"), col("kind"), col("rank"), col("nbr_id"),
+        col("cos"))
   }
 
   /** Random-hyperplane LSH bucketing: `nBits` signed projections against

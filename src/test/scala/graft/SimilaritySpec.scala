@@ -65,6 +65,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.forall(_._2 != 1L))
   }
 
+  test("contrastiveMine: positives at/above threshold, hard negatives " +
+    "strictly below, filter-then-rank caps respected") {
+    // probe = vector 1. cosines vs 1: v2 ≈ 0.994 (pos), v3 = 0 (neg),
+    // v4 = -1 (neg), v5 = null (zero norm, sorts last -> neg tail)
+    val out = Similarity.contrastiveMine(vecs,
+      vecs.where(col("vec_id") === 1), kPos = 2, kNeg = 2,
+      posThreshold = 0.5)
+      .select("kind", "rank", "nbr_id").as[(String, Int, Long)].collect()
+    val pos = out.filter(_._1 == "pos").sortBy(_._2)
+    val neg = out.filter(_._1 == "neg").sortBy(_._2)
+    assert(pos.map(_._3).toSeq === Seq(2L)) // only one qualifies
+    assert(neg.length === 2) // capped at kNeg, though 3 candidates exist
+    assert(neg.map(_._3).toSeq === Seq(3L, 4L)) // hardest (most similar) first
+    assert(out.forall(_._3 != 1L)) // never the anchor itself
+    // ranks are dense from 1 within each kind
+    assert(pos.map(_._2).toSeq === (1 to pos.length))
+    assert(neg.map(_._2).toSeq === (1 to neg.length))
+  }
+
+  test("contrastiveMine positives agree with bruteForceTopK above the " +
+    "threshold") {
+    val mined = Similarity.contrastiveMine(vecs,
+      vecs.where(col("vec_id") === 1), kPos = 5, kNeg = 0,
+      posThreshold = 0.5)
+      .select("nbr_id").as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs,
+      vecs.where(col("vec_id") === 1), k = 5)
+      .where(col("cos") >= 0.5)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(mined === brute)
+  }
+
   test("cosineNearDupPairs finds only the close pair at 0.9") {
     val pairs = Similarity.cosineNearDupPairs(vecs, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

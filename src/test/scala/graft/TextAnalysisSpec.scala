@@ -76,4 +76,67 @@ class TextAnalysisSpec extends SparkTestBase {
     // arity misuse is rejected at registration-builder level
     intercept[Exception] { spark.sql("SELECT graft_fingerprint('a','b')") }
   }
+
+  test("chunkDocs: stride coverage, short tail, single chunk for short " +
+    "and empty docs, stable keys") {
+    val docs = Seq(
+      (1L, "a" * 450),  // 3 chunks at C=200/S=150: tail is 150 long
+      (2L, "b" * 150),  // shorter than one chunk -> exactly 1 chunk
+      (3L, "")          // empty -> 1 empty chunk, doc still covered
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", 200, 150)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, String)].collect()
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3, r._4.length)).toSeq ===
+      Seq((0, 0, 200), (1, 150, 200), (2, 300, 150)))
+    // consecutive chunks overlap by C - S = 50 chars
+    assert(d1(0)._4.takeRight(50) === d1(1)._4.take(50))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0, "b" * 150)))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0, 0, "")))
+    // non-overlapping stride reassembles the original exactly
+    val whole = TextAnalysis.chunkDocs(docs, "doc_id", "text", 150, 150)
+      .orderBy("doc_id", "chunk_idx").as[(Long, Int, Int, String)]
+      .collect().filter(_._1 == 1L).map(_._4).mkString
+    assert(whole === "a" * 450)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(docs, "doc_id", "text", 100, 200)
+    }
+  }
+
+  test("gopherFlags: each rule fires on its designed violation and " +
+    "passes on clean prose") {
+    val clean = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs to a tall hill where this old friend of that fox waits " +
+      "for it with a long list of plans in a small bag by an oak tree " +
+      "so they talk for hours about all of it and the day ends well " +
+      "with a calm walk home in the dark as the stars come out on time"
+    val cases = Seq(
+      ("ok", clean),
+      ("short", "too few words here"),                  // r_word_count
+      ("syms", clean + " " + ("### " * 30)),            // r_symbol_ratio
+      ("bullets", "- a\n- b\n- c\n- d\n- e"),           // r_bullet_lines
+      ("ellipsis", "the end is near...\nand so..."),    // r_ellipsis_lines
+      ("numeric", clean + " " + (1 to 80).map(_.toString) // r_alpha_words
+        .mkString(" ")),
+      ("nostop", (1 to 30).map(i => s"tok$i").mkString(" "))) // r_stopwords
+    val df = cases.toDF("name", "t")
+    val flags = TextAnalysis.gopherFlags(col("t"), minWords = 20,
+      maxWords = 90)
+    val out = df.select(col("name") +:
+        flags.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getString(0) ->
+        flags.indices.map(i => r.getBoolean(i + 1))).toMap
+    val names = flags.map(_._1)
+    assert(out("ok").forall(identity), s"clean prose failed ${
+      names.zip(out("ok")).filterNot(_._2).map(_._1)}")
+    def failed(k: String): Set[String] =
+      names.zip(out(k)).filterNot(_._2).map(_._1).toSet
+    assert(failed("short").contains("r_word_count"))
+    assert(failed("syms").contains("r_symbol_ratio"))
+    assert(failed("bullets").contains("r_bullet_lines"))
+    assert(failed("ellipsis").contains("r_ellipsis_lines"))
+    assert(failed("numeric").contains("r_alpha_words"))
+    assert(failed("nostop").contains("r_stopwords"))
+  }
 }
