@@ -820,6 +820,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus data card (Datasheets-for-Datasets artifact): per-source and
+    // overall (rollup) doc/token/char totals, exact-dedup uniqueness, and
+    // the Gopher-rule pass count — ONE pass over the corpus: per-doc
+    // derived columns feed a single partial+final rollup aggregate, so at
+    // 100 TB this costs one scan + one skinny shuffle of per-source
+    // partials.
+    "q_corpus_datacard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ok = TextAnalysis.gopherFlags(col("text"), minAvgWordLen = 4.0)
+        .map(_._2).reduce(_ && _)
+      docs.select(col("source"),
+          TextAnalysis.wsTokenCount(col("text")).as("toks"),
+          length(col("text")).as("chars"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          ok.cast("int").as("ok"))
+        .rollup("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("n_tokens"),
+          sum(col("chars")).cast("long").as("n_chars"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("ok")).cast("long").as("n_quality_pass"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
+    // deterministic 3-way train/val/test split: md5 2-hex-char bucket of
+    // the doc id (256 buckets; < 'cc' ≈ 80% train, < 'e6' ≈ 90% val
+    // boundary) — pure projection, reproducible across runs/engines, no
+    // RNG state. The q_sample_hash idiom extended to partition the WHOLE
+    // corpus rather than select a slice.
+    "q_split_assign" -> ((s, dir) => {
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          when(b < "cc", "train").when(b < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // corpus vocabulary: top-50 tokens by total occurrences (doc-frequency
     // alongside) — the vocabulary-building pass of a training pipeline
     "q_vocab_topk" -> ((s, dir) =>
@@ -3113,6 +3151,64 @@ object SparkEntry {
         |   AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
         |   AND r_stopwords) AS pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // per-doc gopher conjunction (raw text, awl bound 4.0 as the Spark
+    // side) folded into one rollup aggregate; all-integer outputs
+    "q_corpus_datacard" ->
+      s"""WITH s AS (
+         |  SELECT source, text AS t,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS n_words,
+         |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+         |    string_split(text, chr(10)) AS ls,
+         |    $normTextSql AS nt
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, n_words, md5(nt) AS fp, length(t) AS chars,
+         |    list_sum(list_transform(ws, w -> length(w) * 1.0)) / n_words
+         |      AS awl,
+         |    length(t) - length(regexp_replace(t, '[#…]', '', 'g')) AS n_sym,
+         |    len(list_filter(ls, l -> starts_with(l, '-')
+         |      OR starts_with(l, chr(8226)))) AS n_bullet,
+         |    len(ls) AS n_lines,
+         |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |      AS n_alpha,
+         |    len(list_intersect(
+         |      list_distinct(regexp_split_to_array(lower(trim(t)), '\\s+')),
+         |      ['the','a','an','and','or','of','to','in','is','it','on',
+         |       'for','with','as','at','by','this','that'])) AS n_stop
+         |  FROM s),
+         |f AS (
+         |  SELECT source, n_words, chars, fp,
+         |    CASE WHEN (n_words >= 20 AND n_words <= 90)
+         |      AND (awl >= 4.0 AND awl <= 10.0)
+         |      AND (CAST(n_sym AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0)
+         |           < 0.1)
+         |      AND (CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9)
+         |      AND (CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3)
+         |      AND (CAST(n_alpha AS DOUBLE) / nullif(CAST(n_words AS DOUBLE),
+         |           0) >= 0.8)
+         |      AND (n_stop >= 2)
+         |    THEN 1 ELSE 0 END AS ok
+         |  FROM m)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |  CAST(sum(ok) AS BIGINT) AS n_quality_pass
+         |FROM f GROUP BY ROLLUP(source)
+         |ORDER BY source NULLS FIRST""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_vocab_topk" ->
       s"""WITH toks AS (

@@ -139,4 +139,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(failed("numeric").contains("r_alpha_words"))
     assert(failed("nostop").contains("r_stopwords"))
   }
+
+  test("datacard rollup total reconciles with per-source rows; hash split " +
+    "lands near 80/10/10 and is deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val dc = SparkEntry.queries("q_corpus_datacard")(spark, dir).collect()
+    val total = dc.filter(_.isNullAt(0)).head
+    val parts = dc.filterNot(_.isNullAt(0))
+    assert(parts.nonEmpty)
+    assert(total.getLong(1) === parts.map(_.getLong(1)).sum) // n_docs
+    assert(total.getLong(2) === parts.map(_.getLong(2)).sum) // n_tokens
+    assert(total.getLong(3) === parts.map(_.getLong(3)).sum) // n_chars
+    // uniqueness is NOT additive across sources (cross-source dups) —
+    // the global count can only be bounded by the per-source sum
+    assert(total.getLong(4) <= parts.map(_.getLong(4)).sum)
+    assert(total.getLong(5) === parts.map(_.getLong(5)).sum) // quality
+    assert(total.getLong(5) > 0 && total.getLong(5) < total.getLong(1))
+
+    val sp = SparkEntry.queries("q_split_assign")(spark, dir)
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts("val") / n > 0.04 && counts("val") / n < 0.16)
+    assert(counts("test") / n > 0.04 && counts("test") / n < 0.16)
+    // determinism: the same id draws the same split on re-evaluation
+    assert(sp.collect().toSeq ===
+      SparkEntry.queries("q_split_assign")(spark, dir).collect().toSeq)
+  }
 }
