@@ -858,6 +858,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // end-to-end CURATION pipeline: gopher rule gate → exact dedup
+    // (first-id survivor per fingerprint) → deterministic hash split →
+    // per-(split, source) doc/token stats. One scan; the only wide ops
+    // are the dedup window (keyed on the high-cardinality fingerprint)
+    // and the final small aggregate — the corpus-curation counterpart of
+    // q_pipeline_pretrain's mixing-side composition.
+    "q_pipeline_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ok = TextAnalysis.gopherFlags(col("text"), minAvgWordLen = 4.0)
+        .map(_._2).reduce(_ && _)
+      val uniq = docs.where(ok)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .where(col("rn") === 1)
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      uniq
+        .withColumn("split",
+          when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).cast("long")
+            .as("n_tokens"))
+        .orderBy("split", "source")
+    }),
+
     // corpus vocabulary: top-50 tokens by total occurrences (doc-frequency
     // alongside) — the vocabulary-building pass of a training pipeline
     "q_vocab_topk" -> ((s, dir) =>
@@ -2039,6 +2065,58 @@ object SparkEntry {
     * Spark-side `perceptronTrain` on a filtered frame. Arithmetic
     * mirrors `Classify.perceptronTrain(deterministic = true)`
     * exactly. */
+  /** DuckDB mirror of `TextAnalysis.gopherFlags`'s per-row metrics:
+    * emits CTEs `g_s`/`g_m` over input CTE `in`, which must expose the
+    * text under column `t` (all other columns ride along, list
+    * intermediates are EXCLUDEd). Expression-for-expression with the
+    * Spark side; callers assemble rule booleans from g_m's metric
+    * columns via `gopherRuleSqls`. */
+  private def gopherMetricCtes(in: String): String =
+    s"""g_s AS (
+       |  SELECT *,
+       |    CASE WHEN length(trim(t)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(t), '\\s+')) END
+       |      AS n_words,
+       |    regexp_split_to_array(trim(t), '\\s+') AS ws,
+       |    string_split(t, chr(10)) AS ls
+       |  FROM $in),
+       |g_m AS (
+       |  SELECT * EXCLUDE (ws, ls),
+       |    list_sum(list_transform(ws, w -> length(w) * 1.0)) / n_words
+       |      AS awl,
+       |    length(t) - length(regexp_replace(t, '[#…]', '', 'g')) AS n_sym,
+       |    len(list_filter(ls, l -> starts_with(l, '-')
+       |      OR starts_with(l, chr(8226)))) AS n_bullet,
+       |    len(ls) AS n_lines,
+       |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
+       |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+       |      AS n_alpha,
+       |    len(list_intersect(
+       |      list_distinct(regexp_split_to_array(lower(trim(t)), '\\s+')),
+       |      ['the','a','an','and','or','of','to','in','is','it','on',
+       |       'for','with','as','at','by','this','that'])) AS n_stop
+       |  FROM g_s)""".stripMargin
+
+  /** The seven rule booleans over `g_m`'s metric columns, name → SQL,
+    * mirroring `gopherFlags(minAvgWordLen = minAwl)`. */
+  private def gopherRuleSqls(minAwl: Double): Seq[(String, String)] = Seq(
+    "r_word_count" -> "(n_words >= 20 AND n_words <= 90)",
+    "r_avg_word_len" -> s"(awl >= $minAwl AND awl <= 10.0)",
+    "r_symbol_ratio" ->
+      "(CAST(n_sym AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0) < 0.1)",
+    "r_bullet_lines" ->
+      "(CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9)",
+    "r_ellipsis_lines" ->
+      "(CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3)",
+    "r_alpha_words" ->
+      ("(CAST(n_alpha AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0)" +
+        " >= 0.8)"),
+    "r_stopwords" -> "(n_stop >= 2)")
+
+  /** The conjunctive gopher gate as one SQL boolean. */
+  private def gopherOkSql(minAwl: Double): String =
+    gopherRuleSqls(minAwl).map(_._2).mkString("(", " AND ", ")")
+
   private def perceptronCteChain(epochs: Int, lr: Double,
                                  trainWhere: String = ""): String = {
     val rounds = (1 to epochs).map { r =>
@@ -3098,101 +3176,32 @@ object SparkEntry {
     // boolean flags are exact because every comparison happens on
     // identical rational values
     "q_text_gopher" ->
-      """WITH aug AS (
-        |  SELECT doc_id, text ||
-        |    (CASE WHEN doc_id % 7 = 0
-        |      THEN repeat(chr(10) || '- bullet item', 12) ELSE '' END) ||
-        |    (CASE WHEN doc_id % 11 = 0
-        |      THEN repeat(chr(10) || 'trailing line...', 4) ELSE '' END) ||
-        |    (CASE WHEN doc_id % 13 = 0
-        |      THEN ' ' || repeat('### ', 10) ELSE '' END) AS t
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, t,
-        |    CASE WHEN length(trim(t)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(t), '\s+')) END
-        |      AS n_words,
-        |    regexp_split_to_array(trim(t), '\s+') AS ws,
-        |    string_split(t, chr(10)) AS ls
-        |  FROM aug),
-        |m AS (
-        |  SELECT doc_id, n_words,
-        |    list_sum(list_transform(ws, w -> length(w) * 1.0)) / n_words
-        |      AS awl,
-        |    length(t) - length(regexp_replace(t, '[#…]', '', 'g')) AS n_sym,
-        |    len(list_filter(ls, l -> starts_with(l, '-')
-        |      OR starts_with(l, chr(8226)))) AS n_bullet,
-        |    len(ls) AS n_lines,
-        |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
-        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-        |      AS n_alpha,
-        |    len(list_intersect(
-        |      list_distinct(regexp_split_to_array(lower(trim(t)), '\s+')),
-        |      ['the','a','an','and','or','of','to','in','is','it','on',
-        |       'for','with','as','at','by','this','that'])) AS n_stop
-        |  FROM s),
-        |f AS (
-        |  SELECT doc_id,
-        |    (n_words >= 20 AND n_words <= 90) AS r_word_count,
-        |    (awl >= 4.0 AND awl <= 10.0) AS r_avg_word_len,
-        |    (CAST(n_sym AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0)
-        |      < 0.1) AS r_symbol_ratio,
-        |    (CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9)
-        |      AS r_bullet_lines,
-        |    (CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3)
-        |      AS r_ellipsis_lines,
-        |    (CAST(n_alpha AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0)
-        |      >= 0.8) AS r_alpha_words,
-        |    (n_stop >= 2) AS r_stopwords
-        |  FROM m)
-        |SELECT doc_id, r_word_count, r_avg_word_len, r_symbol_ratio,
-        |  r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
-        |  (r_word_count AND r_avg_word_len AND r_symbol_ratio
-        |   AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
-        |   AND r_stopwords) AS pass
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 7 = 0
+         |      THEN repeat(chr(10) || '- bullet item', 12) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0
+         |      THEN repeat(chr(10) || 'trailing line...', 4) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 13 = 0
+         |      THEN ' ' || repeat('### ', 10) ELSE '' END) AS t
+         |  FROM documents),
+         |${gopherMetricCtes("aug")}
+         |SELECT doc_id,
+         |  ${gopherRuleSqls(4.0).map { case (n, e) => s"$e AS $n" }
+            .mkString(",\n  ")},
+         |  ${gopherOkSql(4.0)} AS pass
+         |FROM g_m ORDER BY doc_id""".stripMargin,
 
     // per-doc gopher conjunction (raw text, awl bound 4.0 as the Spark
     // side) folded into one rollup aggregate; all-integer outputs
     "q_corpus_datacard" ->
-      s"""WITH s AS (
-         |  SELECT source, text AS t,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-         |      AS n_words,
-         |    regexp_split_to_array(trim(text), '\\s+') AS ws,
-         |    string_split(text, chr(10)) AS ls,
-         |    $normTextSql AS nt
-         |  FROM documents),
-         |m AS (
-         |  SELECT source, n_words, md5(nt) AS fp, length(t) AS chars,
-         |    list_sum(list_transform(ws, w -> length(w) * 1.0)) / n_words
-         |      AS awl,
-         |    length(t) - length(regexp_replace(t, '[#…]', '', 'g')) AS n_sym,
-         |    len(list_filter(ls, l -> starts_with(l, '-')
-         |      OR starts_with(l, chr(8226)))) AS n_bullet,
-         |    len(ls) AS n_lines,
-         |    len(list_filter(ls, l -> ends_with(l, '...'))) AS n_ell,
-         |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-         |      AS n_alpha,
-         |    len(list_intersect(
-         |      list_distinct(regexp_split_to_array(lower(trim(t)), '\\s+')),
-         |      ['the','a','an','and','or','of','to','in','is','it','on',
-         |       'for','with','as','at','by','this','that'])) AS n_stop
-         |  FROM s),
+      s"""WITH base AS (
+         |  SELECT source, text AS t, $normTextSql AS nt FROM documents),
+         |${gopherMetricCtes("base")},
          |f AS (
-         |  SELECT source, n_words, chars, fp,
-         |    CASE WHEN (n_words >= 20 AND n_words <= 90)
-         |      AND (awl >= 4.0 AND awl <= 10.0)
-         |      AND (CAST(n_sym AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0)
-         |           < 0.1)
-         |      AND (CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9)
-         |      AND (CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3)
-         |      AND (CAST(n_alpha AS DOUBLE) / nullif(CAST(n_words AS DOUBLE),
-         |           0) >= 0.8)
-         |      AND (n_stop >= 2)
-         |    THEN 1 ELSE 0 END AS ok
-         |  FROM m)
+         |  SELECT source, n_words, length(t) AS chars, md5(nt) AS fp,
+         |    CASE WHEN ${gopherOkSql(4.0)} THEN 1 ELSE 0 END AS ok
+         |  FROM g_m)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
          |  CAST(sum(chars) AS BIGINT) AS n_chars,
@@ -3200,6 +3209,32 @@ object SparkEntry {
          |  CAST(sum(ok) AS BIGINT) AS n_quality_pass
          |FROM f GROUP BY ROLLUP(source)
          |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // gate → first-id-per-fingerprint dedup → hash split → stats, each
+    // stage the same SQL the standalone oracles pin
+    "q_pipeline_curation" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text AS t, $normTextSql AS nt
+         |  FROM documents),
+         |${gopherMetricCtes("base")},
+         |u AS (
+         |  SELECT doc_id, source, n_words, md5(nt) AS fp FROM g_m
+         |  WHERE ${gopherOkSql(4.0)}),
+         |d AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn FROM u),
+         |a AS (
+         |  SELECT doc_id, source, n_words,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         |           THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM d WHERE rn = 1)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+         |FROM a GROUP BY split, source
+         |ORDER BY split, source""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id, source,
