@@ -1152,6 +1152,17 @@ object SparkEntry {
         .orderBy("probe_id", "kind", "rank")
     }),
 
+    // the FULL-CORPUS mining shape: every vector an anchor, candidates
+    // restricted to its k-means cluster (shuffle key = cluster id, the
+    // semanticDedup posture) — deterministic Lloyd so the oracle replays
+    // train → assign → within-cluster rank end-to-end
+    "q_embed_hardneg_clustered" -> ((s, dir) =>
+      Similarity.contrastiveMineClustered(Tables.embeddings(s, dir),
+          kPos = 2, kNeg = 5, posThreshold = 0.35,
+          kClusters = kmeansK, iters = kmeansIters, deterministic = true)
+        .select(col("probe_id"), col("kind"), col("rank"), col("nbr_id"))
+        .orderBy("probe_id", "kind", "rank")),
+
     // SEMANTIC dedup end-to-end: exact cosine near-dup pairs → large-star/
     // small-star clustering → min-id survivor per embedding cluster — the
     // embedding-space mirror of q_dedup_cluster(_star), cross-covering the
@@ -3491,6 +3502,33 @@ object SparkEntry {
         |SELECT probe_id, kind, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
         |WHERE (kind = 'pos' AND rank <= 2) OR (kind = 'neg' AND rank <= 5)
         |ORDER BY probe_id, kind, rank""".stripMargin,
+
+    // kmeansCteChain replays the deterministic Lloyd train/assign; the
+    // within-cluster pair cosine and (pid, kind) rank mirror the Spark
+    // side exactly
+    "q_embed_hardneg_clustered" ->
+      s"""WITH ${kmeansCteChain(kmeansK, kmeansIters)},
+         |v AS (SELECT e.vec_id, e.embedding, a.cluster
+         |      FROM e JOIN a$kmeansIters a USING (vec_id)),
+         |s AS (SELECT a.vec_id AS pid, b.vec_id AS nid,
+         |        list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |        / nullif(
+         |          sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+         |          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))),
+         |          0) AS cos
+         |      FROM v a JOIN v b
+         |        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         |k2 AS (SELECT pid, nid, cos,
+         |        CASE WHEN cos >= 0.35 THEN 'pos' ELSE 'neg' END AS kind
+         |      FROM s),
+         |r AS (SELECT pid AS probe_id, kind, nid AS nbr_id,
+         |        row_number() OVER (PARTITION BY pid, kind
+         |          ORDER BY cos DESC, nid ASC) AS rank
+         |      FROM k2)
+         |SELECT probe_id, kind, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
+         |WHERE (kind = 'pos' AND rank <= 2) OR (kind = 'neg' AND rank <= 5)
+         |ORDER BY probe_id, kind, rank""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

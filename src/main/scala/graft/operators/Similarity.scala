@@ -161,9 +161,19 @@ object Similarity {
                       embCol: String = "embedding"): DataFrame = {
     require(kPos >= 0 && kNeg >= 0 && (kPos > 0 || kNeg > 0),
       s"contrastiveMine: kPos=$kPos kNeg=$kNeg")
+    mineRanks(scoredAgainstProbes(corpus, probes, idCol, embCol),
+      kPos, kNeg, posThreshold)
+  }
+
+  /** The kind/rank/cap tail shared by both mining shapes: label each
+    * scored (probe, nbr, cos) pair pos/neg by `posThreshold`, rank
+    * within (probe, kind) by descending cosine (nbr id tiebreak), keep
+    * the per-kind caps. Filter-before-rank is the whole contract. */
+  private def mineRanks(scored: DataFrame, kPos: Int, kNeg: Int,
+                        posThreshold: Double): DataFrame = {
     val w = Window.partitionBy(col("probe_id"), col("kind"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
-    scoredAgainstProbes(corpus, probes, idCol, embCol)
+    scored
       .withColumn("kind",
         when(col("cos") >= posThreshold, lit("pos")).otherwise(lit("neg")))
       .withColumn("rank", row_number().over(w))
@@ -171,6 +181,47 @@ object Similarity {
         (col("kind") === "neg" && col("rank") <= kNeg))
       .select(col("probe_id"), col("kind"), col("rank"), col("nbr_id"),
         col("cos"))
+  }
+
+  /** Cluster-restricted contrastive mining — `contrastiveMine`'s
+    * full-corpus scale path, where EVERY vector is an anchor: candidates
+    * are the anchor's k-means cluster peers, so the pair search shuffles
+    * once on the cluster id (the `semanticDedup` posture) instead of
+    * broadcasting an anchor batch against the corpus. Restricting hard
+    * negatives to the anchor's own cluster is not just an approximation:
+    * in-cluster neighbors are precisely the informative
+    * similar-but-not-duplicate negatives, while cross-cluster pairs are
+    * the easy negatives random sampling already provides. Output and
+    * caps as `contrastiveMine`; `deterministic` pins the k-means fold
+    * for oracle replay.
+    *
+    * Scale: inherits the within-cluster quadratic — size `kClusters` so
+    * clusters stay bounded (10k-100k at corpus scale), or pre-split hot
+    * clusters with the `semanticDedup` guard pattern before mining.
+    */
+  def contrastiveMineClustered(emb: DataFrame, kPos: Int, kNeg: Int,
+                               posThreshold: Double, kClusters: Int,
+                               iters: Int, idCol: String = "vec_id",
+                               embCol: String = "embedding",
+                               deterministic: Boolean = false): DataFrame = {
+    require(kPos >= 0 && kNeg >= 0 && (kPos > 0 || kNeg > 0),
+      s"contrastiveMineClustered: kPos=$kPos kNeg=$kNeg")
+    val cents = kMeansCentroids(emb, kClusters, iters, idCol, embCol,
+      deterministic)
+    val assigned = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .where(wellFormed(col("emb")))
+      .select(col("id"), col("emb"), norm(col("emb")).as("nrm"),
+        assignExpr(col("emb"), cents).as("cluster"))
+    val scored = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.id") =!= col("b.id"))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("a.emb"),
+          col("b.emb")) /
+          nullif(col("a.nrm") * col("b.nrm"), lit(0.0)))
+      .select(col("a.id").as("probe_id"), col("b.id").as("nbr_id"),
+        col("cos"))
+    mineRanks(scored, kPos, kNeg, posThreshold)
   }
 
   /** Random-hyperplane LSH bucketing: `nBits` signed projections against

@@ -97,6 +97,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(mined === brute)
   }
 
+  test("contrastiveMineClustered: every candidate comes from the " +
+    "anchor's own cluster; caps hold per anchor") {
+    // two tight cosine clusters; ids chosen so the deterministic
+    // md5-ordered seeds (6 first, then 9) start one Lloyd round in each
+    val groupA = Set(1L, 2L, 6L)
+    val groupB = Set(9L, 11L, 12L)
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.95f, 0.05f, 0f)),
+      (6L, Array(0.9f, 0.1f, 0f)),
+      (9L, Array(0f, 1f, 0f)), (11L, Array(0.05f, 0.95f, 0f)),
+      (12L, Array(0.1f, 0.9f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.contrastiveMineClustered(df, kPos = 1, kNeg = 2,
+      posThreshold = 0.999, kClusters = 2, iters = 3, deterministic = true)
+      .select("probe_id", "kind", "nbr_id").as[(Long, String, Long)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (p, _, n) =>
+      assert((groupA(p) && groupA(n)) || (groupB(p) && groupB(n)),
+        s"cross-cluster pair ($p, $n)")
+    }
+    // at threshold 0.999 nothing within a cluster is a positive: every
+    // anchor mines its 2 cluster peers as hard negatives, nothing more
+    assert(out.forall(_._2 == "neg"))
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+  }
+
   test("cosineNearDupPairs finds only the close pair at 0.9") {
     val pairs = Similarity.cosineNearDupPairs(vecs, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

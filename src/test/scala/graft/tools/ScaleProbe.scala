@@ -772,6 +772,75 @@ object ScaleProbe {
           .count()
       }
     }
+
+    if (which("docs-curation")) {
+      // round-9 curation tier at 50k docs (10 id-offset replicas): the
+      // chunker, the gopher gate + datacard single-pass rollup, and the
+      // composed curation pipeline — all linear scans / skinny shuffles,
+      // so wall should track rows ~1:1 vs the 5k baseline
+      import graft.functions.TextAnalysis
+      val docs = graft.Tables.documents(spark, dir)
+        .select("doc_id", "source", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("source"), col("text"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("curation_rows_50k")(big.count())
+      t("curation_chunks_50k")(
+        TextAnalysis.chunkDocs(big, "doc_id", "text", 200, 150).count())
+      val ok = TextAnalysis.gopherFlags(col("text"), minAvgWordLen = 4.0)
+        .map(_._2).reduce(_ && _)
+      t("curation_gate_pass_50k")(big.where(ok).count())
+      t("curation_datacard_rows_50k")(
+        big.select(col("source"),
+            TextAnalysis.wsTokenCount(col("text")).as("toks"),
+            length(col("text")).as("chars"),
+            TextAnalysis.fingerprint(col("text")).as("fp"),
+            ok.cast("int").as("okk"))
+          .rollup("source")
+          .agg(count(lit(1)), sum(col("toks")), sum(col("chars")),
+            countDistinct(col("fp")), sum(col("okk")))
+          .count())
+      // identical replica TEXT means the fingerprint dedup inside the
+      // pipeline collapses every 10-replica family (and any natural
+      // exact dups already in the 5k corpus) to one survivor: the
+      // kept-doc count must equal the DISTINCT passing fingerprints of
+      // the 5k base exactly
+      import org.apache.spark.sql.expressions.Window
+      t("curation_survivors_50k") {
+        big.where(ok)
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .where(col("rn") === 1).count()
+      }
+      t("curation_gate_pass_5k")(docs.where(ok).count())
+      t("curation_distinct_pass_5k")(
+        docs.where(ok)
+          .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .distinct().count())
+    }
+
+    if (which("emb-mine")) {
+      // contrastive mining at 20k vectors (10 exact replicas of the 2k
+      // corpus): each anchor's replicas are cos=1.0 positives, so with
+      // kPos=2/kNeg=5 over 100 anchors the output size is EXACTLY
+      // 100*(2+5) — an exactness check riding on the wall measurement
+      val base = graft.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding")
+      val replicas = (0 until 10).map { k =>
+        base.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("mine_rows_20k")(big.count())
+      val probes = big.where(col("vec_id") < 100)
+      t("mine_100anchors_20k") {
+        graft.operators.Similarity.contrastiveMine(big, probes,
+          kPos = 2, kNeg = 5, posThreshold = 0.9).count()
+      }
+    }
     spark.stop()
   }
 }
