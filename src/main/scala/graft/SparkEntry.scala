@@ -2093,8 +2093,8 @@ object SparkEntry {
        |  FROM $in),
        |g_m AS (
        |  SELECT * EXCLUDE (ws, ls),
-       |    list_sum(list_transform(ws, w -> length(w) * 1.0)) / n_words
-       |      AS awl,
+       |    list_sum(list_transform(ws, w -> length(w) * 1.0))
+       |      / nullif(n_words, 0) AS awl,
        |    length(t) - length(regexp_replace(t, '[#…]', '', 'g')) AS n_sym,
        |    len(list_filter(ls, l -> starts_with(l, '-')
        |      OR starts_with(l, chr(8226)))) AS n_bullet,

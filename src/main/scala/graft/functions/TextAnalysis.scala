@@ -255,8 +255,12 @@ object TextAnalysis {
     val nWords = when(length(trim(text)) === 0, 0).otherwise(size(words))
     val lines = split(text, "\n")
     val nLines = size(lines)
+    // nullif guard: on empty text the mean is NULL on both engines
+    // (Spark would otherwise produce NaN where DuckDB produces NULL,
+    // silently diverging the flag's three-valued logic)
     val awl = aggregate(words, lit(0.0),
-      (acc, w) => acc + length(w).cast("double")) / nWords
+      (acc, w) => acc + length(w).cast("double")) /
+      nullif(nWords.cast("double"), lit(0.0))
     val nSym = length(text) - length(regexp_replace(text, "[#…]", ""))
     val nBullet = size(filter(lines,
       l => l.startsWith("-") || l.startsWith("•")))
