@@ -1076,6 +1076,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail: per-language perplexity terciles under
+    // the src0 reference model — the bucket a production pipeline
+    // mixes by (head = most reference-like). ntile over the ppl
+    // ordering (doc_id tiebreak), membership-only output like the gate.
+    "q_perplexity_buckets" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Perplexity.perplexityScores(d, col("doc_id"), col("text"),
+          col("source") === "src0")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("nt", ntile(3).over(
+          Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))))
+        .select(col("doc_id"), col("lang"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance resampling toward the src0 slice: the oracle
     // hashes selected MEMBERSHIP + integer features only (the
     // log-weights ride libm ln — see Importance scaladoc)
@@ -2986,6 +3003,42 @@ object SparkEntry {
          |  CAST(sel.n_bigrams AS BIGINT) AS n_bigrams
          |FROM sel JOIN documents doc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // the gate's scoring chain with an ntile tercile instead of the
+    // quota cut; both engines use standard SQL ntile (first count%3
+    // groups take the extra row)
+    "q_perplexity_buckets" ->
+      s"""WITH nrm AS (SELECT doc_id, source, $normTextSql AS t
+         |             FROM documents),
+         |w AS (SELECT doc_id, source, string_split(t, ' ') AS ws FROM nrm),
+         |d AS (SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+         |        SELECT doc_id, source,
+         |          unnest(list_transform(range(1, len(ws)),
+         |            i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+         |        FROM w WHERE len(ws) >= 2)),
+         |rc AS (SELECT w1, w2, count(*) AS c_big FROM d
+         |       WHERE source = 'src0' GROUP BY 1, 2),
+         |m AS (SELECT w1, w2, c_big,
+         |        sum(c_big) OVER (PARTITION BY w1) AS c_ctx FROM rc),
+         |v AS (SELECT count(DISTINCT w2) + 1 AS v FROM rc),
+         |cc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM d
+         |       GROUP BY 1, 2, 3),
+         |x AS (SELECT cc.doc_id, cc.w1, cc.w2, cc.cnt,
+         |        cc.cnt * ln(CAST(coalesce(m.c_big, 0) + 1 AS DOUBLE)
+         |          / CAST(coalesce(m.c_ctx, 0) + v.v AS DOUBLE)) AS x
+         |      FROM cc LEFT JOIN m USING (w1, w2), v),
+         |lw AS (SELECT doc_id, sum(cnt) AS n_bigrams,
+         |         list_sum(list(x ORDER BY w1, w2)) AS logprob
+         |       FROM x GROUP BY 1),
+         |b AS (SELECT lw.doc_id, doc.lang,
+         |        ntile(3) OVER (PARTITION BY doc.lang
+         |          ORDER BY exp(-lw.logprob / lw.n_bigrams) ASC,
+         |            lw.doc_id ASC) AS nt
+         |      FROM lw JOIN documents doc USING (doc_id))
+         |SELECT doc_id, lang,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // the composed selection pipeline: the perplexity chain selects the
     // gated 400, then the WHOLE importance chain re-runs with its
