@@ -123,6 +123,25 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(scans("q_dedup_minhash") <= 6)
   }
 
+  test("plan shape: curation-tier queries stay single-scan with no " +
+    "unexpected joins") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(q: String): String = SparkEntry.queries(q)(spark, dir)
+      .queryExecution.executedPlan.toString
+    def scans(p: String): Int = "Scan parquet".r.findAllIn(p).length
+    // chunker and rule pack: pure projections — one scan, the only
+    // exchange is the presentation sort
+    for (q <- Seq("q_text_chunk", "q_text_gopher", "q_split_assign")) {
+      val p = plan(q)
+      assert(scans(p) === 1, s"$q scans")
+      assert(!p.contains("Join"), s"$q joined: $p")
+    }
+    // data card and curation pipeline: one corpus pass feeding
+    // aggregates/windows — never a second scan of documents
+    assert(scans(plan("q_corpus_datacard")) === 1)
+    assert(scans(plan("q_pipeline_curation")) === 1)
+  }
+
   test("plan shape: contamination is one corpus scan + one bench scan " +
     "joined broadcast, never a shuffle join") {
     val dir = "/root/testdata/sf0.001"
