@@ -792,6 +792,92 @@ object Dedup {
     } finally pinnedFrame.foreach(releaseMaterialized)
   }
 
+  /** One microbatch of the continuous CURATION gate — the exact-dedup
+    * sibling of `ingestGateBatch`, streaming `q_pipeline_curation`'s
+    * gate+dedup stages (split/stats are stateless projections a consumer
+    * runs over the corpus):
+    *
+    *   1. gate the batch on the conjunctive gopher rule pack
+    *      (`TextAnalysis.gopherFlags`);
+    *   2. drop batch docs whose content fingerprint already exists in
+    *      the persisted index — exact corpus dedup as ONE skinny md5
+    *      anti-join, no signatures;
+    *   3. dedup the batch internally (first id per fingerprint), without
+    *      which two copies arriving in one batch would both pass the
+    *      corpus probe and poison the index;
+    *   4. write admitted docs to the corpus and their fingerprints to
+    *      the index, partitioned by `ingest_batch` with dynamic
+    *      overwrite — at-least-once replay × idempotent write =
+    *      exactly-once corpus/index state, the `ingestGateBatch`
+    *      argument verbatim, including the `meta/_GRAFT_COMMITTED`
+    *      bootstrap contract. Meta records the rule bounds, so a gate
+    *      restarted with different bounds fails loudly instead of
+    *      silently mixing two curation policies in one corpus.
+    *
+    * The admitted frame's lineage reads the fingerprint index the
+    * writes mutate, so it is pinned (`materialize`) across the write
+    * pair and released in the finally — the `AdmittedPinning.Auto`
+    * posture; the minhash gate's other modes matter there because its
+    * pinned state is large, while here it is one gated batch. */
+  def curationGateBatch(indexPath: String, corpusPath: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        minWords: Int = 20, maxWords: Int = 90,
+                        minAvgWordLen: Double = 3.0,
+                        maxAvgWordLen: Double = 10.0)
+                       (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val marker =
+      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_GRAFT_COMMITTED")
+    val legacy = new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !(fs.exists(marker) || fs.exists(legacy))
+    if (!bootstrap) {
+      val meta = spark.read.parquet(s"$indexPath/meta").head()
+      val (mw, mx, ml, mh) = (meta.getInt(0), meta.getInt(1),
+        meta.getDouble(2), meta.getDouble(3))
+      require(mw == minWords && mx == maxWords &&
+        ml == minAvgWordLen && mh == maxAvgWordLen,
+        s"persisted curation index at $indexPath was built with rule " +
+          s"bounds ($mw, $mx, $ml, $mh) but the gate requested " +
+          s"($minWords, $maxWords, $minAvgWordLen, $maxAvgWordLen)")
+    }
+    val ok = graft.functions.TextAnalysis.gopherFlags(col(textCol),
+      minWords, maxWords, minAvgWordLen, maxAvgWordLen)
+      .map(_._2).reduce(_ && _)
+    val gated = batch.where(ok).withColumn("__fp",
+      graft.functions.TextAnalysis.fingerprint(col(textCol)))
+    val fresh =
+      if (bootstrap) gated
+      else gated.join(
+        spark.read.parquet(s"$indexPath/fps").select(col("fp").as("__seen")),
+        col("__fp") === col("__seen"), "left_anti")
+    val admitted = materialize(fresh
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__fp").orderBy(col(idCol))))
+      .where(col("__rn") === 1).drop("__rn"))
+    try {
+      if (!admitted.isEmpty) {
+        def dyn(df: DataFrame) = df.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+        dyn(admitted.drop("__fp")).parquet(corpusPath)
+        dyn(admitted.select(col("__fp").as("fp"))).parquet(s"$indexPath/fps")
+        if (bootstrap) {
+          if (fs.exists(metaDir)) fs.delete(metaDir, true)
+          Seq((minWords, maxWords, minAvgWordLen, maxAvgWordLen))
+            .toDF("min_words", "max_words", "min_awl", "max_awl")
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(s"$indexPath/meta")
+          fs.create(marker, false).close()
+        }
+      }
+    } finally releaseMaterialized(admitted)
+  }
+
   /** 64-bit SimHash over the normalized token multiset: each token hashes
     * to 64 bits via xxhash64; bit b of the simhash = majority vote of token
     * bits. Implemented as exploded token → per-(doc,bit) vote aggregation →

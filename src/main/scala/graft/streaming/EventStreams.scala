@@ -260,6 +260,21 @@ object EventStreams {
         modelPath, outPath, minLogw, idCol, textCol) _)
       .start()
 
+  /** Continuous curation gate: the stateless gopher rule pack plus
+    * persisted exact-fingerprint corpus dedup (`Dedup.curationGateBatch`)
+    * — `q_pipeline_curation`'s gate+dedup stages as a stream; the
+    * split/stat stages are projections a consumer runs over the corpus. */
+  def startCurationGate(stream: DataFrame, indexPath: String,
+                        corpusPath: String, checkpoint: String,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Dedup.curationGateBatch(
+        indexPath, corpusPath, idCol, textCol) _)
+      .start()
+
   // ---- custom state: flatMapGroupsWithState sessionization -----------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

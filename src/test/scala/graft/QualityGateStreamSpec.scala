@@ -105,4 +105,45 @@ class QualityGateStreamSpec extends SparkTestBase {
         after.toSet === admitted, "replayed epoch duplicated rows")
     } finally q.stop()
   }
+
+  test("streaming curation gate: rule pack + persisted exact-fingerprint " +
+    "dedup, replay-safe epochs, rule bounds pinned in meta") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cur_gate").toString
+    val passA = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs down the long road to find a warm place to rest tonight"
+    val passE = "a small cat sits by the open door and waits for the " +
+      "rain to stop before it walks out into the cold night"
+    val b1 = Seq((1L, passA), (2L, "too few words"), (3L, passA))
+    val b2 = Seq((4L, passA), (5L, passE))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.startCurationGate(mem.toDF.toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/corpus", s"$dir/ckpt")
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      // 2 fails the word-count rule; 3 is an in-batch dup of 1; 4 is a
+      // cross-batch dup caught by the persisted fingerprint index
+      assert(ids === Set(1L, 5L))
+      // replaying a committed epoch admits nothing (every doc
+      // self-matches the index) and duplicates nothing
+      graft.operators.Dedup.curationGateBatch(s"$dir/idx", s"$dir/corpus")(
+        b1.toDF("doc_id", "text"), 0L)
+      val after = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect()
+      assert(after.length === after.distinct.length &&
+        after.toSet === Set(1L, 5L), "replayed epoch duplicated rows")
+    } finally q.stop()
+    // a restart with different rule bounds must fail loudly instead of
+    // silently mixing curation policies in one corpus
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.curationGateBatch(s"$dir/idx", s"$dir/corpus",
+        minWords = 5)(b1.toDF("doc_id", "text"), 7L)
+    }
+  }
 }
