@@ -146,4 +146,43 @@ class QualityGateStreamSpec extends SparkTestBase {
         minWords = 5)(b1.toDF("doc_id", "text"), 7L)
     }
   }
+
+  test("curation gate bootstrap crash: a torn meta (no commit marker) " +
+    "replays as a full re-bootstrap, byte-identical corpus") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cur_crash").toString
+    val passA = "the quick brown fox jumps over the lazy dog and then " +
+      "it runs down the long road to find a warm place to rest tonight"
+    val passE = "a small cat sits by the open door and waits for the " +
+      "rain to stop before it walks out into the cold night"
+    val b1 = Seq((1L, passA), (5L, passE)).toDF("doc_id", "text")
+    graft.operators.Dedup.curationGateBatch(s"$dir/idx",
+      s"$dir/corpus")(b1, 0L)
+    // fake the worst crash window: meta parquet landed but neither the
+    // explicit marker nor the committer's _SUCCESS survived
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/idx/meta/_GRAFT_COMMITTED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/idx/meta/_SUCCESS"), false)
+    // the at-least-once replay of epoch 0 must re-bootstrap (delete the
+    // torn meta, rewrite it, recreate the marker) and leave the corpus
+    // exactly as a clean run would: dynamic overwrite rewrites the same
+    // ingest_batch=0 partitions
+    graft.operators.Dedup.curationGateBatch(s"$dir/idx",
+      s"$dir/corpus")(b1, 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/idx/meta/_GRAFT_COMMITTED")))
+    val ids = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect()
+    assert(ids.length === ids.distinct.length && ids.toSet === Set(1L, 5L))
+    val meta = spark.read.parquet(s"$dir/idx/meta").head()
+    assert(meta.getInt(0) === 20 && meta.getInt(1) === 90)
+    // and a later epoch against the recovered index still dedups
+    graft.operators.Dedup.curationGateBatch(s"$dir/idx", s"$dir/corpus")(
+      Seq((9L, passA)).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 5L))
+  }
 }
