@@ -464,7 +464,7 @@ object Similarity {
         emb, typedlit(cv.map(_.toFloat))) /
         lit(if (cNorm == 0.0) 1.0 else cNorm)
       struct((score * lit(-1.0)).as("negScore"), lit(ci).as("cid"))
-    }: _*))
+    }.toIndexedSeq: _*))
 
   /** Distributed k-means over an embedding column (cosine geometry) —
     * Lloyd's algorithm with the standard Spark division of labor: the
@@ -960,7 +960,7 @@ object Similarity {
           nullif(norm(emb) * lit(cNorm), lit(0.0)),
         lit(-2.0))
       struct((cos * lit(-1.0)).as("neg"), lit(j).as("cluster"))
-    }: _*))
+    }.toIndexedSeq: _*))
     ranked(0).getField("cluster")
   }
 

@@ -306,7 +306,7 @@ object EventStreams {
         SessionOut(userId, new Timestamp(s.startMs),
           new Timestamp(s.endMs + gapMs), s.n, s.sum)
       if (state.hasTimedOut) {
-        val out = state.getOption.map(emit).toIterator
+        val out = state.getOption.map(emit).iterator
         state.remove()
         return out
       }

@@ -41,4 +41,16 @@ class OracleShapeSpec extends AnyFunSuite {
       assert(!sql.contains(s"g${e + 1} AS"))
     }
   }
+
+  test("every query has an oracle except the approved rows-only set") {
+    // the driver records a weaker rows-only check for queries absent
+    // from oracleSql — that set must stay EXPLICIT so a new query
+    // cannot silently ship without its DuckDB oracle
+    val rowsOnly = Set("q_agg_approx_distinct") // HLL sketches are
+    // engine-specific; the <=2%-error contract is spec-pinned instead
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+      === rowsOnly)
+    // and no oracle may exist without its query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
 }
