@@ -195,23 +195,43 @@ object Similarity {
     * caps as `contrastiveMine`; `deterministic` pins the k-means fold
     * for oracle replay.
     *
-    * Scale: inherits the within-cluster quadratic — size `kClusters` so
-    * clusters stay bounded (10k-100k at corpus scale), or pre-split hot
-    * clusters with the `semanticDedup` guard pattern before mining.
+    * Scale: the within-cluster self-join is O(m²) in the cluster size
+    * m, and real embedding spaces are lumpy — so the kernel is GUARDED
+    * the way `cosineNearDupPairs` guards its broadcast: cluster sizes
+    * are probed (one partial-agg count, ≤ kClusters rows to the
+    * driver) and the operator REFUSES loudly when any cluster exceeds
+    * `maxClusterSize`, naming the mitigations (raise `kClusters` so
+    * clusters stay bounded — 10k-100k at corpus scale — or pre-split
+    * hot clusters, the `semanticDedup` guard pattern) instead of
+    * silently running a quadratic that will not finish.
     */
   def contrastiveMineClustered(emb: DataFrame, kPos: Int, kNeg: Int,
                                posThreshold: Double, kClusters: Int,
                                iters: Int, idCol: String = "vec_id",
                                embCol: String = "embedding",
-                               deterministic: Boolean = false): DataFrame = {
+                               deterministic: Boolean = false,
+                               maxClusterSize: Long = 100000L): DataFrame = {
     require(kPos >= 0 && kNeg >= 0 && (kPos > 0 || kNeg > 0),
       s"contrastiveMineClustered: kPos=$kPos kNeg=$kNeg")
+    require(maxClusterSize > 0,
+      s"contrastiveMineClustered: maxClusterSize=$maxClusterSize")
     val cents = kMeansCentroids(emb, kClusters, iters, idCol, embCol,
       deterministic)
     val assigned = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
       .where(wellFormed(col("emb")))
       .select(col("id"), col("emb"), norm(col("emb")).as("nrm"),
         assignExpr(col("emb"), cents).as("cluster"))
+    val fat = assigned.groupBy("cluster").count()
+      .where(col("count") > maxClusterSize)
+      .select(col("cluster"), col("count")).collect() // <= kClusters rows
+    require(fat.isEmpty,
+      s"contrastiveMineClustered: ${fat.length} cluster(s) exceed " +
+        s"maxClusterSize=$maxClusterSize (largest=${
+          if (fat.isEmpty) 0L else fat.map(_.getLong(1)).max}) — the " +
+        "within-cluster mining join is quadratic in the cluster size. " +
+        "Raise kClusters so clusters stay bounded, or pre-split hot " +
+        "clusters (the semanticDedup oversized-cluster guard pattern) " +
+        "before mining")
     val scored = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.id") =!= col("b.id"))

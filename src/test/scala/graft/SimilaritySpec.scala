@@ -122,6 +122,13 @@ class SimilaritySpec extends SparkTestBase {
     // anchor mines its 2 cluster peers as hard negatives, nothing more
     assert(out.forall(_._2 == "neg"))
     assert(out.groupBy(_._1).forall(_._2.length == 2))
+    // the quadratic guard refuses loudly when a cluster exceeds the cap
+    val e = intercept[IllegalArgumentException] {
+      Similarity.contrastiveMineClustered(df, kPos = 1, kNeg = 2,
+        posThreshold = 0.999, kClusters = 1, iters = 1,
+        deterministic = true, maxClusterSize = 2L)
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
   }
 
   test("cosineNearDupPairs finds only the close pair at 0.9") {
