@@ -840,6 +840,16 @@ object ScaleProbe {
         graft.operators.Similarity.contrastiveMine(big, probes,
           kPos = 2, kNeg = 5, posThreshold = 0.9).count()
       }
+      // FULL-CORPUS mining: every one of the 20k vectors an anchor,
+      // candidates from its k-means cluster. Identical replicas land in
+      // one cluster (same assignment), so each anchor has 9 cos=1.0
+      // positives in-cluster and ~300 peers for negatives — the output
+      // is EXACTLY 20k·(kPos+kNeg) rows
+      t("mine_clustered_allanchors_20k") {
+        graft.operators.Similarity.contrastiveMineClustered(big,
+          kPos = 2, kNeg = 5, posThreshold = 0.9,
+          kClusters = 64, iters = 3).count()
+      }
     }
     spark.stop()
   }
