@@ -849,14 +849,11 @@ object SparkEntry {
     // boundary) — pure projection, reproducible across runs/engines, no
     // RNG state. The q_sample_hash idiom extended to partition the WHOLE
     // corpus rather than select a slice.
-    "q_split_assign" -> ((s, dir) => {
-      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    "q_split_assign" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
-          when(b < "cc", "train").when(b < "e6", "val")
-            .otherwise("test").as("split"))
-        .orderBy("doc_id")
-    }),
+          splitAssignExpr(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
 
     // end-to-end CURATION pipeline: gopher rule gate → exact dedup
     // (first-id survivor per fingerprint) → deterministic hash split →
@@ -873,10 +870,8 @@ object SparkEntry {
         .withColumn("rn", row_number().over(
           Window.partitionBy("fp").orderBy("doc_id")))
         .where(col("rn") === 1)
-      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
       uniq
-        .withColumn("split",
-          when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+        .withColumn("split", splitAssignExpr(col("doc_id")))
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.wsTokenCount(col("text"))).cast("long")
@@ -2093,6 +2088,23 @@ object SparkEntry {
     * Spark-side `perceptronTrain` on a filtered frame. Arithmetic
     * mirrors `Classify.perceptronTrain(deterministic = true)`
     * exactly. */
+  /** Deterministic ~80/10/10 split: md5 two-hex-char bucket of the id
+    * (256 buckets; < 'cc' ≈ 80% train, < 'e6' ≈ 90% val boundary).
+    * ONE definition each for the Column and SQL forms so the
+    * q_split_assign / q_pipeline_curation use sites cannot drift. */
+  private def splitAssignExpr(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val b = substring(md5(id.cast("string")), 1, 2)
+    when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+  }
+
+  private val splitAssignSql: String =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |         THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+      |         THEN 'val'
+      |       ELSE 'test' END""".stripMargin
+
   /** DuckDB mirror of `TextAnalysis.gopherFlags`'s per-row metrics:
     * emits CTEs `g_s`/`g_m` over input CTE `in`, which must expose the
     * text under column `t` (all other columns ride along, list
@@ -2100,14 +2112,16 @@ object SparkEntry {
     * Spark side; callers assemble rule booleans from g_m's metric
     * columns via `gopherRuleSqls`. */
   private def gopherMetricCtes(in: String): String =
-    s"""g_s AS (
+    s"""g_s0 AS (
        |  SELECT *,
-       |    CASE WHEN length(trim(t)) = 0 THEN 0
-       |         ELSE len(regexp_split_to_array(trim(t), '\\s+')) END
-       |      AS n_words,
        |    regexp_split_to_array(trim(t), '\\s+') AS ws,
        |    string_split(t, chr(10)) AS ls
        |  FROM $in),
+       |g_s AS (
+       |  SELECT *,
+       |    CASE WHEN length(trim(t)) = 0 THEN 0 ELSE len(ws) END
+       |      AS n_words
+       |  FROM g_s0),
        |g_m AS (
        |  SELECT * EXCLUDE (ws, ls),
        |    list_sum(list_transform(ws, w -> length(w) * 1.0))
@@ -3225,10 +3239,14 @@ object SparkEntry {
         |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
 
+    // coalesce mirrors chunkDocs' NULL-text pin: one NULL chunk per
+    // NULL doc on both engines (DuckDB's greatest propagates NULL,
+    // Spark's skips it — without the coalesce the row counts diverge)
     "q_text_chunk" ->
       """WITH starts AS (
         |  SELECT doc_id, text,
-        |    unnest(range(0, greatest(length(text), 1), 150)) AS cs
+        |    unnest(range(0, greatest(coalesce(length(text), 0), 1), 150))
+        |      AS cs
         |  FROM documents)
         |SELECT doc_id, CAST(cs // 150 AS INTEGER) AS chunk_idx,
         |  CAST(cs AS INTEGER) AS chunk_start,
@@ -3288,12 +3306,7 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
          |    AS rn FROM u),
          |a AS (
-         |  SELECT doc_id, source, n_words,
-         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
-         |           THEN 'train'
-         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-         |           THEN 'val'
-         |         ELSE 'test' END AS split
+         |  SELECT doc_id, source, n_words, $splitAssignSql AS split
          |  FROM d WHERE rn = 1)
          |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_words) AS BIGINT) AS n_tokens
@@ -3301,13 +3314,9 @@ object SparkEntry {
          |ORDER BY split, source""".stripMargin,
 
     "q_split_assign" ->
-      """SELECT doc_id, source,
-        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
-        |         THEN 'train'
-        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-        |         THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, source,
+         |  $splitAssignSql AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_vocab_topk" ->
       s"""WITH toks AS (

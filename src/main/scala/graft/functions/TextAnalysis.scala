@@ -216,7 +216,10 @@ object TextAnalysis {
     * explode multiplies rows by ceil(len/stride) locally, so output
     * partitioning inherits the scan's. Empty/short docs yield exactly one
     * chunk (possibly empty) rather than zero, preserving doc coverage
-    * invariants for downstream joins. */
+    * invariants for downstream joins; NULL text likewise yields one
+    * chunk with NULL chunk_text (the coalesce pins this — without it
+    * Spark's null-skipping greatest() would keep the row while a
+    * null-propagating engine's oracle would drop it). */
   def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, chunkChars: Int,
                 strideChars: Int): org.apache.spark.sql.DataFrame = {
@@ -225,7 +228,8 @@ object TextAnalysis {
     df.select(col(idCol), col(textCol).as("t"))
       .select(col(idCol),
         posexplode(sequence(lit(0),
-          greatest(length(col("t")) - 1, lit(0)), lit(strideChars)))
+          greatest(coalesce(length(col("t")), lit(0)) - 1, lit(0)),
+          lit(strideChars)))
           .as(Seq("chunk_idx", "chunk_start")),
         col("t"))
       .select(col(idCol), col("chunk_idx"), col("chunk_start"),

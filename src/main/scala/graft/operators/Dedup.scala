@@ -835,6 +835,10 @@ object Dedup {
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bootstrap = !(fs.exists(marker) || fs.exists(legacy))
     if (!bootstrap) {
+      // 1-row driver read per microbatch — the same per-epoch cost
+      // probePersistedIndex pays for its parameter check; bounds are
+      // immutable once committed (errorIfExists), so this is pure
+      // validation, not state
       val meta = spark.read.parquet(s"$indexPath/meta").head()
       val (mw, mx, ml, mh) = (meta.getInt(0), meta.getInt(1),
         meta.getDouble(2), meta.getDouble(3))

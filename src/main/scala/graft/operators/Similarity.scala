@@ -217,10 +217,16 @@ object Similarity {
       s"contrastiveMineClustered: maxClusterSize=$maxClusterSize")
     val cents = kMeansCentroids(emb, kClusters, iters, idCol, embCol,
       deterministic)
-    val assigned = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .where(wellFormed(col("emb")))
-      .select(col("id"), col("emb"), norm(col("emb")).as("nrm"),
-        assignExpr(col("emb"), cents).as("cluster"))
+    // materialized: the frame feeds the guard count AND both sides of
+    // the self-join — unpinned, each would re-scan the corpus and
+    // re-run the k x dim assignment fold. The checkpoint blocks live
+    // until the returned plan is GC'd (the standard lazy-result cache
+    // contract; ContextCleaner reclaims them).
+    val assigned = Dedup.materialize(
+      emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+        .where(wellFormed(col("emb")))
+        .select(col("id"), col("emb"), norm(col("emb")).as("nrm"),
+          assignExpr(col("emb"), cents).as("cluster")))
     val fat = assigned.groupBy("cluster").count()
       .where(col("count") > maxClusterSize)
       .select(col("cluster"), col("count")).collect() // <= kClusters rows

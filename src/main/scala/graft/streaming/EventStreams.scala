@@ -263,16 +263,25 @@ object EventStreams {
   /** Continuous curation gate: the stateless gopher rule pack plus
     * persisted exact-fingerprint corpus dedup (`Dedup.curationGateBatch`)
     * — `q_pipeline_curation`'s gate+dedup stages as a stream; the
-    * split/stat stages are projections a consumer runs over the corpus. */
+    * split/stat stages are projections a consumer runs over the corpus.
+    * The rule bounds pass through to the gate (and into its meta
+    * pinning): a stream meant to mirror a batch pipeline must be
+    * started with THAT pipeline's bounds — q_pipeline_curation, for
+    * example, pins minAvgWordLen = 4.0 over the synthetic corpus while
+    * the operator default stays at Gopher's published 3.0. */
   def startCurationGate(stream: DataFrame, indexPath: String,
                         corpusPath: String, checkpoint: String,
-                        idCol: String = "doc_id", textCol: String = "text")
+                        idCol: String = "doc_id", textCol: String = "text",
+                        minWords: Int = 20, maxWords: Int = 90,
+                        minAvgWordLen: Double = 3.0,
+                        maxAvgWordLen: Double = 10.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch(graft.operators.Dedup.curationGateBatch(
-        indexPath, corpusPath, idCol, textCol) _)
+        indexPath, corpusPath, idCol, textCol, minWords, maxWords,
+        minAvgWordLen, maxAvgWordLen) _)
       .start()
 
   // ---- custom state: flatMapGroupsWithState sessionization -----------------
