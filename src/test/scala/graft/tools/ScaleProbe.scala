@@ -850,6 +850,28 @@ object ScaleProbe {
           kPos = 2, kNeg = 5, posThreshold = 0.9,
           kClusters = 64, iters = 3).count()
       }
+      // honesty metric for the cluster restriction: of the TRUE global
+      // top-5 hard negatives (brute force over all 20k), what fraction
+      // does in-cluster mining retain for the same 100 anchors? (in
+      // parts-per-thousand so the probe prints an integer)
+      // the kClusters dial trades this recall against per-cluster cost
+      // — the synthetic corpus is near-UNIFORM (no lumps), the worst
+      // case for cluster routing, exactly why IVF probes >1 list
+      def recallPpt(kClusters: Int): Long = {
+        val globalNeg = graft.operators.Similarity.contrastiveMine(
+          big, probes, kPos = 0, kNeg = 5, posThreshold = 0.9)
+          .select("probe_id", "nbr_id")
+        val clusteredNeg = graft.operators.Similarity
+          .contrastiveMineClustered(big, kPos = 0, kNeg = 5,
+            posThreshold = 0.9, kClusters = kClusters, iters = 3)
+          .where(col("probe_id") < 100)
+          .select("probe_id", "nbr_id")
+        val hit = globalNeg.join(clusteredNeg,
+          Seq("probe_id", "nbr_id"), "left_semi").count()
+        math.round(1000.0 * hit / globalNeg.count())
+      }
+      t("mine_clustered_recall_at5_k64_ppt")(recallPpt(64))
+      t("mine_clustered_recall_at5_k8_ppt")(recallPpt(8))
     }
     spark.stop()
   }
