@@ -188,10 +188,16 @@ object Similarity {
     * are the anchor's k-means cluster peers, so the pair search shuffles
     * once on the cluster id (the `semanticDedup` posture) instead of
     * broadcasting an anchor batch against the corpus. Restricting hard
-    * negatives to the anchor's own cluster is not just an approximation:
-    * in-cluster neighbors are precisely the informative
-    * similar-but-not-duplicate negatives, while cross-cluster pairs are
-    * the easy negatives random sampling already provides. Output and
+    * negatives to the anchor's own cluster keeps the informative
+    * similar-but-not-duplicate negatives when the space is lumpy (real
+    * embedding corpora), but it IS a recall trade against global brute
+    * force, steered by `kClusters`: BASELINE's emb-mine probe measures
+    * 14% (k=64) vs 36% (k=8) global-top-5 retention on a near-UNIFORM
+    * synthetic space — the worst case for cluster routing, the same
+    * reason IVF probes more than one list. Anchors needing
+    * global-exact negatives at bounded cost route through `ivfTopK`
+    * with nProbe > 1 instead. The positive (near-dup) tier is immune:
+    * near-identical vectors co-cluster by construction. Output and
     * caps as `contrastiveMine`; `deterministic` pins the k-means fold
     * for oracle replay.
     *
