@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Classify, Dedup, Enrich, Events, Importance, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq}
+import graft.operators.{AsOfJoin, Bq, Classify, Dedup, Enrich, Events, Importance, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -1332,6 +1332,18 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // binary quantization (the 32x tier): sign-bit words, Hamming
+    // pre-rank (integer-exact), exact-cosine rerank of the 50 best
+    // candidates per probe — approximation dial (rerank) under the
+    // hash oracle like ivfpq's nProbe
+    "q_embed_bq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Bq.hammingTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+          rerank = 50)
+        .select(col("probe_id"), col("rank"), col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // the PERSISTED IVF-PQ index (ANN serving tier): the corpus slice
     // trains + persists once (inverted lists partitioned by cluster,
     // codes not vectors), the (vec_id % 10 == 0) batch probes the
@@ -1949,6 +1961,50 @@ object SparkEntry {
        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
        |WHERE rank <= $k
        |ORDER BY probe_id, rank""".stripMargin
+
+  /** q_embed_bq_topk oracle: sign-bit words packed 32 dims per BIGINT,
+    * MSB-first (word w = Σ_j [x ≥ 0]·2^(31−j), out-of-range dims 0 —
+    * `Bq.wordsExpr`'s fold exactly), Hamming via xor + bit_count,
+    * candidate cut by (hamming, id), exact-cosine final rank. */
+  private def bqTopKOracleSql(dim: Int, k: Int, rerank: Int): String = {
+    val nw = (dim + 31) / 32
+    val wordExprs = (0 until nw).map { w =>
+      s"""CAST(list_sum(list_transform(range(1, 33), j ->
+         |      CASE WHEN embedding[${w * 32} + j] IS NOT NULL
+         |                AND embedding[${w * 32} + j] >= 0
+         |           THEN 2 ** (32 - j) ELSE 0 END)) AS BIGINT)""".stripMargin
+    }.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |    AND len(embedding) = $dim),
+       |b AS (SELECT vec_id, embedding, $wordExprs AS words FROM e),
+       |p AS (SELECT vec_id AS pid, embedding AS pe, words AS pw FROM b
+       |      WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, embedding AS ce, words AS cw FROM b),
+       |h AS (SELECT pid, nid, ce, pe,
+       |        list_sum(list_transform(range(1, $nw + 1),
+       |          i -> bit_count(xor(cw[i], pw[i])))) AS hamming
+       |      FROM c, p WHERE nid <> pid),
+       |cand AS (SELECT *, row_number() OVER (PARTITION BY pid
+       |           ORDER BY hamming ASC, nid ASC) AS crank
+       |         FROM h),
+       |s AS (SELECT pid, nid,
+       |        list_sum(list_transform(range(1, $dim + 1),
+       |          i -> CAST(ce[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))
+       |        / nullif(
+       |          sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x)))
+       |          * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * x))),
+       |          0) AS cos
+       |      FROM cand WHERE crank <= $rerank),
+       |r AS (SELECT pid AS probe_id, nid AS nbr_id,
+       |        row_number() OVER (PARTITION BY pid
+       |          ORDER BY cos DESC, nid ASC) AS rank
+       |      FROM s)
+       |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id FROM r
+       |WHERE rank <= $k
+       |ORDER BY probe_id, rank""".stripMargin
+  }
 
   /** q_embed_semdedup oracle: the kmeans chain, then exact cosine pairs
     * restricted to same-cluster ids, recursive-CTE closure, min-id
@@ -3659,6 +3715,11 @@ object SparkEntry {
 
     // ranking over the int8 reconstruction
     "q_embed_sq_topk" -> sqTopKOracleSql(embedDim, k = 5),
+
+    // BQ: sign-bit packing (32 dims/word, MSB-first, all-integer),
+    // Hamming via xor+bit_count, rerank cut by (hamming, id), final
+    // rank by exact cosine — every stage engine-exact
+    "q_embed_bq_topk" -> bqTopKOracleSql(embedDim, k = 5, rerank = 50),
 
     // same kmeans chain + pairs restricted to a shared cluster + closure
     "q_embed_incremental" -> semIncrementalOracleSql(kmeansK, kmeansIters,

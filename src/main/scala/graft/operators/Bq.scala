@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary (1-bit-per-dimension) quantization — the 32× compression tier
+  * of the ANN family, below `Sq`'s int8 (4×) and `Pq`'s codebooks:
+  * bit i = [x_i ≥ 0], packed 32 dimensions per long word, searched by
+  * HAMMING distance (XOR + popcount — integer-only, engine-exact), then
+  * re-ranked by exact cosine over a `rerank`-sized candidate set. Sign
+  * quantization is the standard serving trick for roughly zero-centered
+  * embedding spaces (Charikar hyperplanes with the identity basis); the
+  * rerank stage restores exact top-k whenever the true neighbors sit in
+  * the Hamming-candidate set, and `rerank = |corpus|` degenerates to
+  * brute force (spec-pinned).
+  *
+  * Packing uses 32-bit words (not 64) so every engine's signed-BIGINT
+  * arithmetic stays overflow-free: word w = Σ_j bit_{32w+j} · 2^(31−j),
+  * MSB-first, dims past the end contribute 0. All integer — the DuckDB
+  * oracle replays it bit-for-bit.
+  *
+  * Scale: encode is one narrow projection (HOF fold per word — interpret
+  * cost paid once per vector; a pipeline PERSISTS `encoded` and pays it
+  * once per corpus build). Search is the `bruteForceTopK` posture with
+  * 32× less candidate payload: probes broadcast, corpus streams, the
+  * Hamming pre-rank cuts the exact-cosine work to `rerank` per probe.
+  */
+object Bq {
+
+  private def nWords(dim: Int): Int = (dim + 31) / 32
+
+  private def wellFormedDim(emb: Column, dim: Int): Column =
+    Similarity.wellFormed(emb) && size(emb) === dim
+
+  /** Packed sign-bit words for one embedding column. */
+  private[operators] def wordsExpr(emb: Column, dim: Int): Column = {
+    val bits = transform(emb, x => when(x >= 0, 1L).otherwise(0L))
+    array((0 until nWords(dim)).map { w =>
+      // MSB-first fold: acc·2 + bit, 32 slots, out-of-range dims = 0
+      // (try_element_at: ANSI element_at THROWS past the end)
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, j) => acc * 2 +
+          coalesce(try_element_at(bits, lit(w * 32) + j + 1), lit(0L)))
+    }.toIndexedSeq: _*)
+  }
+
+  /** `(idCol, words)` — the 32×-compressed form a pipeline persists. */
+  def encoded(corpus: DataFrame, dim: Int, idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame =
+    corpus.where(wellFormedDim(col(embCol), dim))
+      .select(col(idCol), wordsExpr(col(embCol), dim).as("words"))
+
+  /** Hamming distance between two packed-word arrays (long). */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Top-k by Hamming pre-rank + exact-cosine rerank. Candidate cut:
+    * `rerank` lowest-Hamming neighbors per probe (id tiebreak); final
+    * rank by exact cosine desc (id tiebreak). Output: (probe_id, rank,
+    * nbr_id, hamming, cos). */
+  def hammingTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                  rerank: Int, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k, s"hammingTopK: k=$k rerank=$rerank")
+    val dim = Similarity.probeDim(corpus, embCol)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    def sides(df: DataFrame, id: String, emb: String, words: String,
+              nrm: String): DataFrame =
+      df.where(wellFormedDim(col(embCol), dim))
+        .select(col(idCol).as(id), col(embCol).as(emb),
+          wordsExpr(col(embCol), dim).as(words),
+          Similarity.norm(col(embCol)).as(nrm))
+    val c = sides(corpus.repartition(par), "nbr_id", "c_emb", "c_words",
+      "c_nrm")
+    val p = sides(probes, "probe_id", "p_emb", "p_words", "p_nrm")
+    val cand = c.join(broadcast(p), col("nbr_id") =!= col("probe_id"))
+      .withColumn("hamming", hamming(col("c_words"), col("p_words")))
+      .withColumn("crank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("hamming").asc, col("nbr_id").asc)))
+      .where(col("crank") <= rerank)
+    cand
+      .withColumn("cos",
+        graft.functions.VectorExpressions.dotF32(col("c_emb"),
+          col("p_emb")) /
+          nullif(col("c_nrm") * col("p_nrm"), lit(0.0)))
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("nbr_id").asc)))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("nbr_id"), col("hamming"),
+        col("cos"))
+  }
+}

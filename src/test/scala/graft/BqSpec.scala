@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bq, Similarity}
+
+class BqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("encoded packs sign bits MSB-first, 32 dims per word, short tail " +
+    "zero-padded") {
+    // 3 dims (+,-,+): bits [1,0,1] -> 2^31 + 2^29
+    val one = Seq((1L, Array(0.5f, -0.5f, 0f))).toDF("vec_id", "embedding")
+    val w3 = Bq.encoded(one, dim = 3).select("words").as[Seq[Long]].head()
+    assert(w3 === Seq((1L << 31) + (1L << 29))) // 0f counts as >= 0
+    // 33 dims, all non-negative: word0 = 2^32 - 1, word1 = MSB of 32
+    val ones = Seq((2L, Array.fill(33)(1f))).toDF("vec_id", "embedding")
+    val w33 = Bq.encoded(ones, dim = 33).select("words").as[Seq[Long]]
+      .head()
+    assert(w33 === Seq((1L << 32) - 1, 1L << 31))
+    // wrong-dim rows are excluded (the Sq wellFormedDim contract)
+    assert(Bq.encoded(one, dim = 5).count() === 0)
+  }
+
+  test("hammingTopK: rerank >= corpus degenerates to exact brute force; " +
+    "an exact duplicate probe finds its twin at hamming 0") {
+    val vecs = Seq(
+      (1L, Array(1f, 0.2f, -0.3f, 0.7f)),
+      (2L, Array(1f, 0.2f, -0.3f, 0.7f)),   // exact twin of 1
+      (3L, Array(-1f, 0.4f, 0.5f, -0.2f)),
+      (4L, Array(0.1f, -0.9f, 0.8f, 0.3f)),
+      (5L, Array(-0.5f, -0.5f, -0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val bq = Bq.hammingTopK(vecs, vecs.where(col("vec_id") === 1), k = 4,
+        rerank = 5)
+      .orderBy("rank")
+      .select("nbr_id", "hamming").as[(Long, Long)].collect()
+    val brute = Similarity.bruteForceTopK(vecs,
+        vecs.where(col("vec_id") === 1), k = 4)
+      .orderBy("rank").select("nbr_id").as[Long].collect()
+    assert(bq.map(_._1).toSeq === brute.toSeq) // degenerate-exact
+    assert(bq.head === ((2L, 0L)))             // twin: hamming 0, top-1
+    intercept[IllegalArgumentException] {
+      Bq.hammingTopK(vecs, vecs, k = 5, rerank = 3) // rerank < k
+    }
+  }
+}
