@@ -51,37 +51,57 @@ object Bq {
     corpus.where(wellFormedDim(col(embCol), dim))
       .select(col(idCol), wordsExpr(col(embCol), dim).as("words"))
 
-  /** Hamming distance between two packed-word arrays (long). */
+  /** Hamming distance between two packed-word arrays (long) — the
+    * codegen'd `HammingWords` expression (the interpreted HOF form
+    * measured slower than the fused dot product it pre-filters; see the
+    * expression's scaladoc). */
   def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.hammingWords(a, b)
 
   /** Top-k by Hamming pre-rank + exact-cosine rerank. Candidate cut:
     * `rerank` lowest-Hamming neighbors per probe (id tiebreak); final
     * rank by exact cosine desc (id tiebreak). Output: (probe_id, rank,
-    * nbr_id, hamming, cos). */
+    * nbr_id, hamming, cos).
+    *
+    * Plan shape (the melted-verify pattern of `minhashLshPairs`): the
+    * pre-rank window shuffles ONLY (probe_id, nbr_id, hamming) — the
+    * 32×-compressed words never ride past the scan, and the full f32
+    * vectors enter the plan only for the rerank·|probes| candidate
+    * rows, fetched back by a semi-join-shaped id join. Carrying the
+    * vectors through the pre-rank window instead (the obvious
+    * composition) shuffles the whole corpus payload and erases BQ's
+    * entire compression win. */
   def hammingTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                   rerank: Int, idCol: String = "vec_id",
                   embCol: String = "embedding"): DataFrame = {
     require(k > 0 && rerank >= k, s"hammingTopK: k=$k rerank=$rerank")
     val dim = Similarity.probeDim(corpus, embCol)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    def sides(df: DataFrame, id: String, emb: String, words: String,
-              nrm: String): DataFrame =
-      df.where(wellFormedDim(col(embCol), dim))
-        .select(col(idCol).as(id), col(embCol).as(emb),
-          wordsExpr(col(embCol), dim).as(words),
-          Similarity.norm(col(embCol)).as(nrm))
-    val c = sides(corpus.repartition(par), "nbr_id", "c_emb", "c_words",
-      "c_nrm")
-    val p = sides(probes, "probe_id", "p_emb", "p_words", "p_nrm")
-    val cand = c.join(broadcast(p), col("nbr_id") =!= col("probe_id"))
+    val well = corpus.where(wellFormedDim(col(embCol), dim))
+    val cWords = well.repartition(par)
+      .select(col(idCol).as("nbr_id"),
+        wordsExpr(col(embCol), dim).as("c_words"))
+    val pFull = probes.where(wellFormedDim(col(embCol), dim))
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        wordsExpr(col(embCol), dim).as("p_words"),
+        Similarity.norm(col(embCol)).as("p_nrm"))
+    // skinny pre-rank: ids + hamming only through the window shuffle
+    val cand = cWords
+      .join(broadcast(pFull.select("probe_id", "p_words")),
+        col("nbr_id") =!= col("probe_id"))
       .withColumn("hamming", hamming(col("c_words"), col("p_words")))
+      .select("probe_id", "nbr_id", "hamming")
       .withColumn("crank", row_number().over(Window.partitionBy("probe_id")
         .orderBy(col("hamming").asc, col("nbr_id").asc)))
       .where(col("crank") <= rerank)
+    // fetch the candidates' vectors (rerank·|probes| rows) for the
+    // exact rerank
+    val cVecs = well.select(col(idCol).as("nbr_id"),
+      col(embCol).as("c_emb"), Similarity.norm(col(embCol)).as("c_nrm"))
     cand
+      .join(cVecs, Seq("nbr_id"))
+      .join(broadcast(pFull.select("probe_id", "p_emb", "p_nrm")),
+        Seq("probe_id"))
       .withColumn("cos",
         graft.functions.VectorExpressions.dotF32(col("c_emb"),
           col("p_emb")) /

@@ -873,6 +873,40 @@ object ScaleProbe {
       t("mine_clustered_recall_at5_k64_ppt")(recallPpt(64))
       t("mine_clustered_recall_at5_k8_ppt")(recallPpt(8))
     }
+
+    if (which("emb-bq")) {
+      // binary quantization at 20k vectors (10 exact replicas of 2k):
+      // Hamming pre-rank + exact rerank vs full brute force — wall and
+      // top-10 recall (ppt). Replicas guarantee 9 hamming-0 twins per
+      // probe, so the positive tail of the candidate set is exact.
+      val base = graft.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding")
+      val replicas = (0 until 10).map { k =>
+        base.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      val probes = big.where(col("vec_id") < 100)
+      t("bq_rows_20k")(big.count())
+      var bq: org.apache.spark.sql.DataFrame = null
+      t("bq_top10_rerank100_20k") {
+        bq = graft.operators.Bq.hammingTopK(big, probes, k = 10,
+          rerank = 100).localCheckpoint(true)
+        bq.count()
+      }
+      var brute: org.apache.spark.sql.DataFrame = null
+      t("bq_brute_top10_20k") {
+        brute = graft.operators.Similarity.bruteForceTopK(big, probes,
+          k = 10).localCheckpoint(true)
+        brute.count()
+      }
+      t("bq_recall_at10_ppt") {
+        val hit = brute.select("probe_id", "nbr_id")
+          .join(bq.select("probe_id", "nbr_id"),
+            Seq("probe_id", "nbr_id"), "left_semi").count()
+        math.round(1000.0 * hit / brute.count())
+      }
+    }
     spark.stop()
   }
 }
