@@ -1344,6 +1344,23 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // the PERSISTED BQ serving index: the corpus slice encodes + persists
+    // once (words parquet IS the pre-rank input — zero re-encode at
+    // probe time), the held-out batch probes it against a separate
+    // vector fetch tier — the standard ANN-index/fetch-tier deployment
+    // split. Oracle: the same BQ chain with corpus and probes narrowed.
+    "q_embed_bq_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = System.getProperty("java.io.tmpdir") +
+        s"/graft_bq_idx_${math.abs(dir.hashCode)}"
+      val corpus = emb.where(col("vec_id") % 10 =!= 0)
+      Bq.persistBqIndex(corpus, idx)
+      Bq.probeBqIndex(emb.where(col("vec_id") % 10 === 0), idx, corpus,
+          k = 3, rerank = 30)
+        .select(col("probe_id"), col("rank"), col("nbr_id"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // the PERSISTED IVF-PQ index (ANN serving tier): the corpus slice
     // trains + persists once (inverted lists partitioned by cluster,
     // codes not vectors), the (vec_id % 10 == 0) batch probes the
@@ -1966,7 +1983,9 @@ object SparkEntry {
     * MSB-first (word w = Σ_j [x ≥ 0]·2^(31−j), out-of-range dims 0 —
     * `Bq.wordsExpr`'s fold exactly), Hamming via xor + bit_count,
     * candidate cut by (hamming, id), exact-cosine final rank. */
-  private def bqTopKOracleSql(dim: Int, k: Int, rerank: Int): String = {
+  private def bqTopKOracleSql(dim: Int, k: Int, rerank: Int,
+                              probeWhere: String = "vec_id < 10",
+                              corpusWhere: String = "TRUE"): String = {
     val nw = (dim + 31) / 32
     val wordExprs = (0 until nw).map { w =>
       s"""CAST(list_sum(list_transform(range(1, 33), j ->
@@ -1980,8 +1999,9 @@ object SparkEntry {
        |    AND len(embedding) = $dim),
        |b AS (SELECT vec_id, embedding, $wordExprs AS words FROM e),
        |p AS (SELECT vec_id AS pid, embedding AS pe, words AS pw FROM b
-       |      WHERE vec_id < 10),
-       |c AS (SELECT vec_id AS nid, embedding AS ce, words AS cw FROM b),
+       |      WHERE $probeWhere),
+       |c AS (SELECT vec_id AS nid, embedding AS ce, words AS cw FROM b
+       |      WHERE $corpusWhere),
        |h AS (SELECT pid, nid, ce, pe,
        |        list_sum(list_transform(range(1, $nw + 1),
        |          i -> bit_count(xor(cw[i], pw[i])))) AS hamming
@@ -3720,6 +3740,11 @@ object SparkEntry {
     // Hamming via xor+bit_count, rerank cut by (hamming, id), final
     // rank by exact cosine — every stage engine-exact
     "q_embed_bq_topk" -> bqTopKOracleSql(embedDim, k = 5, rerank = 50),
+
+    // same chain, corpus and probes narrowed to the persisted-index
+    // split — the probe path must reproduce the in-query math exactly
+    "q_embed_bq_probe" -> bqTopKOracleSql(embedDim, k = 3, rerank = 30,
+      probeWhere = "vec_id % 10 = 0", corpusWhere = "vec_id % 10 <> 0"),
 
     // same kmeans chain + pairs restricted to a shared cluster + closure
     "q_embed_incremental" -> semIncrementalOracleSql(kmeansK, kmeansIters,

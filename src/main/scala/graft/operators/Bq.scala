@@ -81,11 +81,27 @@ object Bq {
     val cWords = well.repartition(par)
       .select(col(idCol).as("nbr_id"),
         wordsExpr(col(embCol), dim).as("c_words"))
-    val pFull = probes.where(wellFormedDim(col(embCol), dim))
+    search(cWords, probeSide(probes, dim, idCol, embCol),
+      vectorSide(well, idCol, embCol), k, rerank)
+  }
+
+  private def probeSide(probes: DataFrame, dim: Int, idCol: String,
+                        embCol: String): DataFrame =
+    probes.where(wellFormedDim(col(embCol), dim))
       .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
         wordsExpr(col(embCol), dim).as("p_words"),
         Similarity.norm(col(embCol)).as("p_nrm"))
-    // skinny pre-rank: ids + hamming only through the window shuffle
+
+  private def vectorSide(vectors: DataFrame, idCol: String,
+                         embCol: String): DataFrame =
+    vectors.select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"),
+      Similarity.norm(col(embCol)).as("c_nrm"))
+
+  /** The shared search tail: skinny Hamming pre-rank over `cWords`
+    * (ids + hamming only through the window shuffle), then the
+    * rerank-sized candidate set fetches its vectors from `cVecs`. */
+  private def search(cWords: DataFrame, pFull: DataFrame,
+                     cVecs: DataFrame, k: Int, rerank: Int): DataFrame = {
     val cand = cWords
       .join(broadcast(pFull.select("probe_id", "p_words")),
         col("nbr_id") =!= col("probe_id"))
@@ -94,10 +110,6 @@ object Bq {
       .withColumn("crank", row_number().over(Window.partitionBy("probe_id")
         .orderBy(col("hamming").asc, col("nbr_id").asc)))
       .where(col("crank") <= rerank)
-    // fetch the candidates' vectors (rerank·|probes| rows) for the
-    // exact rerank
-    val cVecs = well.select(col(idCol).as("nbr_id"),
-      col(embCol).as("c_emb"), Similarity.norm(col(embCol)).as("c_nrm"))
     cand
       .join(cVecs, Seq("nbr_id"))
       .join(broadcast(pFull.select("probe_id", "p_emb", "p_nrm")),
@@ -111,5 +123,39 @@ object Bq {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("hamming"),
         col("cos"))
+  }
+
+  /** Persist the BQ serving index: the packed words plus a dim meta row,
+    * meta written LAST (the persistIvfPqIndex order, so a torn write
+    * leaves no readable-but-wrong index). The index holds ONLY the 32×
+    * form — the standard deployment splits the ANN index from a vector
+    * fetch tier, which `probeBqIndex` takes as its `vectors` frame. */
+  def persistBqIndex(corpus: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = Similarity.probeDim(corpus, embCol)
+    encoded(corpus, dim, idCol, embCol)
+      .write.mode("overwrite").parquet(s"$path/words")
+    Seq(dim).toDF("dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a persisted BQ index with a batch of query vectors: the
+    * corpus is never re-encoded (the words parquet IS the pre-rank
+    * input), probe-side packing is one projection over the batch, and
+    * only the rerank-sized candidate set touches the `vectors` fetch
+    * tier. Output as `hammingTopK`. */
+  def probeBqIndex(batch: DataFrame, path: String, vectors: DataFrame,
+                   k: Int, rerank: Int, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k, s"probeBqIndex: k=$k rerank=$rerank")
+    val spark = batch.sparkSession
+    val dim = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val cWords = spark.read.parquet(s"$path/words")
+      .select(col(idCol).as("nbr_id"), col("words").as("c_words"))
+    search(cWords, probeSide(batch, dim, idCol, embCol),
+      vectorSide(vectors, idCol, embCol), k, rerank)
   }
 }

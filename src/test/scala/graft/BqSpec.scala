@@ -43,4 +43,31 @@ class BqSpec extends SparkTestBase {
       Bq.hammingTopK(vecs, vecs, k = 5, rerank = 3) // rerank < k
     }
   }
+
+  test("persisted BQ index: probe equals the in-query search, corpus " +
+    "never re-encoded") {
+    val vecs = Seq(
+      (1L, Array(1f, 0.2f, -0.3f, 0.7f)),
+      (3L, Array(-1f, 0.4f, 0.5f, -0.2f)),
+      (4L, Array(0.1f, -0.9f, 0.8f, 0.3f)),
+      (5L, Array(-0.5f, -0.5f, -0.5f, 0.5f)),
+      (7L, Array(0.9f, 0.1f, -0.2f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq((100L, Array(1f, 0.1f, -0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bq_idx").toString
+    Bq.persistBqIndex(vecs, dir)
+    val probed = Bq.probeBqIndex(batch, dir, vecs, k = 3, rerank = 4)
+      .select("probe_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().toSeq
+    val inQuery = Bq.hammingTopK(vecs.unionByName(batch), batch, k = 3,
+        rerank = 4)
+      .select("probe_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().toSeq
+    assert(probed === inQuery)
+    // dim is pinned in meta: a batch of another dim yields no probes
+    val bad = Seq((200L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    assert(Bq.probeBqIndex(bad, dir, vecs, k = 1, rerank = 1).count() === 0)
+  }
 }
