@@ -906,6 +906,18 @@ object ScaleProbe {
             Seq("probe_id", "nbr_id"), "left_semi").count()
         math.round(1000.0 * hit / brute.count())
       }
+      // the rerank dial's recall curve (ppt vs exact top-10): how many
+      // candidates the Hamming pre-rank must admit before the exact
+      // rerank recovers the true neighbors
+      for (rr <- Seq(20, 50, 400)) {
+        t(s"bq_recall_at10_rerank${rr}_ppt") {
+          val hit = brute.select("probe_id", "nbr_id")
+            .join(graft.operators.Bq.hammingTopK(big, probes, k = 10,
+                rerank = rr).select("probe_id", "nbr_id"),
+              Seq("probe_id", "nbr_id"), "left_semi").count()
+          math.round(1000.0 * hit / brute.count())
+        }
+      }
     }
     spark.stop()
   }
