@@ -70,4 +70,47 @@ class BqSpec extends SparkTestBase {
     val bad = Seq((200L, Array(1f, 2f))).toDF("vec_id", "embedding")
     assert(Bq.probeBqIndex(bad, dir, vecs, k = 1, rerank = 1).count() === 0)
   }
+
+  test("differential: packing and Hamming agree with a driver-side " +
+    "reference on 60 seeded random vectors across dims 1..70") {
+    val rnd = new scala.util.Random(20260813L)
+    // odd dims straddle word boundaries; values include exact zeros
+    val dims = Seq(1, 31, 32, 33, 64, 70)
+    dims.foreach { dim =>
+      val vs = (0 until 10).map { i =>
+        (i.toLong, Array.fill(dim)(rnd.nextInt(5) match {
+          case 0 => 0f
+          case _ => (rnd.nextFloat() - 0.5f)
+        }))
+      }
+      def refWords(a: Array[Float]): Seq[Long] =
+        (0 until (dim + 31) / 32).map { w =>
+          (0 until 32).foldLeft(0L) { (acc, j) =>
+            acc * 2 + (if (w * 32 + j < dim && a(w * 32 + j) >= 0) 1L
+                       else 0L)
+          }
+        }
+      val df = vs.toDF("vec_id", "embedding")
+      val got = Bq.encoded(df, dim).orderBy("vec_id")
+        .select("words").as[Seq[Long]].collect()
+      vs.zip(got).foreach { case ((_, a), w) =>
+        assert(w === refWords(a), s"dim=$dim packing diverged")
+      }
+      // hamming(a, b) == number of sign-disagreeing dimensions
+      val pairs = for (i <- vs.indices; j <- vs.indices if i < j) yield {
+        val (da, db) = (vs(i)._2, vs(j)._2)
+        (i, j) -> da.indices.count(x => (da(x) >= 0) != (db(x) >= 0))
+      }
+      val enc = Bq.encoded(df, dim)
+      val ham = enc.as("a").join(enc.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"),
+          Bq.hamming(col("a.words"), col("b.words")))
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1.toInt, r._2.toInt) -> r._3).toMap
+      pairs.foreach { case (k, expect) =>
+        assert(ham(k) === expect.toLong, s"dim=$dim hamming diverged at $k")
+      }
+    }
+  }
 }

@@ -140,6 +140,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(failed("nostop").contains("r_stopwords"))
   }
 
+  test("differential: chunkDocs agrees with a driver-side reference on " +
+    "seeded random texts across (chunk, stride) configs") {
+    val rnd = new scala.util.Random(20260813L)
+    val texts = (0 until 30).map { i =>
+      (i.toLong, rnd.alphanumeric.take(rnd.nextInt(700)).mkString)
+    }
+    val df = texts.toDF("doc_id", "text")
+    for ((c, s) <- Seq((200, 150), (100, 100), (64, 1))) {
+      def ref(t: String): Seq[(Int, Int, String)] = {
+        val starts = 0 to math.max(t.length - 1, 0) by s
+        starts.zipWithIndex.map { case (st, idx) =>
+          (idx, st, t.substring(st, math.min(st + c, t.length)))
+        }
+      }
+      val got = TextAnalysis.chunkDocs(df, "doc_id", "text", c, s)
+        .orderBy("doc_id", "chunk_idx")
+        .as[(Long, Int, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).toSeq)
+      texts.foreach { case (id, t) =>
+        assert(got(id) === ref(t), s"(c=$c, s=$s) diverged on doc $id")
+      }
+    }
+  }
+
   test("datacard rollup total reconciles with per-source rows; hash split " +
     "lands near 80/10/10 and is deterministic") {
     val dir = "/root/testdata/sf0.001"
