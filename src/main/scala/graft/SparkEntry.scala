@@ -1344,6 +1344,28 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // the vector-side data card: per-label counts, dim bounds, and norm
+    // stats in one pass — min/max are order-independent (hash-exact for
+    // free); the norm SUM uses the deterministic id-ordered fold (the
+    // kmeans/perceptron repro-mode pattern: per-label cells collected —
+    // the documented oracle-mode cost; the 100 TB path swaps in the
+    // plain partial-agg sum, identical to ulps)
+    "q_embed_datacard" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      emb.where(Similarity.wellFormed(col("embedding")))
+        .select(col("label"), col("vec_id"),
+          size(col("embedding")).as("dim"),
+          Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+          min(col("nrm")).as("norm_min"), max(col("nrm")).as("norm_max"),
+          aggregate(
+            array_sort(collect_list(struct(col("vec_id"), col("nrm")))),
+            lit(0.0), (acc, x) => acc + x.getField("nrm")).as("norm_sum"))
+        .orderBy("label")
+    }),
+
     // the PERSISTED BQ serving index: the corpus slice encodes + persists
     // once (words parquet IS the pre-rank input — zero re-encode at
     // probe time), the held-out batch probes it against a separate
@@ -3739,6 +3761,23 @@ object SparkEntry {
     // BQ: sign-bit packing (32 dims/word, MSB-first, all-integer),
     // Hamming via xor+bit_count, rerank cut by (hamming, id), final
     // rank by exact cosine — every stage engine-exact
+    // norms: sqrt of the index-ordered element fold (the standard
+    // cosine-oracle arithmetic); norm_sum replays the id-ordered fold
+    "q_embed_datacard" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |n AS (SELECT vec_id, label, len(embedding) AS dim,
+        |        sqrt(list_sum(list_transform(embedding,
+        |          x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |      FROM e)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(dim) AS INTEGER) AS dim_min,
+        |  CAST(max(dim) AS INTEGER) AS dim_max,
+        |  min(nrm) AS norm_min, max(nrm) AS norm_max,
+        |  list_sum(list(nrm ORDER BY vec_id)) AS norm_sum
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
     "q_embed_bq_topk" -> bqTopKOracleSql(embedDim, k = 5, rerank = 50),
 
     // same chain, corpus and probes narrowed to the persisted-index

@@ -140,6 +140,11 @@ class ScaleTechniquesSpec extends SparkTestBase {
     // aggregates/windows — never a second scan of documents
     assert(scans(plan("q_corpus_datacard")) === 1)
     assert(scans(plan("q_pipeline_curation")) === 1)
+    assert(scans(plan("q_embed_datacard")) === 1)
+    // BQ search: corpus words + candidate vector fetch + the (tiny)
+    // probe side once per broadcast use — bounded scans, never
+    // per-candidate
+    assert(scans(plan("q_embed_bq_topk")) <= 4)
   }
 
   test("plan shape: contamination is one corpus scan + one bench scan " +
