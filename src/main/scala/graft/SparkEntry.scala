@@ -1075,17 +1075,21 @@ object SparkEntry {
     // the src0 reference model — the bucket a production pipeline
     // mixes by (head = most reference-like). ntile over the ppl
     // ordering (doc_id tiebreak), membership-only output like the gate.
-    "q_perplexity_buckets" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Perplexity.perplexityScores(d, col("doc_id"), col("text"),
-          col("source") === "src0")
-        .join(d.select("doc_id", "lang"), Seq("doc_id"))
-        .withColumn("nt", ntile(3).over(
-          Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))))
-        .select(col("doc_id"), col("lang"),
-          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
-            .otherwise("tail").as("bucket"))
-        .orderBy("doc_id")
+    "q_perplexity_buckets" -> ((s, dir) =>
+      perplexityBucketsFrame(s, dir).orderBy("doc_id")),
+
+    // curriculum-ordered training shards: the CCNet buckets become the
+    // within-shard PHASE (every shard streams head, then middle, then
+    // tail, shuffled inside each phase by the seeded hash) — curriculum
+    // consumption with NO global sort, composed from two oracle-checked
+    // stages
+    "q_train_curriculum" -> ((s, dir) => {
+      val b = perplexityBucketsFrame(s, dir)
+        .withColumn("phase",
+          when(col("bucket") === "head", 1)
+            .when(col("bucket") === "middle", 2).otherwise(3))
+      Shard.curriculumOrder(b, col("phase"), seed = "epoch0", nShards = 8)
+        .orderBy("shard", "pos")
     }),
 
     // DSIR importance resampling toward the src0 slice: the oracle
@@ -2186,6 +2190,59 @@ object SparkEntry {
     * Spark-side `perceptronTrain` on a filtered frame. Arithmetic
     * mirrors `Classify.perceptronTrain(deterministic = true)`
     * exactly. */
+  /** The DuckDB CTE chain ending in `pb` (doc_id, lang, bucket) — the
+    * oracle mirror of `perplexityBucketsFrame`, shared by the buckets
+    * and curriculum oracles. */
+  private def perplexityBucketsCtes: String =
+    s"""nrm AS (SELECT doc_id, source, $normTextSql AS t
+       |             FROM documents),
+       |w AS (SELECT doc_id, source, string_split(t, ' ') AS ws FROM nrm),
+       |d AS (SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+       |        SELECT doc_id, source,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+       |        FROM w WHERE len(ws) >= 2)),
+       |rc AS (SELECT w1, w2, count(*) AS c_big FROM d
+       |       WHERE source = 'src0' GROUP BY 1, 2),
+       |m AS (SELECT w1, w2, c_big,
+       |        sum(c_big) OVER (PARTITION BY w1) AS c_ctx FROM rc),
+       |v AS (SELECT count(DISTINCT w2) + 1 AS v FROM rc),
+       |cc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM d
+       |       GROUP BY 1, 2, 3),
+       |x AS (SELECT cc.doc_id, cc.w1, cc.w2, cc.cnt,
+       |        cc.cnt * ln(CAST(coalesce(m.c_big, 0) + 1 AS DOUBLE)
+       |          / CAST(coalesce(m.c_ctx, 0) + v.v AS DOUBLE)) AS x
+       |      FROM cc LEFT JOIN m USING (w1, w2), v),
+       |lw AS (SELECT doc_id, sum(cnt) AS n_bigrams,
+       |         list_sum(list(x ORDER BY w1, w2)) AS logprob
+       |       FROM x GROUP BY 1),
+       |bkt AS (SELECT lw.doc_id, doc.lang,
+       |        ntile(3) OVER (PARTITION BY doc.lang
+       |          ORDER BY exp(-lw.logprob / lw.n_bigrams) ASC,
+       |            lw.doc_id ASC) AS nt
+       |      FROM lw JOIN documents doc USING (doc_id)),
+       |pb AS (SELECT doc_id, lang,
+       |        CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |          ELSE 'tail' END AS bucket
+       |      FROM bkt)""".stripMargin
+
+  /** The CCNet head/middle/tail frame shared by q_perplexity_buckets
+    * and q_train_curriculum: per-language perplexity terciles under the
+    * src0 reference model, (doc_id, lang, bucket). */
+  private def perplexityBucketsFrame(s: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val d = Tables.documents(s, dir)
+    Perplexity.perplexityScores(d, col("doc_id"), col("text"),
+        col("source") === "src0")
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("nt", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))))
+      .select(col("doc_id"), col("lang"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Deterministic ~80/10/10 split: md5 two-hex-char bucket of the id
     * (256 buckets; < 'cc' ≈ 80% train, < 'e6' ≈ 90% val boundary).
     * ONE definition each for the Column and SQL forms so the
@@ -3120,37 +3177,32 @@ object SparkEntry {
     // quota cut; both engines use standard SQL ntile (first count%3
     // groups take the extra row)
     "q_perplexity_buckets" ->
-      s"""WITH nrm AS (SELECT doc_id, source, $normTextSql AS t
-         |             FROM documents),
-         |w AS (SELECT doc_id, source, string_split(t, ' ') AS ws FROM nrm),
-         |d AS (SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
-         |        SELECT doc_id, source,
-         |          unnest(list_transform(range(1, len(ws)),
-         |            i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
-         |        FROM w WHERE len(ws) >= 2)),
-         |rc AS (SELECT w1, w2, count(*) AS c_big FROM d
-         |       WHERE source = 'src0' GROUP BY 1, 2),
-         |m AS (SELECT w1, w2, c_big,
-         |        sum(c_big) OVER (PARTITION BY w1) AS c_ctx FROM rc),
-         |v AS (SELECT count(DISTINCT w2) + 1 AS v FROM rc),
-         |cc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM d
-         |       GROUP BY 1, 2, 3),
-         |x AS (SELECT cc.doc_id, cc.w1, cc.w2, cc.cnt,
-         |        cc.cnt * ln(CAST(coalesce(m.c_big, 0) + 1 AS DOUBLE)
-         |          / CAST(coalesce(m.c_ctx, 0) + v.v AS DOUBLE)) AS x
-         |      FROM cc LEFT JOIN m USING (w1, w2), v),
-         |lw AS (SELECT doc_id, sum(cnt) AS n_bigrams,
-         |         list_sum(list(x ORDER BY w1, w2)) AS logprob
-         |       FROM x GROUP BY 1),
-         |b AS (SELECT lw.doc_id, doc.lang,
-         |        ntile(3) OVER (PARTITION BY doc.lang
-         |          ORDER BY exp(-lw.logprob / lw.n_bigrams) ASC,
-         |            lw.doc_id ASC) AS nt
-         |      FROM lw JOIN documents doc USING (doc_id))
-         |SELECT doc_id, lang,
-         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-         |    ELSE 'tail' END AS bucket
-         |FROM b ORDER BY doc_id""".stripMargin,
+      s"""WITH $perplexityBucketsCtes
+         |SELECT doc_id, lang, bucket
+         |FROM pb ORDER BY doc_id""".stripMargin,
+
+    // buckets become the within-shard phase: shard = the epoch0 hash
+    // draw of q_train_shuffle, pos = row_number over (phase, h, id)
+    "q_train_curriculum" ->
+      s"""WITH $perplexityBucketsCtes,
+         |k AS (SELECT doc_id,
+         |    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |sh AS (SELECT doc_id, h,
+         |    CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |        + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |        + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |        + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8
+         |      AS INTEGER) AS shard
+         |  FROM k),
+         |cu AS (SELECT sh.doc_id, sh.h, sh.shard,
+         |    CASE pb.bucket WHEN 'head' THEN 1 WHEN 'middle' THEN 2
+         |      ELSE 3 END AS phase
+         |  FROM sh JOIN pb USING (doc_id))
+         |SELECT doc_id, shard, CAST(phase AS INTEGER) AS phase,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY phase, h, doc_id) AS INTEGER) AS pos
+         |FROM cu ORDER BY shard, pos""".stripMargin,
 
     // the composed selection pipeline: the perplexity chain selects the
     // gated 400, then the WHOLE importance chain re-runs with its

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,30 @@ object Shard {
     keyed
       .withColumn("pos", row_number().over(w))
       .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Curriculum-ordered shards: the `trainingOrder` layout with a
+    * caller-supplied PHASE rank leading the within-shard sort — every
+    * shard streams phase 1 (internally shuffled by the seeded hash),
+    * then phase 2, and so on, which is how a distributed trainer
+    * consumes curriculum order without any global sort: the shard draw
+    * stays the seeded hash (balanced, epoch-reshufflable), only the
+    * within-shard window key gains the leading phase column. Output:
+    * (idCol, shard, phase, pos). */
+  def curriculumOrder(docs: DataFrame, phase: Column, seed: String,
+                      nShards: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"curriculumOrder: nShards=$nShards out of [1,4096]")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val keyed = docs
+      .select(col(idCol), phase.as("phase"), key.as("__key"))
+      .withColumn("shard", hexPrefix4(col("__key")) % nShards)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("phase"), col("__key"), col(idCol))
+    keyed
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("phase"), col("pos"))
   }
 
   /** The payload-carrying form: the full input rows plus (shard, pos),
