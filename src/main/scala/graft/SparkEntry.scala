@@ -1356,17 +1356,22 @@ object SparkEntry {
     // plain partial-agg sum, identical to ulps)
     "q_embed_datacard" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      emb.where(Similarity.wellFormed(col("embedding")))
+      // size > 0: a zero-length vector would diverge the engines (Spark's
+      // empty fold is 0.0, DuckDB's list_sum([]) NULL) and means nothing
+      // in a norm report anyway
+      val cells = emb.where(Similarity.wellFormed(col("embedding")) &&
+          size(col("embedding")) > 0)
         .select(col("label"), col("vec_id"),
           size(col("embedding")).as("dim"),
           Similarity.norm(col("embedding")).as("nrm"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_vecs"),
-          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
-          min(col("nrm")).as("norm_min"), max(col("nrm")).as("norm_max"),
-          aggregate(
-            array_sort(collect_list(struct(col("vec_id"), col("nrm")))),
-            lit(0.0), (acc, x) => acc + x.getField("nrm")).as("norm_sum"))
+      Similarity.sequentialSumByKey(cells, Seq("label"), "vec_id", "nrm",
+          extraAggs = Seq(
+            min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+            min(col("nrm")).as("norm_min"),
+            max(col("nrm")).as("norm_max")))
+        .select(col("label"), col("__count").as("n_vecs"),
+          col("dim_min"), col("dim_max"), col("norm_min"),
+          col("norm_max"), col("__sum").as("norm_sum"))
         .orderBy("label")
     }),
 
@@ -3189,11 +3194,7 @@ object SparkEntry {
          |    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
          |  FROM documents),
          |sh AS (SELECT doc_id, h,
-         |    CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-         |        + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-         |        + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-         |        + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8
-         |      AS INTEGER) AS shard
+         |    CAST((${hexPrefixSql("h", 4)}) % 8 AS INTEGER) AS shard
          |  FROM k),
          |cu AS (SELECT sh.doc_id, sh.h, sh.shard,
          |    CASE pb.bucket WHEN 'head' THEN 1 WHEN 'middle' THEN 2
@@ -3818,7 +3819,8 @@ object SparkEntry {
     "q_embed_datacard" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings
         |  WHERE embedding IS NOT NULL
-        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        |    AND len(embedding) > 0),
         |n AS (SELECT vec_id, label, len(embedding) AS dim,
         |        sqrt(list_sum(list_transform(embedding,
         |          x -> CAST(x AS DOUBLE) * x))) AS nrm

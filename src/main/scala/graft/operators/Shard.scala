@@ -57,19 +57,33 @@ object Shard {
     * pseudo-random order inside each. Same seed → identical output on
     * every run/engine; new seed → an independent permutation. */
   def trainingOrder(docs: DataFrame, seed: String, nShards: Int,
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id"): DataFrame =
+    orderedShards(docs, None, seed, nShards, idCol)
+
+  /** The shared core of `trainingOrder` / `curriculumOrder` — ONE
+    * definition of the seeded key, the hex shard draw, and the
+    * within-shard window, so the two can never disagree on shard
+    * assignment (their oracle contract). `phase`, when present, leads
+    * the window sort and is carried to the output. */
+  private def orderedShards(docs: DataFrame, phase: Option[Column],
+                            seed: String, nShards: Int,
+                            idCol: String): DataFrame = {
     require(nShards >= 1 && nShards <= 4096,
-      s"trainingOrder: nShards=$nShards out of [1,4096] — four md5 hex " +
+      s"orderedShards: nShards=$nShards out of [1,4096] — four md5 hex " +
         "digits drive the shard draw; widen hexPrefix4 before raising " +
         "the cap")
     val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
-    val keyed = docs.select(col(idCol), key.as("__key"))
+    val keyed = docs
+      .select(col(idCol) +: phase.map(_.as("phase")).toSeq :+
+        key.as("__key"): _*)
       .withColumn("shard", hexPrefix4(col("__key")) % nShards)
     val w = Window.partitionBy(col("shard"))
-      .orderBy(col("__key"), col(idCol))
+      .orderBy(phase.map(_ => col("phase")).toSeq :+
+        col("__key") :+ col(idCol): _*)
     keyed
       .withColumn("pos", row_number().over(w))
-      .select(col(idCol), col("shard"), col("pos"))
+      .select(col(idCol) +: col("shard") +:
+        phase.map(_ => col("phase")).toSeq :+ col("pos"): _*)
   }
 
   /** Curriculum-ordered shards: the `trainingOrder` layout with a
@@ -82,19 +96,8 @@ object Shard {
     * (idCol, shard, phase, pos). */
   def curriculumOrder(docs: DataFrame, phase: Column, seed: String,
                       nShards: Int,
-                      idCol: String = "doc_id"): DataFrame = {
-    require(nShards >= 1 && nShards <= 4096,
-      s"curriculumOrder: nShards=$nShards out of [1,4096]")
-    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
-    val keyed = docs
-      .select(col(idCol), phase.as("phase"), key.as("__key"))
-      .withColumn("shard", hexPrefix4(col("__key")) % nShards)
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("phase"), col("__key"), col(idCol))
-    keyed
-      .withColumn("pos", row_number().over(w))
-      .select(col(idCol), col("shard"), col("phase"), col("pos"))
-  }
+                      idCol: String = "doc_id"): DataFrame =
+    orderedShards(docs, Some(phase), seed, nShards, idCol)
 
   /** The payload-carrying form: the full input rows plus (shard, pos),
     * repartitioned BY shard and sorted within each partition by pos —

@@ -68,18 +68,25 @@ object Similarity {
     * Holds each group's cells in memory — the repro modes' documented
     * cost; scale paths use plain partial-agg sums. Returns the key
     * columns plus (__sum, __count). */
-  private[operators] def sequentialSumByKey(cells: DataFrame,
-                                            keys: Seq[String],
-                                            idCol: String,
-                                            valCol: String): DataFrame =
-    cells.groupBy(keys.map(col): _*)
+  private[graft] def sequentialSumByKey(cells: DataFrame,
+                                        keys: Seq[String],
+                                        idCol: String,
+                                        valCol: String,
+                                        extraAggs: Seq[Column] = Nil)
+      : DataFrame = {
+    val agged = cells.groupBy(keys.map(col): _*)
       .agg(collect_list(struct(col(idCol), col(valCol))).as("__xs"),
-        count(lit(1)).as("__count"))
-      .select(keys.map(col) :+
-        aggregate(array_sort(col("__xs")), lit(0.0),
-          (acc, s) => acc + s.getField(valCol).cast("double"))
-          .as("__sum") :+
-        col("__count"): _*)
+        count(lit(1)).as("__count") +: extraAggs: _*)
+    // caller-supplied extra aggregates (must be aliased) ride along in
+    // the same single-pass aggregation
+    val extraNames = agged.columns
+      .filterNot(c => keys.contains(c) || c == "__xs" || c == "__count")
+    agged.select(keys.map(col) ++ extraNames.map(col) :+
+      aggregate(array_sort(col("__xs")), lit(0.0),
+        (acc, s) => acc + s.getField(valCol).cast("double"))
+        .as("__sum") :+
+      col("__count"): _*)
+  }
 
   /** Vector dimension probed from the first row WITH a vector (driver-
     * side, one tiny job) — lets all-pairs operators unroll arithmetic

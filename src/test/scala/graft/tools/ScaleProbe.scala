@@ -857,10 +857,14 @@ object ScaleProbe {
       // the kClusters dial trades this recall against per-cluster cost
       // — the synthetic corpus is near-UNIFORM (no lumps), the worst
       // case for cluster routing, exactly why IVF probes >1 list
+      // pinned once: the brute mine feeds both recall calls' semi-join
+      // AND denominator — unpinned it would re-run the full 20k scoring
+      // pass four times and inflate the recorded walls
+      val globalNeg = graft.operators.Similarity.contrastiveMine(
+        big, probes, kPos = 0, kNeg = 5, posThreshold = 0.9)
+        .select("probe_id", "nbr_id").localCheckpoint(true)
+      val nGlobal = globalNeg.count()
       def recallPpt(kClusters: Int): Long = {
-        val globalNeg = graft.operators.Similarity.contrastiveMine(
-          big, probes, kPos = 0, kNeg = 5, posThreshold = 0.9)
-          .select("probe_id", "nbr_id")
         val clusteredNeg = graft.operators.Similarity
           .contrastiveMineClustered(big, kPos = 0, kNeg = 5,
             posThreshold = 0.9, kClusters = kClusters, iters = 3)
@@ -868,7 +872,7 @@ object ScaleProbe {
           .select("probe_id", "nbr_id")
         val hit = globalNeg.join(clusteredNeg,
           Seq("probe_id", "nbr_id"), "left_semi").count()
-        math.round(1000.0 * hit / globalNeg.count())
+        math.round(1000.0 * hit / nGlobal)
       }
       t("mine_clustered_recall_at5_k64_ppt")(recallPpt(64))
       t("mine_clustered_recall_at5_k8_ppt")(recallPpt(8))
