@@ -596,6 +596,16 @@ object SparkEntry {
           chunkWords = spansChunkWords)
         .orderBy("doc_id")),
 
+    // passage-level exact dedup (ExactSubstr-style): OVERLAPPING 6-word
+    // windows at stride 1, so repeated runs are excised at arbitrary
+    // word offsets — not just on the disjoint chunk grid q_dedup_spans
+    // uses. First occurrence corpus-wide keeps its words.
+    "q_dedup_passages" -> ((s, dir) =>
+      Dedup.passageDedup(Tables.documents(s, dir), col("doc_id"),
+          col("text"), windowWords = passageWindowWords,
+          strideWords = passageStrideWords)
+        .orderBy("doc_id")),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
           threshold = 0.6)
@@ -1676,6 +1686,8 @@ object SparkEntry {
   // between a Spark query and its generated oracle — two independent
   // literals would let the pair drift silently until a hash mismatch
   private val spansChunkWords = 3
+  private val passageWindowWords = 6
+  private val passageStrideWords = 1
   private val kmeansK = 4
   private val kmeansIters = 2
   private val semdedupThreshold = 0.45
@@ -2460,6 +2472,41 @@ object SparkEntry {
        |ORDER BY doc.doc_id""".stripMargin
   }
 
+  /** q_dedup_passages oracle, generated from the same window/stride as
+    * the Spark query (mirrors `Dedup.passageDedup`): overlapping-window
+    * first-occurrence ranking on the md5 of the window text, duplicate
+    * windows expand to covered word positions, covered positions are
+    * removed, documents reassembled from the surviving positions. */
+  private def passagesOracleSql(windowWords: Int, strideWords: Int): String = {
+    val w = windowWords
+    val s = strideWords
+    s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
+       |           FROM documents
+       |           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |wn AS (SELECT doc_id, w, len(w) AS nw FROM d),
+       |wi AS (SELECT doc_id, u.st AS st,
+       |         md5(array_to_string(w[(u.st+1):(u.st+$w)], ' ')) AS h
+       |       FROM wn, unnest(range(0, nw - $w + 1, $s)) AS u(st)
+       |       WHERE nw >= $w),
+       |rk AS (SELECT doc_id, st, row_number() OVER (
+       |         PARTITION BY h ORDER BY doc_id, st) AS rn
+       |       FROM wi),
+       |cov AS (SELECT DISTINCT doc_id, u.pos AS pos
+       |        FROM rk, unnest(range(st, st + $w)) AS u(pos)
+       |        WHERE rn > 1),
+       |wd AS (SELECT doc_id, w[u.pos + 1] AS word, u.pos AS pos
+       |       FROM wn, unnest(range(0, nw)) AS u(pos)),
+       |rb AS (SELECT wd.doc_id,
+       |         string_agg(wd.word, ' ' ORDER BY wd.pos) AS text_deduped
+       |       FROM wd LEFT JOIN cov
+       |         ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos
+       |       WHERE cov.pos IS NULL GROUP BY wd.doc_id)
+       |SELECT doc.doc_id,
+       |  coalesce(rb.text_deduped, '') AS text_deduped
+       |FROM documents doc LEFT JOIN rb USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_flagship" ->
@@ -2848,6 +2895,9 @@ object SparkEntry {
     // empty results come back as '' (docs never vanish). Generated so the
     // chunk width stays in lockstep with the Spark query's parameter.
     "q_dedup_spans" -> spansOracleSql(spansChunkWords),
+
+    "q_dedup_passages" ->
+      passagesOracleSql(passageWindowWords, passageStrideWords),
 
     "q_dedup_jaccard" -> jaccardOracleSql(0.6),
     "q_dedup_minhash" -> jaccardOracleSql(0.6),

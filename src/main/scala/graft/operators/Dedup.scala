@@ -118,6 +118,107 @@ object Dedup {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** Passage-level exact dedup over OVERLAPPING windows (the ExactSubstr
+    * shape of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", re-expressed relationally; the suffix-array
+    * machinery is replaced by a windowed equality join, which is the
+    * Spark-native way to find repeated runs): slide a `windowWords`-word
+    * window over every document at `strideWords` spacing, find windows
+    * whose exact text occurs earlier in the corpus (first = min
+    * (doc_id, start)), and remove every word position covered by a
+    * non-first window. Unlike [[spanDedup]]'s disjoint chunk grid, the
+    * overlapping windows catch passages duplicated at ARBITRARY word
+    * offsets: at stride 1, any repeated run of ≥ windowWords words in a
+    * later document shares all of its windows with the first occurrence,
+    * so the whole run (not just grid-aligned chunks of it) is excised.
+    * `strideWords > 1` is the scale dial — windows per doc shrink by the
+    * stride at the cost of alignment-dependent recall on runs shorter
+    * than windowWords + stride − 1.
+    *
+    * Plan shape at scale: the corpus is SCANNED ONCE — the spread
+    * exchange of the skinny (doc_id, text) projection is reused by both
+    * posting consumers (AQE ReusedExchange, verified in the final
+    * adaptive plan; the identical-source filters below it are what
+    * makes the two subtrees canonicalize equal), and the normalize+
+    * split generator runs once per consumer over the reused shuffle
+    * output (the `shinglePostings` per-doc-once shape — an
+    * array-slicing formulation instead re-ran the normalize regex in
+    * pushed-down inferred generate filters at the SCAN, measured REGEX
+    * ×4 in its executed plan). Window texts are assembled relationally
+    * with lead() windows over (doc_id, pos) and hashed to skinny
+    * (doc_id, start, md5) rows.
+    * Duplicate detection is one rank window keyed on the 128-bit
+    * window hash (high cardinality; group size = a window text's
+    * duplication multiplicity — pathological boilerplate duplicated
+    * across a large fraction of the corpus concentrates one key, the
+    * same hot-key caveat [[jaccardPairs]] documents for `maxDf`);
+    * covered-position expansion is a generator over the duplicate rows
+    * only (windowWords positions each); removal is a left-anti join on
+    * (doc_id, pos) against the SAME posting stream and reassembly one
+    * groupBy(doc_id) — every shuffle key is high-cardinality. Documents
+    * shorter than windowWords produce no windows and pass through
+    * verbatim (a passage detector cannot assert anything about
+    * sub-window documents; [[exactDedup]] is the whole-doc operator).
+    * Documents reduced to nothing come back as the empty string, never
+    * disappear.
+    *
+    * Returns (doc_id, text_deduped) over the NORMALIZED text, like
+    * [[spanDedup]].
+    */
+  def passageDedup(docs: DataFrame, id: Column, text: Column,
+                   windowWords: Int, strideWords: Int = 1): DataFrame = {
+    require(windowWords > 0, s"passageDedup: windowWords=$windowWords")
+    require(strideWords > 0, s"passageDedup: strideWords=$strideWords")
+    // the doc_id repartition right above the generator is THE shared
+    // exchange: the lead-window assembly, the anti-join probe side, and
+    // the final reassembly aggregate all consume it (ReuseExchange — one
+    // scan, one normalize+split per doc), and every one of them is
+    // already clustered by doc_id so none inserts another full-stream
+    // shuffle of the postings
+    // null ids are exempt from window participation (the [[priorityDedup]]
+    // null-key precedent — and a null id would sort BEFORE every real doc
+    // in the first-occurrence rank, gutting real docs in favor of an
+    // unaddressable row); a null-id doc reassembles to "" through the
+    // null-never-matches final join either way, so output is unchanged.
+    // The filter also keeps the two posting consumers' inferred
+    // non-null-key filters identical, which exchange reuse requires.
+    val posted = spread(docs.where(text.isNotNull && id.isNotNull)
+        .select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        posexplode(split(normalizeText(col("__text")), " "))
+          .as(Seq("pos", "word")))
+      .repartition(col("doc_id"))
+    val ordered = Window.partitionBy("doc_id").orderBy("pos")
+    // a full window exists at pos iff the last of its words does (words
+    // are never null, so a null lead means the doc tail was crossed)
+    val tailWord = lead(col("word"), windowWords - 1).over(ordered)
+    val winText = concat_ws(" ",
+      col("word") +:
+        (1 until windowWords).map(k => lead(col("word"), k).over(ordered)): _*)
+    val withH = posted.withColumn("h",
+      when(col("pos") % strideWords === 0 && tailWord.isNotNull,
+        md5(winText)))
+    val firstOcc = Window.partitionBy("h").orderBy(col("doc_id"), col("st"))
+    val covered = withH.where(col("h").isNotNull)
+      .select(col("doc_id"), col("pos").as("st"), col("h"))
+      .withColumn("__rn", row_number().over(firstOcc))
+      .where(col("__rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("st"), col("st") + (windowWords - 1)))
+          .as("pos"))
+      .distinct()
+    val rebuilt = withH.select("doc_id", "pos", "word")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")), " ").as("text_deduped"))
+    docs.select(id.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** Whitespace-collapse + lowercase canonicalization used by every
     * text-dedup operator (equivalent logic in both Spark and the DuckDB
     * oracle so fingerprints agree).

@@ -453,6 +453,85 @@ class DedupSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("passageDedup: overlapping windows excise repeated runs at " +
+    "arbitrary offsets; short docs pass through; docs never disappear") {
+    val docs = Seq(
+      // doc 1 is the first occurrence of the run "cc dd ee ff"
+      (1L, "aa bb cc dd ee ff gg"),
+      // doc 2 embeds that run at a DIFFERENT offset (pos 1, not 2):
+      // q_dedup_spans' chunk grid would miss it, the W=3 stride-1
+      // windows "cc dd ee"/"dd ee ff" cover positions 1..5
+      (2L, "xx cc dd ee ff yy"),
+      (3L, "shorty"),                     // < windowWords: no windows, verbatim
+      (4L, null.asInstanceOf[String]),    // null text -> empty, kept
+      (5L, "aa bb cc dd ee ff gg")        // exact copy -> fully covered
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, col("doc_id"), col("text"),
+        windowWords = 3, strideWords = 1)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "aa bb cc dd ee ff gg") // first occurrence intact
+    // windows "cc dd ee" (st=1) and "dd ee ff" (st=2) are doc-1 dups ->
+    // covered positions 1..4 = exactly the repeated run "cc dd ee ff";
+    // both frame words survive
+    assert(got(2L) === "xx yy")
+    assert(got(3L) === "shorty")
+    assert(got(4L) === "")
+    assert(got(5L) === "")
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("passageDedup differential property: matches an in-memory " +
+    "reference on random corpora (window 1-4, stride 1-3, messy text)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // sequential reference implementation of the same contract
+    def ref(docs: Seq[(Long, String)], w: Int, s: Int): Map[Long, String] = {
+      val words = docs.collect { case (id, t) if t != null =>
+        id -> t.trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1).toVector
+      }.toMap
+      val wins = for {
+        (id, ws) <- words.toSeq
+        st <- 0 to ws.length - w by s
+      } yield ((id, st), ws.slice(st, st + w).mkString(" "))
+      val firsts = wins.groupBy(_._2)
+        .map { case (txt, xs) => txt -> xs.map(_._1).min }
+      val covered = wins
+        .filter { case (k, txt) => firsts(txt) != k }
+        .flatMap { case ((id, st), _) => (st until st + w).map(id -> _) }
+        .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+      docs.map { case (id, t) =>
+        if (t == null) id -> ""
+        else {
+          val ws = words(id)
+          val cov = covered.getOrElse(id, Set.empty[Int])
+          id -> ws.indices.filterNot(cov).map(ws).mkString(" ")
+        }
+      }.toMap
+    }
+    val word = Gen.oneOf("aa", "bb", "CC", "dd")
+    val docGen = for {
+      nw <- Gen.choose(0, 9)
+      ws <- Gen.listOfN(nw, word)
+      sep <- Gen.oneOf(" ", "  ")
+    } yield ws.mkString(sep)
+    val corpusGen = for {
+      nd <- Gen.choose(1, 6)
+      texts <- Gen.listOfN(nd, Gen.option(docGen))
+      w <- Gen.choose(1, 4)
+      s <- Gen.choose(1, 3)
+    } yield (texts.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, t.orNull) }, w, s)
+    val prop = Prop.forAll(corpusGen) { case (docs, w, s) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.passageDedup(df, col("doc_id"), col("text"), w, s)
+        .as[(Long, String)].collect().toMap
+      got == ref(docs, w, s)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhashPairs matches exact jaccard on docs long enough for stable " +
     "majority votes") {
     // simhash majority margins scale with sqrt(token count): ~10-token docs

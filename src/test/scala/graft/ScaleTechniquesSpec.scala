@@ -123,6 +123,19 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(scans("q_dedup_minhash") <= 6)
   }
 
+  test("plan shape: passage dedup reuses the posting spread — one " +
+    "corpus scan feeds both window assembly and reassembly") {
+    // regression guard for the shared-exchange shape: the array-slicing
+    // form scanned the corpus once per consumer AND re-ran the normalize
+    // regex in pushed-down inferred generate filters at the scan
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_dedup_passages")(spark, dir)
+    df.collect() // reuse is an AQE runtime decision — final plan only
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange"), s"posting spread not reused:\n$p")
+  }
+
   test("plan shape: curation-tier queries stay single-scan with no " +
     "unexpected joins") {
     val dir = "/root/testdata/sf0.001"
