@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Bq, Classify, Dedup, Enrich, Events, Importance, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq}
+import graft.operators.{AsOfJoin, Bq, Classify, Dedup, Enrich, Events, Importance, Layout, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -605,6 +605,23 @@ object SparkEntry {
           col("text"), windowWords = passageWindowWords,
           strideWords = passageStrideWords)
         .orderBy("doc_id")),
+
+    // the INCREMENTAL passage shape: persist the corpus slice's window
+    // hashes once, probe the batch slice against the artifact — batch
+    // passages already in the corpus are excised without re-windowing
+    // the corpus (oracle replays index build + probe in SQL)
+    "q_dedup_passages_probe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = System.getProperty("java.io.tmpdir") +
+        s"/graft_passage_idx_${math.abs(dir.hashCode)}"
+      Dedup.persistPassageIndex(docs.where(col("doc_id") % 10 =!= 0),
+        col("doc_id"), col("text"), idx,
+        passageWindowWords, passageStrideWords)
+      Dedup.probePassageIndex(docs.where(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), idx,
+          passageWindowWords, passageStrideWords)
+        .orderBy("doc_id")
+    }),
 
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
@@ -1517,6 +1534,48 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
+    }),
+
+    // range-sorted physical layout: write documents range-partitioned +
+    // sorted by (n_chars, doc_id) so parquet footer min-max stats prune
+    // files/row groups for range predicates, then read back through a
+    // selective filter. Semantically a no-op vs filtering the source —
+    // which is exactly what the oracle pins; the pruning payoff is
+    // pinned by LayoutSpec footer-stat assertions and the layout probe.
+    "q_layout_sorted" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        s"/graft_layout_sorted_${math.abs(dir.hashCode)}"
+      Layout.sortedLayout(
+        Tables.documents(s, dir).select("doc_id", "n_chars", "lang"),
+        out, Seq(col("n_chars"), col("doc_id")), numFiles = 8)
+      s.read.parquet(out)
+        .where(col("n_chars") >= 200 && col("n_chars") < 400)
+        .select("doc_id", "n_chars", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // hash-bucketed co-located join: both sides bucketed on the join key
+    // at write time, so the daily fact-fact join plans with ZERO
+    // shuffles (spec-pinned) — the oracle pins that the bucketed layout
+    // returns exactly the plain join's answer.
+    "q_layout_bucketed" -> ((s, dir) => {
+      val tag = math.abs(dir.hashCode)
+      val tmpdir = System.getProperty("java.io.tmpdir")
+      Layout.bucketedTable(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"graft_bkt_orders_$tag", s"$tmpdir/graft_bkt_orders_$tag",
+        "o_custkey", nBuckets = 8)
+      Layout.bucketedTable(
+        Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        s"graft_bkt_customer_$tag", s"$tmpdir/graft_bkt_customer_$tag",
+        "c_custkey", nBuckets = 8)
+      s.table(s"graft_bkt_orders_$tag")
+        .join(s.table(s"graft_bkt_customer_$tag"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sumd2(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_nationkey")
     }),
 
     // -- semi-structured (F16/F17 shape on events.props) -----------------------------
@@ -2507,6 +2566,52 @@ object SparkEntry {
        |ORDER BY doc.doc_id""".stripMargin
   }
 
+  /** q_dedup_passages_probe oracle: replay index build + probe in SQL —
+    * corpus windows (the persisted index) as a distinct-h set, batch
+    * windows ranked within the batch, covered = corpus hit OR
+    * within-batch re-quote (mirrors `Dedup.probePassageIndex`). */
+  private def passagesProbeOracleSql(windowWords: Int,
+                                     strideWords: Int): String = {
+    val w = windowWords
+    val s = strideWords
+    s"""WITH b AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
+       |           FROM documents
+       |           WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |             AND doc_id % 10 = 0),
+       |bn AS (SELECT doc_id, w, len(w) AS nw FROM b),
+       |bwi AS (SELECT doc_id, u.st AS st,
+       |          md5(array_to_string(w[(u.st+1):(u.st+$w)], ' ')) AS h
+       |        FROM bn, unnest(range(0, nw - $w + 1, $s)) AS u(st)
+       |        WHERE nw >= $w),
+       |c AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
+       |      FROM documents
+       |      WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |        AND doc_id % 10 <> 0),
+       |cn AS (SELECT doc_id, w, len(w) AS nw FROM c),
+       |cw AS (SELECT DISTINCT
+       |          md5(array_to_string(w[(u.st+1):(u.st+$w)], ' ')) AS h
+       |        FROM cn, unnest(range(0, nw - $w + 1, $s)) AS u(st)
+       |        WHERE nw >= $w),
+       |rk AS (SELECT doc_id, st, h, row_number() OVER (
+       |         PARTITION BY h ORDER BY doc_id, st) AS rn
+       |       FROM bwi),
+       |cov AS (SELECT DISTINCT doc_id, u.pos AS pos
+       |        FROM rk, unnest(range(st, st + $w)) AS u(pos)
+       |        WHERE rn > 1 OR h IN (SELECT h FROM cw)),
+       |wd AS (SELECT doc_id, w[u.pos + 1] AS word, u.pos AS pos
+       |       FROM bn, unnest(range(0, nw)) AS u(pos)),
+       |rb AS (SELECT wd.doc_id,
+       |         string_agg(wd.word, ' ' ORDER BY wd.pos) AS text_deduped
+       |       FROM wd LEFT JOIN cov
+       |         ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos
+       |       WHERE cov.pos IS NULL GROUP BY wd.doc_id)
+       |SELECT doc.doc_id,
+       |  coalesce(rb.text_deduped, '') AS text_deduped
+       |FROM documents doc LEFT JOIN rb USING (doc_id)
+       |WHERE doc.doc_id % 10 = 0
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_flagship" ->
@@ -2792,6 +2897,18 @@ object SparkEntry {
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q_layout_sorted" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE n_chars >= 200 AND n_chars < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_layout_bucketed" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "q_json_nested" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 3 <> 0
@@ -2898,6 +3015,9 @@ object SparkEntry {
 
     "q_dedup_passages" ->
       passagesOracleSql(passageWindowWords, passageStrideWords),
+
+    "q_dedup_passages_probe" ->
+      passagesProbeOracleSql(passageWindowWords, passageStrideWords),
 
     "q_dedup_jaccard" -> jaccardOracleSql(0.6),
     "q_dedup_minhash" -> jaccardOracleSql(0.6),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -167,16 +167,39 @@ object Dedup {
     */
   def passageDedup(docs: DataFrame, id: Column, text: Column,
                    windowWords: Int, strideWords: Int = 1): DataFrame = {
-    require(windowWords > 0, s"passageDedup: windowWords=$windowWords")
-    require(strideWords > 0, s"passageDedup: strideWords=$strideWords")
+    val withH = passagePostings(docs, id, text, windowWords, strideWords)
+    val firstOcc = Window.partitionBy("h").orderBy(col("doc_id"), col("st"))
+    val covered = withH.where(col("h").isNotNull)
+      .select(col("doc_id"), col("pos").as("st"), col("h"))
+      .withColumn("__rn", row_number().over(firstOcc))
+      .where(col("__rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("st"), col("st") + (windowWords - 1)))
+          .as("pos"))
+      .distinct()
+    passageReassemble(docs, id, withH, covered)
+  }
+
+  /** The shared posting stream of the passage family: one row per word
+    * position, plus `h` = the md5 of the `windowWords`-word window
+    * STARTING at this position (null where no stride-aligned full
+    * window starts). See [[passageDedup]] for the plan-shape rationale
+    * -- this subtree is the "one corpus scan, lead-window assembly"
+    * half.
+    */
+  private def passagePostings(docs: DataFrame, id: Column, text: Column,
+                              windowWords: Int,
+                              strideWords: Int): DataFrame = {
+    require(windowWords > 0, s"passage ops: windowWords=$windowWords")
+    require(strideWords > 0, s"passage ops: strideWords=$strideWords")
     // the doc_id repartition right above the generator is THE shared
     // exchange: the lead-window assembly, the anti-join probe side, and
-    // the final reassembly aggregate all consume it (ReuseExchange — one
+    // the final reassembly aggregate all consume it (ReuseExchange -- one
     // scan, one normalize+split per doc), and every one of them is
     // already clustered by doc_id so none inserts another full-stream
     // shuffle of the postings
     // null ids are exempt from window participation (the [[priorityDedup]]
-    // null-key precedent — and a null id would sort BEFORE every real doc
+    // null-key precedent -- and a null id would sort BEFORE every real doc
     // in the first-occurrence rank, gutting real docs in favor of an
     // unaddressable row); a null-id doc reassembles to "" through the
     // null-never-matches final join either way, so output is unchanged.
@@ -195,18 +218,18 @@ object Dedup {
     val winText = concat_ws(" ",
       col("word") +:
         (1 until windowWords).map(k => lead(col("word"), k).over(ordered)): _*)
-    val withH = posted.withColumn("h",
+    posted.withColumn("h",
       when(col("pos") % strideWords === 0 && tailWord.isNotNull,
         md5(winText)))
-    val firstOcc = Window.partitionBy("h").orderBy(col("doc_id"), col("st"))
-    val covered = withH.where(col("h").isNotNull)
-      .select(col("doc_id"), col("pos").as("st"), col("h"))
-      .withColumn("__rn", row_number().over(firstOcc))
-      .where(col("__rn") > 1)
-      .select(col("doc_id"),
-        explode(sequence(col("st"), col("st") + (windowWords - 1)))
-          .as("pos"))
-      .distinct()
+  }
+
+  /** The shared reassembly tail of the passage family: drop covered
+    * word positions, rebuild each doc's text in position order, return
+    * every input doc (empty string for docs reduced to nothing or with
+    * null text/id). `covered` is (doc_id, pos). */
+  private def passageReassemble(docs: DataFrame, id: Column,
+                                withH: DataFrame,
+                                covered: DataFrame): DataFrame = {
     val rebuilt = withH.select("doc_id", "pos", "word")
       .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
@@ -217,6 +240,105 @@ object Dedup {
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
+  /** Persist the corpus's distinct passage-window hashes as a write-once
+    * parquet index -- the ingest-time half of CONTINUOUS passage dedup
+    * ([[passageDedup]]'s incremental shape, mirroring [[persistIndex]]
+    * for minhash). A pipeline pays the corpus window pass ONCE; every
+    * later batch probes the index at batch cost. Layout under `path`:
+    * `windows/` (h -- distinct md5s, the only thing a later batch needs:
+    * any corpus occurrence outranks every future batch occurrence),
+    * `meta/` (window_words, stride_words -- probes validate against it,
+    * because probing a w=6 index with w=8 windows would silently remove
+    * nothing).
+    */
+  def persistPassageIndex(corpus: DataFrame, id: Column, text: Column,
+                          path: String, windowWords: Int,
+                          strideWords: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    passagePostings(corpus, id, text, windowWords, strideWords)
+      .where(col("h").isNotNull).select("h").distinct()
+      .write.mode("overwrite").parquet(s"$path/windows")
+    Seq((windowWords, strideWords)).toDF("window_words", "stride_words")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a [[persistPassageIndex]] artifact with an ingestion batch:
+    * remove (a) every batch passage whose window text already exists in
+    * the corpus index, and (b) within-batch re-quotes (first batch
+    * occurrence survives -- the corpus probe cannot see those). Output
+    * contract = [[passageDedup]] over corpus+batch restricted to the
+    * batch docs, with the whole corpus counting as "earlier" (exact
+    * equivalence when corpus ids order before batch ids -- spec-pinned).
+    *
+    * Scale shape: the index is READ ONCE and never shuffled -- the
+    * batch's distinct window hashes broadcast into a semi-join over the
+    * index scan, producing the batch-bounded hit set, which broadcasts
+    * back over the batch windows; probe cost tracks the BATCH plus one
+    * index scan, the same argument as [[probePersistedIndex]].
+    */
+  def probePassageIndex(batch: DataFrame, batchId: Column,
+                        batchText: Column, path: String,
+                        windowWords: Int,
+                        strideWords: Int = 1): DataFrame = {
+    val spark = batch.sparkSession
+    requirePassageMeta(spark, path, windowWords, strideWords, "probe")
+    val withH = passagePostings(batch, batchId, batchText,
+      windowWords, strideWords)
+    val wins = withH.where(col("h").isNotNull)
+      .select(col("doc_id"), col("pos").as("st"), col("h"))
+    val hitH = spark.read.parquet(s"$path/windows")
+      .join(broadcast(wins.select("h").distinct()), Seq("h"), "left_semi")
+    val corpusCovered = wins.join(broadcast(hitH), Seq("h"))
+      .select("doc_id", "st")
+    val innerDup = wins
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("h").orderBy(col("doc_id"), col("st"))))
+      .where(col("__rn") > 1)
+      .select("doc_id", "st")
+    val covered = corpusCovered.unionByName(innerDup)
+      .select(col("doc_id"),
+        explode(sequence(col("st"), col("st") + (windowWords - 1)))
+          .as("pos"))
+      .distinct()
+    passageReassemble(batch, batchId, withH, covered)
+  }
+
+  /** Fold an ingested batch into a [[persistPassageIndex]] artifact:
+    * append the batch's window hashes that are NOT yet indexed. Both
+    * sides of the novelty check are batch-bounded (the hit set comes
+    * from one broadcast semi-join over the index scan, never an index
+    * shuffle), so append cost tracks the batch. Callers append the
+    * SURVIVING batch's windows (post-[[probePassageIndex]]) in a
+    * continuous gate, or the raw batch's to make future probes reject
+    * re-quotes of text this batch introduced either way.
+    */
+  def appendToPassageIndex(batch: DataFrame, batchId: Column,
+                           batchText: Column, path: String,
+                           windowWords: Int,
+                           strideWords: Int = 1): Unit = {
+    val spark = batch.sparkSession
+    requirePassageMeta(spark, path, windowWords, strideWords, "append")
+    val batchH = passagePostings(batch, batchId, batchText,
+        windowWords, strideWords)
+      .where(col("h").isNotNull).select("h").distinct()
+    val hitH = spark.read.parquet(s"$path/windows")
+      .join(broadcast(batchH), Seq("h"), "left_semi")
+    batchH.join(broadcast(hitH), Seq("h"), "left_anti")
+      .write.mode("append").parquet(s"$path/windows")
+  }
+
+  private def requirePassageMeta(spark: SparkSession, path: String,
+                                 windowWords: Int, strideWords: Int,
+                                 op: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (mw, ms) = (meta.getInt(0), meta.getInt(1))
+    require(mw == windowWords && ms == strideWords,
+      s"passage index at $path was built with (windowWords=$mw, " +
+        s"strideWords=$ms) but $op requested (windowWords=" +
+        s"$windowWords, strideWords=$strideWords)")
   }
 
   /** Whitespace-collapse + lowercase canonicalization used by every

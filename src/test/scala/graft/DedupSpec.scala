@@ -532,6 +532,55 @@ class DedupSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("passage index: probe equals passageDedup over corpus+batch " +
+    "restricted to batch docs; mismatched params fail loudly; append " +
+    "makes later probes reject batch-introduced passages") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "mm nn oo pp qq rr")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "xx cc dd ee ff yy"),     // corpus passage at a shifted offset
+      (11L, "zz ww vv uu tt ss"),     // novel text
+      (12L, "zz ww vv uu tt ss"),     // within-batch re-quote of 11
+      (13L, "shorty"),                // sub-window: passes verbatim
+      (14L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val idx = System.getProperty("java.io.tmpdir") + "/graft_passage_idx_spec"
+    Dedup.persistPassageIndex(corpus, col("doc_id"), col("text"), idx,
+      windowWords = 3, strideWords = 1)
+    val probe = Dedup.probePassageIndex(batch, col("doc_id"), col("text"),
+        idx, windowWords = 3, strideWords = 1)
+      .as[(Long, String)].collect().toMap
+    // exact equivalence with the batch slice of the one-shot operator
+    // (corpus ids order before batch ids, so "corpus is earlier" holds)
+    val composed = Dedup.passageDedup(corpus.unionByName(batch),
+        col("doc_id"), col("text"), windowWords = 3, strideWords = 1)
+      .as[(Long, String)].collect().toMap
+      .filter { case (k, _) => k >= 10L }
+    assert(probe === composed)
+    assert(probe(10L) === "xx yy")
+    assert(probe(11L) === "zz ww vv uu tt ss")
+    assert(probe(12L) === "")
+    assert(probe(13L) === "shorty")
+    assert(probe(14L) === "")
+    // probing with different window params must fail, not silently no-op
+    intercept[IllegalArgumentException] {
+      Dedup.probePassageIndex(batch, col("doc_id"), col("text"), idx,
+        windowWords = 4, strideWords = 1)
+    }
+    // fold batch 1 in; a later batch re-quoting batch-1 text is caught
+    Dedup.appendToPassageIndex(batch, col("doc_id"), col("text"), idx,
+      windowWords = 3, strideWords = 1)
+    val batch2 = Seq((20L, "qq zz ww vv uu hh")).toDF("doc_id", "text")
+    val probe2 = Dedup.probePassageIndex(batch2, col("doc_id"),
+        col("text"), idx, windowWords = 3, strideWords = 1)
+      .as[(Long, String)].collect().toMap
+    // windows "zz ww vv" and "ww vv uu" are batch-1 passages -> covered
+    // positions 1..4; the frame words survive
+    assert(probe2(20L) === "qq hh")
+  }
+
   test("simhashPairs matches exact jaccard on docs long enough for stable " +
     "majority votes") {
     // simhash majority margins scale with sqrt(token count): ~10-token docs

@@ -923,6 +923,131 @@ object ScaleProbe {
         }
       }
     }
+    if (which("passages-50k")) {
+      // passage dedup at 50k docs (10 id-offset replicas of the SAME
+      // text): replica-0 must reproduce the 5k base outcome exactly and
+      // every other replica must collapse to "" (all its windows are
+      // replica-0 re-quotes) — so the TOTAL surviving word count at 50k
+      // equals the base run's, an exactness invariant riding on the
+      // wall measurement. Then the incremental shape: index 9 replicas,
+      // probe the 10th (an all-near-dup batch).
+      import graft.operators.Dedup
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("text"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("passages_rows_50k")(big.count())
+      def outWords(df: DataFrame): Long = df
+        .select(when(col("text_deduped") === "", 0)
+          .otherwise(size(split(col("text_deduped"), " "))).as("nw"))
+        .agg(sum("nw")).collect()(0).getLong(0)
+      var w50 = 0L; var w5 = 0L
+      t("passages_dedup_50k") {
+        val d = Dedup.passageDedup(big, col("doc_id"), col("text"),
+          windowWords = 6).localCheckpoint(true)
+        val c = d.count(); w50 = outWords(d); c
+      }
+      t("passages_dedup_5k_base") {
+        val d = Dedup.passageDedup(docs, col("doc_id"), col("text"),
+          windowWords = 6).localCheckpoint(true)
+        val c = d.count(); w5 = outWords(d); c
+      }
+      t("passages_surviving_words_equal")(if (w50 == w5) 1L else -w50)
+      val corpus = big.where(col("doc_id") < 9000000L)
+      val batch = big.where(col("doc_id") >= 9000000L)
+      val idxp = System.getProperty("java.io.tmpdir") +
+        "/graft_probe_passage_idx"
+      t("passages_persist_45k") {
+        Dedup.persistPassageIndex(corpus, col("doc_id"), col("text"),
+          idxp, windowWords = 6)
+        spark.read.parquet(s"$idxp/windows").count()
+      }
+      t("passages_probe_5k_nonempty") {
+        Dedup.probePassageIndex(batch, col("doc_id"), col("text"),
+            idxp, windowWords = 6)
+          .where(col("text_deduped") =!= "").count()
+      }
+    }
+
+    if (which("layout-50k")) {
+      // physical-layout tier at 50k docs (10 id-offset replicas):
+      // (1) range-sorted parquet — fraction of FILES a ~5%-selectivity
+      // n_chars range predicate must read, from the same footer stats
+      // the reader prunes with, sorted vs unsorted control;
+      // (2) bucketed co-located join at sf0.1 — zero exchanges in the
+      // plan vs the plain shuffle join, identical row count
+      import graft.operators.Layout
+      val docs = graft.Tables.documents(spark, dir)
+        .select("doc_id", "n_chars", "lang", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("n_chars"), col("lang"), col("text"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("layout_rows_50k")(big.count())
+      val tmp = System.getProperty("java.io.tmpdir")
+      t("layout_sorted_write_50k") {
+        Layout.sortedLayout(big, s"$tmp/graft_probe_sorted",
+          Seq(col("n_chars"), col("doc_id")), numFiles = 32)
+        32L
+      }
+      t("layout_unsorted_write_50k") {
+        big.repartition(32).write.mode("overwrite")
+          .parquet(s"$tmp/graft_probe_unsorted")
+        32L
+      }
+      val bounds = big.selectExpr("min(n_chars)", "max(n_chars)")
+        .collect()(0)
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val lo = mn + (mx - mn) * 40 / 100
+      val hi = mn + (mx - mn) * 45 / 100
+      t("layout_sorted_files_hit_of_32") {
+        Layout.matchingFiles(Layout.rowGroupLongStats(spark,
+          s"$tmp/graft_probe_sorted", "n_chars"), lo, hi).size.toLong
+      }
+      t("layout_unsorted_files_hit_of_32") {
+        Layout.matchingFiles(Layout.rowGroupLongStats(spark,
+          s"$tmp/graft_probe_unsorted", "n_chars"), lo, hi).size.toLong
+      }
+      t("layout_sorted_filtered_count") {
+        spark.read.parquet(s"$tmp/graft_probe_sorted")
+          .where(col("n_chars") >= lo && col("n_chars") <= hi).count()
+      }
+      t("layout_unsorted_filtered_count") {
+        spark.read.parquet(s"$tmp/graft_probe_unsorted")
+          .where(col("n_chars") >= lo && col("n_chars") <= hi).count()
+      }
+      val orders = graft.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val customer = graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")
+      t("layout_bucket_write_orders") {
+        Layout.bucketedTable(orders, "graft_probe_bkt_orders",
+          s"$tmp/graft_probe_bkt_orders", "o_custkey", nBuckets = 16)
+        orders.count()
+      }
+      t("layout_bucket_write_customer") {
+        Layout.bucketedTable(customer, "graft_probe_bkt_customer",
+          s"$tmp/graft_probe_bkt_customer", "c_custkey", nBuckets = 16)
+        customer.count()
+      }
+      t("layout_bucketed_join") {
+        val j = spark.table("graft_probe_bkt_orders")
+          .join(spark.table("graft_probe_bkt_customer"),
+            col("o_custkey") === col("c_custkey"))
+        val n = j.count()
+        val p = j.queryExecution.executedPlan.toString
+        require(!p.contains("Exchange hashpartitioning"),
+          "bucketed join shuffled")
+        n
+      }
+      t("layout_plain_join") {
+        orders.join(customer, col("o_custkey") === col("c_custkey"))
+          .count()
+      }
+    }
     spark.stop()
   }
 }
