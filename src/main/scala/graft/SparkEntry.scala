@@ -1554,6 +1554,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Z-ordered layout: sort by the bit-interleaved key so BOTH columns'
+    // per-file ranges stay tight — a conjunctive two-column predicate
+    // prunes files a lexicographic sort can only prune on its leading
+    // column (probe-quantified in BASELINE). Oracle pins read-back
+    // semantics = plain two-column filter on the source.
+    "q_layout_zorder" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") +
+        s"/graft_layout_z_${math.abs(dir.hashCode)}"
+      Layout.sortedLayout(
+        Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+          .withColumn("__z", Layout.zValue(col("n_chars"), col("doc_id"))),
+        out, Seq(col("__z")), numFiles = 8)
+      s.read.parquet(out)
+        .where(col("n_chars") >= 200 && col("n_chars") < 400 &&
+          col("doc_id") >= 100 && col("doc_id") < 300)
+        .select("doc_id", "n_chars", "lang")
+        .orderBy("doc_id")
+    }),
+
     // hash-bucketed co-located join: both sides bucketed on the join key
     // at write time, so the daily fact-fact join plans with ZERO
     // shuffles (spec-pinned) — the oracle pins that the bucketed layout
@@ -2900,6 +2919,12 @@ object SparkEntry {
     "q_layout_sorted" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE n_chars >= 200 AND n_chars < 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_layout_zorder" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE n_chars >= 200 AND n_chars < 400
+        |  AND doc_id >= 100 AND doc_id < 300
         |ORDER BY doc_id""".stripMargin,
 
     "q_layout_bucketed" ->

@@ -1019,6 +1019,47 @@ object ScaleProbe {
         spark.read.parquet(s"$tmp/graft_probe_unsorted")
           .where(col("n_chars") >= lo && col("n_chars") <= hi).count()
       }
+      // Z-order vs lexicographic for a CONJUNCTIVE 2-d predicate:
+      // per-file combined [min,max] on BOTH columns (what the reader
+      // consults), a ~5% n_chars band x ~20% doc_id band
+      t("layout_zorder_write_50k") {
+        Layout.sortedLayout(
+          big.withColumn("__z",
+            Layout.zValue(col("n_chars"), col("doc_id"))),
+          s"$tmp/graft_probe_z", Seq(col("__z")), numFiles = 32)
+        32L
+      }
+      val idB = big.selectExpr("min(doc_id)", "max(doc_id)").collect()(0)
+      val (bLo, bHi) = {
+        val (a, b) = (idB.getLong(0), idB.getLong(1))
+        (a + (b - a) * 40 / 100, a + (b - a) * 60 / 100)
+      }
+      def hit2d(dirp: String): Long = {
+        def ranges(c: String) =
+          Layout.rowGroupLongStats(spark, dirp, c).groupBy(_._1)
+            .map { case (f, xs) =>
+              f -> (xs.map(_._3).min, xs.map(_._4).max) }
+        val ra = ranges("n_chars"); val rb = ranges("doc_id")
+        ra.keys.count { f =>
+          ra(f)._2 >= lo && ra(f)._1 <= hi &&
+          rb(f)._2 >= bLo && rb(f)._1 <= bHi
+        }.toLong
+      }
+      t("layout_zorder_2d_files_hit_of_32")(hit2d(s"$tmp/graft_probe_z"))
+      t("layout_lex_2d_files_hit_of_32")(hit2d(s"$tmp/graft_probe_sorted"))
+      // the regime Z-order exists for: a predicate on the NON-leading
+      // column only — the lexicographic layout cannot prune at all
+      // (every n_chars-sorted file spans the full doc_id range)
+      def hitDocId(dirp: String): Long = {
+        val rb = Layout.rowGroupLongStats(spark, dirp, "doc_id")
+          .groupBy(_._1)
+          .map { case (f, xs) => f -> (xs.map(_._3).min, xs.map(_._4).max) }
+        rb.count { case (_, (mn, mx)) => mx >= bLo && mn <= bHi }.toLong
+      }
+      t("layout_zorder_docid_files_hit_of_32")(
+        hitDocId(s"$tmp/graft_probe_z"))
+      t("layout_lex_docid_files_hit_of_32")(
+        hitDocId(s"$tmp/graft_probe_sorted"))
       val orders = graft.Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val customer = graft.Tables.customer(spark, dir)
