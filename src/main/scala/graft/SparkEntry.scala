@@ -2550,30 +2550,33 @@ object SparkEntry {
        |ORDER BY doc.doc_id""".stripMargin
   }
 
-  /** q_dedup_passages oracle, generated from the same window/stride as
-    * the Spark query (mirrors `Dedup.passageDedup`): overlapping-window
-    * first-occurrence ranking on the md5 of the window text, duplicate
-    * windows expand to covered word positions, covered positions are
-    * removed, documents reassembled from the surviving positions. */
-  private def passagesOracleSql(windowWords: Int, strideWords: Int): String = {
-    val w = windowWords
-    val s = strideWords
-    s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
-       |           FROM documents
-       |           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
-       |wn AS (SELECT doc_id, w, len(w) AS nw FROM d),
-       |wi AS (SELECT doc_id, u.st AS st,
-       |         md5(array_to_string(w[(u.st+1):(u.st+$w)], ' ')) AS h
-       |       FROM wn, unnest(range(0, nw - $w + 1, $s)) AS u(st)
-       |       WHERE nw >= $w),
-       |rk AS (SELECT doc_id, st, row_number() OVER (
+  /** Shared CTE fragments of the two passage oracles — the SQL mirror
+    * of the Spark-side `passagePostings`/`passageReassemble` split, so
+    * the one-shot and probe oracles cannot drift apart. */
+  private def passageWordsCte(name: String, extraWhere: String): String =
+    s"""$name AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
+       |      FROM documents
+       |      WHERE text IS NOT NULL AND doc_id IS NOT NULL$extraWhere),
+       |${name}n AS (SELECT doc_id, w, len(w) AS nw FROM $name)""".stripMargin
+
+  private def passageWindowsCte(name: String, srcN: String, proj: String,
+                                w: Int, s: Int): String =
+    s"""$name AS ($proj
+       |          md5(array_to_string(w[(u.st+1):(u.st+$w)], ' ')) AS h
+       |        FROM $srcN, unnest(range(0, nw - $w + 1, $s)) AS u(st)
+       |        WHERE nw >= $w)""".stripMargin
+
+  private def passageTailSql(winsN: String, wordsN: String,
+                             covWhere: String, finalWhere: String,
+                             w: Int): String =
+    s"""rk AS (SELECT doc_id, st, h, row_number() OVER (
        |         PARTITION BY h ORDER BY doc_id, st) AS rn
-       |       FROM wi),
+       |       FROM $winsN),
        |cov AS (SELECT DISTINCT doc_id, u.pos AS pos
        |        FROM rk, unnest(range(st, st + $w)) AS u(pos)
-       |        WHERE rn > 1),
+       |        WHERE $covWhere),
        |wd AS (SELECT doc_id, w[u.pos + 1] AS word, u.pos AS pos
-       |       FROM wn, unnest(range(0, nw)) AS u(pos)),
+       |       FROM $wordsN, unnest(range(0, nw)) AS u(pos)),
        |rb AS (SELECT wd.doc_id,
        |         string_agg(wd.word, ' ' ORDER BY wd.pos) AS text_deduped
        |       FROM wd LEFT JOIN cov
@@ -2582,54 +2585,33 @@ object SparkEntry {
        |SELECT doc.doc_id,
        |  coalesce(rb.text_deduped, '') AS text_deduped
        |FROM documents doc LEFT JOIN rb USING (doc_id)
-       |ORDER BY doc.doc_id""".stripMargin
-  }
+       |${finalWhere}ORDER BY doc.doc_id""".stripMargin
+
+  /** q_dedup_passages oracle, generated from the same window/stride as
+    * the Spark query (mirrors `Dedup.passageDedup`): overlapping-window
+    * first-occurrence ranking on the md5 of the window text, duplicate
+    * windows expand to covered word positions, covered positions are
+    * removed, documents reassembled from the surviving positions. */
+  private def passagesOracleSql(windowWords: Int, strideWords: Int): String =
+    s"""WITH ${passageWordsCte("d", "")},
+       |${passageWindowsCte("wi", "dn", "SELECT doc_id, u.st AS st,",
+            windowWords, strideWords)},
+       |${passageTailSql("wi", "dn", "rn > 1", "", windowWords)}""".stripMargin
 
   /** q_dedup_passages_probe oracle: replay index build + probe in SQL —
     * corpus windows (the persisted index) as a distinct-h set, batch
     * windows ranked within the batch, covered = corpus hit OR
     * within-batch re-quote (mirrors `Dedup.probePassageIndex`). */
   private def passagesProbeOracleSql(windowWords: Int,
-                                     strideWords: Int): String = {
-    val w = windowWords
-    val s = strideWords
-    s"""WITH b AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
-       |           FROM documents
-       |           WHERE text IS NOT NULL AND doc_id IS NOT NULL
-       |             AND doc_id % 10 = 0),
-       |bn AS (SELECT doc_id, w, len(w) AS nw FROM b),
-       |bwi AS (SELECT doc_id, u.st AS st,
-       |          md5(array_to_string(w[(u.st+1):(u.st+$w)], ' ')) AS h
-       |        FROM bn, unnest(range(0, nw - $w + 1, $s)) AS u(st)
-       |        WHERE nw >= $w),
-       |c AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
-       |      FROM documents
-       |      WHERE text IS NOT NULL AND doc_id IS NOT NULL
-       |        AND doc_id % 10 <> 0),
-       |cn AS (SELECT doc_id, w, len(w) AS nw FROM c),
-       |cw AS (SELECT DISTINCT
-       |          md5(array_to_string(w[(u.st+1):(u.st+$w)], ' ')) AS h
-       |        FROM cn, unnest(range(0, nw - $w + 1, $s)) AS u(st)
-       |        WHERE nw >= $w),
-       |rk AS (SELECT doc_id, st, h, row_number() OVER (
-       |         PARTITION BY h ORDER BY doc_id, st) AS rn
-       |       FROM bwi),
-       |cov AS (SELECT DISTINCT doc_id, u.pos AS pos
-       |        FROM rk, unnest(range(st, st + $w)) AS u(pos)
-       |        WHERE rn > 1 OR h IN (SELECT h FROM cw)),
-       |wd AS (SELECT doc_id, w[u.pos + 1] AS word, u.pos AS pos
-       |       FROM bn, unnest(range(0, nw)) AS u(pos)),
-       |rb AS (SELECT wd.doc_id,
-       |         string_agg(wd.word, ' ' ORDER BY wd.pos) AS text_deduped
-       |       FROM wd LEFT JOIN cov
-       |         ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos
-       |       WHERE cov.pos IS NULL GROUP BY wd.doc_id)
-       |SELECT doc.doc_id,
-       |  coalesce(rb.text_deduped, '') AS text_deduped
-       |FROM documents doc LEFT JOIN rb USING (doc_id)
-       |WHERE doc.doc_id % 10 = 0
-       |ORDER BY doc.doc_id""".stripMargin
-  }
+                                     strideWords: Int): String =
+    s"""WITH ${passageWordsCte("b", "\n        AND doc_id % 10 = 0")},
+       |${passageWindowsCte("bwi", "bn", "SELECT doc_id, u.st AS st,",
+            windowWords, strideWords)},
+       |${passageWordsCte("c", "\n        AND doc_id % 10 <> 0")},
+       |${passageWindowsCte("cw", "cn", "SELECT DISTINCT",
+            windowWords, strideWords)},
+       |${passageTailSql("bwi", "bn", "rn > 1 OR h IN (SELECT h FROM cw)",
+            "WHERE doc.doc_id % 10 = 0\n", windowWords)}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 

@@ -277,21 +277,27 @@ object Dedup {
     * batch's distinct window hashes broadcast into a semi-join over the
     * index scan, producing the batch-bounded hit set, which broadcasts
     * back over the batch windows; probe cost tracks the BATCH plus one
-    * index scan, the same argument as [[probePersistedIndex]].
+    * index scan, the same argument as [[probePersistedIndex]]. For a
+    * batch too large to broadcast its window-hash set, pass
+    * `broadcastBatch = false` and the same joins run as shuffles keyed
+    * on the high-cardinality h (the [[probePersistedIndex]] dial).
     */
   def probePassageIndex(batch: DataFrame, batchId: Column,
                         batchText: Column, path: String,
                         windowWords: Int,
-                        strideWords: Int = 1): DataFrame = {
+                        strideWords: Int = 1,
+                        broadcastBatch: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     requirePassageMeta(spark, path, windowWords, strideWords, "probe")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
     val withH = passagePostings(batch, batchId, batchText,
       windowWords, strideWords)
     val wins = withH.where(col("h").isNotNull)
       .select(col("doc_id"), col("pos").as("st"), col("h"))
     val hitH = spark.read.parquet(s"$path/windows")
-      .join(broadcast(wins.select("h").distinct()), Seq("h"), "left_semi")
-    val corpusCovered = wins.join(broadcast(hitH), Seq("h"))
+      .join(bc(wins.select("h").distinct()), Seq("h"), "left_semi")
+    val corpusCovered = wins.join(bc(hitH), Seq("h"))
       .select("doc_id", "st")
     val innerDup = wins
       .withColumn("__rn", row_number().over(
@@ -314,19 +320,25 @@ object Dedup {
     * SURVIVING batch's windows (post-[[probePassageIndex]]) in a
     * continuous gate, or the raw batch's to make future probes reject
     * re-quotes of text this batch introduced either way.
+    * `broadcastBatch = false` is the same too-big-to-broadcast dial as
+    * [[probePassageIndex]] — the probe-then-append cycle must work at
+    * one batch-size regime end to end.
     */
   def appendToPassageIndex(batch: DataFrame, batchId: Column,
                            batchText: Column, path: String,
                            windowWords: Int,
-                           strideWords: Int = 1): Unit = {
+                           strideWords: Int = 1,
+                           broadcastBatch: Boolean = true): Unit = {
     val spark = batch.sparkSession
     requirePassageMeta(spark, path, windowWords, strideWords, "append")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
     val batchH = passagePostings(batch, batchId, batchText,
         windowWords, strideWords)
       .where(col("h").isNotNull).select("h").distinct()
     val hitH = spark.read.parquet(s"$path/windows")
-      .join(broadcast(batchH), Seq("h"), "left_semi")
-    batchH.join(broadcast(hitH), Seq("h"), "left_anti")
+      .join(bc(batchH), Seq("h"), "left_semi")
+    batchH.join(bc(hitH), Seq("h"), "left_anti")
       .write.mode("append").parquet(s"$path/windows")
   }
 

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.language.existentials // parquet's Statistics[T <: Comparable[T]]
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,6 +110,13 @@ object Layout {
     * reads FOOTERS only (KBs per file), the same listing cost every
     * Spark scan pays at planning time; it is a diagnostic, not a data
     * path.
+    *
+    * Conservative by construction: a row group with NO statistics for
+    * the column (stats disabled, non-numeric type, or the column absent
+    * from the file) reports the full [Long.MinValue, Long.MaxValue]
+    * range — the reader cannot prune such a row group, so every
+    * range predicate "matches" it, and [[matchingFiles]] counts its
+    * file as must-read instead of silently overstating the pruning win.
     */
   def rowGroupLongStats(spark: SparkSession, dir: String,
                         column: String): Seq[(String, Int, Long, Long)] = {
@@ -123,9 +132,9 @@ object Layout {
     files.toSeq.flatMap { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
-        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
           case (block, rg) =>
-            block.getColumns.asScala
+            val known = block.getColumns.asScala
               .find(_.getPath.toDotString == column)
               .flatMap { cc =>
                 val st = cc.getStatistics
@@ -136,6 +145,7 @@ object Layout {
                   case _ => None
                 }
               }
+            known.getOrElse((p.getName, rg, Long.MinValue, Long.MaxValue))
         }
       } finally reader.close()
     }
@@ -144,7 +154,9 @@ object Layout {
   /** The files a [lo, hi] range predicate on `column` has to read,
     * given footer stats — i.e. the file-level pruning decision the
     * reader makes. `LayoutSpec` pins that a sorted layout shrinks this
-    * set while an unsorted one cannot.
+    * set while an unsorted one cannot. Stats-less row groups arrive
+    * from [[rowGroupLongStats]] as full-range rows, so their files
+    * always count as must-read here — the reader's own behavior.
     */
   def matchingFiles(stats: Seq[(String, Int, Long, Long)],
                     lo: Long, hi: Long): Set[String] =

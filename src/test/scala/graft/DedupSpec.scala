@@ -564,6 +564,13 @@ class DedupSpec extends SparkTestBase {
     assert(probe(12L) === "")
     assert(probe(13L) === "shorty")
     assert(probe(14L) === "")
+    // the no-broadcast dial (batches too big to broadcast) is the same
+    // answer through shuffle joins
+    val probeNb = Dedup.probePassageIndex(batch, col("doc_id"),
+        col("text"), idx, windowWords = 3, strideWords = 1,
+        broadcastBatch = false)
+      .as[(Long, String)].collect().toMap
+    assert(probeNb === composed)
     // probing with different window params must fail, not silently no-op
     intercept[IllegalArgumentException] {
       Dedup.probePassageIndex(batch, col("doc_id"), col("text"), idx,

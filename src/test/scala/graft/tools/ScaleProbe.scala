@@ -1034,12 +1034,12 @@ object ScaleProbe {
         val (a, b) = (idB.getLong(0), idB.getLong(1))
         (a + (b - a) * 40 / 100, a + (b - a) * 60 / 100)
       }
+      def fileRanges(dirp: String, c: String): Map[String, (Long, Long)] =
+        Layout.rowGroupLongStats(spark, dirp, c).groupBy(_._1)
+          .map { case (f, xs) => f -> (xs.map(_._3).min, xs.map(_._4).max) }
       def hit2d(dirp: String): Long = {
-        def ranges(c: String) =
-          Layout.rowGroupLongStats(spark, dirp, c).groupBy(_._1)
-            .map { case (f, xs) =>
-              f -> (xs.map(_._3).min, xs.map(_._4).max) }
-        val ra = ranges("n_chars"); val rb = ranges("doc_id")
+        val ra = fileRanges(dirp, "n_chars")
+        val rb = fileRanges(dirp, "doc_id")
         ra.keys.count { f =>
           ra(f)._2 >= lo && ra(f)._1 <= hi &&
           rb(f)._2 >= bLo && rb(f)._1 <= bHi
@@ -1050,12 +1050,9 @@ object ScaleProbe {
       // the regime Z-order exists for: a predicate on the NON-leading
       // column only — the lexicographic layout cannot prune at all
       // (every n_chars-sorted file spans the full doc_id range)
-      def hitDocId(dirp: String): Long = {
-        val rb = Layout.rowGroupLongStats(spark, dirp, "doc_id")
-          .groupBy(_._1)
-          .map { case (f, xs) => f -> (xs.map(_._3).min, xs.map(_._4).max) }
-        rb.count { case (_, (mn, mx)) => mx >= bLo && mn <= bHi }.toLong
-      }
+      def hitDocId(dirp: String): Long =
+        fileRanges(dirp, "doc_id")
+          .count { case (_, (mn, mx)) => mx >= bLo && mn <= bHi }.toLong
       t("layout_zorder_docid_files_hit_of_32")(
         hitDocId(s"$tmp/graft_probe_z"))
       t("layout_lex_docid_files_hit_of_32")(
