@@ -289,13 +289,26 @@ object Dedup {
                         broadcastBatch: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     requirePassageMeta(spark, path, windowWords, strideWords, "probe")
+    probePassageFrame(batch, batchId, batchText,
+      spark.read.parquet(s"$path/windows").select("h"),
+      windowWords, strideWords, broadcastBatch)
+  }
+
+  /** The path-free probe core: `indexH` is the corpus window-hash frame
+    * (one column, `h`). [[passageGateBatch]] passes a SELF-EXCLUDED
+    * read of its epoch-partitioned index here so a replayed epoch never
+    * probes against its own crashed writes. */
+  private def probePassageFrame(batch: DataFrame, batchId: Column,
+                                batchText: Column, indexH: DataFrame,
+                                windowWords: Int, strideWords: Int,
+                                broadcastBatch: Boolean): DataFrame = {
     def bc(df: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(df) else df
     val withH = passagePostings(batch, batchId, batchText,
       windowWords, strideWords)
     val wins = withH.where(col("h").isNotNull)
       .select(col("doc_id"), col("pos").as("st"), col("h"))
-    val hitH = spark.read.parquet(s"$path/windows")
+    val hitH = indexH
       .join(bc(wins.select("h").distinct()), Seq("h"), "left_semi")
     val corpusCovered = wins.join(bc(hitH), Seq("h"))
       .select("doc_id", "st")
@@ -340,6 +353,167 @@ object Dedup {
       .join(bc(batchH), Seq("h"), "left_semi")
     batchH.join(bc(hitH), Seq("h"), "left_anti")
       .write.mode("append").parquet(s"$path/windows")
+  }
+
+  /** One microbatch of the continuous PASSAGE gate — the ExactSubstr
+    * sibling of [[curationGateBatch]], except batch text is REWRITTEN
+    * (covered passages excised) rather than whole docs dropped:
+    *
+    *   1. probe the epoch-partitioned window index
+    *      ([[probePassageFrame]]) — batch passages already in the
+    *      corpus, plus within-batch re-quotes, are excised exactly as
+    *      [[probePassageIndex]] does;
+    *   2. write admitted docs (non-empty deduped text) to the corpus
+    *      and the batch's NOVEL window hashes to the index, both
+    *      partitioned by `ingest_batch = batchId` with dynamic
+    *      overwrite;
+    *   3. bootstrap commits `meta/` (window/stride params) LAST behind
+    *      the `meta/_GRAFT_COMMITTED` marker — the [[ingestGateBatch]]
+    *      contract; params are validated on every later epoch.
+    *
+    * Replay idempotence is STRICTER here than in the sibling gates:
+    * the index read EXCLUDES the replaying epoch's own partition, so a
+    * crash after the index write cannot make the replay probe against
+    * its own half-written (or fully written) windows. The sibling
+    * gates' "replay rejects everything ⇒ writes skipped" argument does
+    * not carry over to passage dedup — sub-window docs pass through on
+    * every attempt, so a self-probing replay would rewrite the corpus
+    * partition with only those — hence the exclusion: a replayed epoch
+    * recomputes EXACTLY the original admitted set and rewrites its own
+    * partitions identically. At-least-once × idempotent = exactly-once.
+    *
+    * The gate requires its own epoch-partitioned windows layout; a
+    * [[persistPassageIndex]] artifact (flat windows/) is probe-only and
+    * is refused loudly (mixing the two layouts in one directory would
+    * break partition discovery).
+    */
+  def passageGateBatch(indexPath: String, corpusPath: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       windowWords: Int = 6, strideWords: Int = 1,
+                       broadcastBatch: Boolean = true)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val marker =
+      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_GRAFT_COMMITTED")
+    val legacy = new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !(fs.exists(marker) || fs.exists(legacy))
+    if (!bootstrap)
+      requirePassageMeta(spark, indexPath, windowWords, strideWords, "gate")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
+    val id = col(idCol)
+    val text = col(textCol)
+    // the self-excluded index view: every committed epoch EXCEPT this
+    // one's own (possibly crashed, half-written) partition
+    val idxH =
+      if (bootstrap) None
+      else {
+        val win = spark.read.parquet(s"$indexPath/windows")
+        require(win.columns.contains("ingest_batch"),
+          s"passage gate at $indexPath: windows/ is not " +
+            "epoch-partitioned (persistPassageIndex artifact?) — the " +
+            "gate requires its own gate-built layout; use " +
+            "probePassageIndex for one-shot probes")
+        Some(win.where(col("ingest_batch") =!= lit(batchId)).select("h"))
+      }
+    val deduped = idxH match {
+      case None => passageDedup(batch, id, text, windowWords, strideWords)
+      case Some(ih) => probePassageFrame(batch, id, text, ih,
+        windowWords, strideWords, broadcastBatch)
+    }
+    val batchH = passagePostings(batch, id, text, windowWords, strideWords)
+      .where(col("h").isNotNull).select("h").distinct()
+    val novelH = idxH match {
+      case None => batchH
+      case Some(ih) =>
+        val hitH = ih.join(bc(batchH), Seq("h"), "left_semi")
+        batchH.join(bc(hitH), Seq("h"), "left_anti")
+    }
+    // pin both frames across the writes: their lineage reads the very
+    // windows/ parquet the writes below overwrite (the
+    // [[curationGateBatch]] argument)
+    val admitted = materialize(deduped.where(col("text_deduped") =!= ""))
+    val novel = materialize(novelH)
+    try {
+      if (!admitted.isEmpty || !novel.isEmpty) {
+        def dyn(df: DataFrame) = df.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+        dyn(admitted).parquet(corpusPath)
+        dyn(novel).parquet(s"$indexPath/windows")
+        if (bootstrap) {
+          if (fs.exists(metaDir)) fs.delete(metaDir, true)
+          Seq((windowWords, strideWords))
+            .toDF("window_words", "stride_words").coalesce(1)
+            .write.mode("errorifexists").parquet(s"$indexPath/meta")
+          fs.create(marker, false).close()
+        }
+      }
+    } finally {
+      releaseMaterialized(admitted)
+      releaseMaterialized(novel)
+    }
+  }
+
+  /** Compact an epoch-partitioned SET index (the curation gate's `fps/`
+    * or the passage gate's `windows/`: partitions `ingest_batch=N`
+    * holding a key set) — after thousands of microbatches the
+    * one-partition-per-epoch layout is a small-file problem, and every
+    * probe pays the listing. Rewrites the distinct keys of all
+    * partitions with `ingest_batch <= upToBatch` into the single base
+    * partition `ingest_batch = -1` (gates never emit negative epochs),
+    * then deletes the compacted partitions.
+    *
+    * Safety argument: these indexes are consulted ONLY through
+    * semi-/anti-joins on the key, so transient DUPLICATE keys across
+    * partitions (crash between the base write and the deletes) change
+    * nothing — re-running the compaction finishes the deletes.
+    * The LATEST epoch present is refused (require): with a checkpointed
+    * stream only the newest epoch can ever replay, and a replay of a
+    * compacted epoch would probe against its own folded-in keys (the
+    * self-exclusion can no longer see them once the partition is gone).
+    * Compacting `upToBatch < max present` keeps every replayable epoch
+    * intact. NOT for the minhash `bands/`/`shingles/` index, whose
+    * verify join is row-multiplicative under duplicates.
+    */
+  def compactSetIndex(spark: SparkSession, path: String,
+                      keyCols: Seq[String], upToBatch: Long): Unit = {
+    val all = spark.read.parquet(path)
+    require(all.columns.contains("ingest_batch"),
+      s"compactSetIndex: $path is not epoch-partitioned")
+    val maxPresent =
+      all.agg(max(col("ingest_batch")).cast("long")).head().getLong(0)
+    require(upToBatch < maxPresent,
+      s"compactSetIndex: refusing to compact up to $upToBatch — the " +
+        s"latest epoch present ($maxPresent) must stay intact because " +
+        "it is the only one a checkpointed stream can replay")
+    val keys = materialize(
+      all.where(col("ingest_batch") <= upToBatch)
+        .select(keyCols.map(col): _*).distinct())
+    try {
+      if (!keys.isEmpty) {
+        keys.withColumn("ingest_batch", lit(-1L))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(path)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("ingest_batch=") &&
+              n.stripPrefix("ingest_batch=").toLongOption
+                .exists(b => b >= 0 && b <= upToBatch)
+          }
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+    } finally releaseMaterialized(keys)
   }
 
   private def requirePassageMeta(spark: SparkSession, path: String,

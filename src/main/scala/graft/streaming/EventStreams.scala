@@ -284,6 +284,25 @@ object EventStreams {
         minAvgWordLen, maxAvgWordLen) _)
       .start()
 
+  /** Continuous passage-dedup gate: every microbatch runs
+    * `Dedup.passageGateBatch` — corpus-covered and within-batch
+    * repeated passages are EXCISED from the arriving text (docs
+    * rewritten, not dropped), novel window hashes fold into the
+    * epoch-partitioned index, replay-safe per the self-excluding
+    * index read documented there. */
+  def startPassageGate(stream: DataFrame, indexPath: String,
+                       corpusPath: String, checkpoint: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       windowWords: Int = 6, strideWords: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Dedup.passageGateBatch(
+        indexPath, corpusPath, idCol, textCol, windowWords,
+        strideWords) _)
+      .start()
+
   // ---- custom state: flatMapGroupsWithState sessionization -----------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -147,6 +147,106 @@ class QualityGateStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming passage gate: corpus-covered and within-batch " +
+    "passages excised, novel windows fold in, replay-safe epochs " +
+    "including post-commit bootstrap replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pass_gate").toString
+    val b1 = Seq(
+      (1L, "aa bb cc dd ee ff"),   // bootstrap: novel
+      (2L, "aa bb cc dd ee ff"),   // in-batch exact re-quote -> ""
+      (3L, "tiny"))                // sub-window doc: passes verbatim
+    val b2 = Seq(
+      (10L, "xx cc dd ee yy"),     // "cc dd ee" is an epoch-0 passage
+      (11L, "pp qq rr ss"))        // novel
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.startPassageGate(mem.toDF.toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/corpus", s"$dir/ckpt", windowWords = 3)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id", "text_deduped").as[(Long, String)]
+        .collect().toMap
+      assert(out(1L) === "aa bb cc dd ee ff")
+      assert(!out.contains(2L)) // reduced to "" -> not admitted
+      assert(out(3L) === "tiny")
+      assert(out(10L) === "xx yy") // covered positions 1..3 excised
+      assert(out(11L) === "pp qq rr ss")
+      // replaying committed epoch 1 rewrites its partition, not appends
+      graft.operators.Dedup.passageGateBatch(s"$dir/idx", s"$dir/corpus",
+        windowWords = 3)(b2.toDF("doc_id", "text"), 1L)
+      val after = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect()
+      assert(after.length === after.distinct.length &&
+        after.toSet === Set(1L, 3L, 10L, 11L))
+      // replaying the committed BOOTSTRAP epoch — the case the sibling
+      // gates' reject-everything argument cannot handle (doc 3 passes
+      // through on every attempt): the self-excluding index read makes
+      // the replay recompute the original admitted set exactly
+      graft.operators.Dedup.passageGateBatch(s"$dir/idx", s"$dir/corpus",
+        windowWords = 3)(b1.toDF("doc_id", "text"), 0L)
+      val after2 = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id", "text_deduped").as[(Long, String)].collect()
+      assert(after2.length === after2.map(_._1).distinct.length)
+      assert(after2.toMap === out)
+    } finally q.stop()
+    // a restart with different window params fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.passageGateBatch(s"$dir/idx", s"$dir/corpus",
+        windowWords = 4)(b1.toDF("doc_id", "text"), 5L)
+    }
+    // a flat persistPassageIndex artifact is probe-only for the gate
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft_pass_flat").toString
+    graft.operators.Dedup.persistPassageIndex(b1.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), s"$flat/idx", windowWords = 3)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.passageGateBatch(s"$flat/idx",
+        s"$dir/corpus2", windowWords = 3)(b2.toDF("doc_id", "text"), 0L)
+    }
+  }
+
+  test("compactSetIndex folds committed epochs into the base " +
+    "partition, preserves the key set, refuses the latest epoch, and " +
+    "the gate keeps deduping against the compacted index") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pass_compact").toString
+    def gate(rows: Seq[(Long, String)], epoch: Long): Unit =
+      graft.operators.Dedup.passageGateBatch(s"$dir/idx", s"$dir/corpus",
+        windowWords = 3)(rows.toDF("doc_id", "text"), epoch)
+    gate(Seq((1L, "aa bb cc dd ee ff")), 0L)
+    gate(Seq((10L, "pp qq rr ss tt")), 1L)
+    gate(Seq((20L, "uu vv ww xx")), 2L)
+    val before = spark.read.parquet(s"$dir/idx/windows")
+      .select("h").distinct().as[String].collect().toSet
+    // the latest epoch must stay intact (it is the only replayable one)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.compactSetIndex(spark, s"$dir/idx/windows",
+        Seq("h"), upToBatch = 2L)
+    }
+    graft.operators.Dedup.compactSetIndex(spark, s"$dir/idx/windows",
+      Seq("h"), upToBatch = 1L)
+    val partsAfter = spark.read.parquet(s"$dir/idx/windows")
+      .select("ingest_batch").distinct()
+      .as[Long].collect().toSet
+    assert(partsAfter === Set(-1L, 2L), s"partitions: $partsAfter")
+    val after = spark.read.parquet(s"$dir/idx/windows")
+      .select("h").distinct().as[String].collect().toSet
+    assert(after === before, "compaction changed the key set")
+    // the gate still excises passages folded into the base partition
+    gate(Seq((30L, "zz bb cc dd kk"),     // "bb cc dd" is epoch-0 text
+             (31L, "qq rr ss nn mm")), 3L) // "qq rr ss" is epoch-1 text
+    val out = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id", "text_deduped").as[(Long, String)]
+      .collect().toMap
+    assert(out(30L) === "zz kk")
+    assert(out(31L) === "nn mm")
+  }
+
   test("curation gate bootstrap crash: a torn meta (no commit marker) " +
     "replays as a full re-bootstrap, byte-identical corpus") {
     val dir = java.nio.file.Files
