@@ -971,6 +971,82 @@ object ScaleProbe {
       }
     }
 
+    if (which("passage-gate-50k")) {
+      // continuous passage gate at size: bootstrap 45k docs, inject the
+      // worst bootstrap crash state (meta present, no commit marker),
+      // replay idempotently, then run a 5k all-near-dup epoch, replay
+      // it POST-COMMIT (the self-exclusion case), compact, and verify a
+      // later epoch still excises base-partition passages
+      import graft.operators.Dedup
+      import org.apache.hadoop.fs.Path
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          col("text"))
+      }
+      val corpus45k = replicas.take(9).reduce(_.unionByName(_))
+        .localCheckpoint(true)
+      val batch5k = replicas(9).localCheckpoint(true)
+      val root = System.getProperty("java.io.tmpdir") + "/graft_probe_pgate"
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      def corpusRows(): Long =
+        spark.read.parquet(s"$root/corpus").count()
+      t("pgate_bootstrap_45k") {
+        Dedup.passageGateBatch(s"$root/idx", s"$root/corpus",
+          windowWords = 6)(corpus45k, 0L)
+        corpusRows()
+      }
+      val afterBootstrap = corpusRows()
+      t("pgate_torn_meta_replay_45k") {
+        fs.delete(new Path(s"$root/idx/meta/_GRAFT_COMMITTED"), false)
+        fs.delete(new Path(s"$root/idx/meta/_SUCCESS"), false)
+        Dedup.passageGateBatch(s"$root/idx", s"$root/corpus",
+          windowWords = 6)(corpus45k, 0L)
+        corpusRows()
+      }
+      require(corpusRows() == afterBootstrap, "torn-meta replay diverged")
+      t("pgate_neardup_epoch_5k") {
+        Dedup.passageGateBatch(s"$root/idx", s"$root/corpus",
+          windowWords = 6)(batch5k, 1L)
+        corpusRows()
+      }
+      val afterEpoch1 = corpusRows()
+      t("pgate_postcommit_replay_5k") {
+        Dedup.passageGateBatch(s"$root/idx", s"$root/corpus",
+          windowWords = 6)(batch5k, 1L)
+        corpusRows()
+      }
+      require(corpusRows() == afterEpoch1, "post-commit replay diverged")
+      // an all-near-dup epoch admits nothing and writes NO partitions
+      // (that itself is the exactly-once contract working); a NOVEL
+      // epoch must land before compaction has two epochs to fold
+      t("pgate_novel_epoch_5k") {
+        Dedup.passageGateBatch(s"$root/idx", s"$root/corpus",
+          windowWords = 6)(
+          docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "n$1").as("text")), 2L)
+        corpusRows()
+      }
+      t("pgate_compact_to_base") {
+        Dedup.compactSetIndex(spark, s"$root/idx/windows", Seq("h"), 0L)
+        spark.read.parquet(s"$root/idx/windows")
+          .select("ingest_batch").distinct().count()
+      }
+      t("pgate_epoch_after_compaction") {
+        // re-quotes of epoch-0 text must still be excised from the
+        // compacted base partition
+        Dedup.passageGateBatch(s"$root/idx", s"$root/corpus",
+          windowWords = 6)(
+          docs.select((col("doc_id") + lit(20000000L)).as("doc_id"),
+            col("text")), 3L)
+        spark.read.parquet(s"$root/corpus")
+          .where(col("ingest_batch") === 3)
+          .where(col("text_deduped") =!= "").count()
+      }
+    }
+
     if (which("layout-50k")) {
       // physical-layout tier at 50k docs (10 id-offset replicas):
       // (1) range-sorted parquet — fraction of FILES a ~5%-selectivity
