@@ -310,6 +310,17 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("st"), col("h"))
     val hitH = indexH
       .join(bc(wins.select("h").distinct()), Seq("h"), "left_semi")
+    passageReassemble(batch, batchId, withH,
+      coveredPositions(wins, hitH, windowWords, bc))
+  }
+
+  /** Covered (doc_id, pos) of a batch window stream `wins`
+    * (doc_id, st, h) against the corpus hit set `hitH`: corpus-covered
+    * windows plus within-batch re-quotes (first batch occurrence
+    * survives), expanded to word positions. */
+  private def coveredPositions(wins: DataFrame, hitH: DataFrame,
+                               windowWords: Int,
+                               bc: DataFrame => DataFrame): DataFrame = {
     val corpusCovered = wins.join(bc(hitH), Seq("h"))
       .select("doc_id", "st")
     val innerDup = wins
@@ -317,12 +328,20 @@ object Dedup {
         Window.partitionBy("h").orderBy(col("doc_id"), col("st"))))
       .where(col("__rn") > 1)
       .select("doc_id", "st")
-    val covered = corpusCovered.unionByName(innerDup)
+    corpusCovered.unionByName(innerDup)
       .select(col("doc_id"),
         explode(sequence(col("st"), col("st") + (windowWords - 1)))
           .as("pos"))
       .distinct()
-    passageReassemble(batch, batchId, withH, covered)
+  }
+
+  /** The batch window hashes NOT yet in `indexH` — the shared novelty
+    * core of [[appendToPassageIndex]] and [[passageGateBatch]]. Both
+    * joins are batch-bounded on the build side. */
+  private def novelWindows(batchH: DataFrame, indexH: DataFrame,
+                           bc: DataFrame => DataFrame): DataFrame = {
+    val hitH = indexH.join(bc(batchH), Seq("h"), "left_semi")
+    batchH.join(bc(hitH), Seq("h"), "left_anti")
   }
 
   /** Fold an ingested batch into a [[persistPassageIndex]] artifact:
@@ -349,9 +368,7 @@ object Dedup {
     val batchH = passagePostings(batch, batchId, batchText,
         windowWords, strideWords)
       .where(col("h").isNotNull).select("h").distinct()
-    val hitH = spark.read.parquet(s"$path/windows")
-      .join(bc(batchH), Seq("h"), "left_semi")
-    batchH.join(bc(hitH), Seq("h"), "left_anti")
+    novelWindows(batchH, spark.read.parquet(s"$path/windows"), bc)
       .write.mode("append").parquet(s"$path/windows")
   }
 
@@ -359,17 +376,23 @@ object Dedup {
     * sibling of [[curationGateBatch]], except batch text is REWRITTEN
     * (covered passages excised) rather than whole docs dropped:
     *
-    *   1. probe the epoch-partitioned window index
-    *      ([[probePassageFrame]]) — batch passages already in the
-    *      corpus, plus within-batch re-quotes, are excised exactly as
-    *      [[probePassageIndex]] does;
+    *   1. probe the epoch-partitioned window index — batch passages
+    *      already in the corpus, plus within-batch re-quotes, are
+    *      excised exactly as [[probePassageIndex]] does (bootstrap is
+    *      the SAME code path against an empty index frame, and the
+    *      whole epoch shares ONE pinned batch posting pass);
     *   2. write admitted docs (non-empty deduped text) to the corpus
     *      and the batch's NOVEL window hashes to the index, both
     *      partitioned by `ingest_batch = batchId` with dynamic
     *      overwrite;
     *   3. bootstrap commits `meta/` (window/stride params) LAST behind
     *      the `meta/_GRAFT_COMMITTED` marker — the [[ingestGateBatch]]
-    *      contract; params are validated on every later epoch.
+    *      contract; params are validated on every later epoch. A
+    *      bootstrap batch yielding NO windows (all docs sub-window)
+    *      defers the commit: the index must never be born as an empty,
+    *      schema-less windows/ dir, so its corpus partition lands but
+    *      bootstrap re-runs on the next batch (replay-safe — the
+    *      partition rewrites identically).
     *
     * Replay idempotence is STRICTER here than in the sibling gates:
     * the index read EXCLUDES the replaying epoch's own partition, so a
@@ -384,8 +407,9 @@ object Dedup {
     *
     * The gate requires its own epoch-partitioned windows layout; a
     * [[persistPassageIndex]] artifact (flat windows/) is probe-only and
-    * is refused loudly (mixing the two layouts in one directory would
-    * break partition discovery).
+    * is refused loudly in BOTH the bootstrap and committed paths
+    * (mixing the two layouts in one directory would break partition
+    * discovery).
     */
   def passageGateBatch(indexPath: String, corpusPath: String,
                        idCol: String = "doc_id", textCol: String = "text",
@@ -399,45 +423,50 @@ object Dedup {
     val marker =
       new org.apache.hadoop.fs.Path(s"$indexPath/meta/_GRAFT_COMMITTED")
     val legacy = new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
+    val winDir = new org.apache.hadoop.fs.Path(s"$indexPath/windows")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bootstrap = !(fs.exists(marker) || fs.exists(legacy))
     if (!bootstrap)
       requirePassageMeta(spark, indexPath, windowWords, strideWords, "gate")
+    // a FLAT windows/ layout (data files directly in the dir) is a
+    // persistPassageIndex artifact — probe-only, refused in BOTH paths:
+    // the non-bootstrap read would break on the missing partition
+    // column, and a bootstrap (reachable when the artifact's committer
+    // left no _SUCCESS) would otherwise silently destroy it
+    if (fs.exists(winDir))
+      require(!fs.listStatus(winDir).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")),
+        s"passage gate at $indexPath: windows/ is not " +
+          "epoch-partitioned (persistPassageIndex artifact?) — the " +
+          "gate requires its own gate-built layout; use " +
+          "probePassageIndex for one-shot probes")
     def bc(df: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(df) else df
     val id = col(idCol)
     val text = col(textCol)
     // the self-excluded index view: every committed epoch EXCEPT this
-    // one's own (possibly crashed, half-written) partition
+    // one's own (possibly crashed, half-written) partition. Bootstrap
+    // runs the SAME code path against an empty index frame.
     val idxH =
-      if (bootstrap) None
-      else {
-        val win = spark.read.parquet(s"$indexPath/windows")
-        require(win.columns.contains("ingest_batch"),
-          s"passage gate at $indexPath: windows/ is not " +
-            "epoch-partitioned (persistPassageIndex artifact?) — the " +
-            "gate requires its own gate-built layout; use " +
-            "probePassageIndex for one-shot probes")
-        Some(win.where(col("ingest_batch") =!= lit(batchId)).select("h"))
-      }
-    val deduped = idxH match {
-      case None => passageDedup(batch, id, text, windowWords, strideWords)
-      case Some(ih) => probePassageFrame(batch, id, text, ih,
-        windowWords, strideWords, broadcastBatch)
-    }
-    val batchH = passagePostings(batch, id, text, windowWords, strideWords)
-      .where(col("h").isNotNull).select("h").distinct()
-    val novelH = idxH match {
-      case None => batchH
-      case Some(ih) =>
-        val hitH = ih.join(bc(batchH), Seq("h"), "left_semi")
-        batchH.join(bc(hitH), Seq("h"), "left_anti")
-    }
-    // pin both frames across the writes: their lineage reads the very
-    // windows/ parquet the writes below overwrite (the
-    // [[curationGateBatch]] argument)
+      if (bootstrap)
+        Seq.empty[String].toDF("h")
+      else
+        spark.read.parquet(s"$indexPath/windows")
+          .where(col("ingest_batch") =!= lit(batchId)).select("h")
+    // ONE batch posting pass feeds the probe, the admitted set, and the
+    // novelty check — pinned so the three consumers (and the writes,
+    // whose lineage reads the windows/ parquet being overwritten) never
+    // recompute it (the [[curationGateBatch]] pinning argument)
+    val withH = materialize(
+      passagePostings(batch, id, text, windowWords, strideWords))
+    val wins = withH.where(col("h").isNotNull)
+      .select(col("doc_id"), col("pos").as("st"), col("h"))
+    val batchH = wins.select("h").distinct()
+    val hitH = idxH.join(bc(batchH), Seq("h"), "left_semi")
+    val deduped = passageReassemble(batch, id, withH,
+      coveredPositions(wins, hitH, windowWords, bc))
     val admitted = materialize(deduped.where(col("text_deduped") =!= ""))
-    val novel = materialize(novelH)
+    val novel = materialize(batchH.join(bc(hitH), Seq("h"), "left_anti"))
     try {
       if (!admitted.isEmpty || !novel.isEmpty) {
         def dyn(df: DataFrame) = df.withColumn("ingest_batch", lit(batchId))
@@ -445,8 +474,12 @@ object Dedup {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ingest_batch")
         dyn(admitted).parquet(corpusPath)
-        dyn(novel).parquet(s"$indexPath/windows")
-        if (bootstrap) {
+        // an empty write would create a windows/ dir with no data files
+        // — unreadable by every later epoch (schema inference fails), so
+        // the dir is only ever created WITH its first novel partition,
+        // and meta only commits once that exists
+        if (!novel.isEmpty) dyn(novel).parquet(s"$indexPath/windows")
+        if (bootstrap && !novel.isEmpty) {
           if (fs.exists(metaDir)) fs.delete(metaDir, true)
           Seq((windowWords, strideWords))
             .toDF("window_words", "stride_words").coalesce(1)
@@ -457,6 +490,7 @@ object Dedup {
     } finally {
       releaseMaterialized(admitted)
       releaseMaterialized(novel)
+      releaseMaterialized(withH)
     }
   }
 
@@ -480,6 +514,12 @@ object Dedup {
     * Compacting `upToBatch < max present` keeps every replayable epoch
     * intact. NOT for the minhash `bands/`/`shingles/` index, whose
     * verify join is row-multiplicative under duplicates.
+    *
+    * OFFLINE maintenance: run while the gate is stopped. The
+    * duplicate-tolerance argument covers compaction CRASHES, not a
+    * LIVE reader — a gate microbatch that lists windows/ just before
+    * the delete loop and executes its scan just after would fail on
+    * the deleted files.
     */
   def compactSetIndex(spark: SparkSession, path: String,
                       keyCols: Seq[String], upToBatch: Long): Unit = {

@@ -293,14 +293,15 @@ object EventStreams {
   def startPassageGate(stream: DataFrame, indexPath: String,
                        corpusPath: String, checkpoint: String,
                        idCol: String = "doc_id", textCol: String = "text",
-                       windowWords: Int = 6, strideWords: Int = 1)
+                       windowWords: Int = 6, strideWords: Int = 1,
+                       broadcastBatch: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch(graft.operators.Dedup.passageGateBatch(
         indexPath, corpusPath, idCol, textCol, windowWords,
-        strideWords) _)
+        strideWords, broadcastBatch) _)
       .start()
 
   // ---- custom state: flatMapGroupsWithState sessionization -----------------

@@ -210,6 +210,51 @@ class QualityGateStreamSpec extends SparkTestBase {
     }
   }
 
+  test("passage gate: a bootstrap batch with no full windows defers " +
+    "the meta commit instead of creating an unreadable empty index; " +
+    "flat artifacts are refused even without a committer _SUCCESS") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pass_defer").toString
+    def gate(rows: Seq[(Long, String)], epoch: Long): Unit =
+      graft.operators.Dedup.passageGateBatch(s"$dir/idx", s"$dir/corpus",
+        windowWords = 3)(rows.toDF("doc_id", "text"), epoch)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    // every doc shorter than windowWords: admitted non-empty (verbatim
+    // passthrough) but zero windows — the brick case
+    gate(Seq((1L, "tiny"), (2L, "wee bit")), 0L)
+    assert(!exists(s"$dir/idx/meta/_GRAFT_COMMITTED"))
+    assert(!exists(s"$dir/idx/windows"),
+      "an empty windows/ dir would be unreadable forever")
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    // the next windowed batch bootstraps for real; the gate then works
+    gate(Seq((10L, "aa bb cc dd")), 1L)
+    assert(exists(s"$dir/idx/meta/_GRAFT_COMMITTED"))
+    gate(Seq((20L, "xx bb cc dd yy")), 2L)
+    val out = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id", "text_deduped").as[(Long, String)]
+      .collect().toMap
+    assert(out(20L) === "xx yy") // "bb cc dd" excised cross-epoch
+    // flat persistPassageIndex artifact whose committer left no
+    // _SUCCESS (marksuccessfuljobs=false clusters): the gate would see
+    // bootstrap=true — the layout check must still refuse to destroy it
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft_pass_flat2").toString
+    graft.operators.Dedup.persistPassageIndex(
+      Seq((1L, "aa bb cc dd")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), s"$flat/idx", windowWords = 3)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$flat/idx/meta/_SUCCESS"), false)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.passageGateBatch(s"$flat/idx",
+        s"$dir/corpus2", windowWords = 3)(
+        Seq((5L, "pp qq rr ss")).toDF("doc_id", "text"), 0L)
+    }
+  }
+
   test("compactSetIndex folds committed epochs into the base " +
     "partition, preserves the key set, refuses the latest epoch, and " +
     "the gate keeps deduping against the compacted index") {
