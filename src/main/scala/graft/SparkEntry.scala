@@ -742,6 +742,30 @@ object SparkEntry {
     }),
 
     // -- text analysis (BASELINE.json extensions) -----------------------------------
+    // unicode NFC normalization (the CCNet/C4 cleaning step; custom
+    // codegen'd NfcNormalize expression -- Spark has no built-in): the
+    // payload deterministically mixes NFD and NFC spellings of the same
+    // words, so pre/post character lengths differ and the hash check is
+    // non-vacuous. Oracle via DuckDB's nfc_normalize.
+    "q_text_nfc" -> ((s, dir) => {
+      import graft.functions.UnicodeExpressions.nfc
+      val payload = concat(
+        substring(col("text"), 1, 16), lit(" caf"),
+        when(col("doc_id") % 3 === 0, lit(nfdEAcute))
+          .when(col("doc_id") % 3 === 1, lit(nfcEAcute))
+          .otherwise(lit("e")),
+        lit(" n"),
+        when(col("doc_id") % 3 === 2, lit(nfdOUmlaut + "el"))
+          .otherwise(lit("oel")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), payload.as("raw"))
+        .select(col("doc_id"), length(col("raw")).as("raw_len"),
+          nfc(col("raw")).as("nfc_text"))
+        .select(col("doc_id"), col("raw_len"),
+          length(col("nfc_text")).as("nfc_len"), col("nfc_text"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
@@ -1766,6 +1790,13 @@ object SparkEntry {
   private val spansChunkWords = 3
   private val passageWindowWords = 6
   private val passageStrideWords = 1
+  // unicode payload pieces for q_text_nfc, pinned as single-quoted
+  // literals (the lexer always processes \u there; triple-quoted
+  // strings stopped doing so in 2.13.2) and shared between the Spark
+  // query and the generated oracle so the bytes cannot drift
+  private val nfdEAcute = "e\u0301"   // NFD: e + combining acute
+  private val nfcEAcute = "\u00e9"    // NFC precomposed
+  private val nfdOUmlaut = "o\u0308"  // NFD: o + combining diaeresis
   private val kmeansK = 4
   private val kmeansIters = 2
   private val semdedupThreshold = 0.45
@@ -3118,6 +3149,20 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id, n_sh FROM post) d
          |LEFT JOIN m USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_text_nfc" ->
+      s"""WITH raw AS (SELECT doc_id,
+         |  substr(text, 1, 16) || ' caf' ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN '$nfdEAcute'
+         |        WHEN doc_id % 3 = 1 THEN '$nfcEAcute' ELSE 'e' END) ||
+         |  ' n' ||
+         |  (CASE WHEN doc_id % 3 = 2 THEN '${nfdOUmlaut}el' ELSE 'oel' END)
+         |    AS raw
+         |  FROM documents)
+         |SELECT doc_id, length(raw) AS raw_len,
+         |  length(nfc_normalize(raw)) AS nfc_len,
+         |  nfc_normalize(raw) AS nfc_text
+         |FROM raw ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH base AS (

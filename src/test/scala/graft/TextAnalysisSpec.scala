@@ -6,6 +6,38 @@ import graft.functions.TextAnalysis
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("nfc: composes decomposed sequences, idempotent, null-safe, and " +
+    "makes canonically-equivalent texts collide in exact dedup") {
+    import graft.functions.UnicodeExpressions.nfc
+    val nfd = "cafe\u0301"            // NFD: e + combining acute
+    val composed = "caf\u00e9"        // NFC precomposed
+    val df = Seq(
+      (1L, nfd),
+      (2L, composed),
+      (3L, "plain ascii"),            // fast path: returned as-is
+      (4L, null.asInstanceOf[String]),
+      (5L, "o\u0308 a\u030a")         // two decomposed marks
+    ).toDF("id", "t")
+    val got = df.select(col("id"), nfc(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === composed)
+    assert(got(2L) === composed)
+    assert(got(3L) === "plain ascii")
+    assert(got(4L) === null)
+    assert(got(5L) === "\u00f6 \u00e5")
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    assert(df.select(nfc(nfc(col("t"))).as("n")).as[String].collect().toSeq
+      === df.select(nfc(col("t")).as("n")).as[String].collect().toSeq)
+    // the composition the expression exists for: NFD and NFC spellings
+    // of the same text must land in ONE exact-dedup group
+    val surv = graft.operators.Dedup.exactDedup(
+      Seq((1L, nfd), (2L, composed)).toDF("doc_id", "text"),
+      nfc(col("text")), col("doc_id")).collect()
+    assert(surv.length === 1)
+    assert(surv(0).getAs[Long]("n_copies") === 2L)
+    assert(surv(0).getAs[Long]("survivor_id") === 1L)
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val r = Seq("hello world", "one, two!  three", "", "   ")
       .toDF("t")
