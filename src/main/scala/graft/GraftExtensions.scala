@@ -12,9 +12,9 @@ import graft.functions.{TextAnalysis, VectorExpressions}
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)` — SQL then sees
   * `graft_dot_f32(a, b)`, `graft_fingerprint(text)`,
-  * `graft_redact_pii(text)`, `graft_normalize_text(text)` alongside the
-  * built-ins, so the pure-SQL surface (`spark.sql(...)`) reaches the same
-  * operators the Column API does.
+  * `graft_redact_pii(text)`, `graft_normalize_text(text)`,
+  * `graft_nfc(text)` alongside the built-ins, so the pure-SQL surface
+  * (`spark.sql(...)`) reaches the same operators the Column API does.
   *
   * The text functions compose built-ins as UnresolvedFunction trees (the
   * analyzer resolves them in place, including implicit casts) — a
@@ -61,5 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => redactExpr(cs.head)))
     ext.injectFunction(register("graft_normalize_text", 1)(
       cs => normalizeExpr(cs.head)))
+    // a native expression, not a composition — splice it in directly
+    ext.injectFunction(register("graft_nfc", 1)(
+      cs => graft.functions.NfcNormalize(cs.head)))
   }
 }

@@ -105,6 +105,9 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(row.getString(0) === expect)
     assert(row.getString(1) === "a b")
     assert(row.getString(2) === "mail <EMAIL> or <PHONE>")
+    // the native NfcNormalize expression reaches SQL too
+    assert(spark.sql("SELECT graft_nfc('cafe\u0301')").head().getString(0)
+      === "caf\u00e9")
     // arity misuse is rejected at registration-builder level
     intercept[Exception] { spark.sql("SELECT graft_fingerprint('a','b')") }
   }
