@@ -1015,6 +1015,32 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // sliding-window co-occurrence (window=2) + exact PMI ratio, the
+    // counting pass of association mining / co-word analysis. The hashed
+    // association column is the PMI ARGUMENT (n_pair·n_slots)/(n_w1·n_w2):
+    // products and one division of exact counts are IEEE-exactly-rounded
+    // and engine-bit-identical, while ln's last ULP is libm-dependent —
+    // and ln is monotone, so every ranking over the ratio equals the
+    // ranking over true PMI. Top-100 under a TOTAL order (count desc,
+    // then both words) keeps the cut deterministic.
+    "q_text_cooccur" -> ((s, dir) =>
+      graft.operators.Cooccur.windowCooccur(Tables.documents(s, dir),
+          col("doc_id"), col("text"), window = 2, minCount = 2L)
+        .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+        .limit(100)),
+
+    // per-venue citation indices (h, g, i10, totals) over a deterministic
+    // integer citation proxy — the rollup layer the reference domain's
+    // metrics-enrichment (X1) feeds; all-integer window math, so the
+    // oracle is trivially bit-exact
+    "q_biblio_hindex" -> ((s, dir) =>
+      graft.operators.Biblio.scholarIndices(
+          Tables.documents(s, dir).withColumn("cites",
+            pmod(col("n_chars") * 31 + col("doc_id"), lit(997L))),
+          col("source"), col("doc_id"), col("cites"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
     // engines, so the oracle hashes the score itself)
@@ -3221,6 +3247,58 @@ object SparkEntry {
     "q_fingerprint" ->
       s"""SELECT doc_id, md5($normTextSql) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // window-2 co-occurrence: positions from range() + list indexing (the
+    // BPE-oracle trick), pairs via the position-band self-join (the oracle
+    // may be quadratic-ish; the ENGINE side is the lead()-window linear
+    // form), marginals from both endpoint slots, ratio with the exact
+    // double tree mirrored term-for-term
+    "q_text_cooccur" ->
+      s"""WITH nrm AS (SELECT doc_id, string_split($normTextSql, ' ') AS arr
+         |             FROM documents),
+         |tok AS (SELECT doc_id, i, arr[i] AS word
+         |        FROM nrm, unnest(range(1, len(arr) + 1)) AS t(i)
+         |        WHERE length(arr[i]) > 0),
+         |pr AS (SELECT least(a.word, b.word) AS w1,
+         |         greatest(a.word, b.word) AS w2, count(*) AS n_pair
+         |       FROM tok a JOIN tok b
+         |         ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 2
+         |       GROUP BY 1, 2),
+         |mg AS (SELECT w, sum(n_pair) AS n_w FROM (
+         |         SELECT w1 AS w, n_pair FROM pr
+         |         UNION ALL SELECT w2 AS w, n_pair FROM pr)
+         |       GROUP BY w),
+         |tt AS (SELECT sum(n_pair) * 2 AS n_slots FROM pr)
+         |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+         |  CAST(m1.n_w AS BIGINT) AS n_w1, CAST(m2.n_w AS BIGINT) AS n_w2,
+         |  CAST(n_slots AS BIGINT) AS n_slots,
+         |  (CAST(n_pair AS DOUBLE) * CAST(n_slots AS DOUBLE)) /
+         |    (CAST(m1.n_w AS DOUBLE) * CAST(m2.n_w AS DOUBLE)) AS pmi_ratio
+         |FROM pr JOIN mg m1 ON pr.w1 = m1.w JOIN mg m2 ON pr.w2 = m2.w
+         |CROSS JOIN tt
+         |WHERE n_pair >= 2
+         |ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
+
+    // h/g/i10 indices: identical rank + running-sum windows (total order
+    // (cites desc, doc_id asc) makes RANGE ≡ ROWS on both engines)
+    "q_biblio_hindex" ->
+      """WITH p AS (SELECT source, doc_id,
+        |             (n_chars * 31 + doc_id) % 997 AS cites
+        |           FROM documents),
+        |r AS (SELECT source, cites,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY cites DESC, doc_id ASC) AS r,
+        |        sum(cites) OVER (PARTITION BY source
+        |          ORDER BY cites DESC, doc_id ASC) AS cum
+        |      FROM p)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_papers,
+        |  CAST(sum(cites) AS BIGINT) AS n_cites,
+        |  CAST(coalesce(max(CASE WHEN cites >= r THEN r END), 0) AS BIGINT)
+        |    AS h_index,
+        |  CAST(coalesce(max(CASE WHEN cum >= r * r THEN r END), 0) AS BIGINT)
+        |    AS g_index,
+        |  CAST(sum(CASE WHEN cites >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS i10
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
     // only tf-idf scoring a cross-engine hash oracle can pin
