@@ -1041,6 +1041,23 @@ object SparkEntry {
         .withColumnRenamed("grp", "source")
         .orderBy("source")),
 
+    // graph centrality: 3-round PageRank over the customer→supplier
+    // interaction graph (namespaced 2k / 2k+1 node ids), repro mode —
+    // per-dst and dangling sums fold in ascending-src/-id order so the
+    // doubles hash-match the oracle's list_sum(list(x ORDER BY ...));
+    // all suppliers are dangling here, exercising the D/N redistribution
+    "q_graph_pagerank" -> ((s, dir) => {
+      val e = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.pageRank(e, col("src"), col("dst"),
+          iters = 3, deterministic = true)
+        .orderBy(col("rank").desc, col("id").asc)
+        .limit(100)
+        .select(col("id"), col("outdeg"), col("rank"))
+    }),
+
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
     // engines, so the oracle hashes the score itself)
@@ -3299,6 +3316,44 @@ object SparkEntry {
         |    AS g_index,
         |  CAST(sum(CASE WHEN cites >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS i10
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // 3-round PageRank, unrolled. Float discipline: every decimal literal
+    // is forced into DOUBLE space before arithmetic (DuckDB's bare
+    // (1 - 0.85) is exact DECIMAL 0.15, which is NOT the engine's
+    // 1.0-0.85 double); per-dst/dangling sums are ordered list folds
+    // matching the engine's array_sort fold
+    "q_graph_pagerank" -> {
+      def iter(prev: String, k: Int): String =
+        s"""d$k AS (SELECT coalesce(list_sum(list(rank ORDER BY id)),
+           |          CAST(0 AS DOUBLE)) AS dm
+           |        FROM $prev WHERE outdeg = 0),
+           |c$k AS (SELECT e.dst AS id,
+           |          list_sum(list(r.rank / r.outdeg ORDER BY e.src)) AS ct
+           |        FROM e JOIN $prev r ON e.src = r.id GROUP BY e.dst),
+           |r$k AS (SELECT nd.id, nd.outdeg,
+           |          (CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+           |            + 0.85 * (coalesce(ct, CAST(0 AS DOUBLE))
+           |              + (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS rank
+           |        FROM nd LEFT JOIN c$k USING (id))""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+         |             CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |od AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+         |       FROM e GROUP BY src),
+         |nd AS (SELECT id, coalesce(outdeg, 0) AS outdeg
+         |       FROM (SELECT DISTINCT id FROM
+         |              (SELECT src AS id FROM e
+         |               UNION ALL SELECT dst FROM e))
+         |       LEFT JOIN od USING (id)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+         |r0 AS (SELECT id, outdeg,
+         |         CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nd),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT id, outdeg, rank FROM r3
+         |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
+    },
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
     // only tf-idf scoring a cross-engine hash oracle can pin

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Dedup.{materialize, releaseMaterialized}
+
+/** Entity-importance over an interaction graph: fixed-iteration PageRank
+  * (Page, Brin, Motwani, Winograd 1999) with uniform teleport and full
+  * dangling-mass redistribution — the graph-centrality layer a
+  * scholarly-analytics pipeline runs over citation / co-authorship edges
+  * (the same iterate-materialize-release discipline as the
+  * connected-components family next door in `Dedup`).
+  *
+  * Per iteration: r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + D/N)
+  * where D = Σ_{outdeg(u)=0} r(u) (dangling mass, redistributed
+  * uniformly). Multi-edges collapse to simple edges first.
+  *
+  * Scale shape: each round is ONE edges⋈ranks hash join keyed on src
+  * (high-cardinality) + one per-dst aggregate; the rank frame is
+  * materialized per round and the superseded round's storage is released
+  * (never a growing lineage, never a driver-side node table — the driver
+  * holds two scalars: N and the dangling mass). Rounds are FIXED count,
+  * not convergence-probed: PageRank work per round is constant, and the
+  * caller picks the depth/cost trade.
+  *
+  * `deterministic = true` is the cross-engine REPRO mode (the k-means /
+  * BM25 pattern): per-dst contributions fold in ascending-src order via
+  * sorted-array aggregate, and the dangling mass folds in ascending-id
+  * order — bit-identical to the generated SQL oracle's
+  * `list_sum(list(x ORDER BY ...))`. The dangling fold routes every
+  * dangling rank through one sorted list (single-reducer — the documented
+  * cost of bit-exactness, repro mode only). The production default sums
+  * with ordinary partial aggregates: order-free merge, last-ULP
+  * nondeterministic, linear-scalable.
+  */
+object Graph {
+
+  /** PageRank over a (src, dst) edge list. Output: id, outdeg, rank.
+    * Node set = endpoints of `edges`; callers with isolated nodes union
+    * them in as self-free dangling ids upstream if they must rank. */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iters: Int = 5, damping: Double = 0.85,
+               deterministic: Boolean = false): DataFrame = {
+    require(iters >= 1, s"pageRank: iters=$iters must be >= 1")
+    require(damping > 0 && damping < 1,
+      s"pageRank: damping=$damping must be in (0, 1)")
+    // simple directed edges; materialized — iterated over every round
+    val e = materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .distinct())
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    // materialized: joined against every round's summed contributions
+    val nodes = materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(outdeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val nD = n.toDouble // exact below 2^53
+    // `ranks` is always THE materialized frame (release must hit its
+    // actual blocks); seeded uniform
+    var ranks = materialize(
+      nodes.withColumn("rank", lit(1.0 / nD)))
+    for (_ <- 1 to iters) {
+      val danglingRanks = ranks.where(col("outdeg") === 0)
+      // dangling mass: ONE double either way; repro mode pays the
+      // single-reducer ordered fold for bit-exactness
+      val dRow =
+        if (deterministic)
+          danglingRanks.agg(
+            aggregate(array_sort(collect_list(struct(col("id"),
+              col("rank")))), lit(0.0d),
+              (acc, x) => acc + x.getField("rank")).as("dm"))
+        else danglingRanks.agg(coalesce(sum(col("rank")), lit(0.0d))
+          .as("dm"))
+      val dm = dRow.head().getDouble(0)
+      val contribs = ranks.where(col("outdeg") > 0)
+        .join(e, col("id") === col("src"))
+        .select(col("dst"), col("src"),
+          (col("rank") / col("outdeg")).as("c"))
+      val summed =
+        if (deterministic)
+          contribs.groupBy(col("dst").as("id"))
+            .agg(aggregate(array_sort(collect_list(struct(col("src"),
+              col("c")))), lit(0.0d),
+              (acc, x) => acc + x.getField("c")).as("ct"))
+        else contribs.groupBy(col("dst").as("id"))
+          .agg(sum(col("c")).as("ct"))
+      // mirror the oracle's expression tree EXACTLY:
+      // (1 - d)/n + d * (ct + dm/n)
+      val next = materialize(nodes.join(summed, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          (lit(1.0d - damping) / nD + lit(damping) *
+            (coalesce(col("ct"), lit(0.0d)) + lit(dm) / nD)).as("rank")))
+      releaseMaterialized(ranks)
+      ranks = next
+    }
+    releaseMaterialized(e)
+    releaseMaterialized(nodes)
+    ranks
+  }
+}

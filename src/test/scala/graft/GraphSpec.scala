@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int,
+                    det: Boolean): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), col("src"), col("dst"),
+        iters = iters, deterministic = det)
+      .select("id", "rank").as[(Long, Double)].collect().toMap
+
+  test("pageRank: hand-computed 2-node graph with a dangling sink") {
+    // a(1)->b(2); N=2, r0 = 0.5 each; b dangling
+    // iter: dm = 0.5; contrib(b) = 0.5/1
+    //   r1(a) = 0.15/2 + 0.85*(0 + 0.25)   = 0.2875
+    //   r1(b) = 0.15/2 + 0.85*(0.5 + 0.25) = 0.7125
+    val r = ranks(Seq((1L, 2L)), iters = 1, det = true)
+    assert(math.abs(r(1L) - 0.2875) < 1e-12)
+    assert(math.abs(r(2L) - 0.7125) < 1e-12)
+    // total mass is conserved exactly-ish every round
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: a cycle stays uniform, multi-edges collapse, and mass " +
+    "is conserved over deep iteration") {
+    // 3-cycle, with one edge duplicated (must collapse to simple)
+    val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L)),
+      iters = 5, det = false)
+    assert(r.size === 3)
+    assert(r.values.toSet.size === 1, s"cycle must stay uniform: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: hub concentrates rank; deterministic and production " +
+    "modes agree to fp-merge tolerance") {
+    // star: 1..5 -> 9 (hub); sources dangle nothing, hub dangles
+    val edges = (1L to 5L).map(i => (i, 9L))
+    val det = ranks(edges, iters = 3, det = true)
+    val prod = ranks(edges, iters = 3, det = false)
+    assert(det(9L) > det(1L) * 3, s"hub must dominate: $det")
+    det.foreach { case (id, v) =>
+      assert(math.abs(v - prod(id)) < 1e-12,
+        s"det/prod divergence at $id: $v vs ${prod(id)}")
+    }
+  }
+
+  test("pageRank: guards — empty graph and bad params refuse loudly") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, col("src"), col("dst"))
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), col("src"),
+        col("dst"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), col("src"),
+        col("dst"), damping = 1.0)
+    }
+  }
+}
