@@ -65,9 +65,12 @@ object Graph {
       nodes.withColumn("rank", lit(1.0 / nD)))
     for (_ <- 1 to iters) {
       val danglingRanks = ranks.where(col("outdeg") === 0)
-      // dangling mass: ONE double either way; repro mode pays the
-      // single-reducer ordered fold for bit-exactness
-      val dRow =
+      // dangling mass: a 1-row aggregate cross-joined broadcast into the
+      // rank update — NOT collected to the driver, so a round costs ONE
+      // job (the materialize), not two (measured: the extra per-round
+      // head() action added ~1s/round of fixed overhead at local scale).
+      // Repro mode pays the single-reducer ordered fold for bit-exactness.
+      val dmDf =
         if (deterministic)
           danglingRanks.agg(
             aggregate(array_sort(collect_list(struct(col("id"),
@@ -75,7 +78,6 @@ object Graph {
               (acc, x) => acc + x.getField("rank")).as("dm"))
         else danglingRanks.agg(coalesce(sum(col("rank")), lit(0.0d))
           .as("dm"))
-      val dm = dRow.head().getDouble(0)
       val contribs = ranks.where(col("outdeg") > 0)
         .join(e, col("id") === col("src"))
         .select(col("dst"), col("src"),
@@ -91,9 +93,10 @@ object Graph {
       // mirror the oracle's expression tree EXACTLY:
       // (1 - d)/n + d * (ct + dm/n)
       val next = materialize(nodes.join(summed, Seq("id"), "left")
+        .crossJoin(broadcast(dmDf))
         .select(col("id"), col("outdeg"),
           (lit(1.0d - damping) / nD + lit(damping) *
-            (coalesce(col("ct"), lit(0.0d)) + lit(dm) / nD)).as("rank")))
+            (coalesce(col("ct"), lit(0.0d)) + col("dm") / nD)).as("rank")))
       releaseMaterialized(ranks)
       ranks = next
     }

@@ -171,6 +171,31 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("plan shape: cooccur/biblio/pagerank — the corpus pass runs once " +
+    "(materialized), biblio shares one hash exchange") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(q: String): String = SparkEntry.queries(q)(spark, dir)
+      .queryExecution.executedPlan.toString
+    // cooccur: the posting+window+pair-agg subtree is materialized ONCE;
+    // its three consumers read the pair RDD — the final action must not
+    // contain a parquet scan or a WindowExec (regression guard for the
+    // 4-scan/4-window unmaterialized shape)
+    val co = plan("q_text_cooccur")
+    assert(!co.contains("Scan parquet"), s"cooccur re-scans corpus:\n$co")
+    assert(!"(?m)^\\s*[*+:-]*\\s*Window ".r.findFirstIn(co).isDefined,
+      s"cooccur re-runs the lead window:\n$co")
+    // biblio: one scan; the rank window and the per-group aggregate share
+    // ONE hash exchange (the orderBy adds only a range exchange)
+    val bi = plan("q_biblio_hindex")
+    assert("Scan parquet".r.findAllIn(bi).length === 1)
+    assert("Exchange hashpartitioning".r.findAllIn(bi).length === 1,
+      s"biblio window/agg must share one exchange:\n$bi")
+    // pagerank: rounds are materialized — the final top-k acts on the
+    // last round's RDD, never re-running the iteration chain
+    val pr = plan("q_graph_pagerank")
+    assert(!pr.contains("Scan parquet"), s"pagerank re-scans tables:\n$pr")
+  }
+
   test("approx_count_distinct stays within 2% of exact distinct counts") {
     // A6 (SURVEY §2.4): the q_agg_approx_distinct entry is rows-only (HLL
     // sketches are engine-specific); this spec pins the error contract

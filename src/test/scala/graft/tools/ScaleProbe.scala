@@ -1162,6 +1162,60 @@ object ScaleProbe {
           .count()
       }
     }
+    if (which("cooccur-50k")) {
+      // weak-scaling with an EXACT combinatorial invariant: 10
+      // vocabulary-disjoint replicas (the docs-weak corpus) must produce
+      // exactly 10x the base corpus's distinct pairs and 10x its slot
+      // mass — every replica reproduces the base pair structure under its
+      // own prefix, and no pair can cross replicas
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val base = docs.localCheckpoint(true)
+      val replicas = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("cooccur_rows")(big.count())
+      var basePairs = 0L; var baseSlots = 0L
+      t("cooccur_base") {
+        val co = graft.operators.Cooccur.windowCooccur(base,
+          col("doc_id"), col("text"), window = 3).localCheckpoint(true)
+        basePairs = co.count()
+        baseSlots = co.limit(1).collect()(0).getAs[Long]("n_slots")
+        basePairs
+      }
+      t("cooccur_50k") {
+        val co = graft.operators.Cooccur.windowCooccur(big,
+          col("doc_id"), col("text"), window = 3).localCheckpoint(true)
+        val pairs = co.count()
+        val slots = co.limit(1).collect()(0).getAs[Long]("n_slots")
+        require(pairs == 10 * basePairs,
+          s"pairs $pairs != 10 x $basePairs")
+        require(slots == 10 * baseSlots,
+          s"slots $slots != 10 x $baseSlots")
+        pairs
+      }
+    }
+
+    if (which("pagerank-50k")) {
+      // PageRank over the full sf0.1 customer-supplier graph (the bench
+      // query's graph at 10x bench iterations) — exercises the round
+      // loop's materialize/release discipline at depth; invariant: total
+      // rank mass stays 1 to fp tolerance after 30 rounds
+      val e = graft.Tables.orders(spark, dir)
+        .join(graft.Tables.lineitem(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      t("pagerank_30_rounds") {
+        val r = graft.operators.Graph.pageRank(e, col("src"), col("dst"),
+          iters = 30).localCheckpoint(true)
+        val mass = r.agg(sum(col("rank"))).collect()(0).getDouble(0)
+        require(math.abs(mass - 1.0) < 1e-6, s"mass drifted: $mass")
+        r.count()
+      }
+    }
+
     spark.stop()
   }
 }
