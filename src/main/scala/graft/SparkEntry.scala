@@ -1058,6 +1058,19 @@ object SparkEntry {
         .select(col("id"), col("outdeg"), col("rank"))
     }),
 
+    // co-citation counts (suppliers sharing a customer), the Small-1973
+    // relatedness signal; the out-degree cap (hub exclusion) is part of
+    // the operator contract and mirrored by the oracle — here no source
+    // exceeds it, pinned by the n_dropped_sources=0 column on every row
+    "q_graph_cocitation" -> ((s, dir) => {
+      val e = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.Graph.coCitation(e, col("src"), col("dst"))
+        .orderBy(col("n_common").desc, col("d1").asc, col("d2").asc)
+        .limit(100)
+    }),
+
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
     // engines, so the oracle hashes the score itself)
@@ -3354,6 +3367,27 @@ object SparkEntry {
          |SELECT id, outdeg, rank FROM r3
          |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
     },
+
+    // co-citation: the same degree-capped self-join, integer counts only
+    "q_graph_cocitation" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey AS BIGINT) AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |kept AS (SELECT e.src, e.dst FROM e JOIN deg USING (src)
+        |         WHERE outdeg <= 10000),
+        |dr AS (SELECT CAST(coalesce(sum(CASE WHEN outdeg > 10000
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_sources
+        |       FROM deg),
+        |pr AS (SELECT a.dst AS d1, b.dst AS d2,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |       FROM kept a JOIN kept b
+        |         ON a.src = b.src AND a.dst < b.dst
+        |       GROUP BY 1, 2)
+        |SELECT d1, d2, n_common,
+        |  (SELECT n_dropped_sources FROM dr) AS n_dropped_sources
+        |FROM pr ORDER BY n_common DESC, d1 ASC, d2 ASC
+        |LIMIT 100""".stripMargin,
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
     // only tf-idf scoring a cross-engine hash oracle can pin

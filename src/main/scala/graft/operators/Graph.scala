@@ -104,4 +104,43 @@ object Graph {
     releaseMaterialized(nodes)
     ranks
   }
+
+  /** Co-citation counts (Small 1973): how many sources point at BOTH d1
+    * and d2 — the classic "these two papers are related because others
+    * cite them together" signal. Bibliographic coupling (Kessler 1963) is
+    * the same count on the REVERSED edge list (targets sharing a source →
+    * sources sharing a target), so callers swap src/dst for it.
+    *
+    * Scale guard: the per-source pair fan-out is quadratic in out-degree,
+    * so sources with outdeg > `maxSrcOutDegree` are EXCLUDED from pair
+    * generation (the inverted-index `maxDf` posture from the Jaccard
+    * family: a hub that points at everything asserts no meaningful
+    * pairwise association, and one 10⁶-out-degree hub would otherwise
+    * emit 5·10¹¹ pairs). Exclusion is exact and mirrored by the oracle;
+    * excluded sources are counted loudly in the `n_dropped_sources`
+    * column of EVERY output row rather than logged-and-lost.
+    *
+    * Shape: one grouped out-degree pass, one self-join keyed on src
+    * (bounded fan-out after the cap), one (d1, d2) hash aggregate with
+    * map-side combine. Multi-edges collapse first.
+    */
+  def coCitation(edges: DataFrame, src: Column, dst: Column,
+                 maxSrcOutDegree: Long = 10000L): DataFrame = {
+    require(maxSrcOutDegree >= 2,
+      s"coCitation: maxSrcOutDegree=$maxSrcOutDegree must be >= 2")
+    // simple edges, materialized once: degree pass + both join sides
+    val e = materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .distinct())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val kept = e.join(deg.where(col("outdeg") <= maxSrcOutDegree), "src")
+      .select("src", "dst")
+    val dropped = deg.where(col("outdeg") > maxSrcOutDegree)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_dropped_sources"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("d1"), col("b.dst").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.crossJoin(broadcast(dropped))
+  }
 }

@@ -47,6 +47,30 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("coCitation: hand-counted pairs, hub cap drops loudly, coupling " +
+    "is the reversed call") {
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), // s1 -> a b c
+      (2L, 10L), (2L, 11L),                      // s2 -> a b
+      (3L, 10L), (3L, 10L)                       // s3 -> a (dup edge)
+    ).toDF("src", "dst")
+    def run(cap: Long) =
+      Graph.coCitation(e, col("src"), col("dst"), maxSrcOutDegree = cap)
+        .select("d1", "d2", "n_common", "n_dropped_sources")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(10000L) === Set((10L, 11L, 2L, 0L), (10L, 12L, 1L, 0L),
+      (11L, 12L, 1L, 0L)))
+    // cap 2 excludes s1 (outdeg 3): only the s2 pair survives, and the
+    // drop is accounted on the row
+    assert(run(2L) === Set((10L, 11L, 1L, 1L)))
+    // bibliographic coupling = the reversed-edge call: sources sharing
+    // a target
+    val coup = Graph.coCitation(e, col("dst"), col("src"))
+      .select("d1", "d2", "n_common").as[(Long, Long, Long)]
+      .collect().toSet
+    // targets: 10 cited by {1,2,3}, 11 by {1,2}, 12 by {1}
+    assert(coup === Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("pageRank: guards — empty graph and bad params refuse loudly") {
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
     intercept[IllegalArgumentException] {
