@@ -1071,6 +1071,22 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // exact heavy hitters by sketch-then-verify: the Misra-Gries
+    // TypedImperativeAggregate bounds aggregate state at k counters
+    // per partition (no vocabulary-cardinality shuffle), its guaranteed-
+    // complete candidate set feeds an exact verify pass — so the OUTPUT
+    // is deterministic and hash-oracled even though the sketch's
+    // borderline content is merge-order dependent
+    "q_text_heavyhitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(TextAnalysis.normText(col("text")), " "))
+          .as("tok"))
+        .where(length(col("tok")) > 0)
+      graft.operators.HeavyHitters.exactHeavyHitters(toks, col("tok"),
+          minShare = 0.002, k = 1000)
+        .orderBy(col("n_item").desc, col("item").asc)
+    }),
+
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
     // engines, so the oracle hashes the score itself)
@@ -3388,6 +3404,26 @@ object SparkEntry {
         |  (SELECT n_dropped_sources FROM dr) AS n_dropped_sources
         |FROM pr ORDER BY n_common DESC, d1 ASC, d2 ASC
         |LIMIT 100""".stripMargin,
+
+    // heavy hitters: plain exact SQL — the sketch is an execution
+    // strategy, not a semantic; threshold ceil is forced into DOUBLE
+    // space (DuckDB's bare 0.002 * n is exact DECIMAL — ceil of it can
+    // differ from the engine's double product by one at exact multiples)
+    "q_text_heavyhitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normTextSql, ' '))
+         |                AS item
+         |              FROM documents),
+         |t AS (SELECT item FROM toks WHERE length(item) > 0),
+         |th AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |         CAST(ceil(CAST(0.002 AS DOUBLE) * count(*)) AS BIGINT)
+         |           AS threshold
+         |       FROM t)
+         |SELECT item, CAST(count(*) AS BIGINT) AS n_item,
+         |  (SELECT n_total FROM th) AS n_total,
+         |  (SELECT threshold FROM th) AS threshold
+         |FROM t GROUP BY item
+         |HAVING count(*) >= (SELECT threshold FROM th)
+         |ORDER BY n_item DESC, item ASC""".stripMargin,
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
     // only tf-idf scoring a cross-engine hash oracle can pin

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SketchAggregates
+import graft.operators.HeavyHitters
+
+class HeavyHittersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sketch(items: Seq[String], k: Int, parts: Int = 4) =
+    items.toDF("x").repartition(parts)
+      .agg(SketchAggregates.misraGries(col("x"), k).as("sk"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+
+  test("misraGries: k >= distinct degenerates to exact counts, " +
+    "count-desc presentation, nulls skipped") {
+    val items = Seq("a", "a", "a", "b", "b", "c", null, null)
+    val got = sketch(items.map(identity), k = 10)
+    assert(got === Seq("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("misraGries: lower-bound, undercount <= N/(k+1), and completeness " +
+    "for true heavies — under adversarial order AND any partitioning") {
+    // 100 x "hot", 50 x "warm", 200 distinct singletons; N = 350
+    val items = (1 to 100).map(_ => "hot") ++ (1 to 50).map(_ => "warm") ++
+      (1 to 200).map(i => s"cold$i")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (order <- Seq(items, items.reverse,
+           new scala.util.Random(7).shuffle(items));
+         parts <- Seq(1, 4, 32)) {
+      val k = 20
+      val got = sketch(order, k, parts).toMap
+      val bound = items.size.toDouble / (k + 1)
+      got.foreach { case (item, lb) =>
+        assert(lb <= exact(item), s"$item overcounted: $lb")
+        assert(exact(item) - lb <= bound,
+          s"$item undercount ${exact(item) - lb} > $bound")
+      }
+      // completeness: every item with true count > N/(k+1) must survive
+      exact.filter(_._2 > bound).keys.foreach { h =>
+        assert(got.contains(h), s"heavy $h evicted (parts=$parts)")
+      }
+      assert(got.size <= k)
+    }
+  }
+
+  test("exactHeavyHitters: output equals the exact groupBy answer and is " +
+    "partitioning-invariant") {
+    val items = (1 to 100).map(_ => "hot") ++ (1 to 30).map(_ => "warm") ++
+      (1 to 170).map(i => s"cold${i % 85}") // 85 items x 2
+    // N = 300; minShare 0.1 -> threshold 30: {hot=100, warm=30}
+    for (parts <- Seq(1, 32)) {
+      val df = items.toDF("x").repartition(parts)
+      val got = HeavyHitters.exactHeavyHitters(df, col("x"),
+          minShare = 0.1, k = 20)
+        .orderBy(desc("n_item"))
+        .select("item", "n_item", "n_total", "threshold")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got === Seq(("hot", 100L, 300L, 30L),
+        ("warm", 30L, 300L, 30L)))
+    }
+  }
+
+  test("exactHeavyHitters: guard refuses a k too small for the share; " +
+    "empty input yields empty output") {
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHitters(Seq("a").toDF("x"), col("x"),
+        minShare = 0.001, k = 100)
+    }
+    assert(HeavyHitters.exactHeavyHitters(
+      Seq.empty[String].toDF("x"), col("x"), minShare = 0.5, k = 10)
+      .count() === 0)
+  }
+}
