@@ -1087,6 +1087,15 @@ object SparkEntry {
         .orderBy(col("n_item").desc, col("item").asc)
     }),
 
+    // ordered conversion funnel view→click→signup→purchase: step i =
+    // earliest s_i-event STRICTLY after the user's step-(i-1) time;
+    // exact counts, conversion ratios are single IEEE divisions
+    "q_events_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnelSummary(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "signup", "purchase"))
+        .orderBy("step")),
+
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
     // engines, so the oracle hashes the score itself)
@@ -3424,6 +3433,37 @@ object SparkEntry {
          |FROM t GROUP BY item
          |HAVING count(*) >= (SELECT threshold FROM th)
          |ORDER BY n_item DESC, item ASC""".stripMargin,
+
+    // funnel: cascaded per-user min CTEs, strictly-after step chaining
+    "q_events_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'signup' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s3 ON e.user_id = s3.u
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3,
+        |             (SELECT count(*) FROM s4) AS n4)
+        |SELECT 1 AS step, 'view' AS name, CAST(n1 AS BIGINT) AS n_reached,
+        |  CAST(1 AS DOUBLE) AS conv_from_prev,
+        |  CAST(1 AS DOUBLE) AS conv_from_first FROM c
+        |UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT),
+        |  CAST(n2 AS DOUBLE) / nullif(n1, 0),
+        |  CAST(n2 AS DOUBLE) / nullif(n1, 0) FROM c
+        |UNION ALL SELECT 3, 'signup', CAST(n3 AS BIGINT),
+        |  CAST(n3 AS DOUBLE) / nullif(n2, 0),
+        |  CAST(n3 AS DOUBLE) / nullif(n1, 0) FROM c
+        |UNION ALL SELECT 4, 'purchase', CAST(n4 AS BIGINT),
+        |  CAST(n4 AS DOUBLE) / nullif(n3, 0),
+        |  CAST(n4 AS DOUBLE) / nullif(n1, 0) FROM c
+        |ORDER BY step""".stripMargin,
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
     // only tf-idf scoring a cross-engine hash oracle can pin
