@@ -1096,6 +1096,14 @@ object SparkEntry {
           Seq("view", "click", "signup", "purchase"))
         .orderBy("step")),
 
+    // weekly cohort retention grid: cohort = ISO week of first event,
+    // distinct-week activity; one user-keyed exchange does all per-user
+    // work, cohort sizes read off the k=0 cell
+    "q_events_cohorts" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(Tables.events(s, dir),
+          col("user_id"), col("ts"))
+        .orderBy("cohort", "week_offset")),
+
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
     // engines, so the oracle hashes the score itself)
@@ -3464,6 +3472,27 @@ object SparkEntry {
         |  CAST(n4 AS DOUBLE) / nullif(n3, 0),
         |  CAST(n4 AS DOUBLE) / nullif(n1, 0) FROM c
         |ORDER BY step""".stripMargin,
+
+    // cohort retention: both engines truncate to ISO-Monday weeks; the
+    // offset division is exact (day deltas are multiples of 7), cohort
+    // size = the k=0 cell via a self-join
+    "q_events_cohorts" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |              CAST(date_trunc('week', ts) AS DATE) AS wk
+        |            FROM events),
+        |per AS (SELECT u, min(wk) AS cohort FROM ev GROUP BY u),
+        |act AS (SELECT DISTINCT e.u, e.wk, p.cohort
+        |        FROM ev e JOIN per p USING (u)),
+        |rt AS (SELECT cohort,
+        |         CAST(date_diff('day', cohort, wk) / 7 AS INT)
+        |           AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_active
+        |       FROM act GROUP BY 1, 2)
+        |SELECT r.cohort, r.week_offset, r.n_active,
+        |  s.n_active AS n_cohort,
+        |  CAST(r.n_active AS DOUBLE) / s.n_active AS retention
+        |FROM rt r JOIN rt s ON r.cohort = s.cohort AND s.week_offset = 0
+        |ORDER BY r.cohort, r.week_offset""".stripMargin,
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
     // only tf-idf scoring a cross-engine hash oracle can pin

@@ -74,4 +74,41 @@ object Funnel {
     }
     counts.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; retention[c, k] = users of cohort c active in
+    * week c+k (distinct-week activity, so a burst of events in one week
+    * counts once).
+    *
+    * ONE exchange on the user key does all the per-user work: a single
+    * groupBy collects each user's cohort week AND distinct active weeks
+    * (per-user state is bounded by calendar weeks, not event count — a
+    * power user with 10⁸ events still carries at most a few hundred
+    * week entries). Cohort sizes come from the k=0 cell (every user is
+    * by construction active in their cohort week) via a window over the
+    * already-tiny retention grid — no second pass over events.
+    *
+    * Output: cohort (date), week_offset, n_active, n_cohort, retention.
+    */
+  def cohortRetention(events: DataFrame, user: Column,
+                      ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(user.as("u"),
+      date_trunc("week", ts).cast("date").as("wk"))
+    val per = ev.groupBy("u").agg(min(col("wk")).as("cohort"),
+      collect_set(col("wk")).as("wks"))
+    val grid = per
+      .select(col("cohort"), explode(col("wks")).as("wk"))
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / lit(7)).cast("int")
+          .as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_active")) // (u, wk) pairs already distinct
+    grid
+      .withColumn("n_cohort",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort")))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("n_cohort"))
+  }
 }

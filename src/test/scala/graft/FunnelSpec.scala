@@ -35,6 +35,33 @@ class FunnelSpec extends SparkTestBase {
       (4L, Some(ts(7)), None, None)))
   }
 
+  test("cohortRetention: hand-built two-cohort grid — distinct-week " +
+    "activity, k=0 equals cohort size, gaps leave missing cells") {
+    // week anchors (Mondays, UTC): w0 = 2024-01-01, w1 = +7d, w2 = +14d
+    def at(week: Int, dayOff: Int = 0) =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1 + week * 7 + dayOff, 10, 0))
+    val events = Seq(
+      // cohort w0: users 1, 2. user 1 active w0 (twice), w1;
+      // user 2 active w0, w2 (skips w1)
+      (1L, at(0)), (1L, at(0, 1)), (1L, at(1)),
+      (2L, at(0)), (2L, at(2)),
+      // cohort w1: user 3 active w1 only
+      (3L, at(1))
+    ).toDF("user_id", "ts")
+    val got = Funnel.cohortRetention(events, col("user_id"), col("ts"))
+      .select("cohort", "week_offset", "n_active", "n_cohort", "retention")
+      .orderBy("cohort", "week_offset")
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
+    val w0 = java.sql.Date.valueOf("2024-01-01")
+    val w1 = java.sql.Date.valueOf("2024-01-08")
+    assert(got === Seq(
+      (w0, 0, 2L, 2L, 1.0),
+      (w0, 1, 1L, 2L, 0.5),
+      (w0, 2, 1L, 2L, 0.5),
+      (w1, 0, 1L, 1L, 1.0)))
+  }
+
   test("funnelSummary: exact counts and ratio columns; guards refuse " +
     "empty and duplicate step lists") {
     val events = Seq(
