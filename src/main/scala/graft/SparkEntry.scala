@@ -59,6 +59,22 @@ object SparkEntry {
   private val normTextSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** Shared window-2 co-occurrence pair CTEs (q_text_cooccur and the
+    * q_graph_triangles word graph): positioned tokens via range() + list
+    * indexing, pairs via the position-band self-join, least/greatest
+    * orientation. */
+  private val cooccurPairCtes =
+    s"""nrm AS (SELECT doc_id, string_split($normTextSql, ' ') AS arr
+       |             FROM documents),
+       |tok AS (SELECT doc_id, i, arr[i] AS word
+       |        FROM nrm, unnest(range(1, len(arr) + 1)) AS t(i)
+       |        WHERE length(arr[i]) > 0),
+       |pr AS (SELECT least(a.word, b.word) AS w1,
+       |         greatest(a.word, b.word) AS w2, count(*) AS n_pair
+       |       FROM tok a JOIN tok b
+       |         ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 2
+       |       GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB mirror of the engine's md5-hex-prefix integer draw
     * (`conv(substr(h, 1, chars), 16, 10)`) — base-16 expansion per char
     * with instr, the q_train_shuffle trick, factored out because the
@@ -1103,6 +1119,21 @@ object SparkEntry {
       graft.operators.Funnel.cohortRetention(Tables.events(s, dir),
           col("user_id"), col("ts"))
         .orderBy("cohort", "week_offset")),
+
+    // community structure of the word co-occurrence graph: per-node
+    // triangle counts + clustering coefficient via degree orientation
+    // (oriented out-degree is O(√m), so stopword hubs become near-sinks
+    // instead of wedge bombs); exact integers, top-200 under total order
+    "q_graph_triangles" -> ((s, dir) => {
+      val edges = graft.operators.Cooccur.windowCooccur(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          window = 2, minCount = 5L)
+        .where(col("n_pair") >= 5)
+        .select(col("w1"), col("w2"))
+      graft.operators.Graph.triangleCounts(edges, col("w1"), col("w2"))
+        .orderBy(col("n_tri").desc, col("node").asc)
+        .limit(200)
+    }),
 
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
@@ -3315,18 +3346,10 @@ object SparkEntry {
     // BPE-oracle trick), pairs via the position-band self-join (the oracle
     // may be quadratic-ish; the ENGINE side is the lead()-window linear
     // form), marginals from both endpoint slots, ratio with the exact
-    // double tree mirrored term-for-term
+    // double tree mirrored term-for-term (pair CTEs shared with
+    // q_graph_triangles via cooccurPairCtes)
     "q_text_cooccur" ->
-      s"""WITH nrm AS (SELECT doc_id, string_split($normTextSql, ' ') AS arr
-         |             FROM documents),
-         |tok AS (SELECT doc_id, i, arr[i] AS word
-         |        FROM nrm, unnest(range(1, len(arr) + 1)) AS t(i)
-         |        WHERE length(arr[i]) > 0),
-         |pr AS (SELECT least(a.word, b.word) AS w1,
-         |         greatest(a.word, b.word) AS w2, count(*) AS n_pair
-         |       FROM tok a JOIN tok b
-         |         ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 2
-         |       GROUP BY 1, 2),
+      s"""WITH $cooccurPairCtes,
          |mg AS (SELECT w, sum(n_pair) AS n_w FROM (
          |         SELECT w1 AS w, n_pair FROM pr
          |         UNION ALL SELECT w2 AS w, n_pair FROM pr)
@@ -3493,6 +3516,40 @@ object SparkEntry {
         |  CAST(r.n_active AS DOUBLE) / s.n_active AS retention
         |FROM rt r JOIN rt s ON r.cohort = s.cohort AND s.week_offset = 0
         |ORDER BY r.cohort, r.week_offset""".stripMargin,
+
+    // triangles: identical degree orientation + canonical wedge close,
+    // all-integer until the single clustering division
+    "q_graph_triangles" ->
+      s"""WITH $cooccurPairCtes,
+         |ed AS (SELECT w1 AS a, w2 AS b FROM pr
+         |       WHERE n_pair >= 5 AND w1 <> w2),
+         |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |         SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+         |       GROUP BY v),
+         |o AS (SELECT CASE WHEN x.deg < y.deg
+         |               OR (x.deg = y.deg AND a < b) THEN a ELSE b
+         |             END AS lo,
+         |        CASE WHEN x.deg < y.deg
+         |          OR (x.deg = y.deg AND a < b) THEN b ELSE a END AS hi,
+         |        CASE WHEN x.deg < y.deg
+         |          OR (x.deg = y.deg AND a < b) THEN y.deg ELSE x.deg
+         |        END AS dhi
+         |      FROM ed JOIN dg x ON ed.a = x.v JOIN dg y ON ed.b = y.v),
+         |tr AS (SELECT e1.lo AS n1, e1.hi AS n2, e2.hi AS n3
+         |       FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+         |         AND (e1.dhi < e2.dhi
+         |              OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
+         |       JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+         |pn AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |         SELECT n1 AS v FROM tr UNION ALL SELECT n2 FROM tr
+         |         UNION ALL SELECT n3 FROM tr) GROUP BY v)
+         |SELECT dg.v AS node, dg.deg AS degree,
+         |  coalesce(pn.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg >= 2 THEN
+         |    CAST(2 * coalesce(pn.n_tri, 0) AS DOUBLE) / (deg * (deg - 1))
+         |  END AS clustering
+         |FROM dg LEFT JOIN pn ON dg.v = pn.v
+         |ORDER BY n_tri DESC, node ASC LIMIT 200""".stripMargin,
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
     // only tf-idf scoring a cross-engine hash oracle can pin

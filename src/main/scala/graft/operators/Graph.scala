@@ -143,4 +143,63 @@ object Graph {
       .agg(count(lit(1)).as("n_common"))
     pairs.crossJoin(broadcast(dropped))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected simple graph — the community-structure layer next to
+    * the connected-components family.
+    *
+    * Algorithm: degree orientation (Chiba & Nishizeki 1985 / the
+    * MapReduce form in Suri & Vassilvitskii 2011): every edge is
+    * directed from its (degree, id)-smaller endpoint, wedges are pairs
+    * of out-edges sharing their source, and a wedge closes iff the
+    * (canonically oriented) closing edge exists. The point is the scale
+    * bound: oriented out-degree is O(√m) on ANY graph — a stopword hub
+    * with 10⁶ neighbors becomes a near-sink and generates almost no
+    * wedges, instead of the m_hub² blowup of the naive neighbor
+    * self-join. Every count is an exact integer; each triangle is
+    * produced exactly once.
+    *
+    * Node ids may be any orderable type (strings for word graphs).
+    * Output: node, degree, n_tri, clustering (= 2T/(d(d−1)), null for
+    * degree < 2).
+    */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column)
+      : DataFrame = {
+    val und = materialize(edges
+      .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    val deg = materialize(und
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg")))
+    // orient from the (deg, id)-smaller endpoint; und already has a < b
+    // by value, so degree ties orient by value — one GLOBAL total order
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = materialize(und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+        when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dhi")))
+    // canonical wedges (out-edge pairs ordered by the same global order)
+    // + the closing edge, which — being between two order-larger nodes —
+    // is necessarily oriented e1.hi → e2.hi if present
+    val wedgeOrder = col("e1.dhi") < col("e2.dhi") ||
+      (col("e1.dhi") === col("e2.dhi") && col("e1.hi") < col("e2.hi"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.lo") === col("e2.lo") && wedgeOrder)
+      .join(oriented.as("e3"),
+        col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
+      .select(col("e1.lo").as("n1"), col("e1.hi").as("n2"),
+        col("e2.hi").as("n3"))
+    val perNode = tri
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("node"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          (lit(2) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - 1))).as("clustering"))
+  }
 }

@@ -71,6 +71,30 @@ class GraphSpec extends SparkTestBase {
     assert(coup === Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("triangleCounts: K4, triangle-free star, self-loops/dups/both-" +
+    "directions collapse, clustering coefficient exact") {
+    // K4 on 1..4: every node deg 3, 3 triangles each, clustering 1.0
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+    def run(edges: Seq[(Long, Long)]) =
+      Graph.triangleCounts(edges.toDF("s", "d"), col("s"), col("d"))
+        .select("node", "degree", "n_tri", "clustering")
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(run(k4) ===
+      (1L to 4L).map(v => (v, 3L, 3L, Some(1.0))).toSet)
+    // noise must not change counts: dups, reversed copies, self-loops
+    assert(run(k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (2L, 2L))) ===
+      (1L to 4L).map(v => (v, 3L, 3L, Some(1.0))).toSet)
+    // star (hub 9, leaves 1..5): zero triangles everywhere; hub
+    // clustering 0, leaves (deg 1) null
+    assert(run((1L to 5L).map(l => (9L, l))) ===
+      ((1L to 5L).map(l => (l, 1L, 0L, None)).toSet +
+        ((9L, 5L, 0L, Some(0.0)))))
+    // one closed + one open wedge: 1-2-3 closed, 3-4 dangling
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(run(g) === Set((1L, 2L, 1L, Some(1.0)), (2L, 2L, 1L, Some(1.0)),
+      (3L, 3L, 1L, Some(1.0 / 3.0)), (4L, 1L, 0L, None)))
+  }
+
   test("pageRank: guards — empty graph and bad params refuse loudly") {
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
     intercept[IllegalArgumentException] {
