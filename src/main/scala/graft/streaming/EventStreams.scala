@@ -372,4 +372,62 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  // ---- custom state: continuous conversion funnel --------------------------
+
+  case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelProgress(reachedMs: Seq[Long]) // one entry per step hit
+  case class FunnelConversion(user_id: Long, step_ts: Seq[Timestamp])
+
+  /** Continuous conversion funnel — the streaming form of
+    * `operators.Funnel`: per-user monotone state (the reach times of the
+    * steps hit so far, k longs at most), advanced by each batch's events
+    * in timestamp order with the same strictly-after chaining as the
+    * batch operator. A user emits ONE FunnelConversion when the final
+    * step is reached, and their state is REMOVED — steady-state memory is
+    * the in-progress population only. A completed journey never re-fires
+    * from residual events; only replaying the FULL sequence afterwards
+    * starts a fresh journey (a second conversion, not a duplicate).
+    *
+    * Parity contract (spec-pinned): when each user's events arrive in
+    * timestamp order across batches, completed users and their step
+    * times equal `Funnel.funnelUsers` on the union of all batches —
+    * in-order greedy advance picks exactly the per-step minima the batch
+    * operator computes. A cross-batch REGRESSION (an event older than an
+    * already-committed reach time arriving later) cannot rewrite
+    * committed state; pipelines with out-of-order sources put a
+    * watermark-sized sort buffer in front, the standard trade.
+    */
+  def funnelConversions(events: Dataset[FunnelEvent], steps: Seq[String])
+      : Dataset[FunnelConversion] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnelConversions: steps must be non-empty and distinct: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+
+    def fn(userId: Long, batch: Iterator[FunnelEvent],
+           state: GroupState[FunnelProgress]): Iterator[FunnelConversion] = {
+      var times = state.getOption.map(_.reachedMs).getOrElse(Seq.empty)
+      val ordered = batch.toSeq.sortBy(_.ts.getTime)
+      ordered.foreach { e =>
+        if (times.size < k && e.event_type == steps(times.size) &&
+            (times.isEmpty || e.ts.getTime > times.last))
+          times = times :+ e.ts.getTime
+      }
+      if (times.size == k) {
+        state.remove() // completed: emit once, evict
+        Iterator.single(
+          FunnelConversion(userId, times.map(new Timestamp(_))))
+      } else {
+        if (times.nonEmpty) state.update(FunnelProgress(times))
+        Iterator.empty
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

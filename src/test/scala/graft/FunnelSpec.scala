@@ -62,6 +62,53 @@ class FunnelSpec extends SparkTestBase {
       (w1, 0, 1L, 1L, 1.0)))
   }
 
+  test("streaming funnelConversions: batch parity on in-order delivery, " +
+    "one emission per completion, state evicted after converting") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{FunnelEvent, FunnelConversion}
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    // three users: 1 completes across batches, 2 stalls at click,
+    // 5 completes within one batch; plus decoys (wrong order, dups)
+    val all = Seq(
+      FunnelEvent(1L, ts(1), "view"), FunnelEvent(1L, ts(2), "click"),
+      FunnelEvent(2L, ts(1), "buy"),  // out of order: ignored
+      FunnelEvent(2L, ts(2), "view"), FunnelEvent(2L, ts(3), "click"),
+      FunnelEvent(5L, ts(4), "view"), FunnelEvent(5L, ts(5), "click"),
+      FunnelEvent(5L, ts(6), "buy"),
+      FunnelEvent(1L, ts(7), "view"), // later re-view: must not move t1
+      FunnelEvent(1L, ts(8), "buy")   // completes user 1
+    )
+    val (b1, b2) = all.splitAt(6) // ts-ordered per user across the split
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelConversions(mem.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_conv")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      import spark.implicits._
+      val got = spark.table("funnel_conv").as[FunnelConversion]
+        .collect().map(c => c.user_id -> c.step_ts.map(_.getTime / 1000))
+        .toMap
+      // batch-operator parity on the union
+      val batch = Funnel.funnelUsers(
+          all.map(e => (e.user_id, e.ts, e.event_type))
+            .toDF("user_id", "ts", "event_type"),
+          col("user_id"), col("ts"), col("event_type"), steps)
+        .where(col("t3").isNotNull)
+        .as[(Long, Timestamp, Timestamp, Timestamp)].collect()
+        .map(r => r._1 -> Seq(r._2, r._3, r._4).map(_.getTime / 1000))
+        .toMap
+      assert(got === batch)
+      assert(got === Map(1L -> Seq(1L, 2L, 8L), 5L -> Seq(4L, 5L, 6L)))
+      // a stray post-completion event must NOT re-emit user 5
+      mem.addData(FunnelEvent(5L, ts(9), "buy")); q.processAllAvailable()
+      assert(spark.table("funnel_conv").count() === 2)
+    } finally q.stop()
+  }
+
   test("funnelSummary: exact counts and ratio columns; guards refuse " +
     "empty and duplicate step lists") {
     val events = Seq(
