@@ -153,6 +153,37 @@ object SparkEntry {
        |FROM base d LEFT JOIN comp c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Deterministic per-customer name variants for the entity-resolution
+    * battery query: a canonical syllable name (digit → trigram with
+    * positionwise-disjoint alphabets, so names of DISTINCT customers sit
+    * at levenshtein >= 3), a titled form (distance 2 after
+    * normalization) and a one-char-deletion typo (distance 1) — the
+    * construction is mirrored literally by the oracle SQL. */
+  private def entityNameVariants(s: SparkSession, dir: String): DataFrame = {
+    val syls = Seq("0" -> "bar", "1" -> "dex", "2" -> "fin", "3" -> "gol",
+      "4" -> "hup", "5" -> "jyc", "6" -> "kwm", "7" -> "mrd",
+      "8" -> "nsk", "9" -> "ptz")
+    val name0 = syls.foldLeft(
+      lpad(col("c_custkey").cast("string"), 6, "0"): Column) {
+      case (c, (d, sy)) => replace(c, lit(d), lit(sy))
+    }
+    val pretty = concat(substring(col("name0"), 1, 6), lit(" "),
+      substring(col("name0"), 7, 6), lit(" "),
+      substring(col("name0"), 13, 6))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), name0.as("name0"),
+        (col("c_custkey") % 6).cast("int").as("p"))
+      .select(explode(array(
+        struct((col("c_custkey") * 3).as("id"), pretty.as("name")),
+        struct((col("c_custkey") * 3 + 1).as("id"),
+          concat(lit("dr. "), pretty).as("name")),
+        struct((col("c_custkey") * 3 + 2).as("id"),
+          concat(substr(col("name0"), lit(1), col("p")),
+            substr(col("name0"), col("p") + 2, lit(17))).as("name"))))
+        .as("r"))
+      .select(col("r.id").as("id"), col("r.name").as("name"))
+  }
+
   // ---- driver smoke entry -------------------------------------------------
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1057,6 +1088,25 @@ object SparkEntry {
         .withColumnRenamed("grp", "source")
         .orderBy("source")),
 
+    // fuzzy entity resolution (author disambiguation): every customer
+    // yields three deterministic name variants (canonical, titled at
+    // distance 2, one-char typo at distance 1); blocking on the last 9
+    // normalized chars bounds the pair space, the integer
+    // cross-multiplied levenshtein gate (dist*8 <= maxlen) admits the
+    // variants while distinct customers stay at distance >= 3, and
+    // star-CC labels every variant with its cluster-min entity id. The
+    // typo↔titled distance is 3 — ABOVE the gate — so the cluster closes
+    // only TRANSITIVELY through the canonical form: the query pins the
+    // closure, not just pairwise matching.
+    "q_entity_resolve" -> ((s, dir) => {
+      val recs = entityNameVariants(s, dir)
+      val resolved = graft.operators.EntityResolution.resolveEntities(
+        recs, col("id"), col("name"), n => substring(n, -9, 9))
+      recs.join(resolved, Seq("id"))
+        .select(col("id"), col("name"), col("entity_id"))
+        .orderBy("id")
+    }),
+
     // graph centrality: 3-round PageRank over the customer→supplier
     // interaction graph (namespaced 2k / 2k+1 node ids), repro mode —
     // per-dst and dangling sums fold in ascending-src/-id order so the
@@ -1119,6 +1169,15 @@ object SparkEntry {
       graft.operators.Funnel.cohortRetention(Tables.events(s, dir),
           col("user_id"), col("ts"))
         .orderBy("cohort", "week_offset")),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences: one user-keyed lead-window exchange, then state-pair-
+    // cardinality aggregates; P(next | state) is a single IEEE division
+    // of exact longs
+    "q_events_markov" -> ((s, dir) =>
+      graft.operators.Funnel.markovTransitions(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .orderBy("from_state", "to_state")),
 
     // community structure of the word co-occurrence graph: per-node
     // triangle counts + clustering coefficient via degree orientation
@@ -3386,6 +3445,55 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cites >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS i10
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
+    // entity resolution: identical variant construction, blocking, and
+    // integer levenshtein gate; cluster labels via the recursive
+    // min-reachability closure (DuckDB regexp_replace needs the 'g'
+    // flag to match Spark's replace-all semantics)
+    "q_entity_resolve" ->
+      """WITH RECURSIVE c0 AS (
+        |  SELECT c_custkey,
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |      replace(replace(replace(
+        |        lpad(CAST(c_custkey AS VARCHAR), 6, '0'),
+        |      '0','bar'),'1','dex'),'2','fin'),'3','gol'),'4','hup'),
+        |      '5','jyc'),'6','kwm'),'7','mrd'),'8','nsk'),'9','ptz')
+        |      AS name0,
+        |    CAST(c_custkey % 6 AS INT) AS p
+        |  FROM customer),
+        |v AS (
+        |  SELECT c_custkey*3 AS id, substr(name0,1,6) || ' ' ||
+        |      substr(name0,7,6) || ' ' || substr(name0,13,6) AS name
+        |  FROM c0
+        |  UNION ALL
+        |  SELECT c_custkey*3+1, 'dr. ' || substr(name0,1,6) || ' ' ||
+        |      substr(name0,7,6) || ' ' || substr(name0,13,6)
+        |  FROM c0
+        |  UNION ALL
+        |  SELECT c_custkey*3+2, substr(name0,1,p) || substr(name0,p+2,17)
+        |  FROM c0),
+        |n AS (SELECT id, name,
+        |        regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+        |      FROM v),
+        |nb AS (SELECT id, norm, substr(norm, -9, 9) AS blk FROM n
+        |       WHERE norm IS NOT NULL AND length(norm) > 0),
+        |ok AS (SELECT blk FROM nb GROUP BY blk HAVING count(*) <= 1000),
+        |nn AS (SELECT nb.* FROM nb JOIN ok USING (blk)),
+        |e0 AS (SELECT a.id AS src, b.id AS dst FROM nn a JOIN nn b
+        |       ON a.blk = b.blk AND a.id < b.id
+        |       AND levenshtein(a.norm, b.norm) * 8 <=
+        |           greatest(length(a.norm), length(b.norm)) * 1),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |reach AS (SELECT src, dst FROM edges
+        |          UNION SELECT r.src, e.dst
+        |          FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, min(dst) AS reach_min
+        |         FROM reach GROUP BY src)
+        |SELECT n.id, n.name,
+        |  CAST(least(coalesce(c.reach_min, n.id), n.id) AS BIGINT)
+        |    AS entity_id
+        |FROM n LEFT JOIN comp c USING (id)
+        |ORDER BY n.id""".stripMargin,
+
     // 3-round PageRank, unrolled. Float discipline: every decimal literal
     // is forced into DOUBLE space before arithmetic (DuckDB's bare
     // (1 - 0.85) is exact DECIMAL 0.15, which is NOT the engine's
@@ -3516,6 +3624,23 @@ object SparkEntry {
         |  CAST(r.n_active AS DOUBLE) / s.n_active AS retention
         |FROM rt r JOIN rt s ON r.cohort = s.cohort AND s.week_offset = 0
         |ORDER BY r.cohort, r.week_offset""".stripMargin,
+
+    // markov transitions: same lead window (ts, event_id tiebreak);
+    // counts exact, the probability is one IEEE division
+    "q_events_markov" ->
+      """WITH sq AS (SELECT event_type AS s,
+        |              lead(event_type) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) AS t
+        |            FROM events),
+        |c AS (SELECT s AS from_state, t AS to_state,
+        |        CAST(count(*) AS BIGINT) AS n_trans
+        |      FROM sq WHERE t IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n_trans,
+        |  CAST(sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+        |    AS n_from,
+        |  CAST(n_trans AS DOUBLE) /
+        |    sum(n_trans) OVER (PARTITION BY from_state) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
 
     // triangles: identical degree orientation + canonical wedge close,
     // all-integer until the single clustering division

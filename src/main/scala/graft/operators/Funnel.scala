@@ -90,6 +90,36 @@ object Funnel {
     *
     * Output: cohort (date), week_offset, n_active, n_cohort, retention.
     */
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each observed (state, next-state) pair, the exact transition
+    * count and P(next | state) — the behavioral model behind
+    * next-action prediction and anomaly scoring on event streams.
+    *
+    * ONE user-keyed exchange does all sequencing work (the lead window);
+    * everything after is state-pair cardinality — tiny regardless of
+    * corpus size, so the final per-state normalization window is free.
+    * `tiebreak` makes same-timestamp ordering deterministic (event ids
+    * at micro resolution DO collide). Probabilities are single IEEE
+    * divisions of exact longs — engine-bit-identical.
+    *
+    * Output: from_state, to_state, n_trans, n_from, p.
+    */
+  def markovTransitions(events: DataFrame, user: Column, ts: Column,
+                        tiebreak: Column, state: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u").orderBy(col("ts"), col("tb"))
+    val seq = events
+      .select(user.as("u"), ts.as("ts"), tiebreak.as("tb"),
+        state.as("s"))
+      .withColumn("t", lead(col("s"), 1).over(w))
+      .where(col("t").isNotNull)
+    seq.groupBy(col("s").as("from_state"), col("t").as("to_state"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from", sum(col("n_trans"))
+        .over(Window.partitionBy("from_state")))
+      .withColumn("p", col("n_trans").cast("double") / col("n_from"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column,
                       ts: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -135,4 +135,28 @@ class FunnelSpec extends SparkTestBase {
         col("event_type"), Seq("view", "view"))
     }
   }
+
+  test("markovTransitions: per-user sequencing with tiebreak, exact " +
+    "counts, probabilities normalize per from-state, last events and " +
+    "single-event users emit nothing") {
+    val events = Seq(
+      // user 1: a → b → a → c  (transitions: ab, ba, ac)
+      (1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "b"),
+      (1L, ts(3), 12L, "a"), (1L, ts(4), 13L, "c"),
+      // user 2: a → b          (ab)
+      (2L, ts(1), 20L, "a"), (2L, ts(2), 21L, "b"),
+      // user 3: same-timestamp pair ordered by the tiebreak: b → a
+      (3L, ts(5), 31L, "b"), (3L, ts(5), 30L, "a"),
+      // user 4: single event — no transition
+      (4L, ts(9), 40L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.markovTransitions(events, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", "b", 3L, 4L, 0.75), // user 3's tiebreak puts a before b
+      ("a", "c", 1L, 4L, 0.25),
+      ("b", "a", 1L, 1L, 1.0)))
+  }
 }
