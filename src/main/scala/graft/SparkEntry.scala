@@ -1153,6 +1153,29 @@ object SparkEntry {
         .orderBy(col("n_item").desc, col("item").asc)
     }),
 
+    // Count-Min sketch: ONE depth*4096-long aggregate (state independent
+    // of item cardinality), elementwise-add merge → order-independent,
+    // so the estimates are deterministic and hash-oracled; probes read
+    // the sketch relationally via the engine-reproducible md5 bucket,
+    // overcount column pins the never-underestimates contract per row
+    "q_sketch_cms" -> ((s, dir) => {
+      import graft.functions.SketchAggregates
+      val src = Tables.lineitem(s, dir)
+        .select(col("l_partkey").cast("string").as("item"))
+      val sk = src.agg(SketchAggregates.countMin(col("item"), depth = 3)
+        .as("sk"))
+      val exact = src.groupBy("item").agg(count(lit(1)).as("n_exact"))
+      val probes = exact.where(col("item").cast("long") % 100 === 0)
+      probes.crossJoin(broadcast(sk))
+        .select(col("item"), col("n_exact"),
+          least((0 until 3).map(d =>
+            element_at(col("sk"),
+              SketchAggregates.countMinBucket(d, col("item"))
+                + lit(d * 4096) + 1)): _*).as("n_est"))
+        .withColumn("overcount", col("n_est") - col("n_exact"))
+        .orderBy("item")
+    }),
+
     // ordered conversion funnel view→click→signup→purchase: step i =
     // earliest s_i-event STRICTLY after the user's step-(i-1) time;
     // exact counts, conversion ratios are single IEEE divisions
@@ -3572,6 +3595,33 @@ object SparkEntry {
          |FROM t GROUP BY item
          |HAVING count(*) >= (SELECT threshold FROM th)
          |ORDER BY n_item DESC, item ASC""".stripMargin,
+
+    // count-min: the sketch is a deterministic function of the multiset
+    // (elementwise-add merge), so the oracle rebuilds the SAME cells
+    // relationally — 3-hex-char md5 bucket strings are bijective with
+    // the aggregate's 12-bit cell index
+    "q_sketch_cms" ->
+      """WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS item
+        |             FROM lineitem),
+        |ds(d) AS (VALUES (0), (1), (2)),
+        |cells AS (SELECT d,
+        |            substr(md5(CAST(d AS VARCHAR) || ':' || item), 1, 3)
+        |              AS bk,
+        |            CAST(count(*) AS BIGINT) AS c
+        |          FROM src CROSS JOIN ds GROUP BY 1, 2),
+        |exact AS (SELECT item, CAST(count(*) AS BIGINT) AS n_exact
+        |          FROM src GROUP BY item),
+        |probes AS (SELECT item, n_exact FROM exact
+        |           WHERE CAST(item AS BIGINT) % 100 = 0),
+        |est AS (SELECT p.item, min(c.c) AS n_est
+        |        FROM probes p CROSS JOIN ds
+        |        JOIN cells c ON c.d = ds.d AND c.bk =
+        |          substr(md5(CAST(ds.d AS VARCHAR) || ':' || p.item), 1, 3)
+        |        GROUP BY p.item)
+        |SELECT p.item, p.n_exact, CAST(e.n_est AS BIGINT) AS n_est,
+        |  CAST(e.n_est - p.n_exact AS BIGINT) AS overcount
+        |FROM probes p JOIN est e USING (item)
+        |ORDER BY item""".stripMargin,
 
     // funnel: cascaded per-user min CTEs, strictly-after step chaining
     "q_events_funnel" ->

@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions.{concat, conv, lit, md5, substring}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -125,10 +126,127 @@ case class MisraGriesAgg(child: Expression, k: Int,
   override def prettyName: String = "graft_misra_gries"
 }
 
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a native
+  * `TypedImperativeAggregate`: `depth` rows of `width` counters;
+  * update adds 1 to one counter per row, merge is ELEMENTWISE ADDITION.
+  * That makes the sketch fully ORDER-INDEPENDENT — unlike Misra-Gries,
+  * whose borderline content is merge-order dependent, a Count-Min
+  * sketch of a dataset is a deterministic function of its multiset, so
+  * queries over it sit directly under the hash oracle.
+  *
+  * Estimate(x) = min over d of cell[d][h_d(x)]; never underestimates
+  * (every occurrence of x lands in the probed cells), overestimates by
+  * the colliding mass (expected <= N/width per row, so the min over
+  * `depth` independent rows is within eN/width with prob 1-e^-depth).
+  *
+  * Hashes are ENGINE-REPRODUCIBLE by construction (the md5 discipline
+  * of Shard/sampling): h_d(x) = first 12 bits of md5(d || ':' || x),
+  * width fixed at 4096 so a SQL oracle addresses the same cell via
+  * substr(md5(..), 1, 3) — the 3-hex-char bucket string is bijective
+  * with the index. At 100 TB the aggregate state is depth*width longs
+  * per partition (96 KiB at 3x4096) regardless of item cardinality —
+  * the whole point vs a vocabulary-sized groupBy.
+  */
+case class CountMinAgg(child: Expression, depth: Int,
+                       override val mutableAggBufferOffset: Int = 0,
+                       override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(depth >= 1 && depth <= 16,
+    s"CountMinAgg: depth=$depth out of [1, 16]")
+
+  val width: Int = CountMinAgg.Width
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  // MessageDigest is not thread-safe; one per aggregate instance is
+  // safe (Spark evaluates an aggregate buffer single-threaded) but
+  // instances are shared across partitions in codegen'd paths — keep a
+  // thread-local to be safe
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 12 bits of md5(d || ':' || item) — equals the 3-hex-char
+    * bucket substr(md5(..), 1, 3) a SQL engine computes. */
+  private def bucket(d: Int, item: String): Int = {
+    val dig = md5Local.get()
+    dig.reset()
+    val h = dig.digest((d.toString + ":" + item)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((h(0) & 0xff) << 4) | ((h(1) & 0xf0) >>> 4)
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String].toString
+      var d = 0
+      while (d < depth) {
+        buf(d * width + bucket(d, item)) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(Long.box).asInstanceOf[Array[Any]])
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): CountMinAgg =
+    copy(child = c)
+  override def prettyName: String = "graft_count_min"
+}
+
+object CountMinAgg {
+  /** 4096 = 3 hex chars: keeps the cell addressable from SQL. */
+  val Width = 4096
+}
+
 object SketchAggregates {
   /** Misra-Gries sketch aggregate over a string column: array of
     * (item, count_lb) structs, at most k entries, count-desc order. */
   def misraGries(item: Column, k: Int): Column =
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(item), k).toAggregateExpression())
+
+  /** Count-Min sketch aggregate over a string column: depth*4096 longs,
+    * row-major; estimate(x) = min over d of cell[d*4096 + h_d(x)]. */
+  def countMin(item: Column, depth: Int): Column =
+    GraftBridge.column(
+      CountMinAgg(GraftBridge.expression(item), depth).toAggregateExpression())
+
+  /** The engine-reproducible Count-Min bucket as a Column (for reading
+    * the sketch relationally): first 12 bits of md5(d || ':' || item),
+    * identical to the aggregate's internal hash. */
+  def countMinBucket(d: Int, item: Column): Column =
+    conv(substring(md5(concat(lit(d.toString), lit(":"), item)), 1, 3),
+      16, 10).cast("int")
 }

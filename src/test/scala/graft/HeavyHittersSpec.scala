@@ -72,4 +72,46 @@ class HeavyHittersSpec extends SparkTestBase {
       Seq.empty[String].toDF("x"), col("x"), minShare = 0.5, k = 10)
       .count() === 0)
   }
+
+  private def cmsSketch(items: Seq[String], depth: Int, parts: Int) =
+    items.toDF("x").repartition(parts)
+      .agg(SketchAggregates.countMin(col("x"), depth).as("sk"))
+      .head().getSeq[Long](0)
+
+  test("countMin: never underestimates, exact when collision-free, " +
+    "nulls skipped, and the column-side bucket matches the aggregate's") {
+    val items = (1 to 7).flatMap(i => Seq.fill(i)(s"item$i")) ++
+      Seq(null, null)
+    val sk = cmsSketch(items.map(x => x: String), depth = 3, parts = 3)
+    assert(sk.length === 3 * 4096)
+    assert(sk.sum === 3L * 28) // each non-null lands once per depth row
+    // read estimates back through the RELATIONAL bucket — parity with
+    // the aggregate's internal hash is what the battery query relies on
+    val est = (1 to 7).map { i =>
+      val buckets = Seq("item" + i).toDF("x").select(
+        (0 until 3).map(d =>
+          SketchAggregates.countMinBucket(d, col("x")).as(s"b$d")): _*)
+        .head()
+      (0 until 3).map(d => sk(d * 4096 + buckets.getInt(d))).min
+    }
+    // 7 items in 4096 buckets: collision-free here → estimates exact
+    assert(est === (1 to 7).map(_.toLong))
+  }
+
+  test("countMin: merge is elementwise add — the sketch is identical " +
+    "under any partitioning (the order-independence the oracle needs)") {
+    val items = (1 to 500).map(i => s"w${i % 37}")
+    val a = cmsSketch(items, depth = 2, parts = 1)
+    val b = cmsSketch(items, depth = 2, parts = 7)
+    assert(a === b)
+  }
+
+  test("countMin: rejects out-of-range depth") {
+    intercept[IllegalArgumentException] {
+      graft.functions.CountMinAgg(null, depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.CountMinAgg(null, depth = 17)
+    }
+  }
 }
