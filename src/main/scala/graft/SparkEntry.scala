@@ -158,7 +158,16 @@ object SparkEntry {
     * positionwise-disjoint alphabets, so names of DISTINCT customers sit
     * at levenshtein >= 3), a titled form (distance 2 after
     * normalization) and a one-char-deletion typo (distance 1) — the
-    * construction is mirrored literally by the oracle SQL. */
+    * construction is mirrored literally by the oracle SQL. The typo
+    * deletes inside the LEADING syllable (constant across customers at
+    * these key ranges), never a discriminating one: two same-block
+    * typos whose deletions both hit their single differing syllable at
+    * the same offset would sit at distance 2 — inside the gate — and
+    * the sf would decide how often that alignment occurs (custkeys
+    * 3000 apart share p under %6; measured 833 spurious merges at
+    * sf0.1). Confining the deletion keeps cross-customer distance >= 3
+    * at EVERY scale factor, so expected clusters = exactly one per
+    * customer everywhere. */
   private def entityNameVariants(s: SparkSession, dir: String): DataFrame = {
     val syls = Seq("0" -> "bar", "1" -> "dex", "2" -> "fin", "3" -> "gol",
       "4" -> "hup", "5" -> "jyc", "6" -> "kwm", "7" -> "mrd",
@@ -172,7 +181,7 @@ object SparkEntry {
       substring(col("name0"), 13, 6))
     Tables.customer(s, dir)
       .select(col("c_custkey"), name0.as("name0"),
-        (col("c_custkey") % 6).cast("int").as("p"))
+        (col("c_custkey") % 3).cast("int").as("p"))
       .select(explode(array(
         struct((col("c_custkey") * 3).as("id"), pretty.as("name")),
         struct((col("c_custkey") * 3 + 1).as("id"),
@@ -1215,6 +1224,22 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(edges, col("w1"), col("w2"))
         .orderBy(col("n_tri").desc, col("node").asc)
         .limit(200)
+    }),
+
+    // community detection: 3-round synchronous label propagation over
+    // the same word graph — deterministic (count desc, label asc)
+    // tie-break replaces classic LPA's random one so the result is a
+    // pure function of the graph; per round one vertex-keyed join +
+    // one aggregate + one top-1 window
+    "q_graph_communities" -> ((s, dir) => {
+      val edges = graft.operators.Cooccur.windowCooccur(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          window = 2, minCount = 5L)
+        .where(col("n_pair") >= 5)
+        .select(col("w1"), col("w2"))
+      graft.operators.Graph.labelPropagation(edges, col("w1"),
+          col("w2"), iters = 3)
+        .orderBy("node")
     }),
 
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
@@ -3481,7 +3506,7 @@ object SparkEntry {
         |      '0','bar'),'1','dex'),'2','fin'),'3','gol'),'4','hup'),
         |      '5','jyc'),'6','kwm'),'7','mrd'),'8','nsk'),'9','ptz')
         |      AS name0,
-        |    CAST(c_custkey % 6 AS INT) AS p
+        |    CAST(c_custkey % 3 AS INT) AS p
         |  FROM customer),
         |v AS (
         |  SELECT c_custkey*3 AS id, substr(name0,1,6) || ' ' ||
@@ -3725,6 +3750,29 @@ object SparkEntry {
          |  END AS clustering
          |FROM dg LEFT JOIN pn ON dg.v = pn.v
          |ORDER BY n_tri DESC, node ASC LIMIT 200""".stripMargin,
+
+    // label propagation, unrolled: same sym edges, same deterministic
+    // top-1 tie-break via row_number
+    "q_graph_communities" -> {
+      def lpaIter(prev: String, k: Int): String =
+        s"""l$k AS (SELECT v, label FROM (
+           |  SELECT s.v, p.label, count(*) AS c,
+           |    row_number() OVER (PARTITION BY s.v
+           |      ORDER BY count(*) DESC, p.label ASC) AS rn
+           |  FROM sym s JOIN $prev p ON s.n = p.v
+           |  GROUP BY s.v, p.label)
+           |WHERE rn = 1)""".stripMargin
+      s"""WITH $cooccurPairCtes,
+         |ed AS (SELECT w1 AS a, w2 AS b FROM pr
+         |       WHERE n_pair >= 5 AND w1 <> w2),
+         |sym AS (SELECT a AS v, b AS n FROM ed
+         |        UNION SELECT b, a FROM ed),
+         |l0 AS (SELECT DISTINCT v, v AS label FROM sym),
+         |${lpaIter("l0", 1)},
+         |${lpaIter("l1", 2)},
+         |${lpaIter("l2", 3)}
+         |SELECT v AS node, label FROM l3 ORDER BY node""".stripMargin
+    },
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the
     // only tf-idf scoring a cross-engine hash oracle can pin

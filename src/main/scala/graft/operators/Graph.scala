@@ -144,6 +144,57 @@ object Graph {
     pairs.crossJoin(broadcast(dropped))
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007), fixed rounds: every node starts as its own
+    * label; each round every node adopts the most frequent label among
+    * its NEIGHBORS, ties broken deterministically by (count desc, label
+    * asc). The deterministic tie-break replaces classic LPA's random
+    * one, and the synchronous schedule replaces its order-dependent
+    * async sweep — both so the result is a pure function of the graph
+    * (oracle-able across engines). The known cost of that choice is
+    * possible 2-cycle oscillation on bipartite-ish structures; fixed
+    * `iters` reports round-k labels, and callers wanting a fixpoint run
+    * with iters chosen by the diameter (the PageRank depth/cost
+    * posture).
+    *
+    * Scale shape: per round ONE vertex-keyed join (neighbor labels) +
+    * one (v, label) aggregate + one per-v top-1 window (partial
+    * WindowGroupLimit keeps the shuffle skinny). Labels materialize per
+    * round and the superseded round is released — the
+    * connected-components storage discipline. Nothing is collected.
+    *
+    * Output: node, label (community = nodes sharing a label).
+    */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters=$iters must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sym = materialize(edges
+      .select(src.as("a"), dst.as("b"))
+      .where(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("v"), col("b").as("n")),
+        struct(col("b").as("v"), col("a").as("n")))).as("e"))
+      .select(col("e.v").as("v"), col("e.n").as("n")).distinct())
+    var labels = materialize(
+      sym.select(col("v")).distinct().withColumn("label", col("v")))
+    var iter = 0
+    while (iter < iters) {
+      val w = Window.partitionBy("v")
+        .orderBy(col("c").desc, col("label").asc)
+      val next = materialize(sym
+        .join(labels.select(col("v").as("n"), col("label")), Seq("n"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("v"), col("label")))
+      releaseMaterialized(labels)
+      labels = next
+      iter += 1
+    }
+    labels.select(col("v").as("node"), col("label"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected simple graph — the community-structure layer next to
     * the connected-components family.

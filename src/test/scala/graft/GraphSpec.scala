@@ -95,6 +95,28 @@ class GraphSpec extends SparkTestBase {
       (3L, 3L, 1L, Some(1.0 / 3.0)), (4L, 1L, 0L, None)))
   }
 
+  test("labelPropagation: hand-traced synchronous rounds on two " +
+    "triangles with a bridge — deterministic tie-breaks, noise-immune") {
+    // triangles 1-2-3 and 4-5-6, bridge 3-4; plus noise: dup edge,
+    // reversed copy, self-loop — all must collapse
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (2L, 1L), (1L, 2L), (5L, 5L))
+    def run(iters: Int) =
+      Graph.labelPropagation(g.toDF("s", "d"), col("s"), col("d"),
+        iters = iters).as[(Long, Long)].collect().toMap
+    // round 1 (labels = self): each node takes its min neighbor
+    assert(run(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L))
+    // round 2 from there: v1 sees {1,1}→1; v2 sees {2,1} tie→1; v3 sees
+    // {2,1,3}→1; v4 sees {1,4,4}→4; v5 sees {3,4} tie→3; v6 likewise
+    assert(run(2) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 3L, 6L -> 3L))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(g.toDF("s", "d"), col("s"), col("d"),
+        iters = 0)
+    }
+  }
+
   test("pageRank: guards — empty graph and bad params refuse loudly") {
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
     intercept[IllegalArgumentException] {
