@@ -75,6 +75,56 @@ object SparkEntry {
        |         ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 2
        |       GROUP BY 1, 2)""".stripMargin
 
+  /** Shared oracle CTEs for the entity-resolution family: the
+    * deterministic variant construction (mirrors `entityNameVariants`
+    * literally), blocking + maxBlock guard, the integer levenshtein
+    * gate, and the recursive min-reachability closure down to an `ent`
+    * (id, name, entity_id) frame. Callers prepend WITH RECURSIVE. */
+  private def entityClosureCtes(recPred: String = "TRUE") =
+    s"""c0 AS (
+      |  SELECT c_custkey,
+      |    replace(replace(replace(replace(replace(replace(replace(
+      |      replace(replace(replace(
+      |        lpad(CAST(c_custkey AS VARCHAR), 6, '0'),
+      |      '0','bar'),'1','dex'),'2','fin'),'3','gol'),'4','hup'),
+      |      '5','jyc'),'6','kwm'),'7','mrd'),'8','nsk'),'9','ptz')
+      |      AS name0,
+      |    CAST(c_custkey % 3 AS INT) AS p
+      |  FROM customer),
+      |v AS (
+      |  SELECT c_custkey*3 AS id, substr(name0,1,6) || ' ' ||
+      |      substr(name0,7,6) || ' ' || substr(name0,13,6) AS name
+      |  FROM c0
+      |  UNION ALL
+      |  SELECT c_custkey*3+1, 'dr. ' || substr(name0,1,6) || ' ' ||
+      |      substr(name0,7,6) || ' ' || substr(name0,13,6)
+      |  FROM c0
+      |  UNION ALL
+      |  SELECT c_custkey*3+2, substr(name0,1,p) || substr(name0,p+2,17)
+      |  FROM c0),
+      |vv AS (SELECT * FROM v WHERE $recPred),
+      |n AS (SELECT id, name,
+      |        regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+      |      FROM vv),
+      |nb AS (SELECT id, norm, substr(norm, -9, 9) AS blk FROM n
+      |       WHERE norm IS NOT NULL AND length(norm) > 0),
+      |ok AS (SELECT blk FROM nb GROUP BY blk HAVING count(*) <= 1000),
+      |nn AS (SELECT nb.* FROM nb JOIN ok USING (blk)),
+      |e0 AS (SELECT a.id AS src, b.id AS dst FROM nn a JOIN nn b
+      |       ON a.blk = b.blk AND a.id < b.id
+      |       AND levenshtein(a.norm, b.norm) * 8 <=
+      |           greatest(length(a.norm), length(b.norm)) * 1),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |reach AS (SELECT src, dst FROM edges
+      |          UNION SELECT r.src, e.dst
+      |          FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS id, min(dst) AS reach_min
+      |         FROM reach GROUP BY src),
+      |ent AS (SELECT n.id, n.name,
+      |          CAST(least(coalesce(c.reach_min, n.id), n.id) AS BIGINT)
+      |            AS entity_id
+      |        FROM n LEFT JOIN comp c USING (id))""".stripMargin
+
   /** DuckDB mirror of the engine's md5-hex-prefix integer draw
     * (`conv(substr(h, 1, chars), 16, 10)`) — base-16 expansion per char
     * with instr, the q_train_shuffle trick, factored out because the
@@ -1114,6 +1164,44 @@ object SparkEntry {
       recs.join(resolved, Seq("id"))
         .select(col("id"), col("name"), col("entity_id"))
         .orderBy("id")
+    }),
+
+    // incremental entity resolution: resolve 90% of variants once into
+    // the write-once entity index (custkey%10==0 held out entirely;
+    // custkey%10==1 typos held out), then probe the held-out batch —
+    // typos of indexed customers must ADOPT the persisted entity, novel
+    // customers' variants resolve among themselves; probe cost tracks
+    // the batch
+    "q_entity_incremental" -> ((s, dir) => {
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        s"/graft_entity_idx_${math.abs(dir.hashCode)}"
+      val recs = entityNameVariants(s, dir)
+      val corpus = recs.where(expr(
+        "(id DIV 3) % 10 <> 0 AND NOT ((id DIV 3) % 10 = 1 AND id % 3 = 2)"))
+      val batch = recs.where(expr(
+        "(id DIV 3) % 10 = 0 OR ((id DIV 3) % 10 = 1 AND id % 3 = 2)"))
+      graft.operators.EntityResolution.persistEntityIndex(corpus,
+        col("id"), col("name"), n => substring(n, -9, 9), idxPath)
+      graft.operators.EntityResolution.probeEntityIndex(batch,
+          col("id"), col("name"), n => substring(n, -9, 9), idxPath)
+        .orderBy("id")
+    }),
+
+    // the aggregate entity resolution EXISTS for: per-variant
+    // aggregation counts each spelling separately (3 rows per author
+    // here); grouping by the RESOLVED id rolls the measure up to the
+    // real-world entity — one groupBy after the resolution join
+    "q_entity_rollup" -> ((s, dir) => {
+      val recs = entityNameVariants(s, dir)
+        .withColumn("cites", col("id") * 31 % 97)
+      val resolved = graft.operators.EntityResolution.resolveEntities(
+        recs, col("id"), col("name"), n => substring(n, -9, 9))
+      recs.join(resolved, Seq("id"))
+        .groupBy("entity_id")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("cites")).as("sum_cites"),
+          min(col("name")).as("canonical_name"))
+        .orderBy("entity_id")
     }),
 
     // graph centrality: 3-round PageRank over the customer→supplier
@@ -3498,49 +3586,72 @@ object SparkEntry {
     // min-reachability closure (DuckDB regexp_replace needs the 'g'
     // flag to match Spark's replace-all semantics)
     "q_entity_resolve" ->
-      """WITH RECURSIVE c0 AS (
-        |  SELECT c_custkey,
-        |    replace(replace(replace(replace(replace(replace(replace(
-        |      replace(replace(replace(
-        |        lpad(CAST(c_custkey AS VARCHAR), 6, '0'),
-        |      '0','bar'),'1','dex'),'2','fin'),'3','gol'),'4','hup'),
-        |      '5','jyc'),'6','kwm'),'7','mrd'),'8','nsk'),'9','ptz')
-        |      AS name0,
-        |    CAST(c_custkey % 3 AS INT) AS p
-        |  FROM customer),
-        |v AS (
-        |  SELECT c_custkey*3 AS id, substr(name0,1,6) || ' ' ||
-        |      substr(name0,7,6) || ' ' || substr(name0,13,6) AS name
-        |  FROM c0
-        |  UNION ALL
-        |  SELECT c_custkey*3+1, 'dr. ' || substr(name0,1,6) || ' ' ||
-        |      substr(name0,7,6) || ' ' || substr(name0,13,6)
-        |  FROM c0
-        |  UNION ALL
-        |  SELECT c_custkey*3+2, substr(name0,1,p) || substr(name0,p+2,17)
-        |  FROM c0),
-        |n AS (SELECT id, name,
-        |        regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
-        |      FROM v),
-        |nb AS (SELECT id, norm, substr(norm, -9, 9) AS blk FROM n
-        |       WHERE norm IS NOT NULL AND length(norm) > 0),
-        |ok AS (SELECT blk FROM nb GROUP BY blk HAVING count(*) <= 1000),
-        |nn AS (SELECT nb.* FROM nb JOIN ok USING (blk)),
-        |e0 AS (SELECT a.id AS src, b.id AS dst FROM nn a JOIN nn b
-        |       ON a.blk = b.blk AND a.id < b.id
-        |       AND levenshtein(a.norm, b.norm) * 8 <=
-        |           greatest(length(a.norm), length(b.norm)) * 1),
-        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |reach AS (SELECT src, dst FROM edges
-        |          UNION SELECT r.src, e.dst
-        |          FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (SELECT src AS id, min(dst) AS reach_min
-        |         FROM reach GROUP BY src)
-        |SELECT n.id, n.name,
-        |  CAST(least(coalesce(c.reach_min, n.id), n.id) AS BIGINT)
-        |    AS entity_id
-        |FROM n LEFT JOIN comp c USING (id)
-        |ORDER BY n.id""".stripMargin,
+      s"""WITH RECURSIVE ${entityClosureCtes()}
+         |SELECT id, name, entity_id FROM ent
+         |ORDER BY id""".stripMargin,
+
+    // incremental ER: corpus closure under the corpus predicate gives
+    // the persisted entities; the batch then mirrors the probe contract
+    // exactly — both-side block guards, the same integer gate
+    // batch-vs-index and batch-vs-batch, batch components via their own
+    // recursive closure, one-hop corpus adoption by component min
+    "q_entity_incremental" -> {
+      val corpusPred =
+        "(id // 3) % 10 <> 0 AND NOT ((id // 3) % 10 = 1 AND id % 3 = 2)"
+      val batchPred =
+        "(id // 3) % 10 = 0 OR ((id // 3) % 10 = 1 AND id % 3 = 2)"
+      s"""WITH RECURSIVE ${entityClosureCtes(corpusPred)},
+         |ci AS (SELECT nb.id, nb.norm, nb.blk, e.entity_id
+         |       FROM nb JOIN ent e USING (id)),
+         |iok AS (SELECT blk FROM ci GROUP BY blk
+         |        HAVING count(*) <= 1000),
+         |bn AS (SELECT id, name,
+         |         regexp_replace(lower(name), '[^a-z0-9]', '', 'g')
+         |           AS norm
+         |       FROM v WHERE $batchPred),
+         |bnb AS (SELECT id, norm, substr(norm, -9, 9) AS blk FROM bn
+         |        WHERE norm IS NOT NULL AND length(norm) > 0),
+         |bok AS (SELECT blk FROM bnb GROUP BY blk
+         |        HAVING count(*) <= 1000),
+         |bg AS (SELECT bnb.* FROM bnb JOIN bok USING (blk)),
+         |mb AS (SELECT b.id, min(i.entity_id) AS ext
+         |       FROM bg b JOIN iok USING (blk)
+         |       JOIN ci i ON b.blk = i.blk
+         |        AND levenshtein(b.norm, i.norm) * 8 <=
+         |            greatest(length(b.norm), length(i.norm)) * 1
+         |       GROUP BY b.id),
+         |be0 AS (SELECT a.id AS src, b.id AS dst FROM bg a JOIN bg b
+         |        ON a.blk = b.blk AND a.id < b.id
+         |        AND levenshtein(a.norm, b.norm) * 8 <=
+         |            greatest(length(a.norm), length(b.norm)) * 1),
+         |bedges AS (SELECT src, dst FROM be0
+         |           UNION SELECT dst, src FROM be0),
+         |breach AS (SELECT src, dst FROM bedges
+         |           UNION SELECT r.src, e.dst
+         |           FROM breach r JOIN bedges e ON r.dst = e.src),
+         |bcomp AS (SELECT src AS id, min(dst) AS reach_min
+         |          FROM breach GROUP BY src),
+         |ba AS (SELECT bn.id,
+         |         least(coalesce(c.reach_min, bn.id), bn.id) AS comp
+         |       FROM bn LEFT JOIN bcomp c USING (id)),
+         |ec AS (SELECT ba.comp, min(mb.ext) AS comp_ext
+         |       FROM ba JOIN mb USING (id) GROUP BY ba.comp)
+         |SELECT ba.id,
+         |  CAST(least(coalesce(ec.comp_ext, ba.comp), ba.comp) AS BIGINT)
+         |    AS entity_id
+         |FROM ba LEFT JOIN ec USING (comp)
+         |ORDER BY ba.id""".stripMargin
+    },
+
+    // resolved rollup: the aggregate ER exists FOR — same closure CTEs,
+    // then per-entity sums instead of per-variant rows
+    "q_entity_rollup" ->
+      s"""WITH RECURSIVE ${entityClosureCtes()}
+         |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(sum((id * 31) % 97) AS BIGINT) AS sum_cites,
+         |  min(name) AS canonical_name
+         |FROM ent GROUP BY entity_id
+         |ORDER BY entity_id""".stripMargin,
 
     // 3-round PageRank, unrolled. Float discipline: every decimal literal
     // is forced into DOUBLE space before arithmetic (DuckDB's bare

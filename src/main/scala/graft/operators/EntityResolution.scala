@@ -134,6 +134,25 @@ object EntityResolution {
       .toDF("id", "component")
   }
 
+  /** (id, norm, blk) projection + the linkability filter. */
+  private def baseFrames(records: DataFrame, id: Column, name: Column,
+                         block: Column => Column)
+      : (DataFrame, DataFrame) = {
+    val norm = normalizeName(name)
+    val base = records.select(id.as("id"), norm.as("norm"),
+      block(norm).as("blk"))
+    val linkable = base.where(col("norm").isNotNull &&
+      length(col("norm")) > 0 && col("blk").isNotNull)
+    (base, linkable)
+  }
+
+  /** One-scalar probe: longest normalized name, or None if nothing is
+    * linkable. */
+  private def maxNormLen(linkable: DataFrame): Option[Int] = {
+    val row = linkable.agg(max(length(col("norm")))).head()
+    if (row.isNullAt(0)) None else Some(row.getInt(0))
+  }
+
   /** Resolve records to entities. `block` is an expression over the
     * NORMALIZED name (exposed to it as `normalizeName(name)`); records
     * whose normalized name is null/empty resolve as themselves.
@@ -148,25 +167,128 @@ object EntityResolution {
         "non-negative fraction")
     require(maxBlock >= 2,
       s"resolveEntities: maxBlock=$maxBlock cannot form any pair")
-    val norm = normalizeName(name)
-    val base = records.select(id.as("id"), norm.as("norm"),
-      block(norm).as("blk"))
-    val linkable = base.where(col("norm").isNotNull &&
-      length(col("norm")) > 0 && col("blk").isNotNull)
-    // one scalar: the longest normalized name fixes the banded-lev cap
-    val maxLenRow = linkable.agg(max(length(col("norm")))).head()
+    val (base, linkable) = baseFrames(records, id, name, block)
     val ids = base.select(col("id"))
-    if (maxLenRow.isNullAt(0)) {
-      // nothing linkable — everyone resolves as themselves
-      ids.select(col("id"), col("id").as("entity_id"))
-    } else {
-      val cap =
-        (maxLenRow.getInt(0).toLong * maxDistNum / maxDistDen).toInt
-      val pairs = matchedPairs(linkable, maxDistNum, maxDistDen,
-        maxBlock, cap)
-      ids.join(blockComponents(pairs), Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("component"), col("id")).as("entity_id"))
+    maxNormLen(linkable) match {
+      case None =>
+        // nothing linkable — everyone resolves as themselves
+        ids.select(col("id"), col("id").as("entity_id"))
+      case Some(maxLen) =>
+        val cap = (maxLen.toLong * maxDistNum / maxDistDen).toInt
+        val pairs = matchedPairs(linkable, maxDistNum, maxDistDen,
+          maxBlock, cap)
+        ids.join(blockComponents(pairs), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("component"), col("id")).as("entity_id"))
+    }
+  }
+
+  /** Persist a resolved entity index — the record-linkage member of the
+    * write-once index family (minhash `Dedup.persistIndex`, semantic
+    * `Similarity.persistSemanticIndex`, passage, curation):
+    *
+    *  - `records/` — (id, norm, blk, entity_id): every LINKABLE record
+    *    with its resolved entity (non-linkable records can never match
+    *    a probe and are not stored);
+    *  - `meta/`    — the match contract (max_dist_num, max_dist_den,
+    *    max_block, max_norm_len), written LAST (data before meta, so a
+    *    committed meta implies complete data), then the atomic
+    *    `meta/_GRAFT_COMMITTED` marker. Probes read the contract FROM
+    *    meta, so build and probe can never gate differently.
+    *
+    * Later ingestion batches call [[probeEntityIndex]]: cost tracks the
+    * batch, not the corpus. */
+  def persistEntityIndex(records: DataFrame, id: Column, name: Column,
+                         block: Column => Column, path: String,
+                         maxDistNum: Int = 1, maxDistDen: Int = 8,
+                         maxBlock: Int = 1000): Unit = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val (_, linkable) = baseFrames(records, id, name, block)
+    val maxLen = maxNormLen(linkable).getOrElse(0)
+    val resolved = resolveEntities(records, id, name, block,
+      maxDistNum, maxDistDen, maxBlock)
+    linkable.join(resolved, Seq("id"))
+      .select(col("id"), col("norm"), col("blk"), col("entity_id"))
+      .write.mode("overwrite").parquet(s"$path/records")
+    Seq((maxDistNum, maxDistDen, maxBlock, maxLen))
+      .toDF("max_dist_num", "max_dist_den", "max_block", "max_norm_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED"), false).close()
+  }
+
+  /** Probe a [[persistEntityIndex]] artifact with a new record batch:
+    * assign every batch record an entity WITHOUT re-resolving the
+    * corpus. Batch ids must be disjoint from corpus ids.
+    *
+    * Semantics (the exact contract the oracle mirrors):
+    *  1. batch records normalize/block under the PERSISTED contract;
+    *     blocks oversized on EITHER side (batch count or index count
+    *     > max_block) are excluded from matching — the probe-side form
+    *     of the build's guard (a hot index block would otherwise make
+    *     probe cost corpus-shaped);
+    *  2. batch-internal matches cluster via the same per-block
+    *     union-find;
+    *  3. each batch component adopts
+    *     least(min matched corpus entity_id, component min batch id) —
+    *     i.e. what a full re-resolution would assign the batch rows,
+    *     with ONE-HOP corpus attachment. Deferred by design (the
+    *     write-once posture shared by the whole index family): a batch
+    *     that bridges two existing corpus entities does not rewrite
+    *     them, and two batch components linked only THROUGH a shared
+    *     corpus entity adopt that entity's id rather than each other's
+    *     min. Both resolve on the periodic re-bootstrap, exactly like
+    *     the ingest gates' re-index cadence.
+    *
+    * Output: (id, entity_id) — one row per batch record. */
+  def probeEntityIndex(batch: DataFrame, id: Column, name: Column,
+                       block: Column => Column, path: String)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (num, den, maxBlock, idxMaxLen) = (meta.getInt(0),
+      meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val idx = spark.read.parquet(s"$path/records")
+    val (base, linkable) = baseFrames(batch, id, name, block)
+    val ids = base.select(col("id"))
+    maxNormLen(linkable) match {
+      case None =>
+        ids.select(col("id"), col("id").as("entity_id"))
+      case Some(batchMaxLen) =>
+        val cap =
+          (math.max(batchMaxLen, idxMaxLen).toLong * num / den).toInt
+        // both-side block guard, both histograms bounded by #blocks
+        val okIdx = idx.groupBy("blk")
+          .agg(count(lit(1)).as("idx_n"))
+          .where(col("idx_n") <= maxBlock).select("blk")
+        val guarded = linkable.join(
+          linkable.groupBy("blk").agg(count(lit(1)).as("b_n")),
+          Seq("blk")).where(col("b_n") <= maxBlock)
+          .select("id", "norm", "blk")
+        val maxLen = greatest(length(col("norm")), length(col("i_norm")))
+        val matches = guarded
+          .join(idx.join(okIdx, Seq("blk"))
+            .select(col("blk"), col("norm").as("i_norm"),
+              col("entity_id")), Seq("blk"))
+          .where(abs(length(col("norm")) - length(col("i_norm")))
+            * lit(den) <= maxLen * lit(num))
+          .withColumn("lv", levenshtein(col("norm"), col("i_norm"), cap))
+          .where(col("lv") >= 0 && col("lv") * lit(den)
+            <= maxLen * lit(num))
+          .groupBy(col("id")).agg(min(col("entity_id")).as("ext"))
+        val pairs = matchedPairs(linkable, num, den, maxBlock, cap)
+        val assign = ids.join(blockComponents(pairs), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("component"), col("id")).as("comp"))
+        val extPerComp = assign.join(matches, Seq("id"))
+          .groupBy("comp").agg(min(col("ext")).as("comp_ext"))
+        assign.join(extPerComp, Seq("comp"), "left")
+          .select(col("id"),
+            least(coalesce(col("comp_ext"), col("comp")), col("comp"))
+              .as("entity_id"))
     }
   }
 }

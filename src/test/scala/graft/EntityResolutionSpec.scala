@@ -75,6 +75,61 @@ class EntityResolutionSpec extends SparkTestBase {
       s"pair join degenerated to a product:\n$plan")
   }
 
+  test("persist/probe entity index: adoption, novel records, the " +
+    "deferred-merge posture, and the meta-pinned gate contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_er_idx")
+      .toString
+    // corpus: two entities (jane 1-2, mary 10) plus two far-apart
+    // records 20/21 that a bridging batch record could both match
+    val corpus = Seq((1L, "jane doe"), (2L, "dr. jane doe"),
+      (10L, "mary major"), (20L, "pqrs"), (21L, "pqzz")
+    ).toDF("id", "name")
+    // gate 1/4: pqrs↔pqzz dist 2 within... 2*4=8 <= 4? NO (len 4):
+    // corpus 20/21 stay separate entities
+    EntityResolution.persistEntityIndex(corpus, col("id"), col("name"),
+      oneBlock, dir, maxDistNum = 1, maxDistDen = 4)
+    def probe(recs: Seq[(Long, String)]) =
+      EntityResolution.probeEntityIndex(recs.toDF("id", "name"),
+          col("id"), col("name"), oneBlock, dir)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    // 100: typo of jane (dist 1) → adopts entity 1 even though it also
+    //      links 101 (novel, dist 1 of it) into the same component;
+    // 102: novel pair with 103 → min batch id 102;
+    // 104: matches BOTH pqrs and pqzz (dist 1 each) → adopts the MIN
+    //      corpus entity (20) — the deferred merge: 21 is not rewritten
+    assert(probe(Seq(100L -> "jane does", 101L -> "jane doess",
+      102L -> "zorro xy", 103L -> "zorro xyz",
+      104L -> "pqzs")) ===
+      Seq(100L -> 1L, 101L -> 1L, 102L -> 102L, 103L -> 102L,
+        104L -> 20L))
+    // the gate comes from META (1/4), not the probe's defaults: jane's
+    // TITLED form (dist 2 of entity 1's canonical, len 10) only matches
+    // under 1/4 — under the 1/8 default it would be novel
+    assert(probe(Seq(200L -> "dr jane doe")) === Seq(200L -> 1L))
+    // rebuild idempotence: overwrite-persist again, identical answers
+    EntityResolution.persistEntityIndex(corpus, col("id"), col("name"),
+      oneBlock, dir, maxDistNum = 1, maxDistDen = 4)
+    assert(probe(Seq(100L -> "jane does")) === Seq(100L -> 1L))
+  }
+
+  test("probe entity index: two batch components bridged only THROUGH " +
+    "a shared corpus entity both adopt it (the pinned one-hop contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_er_idx2")
+      .toString
+    val corpus = Seq((50L, "abcdefgh")).toDF("id", "name")
+    EntityResolution.persistEntityIndex(corpus, col("id"), col("name"),
+      oneBlock, dir, maxDistNum = 1, maxDistDen = 4)
+    // 200 and 300 are dist 4 apart (no batch edge) but each is dist 2
+    // from the corpus record: both adopt 50; a full re-resolution would
+    // agree here (50 is the global min) — the case documents that the
+    // adoption is per-component, one hop
+    val got = EntityResolution.probeEntityIndex(
+        Seq(200L -> "abcdefQQ", 300L -> "abQQefgh").toDF("id", "name"),
+        col("id"), col("name"), oneBlock, dir)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(200L -> 50L, 300L -> 50L))
+  }
+
   test("resolveEntities: rejects a non-positive ratio denominator and " +
     "an unpairable maxBlock") {
     val recs = Seq((1L, "a")).toDF("id", "name")

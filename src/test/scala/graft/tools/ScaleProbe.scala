@@ -1197,6 +1197,60 @@ object ScaleProbe {
       }
     }
 
+    if (which("entity-weak")) {
+      // Entity resolution weak scaling: 4 syllable-prefix-disjoint
+      // replicas of the sf0.1 variant construction = 180k records /
+      // 60k true entities. Replicas share BLOCK keys (same digit
+      // suffixes), so blocks grow 4x (~180 records) — the probe
+      // stresses exactly the per-block quadratic the guard bounds,
+      // while the disjoint prefixes keep cross-replica distances >= 4.
+      // Invariant: exactly 60k entities, every one of size 3.
+      import org.apache.spark.sql.Column
+      val syls = Seq("0" -> "bar", "1" -> "dex", "2" -> "fin",
+        "3" -> "gol", "4" -> "hup", "5" -> "jyc", "6" -> "kwm",
+        "7" -> "mrd", "8" -> "nsk", "9" -> "ptz")
+      val name0 = syls.foldLeft(
+        lpad(col("c_custkey").cast("string"), 6, "0"): Column) {
+        case (c, (d, sy)) => regexp_replace(c, d, sy)
+      }
+      val cust = graft.Tables.customer(spark, dir)
+      // replica prefixes pairwise distinct at EVERY position (lev 3
+      // apart) — a 1-char prefix would put same-custkey records of two
+      // replicas at distance 1, inside the gate
+      val prefixes = Seq("zub", "vok", "wim", "yat")
+      val recs = prefixes.zipWithIndex.map { case (pfx, k) =>
+        cust.select((col("c_custkey") + lit(k * 1000000L))
+            .as("c_custkey"),
+          concat(lit(pfx), name0).as("name0"),
+          (col("c_custkey") % 3).cast("int").as("p"))
+      }.reduce(_.unionByName(_))
+        .select(explode(array(
+          struct((col("c_custkey") * 3).as("id"), col("name0").as("name")),
+          struct((col("c_custkey") * 3 + 1).as("id"),
+            concat(lit("dr. "), col("name0")).as("name")),
+          // deletion inside the replica prefix's following syllable
+          // block start (chars 4..6 = the constant "bar|dex|.." of
+          // digit 0): keep 1..(3+p), skip one, take the rest
+          struct((col("c_custkey") * 3 + 2).as("id"),
+            concat(expr("substr(name0, 1, 3 + p)"),
+              expr("substr(name0, 5 + p, 24)")).as("name"))))
+          .as("r"))
+        .select(col("r.id").as("id"), col("r.name").as("name"))
+        .localCheckpoint(true)
+      t("entity_weak_180k_rows")(recs.count())
+      t("entity_weak_resolve") {
+        val resolved = graft.operators.EntityResolution.resolveEntities(
+          recs, col("id"), col("name"), n => substring(n, -9, 9))
+          .localCheckpoint(true)
+        val sizes = resolved.groupBy("entity_id").count()
+          .groupBy("count").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(sizes == Map(3L -> 60000L),
+          s"entity size histogram wrong: $sizes")
+        resolved.select("entity_id").distinct().count()
+      }
+    }
+
     if (which("pagerank-50k")) {
       // PageRank over the full sf0.1 customer-supplier graph (the bench
       // query's graph at 10x bench iterations) — exercises the round
