@@ -208,9 +208,13 @@ object EntityResolution {
     val maxLen = maxNormLen(linkable).getOrElse(0)
     val resolved = resolveEntities(records, id, name, block,
       maxDistNum, maxDistDen, maxBlock)
-    linkable.join(resolved, Seq("id"))
-      .select(col("id"), col("norm"), col("blk"), col("entity_id"))
-      .write.mode("overwrite").parquet(s"$path/records")
+    // norm_len rides along so probes recover the corpus-wide maximum
+    // (the banded-lev cap) from parquet FOOTER stats as the index
+    // grows — meta is immutable, so a stored max would go stale the
+    // first time a gate epoch admits a longer name. Partitioned under
+    // ingest_batch = -1: the layout [[entityGateBatch]] appends its
+    // epochs into, keeping every file at one directory depth.
+    writeRecordsPartition(linkable.join(resolved, Seq("id")), -1L, path)
     Seq((maxDistNum, maxDistDen, maxBlock, maxLen))
       .toDF("max_dist_num", "max_dist_den", "max_block", "max_norm_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -219,6 +223,20 @@ object EntityResolution {
     fs.create(new org.apache.hadoop.fs.Path(
       s"$path/meta/_GRAFT_COMMITTED"), false).close()
   }
+
+  /** The records/ partition write shared by build and gate: dynamic
+    * partition overwrite, so an epoch replay rewrites ITS OWN partition
+    * byte-identically and never touches committed ones. */
+  private def writeRecordsPartition(assigned: DataFrame, epoch: Long,
+                                    path: String): Unit =
+    assigned
+      .select(col("id"), col("norm"), length(col("norm")).as("norm_len"),
+        col("blk"), col("entity_id"))
+      .withColumn("ingest_batch", lit(epoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(s"$path/records")
 
   /** Probe a [[persistEntityIndex]] artifact with a new record batch:
     * assign every batch record an entity WITHOUT re-resolving the
@@ -243,15 +261,28 @@ object EntityResolution {
     *     min. Both resolve on the periodic re-bootstrap, exactly like
     *     the ingest gates' re-index cadence.
     *
-    * Output: (id, entity_id) — one row per batch record. */
+    * Output: (id, entity_id) — one row per batch record.
+    *
+    * `excludeEpoch` is the gate's replay hinge: a replayed epoch k must
+    * not match against ITS OWN previously-committed records, so the
+    * gate probes with the epoch-k partition excluded (the passage
+    * gate's self-excluding index read). */
   def probeEntityIndex(batch: DataFrame, id: Column, name: Column,
-                       block: Column => Column, path: String)
+                       block: Column => Column, path: String,
+                       excludeEpoch: Option[Long] = None)
       : DataFrame = {
     val spark = batch.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (num, den, maxBlock, idxMaxLen) = (meta.getInt(0),
-      meta.getInt(1), meta.getInt(2), meta.getInt(3))
-    val idx = spark.read.parquet(s"$path/records")
+    val (num, den, maxBlock) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val idxAll = spark.read.parquet(s"$path/records")
+    val idx = excludeEpoch.fold(idxAll)(e =>
+      idxAll.where(col("ingest_batch") =!= lit(e)))
+    // corpus-side banded-lev cap from the skinny norm_len column —
+    // parquet aggregate pushdown answers this from footers; meta's
+    // build-time value would go stale as gate epochs admit longer names
+    val idxMaxRow = idx.agg(max(col("norm_len"))).head()
+    val idxMaxLen = if (idxMaxRow.isNullAt(0)) 0 else idxMaxRow.getInt(0)
     val (base, linkable) = baseFrames(batch, id, name, block)
     val ids = base.select(col("id"))
     maxNormLen(linkable) match {
@@ -290,5 +321,84 @@ object EntityResolution {
             least(coalesce(col("comp_ext"), col("comp")), col("comp"))
               .as("entity_id"))
     }
+  }
+
+  /** Continuous entity resolution — the record-linkage member of the
+    * ingest-gate family (minhash / semantic / passage / curation), as a
+    * `foreachBatch((batch, epochId) => ...)` body:
+    *
+    *  - BOOTSTRAP (no commit marker): the first batch full-resolves
+    *    among itself, lands under `records/ingest_batch=<epoch>`, then
+    *    meta (`errorIfExists`) + the atomic `meta/_GRAFT_COMMITTED`
+    *    marker — data before meta, so a committed meta implies complete
+    *    data, and a crash anywhere before the marker re-bootstraps
+    *    idempotently (dynamic partition overwrite rewrites the same
+    *    partition byte-identically).
+    *  - EPOCHS: probe with the SELF-EXCLUDING index read
+    *    (`excludeEpoch = epochId`) so a post-commit replay of epoch k
+    *    assigns against exactly the pre-k index state and rewrites its
+    *    partition identically — exactly-once in row terms without any
+    *    write-ahead log. New records ADOPT matched persisted entities
+    *    (one-hop, [[probeEntityIndex]] semantics) or mint their batch
+    *    component min as a new entity id; entities only ever grow, and
+    *    accumulated deferred merges resolve on the periodic
+    *    re-bootstrap, the cadence the whole gate family shares.
+    *
+    * Per-epoch cost tracks the batch: one batch resolution + one
+    * blocked probe join; the only index-wide reads are the blk
+    * histogram (#blocks-sized) and the footer-answerable max(norm_len).
+    */
+  def entityGateBatch(indexPath: String, idCol: String, nameCol: String,
+                      block: Column => Column,
+                      maxDistNum: Int = 1, maxDistDen: Int = 8,
+                      maxBlock: Int = 1000)
+                     (batch: DataFrame, epochId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val marker =
+      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_GRAFT_COMMITTED")
+    val legacy = new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !(fs.exists(marker) || fs.exists(legacy))
+    if (!bootstrap) {
+      val meta = spark.read.parquet(s"$indexPath/meta").head()
+      require(meta.getInt(0) == maxDistNum &&
+        meta.getInt(1) == maxDistDen && meta.getInt(2) == maxBlock,
+        s"persisted entity index at $indexPath was built with contract " +
+          s"(${meta.getInt(0)}/${meta.getInt(1)}, maxBlock " +
+          s"${meta.getInt(2)}) but the gate requested " +
+          s"($maxDistNum/$maxDistDen, maxBlock $maxBlock)")
+    }
+    val assigned =
+      if (bootstrap)
+        resolveEntities(batch, col(idCol), col(nameCol), block,
+          maxDistNum, maxDistDen, maxBlock)
+      else
+        probeEntityIndex(batch, col(idCol), col(nameCol), block,
+          indexPath, excludeEpoch = Some(epochId))
+    val (_, linkable) =
+      baseFrames(batch, col(idCol), col(nameCol), block)
+    // only linkable records are indexed (same as the batch build); the
+    // lineage reads the partition tree the write below mutates, so the
+    // frame is pinned across the write and released in the finally
+    val admitted =
+      Dedup.materialize(linkable.join(assigned, Seq("id")))
+    try {
+      if (!admitted.isEmpty) {
+        writeRecordsPartition(admitted, epochId, indexPath)
+        if (bootstrap) {
+          if (fs.exists(metaDir)) fs.delete(metaDir, true)
+          val maxLen = maxNormLen(linkable).getOrElse(0)
+          Seq((maxDistNum, maxDistDen, maxBlock, maxLen))
+            .toDF("max_dist_num", "max_dist_den", "max_block",
+              "max_norm_len")
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(s"$indexPath/meta")
+          fs.create(marker, false).close()
+        }
+      }
+    } finally Dedup.releaseMaterialized(admitted)
   }
 }

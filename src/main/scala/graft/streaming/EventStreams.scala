@@ -304,6 +304,27 @@ object EventStreams {
         strideWords, broadcastBatch) _)
       .start()
 
+  /** Continuous entity resolution: every microbatch runs
+    * `EntityResolution.entityGateBatch` — new records adopt matched
+    * persisted entities or mint new ones, assignments land in the
+    * epoch-partitioned entity index, replay-safe per the
+    * self-excluding index read documented there. */
+  def startEntityGate(stream: DataFrame, indexPath: String,
+                      checkpoint: String,
+                      block: org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column,
+                      idCol: String = "id", nameCol: String = "name",
+                      maxDistNum: Int = 1, maxDistDen: Int = 8,
+                      maxBlock: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.EntityResolution.entityGateBatch(
+        indexPath, idCol, nameCol, block, maxDistNum, maxDistDen,
+        maxBlock) _)
+      .start()
+
   // ---- custom state: flatMapGroupsWithState sessionization -----------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

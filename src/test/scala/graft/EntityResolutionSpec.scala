@@ -130,6 +130,72 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(got === Seq(200L -> 50L, 300L -> 50L))
   }
 
+  test("entityGateBatch: bootstrap, epoch adoption, torn-bootstrap " +
+    "and post-commit replays row-identical, contract pinned by meta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_er_gate")
+      .toString
+    val gate = EntityResolution.entityGateBatch(dir, "id", "name",
+      oneBlock, maxDistNum = 1, maxDistDen = 4) _
+    def idx = spark.read.parquet(s"$dir/records")
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    val b0 = Seq(1L -> "jane doe", 2L -> "dr. jane doe",
+      3L -> "bob stone").toDF("id", "name")
+    gate(b0, 0L)
+    val afterBootstrap = Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    assert(idx === afterBootstrap)
+    // torn bootstrap: meta files present but BOTH committed signals
+    // gone (marker and the legacy meta/_SUCCESS — with either present
+    // the crash window is correctly treated as committed) → replay
+    // re-bootstraps idempotently and restores the marker
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker =
+      new org.apache.hadoop.fs.Path(s"$dir/meta/_GRAFT_COMMITTED")
+    fs.delete(marker, false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS"), false)
+    gate(b0, 0L)
+    assert(idx === afterBootstrap)
+    assert(fs.exists(marker))
+    // epoch 1: the typo ADOPTS entity 1; the novel pair mints 200
+    val b1 = Seq(100L -> "jane does", 200L -> "zorro xy",
+      201L -> "zorro xyz").toDF("id", "name")
+    gate(b1, 1L)
+    val afterEpoch1 = afterBootstrap ++
+      Map(100L -> 1L, 200L -> 200L, 201L -> 200L)
+    assert(idx === afterEpoch1)
+    // post-commit replay of epoch 1: the self-excluding read assigns
+    // from exactly the pre-epoch state → row-identical
+    gate(b1, 1L)
+    assert(idx === afterEpoch1)
+    // a gate with a different contract refuses against committed meta
+    intercept[IllegalArgumentException] {
+      EntityResolution.entityGateBatch(dir, "id", "name", oneBlock,
+        maxDistNum = 1, maxDistDen = 8)(b1, 2L)
+    }
+  }
+
+  test("startEntityGate: MemoryStream smoke — two microbatches land as " +
+    "epochs, cross-batch adoption through the persisted index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_er_stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.startEntityGate(
+      mem.toDF.toDF("id", "name"), s"$dir/idx", s"$dir/ckpt",
+      oneBlock, maxDistNum = 1, maxDistDen = 4)
+    try {
+      mem.addData(Seq(1L -> "jane doe", 3L -> "bob stone"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq(100L -> "jane does", 200L -> "zorro xy"): _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/idx/records")
+        .select("id", "entity_id").as[(Long, Long)].collect().toMap
+      // 100 adopts entity 1 ACROSS microbatches via the index; 200 new
+      assert(got === Map(1L -> 1L, 3L -> 3L, 100L -> 1L, 200L -> 200L))
+    } finally q.stop()
+  }
+
   test("resolveEntities: rejects a non-positive ratio denominator and " +
     "an unpairable maxBlock") {
     val recs = Seq((1L, "a")).toDF("id", "name")
