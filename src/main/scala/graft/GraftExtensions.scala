@@ -61,8 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => redactExpr(cs.head)))
     ext.injectFunction(register("graft_normalize_text", 1)(
       cs => normalizeExpr(cs.head)))
-    // a native expression, not a composition — splice it in directly
+    // native expressions, not compositions — splice them in directly
     ext.injectFunction(register("graft_nfc", 1)(
       cs => graft.functions.NfcNormalize(cs.head)))
+    ext.injectFunction(register("graft_jaro_winkler", 2)(
+      cs => graft.functions.JaroWinkler(cs(0), cs(1))))
   }
 }

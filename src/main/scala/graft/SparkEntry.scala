@@ -1187,6 +1187,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Jaro-Winkler scores via the codegen'd expression — raw DOUBLES
+    // under the hash oracle, legal because the expression's operation
+    // order is bit-identical to DuckDB's jaro_winkler_similarity
+    // (30k-pair fuzz, see JaroWinkler scaladoc); titled/typo variants
+    // scored against each customer's canonical name
+    "q_scalar_jarowinkler" -> ((s, dir) => {
+      val v = entityNameVariants(s, dir)
+      val canon = v.where(expr("id % 3 = 0"))
+        .select(expr("id DIV 3").as("ck"), col("name").as("canonical"))
+      v.where(expr("id % 3 <> 0"))
+        .select(expr("id DIV 3").as("ck"), col("id"), col("name"))
+        .join(canon, "ck")
+        .select(col("id"), col("name"), col("canonical"),
+          graft.functions.StringSimilarity.jaroWinkler(col("name"),
+            col("canonical")).as("jw"))
+        .orderBy("id")
+    }),
+
     // the aggregate entity resolution EXISTS for: per-variant
     // aggregation counts each spelling separately (3 rows per author
     // here); grouping by the RESOLVED id rolls the measure up to the
@@ -3642,6 +3660,17 @@ object SparkEntry {
          |FROM ba LEFT JOIN ec USING (comp)
          |ORDER BY ba.id""".stripMargin
     },
+
+    // jaro-winkler: DuckDB's native function against the expression's
+    // pinned operation order (only c0/v of the shared CTEs execute —
+    // unreferenced CTEs are not evaluated)
+    "q_scalar_jarowinkler" ->
+      s"""WITH RECURSIVE ${entityClosureCtes()}
+         |SELECT o.id, o.name, c.name AS canonical,
+         |  jaro_winkler_similarity(o.name, c.name) AS jw
+         |FROM v o JOIN v c
+         |  ON o.id // 3 = c.id // 3 AND c.id % 3 = 0 AND o.id % 3 <> 0
+         |ORDER BY o.id""".stripMargin,
 
     // resolved rollup: the aggregate ER exists FOR — same closure CTEs,
     // then per-entity sums instead of per-variant rows
