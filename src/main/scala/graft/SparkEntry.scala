@@ -1356,6 +1356,17 @@ object SparkEntry {
           col("text"), k = 5)
         .orderBy("doc_id", "rank")),
 
+    // sparse TF-IDF cosine neighbors: the lexical similarity tier
+    // between set-overlap (jaccard) and dense embeddings — shared rare
+    // terms dominate; term-ordered folds + correctly-rounded sqrt keep
+    // the raw cosine doubles hash-exact; bounded doc slice keeps the
+    // all-shared-vocab synthetic's pair count sane at bench sf
+    "q_text_simdocs" -> ((s, dir) =>
+      TextAnalysis.tfidfCosineTopK(
+          Tables.documents(s, dir).where(col("doc_id") < 300),
+          col("doc_id"), col("text"), k = 5, maxDf = 100000L)
+        .orderBy("doc_a", "rank")),
+
     // BM25 retrieval top-k (rational idf — the inside of Robertson's
     // ln, chosen like tfidf's linear idf so the oracle hashes the
     // score itself); the per-doc sum is a term-ordered sequential fold
@@ -3930,6 +3941,38 @@ object SparkEntry {
          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok,
          |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
          |FROM sc WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // tf-idf cosine neighbors: identical weight (tf/df), term-ordered
+    // list_sum folds for norms and dots, the same division association
+    // dot / (na * nb) — raw doubles hash-match
+    "q_text_simdocs" ->
+      s"""WITH tt AS (SELECT doc_id,
+         |              unnest(string_split($normTextSql, ' ')) AS tok
+         |            FROM documents WHERE doc_id < 300),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tt WHERE length(tok) > 0 GROUP BY 1, 2),
+         |w AS (SELECT doc_id, tok, CAST(tf AS DOUBLE) / df AS w
+         |      FROM (SELECT *, count(*) OVER (PARTITION BY tok) AS df
+         |            FROM tf)
+         |      WHERE df <= 100000),
+         |nr AS (SELECT doc_id,
+         |         sqrt(list_sum(list(w * w ORDER BY tok))) AS nrm
+         |       FROM w GROUP BY doc_id),
+         |dt AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |         list_sum(list(x.w * y.w ORDER BY x.tok)) AS dot
+         |       FROM w x JOIN w y
+         |         ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2),
+         |cs AS (SELECT a, b, dot / (na.nrm * nb.nrm) AS cos
+         |       FROM dt JOIN nr na ON dt.a = na.doc_id
+         |       JOIN nr nb ON dt.b = nb.doc_id),
+         |sym AS (SELECT a AS doc_a, b AS doc_b, cos FROM cs
+         |        UNION ALL SELECT b, a, cos FROM cs)
+         |SELECT doc_a, doc_b, cos, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_a
+         |    ORDER BY cos DESC, doc_b ASC) AS INTEGER) AS rank
+         |  FROM sym)
+         |WHERE rank <= 5 ORDER BY doc_a, rank""".stripMargin,
 
     // BM25 with the rational idf (N−df+0.5)/(df+0.5): every double op
     // mirrors Retrieval.bm25TopK's expression order exactly, the

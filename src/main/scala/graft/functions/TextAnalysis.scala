@@ -55,6 +55,75 @@ object TextAnalysis {
         col("df"), col("score"))
   }
 
+  /** Sparse TF-IDF cosine similarity, top-k neighbors per document —
+    * the LEXICAL nearest-neighbor tier between set-overlap (jaccard/
+    * minhash: unweighted) and dense embeddings (`Similarity`): shared
+    * RARE terms dominate, shared stopwords barely count.
+    *
+    * Weights are the engine-exact linear idf w = tf/df (one IEEE
+    * division; cosine is invariant to classic idf's global N factor
+    * mathematically, and this form needs no log). Terms with
+    * df > maxDf are EXCLUDED from similarity — the deterministic
+    * stopword cap, the same hub discipline as `Dedup.jaccardPairs`'
+    * inverted-index maxDf: candidate volume is Σ df² over kept terms,
+    * so the cap is what bounds the posting self-join at corpus scale
+    * (a term in every document is the classic quadratic bomb AND
+    * carries no similarity signal). Dot products and norms are
+    * term-ordered folds (`aggregate(array_sort(...))` ≙ DuckDB
+    * `list_sum(list(x ORDER BY tok))`) and sqrt is correctly rounded,
+    * so the raw cosine doubles hash-match across engines.
+    *
+    * Output: (doc_a, doc_b, cos, rank) — both directions emitted, rank
+    * 1..k per doc_a by (cos desc, doc_b asc); docs sharing no kept
+    * term never pair. */
+  def tfidfCosineTopK(docs: org.apache.spark.sql.DataFrame, id: Column,
+                      text: Column, k: Int, maxDf: Long = 1000L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"tfidfCosineTopK: k=$k")
+    require(maxDf >= 1, s"tfidfCosineTopK: maxDf=$maxDf")
+    val tf = docs
+      .select(id.as("doc_id"), explode(split(normText(text), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val w = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .where(col("df") <= maxDf)
+      .withColumn("w", col("tf").cast("double") / col("df"))
+      .select("doc_id", "tok", "w")
+    val norms = w
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("tok"),
+        (col("w") * col("w")).as("w2"))).as("__xs"))
+      .select(col("doc_id"), sqrt(aggregate(array_sort(col("__xs")),
+        lit(0.0), (acc, x) => acc + x.getField("w2"))).as("nrm"))
+    val dots = w.as("tx")
+      .join(w.as("ty"), col("tx.tok") === col("ty.tok")
+        && col("tx.doc_id") < col("ty.doc_id"))
+      .select(col("tx.doc_id").as("a"), col("ty.doc_id").as("b"),
+        col("tx.tok").as("tok"),
+        (col("tx.w") * col("ty.w")).as("p"))
+      .groupBy("a", "b")
+      .agg(collect_list(struct(col("tok"), col("p"))).as("__ps"))
+      .select(col("a"), col("b"), aggregate(array_sort(col("__ps")),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("dot"))
+    val cos = dots
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")),
+        Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        (col("dot") / (col("na") * col("nb"))).as("cos"))
+    val sym = cos.select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("cos"))
+      .unionAll(cos.select(col("b").as("doc_a"), col("a").as("doc_b"),
+        col("cos")))
+    sym
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_a")
+        .orderBy(col("cos").desc, col("doc_b").asc)))
+      .where(col("rank") <= k)
+  }
+
   /** BPE-ish subword token count: word chunks, numbers, and individual
     * punctuation marks — the classic GPT-2 pre-tokenizer shape, counted
     * with a codegen'd regex (no tokenizer library needed for counting). */

@@ -226,4 +226,37 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(sp.collect().toSeq ===
       SparkEntry.queries("q_split_assign")(spark, dir).collect().toSeq)
   }
+
+  test("tfidfCosineTopK: identical docs at cos~1, shared-rare-term " +
+    "ranking, disjoint docs never pair, maxDf drops hot terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "Alpha  beta GAMMA"), // normalizes identically to 1
+      (3L, "alpha beta delta"),  // shares 2 of 3 terms with 1/2
+      (4L, "zulu yankee")        // vocabulary-disjoint
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfCosineTopK(docs, col("doc_id"),
+        col("text"), k = 3, maxDf = 1000L)
+      .select("doc_a", "doc_b", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // disjoint doc 4 appears nowhere (no shared term → no candidate)
+    assert(!r.exists(x => x._1 == 4L || x._2 == 4L))
+    val byA = r.groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // identical docs: mutual rank-1 at cos within an ulp of 1
+    assert(byA(1L).head._2 === 2L && math.abs(byA(1L).head._3 - 1.0) < 1e-12)
+    assert(byA(2L).head._2 === 1L)
+    // the partial overlap ranks below the identical pair on both sides
+    assert(byA(1L)(1)._2 === 3L && byA(1L)(1)._3 < byA(1L).head._3)
+    assert(byA(3L).map(_._2).toSet === Set(1L, 2L))
+    // maxDf = 2 drops alpha/beta (df 3): doc 3 shares nothing with 1/2
+    // anymore (delta is its own), the identical pair survives on gamma
+    val capped = TextAnalysis.tfidfCosineTopK(docs, col("doc_id"),
+        col("text"), k = 3, maxDf = 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set(1L -> 2L, 2L -> 1L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tfidfCosineTopK(docs, col("doc_id"), col("text"),
+        k = 0)
+    }
+  }
 }
