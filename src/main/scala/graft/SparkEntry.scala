@@ -80,7 +80,8 @@ object SparkEntry {
     * literally), blocking + maxBlock guard, the integer levenshtein
     * gate, and the recursive min-reachability closure down to an `ent`
     * (id, name, entity_id) frame. Callers prepend WITH RECURSIVE. */
-  private def entityClosureCtes(recPred: String = "TRUE") =
+  private def entityClosureCtes(recPred: String = "TRUE",
+                                gateNum: Int = 1, gateDen: Int = 8) =
     s"""c0 AS (
       |  SELECT c_custkey,
       |    replace(replace(replace(replace(replace(replace(replace(
@@ -112,8 +113,8 @@ object SparkEntry {
       |nn AS (SELECT nb.* FROM nb JOIN ok USING (blk)),
       |e0 AS (SELECT a.id AS src, b.id AS dst FROM nn a JOIN nn b
       |       ON a.blk = b.blk AND a.id < b.id
-      |       AND levenshtein(a.norm, b.norm) * 8 <=
-      |           greatest(length(a.norm), length(b.norm)) * 1),
+      |       AND levenshtein(a.norm, b.norm) * $gateDen <=
+      |           greatest(length(a.norm), length(b.norm)) * $gateNum),
       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
       |reach AS (SELECT src, dst FROM edges
       |          UNION SELECT r.src, e.dst
@@ -1203,6 +1204,46 @@ object SparkEntry {
           graft.functions.StringSimilarity.jaroWinkler(col("name"),
             col("canonical")).as("jw"))
         .orderBy("id")
+    }),
+
+    // linkage-quality evaluation: cluster-level precision/recall/F1 of
+    // the resolution against the construction's ground truth (variants
+    // of one customer = one entity), at the default gate (perfect) and
+    // a stricter 1/12 gate that excludes the distance-2 titled variants
+    // (recall drops to exactly 1/3) — the measurement harness a real
+    // linkage deployment tunes its gate with. All counts are integer
+    // pair sums Σ C(size,2); the three ratios are single divisions
+    "q_entity_eval" -> ((s, dir) => {
+      // fixed 500-customer slice: two full resolutions would dominate
+      // the battery, and the slice makes the expected metrics
+      // sf-invariant (recall exactly 1/3 under the strict gate)
+      val recs = entityNameVariants(s, dir)
+        .where(expr("id DIV 3 < 500"))
+      def metrics(num: Int, den: Int): DataFrame = {
+        val ent = graft.operators.EntityResolution.resolveEntities(
+            recs, col("id"), col("name"), n => substring(n, -9, 9),
+            maxDistNum = num, maxDistDen = den)
+          .withColumn("truth", expr("id DIV 3"))
+        val pairsOf = expr("c * (c - 1) DIV 2")
+        val nRec = ent.agg(count(lit(1)).as("n_records"))
+        val nEnt = ent.groupBy("entity_id").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_entities"),
+            sum(pairsOf).as("n_pred_pairs"))
+        val nTrue = ent.groupBy("truth").agg(count(lit(1)).as("c"))
+          .agg(sum(pairsOf).as("n_true_pairs"))
+        val nTp = ent.groupBy("entity_id", "truth")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(pairsOf).as("n_tp"))
+        nRec.crossJoin(nEnt).crossJoin(nTrue).crossJoin(nTp)
+          .select(lit(s"$num/$den").as("gate"), col("n_records"),
+            col("n_entities"), col("n_true_pairs"), col("n_pred_pairs"),
+            col("n_tp"),
+            (col("n_tp").cast("double") / col("n_pred_pairs")).as("prec"),
+            (col("n_tp").cast("double") / col("n_true_pairs")).as("rec"))
+          .withColumn("f1", lit(2.0) * col("prec") * col("rec") /
+            (col("prec") + col("rec")))
+      }
+      metrics(1, 8).unionAll(metrics(1, 12)).orderBy("gate")
     }),
 
     // the aggregate entity resolution EXISTS for: per-variant
@@ -3618,6 +3659,41 @@ object SparkEntry {
       s"""WITH RECURSIVE ${entityClosureCtes()}
          |SELECT id, name, entity_id FROM ent
          |ORDER BY id""".stripMargin,
+
+    // linkage evaluation: the same closure at each gate inside its own
+    // WITH subquery (CTE names would collide in one scope); metric
+    // ratios recomputed per reference — identical division, identical
+    // bits
+    "q_entity_eval" -> {
+      def gateSql(num: Int, den: Int): String =
+        s"""(WITH RECURSIVE ${
+             entityClosureCtes("(id // 3) < 500", num, den)},
+           |e2 AS (SELECT id, id // 3 AS truth, entity_id FROM ent),
+           |sz AS (SELECT entity_id, count(*) AS c FROM e2 GROUP BY 1),
+           |tr AS (SELECT truth, count(*) AS c FROM e2 GROUP BY 1),
+           |tp AS (SELECT entity_id, truth, count(*) AS c FROM e2
+           |       GROUP BY 1, 2),
+           |m AS (SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM e2) AS n_records,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_entities,
+           |  (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) FROM tr)
+           |    AS n_true_pairs,
+           |  (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) FROM sz)
+           |    AS n_pred_pairs,
+           |  (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) FROM tp) AS n_tp)
+           |SELECT '$num/$den' AS gate, n_records, n_entities,
+           |  n_true_pairs, n_pred_pairs, n_tp,
+           |  CAST(n_tp AS DOUBLE) / n_pred_pairs AS prec,
+           |  CAST(n_tp AS DOUBLE) / n_true_pairs AS rec,
+           |  2.0 * (CAST(n_tp AS DOUBLE) / n_pred_pairs) *
+           |    (CAST(n_tp AS DOUBLE) / n_true_pairs) /
+           |    ((CAST(n_tp AS DOUBLE) / n_pred_pairs) +
+           |     (CAST(n_tp AS DOUBLE) / n_true_pairs)) AS f1
+           |FROM m)""".stripMargin
+      s"""SELECT * FROM ${gateSql(1, 8)}
+         |UNION ALL SELECT * FROM ${gateSql(1, 12)}
+         |ORDER BY gate""".stripMargin
+    },
 
     // incremental ER: corpus closure under the corpus predicate gives
     // the persisted entities; the batch then mirrors the probe contract
