@@ -1358,6 +1358,37 @@ object SparkEntry {
           col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .orderBy("from_state", "to_state")),
 
+    // path mining: top 3-step event paths (the lead-window trigram of
+    // the markov pair table) — one user-keyed exchange, path-cardinality
+    // aggregates, total-order cut
+    "q_events_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("s1"))
+        .withColumn("s2", lead(col("s1"), 1).over(w))
+        .withColumn("s3", lead(col("s1"), 2).over(w))
+        .where(col("s3").isNotNull)
+        .groupBy("s1", "s2", "s3")
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("s1").asc, col("s2").asc,
+          col("s3").asc)
+        .limit(20)
+    }),
+
+    // temporal profile: day-of-week × hour activity grid with exact
+    // shares — the seasonality readout. weekday() (Mon=0) ≙ DuckDB
+    // isodow-1; Spark's dayofweek() (Sun=1) would NOT line up
+    "q_events_profile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(weekday(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+      ev.groupBy("dow", "hr").agg(count(lit(1)).as("n_events"))
+        .withColumn("share", col("n_events").cast("double") /
+          sum(col("n_events")).over(Window.partitionBy()))
+        .orderBy("dow", "hr")
+    }),
+
     // community structure of the word co-occurrence graph: per-node
     // triangle counts + clustering coefficient via degree orientation
     // (oriented out-degree is O(√m), so stopword hubs become near-sinks
@@ -3926,6 +3957,31 @@ object SparkEntry {
         |  CAST(r.n_active AS DOUBLE) / s.n_active AS retention
         |FROM rt r JOIN rt s ON r.cohort = s.cohort AND s.week_offset = 0
         |ORDER BY r.cohort, r.week_offset""".stripMargin,
+
+    // 3-step paths: lead×2 over the same per-user window
+    "q_events_paths" ->
+      """WITH sq AS (SELECT event_type AS s1,
+        |              lead(event_type, 1) OVER w AS s2,
+        |              lead(event_type, 2) OVER w AS s3
+        |            FROM events
+        |            WINDOW w AS (PARTITION BY user_id
+        |                         ORDER BY ts, event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM sq WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, s1 ASC, s2 ASC, s3 ASC
+        |LIMIT 20""".stripMargin,
+
+    // day-hour grid: isodow-1 == Spark weekday (Mon=0); share is one
+    // IEEE division per cell
+    "q_events_profile" ->
+      """WITH ev AS (SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+        |              CAST(hour(ts) AS INTEGER) AS hr
+        |            FROM events),
+        |g AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM ev GROUP BY 1, 2)
+        |SELECT dow, hr, n_events,
+        |  CAST(n_events AS DOUBLE) / sum(n_events) OVER () AS share
+        |FROM g ORDER BY dow, hr""".stripMargin,
 
     // markov transitions: same lead window (ts, event_id tiebreak);
     // counts exact, the probability is one IEEE division
