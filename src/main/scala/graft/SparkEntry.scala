@@ -84,8 +84,8 @@ object SparkEntry {
                                 gateNum: Int = 1, gateDen: Int = 8) =
     s"""c0 AS (
       |  SELECT c_custkey,
-      |    replace(replace(replace(replace(replace(replace(replace(
-      |      replace(replace(replace(
+      |    'zor' || replace(replace(replace(replace(replace(replace(
+      |      replace(replace(replace(replace(
       |        lpad(CAST(c_custkey AS VARCHAR), 6, '0'),
       |      '0','bar'),'1','dex'),'2','fin'),'3','gol'),'4','hup'),
       |      '5','jyc'),'6','kwm'),'7','mrd'),'8','nsk'),'9','ptz')
@@ -93,15 +93,15 @@ object SparkEntry {
       |    CAST(c_custkey % 3 AS INT) AS p
       |  FROM customer),
       |v AS (
-      |  SELECT c_custkey*3 AS id, substr(name0,1,6) || ' ' ||
-      |      substr(name0,7,6) || ' ' || substr(name0,13,6) AS name
+      |  SELECT c_custkey*3 AS id, substr(name0,1,7) || ' ' ||
+      |      substr(name0,8,7) || ' ' || substr(name0,15,7) AS name
       |  FROM c0
       |  UNION ALL
-      |  SELECT c_custkey*3+1, 'dr. ' || substr(name0,1,6) || ' ' ||
-      |      substr(name0,7,6) || ' ' || substr(name0,13,6)
+      |  SELECT c_custkey*3+1, 'dr. ' || substr(name0,1,7) || ' ' ||
+      |      substr(name0,8,7) || ' ' || substr(name0,15,7)
       |  FROM c0
       |  UNION ALL
-      |  SELECT c_custkey*3+2, substr(name0,1,p) || substr(name0,p+2,17)
+      |  SELECT c_custkey*3+2, substr(name0,1,p) || substr(name0,p+2,24)
       |  FROM c0),
       |vv AS (SELECT * FROM v WHERE $recPred),
       |n AS (SELECT id, name,
@@ -210,26 +210,33 @@ object SparkEntry {
     * at levenshtein >= 3), a titled form (distance 2 after
     * normalization) and a one-char-deletion typo (distance 1) — the
     * construction is mirrored literally by the oracle SQL. The typo
-    * deletes inside the LEADING syllable (constant across customers at
-    * these key ranges), never a discriminating one: two same-block
-    * typos whose deletions both hit their single differing syllable at
-    * the same offset would sit at distance 2 — inside the gate — and
-    * the sf would decide how often that alignment occurs (custkeys
-    * 3000 apart share p under %6; measured 833 spurious merges at
-    * sf0.1). Confining the deletion keeps cross-customer distance >= 3
-    * at EVERY scale factor, so expected clusters = exactly one per
-    * customer everywhere. */
+    * deletes inside a CONSTANT leading syllable ("zor", not derived
+    * from any digit), never a discriminating one: two same-block typos
+    * whose deletions both hit their single differing syllable at the
+    * same offset would sit at distance 2 — inside the gate. Earlier
+    * forms learned this twice: deleting at custkey%6 let custkeys
+    * 3000 apart align (833 spurious merges at sf0.1), and deleting in
+    * digit 0's syllable survives only while custkeys stay under
+    * 100000 (12345 vs 112345 differ in the LEADING digit). The
+    * constant head keeps cross-customer distance >= 3 at every
+    * custkey range, so expected clusters = exactly one per customer
+    * everywhere. */
   private def entityNameVariants(s: SparkSession, dir: String): DataFrame = {
     val syls = Seq("0" -> "bar", "1" -> "dex", "2" -> "fin", "3" -> "gol",
       "4" -> "hup", "5" -> "jyc", "6" -> "kwm", "7" -> "mrd",
       "8" -> "nsk", "9" -> "ptz")
-    val name0 = syls.foldLeft(
+    // the constant "zor" head is where the typo deletion lands: every
+    // DIGIT syllable can differ between same-block customers once
+    // custkeys exceed one digit span (e.g. 12345 vs 112345 differ in
+    // the leading digit), so deleting inside any digit syllable would
+    // let two aligned typos sit at distance 2 — inside the gate
+    val name0 = concat(lit("zor"), syls.foldLeft(
       lpad(col("c_custkey").cast("string"), 6, "0"): Column) {
       case (c, (d, sy)) => replace(c, lit(d), lit(sy))
-    }
-    val pretty = concat(substring(col("name0"), 1, 6), lit(" "),
-      substring(col("name0"), 7, 6), lit(" "),
-      substring(col("name0"), 13, 6))
+    })
+    val pretty = concat(substring(col("name0"), 1, 7), lit(" "),
+      substring(col("name0"), 8, 7), lit(" "),
+      substring(col("name0"), 15, 7))
     Tables.customer(s, dir)
       .select(col("c_custkey"), name0.as("name0"),
         (col("c_custkey") % 3).cast("int").as("p"))
@@ -239,7 +246,7 @@ object SparkEntry {
           concat(lit("dr. "), pretty).as("name")),
         struct((col("c_custkey") * 3 + 2).as("id"),
           concat(substr(col("name0"), lit(1), col("p")),
-            substr(col("name0"), col("p") + 2, lit(17))).as("name"))))
+            substr(col("name0"), col("p") + 2, lit(24))).as("name"))))
         .as("r"))
       .select(col("r.id").as("id"), col("r.name").as("name"))
   }

@@ -86,11 +86,16 @@ object TextAnalysis {
       .select(id.as("doc_id"), explode(split(normText(text), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val w = tf
+    // materialized: the weighted-postings frame feeds norms AND both
+    // sides of the posting self-join — unmaterialized, the corpus
+    // scan + tokenize + df-window subtree runs once per consumer (the
+    // windowCooccur lesson; storage intentionally survives to back the
+    // lazy result)
+    val w = graft.operators.Dedup.materialize(tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .where(col("df") <= maxDf)
       .withColumn("w", col("tf").cast("double") / col("df"))
-      .select("doc_id", "tok", "w")
+      .select("doc_id", "tok", "w"))
     val norms = w
       .groupBy("doc_id")
       .agg(collect_list(struct(col("tok"),

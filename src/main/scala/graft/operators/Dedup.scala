@@ -1456,7 +1456,7 @@ object Dedup {
     * replays from storage — required on a real cluster, where a lost
     * executor would otherwise kill the job because localCheckpoint blocks
     * are unrecoverable); falls back to localCheckpoint for local runs. */
-  private[operators] def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
@@ -1471,7 +1471,7 @@ object Dedup {
     * operator, so this reaches through the plan's `LogicalRDD` to the
     * checkpointed RDD: unpersist its blocks and delete its checkpoint
     * files (if reliable). No-op on frames that aren't materialized. */
-  private[operators] def releaseMaterialized(df: DataFrame): Unit =
+  private[graft] def releaseMaterialized(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.getCheckpointFile.foreach { p =>

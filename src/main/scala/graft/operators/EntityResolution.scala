@@ -205,7 +205,14 @@ object EntityResolution {
     val spark = records.sparkSession
     import spark.implicits._
     val (_, linkable) = baseFrames(records, id, name, block)
-    val maxLen = maxNormLen(linkable).getOrElse(0)
+    // loud refusal, not a torn artifact: an all-unlinkable corpus would
+    // commit a records/ directory with no parquet data files, and every
+    // later probe would die on schema inference against a "committed"
+    // index (the gate handles this case by simply not bootstrapping)
+    val maxLen = maxNormLen(linkable).getOrElse(throw
+      new IllegalArgumentException("persistEntityIndex: no linkable " +
+        "records (every name null/empty after normalization) — " +
+        "refusing to commit an empty entity index"))
     val resolved = resolveEntities(records, id, name, block,
       maxDistNum, maxDistDen, maxBlock)
     // norm_len rides along so probes recover the corpus-wide maximum

@@ -90,6 +90,28 @@ object Funnel {
     *
     * Output: cohort (date), week_offset, n_active, n_cohort, retention.
     */
+  def cohortRetention(events: DataFrame, user: Column,
+                      ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(user.as("u"),
+      date_trunc("week", ts).cast("date").as("wk"))
+    val per = ev.groupBy("u").agg(min(col("wk")).as("cohort"),
+      collect_set(col("wk")).as("wks"))
+    val grid = per
+      .select(col("cohort"), explode(col("wks")).as("wk"))
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / lit(7)).cast("int")
+          .as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_active")) // (u, wk) pairs already distinct
+    grid
+      .withColumn("n_cohort",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort")))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("n_cohort"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * for each observed (state, next-state) pair, the exact transition
     * count and P(next | state) — the behavioral model behind
@@ -118,27 +140,5 @@ object Funnel {
       .withColumn("n_from", sum(col("n_trans"))
         .over(Window.partitionBy("from_state")))
       .withColumn("p", col("n_trans").cast("double") / col("n_from"))
-  }
-
-  def cohortRetention(events: DataFrame, user: Column,
-                      ts: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = events.select(user.as("u"),
-      date_trunc("week", ts).cast("date").as("wk"))
-    val per = ev.groupBy("u").agg(min(col("wk")).as("cohort"),
-      collect_set(col("wk")).as("wks"))
-    val grid = per
-      .select(col("cohort"), explode(col("wks")).as("wk"))
-      .select(col("cohort"),
-        (datediff(col("wk"), col("cohort")) / lit(7)).cast("int")
-          .as("week_offset"))
-      .groupBy("cohort", "week_offset")
-      .agg(count(lit(1)).as("n_active")) // (u, wk) pairs already distinct
-    grid
-      .withColumn("n_cohort",
-        max(when(col("week_offset") === 0, col("n_active")))
-          .over(Window.partitionBy("cohort")))
-      .withColumn("retention",
-        col("n_active").cast("double") / col("n_cohort"))
   }
 }

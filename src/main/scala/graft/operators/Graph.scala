@@ -192,6 +192,10 @@ object Graph {
       labels = next
       iter += 1
     }
+    // the final labels frame intentionally keeps its storage (it backs
+    // the lazy result, the connected-components convention); the edge
+    // frame is consumed and must not leak its checkpoint
+    releaseMaterialized(sym)
     labels.select(col("v").as("node"), col("label"))
   }
 

@@ -145,7 +145,8 @@ class FunnelSpec extends SparkTestBase {
       (1L, ts(3), 12L, "a"), (1L, ts(4), 13L, "c"),
       // user 2: a → b          (ab)
       (2L, ts(1), 20L, "a"), (2L, ts(2), 21L, "b"),
-      // user 3: same-timestamp pair ordered by the tiebreak: b → a
+      // user 3: same-timestamp pair — the event_id tiebreak (30 < 31)
+      // orders a before b, so this contributes an a → b transition
       (3L, ts(5), 31L, "b"), (3L, ts(5), 30L, "a"),
       // user 4: single event — no transition
       (4L, ts(9), 40L, "c")
