@@ -1396,6 +1396,30 @@ object SparkEntry {
         .orderBy("dow", "hr")
     }),
 
+    // RFM segmentation: per-user recency/frequency/monetary quintiles
+    // (the classic behavioral-cohort encoding); ntile is deterministic
+    // under a TOTAL order (metric, user_id tiebreak), monetary sums go
+    // through the exact-decimal discipline, segment = 100r + 10f + m
+    "q_events_rfm" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          sum(dec6(col("value"))).cast("double").as("monetary"))
+      val r = ntile(5).over(Window.orderBy(col("last_ts").desc,
+        col("user_id").asc))
+      val f = ntile(5).over(Window.orderBy(col("frequency").desc,
+        col("user_id").asc))
+      val m = ntile(5).over(Window.orderBy(col("monetary").desc,
+        col("user_id").asc))
+      per.select(col("user_id"), col("last_ts"), col("frequency"),
+          col("monetary"), r.as("r_quint"), f.as("f_quint"),
+          m.as("m_quint"))
+        .withColumn("segment",
+          col("r_quint") * 100 + col("f_quint") * 10 + col("m_quint"))
+        .orderBy("user_id")
+    }),
+
     // community structure of the word co-occurrence graph: per-node
     // triangle counts + clustering coefficient via degree orientation
     // (oriented out-degree is O(√m), so stopword hubs become near-sinks
@@ -3964,6 +3988,27 @@ object SparkEntry {
         |  CAST(r.n_active AS DOUBLE) / s.n_active AS retention
         |FROM rt r JOIN rt s ON r.cohort = s.cohort AND s.week_offset = 0
         |ORDER BY r.cohort, r.week_offset""".stripMargin,
+
+    // RFM: same total-ordered ntiles; monetary through DECIMAL(28,6)
+    "q_events_rfm" ->
+      """WITH per AS (SELECT user_id, max(ts) AS last_ts,
+        |               CAST(count(*) AS BIGINT) AS frequency,
+        |               CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |                 AS monetary
+        |             FROM events GROUP BY user_id),
+        |q AS (SELECT user_id, last_ts, frequency, monetary,
+        |        CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id ASC)
+        |          AS INTEGER) AS r_quint,
+        |        CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+        |          AS INTEGER) AS f_quint,
+        |        CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC)
+        |          AS INTEGER) AS m_quint
+        |      FROM per)
+        |SELECT user_id, last_ts, frequency, monetary, r_quint, f_quint,
+        |  m_quint,
+        |  CAST(r_quint * 100 + f_quint * 10 + m_quint AS INTEGER)
+        |    AS segment
+        |FROM q ORDER BY user_id""".stripMargin,
 
     // 3-step paths: lead×2 over the same per-user window
     "q_events_paths" ->

@@ -1251,6 +1251,74 @@ object ScaleProbe {
       }
     }
 
+    if (which("entity-gate")) {
+      // Continuous-ER lifecycle at size: bootstrap the gate on 3
+      // prefix-disjoint replicas of the sf0.1 variant construction
+      // (135k records / 45k entities), then an epoch of 15k NEW
+      // titled forms of replica-0's canonicals ("md " head, suffix
+      // blocks intact) — every one must ADOPT a persisted entity —
+      // then a post-commit replay of that epoch (self-excluding read:
+      // row-identical, nothing duplicated).
+      import org.apache.spark.sql.Column
+      val syls = Seq("0" -> "bar", "1" -> "dex", "2" -> "fin",
+        "3" -> "gol", "4" -> "hup", "5" -> "jyc", "6" -> "kwm",
+        "7" -> "mrd", "8" -> "nsk", "9" -> "ptz")
+      val name0 = syls.foldLeft(
+        lpad(col("c_custkey").cast("string"), 6, "0"): Column) {
+        case (c, (d, sy)) => regexp_replace(c, d, sy)
+      }
+      val cust = graft.Tables.customer(spark, dir)
+      val prefixes = Seq("zub", "vok", "wim")
+      val corpus = prefixes.zipWithIndex.map { case (pfx, k) =>
+        cust.select((col("c_custkey") + lit(k * 1000000L))
+            .as("c_custkey"),
+          concat(lit(pfx), name0).as("name0"),
+          (col("c_custkey") % 3).cast("int").as("p"))
+      }.reduce(_.unionByName(_))
+        .select(explode(array(
+          struct((col("c_custkey") * 3).as("id"),
+            col("name0").as("name")),
+          struct((col("c_custkey") * 3 + 1).as("id"),
+            concat(lit("dr. "), col("name0")).as("name")),
+          struct((col("c_custkey") * 3 + 2).as("id"),
+            concat(expr("substr(name0, 1, 3 + p)"),
+              expr("substr(name0, 5 + p, 24)")).as("name"))))
+          .as("r"))
+        .select(col("r.id").as("id"), col("r.name").as("name"))
+        .localCheckpoint(true)
+      val epoch = cust
+        .select((col("c_custkey") + lit(9000000L) * 3).as("id"),
+          concat(lit("md "), lit("zub"), name0).as("name"))
+        .localCheckpoint(true)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_er_gate_probe").toString
+      val gate = graft.operators.EntityResolution.entityGateBatch(
+        idxDir, "id", "name", n => substring(n, -9, 9)) _
+      def records = spark.read.parquet(s"$idxDir/records")
+      t("entity_gate_bootstrap_135k") {
+        gate(corpus, 0L)
+        val n = records.select("entity_id").distinct().count()
+        require(n == 45000L, s"bootstrap entities: $n != 45000")
+        n
+      }
+      t("entity_gate_epoch_15k_adopts") {
+        gate(epoch, 1L)
+        val ep = records.where(col("ingest_batch") === 1L)
+        val adopted = ep.where(col("entity_id") < col("id")).count()
+        require(adopted == 15000L, s"adopted: $adopted != 15000")
+        require(records.select("entity_id").distinct().count() == 45000L,
+          "epoch minted unexpected new entities")
+        adopted
+      }
+      t("entity_gate_epoch_replay_identical") {
+        val before = records.orderBy("id").collect()
+        gate(epoch, 1L)
+        val after = records.orderBy("id").collect()
+        require(before.sameElements(after), "replay not row-identical")
+        after.length
+      }
+    }
+
     if (which("pagerank-50k")) {
       // PageRank over the full sf0.1 customer-supplier graph (the bench
       // query's graph at 10x bench iterations) — exercises the round
