@@ -1084,6 +1084,30 @@ object SparkEntry {
           col("n"))
         .orderBy("lang")),
 
+    // cross-source score normalization: quality metrics from different
+    // sources are not comparable raw — robust-scale per source
+    // (x - median) / IQR plus p5/p95 winsorization before any global
+    // mixing cut. Per-source stats are one tiny aggregate broadcast
+    // back; percentile ≙ quantile_cont parity carries the doubles
+    "q_quality_normalize" -> ((s, dir) => {
+      val stats = Tables.documents(s, dir).groupBy("source")
+        .agg(expr(
+          "percentile(n_chars, array(0.05, 0.25, 0.5, 0.75, 0.95))")
+          .as("q"))
+        .select(col("source"), element_at(col("q"), 3).as("med"),
+          (element_at(col("q"), 4) - element_at(col("q"), 2)).as("iqr"),
+          element_at(col("q"), 1).as("p5"),
+          element_at(col("q"), 5).as("p95"))
+      Tables.documents(s, dir)
+        .join(broadcast(stats), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          ((col("n_chars").cast("double") - col("med")) /
+            nullif(col("iqr"), lit(0.0))).as("robust_z"),
+          least(greatest(col("n_chars").cast("double"), col("p5")),
+            col("p95")).as("winsorized"))
+        .orderBy("doc_id")
+    }),
+
     // training-data mixture: per-source deterministic sampling rates via
     // md5-prefix ranges (1/16, 2/16, 4/16, 8/16 by source class) — the
     // reproducible "data mixture" op, no RNG state, engine-portable
@@ -4631,6 +4655,23 @@ object SparkEntry {
         |FROM w, unnest(range(1, length(word))) AS t(i)
         |WHERE length(word) >= 2
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // robust scaling: identical quantiles, identical expression shapes
+    "q_quality_normalize" ->
+      """WITH st AS (SELECT source,
+        |              quantile_cont(n_chars, 0.5) AS med,
+        |              quantile_cont(n_chars, 0.75) -
+        |                quantile_cont(n_chars, 0.25) AS iqr,
+        |              quantile_cont(n_chars, 0.05) AS p5,
+        |              quantile_cont(n_chars, 0.95) AS p95
+        |            FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  (CAST(d.n_chars AS DOUBLE) - st.med) / nullif(st.iqr, 0.0)
+        |    AS robust_z,
+        |  least(greatest(CAST(d.n_chars AS DOUBLE), st.p5), st.p95)
+        |    AS winsorized
+        |FROM documents d JOIN st USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_percentiles" ->
       """SELECT lang,
