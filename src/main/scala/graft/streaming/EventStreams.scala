@@ -451,4 +451,46 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  case class MarkovLast(ts: Long, tiebreak: Long, state: String)
+  case class MarkovEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                         event_type: String)
+  case class Transition(from_state: String, to_state: String)
+
+  /** Continuous Markov transitions — the streaming form of
+    * `Funnel.markovTransitions`' sequencing stage: per-user state is
+    * ONE (ts, tiebreak, state) triple (the last event seen), each batch
+    * sorted by (ts, event_id) extends the chain and emits one
+    * Transition per adjacency. Downstream the caller aggregates
+    * counts/probabilities exactly like the batch operator's tail
+    * (state-pair cardinality — tiny).
+    *
+    * Parity contract (spec-pinned): on in-order per-user delivery
+    * (each user's events never split ACROSS batches out of order), the
+    * emitted transition multiset equals the batch operator's over the
+    * union of batches. A late event older than the user's stored last
+    * is counted FORWARD from the stored state (the standard streaming
+    * compromise; reprocessing fixes history, the same posture as the
+    * batch-recompute cadence of the gate family). */
+  def markovTransitions(events: Dataset[MarkovEvent])
+      : Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fn(userId: Long, batch: Iterator[MarkovEvent],
+           state: GroupState[MarkovLast]): Iterator[Transition] = {
+      val ordered = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var last = state.getOption
+      val out = Seq.newBuilder[Transition]
+      ordered.foreach { e =>
+        last.foreach(l => out += Transition(l.state, e.event_type))
+        last = Some(MarkovLast(e.ts.getTime, e.event_id, e.event_type))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

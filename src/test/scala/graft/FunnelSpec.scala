@@ -136,6 +136,45 @@ class FunnelSpec extends SparkTestBase {
     }
   }
 
+  test("streaming markovTransitions: batch parity on in-order " +
+    "delivery, transitions bridge batch boundaries through the " +
+    "one-triple state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{MarkovEvent, Transition}
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      MarkovEvent(1L, ts(1), 10L, "a"), MarkovEvent(1L, ts(2), 11L, "b"),
+      MarkovEvent(2L, ts(1), 20L, "a"),
+      // same-timestamp pair INSIDE one batch: event_id orders b first
+      MarkovEvent(3L, ts(3), 31L, "c"), MarkovEvent(3L, ts(3), 30L, "b"),
+      // second batch continues both chains across the boundary
+      MarkovEvent(1L, ts(5), 12L, "c"), MarkovEvent(2L, ts(6), 21L, "b"))
+    val (b1, b2) = all.splitAt(5)
+    val mem = MemoryStream[MarkovEvent]
+    val q = EventStreams.markovTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("markov_tr")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      import spark.implicits._
+      val got = spark.table("markov_tr").as[Transition].collect()
+        .map(t => (t.from_state, t.to_state))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val batch = Funnel.markovTransitions(
+          all.map(e => (e.user_id, e.ts, e.event_id, e.event_type))
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select("from_state", "to_state", "n_trans")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3.toInt).toMap
+      assert(got === batch)
+      // users 1 (a→b→c), 2 (a→b), 3 (b→c via the event-id tiebreak)
+      assert(got === Map(("a", "b") -> 2, ("b", "c") -> 2))
+    } finally q.stop()
+  }
+
   test("markovTransitions: per-user sequencing with tiebreak, exact " +
     "counts, probabilities normalize per from-state, last events and " +
     "single-event users emit nothing") {
