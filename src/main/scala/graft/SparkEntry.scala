@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Bq, Classify, Dedup, Enrich, Events, Importance, Layout, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq}
+import graft.operators.{AsOfJoin, Bq, Classify, Dedup, Enrich, Events, Importance, Layout, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq, Warehouse}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -1442,6 +1442,89 @@ object SparkEntry {
         .withColumn("segment",
           col("r_quint") * 100 + col("f_quint") * 10 + col("m_quint"))
         .orderBy("user_id")
+    }),
+
+    // -- warehouse maintenance tier (BASELINE.json extensions) ----------------
+    // SCD Type-2 history build: collapse the event log into per-user
+    // validity intervals of the prevailing event_type (gaps-and-islands:
+    // null-safe change marker -> running-sum island id -> one collapse;
+    // marker window, island window and collapse all share ONE user_id
+    // exchange). valid_to = successor's valid_from; open interval =
+    // is_current. 8,016 intervals from 10,000 events at sf0.01, so runs
+    // genuinely collapse
+    "q_scd2_history" -> ((s, dir) =>
+      Warehouse.scd2History(Tables.events(s, dir), col("user_id"),
+          col("ts"), col("event_id"), col("event_type"))
+        .withColumnRenamed("entity", "user_id")
+        .orderBy("user_id", "valid_from")),
+
+    // date-spine completion: per (user, day) counts with explicit zeros
+    // for silent days inside the observed span — 494 of the 4,500 spine
+    // cells are genuine gaps at sf0.01, so the zero path is non-vacuous.
+    // Spine = |users| x |days| (dimension-sized, never fact-sized); the
+    // daily aggregate broadcasts onto it, facts shuffle exactly once
+    "q_events_gapfill" -> ((s, dir) =>
+      Warehouse.gapfillDaily(Tables.events(s, dir), col("user_id"),
+          col("ts"))
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "day")),
+
+    // trailing-window spike flags: day vs mean of the previous <=7
+    // observed days; flag is a pure integer comparison (n*cnt*10 >
+    // sum*11 <=> ratio > 1.1), ratio one IEEE division of exact ints.
+    // 30 of 150 (type, day) cells flag at sf0.01 — both branches live
+    "q_events_anomaly" -> ((s, dir) =>
+      Warehouse.dailySpikes(Tables.events(s, dir), col("event_type"),
+          col("ts"))
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "day")),
+
+    // single-pass long-format column profiler (the schema-drift readout
+    // a standing warehouse diffs between ingests): row/null/distinct
+    // counts + typed extrema per column, ONE scan, per-column rows
+    // exploded from the single aggregate row. Exact countDistinct costs
+    // one Expand (x7 here) — at 100 TB profileColumns(exactDistinct =
+    // false) collapses to a plain partial-agg scan
+    "q_profile_columns" -> ((s, dir) =>
+      Warehouse.profileColumns(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")),
+
+    // declarative expectation gate (the Deequ shape): key uniqueness +
+    // row predicates in ONE aggregate pass, plus a referential-integrity
+    // anti-join branch. The under-400k expectation genuinely FAILS on
+    // this synthetic (2,978 violations at sf0.01) — the report exercises
+    // both verdicts, not just a vacuous all-green
+    "q_quality_checks" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Warehouse.expectations(o, "o_orderkey", col("o_orderkey"), Seq(
+          "o_custkey_complete" -> col("o_custkey").isNull,
+          "o_totalprice_nonneg" -> (col("o_totalprice") < 0 ||
+            col("o_totalprice").isNull),
+          "o_totalprice_under_400k" -> (col("o_totalprice") > 400000.0),
+          "o_orderstatus_domain" ->
+            !col("o_orderstatus").isin("O", "F", "P")))
+        .unionByName(Warehouse.riViolations("orders_customer_ri", o,
+          col("o_custkey"), Tables.customer(s, dir), col("c_custkey")))
+        .orderBy("check_name")
+    }),
+
+    // incremental aggregate maintenance: persist the pre-cutoff daily
+    // rollup once (write-once parquet of count + DECIMAL sum partials),
+    // then serve base ⊎ delta by re-aggregating partials — base facts
+    // never rescanned; commutative-monoid partials make the merge
+    // EXACTLY the full recompute, which is what the oracle pins. The
+    // aggregate mirror of q_dedup_incremental's persisted-index contract
+    "q_rollup_incremental" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_rollup_base_${math.abs(dir.hashCode)}"
+      Warehouse.incrementalDailyRollup(Tables.orders(s, dir),
+          col("o_orderdate"), col("o_totalprice"),
+          to_date(lit("1999-01-01")), path)
+        .select(col("day"), col("n_rows"),
+          col("sum_value_dec").cast("double").as("sum_value"))
+        .orderBy("day")
     }),
 
     // community structure of the word co-occurrence graph: per-node
@@ -4075,6 +4158,147 @@ object SparkEntry {
         |  CAST(n_trans AS DOUBLE) /
         |    sum(n_trans) OVER (PARTITION BY from_state) AS p
         |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    // SCD2: same gaps-and-islands windows; IS DISTINCT FROM ≙ Spark's
+    // null-safe <=> negation
+    "q_scd2_history" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN lag(event_type) OVER w
+        |                    IS DISTINCT FROM event_type
+        |               THEN 1 ELSE 0 END AS chg
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id
+        |                        ORDER BY ts, event_id)),
+        |i AS (SELECT user_id, event_type, ts,
+        |        sum(chg) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS grp
+        |      FROM m),
+        |r AS (SELECT user_id, grp, min(event_type) AS state,
+        |        min(ts) AS valid_from,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM i GROUP BY user_id, grp)
+        |SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER sw AS valid_to, n_events,
+        |  lead(valid_from) OVER sw IS NULL AS is_current
+        |FROM r
+        |WINDOW sw AS (PARTITION BY user_id ORDER BY valid_from)
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    // gapfill: generate_series date spine × distinct keys, left join
+    "q_events_gapfill" ->
+      """WITH tagged AS (SELECT user_id, CAST(ts AS DATE) AS day
+        |                FROM events),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM tagged),
+        |days AS (SELECT CAST(unnest(generate_series(
+        |             CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |             INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |keys AS (SELECT DISTINCT user_id FROM tagged),
+        |daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+        |          FROM tagged GROUP BY 1, 2)
+        |SELECT k.user_id, d.day, coalesce(n, 0) AS n_events
+        |FROM days d CROSS JOIN keys k
+        |LEFT JOIN daily USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
+    // anomaly: trailing frame sums are exact integers; the flag is an
+    // integer comparison and the ratio one IEEE division
+    "q_events_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, n_events,
+        |        CAST(sum(n_events) OVER w AS BIGINT) AS trail_sum,
+        |        CAST(count(*) OVER w AS BIGINT) AS trail_cnt
+        |      FROM d
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n_events, trail_sum, trail_cnt,
+        |  CAST(n_events * trail_cnt AS DOUBLE) / trail_sum AS ratio,
+        |  coalesce(n_events * trail_cnt * 10 > trail_sum * 11, FALSE)
+        |    AS is_spike
+        |FROM t ORDER BY event_type, day""".stripMargin,
+
+    // profiler: one UNION ALL branch per column; epoch() under the UTC
+    // session ≙ Spark's unix_timestamp
+    "q_profile_columns" ->
+      """SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_custkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_custkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderdate) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST(epoch(min(o_orderdate)) AS DOUBLE),
+        |  CAST(epoch(max(o_orderdate)) AS DOUBLE),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  CAST(min(length(o_orderpriority)) AS BIGINT),
+        |  CAST(max(length(o_orderpriority)) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  CAST(min(length(o_orderstatus)) AS BIGINT),
+        |  CAST(max(length(o_orderstatus)) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(min(o_totalprice) AS DOUBLE),
+        |  CAST(max(o_totalprice) AS DOUBLE),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders
+        |ORDER BY col_name""".stripMargin,
+
+    // expectation gate: conditional sums + distinct-key fold + NOT
+    // EXISTS for the RI branch
+    "q_quality_checks" ->
+      """WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN NOT o_orderstatus IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM orders),
+        |checks AS (
+        |  SELECT 'o_orderkey_unique' AS check_name, n - nd AS metric
+        |  FROM agg
+        |  UNION ALL SELECT 'o_custkey_complete', c1 FROM agg
+        |  UNION ALL SELECT 'o_totalprice_nonneg', c2 FROM agg
+        |  UNION ALL SELECT 'o_totalprice_under_400k', c3 FROM agg
+        |  UNION ALL SELECT 'o_orderstatus_domain', c4 FROM agg
+        |  UNION ALL SELECT 'orders_customer_ri',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey)))
+        |SELECT check_name, metric, metric = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
+
+    // incremental rollup ≡ full recompute (commutative-monoid partials)
+    "q_rollup_incremental" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM orders GROUP BY 1 ORDER BY day""".stripMargin,
 
     // triangles: identical degree orientation + canonical wedge close,
     // all-integer until the single clustering division

@@ -1,0 +1,182 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.Warehouse
+
+/** Warehouse-maintenance tier: SCD2 history, date-spine gap fill, column
+  * profiler, expectation gate, incremental rollup merge, spike flags.
+  * Semantics on hand-computable frames plus plan-shape guards for the
+  * scale claims each operator's scaladoc makes. */
+class WarehouseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2History collapses runs into validity intervals, null-safely") {
+    // entity 1: x,x,null,null,x — null run must island like a value run
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Option("x")),
+      (1L, ts("2024-01-02 00:00:00"), 2L, Option("x")),
+      (1L, ts("2024-01-03 00:00:00"), 3L, None),
+      (1L, ts("2024-01-04 00:00:00"), 4L, None),
+      (1L, ts("2024-01-05 00:00:00"), 5L, Option("x")),
+      (2L, ts("2024-01-01 00:00:00"), 6L, Option("y"))
+    ).toDF("user_id", "ts", "event_id", "state")
+    val out = Warehouse.scd2History(log, col("user_id"), col("ts"),
+        col("event_id"), col("state"))
+      .orderBy("entity", "valid_from")
+      .collect()
+    assert(out.length === 4)
+    val e1 = out.filter(_.getLong(0) == 1L)
+    assert(e1.map(r => Option(r.getString(1))).toSeq ===
+      Seq(Some("x"), None, Some("x")))
+    assert(e1.map(_.getLong(4)).toSeq === Seq(2L, 2L, 1L)) // n_events
+    // interval chain: each valid_to is the successor's valid_from
+    assert(e1(0).getTimestamp(3) === e1(1).getTimestamp(2))
+    assert(e1(1).getTimestamp(3) === e1(2).getTimestamp(2))
+    assert(e1(2).isNullAt(3) && e1(2).getBoolean(5)) // open + current
+    assert(e1.take(2).forall(!_.getBoolean(5)))
+  }
+
+  test("scd2History is one fact shuffle: windows and collapse share " +
+    "the entity exchange") {
+    val log = Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = Warehouse.scd2History(log, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .queryExecution.executedPlan.toString
+    // marker window, island window, island collapse and the successor
+    // window all key on user_id (or a superset) — exactly one exchange
+    // beyond AQE bookkeeping
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected 1 exchange, got $n:\n$plan")
+  }
+
+  test("gapfillDaily zero-fills missing spine cells and broadcasts the " +
+    "daily aggregate") {
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00")),
+      ("a", ts("2024-01-03 10:00:00")),
+      ("b", ts("2024-01-02 10:00:00"))
+    ).toDF("k", "ts")
+    val out = Warehouse.gapfillDaily(df, col("k"), col("ts"))
+    val rows = out.orderBy("key", "day").collect()
+    // 2 keys x 3 days; 3 observed cells, 3 genuine zeros
+    assert(rows.length === 6)
+    assert(rows.count(_.getLong(2) == 0L) === 3)
+    assert(rows.count(_.getLong(2) == 1L) === 3)
+    val nonzero = rows.filter(_.getLong(2) > 0L)
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(nonzero === Set(("a", "2024-01-01"), ("a", "2024-01-03"),
+      ("b", "2024-01-02")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"daily aggregate should broadcast onto the spine:\n$plan")
+  }
+
+  test("profileColumns: one scan, exact measures, typed extrema") {
+    val df = Seq(
+      (1L, Option("aa"), Option(2.5)),
+      (2L, Option("bbb"), Option(-1.0)),
+      (2L, None, Option(2.5)),
+      (3L, Option("c"), None)
+    ).toDF("id", "s", "v")
+    val out = Warehouse.profileColumns(df, Seq("id", "s", "v"))
+      .orderBy("col_name").collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    val id = byName("id")
+    assert((id.getLong(1), id.getLong(2), id.getLong(3)) === (4L, 0L, 3L))
+    assert((id.getDouble(4), id.getDouble(5)) === (1.0, 3.0))
+    assert(id.isNullAt(6) && id.isNullAt(7))
+    val s = byName("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) === (4L, 1L, 3L))
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert((s.getLong(6), s.getLong(7)) === (1L, 3L))
+    val v = byName("v")
+    assert((v.getLong(2), v.getLong(3)) === (1L, 2L))
+    assert((v.getDouble(4), v.getDouble(5)) === (-1.0, 2.5))
+    // the long shape comes from ONE scan of the source
+    val onOrders = Warehouse.profileColumns(
+      Tables.orders(spark, "/root/testdata/sf0.001"),
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val plan = onOrders.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length === 1)
+    assert(plan.contains("Expand")) // the exact-distinct trade, documented
+    // approx mode drops the Expand (the 100 TB profile path)
+    val approx = Warehouse.profileColumns(
+      Tables.orders(spark, "/root/testdata/sf0.001"),
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+      exactDistinct = false)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
+  test("expectations + riViolations report violation counts per check") {
+    val fact = Seq(
+      (1L, Option(10L), 5.0),
+      (1L, Option(10L), -2.0), // dup key + negative
+      (2L, None, 3.0),         // null fk
+      (3L, Option(99L), 1.0)   // dangling fk
+    ).toDF("k", "fk", "x")
+    val dim = Seq(10L).toDF("d")
+    val rep = Warehouse.expectations(fact, "k", col("k"), Seq(
+        "fk_complete" -> col("fk").isNull,
+        "x_nonneg" -> (col("x") < 0)))
+      .unionByName(Warehouse.riViolations("fact_dim_ri", fact, col("fk"),
+        dim, col("d")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rep("k_unique") === (1L, false))
+    assert(rep("fk_complete") === (1L, false))
+    assert(rep("x_nonneg") === (1L, false))
+    // anti join: null fk and dangling fk both count as unmatched
+    assert(rep("fact_dim_ri") === (2L, false))
+  }
+
+  test("expectations is a single pass over the fact table") {
+    val plan = Warehouse.expectations(
+        Tables.orders(spark, "/root/testdata/sf0.001"), "o_orderkey",
+        col("o_orderkey"),
+        Seq("neg" -> (col("o_totalprice") < 0)))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length === 1)
+  }
+
+  test("incrementalDailyRollup: persisted base ⊎ delta equals the full " +
+    "recompute exactly") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_wh_rollup").toString + "/base"
+    val merged = Warehouse.incrementalDailyRollup(orders,
+        col("o_orderdate"), col("o_totalprice"),
+        to_date(lit("1999-01-01")), path)
+      .select(col("day"), col("n_rows"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+    val full = Warehouse.dailyRollup(orders, col("o_orderdate"),
+        col("o_totalprice"))
+      .select(col("day"), col("n_rows"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // the base really persisted — and both sides of the cutoff are live
+    val base = spark.read.parquet(path)
+    assert(base.count() > 0 && base.count() < full.count())
+  }
+
+  test("dailySpikes flags integer-exact trailing-ratio exceedances") {
+    // key a: 7 quiet days at 10 then a 3x day; first day never flags
+    val rows = (1 to 7).map(d =>
+      ("a", ts(s"2024-01-0$d 01:00:00"), 10)) :+
+      (("a", ts("2024-01-08 01:00:00"), 30))
+    val df = rows.flatMap { case (k, t, n) =>
+      (1 to n).map(i => (k, new Timestamp(t.getTime + i)))
+    }.toDF("k", "ts")
+    val out = Warehouse.dailySpikes(df, col("k"), col("ts"))
+      .orderBy("day").collect()
+    assert(out.length === 8)
+    assert(!out.head.getBoolean(6)) // no trailing history -> false
+    assert(out.slice(1, 7).forall(!_.getBoolean(6))) // flat run
+    val spike = out.last
+    assert(spike.getBoolean(6))
+    assert(spike.getDouble(5) === 3.0) // 30 vs mean 10, exact division
+  }
+}
