@@ -1510,6 +1510,30 @@ object SparkEntry {
         .orderBy("check_name")
     }),
 
+    // point-in-time reconstruction over the SCD2 history: the prevailing
+    // state of every user at every midnight of the observed span, via
+    // the composed as-of join (contiguous intervals make backward as-of
+    // ≡ interval containment — no range-join blowup). Days before a
+    // user's first interval surface as null state (LEFT semantics)
+    "q_scd2_pointintime" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hist = Warehouse.scd2History(ev, col("user_id"), col("ts"),
+          col("event_id"), col("event_type"))
+        .select(col("entity").as("user_id"), col("valid_from"),
+          col("state"))
+      val tagged = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      val span = tagged.agg(min(col("day")).as("lo"),
+        max(col("day")).as("hi"))
+      val probes = span
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .crossJoin(tagged.select(col("user_id")).distinct())
+        .withColumn("pts", col("day").cast("timestamp"))
+      AsOfJoin.asOf(probes, hist, "user_id", "pts", "valid_from",
+          Seq("state"))
+        .select(col("user_id"), col("day"), col("asof_state").as("state"))
+        .orderBy("user_id", "day")
+    }),
+
     // incremental aggregate maintenance: persist the pre-cutoff daily
     // rollup once (write-once parquet of count + DECIMAL sum partials),
     // then serve base ⊎ delta by re-aggregating partials — base facts
@@ -4291,6 +4315,38 @@ object SparkEntry {
         |                       WHERE c.c_custkey = o.o_custkey)))
         |SELECT check_name, metric, metric = 0 AS passed
         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // point-in-time: DuckDB's native ASOF LEFT JOIN over the same
+    // collapsed-island history CTEs
+    "q_scd2_pointintime" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN lag(event_type) OVER w
+        |                    IS DISTINCT FROM event_type
+        |               THEN 1 ELSE 0 END AS chg
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id
+        |                        ORDER BY ts, event_id)),
+        |i AS (SELECT user_id, event_type, ts,
+        |        sum(chg) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS grp
+        |      FROM m),
+        |r AS (SELECT user_id, grp, min(event_type) AS state,
+        |        min(ts) AS valid_from
+        |      FROM i GROUP BY user_id, grp),
+        |tagged AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM tagged),
+        |days AS (SELECT CAST(unnest(generate_series(
+        |             CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |             INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |probes AS (SELECT k.user_id, d.day,
+        |             CAST(d.day AS TIMESTAMP) AS pts
+        |           FROM days d
+        |           CROSS JOIN (SELECT DISTINCT user_id FROM tagged) k)
+        |SELECT p.user_id, p.day, h.state
+        |FROM probes p
+        |ASOF LEFT JOIN r h
+        |  ON p.user_id = h.user_id AND h.valid_from <= p.pts
+        |ORDER BY p.user_id, p.day""".stripMargin,
 
     // incremental rollup ≡ full recompute (commutative-monoid partials)
     "q_rollup_incremental" ->

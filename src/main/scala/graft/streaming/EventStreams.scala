@@ -452,6 +452,61 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class Scd2Event(user_id: Long, ts: Timestamp, event_id: Long,
+                       event_type: Option[String])
+  case class Scd2Open(state: Option[String], validFrom: Timestamp, n: Long)
+  case class Scd2Interval(user_id: Long, state: Option[String],
+                          valid_from: Timestamp, valid_to: Timestamp,
+                          n_events: Long)
+
+  /** Continuous SCD Type-2 maintenance — the streaming form of
+    * `Warehouse.scd2History`: per-entity state is the ONE open interval
+    * (current value, its start, its run length); each batch's events,
+    * sorted by (ts, event_id), extend the run on equal values (null-safe,
+    * like the batch marker's `<=>`) or close it — a closed interval is
+    * emitted exactly once, with `valid_to` = the successor's start,
+    * and the successor becomes the new open state.
+    *
+    * Closed intervals are immutable facts, which is why Append mode is
+    * correct; the open interval per entity lives only in state (it is
+    * the batch operator's `is_current` row, not yet a fact). State is
+    * O(entities) and constant-size per entity.
+    *
+    * Parity contract (spec-pinned): on in-order per-user delivery across
+    * batches, the emitted closed intervals equal the batch operator's
+    * `valid_to IS NOT NULL` rows over the union of batches, and the
+    * per-entity open state equals its `is_current` row. Late events
+    * older than the open interval's start are folded forward from the
+    * stored state (same posture as the Markov gate; reprocessing fixes
+    * history). */
+  def scd2Intervals(events: Dataset[Scd2Event]): Dataset[Scd2Interval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fn(userId: Long, batch: Iterator[Scd2Event],
+           state: GroupState[Scd2Open]): Iterator[Scd2Interval] = {
+      val ordered = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var open = state.getOption
+      val out = Seq.newBuilder[Scd2Interval]
+      ordered.foreach { e =>
+        open match {
+          case Some(o) if o.state == e.event_type =>
+            open = Some(o.copy(n = o.n + 1))
+          case Some(o) =>
+            out += Scd2Interval(userId, o.state, o.validFrom, e.ts, o.n)
+            open = Some(Scd2Open(e.event_type, e.ts, 1L))
+          case None =>
+            open = Some(Scd2Open(e.event_type, e.ts, 1L))
+        }
+      }
+      open.foreach(state.update)
+      out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class MarkovLast(ts: Long, tiebreak: Long, state: String)
   case class MarkovEvent(user_id: Long, ts: Timestamp, event_id: Long,
                          event_type: String)

@@ -162,6 +162,50 @@ class WarehouseSpec extends SparkTestBase {
     assert(base.count() > 0 && base.count() < full.count())
   }
 
+  test("streaming scd2Intervals: closed intervals match the batch " +
+    "operator across batch boundaries, open runs stay in state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{Scd2Event, Scd2Interval}
+    implicit val sqlCtx = spark.sqlContext
+    def t(i: Int) = new Timestamp(i * 60000L)
+    val all = Seq(
+      Scd2Event(1L, t(1), 10L, Some("x")),
+      Scd2Event(1L, t(2), 11L, Some("x")),
+      // same-ts pair: event_id must order the null run after y
+      Scd2Event(1L, t(3), 13L, None),
+      Scd2Event(1L, t(3), 12L, Some("y")),
+      // second batch: continues user 1's null run, then closes it
+      Scd2Event(1L, t(5), 14L, None),
+      Scd2Event(1L, t(6), 15L, Some("x")),
+      Scd2Event(2L, t(1), 20L, Some("a")))
+    val (b1, b2) = all.splitAt(4)
+    val mem = MemoryStream[Scd2Event]
+    val q = EventStreams.scd2Intervals(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_iv")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("scd2_iv").as[Scd2Interval].collect()
+        .map(i => (i.user_id, i.state, i.valid_from, i.valid_to,
+          i.n_events)).toSet
+      val batch = Warehouse.scd2History(
+          all.map(e => (e.user_id, e.ts, e.event_id, e.event_type))
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .where(!col("is_current"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+      assert(got === batch)
+      // user 1 closed x(2), y(1), null(2); open x and user 2's a
+      // stay in state (is_current in batch terms), never emitted
+      assert(got.size === 3)
+      assert(!got.exists(i => i._1 == 2L))
+    } finally q.stop()
+  }
+
   test("dailySpikes flags integer-exact trailing-ratio exceedances") {
     // key a: 7 quiet days at 10 then a 3x day; first day never flags
     val rows = (1 to 7).map(d =>
