@@ -1510,6 +1510,42 @@ object SparkEntry {
         .orderBy("check_name")
     }),
 
+    // equi-width value histogram with a complete bucket spine (empty
+    // buckets as explicit zeros): the distribution readout next to
+    // q_profile_columns' extrema. Bucket id = one subtraction + one IEEE
+    // division vs span constants + exact integer clamp — bit-stable
+    "q_profile_histogram" -> ((s, dir) =>
+      Warehouse.histogram(Tables.orders(s, dir), col("o_totalprice"), 20)
+        .orderBy("bucket")),
+
+    // write-audit-publish: table-level blocking audits (uniqueness,
+    // completeness, referential integrity) gate the whole batch; row-
+    // level audits route surviving rows to publish or a named quarantine.
+    // The blocking gate is a 1-row broadcast (never a fact shuffle); the
+    // routing is a conditional projection folded into one aggregate pass
+    "q_pipeline_wap" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val blocking = Warehouse.expectations(o, "o_orderkey",
+          col("o_orderkey"),
+          Seq("o_custkey_complete" -> col("o_custkey").isNull))
+        .unionByName(Warehouse.riViolations("orders_customer_ri", o,
+          col("o_custkey"), Tables.customer(s, dir), col("c_custkey")))
+      val gate = blocking.agg(
+        max(when(!col("passed"), 1L).otherwise(0L)).as("blocked"))
+      o.crossJoin(broadcast(gate))
+        .select(
+          when(col("blocked") === 1L, lit("aborted"))
+            .when(col("o_totalprice") > 400000.0, lit("quarantine_price"))
+            .when(!col("o_orderstatus").isin("O", "F", "P"),
+              lit("quarantine_status"))
+            .otherwise(lit("publish")).as("verdict"),
+          col("o_totalprice"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec6(col("o_totalprice"))).cast("double").as("sum_value"))
+        .orderBy("verdict")
+    }),
+
     // point-in-time reconstruction over the SCD2 history: the prevailing
     // state of every user at every midnight of the observed span, via
     // the composed as-of join (contiguous intervals make backward as-of
@@ -4315,6 +4351,47 @@ object SparkEntry {
         |                       WHERE c.c_custkey = o.o_custkey)))
         |SELECT check_name, metric, metric = 0 AS passed
         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // histogram: identical span arithmetic, spine via generate_series
+    "q_profile_histogram" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |           WHERE o_totalprice IS NOT NULL),
+        |span AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        |b AS (SELECT CAST(least(greatest(
+        |         floor((v - lo) / ((hi - lo) / 20)), 0), 19) AS BIGINT)
+        |         AS bucket
+        |      FROM v CROSS JOIN span),
+        |counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+        |           FROM b GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(0, 19)) AS bucket)
+        |SELECT s.bucket,
+        |  lo + s.bucket * ((hi - lo) / 20) AS bucket_lo,
+        |  lo + (s.bucket + 1) * ((hi - lo) / 20) AS bucket_hi,
+        |  coalesce(n, 0) AS n
+        |FROM spine s CROSS JOIN span LEFT JOIN counts USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+
+    // WAP: scalar-subquery blocking gate, CASE routing, one aggregate
+    "q_pipeline_wap" ->
+      """WITH gate AS (SELECT CASE WHEN
+        |    (SELECT count(*) - count(DISTINCT o_orderkey)
+        |     FROM orders) > 0
+        |    OR (SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |        FROM orders) > 0
+        |    OR (SELECT count(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey)) > 0
+        |  THEN 1 ELSE 0 END AS blocked),
+        |r AS (SELECT CASE WHEN blocked = 1 THEN 'aborted'
+        |        WHEN o_totalprice > 400000.0 THEN 'quarantine_price'
+        |        WHEN NOT o_orderstatus IN ('O', 'F', 'P')
+        |          THEN 'quarantine_status'
+        |        ELSE 'publish' END AS verdict, o_totalprice
+        |      FROM orders CROSS JOIN gate)
+        |SELECT verdict, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     // point-in-time: DuckDB's native ASOF LEFT JOIN over the same
     // collapsed-island history CTEs

@@ -181,6 +181,38 @@ object Warehouse {
       .select(lit(name).as("check_name"), col("metric"),
         (col("metric") === 0L).as("passed"))
 
+  /** Equi-width histogram with a complete bucket spine: `nBuckets` rows,
+    * each with its [bucket_lo, bucket_hi) bounds and count — empty
+    * buckets surface as explicit zeros (same philosophy as
+    * [[gapfillDaily]]). The max value clamps into the last bucket.
+    *
+    * Determinism: bucket id is `floor((v - lo) / w)` — one subtraction
+    * and one IEEE division per row against span constants, then an exact
+    * integer clamp; bounds are the same two-operation arithmetic, so
+    * every emitted double is bit-stable across engines. Scale: one scan
+    * for the span (a 1-row broadcast), one partial-aggregated scan for
+    * the counts; the spine join touches `nBuckets` rows.
+    */
+  def histogram(df: DataFrame, value: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"histogram: nBuckets must be positive: $nBuckets")
+    val v = df.select(value.cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val span = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(nBuckets.toDouble)
+    val counts = v.crossJoin(broadcast(span))
+      .select(least(greatest(floor((col("v") - col("lo")) / width),
+        lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    span
+      .select(explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"),
+        col("lo"), col("hi"))
+      .withColumn("bucket_lo", col("lo") + col("bucket") * width)
+      .withColumn("bucket_hi", col("lo") + (col("bucket") + 1) * width)
+      .join(broadcast(counts), Seq("bucket"), "left")
+      .select(col("bucket"), col("bucket_lo"), col("bucket_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Daily rollup partial: per-day row count and DECIMAL-exact value sum.
     * The decimal stays decimal — that is what makes partials losslessly
     * re-aggregable in [[incrementalDailyRollup]]. */

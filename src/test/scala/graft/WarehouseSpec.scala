@@ -162,6 +162,41 @@ class WarehouseSpec extends SparkTestBase {
     assert(base.count() > 0 && base.count() < full.count())
   }
 
+  test("histogram: complete spine, zero buckets, max clamps into the " +
+    "last bucket") {
+    // values 0..10 over 5 buckets of width 2; bucket 3 ([6,8)) is empty
+    val df = Seq(0.0, 1.0, 2.0, 4.0, 5.0, 9.0, 10.0).toDF("x")
+      .where(col("x") =!= 6.0 && col("x") =!= 7.0)
+    val out = Warehouse.histogram(df, col("x"), 5)
+      .orderBy("bucket").collect()
+    assert(out.length === 5)
+    assert(out.map(_.getLong(3)).toSeq === Seq(2L, 1L, 2L, 0L, 2L))
+    assert(out.head.getDouble(1) === 0.0 && out.last.getDouble(2) === 10.0)
+    // 10.0 (== hi) clamps into bucket 4, not a phantom bucket 5
+    assert(out.last.getLong(0) === 4L)
+    val plan = Warehouse.histogram(
+        Tables.orders(spark, "/root/testdata/sf0.001"),
+        col("o_totalprice"), 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"), s"spine join must not SMJ:\n$plan")
+  }
+
+  test("WAP routing: a failing blocking audit aborts the whole batch") {
+    // dirty staging batch: duplicate key -> the uniqueness audit blocks
+    val fact = Seq((1L, 5.0), (1L, 7.0), (2L, 3.0)).toDF("k", "x")
+    val gate = Warehouse.expectations(fact, "k", col("k"), Seq.empty)
+      .agg(max(when(!col("passed"), 1L).otherwise(0L)).as("blocked"))
+    val routed = fact.crossJoin(broadcast(gate))
+      .select(when(col("blocked") === 1L, lit("aborted"))
+        .otherwise(lit("publish")).as("verdict"))
+      .groupBy("verdict").count().collect()
+    assert(routed.length === 1)
+    assert(routed.head.getString(0) === "aborted")
+    assert(routed.head.getLong(1) === 3L)
+  }
+
   test("streaming scd2Intervals: closed intervals match the batch " +
     "operator across batch boundaries, open runs stay in state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
