@@ -1510,6 +1510,45 @@ object SparkEntry {
         .orderBy("check_name")
     }),
 
+    // rolling engagement: DAU + trailing-7-day WAU per spine day. The
+    // fact table reduces to the distinct (day, user) frame FIRST
+    // (dimension-sized); the 7-day window is a broadcast range join off
+    // the tiny day spine with fan-out exactly <= 7x — exact rolling
+    // countDistinct without any window-frame distinct (Spark has none)
+    "q_events_wau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val spine = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      broadcast(spine).join(ud,
+          col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(when(col("day") === col("d"), col("user_id")))
+            .as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+        .select(col("d").as("day"), col("dau"), col("wau"))
+        .orderBy("day")
+    }),
+
+    // last-touch attribution: each purchase credits the most recent
+    // preceding non-purchase event's type (the composed as-of join —
+    // one user-keyed shuffle, no range blowup); purchases with no prior
+    // touch credit 'none'. Revenue through the exact-decimal discipline
+    "q_events_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val touches = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts").as("tts"),
+          col("event_type").as("channel"))
+      AsOfJoin.asOf(purchases, touches, "user_id", "ts", "tts",
+          Seq("tts", "channel"))
+        .groupBy(coalesce(col("asof_channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(dec6(col("value"))).cast("double").as("revenue"))
+        .orderBy("channel")
+    }),
+
     // equi-width value histogram with a complete bucket spine (empty
     // buckets as explicit zeros): the distribution readout next to
     // q_profile_columns' extrema. Bucket id = one subtraction + one IEEE
@@ -4351,6 +4390,36 @@ object SparkEntry {
         |                       WHERE c.c_custkey = o.o_custkey)))
         |SELECT check_name, metric, metric = 0 AS passed
         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // rolling engagement: distinct user-days then a 7-day range join
+    "q_events_wau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |              CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |              INTERVAL 1 DAY)) AS DATE) AS d FROM span)
+        |SELECT d AS day,
+        |  CAST(count(DISTINCT CASE WHEN ud.day = s.d THEN user_id END)
+        |    AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM spine s JOIN ud ON ud.day >= s.d - 6 AND ud.day <= s.d
+        |GROUP BY d ORDER BY day""".stripMargin,
+
+    // attribution: DuckDB native ASOF against the non-purchase touches
+    "q_events_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             value
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts,
+        |        event_type AS channel
+        |      FROM events WHERE event_type <> 'purchase'),
+        |a AS (SELECT coalesce(t.channel, 'none') AS channel, p.value
+        |      FROM p ASOF LEFT JOIN t
+        |        ON p.user_id = t.user_id AND t.tts <= p.ts)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
 
     // histogram: identical span arithmetic, spine via generate_series
     "q_profile_histogram" ->

@@ -66,6 +66,50 @@ object ScaleProbe {
           .where(col("survivor_id") === col("doc_id")).count())
     }
 
+    if (which("wh-weak")) {
+      // warehouse tier weak scaling: 10 user-disjoint replicas of the
+      // sf0.1 events table = 1M rows / 15k entities of independent data.
+      // Island counts must be EXACTLY 10x the per-replica 80,440 (+15k
+      // open intervals), the spine exactly 15,000 x 30 — per-entity
+      // independence means any deviation is an operator bug, not noise.
+      val ev = graft.Tables.events(spark, dir)
+      val replicas = (0 until 10).map { k =>
+        ev.select((col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("ts"),
+          (col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("event_type"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      val one = replicas.head.localCheckpoint(true)
+      t("wh_rows_1x")(one.count())
+      t("wh_scd2_1x")(graft.operators.Warehouse.scd2History(one,
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .count()) // 80,440 + 1,500 open
+      t("wh_rows_10x")(big.count())
+      var hist: DataFrame = null
+      t("wh_scd2_10x") {
+        hist = graft.operators.Warehouse.scd2History(big, col("user_id"),
+          col("ts"), col("event_id"), col("event_type"))
+          .localCheckpoint(true)
+        hist.count() // exactly 819,400 = 10 x (80,440 + 1,500)
+      }
+      t("wh_scd2_10x_current")(hist.where(col("is_current")).count()) // 15,000
+      t("wh_pointintime_10x") {
+        val tagged = big.select(col("user_id"), to_date(col("ts")).as("day"))
+        val probes = tagged
+          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+          .crossJoin(tagged.select(col("user_id")).distinct())
+          .withColumn("pts", col("day").cast("timestamp"))
+        graft.operators.AsOfJoin.asOf(probes,
+          hist.select(col("entity").as("user_id"), col("valid_from"),
+            col("state")),
+          "user_id", "pts", "valid_from", Seq("state")).count() // 450,000
+      }
+      t("wh_gapfill_10x")(graft.operators.Warehouse.gapfillDaily(big,
+        col("user_id"), col("ts")).count()) // 450,000
+    }
+
     if (which("docs-stages")) {
       // stage attribution for the 50k minhash pipeline: shingle postings,
       // signature minima, banding+candidates, then the end-to-end detector
