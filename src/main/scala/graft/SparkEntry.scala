@@ -710,6 +710,18 @@ object SparkEntry {
           chunkWords = spansChunkWords)
         .orderBy("doc_id")),
 
+    // boilerplate removal (Gopher/RefinedWeb cross-document rule): spans
+    // present in >= 3 DISTINCT documents are template chrome and every
+    // occurrence is dropped — the complement of q_dedup_spans, where the
+    // first occurrence survives. At sf0.01 the 31-word vocabulary makes
+    // ~9% of 3-word spans hot, so the gate removes real content without
+    // emptying documents.
+    "q_dedup_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateDedup(Tables.documents(s, dir), col("doc_id"),
+          col("text"), chunkWords = spansChunkWords,
+          minDocs = boilerplateMinDocs)
+        .orderBy("doc_id")),
+
     // passage-level exact dedup (ExactSubstr-style): OVERLAPPING 6-word
     // windows at stride 1, so repeated runs are excised at arbitrary
     // word offsets — not just on the disjoint chunk grid q_dedup_spans
@@ -2441,6 +2453,7 @@ object SparkEntry {
   // between a Spark query and its generated oracle — two independent
   // literals would let the pair drift silently until a hash mismatch
   private val spansChunkWords = 3
+  private val boilerplateMinDocs = 3
   private val passageWindowWords = 6
   private val passageStrideWords = 1
   // unicode payload pieces for q_text_nfc, pinned as single-quoted
@@ -3234,6 +3247,39 @@ object SparkEntry {
        |ORDER BY doc.doc_id""".stripMargin
   }
 
+  /** q_dedup_boilerplate oracle, generated from the same chunk width /
+    * document-frequency gate as the Spark query (mirrors
+    * `Dedup.boilerplateDedup`): spans in >= minDocs distinct documents
+    * are removed everywhere; per-doc totals ride along. */
+  private def boilerplateOracleSql(chunkWords: Int, minDocs: Int): String = {
+    val n = chunkWords
+    s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
+       |           FROM documents
+       |           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |sp AS (SELECT doc_id, u.i AS span_idx,
+       |         array_to_string(w[(u.i*$n+1):((u.i+1)*$n)], ' ') AS span
+       |       FROM d, unnest(range(0, greatest(
+       |         CAST(ceil(len(w) / $n.0) AS BIGINT), 1))) AS u(i)),
+       |hot AS (SELECT span FROM sp GROUP BY span
+       |        HAVING count(DISTINCT doc_id) >= $minDocs),
+       |mk AS (SELECT sp.doc_id, sp.span_idx, sp.span,
+       |         sp.span IN (SELECT span FROM hot) AS rm
+       |       FROM sp),
+       |rb AS (SELECT doc_id,
+       |         coalesce(string_agg(CASE WHEN NOT rm THEN span END, ' '
+       |           ORDER BY span_idx), '') AS text_deduped,
+       |         CAST(count(*) AS BIGINT) AS n_spans,
+       |         CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_removed
+       |       FROM mk GROUP BY doc_id)
+       |SELECT doc.doc_id,
+       |  coalesce(rb.text_deduped, '') AS text_deduped,
+       |  coalesce(rb.n_spans, 0) AS n_spans,
+       |  coalesce(rb.n_removed, 0) AS n_removed
+       |FROM documents doc LEFT JOIN rb USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   /** Shared CTE fragments of the two passage oracles — the SQL mirror
     * of the Spark-side `passagePostings`/`passageReassemble` split, so
     * the one-shot and probe oracles cannot drift apart. */
@@ -3703,6 +3749,8 @@ object SparkEntry {
     // empty results come back as '' (docs never vanish). Generated so the
     // chunk width stays in lockstep with the Spark query's parameter.
     "q_dedup_spans" -> spansOracleSql(spansChunkWords),
+    "q_dedup_boilerplate" ->
+      boilerplateOracleSql(spansChunkWords, boilerplateMinDocs),
 
     "q_dedup_passages" ->
       passagesOracleSql(passageWindowWords, passageStrideWords),

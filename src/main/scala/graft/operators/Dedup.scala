@@ -82,27 +82,7 @@ object Dedup {
   def spanDedup(docs: DataFrame, id: Column, text: Column,
                 chunkWords: Int): DataFrame = {
     require(chunkWords > 0, s"spanDedup: chunkWords=$chunkWords")
-    // the words array is bound in its own projection between the spread
-    // exchange and the generator: CollapseProject would otherwise inline
-    // the regex normalize+split into every slice()/size() use site,
-    // re-running it once per span per document (the measured
-    // dominant-cost trap documented at shinglesFromWords) — and
-    // computing it BELOW the exchange would serialize the regex onto the
-    // 1-2 input splits that `spread` exists to parallelize. The Generate
-    // node consumes the bound attribute, which CollapseProject cannot
-    // reach through.
-    val bound = spread(docs.where(text.isNotNull)
-      .select(id.as("doc_id"), normalizeText(text).as("__t")))
-      .select(col("doc_id"), split(col("__t"), " ").as("__w"))
-    val words = col("__w")
-    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
-    val spans = bound
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0),
-            greatest(nChunks, lit(1)) - 1),
-          i => array_join(
-            slice(words, i * chunkWords + 1, lit(chunkWords)), " ")))
-          .as(Seq("span_idx", "span")))
+    val spans = spanGrid(docs, id, text, chunkWords)
     val firstOcc = Window.partitionBy("span")
       .orderBy(col("doc_id"), col("span_idx"))
     val kept = spans
@@ -116,6 +96,94 @@ object Dedup {
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
+  /** The disjoint `chunkWords`-word span grid shared by [[spanDedup]]
+    * and [[boilerplateDedup]]: (doc_id, span_idx, span) per document.
+    *
+    * The words array is bound in its own projection between the spread
+    * exchange and the generator: CollapseProject would otherwise inline
+    * the regex normalize+split into every slice()/size() use site,
+    * re-running it once per span per document (the measured
+    * dominant-cost trap documented at shinglesFromWords) — and
+    * computing it BELOW the exchange would serialize the regex onto the
+    * 1-2 input splits that `spread` exists to parallelize. The Generate
+    * node consumes the bound attribute, which CollapseProject cannot
+    * reach through. */
+  private def spanGrid(docs: DataFrame, id: Column, text: Column,
+                       chunkWords: Int): DataFrame = {
+    val bound = spread(docs.where(text.isNotNull)
+      .select(id.as("doc_id"), normalizeText(text).as("__t")))
+      .select(col("doc_id"), split(col("__t"), " ").as("__w"))
+    val words = col("__w")
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
+    bound
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0),
+            greatest(nChunks, lit(1)) - 1),
+          i => array_join(
+            slice(words, i * chunkWords + 1, lit(chunkWords)), " ")))
+          .as(Seq("span_idx", "span")))
+  }
+
+  /** Boilerplate removal (the Gopher / RefinedWeb "remove lines
+    * duplicated across documents" rule, on [[spanDedup]]'s chunk grid):
+    * a span that occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate, and EVERY occurrence of it is removed — unlike
+    * [[spanDedup]], where the first occurrence survives. The two
+    * operators answer different questions: span dedup keeps the corpus's
+    * one canonical copy of repeated content (training-token dedup);
+    * boilerplate removal deletes content whose cross-document spread
+    * marks it as template chrome (headers, navigation, cookie banners),
+    * which no document should keep. Documents reduced to nothing come
+    * back as the empty string, never disappear; per-doc span totals and
+    * removal counts ride along for the datacard/threshold-tuning pass.
+    *
+    * Plan shape at scale: chunking is the shared one-generator grid
+    * (normalize+split once per doc, behind the spread exchange); the
+    * document-frequency count is a (span, doc_id) distinct followed by a
+    * partial+final count on the span — both shuffles on the
+    * high-cardinality span text; the removal mark is one left join of
+    * the span stream against the (small, but unbounded — never assumed
+    * broadcastable) hot-span set on the same span key, so AQE picks BHJ
+    * exactly when the hot set is actually small; reassembly is one
+    * groupBy(doc_id). No per-word explosion anywhere.
+    *
+    * Returns (doc_id, text_deduped, n_spans, n_removed).
+    */
+  def boilerplateDedup(docs: DataFrame, id: Column, text: Column,
+                       chunkWords: Int, minDocs: Int): DataFrame = {
+    require(chunkWords > 0 && minDocs > 0,
+      s"boilerplateDedup: chunkWords=$chunkWords, minDocs=$minDocs")
+    // id.isNotNull at the SOURCE, not inferred: the final left join
+    // pushes isnotnull(doc_id) into the reassembly subtree only, and the
+    // asymmetric filter breaks canonical equality with the hot-count
+    // subtree — with it stated identically under both, the spread
+    // exchange is a single AQE ReusedExchange and the corpus is scanned
+    // (and normalize+split) ONCE (the passagePostings discipline).
+    val spans = spanGrid(docs.where(id.isNotNull), id, text, chunkWords)
+    val hot = spans.select(col("span"), col("doc_id"))
+      .dropDuplicates("span", "doc_id")
+      .groupBy("span").count()
+      .where(col("count") >= minDocs)
+      .select(col("span"), lit(true).as("__hot"))
+    val marked = spans.join(hot, Seq("span"), "left")
+      .select(col("doc_id"), col("span_idx"), col("span"),
+        coalesce(col("__hot"), lit(false)).as("__rm"))
+    val rebuilt = marked.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("__rm"),
+            struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("text_deduped"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__rm").cast("long")).as("n_removed"))
+    docs.select(id.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
   /** Passage-level exact dedup over OVERLAPPING windows (the ExactSubstr

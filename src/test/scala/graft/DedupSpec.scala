@@ -406,6 +406,37 @@ class DedupSpec extends SparkTestBase {
     assert(t(2L) === "zz zz zz") // trailing "dd" was doc 1's tail span
   }
 
+  test("boilerplateDedup: spans in >= minDocs distinct docs vanish " +
+    "EVERYWHERE (no survivor), within-doc repeats count once toward the " +
+    "gate, counts ride along, docs never disappear") {
+    val docs = Seq(
+      (1L, "hh ii jj aa bb cc"),         // "hh ii jj" in docs 1,2,3 -> hot
+      (2L, "hh ii jj dd ee ff"),
+      (3L, "hh ii jj hh ii jj"),         // twice in ONE doc: df = 3, not 4
+      (4L, "dd ee ff dd ee ff"),         // df("dd ee ff") = 2 docs -> kept
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateDedup(docs, col("doc_id"), col("text"),
+        chunkWords = 3, minDocs = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === (("aa bb cc", 2L, 1L)))
+    assert(got(2L) === (("dd ee ff", 2L, 1L)))
+    assert(got(3L) === (("", 2L, 2L)))   // ALL occurrences removed
+    assert(got(4L) === (("dd ee ff dd ee ff", 2L, 0L))) // df 2 < 3: kept
+    assert(got(5L) === (("", 0L, 0L)))   // null text: empty, zero counts
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // at minDocs = 2 the within-doc duplicate still counts once, but
+    // "dd ee ff" (docs 2 and 4) now crosses the gate
+    val g2 = Dedup.boilerplateDedup(docs, col("doc_id"), col("text"),
+        chunkWords = 3, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(g2(2L) === (("", 2L, 2L)))
+    assert(g2(4L) === (("", 2L, 2L)))
+    assert(g2(1L) === (("aa bb cc", 2L, 1L))) // "aa bb cc" df 1: kept
+  }
+
   test("spanDedup differential property: matches an in-memory reference " +
     "on random corpora (chunk sizes 1-4, messy whitespace, case)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
