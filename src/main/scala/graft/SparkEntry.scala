@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Bq, Classify, Dedup, Enrich, Events, Importance, Layout, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq, Warehouse}
+import graft.operators.{AsOfJoin, Bq, Classify, Dedup, Enrich, Events, Importance, IntervalJoin, Layout, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq, Warehouse}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -425,6 +425,37 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")),
+
+    // interval overlap join via the grid-bucket equi-join: order
+    // "fulfillment windows" (7 days from order date) against shipment
+    // intervals (0-4 days from ship date, length keyed off the line
+    // number so it is deterministic and varied). A raw overlap predicate
+    // plans as BroadcastNestedLoopJoin — O(|L|·|R|) with a broadcast
+    // ceiling; the grid cell turns it into a shuffled equi-join, and the
+    // canonical-cell predicate makes pairs exactly-once with NO
+    // distinct pass. Aggregated per order so the output stays readable.
+    "q_join_interval" -> ((s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val a = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), epoch).cast("long")
+            .as("a_start"))
+        .withColumn("a_end", col("a_start") + 6)
+      val b = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 17 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), epoch).cast("long")
+            .as("b_start"))
+        .withColumn("b_end", col("b_start") + pmod(col("l_linenumber"), lit(5)))
+      IntervalJoin.overlapJoin(a, b, "a_start", "a_end",
+          "b_start", "b_end", bucketWidth = 7L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_overlaps"),
+          min(col("b_start")).as("first_ship"),
+          max(col("b_end")).as("last_ship"))
+        .orderBy("o_orderkey")
+    }),
 
     "q_join_range" -> ((s, dir) => {
       import s.implicits._
@@ -3501,6 +3532,25 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
+
+    // interval overlap: the oracle states the raw overlap predicate —
+    // the engine's grid-bucket + canonical-cell plan must agree exactly
+    "q_join_interval" ->
+      """WITH a AS (SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS a_start
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |a2 AS (SELECT o_orderkey, a_start, a_start + 6 AS a_end FROM a),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS b_start
+        |  FROM lineitem WHERE l_orderkey % 17 = 0),
+        |b2 AS (SELECT l_orderkey, l_linenumber, b_start,
+        |    b_start + (l_linenumber % 5) AS b_end FROM b)
+        |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  min(b_start) AS first_ship, max(b_end) AS last_ship
+        |FROM a2 JOIN b2 ON a_start <= b_end AND b_start <= a_end
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_join_range" ->
       """WITH tiers(tier, lo, hi) AS (VALUES
