@@ -2172,6 +2172,41 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // classifier evaluation harness: train on the labeled slice
+    // (vec_id % 5 == 0), score the HELD-OUT rows, and read back exact
+    // AUC (rank-sum, average-rank ties), the threshold-0 confusion
+    // matrix and precision/recall/F1 in one row — every value integer
+    // until a single IEEE division, so the whole row hash-matches
+    "q_classify_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val w = Classify.perceptronTrain(
+        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        positive = col("label") < 5, epochs = classifyEvalEpochs,
+        deterministic = true)
+      val scored = Classify.perceptronScore(
+          emb.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding", w)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      Classify.evaluateBinary(scored, col("label") < 5, col("margin"))
+    }),
+
+    // calibration readout over the same held-out margins: 8 equal-width
+    // bins with a complete spine, each bin's exact positive fraction —
+    // the window-free evaluation shape for score columns too distinct
+    // for the exact rank frame
+    "q_classify_calibration" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val w = Classify.perceptronTrain(
+        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        positive = col("label") < 5, epochs = classifyEvalEpochs,
+        deterministic = true)
+      val scored = Classify.perceptronScore(
+          emb.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding", w)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      Classify.calibrationBins(scored, col("label") < 5, col("margin"),
+          nBins = calibrationBinCount)
+        .orderBy("bucket")
+    }),
+
     // the classifier AS A PIPELINE STAGE (margin-calibrated quality
     // gating, the fasttext-style shape a pretrain pipeline actually
     // runs): train the perceptron on the LABELED slice only
@@ -2485,6 +2520,13 @@ object SparkEntry {
   // literals would let the pair drift silently until a hash mismatch
   private val spansChunkWords = 3
   private val boilerplateMinDocs = 3
+  private val calibrationBinCount = 8
+  // the eval harness trains LONGER than q_embed_classify's 2-epoch
+  // repro pin: at 2 epochs the slice-trained perceptron predicts
+  // nothing positive, which makes the confusion row vacuous (tp=fp=0
+  // cannot distinguish a correct harness from one that drops matches);
+  // 8 epochs puts a count in every confusion cell
+  private val classifyEvalEpochs = 8
   private val passageWindowWords = 6
   private val passageStrideWords = 1
   // unicode payload pieces for q_text_nfc, pinned as single-quoted
@@ -2567,7 +2609,7 @@ object SparkEntry {
          |  FROM $prev p LEFT JOIN cn$r n USING (cluster))""".stripMargin
     }
     val head =
-      s"""e AS (SELECT vec_id, embedding FROM embeddings
+      s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
          |  WHERE embedding IS NOT NULL
          |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
          |    $baseWhere),
@@ -2613,7 +2655,7 @@ object SparkEntry {
          |    PARTITION BY vec_id ORDER BY d ASC, code ASC) AS rn
          |  FROM $scCte) WHERE rn = 1)""".stripMargin
     val head = (if (base.isEmpty)
-      s"""e AS (SELECT vec_id, embedding FROM embeddings
+      s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
          |  WHERE embedding IS NOT NULL
          |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
          |    AND len(embedding) = $dim),
@@ -2782,7 +2824,7 @@ object SparkEntry {
     * reconstructed corpus. All arithmetic is mirrored term-for-term
     * from `Sq` (floor + clamp quantize; recon float-cast once). */
   private def sqCteChain(dim: Int): String =
-    s"""e AS (SELECT vec_id, embedding FROM embeddings
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL
        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
        |    AND len(embedding) = $dim),
@@ -3140,21 +3182,21 @@ object SparkEntry {
   private def perceptronCteChain(epochs: Int, lr: Double,
                                  trainWhere: String = ""): String = {
     val rounds = (1 to epochs).map { r =>
-      s"""m$r AS (SELECT tr.vec_id, tr.a, tr.y,
+      s"""m$r AS MATERIALIZED (SELECT tr.vec_id, tr.a, tr.y,
          |    tr.y * list_sum(list_transform(range(1, len(tr.a) + 1),
          |      i -> CAST(tr.a[i] AS DOUBLE) * w.w[i])) AS margin
          |  FROM tr, w${r - 1} w),
-         |g$r AS (SELECT d.i,
+         |g$r AS MATERIALIZED (SELECT d.i,
          |    list_sum(list(CAST(m.a[d.i] AS DOUBLE) * m.y
          |      ORDER BY m.vec_id)) AS g
          |  FROM dims d, (SELECT * FROM m$r WHERE margin <= 0) m
          |  GROUP BY d.i),
-         |w$r AS (SELECT list(w.w[d.i] + $lr * coalesce(g$r.g, 0.0)
+         |w$r AS MATERIALIZED (SELECT list(w.w[d.i] + $lr * coalesce(g$r.g, 0.0)
          |    ORDER BY d.i) AS w
          |  FROM dims d CROSS JOIN w${r - 1} w
          |  LEFT JOIN g$r ON g$r.i = d.i)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id,
+    s"""e AS MATERIALIZED (SELECT vec_id,
        |    embedding || [CAST(1.0 AS FLOAT)] AS a,
        |    CASE WHEN label < 5 THEN 1.0 ELSE -1.0 END AS y
        |  FROM embeddings WHERE embedding IS NOT NULL
@@ -3168,11 +3210,11 @@ object SparkEntry {
        |      WHERE embedding IS NOT NULL
        |        AND len(list_filter(embedding, x -> x IS NULL)) = 0
        |      ORDER BY vec_id LIMIT 1)),
-       |tr AS (SELECT * FROM e $trainWhere),
-       |dims AS (SELECT u.i
+       |tr AS MATERIALIZED (SELECT * FROM e $trainWhere),
+       |dims AS MATERIALIZED (SELECT u.i
        |  FROM (SELECT a FROM tr ORDER BY vec_id LIMIT 1) s,
        |    unnest(range(1, len(s.a) + 1)) AS u(i)),
-       |w0 AS (SELECT list(0.0 ORDER BY i) AS w FROM dims),
+       |w0 AS MATERIALIZED (SELECT list(0.0 ORDER BY i) AS w FROM dims),
        |$rounds""".stripMargin
   }
 
@@ -3255,6 +3297,75 @@ object SparkEntry {
        |  JOIN documents d ON d.doc_id = s.vec_id)
        |WHERE rk <= $quota
        |ORDER BY lang, doc_id""".stripMargin
+
+  /** The held-out scored frame shared by the two evaluation oracles:
+    * chain trained on the vec_id % 5 = 0 slice, margins + 0/1 labels
+    * for every OTHER usable row (mirrors the q_classify_eval /
+    * q_classify_calibration Spark composition). */
+  private def heldOutScoredCte(epochs: Int): String =
+    s"""${perceptronCteChain(epochs, lr = 1.0,
+          trainWhere = "WHERE vec_id % 5 = 0")},
+       |sc AS MATERIALIZED (SELECT e.vec_id,
+       |    CASE WHEN e.y > 0 THEN 1 ELSE 0 END AS ip,
+       |    list_sum(list_transform(range(1, len(e.a) + 1),
+       |      i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) AS s
+       |  FROM e, w$epochs w WHERE e.vec_id % 5 <> 0)""".stripMargin
+
+  /** q_classify_eval oracle: exact rank-sum AUC over score groups plus
+    * the threshold-0 confusion row — integer numerators, one IEEE
+    * division per emitted ratio (mirrors `Classify.evaluateBinary`). */
+  private def classifyEvalOracleSql(epochs: Int): String =
+    s"""WITH ${heldOutScoredCte(epochs)},
+       |grp AS (SELECT s, CAST(sum(ip) AS BIGINT) AS p,
+       |    CAST(count(*) - sum(ip) AS BIGINT) AS n
+       |  FROM sc GROUP BY s),
+       |cum AS (SELECT s, p, n, CAST(sum(n) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cn
+       |  FROM grp),
+       |agg AS (SELECT
+       |    CAST(sum(p) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(2 * p * (cn - n) + p * n) AS BIGINT) AS num,
+       |    CAST(sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN s > 0 THEN n ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN s <= 0 THEN n ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN s <= 0 THEN p ELSE 0 END) AS BIGINT) AS fn
+       |  FROM cum)
+       |SELECT np AS n_pos, nn AS n_neg,
+       |  CAST(num AS DOUBLE) / nullif(CAST(2 * np * nn AS DOUBLE), 0.0)
+       |    AS auc,
+       |  tp, fp, tn, fn,
+       |  CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
+       |    AS precision,
+       |  CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)
+       |    AS recall,
+       |  CAST(2 * tp AS DOUBLE)
+       |    / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0) AS f1
+       |FROM agg""".stripMargin
+
+  /** q_classify_calibration oracle: the q_profile_histogram span/bucket
+    * arithmetic over the held-out margins, with per-bin positive
+    * fractions (mirrors `Classify.calibrationBins`). */
+  private def classifyCalibrationOracleSql(epochs: Int,
+                                           nBins: Int): String =
+    s"""WITH ${heldOutScoredCte(epochs)},
+       |span AS (SELECT min(s) AS lo, max(s) AS hi FROM sc),
+       |b AS (SELECT CAST(least(greatest(
+       |      floor((s - lo) / ((hi - lo) / $nBins)), 0), ${nBins - 1})
+       |      AS BIGINT) AS bucket, ip
+       |  FROM sc CROSS JOIN span),
+       |counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(ip) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY bucket),
+       |spine AS (SELECT unnest(range(0, $nBins)) AS bucket)
+       |SELECT sp.bucket,
+       |  lo + sp.bucket * ((hi - lo) / $nBins) AS bucket_lo,
+       |  lo + (sp.bucket + 1) * ((hi - lo) / $nBins) AS bucket_hi,
+       |  coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos,
+       |  CAST(n_pos AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0)
+       |    AS frac_pos
+       |FROM spine sp CROSS JOIN span LEFT JOIN counts USING (bucket)
+       |ORDER BY sp.bucket""".stripMargin
 
   /** q_dedup_spans oracle, generated from the same chunk width as the
     * Spark query (mirrors `Dedup.spanDedup`). */
@@ -5554,6 +5665,9 @@ object SparkEntry {
 
     // batch-perceptron epochs unrolled, prediction signs compared
     "q_embed_classify" -> perceptronOracleSql(perceptronEpochs, lr = 1.0),
+    "q_classify_eval" -> classifyEvalOracleSql(classifyEvalEpochs),
+    "q_classify_calibration" ->
+      classifyCalibrationOracleSql(classifyEvalEpochs, calibrationBinCount),
 
     "q_text_classify" -> textPerceptronOracleSql(perceptronEpochs),
 

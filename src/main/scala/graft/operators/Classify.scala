@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Trainable linear quality classifier over an embedding column — the
@@ -192,4 +193,109 @@ object Classify {
     textMargins(textFeatures(docs, idCol, textCol, n, buckets), weights)
       .select(col("doc_id").as(idCol), col("margin"),
         (col("margin") > 0).as("predicted"))
+
+  // ---- evaluation harness ----------------------------------------------
+
+  /** Binary-classifier evaluation in one frame: exact AUC (Mann-Whitney
+    * rank-sum with the standard average-rank tie treatment) plus the
+    * threshold confusion matrix and precision/recall/F1 — the readout a
+    * quality-gate deployment tunes its cut with, next to
+    * `EntityResolution`'s linkage harness.
+    *
+    * Every quantity is integer until exactly ONE IEEE division, so the
+    * row sits under the hash oracle: AUC's numerator is
+    * Σ_g (2·p_g·(negatives strictly below g) + p_g·n_g) over
+    * score-GROUPS g (ties contribute the ½ of the rank-sum convention
+    * as the un-halved p·n term against the doubled denominator
+    * 2·P·N); F1 uses the single-division form 2·tp/(2·tp+fp+fn), not
+    * the precision/recall composition, whose extra roundings engines
+    * could order differently.
+    *
+    * Scale: one partial+final aggregate to score groups, then the
+    * running-negatives window ORDERS THE GROUP FRAME GLOBALLY — the
+    * sorted frame is the DISTINCT-score frame, so its size is the
+    * score cardinality, not the corpus (margins quantize hard in
+    * practice; a truly-all-distinct 100 TB score column wants the
+    * binned readout of [[calibrationBins]] instead, which is
+    * window-free). Degenerate frames (no positives or no negatives)
+    * yield NULL auc rather than a fake 0.5.
+    *
+    * Returns one row: (n_pos, n_neg, auc, tp, fp, tn, fn, precision,
+    * recall, f1). `predicted` = score > threshold, matching
+    * `perceptronScore`. */
+  def evaluateBinary(scored: DataFrame, label: Column, score: Column,
+                     threshold: Double = 0.0): DataFrame = {
+    val grp = scored
+      .select(score.as("s"), when(label, 1L).otherwise(0L).as("ip"))
+      .where(col("s").isNotNull)
+      .groupBy("s")
+      .agg(sum(col("ip")).as("p"), (count(lit(1)) - sum(col("ip"))).as("n"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grp.withColumn("cn", sum(col("n")).over(w))
+    cum.agg(
+        sum(col("p")).as("np"),
+        sum(col("n")).as("nn"),
+        sum(lit(2L) * col("p") * (col("cn") - col("n")) +
+          col("p") * col("n")).as("num"),
+        sum(when(col("s") > threshold, col("p")).otherwise(0L)).as("tp"),
+        sum(when(col("s") > threshold, col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("s") <= threshold, col("n")).otherwise(0L)).as("tn"),
+        sum(when(col("s") <= threshold, col("p")).otherwise(0L)).as("fn"))
+      .select(
+        col("np").as("n_pos"), col("nn").as("n_neg"),
+        (col("num").cast("double") /
+          nullif((lit(2L) * col("np") * col("nn")).cast("double"),
+            lit(0.0))).as("auc"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        (col("tp").cast("double") /
+          nullif((col("tp") + col("fp")).cast("double"), lit(0.0)))
+          .as("precision"),
+        (col("tp").cast("double") /
+          nullif((col("tp") + col("fn")).cast("double"), lit(0.0)))
+          .as("recall"),
+        ((lit(2L) * col("tp")).cast("double") /
+          nullif((lit(2L) * col("tp") + col("fp") + col("fn"))
+            .cast("double"), lit(0.0))).as("f1"))
+  }
+
+  /** Calibration readout: `nBins` equal-width score bins with a
+    * complete spine (empty bins as explicit zero rows), each carrying
+    * its exact positive fraction — whether the margin ordering is
+    * honest about probability, and the window-free evaluation shape
+    * for score columns too distinct for [[evaluateBinary]]'s exact
+    * rank frame. Bucket arithmetic is the `Warehouse.histogram`
+    * discipline: one subtraction + one IEEE division against span
+    * constants + an exact integer clamp, bit-stable across engines;
+    * span constants come from one 1-row aggregate. frac_pos is
+    * integer/integer in one division; empty bins carry NULL, not a
+    * fake 0. */
+  def calibrationBins(scored: DataFrame, label: Column, score: Column,
+                      nBins: Int): DataFrame = {
+    require(nBins > 0, s"calibrationBins: nBins=$nBins")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val v = scored
+      .select(score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("ip"))
+      .where(col("s").isNotNull)
+    val span = v.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val width = (col("hi") - col("lo")) / nBins
+    val bucketed = v.crossJoin(broadcast(span))
+      .select(least(greatest(
+          floor((col("s") - col("lo")) / width), lit(0.0)),
+        lit(nBins - 1.0)).cast("long").as("bucket"), col("ip"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("ip")).as("n_pos"))
+    val spine = (0L until nBins.toLong).toDF("bucket")
+    broadcast(spine).join(bucketed, Seq("bucket"), "left")
+      .crossJoin(broadcast(span))
+      .select(col("bucket"),
+        (col("lo") + col("bucket") * width).as("bucket_lo"),
+        (col("lo") + (col("bucket") + 1) * width).as("bucket_hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        (col("n_pos").cast("double") /
+          nullif(col("n").cast("double"), lit(0.0))).as("frac_pos"))
+  }
 }

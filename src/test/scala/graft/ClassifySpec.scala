@@ -97,4 +97,56 @@ class ClassifySpec extends SparkTestBase {
       .as[(Long, Long, Boolean)].collect()
     assert(s0.forall(r => r._2 === 0L && !r._3))
   }
+
+  test("evaluateBinary: rank-sum AUC with average-rank ties matches the " +
+    "hand computation; confusion + single-division ratios exact") {
+    // groups asc: -0.3 (1 pos, 1 neg), 0.1 (0, 2), 0.5 (2, 0), 0.9 (1, 1)
+    // avg ranks 1.5 / 3.5 / 5.5 / 7.5 -> R_pos = 20, AUC = (20-10)/16
+    val scored = Seq(
+      (0.9, true), (0.9, false), (0.5, true), (0.5, true),
+      (0.1, false), (0.1, false), (-0.3, true), (-0.3, false)
+    ).toDF("s", "lab")
+    val r = Classify.evaluateBinary(scored, col("lab"), col("s"))
+      .collect()(0)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)    // n_pos, n_neg
+    assert(r.getDouble(2) === 0.625)                       // auc
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((3L, 3L, 1L, 1L)))                                  // tp fp tn fn
+    assert(r.getDouble(7) === 0.5)                         // precision
+    assert(r.getDouble(8) === 0.75)                        // recall
+    assert(r.getDouble(9) === 0.6)                         // f1 = 6/10
+    // perfect separation -> AUC exactly 1; total inversion -> exactly 0
+    val perfect = Seq((2.0, true), (1.5, true), (0.5, false), (-1.0, false))
+      .toDF("s", "lab")
+    assert(Classify.evaluateBinary(perfect, col("lab"), col("s"))
+      .collect()(0).getDouble(2) === 1.0)
+    assert(Classify.evaluateBinary(perfect, !col("lab"), col("s"))
+      .collect()(0).getDouble(2) === 0.0)
+    // degenerate single-class frame: AUC and precision NULL, not fake
+    val onlyPos = Seq((1.0, true), (-1.0, true)).toDF("s", "lab")
+    val d = Classify.evaluateBinary(onlyPos, col("lab"), col("s"))
+      .collect()(0)
+    assert(d.isNullAt(2) && d.getLong(1) === 0L)
+    assert(d.getDouble(8) === 0.5)   // recall = 1/2: one pos above 0
+  }
+
+  test("calibrationBins: complete spine, exact per-bin positive " +
+    "fractions, empty bins explicit with NULL frac") {
+    val scored = (0 to 7).map(i => (i.toDouble,
+      Seq(true, true, false, true, false, false, false, true)(i)))
+      .toDF("s", "lab")
+    val bins = Classify.calibrationBins(scored, col("lab"), col("s"), 4)
+      .orderBy("bucket")
+      .select("bucket", "n", "n_pos").as[(Long, Long, Long)].collect()
+    assert(bins === Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 2L, 0L),
+      (3L, 2L, 1L)))
+    // sparse frame: interior bins exist as zero rows with NULL frac
+    val sparse = Seq((0.0, true), (7.0, false)).toDF("s", "lab")
+    val sb = Classify.calibrationBins(sparse, col("lab"), col("s"), 4)
+      .orderBy("bucket").collect()
+    assert(sb.length === 4)
+    assert(sb(1).getLong(3) === 0L && sb(1).isNullAt(5))
+    assert(sb(0).getLong(3) === 1L && sb(0).getDouble(5) === 1.0)
+    assert(sb(3).getLong(3) === 1L && sb(3).getDouble(5) === 0.0)
+  }
 }
