@@ -1592,6 +1592,37 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // CDC snapshot apply (MERGE shape, SCD1): fold a deterministic I/U/D
+    // feed derived from orders into the customer snapshot — updates
+    // re-price acctbal from each key's latest order, deletes remove the
+    // %11 keys (outranking any update via the sentinel ord), inserts
+    // mint new keys; latest change per key wins via (ord, tiebreak)
+    "q_warehouse_cdc" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ords = Tables.orders(s, dir)
+      val day = datediff(to_date(col("o_orderdate")),
+        to_date(lit("1970-01-01"))).cast("long")
+      val upd = ords.where(col("o_orderkey") % 19 === 0)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("o_totalprice").as("c_acctbal"), col("c_mktsegment"),
+          day.as("ordv"), col("o_orderkey").as("tb"), lit("U").as("op"))
+      val del = cust.where(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"),
+          lit(99999999L).as("ordv"), lit(0L).as("tb"), lit("D").as("op"))
+      val ins = ords.where(col("o_orderkey") % 23 === 0)
+        .select((lit(1000000L) + col("o_orderkey") % 50).as("c_custkey"),
+          concat(lit("new-"), (col("o_orderkey") % 50).cast("string"))
+            .as("c_name"),
+          (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+          col("o_totalprice").as("c_acctbal"), lit("NEW").as("c_mktsegment"),
+          day.as("ordv"), col("o_orderkey").as("tb"), lit("I").as("op"))
+      Warehouse.applyCdc(cust, upd.unionByName(del).unionByName(ins),
+          Seq("c_custkey"), col("ordv"), col("tb"), col("op"))
+        .orderBy("c_custkey")
+    }),
+
     // equi-width value histogram with a complete bucket spine (empty
     // buckets as explicit zeros): the distribution readout next to
     // q_profile_columns' extrema. Bucket id = one subtraction + one IEEE
@@ -4629,6 +4660,43 @@ object SparkEntry {
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // CDC apply: same feed, latest-per-key window, full join + CASE
+    "q_warehouse_cdc" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    o_totalprice AS c_acctbal, c_mktsegment,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS ordv,
+        |    o_orderkey AS tb, 'U' AS op
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderkey % 19 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |    99999999, 0, 'D'
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT 1000000 + o_orderkey % 50,
+        |    'new-' || CAST(o_orderkey % 50 AS VARCHAR),
+        |    CAST(o_orderkey % 25 AS INT), o_totalprice, 'NEW',
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
+        |    o_orderkey, 'I'
+        |  FROM orders WHERE o_orderkey % 23 = 0),
+        |l1 AS (SELECT * FROM (SELECT ch.*, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY ordv DESC, tb DESC) AS rn
+        |  FROM ch) WHERE rn = 1)
+        |SELECT coalesce(l1.c_custkey, c.c_custkey) AS c_custkey,
+        |  CASE WHEN l1.op IS NOT NULL THEN l1.c_name
+        |       ELSE c.c_name END AS c_name,
+        |  CASE WHEN l1.op IS NOT NULL THEN l1.c_nationkey
+        |       ELSE c.c_nationkey END AS c_nationkey,
+        |  CASE WHEN l1.op IS NOT NULL THEN l1.c_acctbal
+        |       ELSE c.c_acctbal END AS c_acctbal,
+        |  CASE WHEN l1.op IS NOT NULL THEN l1.c_mktsegment
+        |       ELSE c.c_mktsegment END AS c_mktsegment
+        |FROM customer c FULL JOIN l1 ON c.c_custkey = l1.c_custkey
+        |WHERE l1.op IS NULL OR l1.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
 
     // histogram: identical span arithmetic, spine via generate_series
     "q_profile_histogram" ->

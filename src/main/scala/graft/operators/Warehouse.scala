@@ -271,4 +271,62 @@ object Warehouse {
         col("n_events") * col("trail_cnt") * den >
           col("trail_sum") * num, lit(false)))
   }
+
+  /** CDC snapshot apply — the MERGE INTO shape (SCD Type-1: latest
+    * state wins, no history) over a plain-parquet base, for engines
+    * without a transactional table format: fold a change feed of
+    * I/U/D (insert / update / delete) rows into the base snapshot and
+    * return the NEXT snapshot with exactly the base's schema.
+    *
+    * Semantics: per key, only the LATEST change by (`ord`, `tiebreak`)
+    * applies — earlier changes in the same feed are superseded, so
+    * replaying a feed that was already folded in is idempotent.
+    * I and U both upsert (an U for an absent key inserts — the
+    * at-least-once-feed convention; CDC streams routinely replay an
+    * update whose insert was already compacted away), D removes the
+    * key, and a D for an absent key is a no-op. Any other op code
+    * fails the job loudly (a typo'd op silently dropping rows is the
+    * worst failure mode a snapshot maintainer can have). `tiebreak`
+    * must complete a total order within (key, ord) — the same
+    * determinism contract as [[scd2History]].
+    *
+    * `changes` must carry every base column (the full-row payload —
+    * the Debezium "after" image) plus whatever `ord`/`tiebreak`/`op`
+    * reference. Column-subset updates are the caller's join before the
+    * fold.
+    *
+    * Scale: one key-shuffle of the feed for the latest-change window
+    * (rank-1, so Catalyst plans a partial WindowGroupLimit below the
+    * exchange — map tasks pre-prune superseded changes), one
+    * key-shuffle each side for the full-outer join; the base is never
+    * windowed. Feed ≪ base in steady state, so AQE turns the join's
+    * build side into a broadcast when the day's feed is small.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               ord: Column, tiebreak: Column, op: Column): DataFrame = {
+    require(keyCols.nonEmpty, "applyCdc: keyCols is empty")
+    val payload = base.columns.toSeq
+    val missing = payload.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"applyCdc: changes is missing base columns ${missing.mkString(", ")}")
+    val opChecked = when(op.isin("I", "U", "D"), op)
+      .otherwise(raise_error(concat(lit("applyCdc: unknown op '"), op,
+        lit("' (expected I/U/D)"))))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ord.desc, tiebreak.desc)
+    val latest = changes
+      .withColumn("__op", opChecked)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select((keyCols.map(col) :+ col("__op")) ++
+        payload.filterNot(keyCols.contains)
+          .map(c => col(c).as(s"__c_$c")): _*)
+    base.join(latest, keyCols, "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "D")
+      .select(payload.map { c =>
+        if (keyCols.contains(c)) col(c)
+        else when(col("__op").isNotNull, col(s"__c_$c"))
+          .otherwise(col(c)).as(c)
+      }: _*)
+  }
 }

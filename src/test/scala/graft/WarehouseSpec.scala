@@ -258,4 +258,50 @@ class WarehouseSpec extends SparkTestBase {
     assert(spike.getBoolean(6))
     assert(spike.getDouble(5) === 3.0) // 30 vs mean 10, exact division
   }
+
+  test("applyCdc: latest change per key wins, U upserts absent keys, " +
+    "D deletes (and no-ops on absent keys), replay is idempotent") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "v")
+    val ch = Seq(
+      (1L, "a1", 11, 1L, 1L, "U"),   // superseded by the later U
+      (1L, "a2", 12, 2L, 1L, "U"),   // latest -> wins
+      (2L, "x", 0, 1L, 1L, "D"),     // delete key 2
+      (4L, "d", 40, 1L, 1L, "U"),    // U for absent key -> insert
+      (5L, "e", 50, 1L, 1L, "I"),    // plain insert
+      (5L, "e2", 51, 1L, 2L, "I"),   // same ord: tiebreak decides
+      (9L, "z", 0, 1L, 1L, "D")      // D for absent key -> no-op
+    ).toDF("k", "name", "v", "ordv", "tb", "op")
+    val next = Warehouse.applyCdc(base, ch, Seq("k"),
+      col("ordv"), col("tb"), col("op"))
+    assert(next.columns.toSeq === base.columns.toSeq)
+    val got = next.as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a2", 12), (3L, "c", 30), (4L, "d", 40),
+      (5L, "e2", 51)))
+    // replaying the already-applied feed changes nothing (D on the
+    // now-absent key no-ops, upserts re-assert current values)
+    val again = Warehouse.applyCdc(next, ch, Seq("k"),
+      col("ordv"), col("tb"), col("op"))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
+
+  test("applyCdc: unknown op codes fail the job loudly; missing payload " +
+    "columns are rejected up front") {
+    val base = Seq((1L, 10)).toDF("k", "v")
+    val bad = Seq((1L, 11, 1L, 1L, "UPSERT")).toDF("k", "v", "ordv", "tb",
+      "op")
+    val ex = intercept[Exception] {
+      Warehouse.applyCdc(base, bad, Seq("k"),
+        col("ordv"), col("tb"), col("op")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("unknown op")), ex.toString)
+    val narrow = Seq((1L, 1L, 1L, "U")).toDF("k", "ordv", "tb", "op")
+    assertThrows[IllegalArgumentException] {
+      Warehouse.applyCdc(base, narrow, Seq("k"),
+        col("ordv"), col("tb"), col("op"))
+    }
+  }
 }
