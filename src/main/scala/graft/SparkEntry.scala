@@ -1592,6 +1592,19 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // Holt linear-trend forecast over the gapfilled daily event-type
+    // counts: 3-day horizon off the final (level, trend); the smoothing
+    // fold runs day-ordered per key (one key shuffle, O(1) state), and
+    // the recursive-CTE oracle replays the identical IEEE chain
+    "q_events_forecast" -> ((s, dir) => {
+      val daily = Warehouse.gapfillDaily(Tables.events(s, dir),
+        col("event_type"), col("ts"))
+      Warehouse.holtForecast(daily, col("key"),
+          datediff(col("day"), to_date(lit("1970-01-01"))),
+          col("n_events"), alpha = 0.5, beta = 0.5, horizon = 3)
+        .orderBy("key", "h")
+    }),
+
     // CDC snapshot apply (MERGE shape, SCD1): fold a deterministic I/U/D
     // feed derived from orders into the customer snapshot — updates
     // re-price acctbal from each key's latest order, deletes remove the
@@ -2236,6 +2249,30 @@ object SparkEntry {
       Classify.calibrationBins(scored, col("label") < 5, col("margin"),
           nBins = calibrationBinCount)
         .orderBy("bucket")
+    }),
+
+    // uncertainty sampling (the active-learning batch the data flywheel
+    // labels next): train on the current labeled slice, score the
+    // UNLABELED pool, and pull the `qualityQuota` lowest-|margin| docs
+    // per language — most-informative-first labeling, the complement of
+    // q_pipeline_quality's top-by-margin KEEP gate. Same WindowGroupLimit
+    // partial top-k shape; |margin| is one IEEE abs, hash-stable
+    "q_classify_uncertain" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val w = Classify.perceptronTrain(
+        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        positive = col("label") < 5, epochs = classifyEvalEpochs,
+        deterministic = true)
+      val scored = Classify.perceptronScore(
+        emb.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding", w)
+      val wn = Window.partitionBy(col("lang"))
+        .orderBy(abs(col("margin")).asc, col("doc_id").asc)
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(scored, col("doc_id") === col("vec_id"))
+        .withColumn("rk", row_number().over(wn))
+        .where(col("rk") <= qualityQuota)
+        .select(col("doc_id"), col("lang"), col("margin"))
+        .orderBy("lang", "doc_id")
     }),
 
     // the classifier AS A PIPELINE STAGE (margin-calibrated quality
@@ -3341,6 +3378,19 @@ object SparkEntry {
        |    list_sum(list_transform(range(1, len(e.a) + 1),
        |      i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) AS s
        |  FROM e, w$epochs w WHERE e.vec_id % 5 <> 0)""".stripMargin
+
+  /** q_classify_uncertain oracle: the held-out margins ranked by
+    * |margin| ascending per language, quota'd (mirrors the
+    * uncertainty-sampling Spark composition). */
+  private def classifyUncertainOracleSql(epochs: Int, quota: Int): String =
+    s"""WITH ${heldOutScoredCte(epochs)}
+       |SELECT doc_id, lang, margin FROM (
+       |  SELECT d.doc_id, d.lang, s.s AS margin, row_number() OVER (
+       |      PARTITION BY d.lang ORDER BY abs(s.s) ASC, d.doc_id ASC)
+       |      AS rk
+       |  FROM sc s JOIN documents d ON d.doc_id = s.vec_id)
+       |WHERE rk <= $quota
+       |ORDER BY lang, doc_id""".stripMargin
 
   /** q_classify_eval oracle: exact rank-sum AUC over score groups plus
     * the threshold-0 confusion row — integer numerators, one IEEE
@@ -4661,6 +4711,47 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
 
+    // forecast: the smoothing recurrence replayed as a recursive CTE —
+    // identical IEEE operation order, (1 - alpha) by subtraction on
+    // both engines
+    "q_events_forecast" ->
+      """WITH RECURSIVE
+        |tagged AS (SELECT event_type AS k, CAST(ts AS DATE) AS day
+        |           FROM events),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM tagged),
+        |days AS (SELECT CAST(unnest(generate_series(
+        |             CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |             INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |keys AS (SELECT DISTINCT k FROM tagged),
+        |daily AS (SELECT k, day, CAST(count(*) AS BIGINT) AS n
+        |          FROM tagged GROUP BY 1, 2),
+        |v AS (SELECT ks.k, d.day, CAST(coalesce(n, 0) AS DOUBLE) AS x,
+        |        row_number() OVER (PARTITION BY ks.k ORDER BY d.day)
+        |          AS rn
+        |      FROM days d CROSS JOIN keys ks
+        |      LEFT JOIN daily ON daily.k = ks.k AND daily.day = d.day),
+        |cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs
+        |        FROM v GROUP BY k),
+        |rec AS (
+        |  -- the anchor's types define the recursion's: a bare 0.0 is
+        |  -- DECIMAL(1,1) in DuckDB and would silently run the whole
+        |  -- trend chain in decimal arithmetic
+        |  SELECT k, rn, x AS l, CAST(0.0 AS DOUBLE) AS t
+        |  FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.k, v.rn,
+        |    0.5 * v.x + (1 - 0.5) * (rec.l + rec.t),
+        |    0.5 * ((0.5 * v.x + (1 - 0.5) * (rec.l + rec.t)) - rec.l)
+        |      + (1 - 0.5) * rec.t
+        |  FROM rec JOIN v ON v.k = rec.k AND v.rn = rec.rn + 1),
+        |fin AS (SELECT rec.k, rec.l, rec.t
+        |        FROM rec JOIN cnt ON cnt.k = rec.k AND rec.rn = cnt.n_obs)
+        |SELECT f.k AS key, c.n_obs, f.l AS level, f.t AS trend,
+        |  h.h AS h, f.l + h.h * f.t AS yhat
+        |FROM fin f JOIN cnt c ON c.k = f.k
+        |CROSS JOIN (SELECT unnest(range(1, 4)) AS h) h
+        |ORDER BY key, h""".stripMargin,
+
     // CDC apply: same feed, latest-per-key window, full join + CASE
     "q_warehouse_cdc" ->
       """WITH ch AS (
@@ -5734,6 +5825,8 @@ object SparkEntry {
     // batch-perceptron epochs unrolled, prediction signs compared
     "q_embed_classify" -> perceptronOracleSql(perceptronEpochs, lr = 1.0),
     "q_classify_eval" -> classifyEvalOracleSql(classifyEvalEpochs),
+    "q_classify_uncertain" ->
+      classifyUncertainOracleSql(classifyEvalEpochs, qualityQuota),
     "q_classify_calibration" ->
       classifyCalibrationOracleSql(classifyEvalEpochs, calibrationBinCount),
 

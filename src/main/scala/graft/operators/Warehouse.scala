@@ -272,6 +272,64 @@ object Warehouse {
           col("trail_sum") * num, lit(false)))
   }
 
+  /** Holt linear-trend forecast (double exponential smoothing) per key
+    * over an evenly-spaced series — the trend-aware successor to
+    * [[dailySpikes]]' flat trailing mean: after one pass the final
+    * (level, trend) pair extrapolates `horizon` steps as
+    * level + h·trend. Feed it [[gapfillDaily]]'s output so "absent"
+    * days are explicit zeros; a gapped series would smooth across the
+    * hole as if no time passed.
+    *
+    * Recurrence (zero-trend init, the common SQL-replayable variant):
+    * l₁ = x₁, t₁ = 0; then lₙ = α·xₙ + (1−α)·(lₙ₋₁ + tₙ₋₁),
+    * tₙ = β·(lₙ − lₙ₋₁) + (1−β)·tₙ₋₁. The fold is strictly day-ordered
+    * IEEE arithmetic with (1−α)/(1−β) computed by subtraction on BOTH
+    * engines, so the doubles sit under the hash oracle (the generated
+    * SQL replays the same chain as a recursive CTE).
+    *
+    * Scale: a sequential recurrence cannot be a window/aggregate — this
+    * is the documented per-partition-imperative case: ONE shuffle on
+    * the key, values streamed day-sorted through a flatMapSortedGroups
+    * fold with O(1) state per key (level, trend, count) — no per-key
+    * materialization, group spill handled by the sorter. The input is
+    * the DAILY frame (keys × days, dimension-sized), never raw facts.
+    *
+    * Returns (key, n_obs, level, trend, h, yhat) with one row per
+    * (key, 1..horizon). Keys are strings (cast before calling — a
+    * forecast frame is a dimension readout, not a typed fact path);
+    * null values are excluded like every aggregate would.
+    */
+  def holtForecast(daily: DataFrame, key: Column, day: Column,
+                   value: Column, alpha: Double, beta: Double,
+                   horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"holtForecast: alpha=$alpha, beta=$beta")
+    require(horizon >= 1, s"holtForecast: horizon=$horizon")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val ds = daily
+      .select(key.cast("string").as("k"), day.cast("long").as("d"),
+        value.cast("double").as("x"))
+      .where(col("k").isNotNull && col("d").isNotNull && col("x").isNotNull)
+      .as[(String, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapSortedGroups($"d") { (k: String,
+                                    it: Iterator[(String, Long, Double)]) =>
+        var n = 0L; var l = 0.0; var t = 0.0
+        it.foreach { case (_, _, x) =>
+          if (n == 0L) { l = x; t = 0.0 }
+          else {
+            val nl = alpha * x + (1 - alpha) * (l + t)
+            t = beta * (nl - l) + (1 - beta) * t
+            l = nl
+          }
+          n += 1L
+        }
+        (1 to horizon).map(h => (k, n, l, t, h.toLong, l + h * t))
+      }
+      .toDF("key", "n_obs", "level", "trend", "h", "yhat")
+  }
+
   /** CDC snapshot apply — the MERGE INTO shape (SCD Type-1: latest
     * state wins, no history) over a plain-parquet base, for engines
     * without a transactional table format: fold a change feed of

@@ -259,6 +259,29 @@ class WarehouseSpec extends SparkTestBase {
     assert(spike.getDouble(5) === 3.0) // 30 vs mean 10, exact division
   }
 
+  test("holtForecast: hand-computed smoothing chain, day order enforced " +
+    "regardless of input order, single-obs keys forecast flat") {
+    // x = (1, 3) at alpha = beta = 0.5:
+    // l1=1 t1=0; l2 = .5*3+.5*(1+0) = 2; t2 = .5*(2-1)+.5*0 = 0.5
+    // rows arrive day-DESCENDING to prove the fold sorts
+    val daily = Seq(("a", 11L, 3.0), ("a", 10L, 1.0), ("b", 10L, 7.0))
+      .toDF("k", "d", "x")
+    val got = Warehouse.holtForecast(daily, col("k"), col("d"), col("x"),
+        alpha = 0.5, beta = 0.5, horizon = 2)
+      .orderBy("key", "h")
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", 2L, 2.0, 0.5, 1L, 2.5),
+      ("a", 2L, 2.0, 0.5, 2L, 3.0),
+      ("b", 1L, 7.0, 0.0, 1L, 7.0),   // one obs: level = x, no trend
+      ("b", 1L, 7.0, 0.0, 2L, 7.0)))
+    // invalid smoothing parameters rejected up front
+    assertThrows[IllegalArgumentException] {
+      Warehouse.holtForecast(daily, col("k"), col("d"), col("x"),
+        alpha = 0.0, beta = 0.5, horizon = 2)
+    }
+  }
+
   test("applyCdc: latest change per key wins, U upserts absent keys, " +
     "D deletes (and no-ops on absent keys), replay is idempotent") {
     val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
