@@ -330,6 +330,137 @@ object Warehouse {
       .toDF("key", "n_obs", "level", "trend", "h", "yhat")
   }
 
+  /** One microbatch of the CONTINUOUS CDC gate — [[applyCdc]] run as a
+    * `foreachBatch` body over a VERSIONED snapshot table (see
+    * `EventStreams.startCdcGate` for the stream wiring): plain parquet
+    * made safely replayable without a transactional table format.
+    *
+    * Layout: `tableDir/v=<epoch>/` holds the FULL snapshot as of that
+    * epoch, committed by a `_GRAFT_COMMITTED` marker inside the version
+    * directory, written LAST; `tableDir/meta/` records the key and
+    * payload columns once, at bootstrap, under the same
+    * marker-plus-errorIfExists write-once contract as the index gates
+    * (`Dedup.ingestGateBatch`) — later epochs READ the contract from
+    * meta and refuse a drifted caller, so two epochs can never fold
+    * with different keys.
+    *
+    * Exactly-once: the base of epoch N is the newest COMMITTED version
+    * with v < N — a SELF-EXCLUDING read, so a replayed epoch (crash
+    * after data write, before the streaming offset commit) re-folds the
+    * SAME base with the SAME at-least-once batch and rewrites
+    * `v=N` byte-identically (mode overwrite clears the partial or
+    * committed previous attempt, marker re-created after). A crash
+    * mid-write leaves `v=N` without a marker — invisible to readers
+    * ([[readSnapshot]]) and replaced wholesale on replay. Unlike the
+    * append-only gates, nothing is partition-appended: a snapshot epoch
+    * REPLACES state, so versioning (not dynamic partition overwrite) is
+    * what makes at-least-once replay idempotent.
+    *
+    * Scale: each epoch costs one [[applyCdc]] fold (feed-keyed window +
+    * full-outer join) plus a full snapshot rewrite — the plain-parquet
+    * price; at 100 TB the base is bucketed/partitioned storage and the
+    * rewrite is the compaction a format like Iceberg amortizes, which
+    * is exactly why [[compactSnapshots]] exists to bound the version
+    * count. Empty batches write nothing (no empty versions).
+    */
+  def cdcGateBatch(tableDir: String, keyCols: Seq[String],
+                   payloadCols: Seq[String], ord: Column,
+                   tiebreak: Column, op: Column)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(keyCols.nonEmpty && keyCols.forall(payloadCols.contains),
+      s"cdcGateBatch: keyCols ${keyCols.mkString(",")} must be a subset " +
+        s"of payloadCols ${payloadCols.mkString(",")}")
+    val metaCommitted =
+      new org.apache.hadoop.fs.Path(s"$tableDir/meta/_GRAFT_COMMITTED")
+    val metaDir = new org.apache.hadoop.fs.Path(s"$tableDir/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(metaCommitted)
+    if (!bootstrap) {
+      // the fold contract comes FROM meta: a caller whose keys/payload
+      // drifted from the bootstrap's fails loudly instead of silently
+      // merging a different table
+      val m = spark.read.parquet(s"$tableDir/meta").collect()(0)
+      val (mk, mp) = (m.getString(0), m.getString(1))
+      require(mk == keyCols.mkString(",") &&
+          mp == payloadCols.mkString(","),
+        s"cdcGateBatch: persisted contract (keys=$mk, payload=$mp) != " +
+          s"caller (keys=${keyCols.mkString(",")}, " +
+          s"payload=${payloadCols.mkString(",")})")
+    }
+    val base = committedVersions(fs, tableDir).filter(_ < batchId)
+      .sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$tableDir/v=$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          payloadCols.map(c => batch.schema(c))))
+    }
+    val next = applyCdc(base, batch, keyCols, ord, tiebreak, op)
+    val vDir = s"$tableDir/v=$batchId"
+    next.write.mode("overwrite").parquet(vDir)
+    if (bootstrap) {
+      if (fs.exists(metaDir)) fs.delete(metaDir, true)
+      Seq((keyCols.mkString(","), payloadCols.mkString(",")))
+        .toDF("key_cols", "payload_cols").coalesce(1)
+        .write.mode("errorifexists").parquet(s"$tableDir/meta")
+      fs.create(metaCommitted, false).close()
+    }
+    // marker LAST: the version is invisible until the snapshot is whole
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$vDir/_GRAFT_COMMITTED"), false)
+      .close()
+  }
+
+  /** The newest committed snapshot under a [[cdcGateBatch]] table — the
+    * reader's entry point, safe mid-stream (uncommitted versions are
+    * invisible). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   tableDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(fs, tableDir)
+    require(vs.nonEmpty, s"readSnapshot: no committed version in $tableDir")
+    spark.read.parquet(s"$tableDir/v=${vs.max}")
+  }
+
+  /** Drop all but the newest `keep` committed snapshot versions — the
+    * small-file/version maintenance [[cdcGateBatch]] needs at scale
+    * (every epoch is a full snapshot). Always refuses to touch the
+    * newest version; uncommitted (torn) versions older than the newest
+    * committed one are garbage from crashed epochs and are removed too.
+    * Returns the removed version numbers. */
+  def compactSnapshots(spark: org.apache.spark.sql.SparkSession,
+                       tableDir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"compactSnapshots: keep=$keep")
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = committedVersions(fs, tableDir).sorted
+    if (committed.isEmpty) return Nil
+    val cutoff = committed.takeRight(keep).head
+    val all = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .map(p => p.getName.stripPrefix("v=").toLong)
+    val drop = all.filter(_ < cutoff).sorted
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v=$v"), true)
+    }
+    drop
+  }
+
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                tableDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter(p => fs.exists(
+        new org.apache.hadoop.fs.Path(p, "_GRAFT_COMMITTED")))
+      .map(_.getName.stripPrefix("v=").toLong)
+  }
+
   /** CDC snapshot apply — the MERGE INTO shape (SCD Type-1: latest
     * state wins, no history) over a plain-parquet base, for engines
     * without a transactional table format: fold a change feed of

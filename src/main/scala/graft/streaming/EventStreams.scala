@@ -205,6 +205,26 @@ object EventStreams {
         pinning = pinning) _)
       .start()
 
+  /** Continuous CDC snapshot maintenance — `Warehouse.cdcGateBatch` per
+    * microbatch: each epoch folds its I/U/D feed into the newest
+    * committed snapshot version and commits the next FULL version under
+    * `tableDir/v=<epoch>/` (marker-last, self-excluding base read →
+    * exactly-once even for post-commit replays). Readers use
+    * `Warehouse.readSnapshot` mid-stream; `Warehouse.compactSnapshots`
+    * bounds the version count. */
+  def startCdcGate(stream: DataFrame, tableDir: String, checkpoint: String,
+                   keyCols: Seq[String], payloadCols: Seq[String],
+                   ord: org.apache.spark.sql.Column,
+                   tiebreak: org.apache.spark.sql.Column,
+                   op: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Warehouse.cdcGateBatch(
+        tableDir, keyCols, payloadCols, ord, tiebreak, op) _)
+      .start()
+
   /** Continuous SEMANTIC ingestion gate — the embedding-side sibling of
     * `startIngestDedupGate`: each microbatch of (id, embedding) rows
     * probes the persisted k-means index (`Similarity.semanticGateBatch`

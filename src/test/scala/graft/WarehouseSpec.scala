@@ -309,6 +309,95 @@ class WarehouseSpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("cdcGateBatch: versioned epochs fold exactly-once — batch parity " +
+    "with applyCdc, post-commit replay byte-identical, torn version " +
+    "invisible, torn bootstrap re-bootstraps, contract pinned by meta, " +
+    "compaction keeps the newest versions") {
+    import graft.operators.Warehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val pay = Seq("k", "name", "v")
+    def feed(rows: Seq[(Long, String, Int, Long, Long, String)]) =
+      rows.toDF("k", "name", "v", "ordv", "tb", "op")
+    def gate(b: org.apache.spark.sql.DataFrame, e: Long) =
+      Warehouse.cdcGateBatch(dir, Seq("k"), pay,
+        col("ordv"), col("tb"), col("op"))(b, e)
+    val e0 = feed(Seq((1L, "a", 10, 1L, 1L, "I"), (2L, "b", 20, 1L, 1L, "I")))
+    val e1 = feed(Seq((1L, "a2", 11, 2L, 1L, "U"), (2L, "x", 0, 2L, 1L, "D"),
+      (3L, "c", 30, 2L, 1L, "I")))
+    gate(e0, 0L); gate(e1, 1L)
+    def snap = Warehouse.readSnapshot(spark, dir)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    val afterE1 = snap
+    // parity with the batch operator folded twice over an empty base
+    val base0 = e0.select("k", "name", "v").limit(0)
+    val twice = Warehouse.applyCdc(Warehouse.applyCdc(base0, e0, Seq("k"),
+        col("ordv"), col("tb"), col("op")), e1, Seq("k"),
+        col("ordv"), col("tb"), col("op"))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(afterE1 === twice && afterE1 ===
+      Seq((1L, "a2", 11), (3L, "c", 30)))
+    // post-commit replay of epoch 1: self-excluding base read -> same
+    // fold, same bytes, reader unchanged
+    gate(e1, 1L)
+    assert(snap === afterE1)
+    // torn epoch: a version directory without the marker is invisible
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/v=5"))
+    assert(snap === afterE1)
+    // epoch 6 folds over v=1, ignoring the torn v=5 junk
+    gate(feed(Seq((3L, "c2", 31, 3L, 1L, "U"))), 6L)
+    assert(snap === Seq((1L, "a2", 11), (3L, "c2", 31)))
+    // drifted contract refused from meta
+    val ex = intercept[IllegalArgumentException] {
+      Warehouse.cdcGateBatch(dir, Seq("k", "name"), pay,
+        col("ordv"), col("tb"), col("op"))(e0, 7L)
+    }
+    assert(ex.getMessage.contains("persisted contract"))
+    // compaction drops old + torn versions, never the newest
+    val dropped = Warehouse.compactSnapshots(spark, dir, keep = 1)
+    assert(dropped === Seq(0L, 1L, 5L))
+    assert(snap === Seq((1L, "a2", 11), (3L, "c2", 31)))
+    // torn BOOTSTRAP: meta present but no commit marker -> re-bootstrap
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cdc2")
+      .toString
+    Seq(("junk", "junk")).toDF("key_cols", "payload_cols")
+      .write.parquet(s"$dir2/meta")
+    new org.apache.hadoop.fs.Path(s"$dir2/meta/_SUCCESS")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir2/meta/_SUCCESS"), false)
+    Warehouse.cdcGateBatch(dir2, Seq("k"), pay,
+      col("ordv"), col("tb"), col("op"))(e0, 0L)
+    assert(Warehouse.readSnapshot(spark, dir2)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "a", 10), (2L, "b", 20)))
+  }
+
+  test("startCdcGate streaming smoke: two microbatches through the " +
+    "MemoryStream wiring land as committed versions, reader sees the " +
+    "latest fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Warehouse
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_stream").toString
+    val mem = MemoryStream[(Long, String, Int, Long, Long, String)]
+    val q = EventStreams.startCdcGate(
+      mem.toDF.toDF("k", "name", "v", "ordv", "tb", "op"),
+      s"$dir/table", s"$dir/ckpt", Seq("k"), Seq("k", "name", "v"),
+      col("ordv"), col("tb"), col("op"))
+    try {
+      mem.addData((1L, "a", 10, 1L, 1L, "I"), (2L, "b", 20, 1L, 1L, "I"))
+      q.processAllAvailable()
+      mem.addData((1L, "a2", 11, 2L, 1L, "U"), (2L, "x", 0, 2L, 1L, "D"))
+      q.processAllAvailable()
+      assert(Warehouse.readSnapshot(spark, s"$dir/table")
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq ===
+        Seq((1L, "a2", 11)))
+    } finally q.stop()
+  }
+
   test("applyCdc: unknown op codes fail the job loudly; missing payload " +
     "columns are rejected up front") {
     val base = Seq((1L, 10)).toDF("k", "v")
