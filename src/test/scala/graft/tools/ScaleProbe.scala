@@ -1382,6 +1382,50 @@ object ScaleProbe {
       }
     }
 
+    if (which("interval-weak")) {
+      // Interval overlap join at 1M x 1M intervals: the naive overlap
+      // predicate is 10^12 comparisons (BroadcastNestedLoopJoin — does
+      // not finish and cannot ship 1M rows as a broadcast anyway); the
+      // grid join must do it in seconds. Deterministic lattice with an
+      // EXACT invariant: left i = [10i, 10i+5]; right family A
+      // j = [10j+3, 10j+8] overlaps left j only; family B
+      // j = [10j+9, 10j+12] overlaps left j+1 only (last j has no
+      // left N) -> exactly N + (N-1) pairs, at ANY bucket width.
+      val n = 1000000L
+      val left = spark.range(n)
+        .select(col("id").as("a_id"), (col("id") * 10).as("a_s"),
+          (col("id") * 10 + 5).as("a_e")).localCheckpoint(true)
+      val right = spark.range(n)
+        .select(col("id").as("b_id"), (col("id") * 10 + 3).as("b_s"),
+          (col("id") * 10 + 8).as("b_e"))
+        .unionByName(spark.range(n)
+          .select((col("id") + n).as("b_id"), (col("id") * 10 + 9).as("b_s"),
+            (col("id") * 10 + 12).as("b_e")))
+        .localCheckpoint(true)
+      val expect = 2 * n - 1
+      for (w <- Seq(10L, 7L)) {
+        t(s"interval_1m_x_2m_w$w") {
+          val got = graft.operators.IntervalJoin.overlapJoin(
+            left, right, "a_s", "a_e", "b_s", "b_e", bucketWidth = w)
+            .count()
+          require(got == expect, s"expected $expect pairs, got $got")
+          got
+        }
+      }
+      // hot-row caveat measured: one interval spanning the whole domain
+      // fans out to domain/width cells — the documented split-or-cap
+      // contract, NOT a silent failure; at width 10 that is 1M cells
+      // from one row, still linear and bounded
+      t("interval_sentinel_row") {
+        val sentinel = spark.range(1)
+          .select(lit(9999999L).as("b_id"), lit(0L).as("b_s"),
+            lit(n * 10 - 1).as("b_e"))
+        graft.operators.IntervalJoin.overlapJoin(
+          left, sentinel, "a_s", "a_e", "b_s", "b_e", bucketWidth = 10L)
+          .count() // overlaps every left interval: exactly n
+      }
+    }
+
     spark.stop()
   }
 }
