@@ -1406,6 +1406,42 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // dyadic Count-Min RANK readout: one cardinality-independent sketch
+    // pass (levels x depth x 4096 longs), then each probe's rank(x) =
+    // sum over its dyadic decomposition of min-over-depth cell reads —
+    // the mergeable, order-independent alternative to percentile_approx
+    // (GK summaries are merge-order-sensitive; this sketch is a pure
+    // function of the multiset, so raw estimates sit under the hash).
+    // never-underestimates pinned by the overcount column
+    "q_sketch_quantile" -> ((s, dir) => {
+      import graft.functions.SketchAggregates
+      val src = Tables.lineitem(s, dir)
+        .where(col("l_extendedprice").isNotNull)
+        .select(floor(col("l_extendedprice")).cast("long").as("v"))
+      val sk = src.agg(SketchAggregates.dyadicCountMin(col("v"),
+        dyadicLevels, dyadicDepth).as("sk"))
+      def estCol(x: Long): Column =
+        SketchAggregates.dyadicNodes(x, dyadicLevels).map { case (l, p) =>
+          least((0 until dyadicDepth).map(d =>
+            element_at(col("sk"),
+              SketchAggregates.countMinBucket(d, lit(s"$l|$p")) +
+                lit(l * dyadicDepth * 4096 + d * 4096) + 1)): _*)
+        }.reduceOption[Column](_ + _).getOrElse(lit(0L))
+      val est = sk.select(explode(array(dyadicProbes.map(x =>
+          struct(lit(x).as("x"), estCol(x).as("rank_est"))): _*)).as("pe"))
+        .select(col("pe.x").as("x"), col("pe.rank_est").as("rank_est"))
+      val probeDf = { import s.implicits._; dyadicProbes.toDF("x") }
+      val exact = src
+        .crossJoin(broadcast(probeDf))
+        .groupBy("x")
+        .agg(sum(when(col("v") <= col("x"), 1L).otherwise(0L))
+          .as("exact_rank"))
+      exact.join(est, Seq("x"))
+        .select(col("x"), col("exact_rank"), col("rank_est"),
+          (col("rank_est") - col("exact_rank")).as("overcount"))
+        .orderBy("x")
+    }),
+
     // ordered conversion funnel view→click→signup→purchase: step i =
     // earliest s_i-event STRICTLY after the user's step-(i-1) time;
     // exact counts, conversion ratios are single IEEE divisions
@@ -2589,6 +2625,10 @@ object SparkEntry {
   private val spansChunkWords = 3
   private val boilerplateMinDocs = 3
   private val calibrationBinCount = 8
+  // dyadic sketch params: 2^17 covers floor(l_extendedprice) < 104998
+  private val dyadicLevels = 17
+  private val dyadicDepth = 3
+  private val dyadicProbes = Seq(900L, 9000L, 25000L, 50000L, 104000L)
   // the eval harness trains LONGER than q_embed_classify's 2-epoch
   // repro pin: at 2 epochs the slice-trained perceptron predicts
   // nothing positive, which makes the confusion row vacuous (tp=fp=0
@@ -3365,6 +3405,53 @@ object SparkEntry {
        |  JOIN documents d ON d.doc_id = s.vec_id)
        |WHERE rk <= $quota
        |ORDER BY lang, doc_id""".stripMargin
+
+  /** q_sketch_quantile oracle: the dyadic Count-Min sketch replayed
+    * relationally — per (level, depth) cell counts via the same
+    * md5(d:l|prefix) addressing, probe ranks as Σ over their dyadic
+    * decomposition (generated by the SAME `dyadicNodes` the Spark query
+    * uses, so the two sides cannot disagree on the decomposition) of
+    * min-over-depth cell reads; cells no value touched read as 0
+    * (LEFT JOIN + coalesce — an inner join would silently drop empty
+    * depth rows and inflate the min). */
+  private def dyadicRankOracleSql(levels: Int, depth: Int,
+                                  probes: Seq[Long]): String = {
+    val dsVals = (0 until depth).map(d => s"($d)").mkString(", ")
+    val nodeVals = probes.flatMap(x =>
+      graft.functions.SketchAggregates.dyadicNodes(x, levels)
+        .map { case (l, p) => s"($x, $l, CAST($p AS BIGINT))" })
+      .mkString(",\n    ")
+    val probeVals = probes.map(x => s"($x)").mkString(", ")
+    s"""WITH src AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |ds(d) AS (VALUES $dsVals),
+       |ls AS (SELECT unnest(range(0, $levels)) AS l),
+       |cells AS (SELECT l, d,
+       |    substr(md5(CAST(d AS VARCHAR) || ':' || CAST(l AS VARCHAR) ||
+       |      '|' || CAST((v >> CAST(l AS INTEGER)) AS VARCHAR)), 1, 3)
+       |      AS bk,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM src CROSS JOIN ds CROSS JOIN ls GROUP BY 1, 2, 3),
+       |nodes(x, l, prefix) AS (VALUES
+       |    $nodeVals),
+       |nest AS (SELECT n.x, n.l, n.prefix,
+       |    min(coalesce(c.c, 0)) AS node_est
+       |  FROM nodes n CROSS JOIN ds
+       |  LEFT JOIN cells c ON c.l = n.l AND c.d = ds.d AND c.bk =
+       |    substr(md5(CAST(ds.d AS VARCHAR) || ':' || CAST(n.l AS VARCHAR)
+       |      || '|' || CAST(n.prefix AS VARCHAR)), 1, 3)
+       |  GROUP BY 1, 2, 3),
+       |est AS (SELECT x, CAST(sum(node_est) AS BIGINT) AS rank_est
+       |  FROM nest GROUP BY x),
+       |probes(x) AS (VALUES $probeVals),
+       |exact AS (SELECT p.x, CAST(count(*) FILTER (WHERE s.v <= p.x)
+       |      AS BIGINT) AS exact_rank
+       |  FROM probes p CROSS JOIN src s GROUP BY p.x)
+       |SELECT e.x, e.exact_rank, est.rank_est,
+       |  est.rank_est - e.exact_rank AS overcount
+       |FROM exact e JOIN est USING (x)
+       |ORDER BY e.x""".stripMargin
+  }
 
   /** The held-out scored frame shared by the two evaluation oracles:
     * chain trained on the vec_id % 5 = 0 slice, margins + 0/1 labels
@@ -4410,6 +4497,9 @@ object SparkEntry {
     // (elementwise-add merge), so the oracle rebuilds the SAME cells
     // relationally — 3-hex-char md5 bucket strings are bijective with
     // the aggregate's 12-bit cell index
+    "q_sketch_quantile" ->
+      dyadicRankOracleSql(dyadicLevels, dyadicDepth, dyadicProbes),
+
     "q_sketch_cms" ->
       """WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS item
         |             FROM lineitem),

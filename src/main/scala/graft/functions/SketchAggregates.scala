@@ -165,31 +165,13 @@ case class CountMinAgg(child: Expression, depth: Int,
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
-  // MessageDigest is not thread-safe; one per aggregate instance is
-  // safe (Spark evaluates an aggregate buffer single-threaded) but
-  // instances are shared across partitions in codegen'd paths — keep a
-  // thread-local to be safe
-  @transient private lazy val md5Local =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  /** First 12 bits of md5(d || ':' || item) — equals the 3-hex-char
-    * bucket substr(md5(..), 1, 3) a SQL engine computes. */
-  private def bucket(d: Int, item: String): Int = {
-    val dig = md5Local.get()
-    dig.reset()
-    val h = dig.digest((d.toString + ":" + item)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((h(0) & 0xff) << 4) | ((h(1) & 0xf0) >>> 4)
-  }
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val item = v.asInstanceOf[UTF8String].toString
       var d = 0
       while (d < depth) {
-        buf(d * width + bucket(d, item)) += 1L
+        buf(d * width + SketchHash.bucket12(d, item)) += 1L
         d += 1
       }
     }
@@ -230,6 +212,121 @@ object CountMinAgg {
   val Width = 4096
 }
 
+/** The engine-reproducible 12-bit sketch hash shared by every Count-Min
+  * shaped aggregate: first 12 bits of md5(d || ':' || item), equal to
+  * the 3-hex-char bucket `substr(md5(..), 1, 3)` a SQL engine computes.
+  * MessageDigest is not thread-safe; instances may be shared across
+  * partitions in codegen'd paths, so the digest is thread-local. */
+private[functions] object SketchHash {
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def bucket12(d: Int, item: String): Int = {
+    val dig = md5Local.get()
+    dig.reset()
+    val h = dig.digest((d.toString + ":" + item)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((h(0) & 0xff) << 4) | ((h(1) & 0xf0) >>> 4)
+  }
+}
+
+/** Dyadic Count-Min sketch over a NON-NEGATIVE long domain
+  * [0, 2^levels) — the mergeable summary that upgrades Count-Min from
+  * point frequencies to RANK (and so quantile) queries (Cormode &
+  * Muthukrishnan 2005, the dyadic-decomposition construction): one
+  * Count-Min row-set per dyadic level l counts the prefixes v >> l, and
+  * rank(x) = #{v <= x} decomposes into at most `levels` dyadic-node
+  * estimates, each a min-over-depth cell read.
+  *
+  * Why not `percentile_approx`: Spark's GK summaries are
+  * merge-order-sensitive (two runs can disagree), while this sketch —
+  * like [[CountMinAgg]] — merges by ELEMENTWISE ADDITION, so the state
+  * is a deterministic function of the input multiset: rank readouts sit
+  * directly under the hash oracle, and the same frozen sketch artifact
+  * answers any later rank/quantile without re-scanning. Estimates
+  * NEVER underestimate (each node estimate >= its true count); the
+  * overcount is bounded by levels · eN/width with prob 1-e^-depth.
+  *
+  * Item strings are `l || '|' || (v >> l)` under [[SketchHash]], so a
+  * SQL engine addresses the same cell via
+  * `substr(md5(d || ':' || l || '|' || (v >> l)), 1, 3)`. State is
+  * levels × depth × 4096 longs per partition (≈1.6 MiB at 17×3) —
+  * cardinality-independent, the point vs a value-keyed shuffle.
+  * Out-of-domain values FAIL the job (a silently dropped or aliased
+  * value would corrupt every rank answered from the artifact).
+  */
+case class DyadicCmsAgg(child: Expression, levels: Int, depth: Int,
+                        override val mutableAggBufferOffset: Int = 0,
+                        override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(levels >= 1 && levels <= 40,
+    s"DyadicCmsAgg: levels=$levels out of [1, 40]")
+  require(depth >= 1 && depth <= 16,
+    s"DyadicCmsAgg: depth=$depth out of [1, 16]")
+
+  val width: Int = CountMinAgg.Width
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](levels * depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      if (x < 0 || (levels < 63 && x >= (1L << levels)))
+        throw new IllegalArgumentException(
+          s"DyadicCmsAgg: value $x outside [0, 2^$levels)")
+      var l = 0
+      while (l < levels) {
+        val item = s"$l|${x >>> l}"
+        var d = 0
+        while (d < depth) {
+          buf(l * depth * width + d * width +
+            SketchHash.bucket12(d, item)) += 1L
+          d += 1
+        }
+        l += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(Long.box).asInstanceOf[Array[Any]])
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): DyadicCmsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): DyadicCmsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): DyadicCmsAgg =
+    copy(child = c)
+  override def prettyName: String = "graft_dyadic_count_min"
+}
+
 object SketchAggregates {
   /** Misra-Gries sketch aggregate over a string column: array of
     * (item, count_lb) structs, at most k entries, count-desc order. */
@@ -249,4 +346,65 @@ object SketchAggregates {
   def countMinBucket(d: Int, item: Column): Column =
     conv(substring(md5(concat(lit(d.toString), lit(":"), item)), 1, 3),
       16, 10).cast("int")
+
+  /** Dyadic Count-Min sketch aggregate over a long column in
+    * [0, 2^levels): levels*depth*4096 longs, row-major by
+    * (level, depth-row). See [[DyadicCmsAgg]]. */
+  def dyadicCountMin(value: Column, levels: Int, depth: Int): Column =
+    GraftBridge.column(
+      DyadicCmsAgg(GraftBridge.expression(value), levels, depth)
+        .toAggregateExpression())
+
+  /** The dyadic decomposition of [0, x]: the (level, prefix) nodes whose
+    * disjoint union is exactly {0..x} — at most `levels` of them, one
+    * per set bit of x+1 (prefix = the bits of x+1 above that level,
+    * re-based to the level). Shared by the relational readout, the
+    * generated oracle and [[dyadicRank]], so the three can never
+    * disagree on the decomposition. */
+  def dyadicNodes(x: Long, levels: Int): Seq[(Int, Long)] = {
+    require(x >= -1 && x + 1 <= (1L << levels),
+      s"dyadicNodes: x=$x outside [-1, 2^$levels - 1]")
+    val y = x + 1
+    // the full domain: y = 2^levels has its single set bit ABOVE the
+    // stored levels — it is the union of the two level-(levels-1) halves
+    if (y == (1L << levels)) Seq((levels - 1, 0L), (levels - 1, 1L))
+    else (0 until levels).filter(l => ((y >>> l) & 1L) == 1L)
+      .map(l => (l, (y >>> (l + 1)) << 1))
+  }
+
+  /** rank(x) = estimated #{v <= x} from a collected dyadic sketch:
+    * Σ over decomposition nodes of (min over depth rows). Never
+    * underestimates. */
+  def dyadicRank(sketch: IndexedSeq[Long], levels: Int, depth: Int,
+                 x: Long): Long = {
+    val width = CountMinAgg.Width
+    if (x < 0) return 0L
+    dyadicNodes(math.min(x, (1L << levels) - 1), levels).map {
+      case (l, p) =>
+        (0 until depth).map(d => sketch(l * depth * width + d * width +
+          SketchHash.bucket12(d, s"$l|$p"))).min
+    }.sum
+  }
+
+  /** Smallest x whose estimated rank reaches ceil(q·n) — the quantile
+    * readout of a dyadic sketch, one binary search over the domain
+    * against [[dyadicRank]] (driver-side arithmetic on the collected
+    * ≈1.6 MiB artifact; no data pass). Because rank estimates never
+    * underestimate, the returned x can only sit AT or BELOW the exact
+    * q-quantile, by at most the CMS overcount converted through the
+    * local value density. */
+  def dyadicQuantile(sketch: IndexedSeq[Long], levels: Int, depth: Int,
+                     n: Long, q: Double): Long = {
+    require(q > 0.0 && q <= 1.0, s"dyadicQuantile: q=$q")
+    require(n > 0, s"dyadicQuantile: n=$n")
+    val target = math.ceil(q * n).toLong
+    var lo = 0L
+    var hi = (1L << levels) - 1
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      if (dyadicRank(sketch, levels, depth, mid) >= target) hi = mid
+      else lo = mid + 1
+    }
+    lo
+  }
 }

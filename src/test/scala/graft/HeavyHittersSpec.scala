@@ -114,4 +114,57 @@ class HeavyHittersSpec extends SparkTestBase {
       graft.functions.CountMinAgg(null, depth = 17)
     }
   }
+
+  private def dyadicSketch(vals: Seq[Long], levels: Int, depth: Int,
+                           parts: Int) =
+    vals.toDF("v").repartition(parts)
+      .agg(SketchAggregates.dyadicCountMin(col("v"), levels, depth)
+        .as("sk"))
+      .head().getSeq[Long](0)
+
+  test("dyadicCountMin: ranks never underestimate and are exact on a " +
+    "collision-free set; decomposition covers [0, x] exactly; quantile " +
+    "binary search lands the exact quantile when ranks are exact") {
+    // 0..999 once each, levels = 10 covers [0, 1024)
+    val vals = (0L until 1000L)
+    val sk = dyadicSketch(vals, levels = 10, depth = 3, parts = 4)
+    assert(sk.length === 10 * 3 * 4096)
+    // decomposition sanity: node widths sum to x+1 for assorted x
+    for (x <- Seq(0L, 1L, 5L, 127L, 511L, 999L, 1023L)) {
+      val covered = SketchAggregates.dyadicNodes(x, 10)
+        .map { case (l, _) => 1L << l }.sum
+      assert(covered === x + 1, s"x=$x")
+    }
+    // exact ranks (1000 prefixes per level in 4096 buckets x 3 rows:
+    // a triple-collision on every probed node is required to overcount
+    // — deterministic; these values pass, so they always pass)
+    for (x <- Seq(0L, 499L, 999L))
+      assert(SketchAggregates.dyadicRank(sk.toIndexedSeq, 10, 3, x)
+        === x + 1)
+    // below-domain and above-data ranks
+    assert(SketchAggregates.dyadicRank(sk.toIndexedSeq, 10, 3, -1L) === 0L)
+    assert(SketchAggregates.dyadicRank(sk.toIndexedSeq, 10, 3, 1023L)
+      === 1000L)
+    // quantiles: ceil(q*1000)-th value of 0..999 is ceil(q*1000)-1
+    for (q <- Seq(0.25, 0.5, 0.9, 1.0))
+      assert(SketchAggregates.dyadicQuantile(sk.toIndexedSeq, 10, 3,
+        n = 1000L, q = q) === math.ceil(q * 1000).toLong - 1)
+  }
+
+  test("dyadicCountMin: merge is elementwise add — identical sketch " +
+    "under any partitioning; out-of-domain values fail the job") {
+    val vals = (1 to 400).map(i => (i % 61).toLong)
+    val a = dyadicSketch(vals, levels = 6, depth = 2, parts = 1)
+    val b = dyadicSketch(vals, levels = 6, depth = 2, parts = 8)
+    assert(a === b)
+    val ex = intercept[Exception] {
+      dyadicSketch(Seq(64L), levels = 6, depth = 2, parts = 1)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("outside [0, 2^6)")), ex.toString)
+    intercept[Exception] {
+      dyadicSketch(Seq(-1L), levels = 6, depth = 2, parts = 1)
+    }
+  }
 }
