@@ -1442,6 +1442,54 @@ object SparkEntry {
         .orderBy("x")
     }),
 
+    // ROLLING sketch serving (the mergeable-summaries pattern at 100 TB:
+    // persist one sketch per partition/day, answer any range by
+    // elementwise-adding the partials — never re-scanning facts): daily
+    // dyadic sketches of event value cents, the first 7 days' sketches
+    // summed RELATIONALLY (posexplode + groupBy idx), probe ranks read
+    // off the summed cells. The oracle recomputes the sketch over the
+    // unioned range directly — hash equality IS the proof that
+    // merge-of-partials ≡ recompute-on-union
+    "q_sketch_rolling" -> ((s, dir) => {
+      import graft.functions.SketchAggregates
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .where(col("v").isNotNull)
+      val daily = ev.groupBy("day")
+        .agg(SketchAggregates.dyadicCountMin(col("v"),
+          rollingLevels, rollingDepth).as("sk"))
+      val span = ev.agg(min(col("day")).as("d0"))
+      val cells = daily.crossJoin(broadcast(span))
+        .where(col("day") >= col("d0") &&
+          col("day") <= date_add(col("d0"), 6))
+        .select(posexplode(col("sk")).as(Seq("idx", "c")))
+        .groupBy("idx").agg(sum(col("c")).as("c"))
+      val nodeRows = rollingProbes.flatMap(x =>
+        SketchAggregates.dyadicNodes(x, rollingLevels).flatMap {
+          case (l, p) => (0 until rollingDepth).map(d =>
+            (x, l, p, SketchAggregates.dyadicCellIndex(l, p, d,
+              rollingDepth)))
+        })
+      val nodeDf = { import s.implicits._
+        nodeRows.toDF("x", "l", "p", "idx") }
+      val est = broadcast(nodeDf).join(cells, Seq("idx"))
+        .groupBy("x", "l", "p").agg(min(col("c")).as("ne"))
+        .groupBy("x").agg(sum(col("ne")).as("rank_est"))
+      val probeDf = { import s.implicits._; rollingProbes.toDF("x") }
+      val exact = ev.crossJoin(broadcast(span))
+        .where(col("day") >= col("d0") &&
+          col("day") <= date_add(col("d0"), 6))
+        .crossJoin(broadcast(probeDf))
+        .groupBy("x")
+        .agg(sum(when(col("v") <= col("x"), 1L).otherwise(0L))
+          .as("exact_rank"))
+      exact.join(est, Seq("x"))
+        .select(col("x"), col("exact_rank"), col("rank_est"),
+          (col("rank_est") - col("exact_rank")).as("overcount"))
+        .orderBy("x")
+    }),
+
     // ordered conversion funnel view→click→signup→purchase: step i =
     // earliest s_i-event STRICTLY after the user's step-(i-1) time;
     // exact counts, conversion ratios are single IEEE divisions
@@ -2046,6 +2094,15 @@ object SparkEntry {
           deterministic = true)
         .orderBy("vec_id")),
 
+    // per-cluster outlier pruning (the OOD-cleaning readout of the
+    // k-means partition): bottom 1/10 of each cluster by cosine to its
+    // own centroid — rank cut as an exact integer comparison, raw
+    // cosine doubles under the hash via the fused argmax/max scan
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.clusterOutliers(Tables.embeddings(s, dir), k = kmeansK,
+          iters = kmeansIters, deterministic = true, num = 1, den = 10)
+        .orderBy("vec_id")),
+
     // SemDeDup composition: the kMeans partition bounds the pair search
     // (shuffle key = cluster id), so the only all-pairs work left is
     // within-cluster — the scale answer to q_embed_cluster's global
@@ -2629,6 +2686,10 @@ object SparkEntry {
   private val dyadicLevels = 17
   private val dyadicDepth = 3
   private val dyadicProbes = Seq(900L, 9000L, 25000L, 50000L, 104000L)
+  // rolling sketch params: 2^16 covers floor(value*100) <= 49002 cents
+  private val rollingLevels = 16
+  private val rollingDepth = 3
+  private val rollingProbes = Seq(100L, 5000L, 20000L, 49001L)
   // the eval harness trains LONGER than q_embed_classify's 2-epoch
   // repro pin: at 2 epochs the slice-trained perceptron predicts
   // nothing positive, which makes the confusion row vacuous (tp=fp=0
@@ -2664,6 +2725,30 @@ object SparkEntry {
     s"""WITH ${kmeansCteChain(k, iters)}
        |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a$iters
        |ORDER BY vec_id""".stripMargin
+
+  /** q_embed_outliers oracle: the Lloyd chain's final score CTE keeps
+    * each row's best cosine (rn = 1 of the same rank the assignment
+    * uses), dim-pinned like the classifier base, then the per-cluster
+    * ascending rank cut as the exact integer comparison
+    * r·den <= n·num (mirrors `Similarity.clusterOutliers`). */
+  private def outliersOracleSql(k: Int, iters: Int,
+                                num: Int, den: Int): String =
+    s"""WITH ${kmeansCteChain(k, iters)},
+       |ax AS (SELECT vec_id, cluster, cos, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, cluster ASC) AS rn
+       |  FROM sc$iters
+       |  WHERE vec_id IN (SELECT vec_id FROM e
+       |    WHERE len(embedding) = (SELECT len(embedding) FROM e
+       |      ORDER BY vec_id LIMIT 1))),
+       |asg AS (SELECT vec_id, cluster, cos FROM ax WHERE rn = 1),
+       |rk AS (SELECT vec_id, cluster, cos AS centroid_cos,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY cos ASC, vec_id ASC) AS r,
+       |    count(*) OVER (PARTITION BY cluster) AS n
+       |  FROM asg)
+       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, centroid_cos,
+       |  r * $den <= n * $num AS is_outlier
+       |FROM rk ORDER BY vec_id""".stripMargin
 
   /** Row-vs-centroid cosine in DuckDB SQL, shared by every generated
     * oracle that assigns against a centroid CTE. The CASE mirrors
@@ -3415,15 +3500,21 @@ object SparkEntry {
     * (LEFT JOIN + coalesce — an inner join would silently drop empty
     * depth rows and inflate the min). */
   private def dyadicRankOracleSql(levels: Int, depth: Int,
-                                  probes: Seq[Long]): String = {
+                                  probes: Seq[Long],
+                                  srcSql: String =
+                                    """src AS (SELECT
+                                      |    CAST(floor(l_extendedprice)
+                                      |      AS BIGINT) AS v
+                                      |  FROM lineitem
+                                      |  WHERE l_extendedprice IS NOT NULL)"""
+                                      .stripMargin): String = {
     val dsVals = (0 until depth).map(d => s"($d)").mkString(", ")
     val nodeVals = probes.flatMap(x =>
       graft.functions.SketchAggregates.dyadicNodes(x, levels)
         .map { case (l, p) => s"($x, $l, CAST($p AS BIGINT))" })
       .mkString(",\n    ")
     val probeVals = probes.map(x => s"($x)").mkString(", ")
-    s"""WITH src AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
-       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    s"""WITH $srcSql,
        |ds(d) AS (VALUES $dsVals),
        |ls AS (SELECT unnest(range(0, $levels)) AS l),
        |cells AS (SELECT l, d,
@@ -4499,6 +4590,18 @@ object SparkEntry {
     // the aggregate's 12-bit cell index
     "q_sketch_quantile" ->
       dyadicRankOracleSql(dyadicLevels, dyadicDepth, dyadicProbes),
+
+    // rolling: the oracle sketches the unioned 7-day range DIRECTLY —
+    // matching the engine's sum-of-daily-sketches is the mergeability
+    // proof (counts are additive, cells are position-aligned)
+    "q_sketch_rolling" ->
+      dyadicRankOracleSql(rollingLevels, rollingDepth, rollingProbes,
+        srcSql = """src AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v
+          |  FROM events CROSS JOIN (SELECT min(CAST(ts AS DATE)) AS d0
+          |    FROM events WHERE value IS NOT NULL) sp
+          |  WHERE value IS NOT NULL
+          |    AND CAST(ts AS DATE) >= d0
+          |    AND CAST(ts AS DATE) <= d0 + 6)""".stripMargin),
 
     "q_sketch_cms" ->
       """WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS item
@@ -5851,6 +5954,8 @@ object SparkEntry {
     // mean -> assign; every float op mirrors the operator's deterministic
     // mode (sequential folds, id-ordered means, ties to lower cluster)
     "q_embed_kmeans" -> kmeansOracleSql(kmeansK, kmeansIters),
+    "q_embed_outliers" ->
+      outliersOracleSql(kmeansK, kmeansIters, num = 1, den = 10),
 
     // PQ training unrolled per subspace + full-corpus argmin encode
     "q_embed_pq" -> pqOracleSql(embedDim, pqM, pqKsub, pqIters, pqSampleN),

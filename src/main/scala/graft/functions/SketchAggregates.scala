@@ -372,6 +372,15 @@ object SketchAggregates {
       .map(l => (l, (y >>> (l + 1)) << 1))
   }
 
+  /** Flat cell index of a dyadic node's depth-row d — the aggregate's
+    * internal addressing exposed for RELATIONAL readouts over an
+    * exploded sketch (0-based, matching posexplode positions; add 1
+    * for element_at). Deterministic md5, identical to the aggregate's
+    * update path. */
+  def dyadicCellIndex(level: Int, prefix: Long, d: Int, depth: Int): Int =
+    level * depth * CountMinAgg.Width + d * CountMinAgg.Width +
+      SketchHash.bucket12(d, s"$level|$prefix")
+
   /** rank(x) = estimated #{v <= x} from a collected dyadic sketch:
     * Σ over decomposition nodes of (min over depth rows). Never
     * underestimates. */

@@ -842,6 +842,51 @@ object Similarity {
     chosen.map(candArr(_)).toArray
   }
 
+  /** Per-cluster embedding OUTLIER flags — the OOD-pruning readout of
+    * the k-means partition (SemDeDup's sibling cleaning step: prune
+    * vectors far from every mode of the corpus): assign each vector to
+    * its nearest centroid, read its cosine to that centroid off the
+    * same fused scan (`NearestCentroidScore` is the max-value half of
+    * `NearestCentroid`'s argmax — one codegen'd projection computes
+    * both), and flag the bottom `num/den` fraction of each cluster by
+    * that cosine. The flag is the EXACT integer comparison
+    * r·den <= n·num (rank and cluster size from one cluster-keyed
+    * window exchange) — no float threshold, so the whole row including
+    * the raw cosine sits under the hash oracle.
+    *
+    * Rows are pinned to the probed dimension like the classifier
+    * (a dim-mismatched vector has no meaningful centroid cosine);
+    * degenerate vectors are excluded as everywhere in the family.
+    *
+    * Scale: centroids are k×dim driver state; assignment + score is one
+    * projection pass; the ranking shuffles once on the cluster id. A
+    * fraction-based cut needs the cluster size, hence the window — a
+    * fixed-threshold variant would be a pure projection.
+    */
+  def clusterOutliers(emb: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding",
+                      deterministic: Boolean = false,
+                      num: Int = 1, den: Int = 10): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"clusterOutliers: outlier fraction $num/$den")
+    val cents = kMeansCentroids(emb, k, iters, idCol, embCol,
+      deterministic)
+    val dim = probeDim(emb.where(wellFormed(col(embCol))), embCol)
+    val asg = emb
+      .where(wellFormed(col(embCol)) && size(col(embCol)) === dim)
+      .select(col(idCol), assignExpr(col(embCol), cents).as("cluster"),
+        graft.functions.VectorExpressions
+          .nearestCentroidScore(col(embCol), cents).as("centroid_cos"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("centroid_cos").asc, col(idCol).asc)
+    val wc = Window.partitionBy(col("cluster"))
+    asg.withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .select(col(idCol), col("cluster"), col("centroid_cos"),
+        (col("__r") * den <= col("__n") * num).as("is_outlier"))
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means the
     * corpus, then search near-duplicates only WITHIN each cluster —
     * turning global all-pairs (which does not exist at 100 TB) into

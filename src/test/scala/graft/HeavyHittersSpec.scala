@@ -151,6 +151,22 @@ class HeavyHittersSpec extends SparkTestBase {
         n = 1000L, q = q) === math.ceil(q * 1000).toLong - 1)
   }
 
+  test("dyadicCountMin: sum of disjoint partials equals the union's " +
+    "sketch (the rolling/serving contract), and ranks over the sum " +
+    "answer the union") {
+    val a = (0L until 300L)
+    val b = (300L until 500L)
+    val skA = dyadicSketch(a, levels = 9, depth = 3, parts = 2)
+    val skB = dyadicSketch(b, levels = 9, depth = 3, parts = 3)
+    val skU = dyadicSketch(a ++ b, levels = 9, depth = 3, parts = 4)
+    val summed = skA.zip(skB).map { case (x, y) => x + y }
+    assert(summed === skU)
+    assert(SketchAggregates.dyadicRank(summed.toIndexedSeq, 9, 3, 249L)
+      === 250L)
+    assert(SketchAggregates.dyadicQuantile(summed.toIndexedSeq, 9, 3,
+      n = 500L, q = 0.5) === 249L)
+  }
+
   test("dyadicCountMin: merge is elementwise add — identical sketch " +
     "under any partitioning; out-of-domain values fail the job") {
     val vals = (1 to 400).map(i => (i % 61).toLong)
