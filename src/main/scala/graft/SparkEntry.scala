@@ -1828,6 +1828,26 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // k-core peeling over the co-purchase graph (parts sharing a
+    // sampled order): at k=4 the peel CASCADES — dropping the 211
+    // sub-4-degree parts exposes 16 more, then 4 more, converging in
+    // round 4 of 4 — so the query exercises the multi-round path, not
+    // a graph already at its core (the word co-occurrence graph is
+    // near-complete and peels nothing)
+    "q_graph_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 13 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("w1"), col("b.l_partkey").as("w2"))
+        .distinct()
+      graft.operators.Graph.kCore(edges, col("w1"), col("w2"),
+          k = kcoreK, rounds = kcoreRounds)
+        .orderBy("node")
+    }),
+
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
     // engines, so the oracle hashes the score itself)
@@ -2690,6 +2710,8 @@ object SparkEntry {
   private val rollingLevels = 16
   private val rollingDepth = 3
   private val rollingProbes = Seq(100L, 5000L, 20000L, 49001L)
+  private val kcoreK = 4
+  private val kcoreRounds = 4
   // the eval harness trains LONGER than q_embed_classify's 2-epoch
   // repro pin: at 2 epochs the slice-trained perceptron predicts
   // nothing positive, which makes the confusion row vacuous (tp=fp=0
@@ -5118,6 +5140,30 @@ object SparkEntry {
          |${lpaIter("l1", 2)},
          |${lpaIter("l2", 3)}
          |SELECT v AS node, label FROM l3 ORDER BY node""".stripMargin
+    },
+
+    // k-core: the peel unrolled — per round, vertices below k drop and
+    // both edge endpoints must survive
+    "q_graph_kcore" -> {
+      def peel(prev: String, r: Int): String =
+        s"""kp$r AS (SELECT v FROM $prev GROUP BY v
+           |  HAVING count(*) >= $kcoreK),
+           |s$r AS (SELECT s.v, s.n FROM $prev s
+           |  JOIN kp$r x ON s.v = x.v JOIN kp$r y ON s.n = y.v)"""
+          .stripMargin
+      val chain = (1 to kcoreRounds)
+        .map(r => peel(if (r == 1) "sym" else s"s${r - 1}", r))
+        .mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_orderkey % 13 = 0),
+         |ed AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |sym AS (SELECT a AS v, b AS n FROM ed
+         |        UNION SELECT b, a FROM ed),
+         |$chain
+         |SELECT v AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM s$kcoreRounds GROUP BY v ORDER BY node""".stripMargin
     },
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the

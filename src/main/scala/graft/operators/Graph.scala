@@ -257,4 +257,55 @@ object Graph {
           (lit(2) * coalesce(col("n_tri"), lit(0L))).cast("double") /
             (col("deg") * (col("deg") - 1))).as("clustering"))
   }
+
+  /** Fixed-round k-core peeling over an undirected simple graph: each
+    * round drops every vertex whose current degree is below `k`
+    * (with all its edges), and the survivors of `rounds` rounds are
+    * returned with their remaining degree — the densest-substructure
+    * filter next to [[triangleCounts]] (cores are what's left when
+    * peripheral tendrils are repeatedly shaved; a converged result is
+    * exactly the classical k-core).
+    *
+    * The round count is a FIXED part of the contract — like
+    * [[pageRank]] and [[labelPropagation]], fixed rounds make the
+    * result a pure function of (graph, k, rounds) that an unrolled SQL
+    * oracle replays exactly; peeling converges when a round removes
+    * nothing, and `rounds` should be sized so it does (the spec pins a
+    * case where convergence takes several rounds, and convergence is
+    * observable: every returned degree >= k iff converged).
+    *
+    * Scale per round: one partial+final degree count and two semi-joins
+    * on vertex ids — all high-cardinality keys; the edge frame is
+    * materialized per round and the superseded round's storage
+    * released (the family's iterate-materialize-release discipline).
+    * Rounds are O(peel depth), bounded by the graph's degeneracy, NOT
+    * by diameter.
+    */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1, s"kCore: k=$k must be >= 1")
+    require(rounds >= 1, s"kCore: rounds=$rounds must be >= 1")
+    var sym = materialize(edges
+      .select(src.as("a"), dst.as("b"))
+      .where(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("v"), col("b").as("n")),
+        struct(col("b").as("v"), col("a").as("n")))).as("e"))
+      .select(col("e.v").as("v"), col("e.n").as("n")).distinct())
+    var r = 0
+    while (r < rounds) {
+      val keep = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("v")
+      val next = materialize(sym
+        .join(keep, Seq("v"), "left_semi")
+        .join(keep.select(col("v").as("n")), Seq("n"), "left_semi"))
+      releaseMaterialized(sym)
+      sym = next
+      r += 1
+    }
+    // final frame keeps its storage backing the lazy result (the
+    // family convention)
+    sym.groupBy("v").agg(count(lit(1)).as("degree"))
+      .select(col("v").as("node"), col("degree"))
+  }
 }

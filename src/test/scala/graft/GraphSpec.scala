@@ -117,6 +117,33 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("kCore: peeling cascades across rounds — a tendril vertex drop " +
+    "exposes the next; fixed rounds are the contract (round 1 alone " +
+    "leaves the un-converged middle); converged degrees are all >= k") {
+    // triangle core {a,b,c} with a 2-hop tendril a-d-e: at k=2, round 1
+    // drops e (deg 1), which DROPS d to deg 1, removed only in round 2
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+      ("d", "e")).toDF("s", "d")
+    val r1 = Graph.kCore(edges, col("s"), col("d"), k = 2, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 === Map("a" -> 3L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+    val r2 = Graph.kCore(edges, col("s"), col("d"), k = 2, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // converged: a further round changes nothing, every degree >= k
+    val r3 = Graph.kCore(edges, col("s"), col("d"), k = 2, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3 === r2 && r3.values.forall(_ >= 2L))
+    // k above the max core empties the graph (0 rows, never an error);
+    // self-loops are ignored
+    val r4 = Graph.kCore(edges.unionByName(Seq(("a", "a")).toDF("s", "d")),
+      col("s"), col("d"), k = 3, rounds = 3)
+    assert(r4.count() === 0L)
+    intercept[IllegalArgumentException] {
+      Graph.kCore(edges, col("s"), col("d"), k = 0, rounds = 1)
+    }
+  }
+
   test("pageRank: guards — empty graph and bad params refuse loudly") {
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
     intercept[IllegalArgumentException] {
