@@ -1848,6 +1848,29 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // multi-source BFS over the same co-purchase graph: hop distance
+    // from the nearest %97 seed part — at sf0.01 the frontier is
+    // genuinely multi-round (18 seeds → 166 → 804 → 715 newly reached
+    // per round, 63 vertices still beyond 3 hops), so the query pins
+    // frontier expansion, the nearest-source min, AND the absent
+    // unreached tail
+    "q_graph_bfs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 13 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e2 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("w1"), col("b.l_partkey").as("w2"))
+        .distinct()
+      val sources = e2.select(col("w1").as("v"))
+        .unionByName(e2.select(col("w2").as("v")))
+        .where(col("v") % 97 === 0).distinct()
+      graft.operators.Graph.bfs(e2, col("w1"), col("w2"), sources,
+          rounds = bfsRounds, directed = false)
+        .orderBy("node")
+    }),
+
     // TF-IDF characteristic terms (linear idf: score = tf/df, one IEEE
     // division — rank-equivalent to tf·N/df and bit-reproducible across
     // engines, so the oracle hashes the score itself)
@@ -2712,6 +2735,7 @@ object SparkEntry {
   private val rollingProbes = Seq(100L, 5000L, 20000L, 49001L)
   private val kcoreK = 4
   private val kcoreRounds = 4
+  private val bfsRounds = 3
   // the eval harness trains LONGER than q_embed_classify's 2-epoch
   // repro pin: at 2 epochs the slice-trained perceptron predicts
   // nothing positive, which makes the confusion row vacuous (tp=fp=0
@@ -5164,6 +5188,29 @@ object SparkEntry {
          |$chain
          |SELECT v AS node, CAST(count(*) AS BIGINT) AS degree
          |FROM s$kcoreRounds GROUP BY v ORDER BY node""".stripMargin
+    },
+
+    // multi-source BFS: frontier expansion unrolled — per round, the
+    // newly reached set joins out one hop and min-folds into visited
+    "q_graph_bfs" -> {
+      def hop(r: Int): String =
+        s"""f$r AS (SELECT DISTINCT s.n AS v FROM sym s
+           |  JOIN d${r - 1} d ON s.v = d.v AND d.dist = ${r - 1}),
+           |d$r AS (SELECT v, min(dist) AS dist FROM
+           |  (SELECT v, dist FROM d${r - 1}
+           |   UNION ALL SELECT v, $r FROM f$r) GROUP BY v)""".stripMargin
+      val chain = (1 to bfsRounds).map(hop).mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_orderkey % 13 = 0),
+         |ed AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |sym AS (SELECT a AS v, b AS n FROM ed
+         |        UNION SELECT b, a FROM ed),
+         |d0 AS (SELECT DISTINCT v, 0 AS dist FROM sym WHERE v % 97 = 0),
+         |$chain
+         |SELECT v AS node, dist FROM d$bfsRounds ORDER BY node"""
+        .stripMargin
     },
 
     // linear-idf tf-idf: score = tf/df is ONE ieee754 division — the

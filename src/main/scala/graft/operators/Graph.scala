@@ -308,4 +308,56 @@ object Graph {
     sym.groupBy("v").agg(count(lit(1)).as("degree"))
       .select(col("v").as("node"), col("degree"))
   }
+
+  /** Fixed-round multi-source BFS: hop distance from the NEAREST source
+    * for every vertex reachable within `rounds` hops (unreached vertices
+    * are absent — the caller left-joins if it needs them). The
+    * reachability layer of the graph family: citation-influence radius,
+    * contamination blast radius over a link graph, seed-expansion for
+    * curation — anywhere "within k hops of these ids" is the filter.
+    *
+    * Like [[pageRank]] / [[labelPropagation]] / [[kCore]], the round
+    * count is a FIXED part of the contract, so the result is a pure
+    * function of (edges, sources, rounds) that an unrolled SQL oracle
+    * replays exactly; distances are exact for every vertex within
+    * `rounds` hops (a vertex first reached in round r has true distance
+    * r — frontier expansion never revisits at a smaller distance).
+    *
+    * Scale per round: ONE frontier⋈edges hash join on the source-vertex
+    * key plus one min-distance aggregate over (visited ∪ newly reached)
+    * — both keyed on high-cardinality vertex ids; the distance frame is
+    * materialized per round and the superseded round's storage released.
+    * The frontier join is keyed on the CURRENT frontier only (a filter
+    * on the materialized frame — no growing re-expansion), so per-round
+    * work tracks the frontier, while the aggregate tracks the visited
+    * set — the standard distributed-BFS cost shape, NOT quadratic in
+    * rounds. `directed = false` symmetrizes the edge list first.
+    */
+  def bfs(edges: DataFrame, src: Column, dst: Column, sources: DataFrame,
+          rounds: Int, directed: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"bfs: rounds=$rounds must be >= 1")
+    require(sources.columns.length == 1,
+      s"bfs: sources must be a single vertex-id column, got " +
+        sources.columns.mkString(", "))
+    val fwd = edges.select(src.as("a"), dst.as("b"))
+    val e = materialize(
+      (if (directed) fwd
+       else fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b"))))
+        .where(col("a") =!= col("b")).distinct())
+    var dist = materialize(sources.toDF("v").distinct()
+      .select(col("v"), lit(0).as("dist")))
+    var r = 1
+    while (r <= rounds) {
+      val reached = dist.where(col("dist") === r - 1)
+        .join(e, col("v") === col("a"), "inner")
+        .select(col("b").as("v"), lit(r).as("dist"))
+      val next = materialize(dist.unionByName(reached)
+        .groupBy("v").agg(min(col("dist")).as("dist")))
+      releaseMaterialized(dist)
+      dist = next
+      r += 1
+    }
+    releaseMaterialized(e)
+    dist.select(col("v").as("node"), col("dist"))
+  }
 }

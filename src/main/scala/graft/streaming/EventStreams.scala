@@ -98,6 +98,48 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col(dimCol),
         col("n_events"), col("sum_value"))
 
+  /** STREAM-STREAM interval join with watermark-bounded state — the join
+    * tier stream-static (`enrichedTumblingCounts`) cannot express: BOTH
+    * sides arrive continuously and a right row must match left rows that
+    * arrived earlier OR later within the event-time bound (impression ⋈
+    * click attribution, order ⋈ shipment reconciliation — the streaming
+    * face of the batch `IntervalJoin`).
+    *
+    * Semantics: rows join when `left.key = right.key` and `right.ts ∈
+    * [left.ts − lower, left.ts + upper]` — the batch interval-overlap
+    * predicate with the left row as the anchor. Every non-key column is
+    * prefixed `l_`/`r_` (both key copies survive as `l_<key>`/`r_<key>`,
+    * equal on inner matches, right copy null on outer non-matches — the
+    * same disambiguation contract as the batch join suite).
+    *
+    * Scale: Spark keeps BOTH sides' rows in keyed state until the
+    * watermark + bound proves no future partner can arrive, then evicts
+    * — state is bounded by (arrival rate × (watermark + upper + lower)),
+    * NOT by stream length, which is the whole 100 TB/day story: an
+    * unbounded-state join would OOM on day one. `leftOuter = true` emits
+    * unmatched left rows (null right columns) only AFTER eviction proves
+    * them final — correctness of the null, delayed by the watermark, the
+    * documented Structured Streaming trade.
+    */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               keyCol: String = "user_id",
+                               tsCol: String = "ts",
+                               lower: String = "0 seconds",
+                               upper: String = "15 minutes",
+                               watermark: String = "10 minutes",
+                               leftOuter: Boolean = false): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+        .withWatermark(s"$p$tsCol", watermark)
+    val l = side(left, "l_")
+    val r = side(right, "r_")
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $lower") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $upper"),
+      if (leftOuter) "left_outer" else "inner")
+  }
+
   /** STREAMING benchmark decontamination: per-document contamination
     * score computed STATELESSLY per row — the expression form of
     * `Dedup.contaminationScores` (same shingle semantics, same

@@ -144,6 +144,39 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("bfs: nearest-source hop distances — multi-source min wins, " +
+    "directed edges are not walked backwards, undirected symmetrizes, " +
+    "vertices beyond the round cap are absent") {
+    // path 1→2→3→4→5 plus a side source 10→4: distances from {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 4L))
+      .toDF("s", "d")
+    val sources = Seq(1L, 10L).toDF("v")
+    val r3 = Graph.bfs(edges, col("s"), col("d"), sources, rounds = 3)
+      .as[(Long, Int)].collect().toMap
+    // 4 is reached at dist 1 via 10 (NOT dist 3 via the chain); 5 at 2
+    assert(r3 === Map(1L -> 0, 10L -> 0, 2L -> 1, 3L -> 2, 4L -> 1,
+      5L -> 2))
+    // rounds=1 stops at the first frontier
+    val r1 = Graph.bfs(edges, col("s"), col("d"), sources, rounds = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(r1 === Map(1L -> 0, 10L -> 0, 2L -> 1, 4L -> 1))
+    // directed: nothing reaches 1 or 10 from source 5
+    val back = Graph.bfs(edges, col("s"), col("d"), Seq(5L).toDF("v"),
+      rounds = 4).as[(Long, Int)].collect().toMap
+    assert(back === Map(5L -> 0))
+    // undirected: the same source walks the chain backwards
+    val undir = Graph.bfs(edges, col("s"), col("d"), Seq(5L).toDF("v"),
+      rounds = 2, directed = false).as[(Long, Int)].collect().toMap
+    assert(undir === Map(5L -> 0, 4L -> 1, 3L -> 2, 10L -> 2))
+    intercept[IllegalArgumentException] {
+      Graph.bfs(edges, col("s"), col("d"), sources, rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.bfs(edges, col("s"), col("d"),
+        Seq((1L, 2L)).toDF("a", "b"), rounds = 1)
+    }
+  }
+
   test("pageRank: guards — empty graph and bad params refuse loudly") {
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
     intercept[IllegalArgumentException] {
