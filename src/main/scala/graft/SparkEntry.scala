@@ -2124,6 +2124,24 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // ANN recall@k readout: IVF at nProbe=1 of 4 deterministic-Lloyd
+    // centroids vs the exact brute-force ranking — a REAL approximation
+    // (some probes' neighbors live outside the probed cluster, so
+    // recall < 1 for some rows), and the whole evaluation is integer
+    // counts + one division per probe, so the oracle replays train →
+    // route → rank → intersect end-to-end under the hash
+    "q_embed_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+      val cents = Similarity.kMeansCentroids(emb, k = kmeansK,
+        iters = kmeansIters, deterministic = true)
+      Similarity.annRecall(
+          Similarity.bruteForceTopK(emb, probes, k = 5),
+          Similarity.ivfTopK(emb, probes, k = 5, nCentroids = kmeansK,
+            nProbe = 1, centroids = Some(cents)))
+        .orderBy("probe_id")
+    }),
+
     // full-corpus distributed k-means (the SemDeDup-style clustering
     // primitive: assignment = one codegen'd projection pass, update = one
     // partial-agg groupBy; only k×dim reaches the driver). Oracle: both
@@ -2795,6 +2813,66 @@ object SparkEntry {
        |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, centroid_cos,
        |  r * $den <= n * $num AS is_outlier
        |FROM rk ORDER BY vec_id""".stripMargin
+
+  /** q_embed_recall oracle: deterministic-Lloyd training replayed via
+    * `kmeansCteChain`, then BOTH rankings rebuilt — exact brute force
+    * and the IVF route (corpus + probes ranked against the FLOAT-cast
+    * final centroids by dot/|c|, the `centroidRanking` arithmetic the
+    * IVF-PQ oracle already pins) — and intersected per probe. Counts
+    * are integers; recall is one IEEE division. */
+  private def annRecallOracleSql(kc: Int, iters: Int, nProbe: Int,
+                                 k: Int, dim: Int): String = {
+    val fin = if (iters == 0) "seeds" else s"c$iters"
+    def route(row: String, vec: String): String =
+      s"""list_sum(list_transform(range(1, $dim + 1),
+         |      i -> CAST($row.$vec[i] AS DOUBLE)
+         |           * CAST(CAST(c.cent[i] AS REAL) AS DOUBLE)))
+         |      / sqrt(list_sum(list_transform(c.cent, x -> x * x)))"""
+        .stripMargin
+    def cosExpr(ce: String, pe: String): String =
+      s"""list_sum(list_transform(range(1, $dim + 1),
+         |      i -> CAST($ce[i] AS DOUBLE) * CAST($pe[i] AS DOUBLE)))
+         |    / nullif(
+         |      sqrt(list_sum(list_transform($ce, x -> CAST(x AS DOUBLE) * x)))
+         |      * sqrt(list_sum(list_transform($pe, x -> CAST(x AS DOUBLE) * x))),
+         |      0)""".stripMargin
+    s"""WITH ${kmeansCteChain(kc, iters)},
+       |p AS (SELECT vec_id AS pid, embedding AS pe FROM e
+       |      WHERE vec_id < 10),
+       |ex AS (SELECT pid, nid FROM (
+       |    SELECT p.pid, e.vec_id AS nid, row_number() OVER (
+       |        PARTITION BY p.pid ORDER BY
+       |        ${cosExpr("e.embedding", "p.pe")} DESC, e.vec_id ASC)
+       |      AS rank
+       |    FROM e, p WHERE e.vec_id <> p.pid) WHERE rank <= $k),
+       |rte AS (SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, c.cluster, row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${route("e", "embedding")} DESC, c.cluster ASC)
+       |      AS rn
+       |    FROM e, $fin c) WHERE rn = 1),
+       |pr AS (SELECT pid, cluster FROM (
+       |    SELECT p.pid, c.cluster, row_number() OVER (
+       |        PARTITION BY p.pid
+       |        ORDER BY ${route("p", "pe")} DESC, c.cluster ASC) AS rn
+       |    FROM p, $fin c) WHERE rn <= $nProbe),
+       |ap AS (SELECT pid, nid FROM (
+       |    SELECT pr.pid, e.vec_id AS nid, row_number() OVER (
+       |        PARTITION BY pr.pid ORDER BY
+       |        ${cosExpr("e.embedding", "p.pe")} DESC, e.vec_id ASC)
+       |      AS rank
+       |    FROM pr JOIN rte ON rte.cluster = pr.cluster
+       |      JOIN e ON e.vec_id = rte.vec_id
+       |      JOIN p ON p.pid = pr.pid
+       |    WHERE e.vec_id <> pr.pid) WHERE rank <= $k)
+       |SELECT ex.pid AS probe_id,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(ap.nid) AS BIGINT) AS n_hits,
+       |  CAST(count(ap.nid) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS recall
+       |FROM ex LEFT JOIN ap ON ap.pid = ex.pid AND ap.nid = ex.nid
+       |GROUP BY ex.pid ORDER BY probe_id""".stripMargin
+  }
 
   /** Row-vs-centroid cosine in DuckDB SQL, shared by every generated
     * oracle that assigns against a centroid CTE. The CASE mirrors
@@ -6126,6 +6204,10 @@ object SparkEntry {
       qualityQuota),
 
     // IVF at nProbe = nCentroids must equal exact brute-force top-k
+    "q_embed_recall" ->
+      annRecallOracleSql(kmeansK, kmeansIters, nProbe = 1, k = 5,
+        dim = embedDim),
+
     "q_embed_ivf_topk" ->
       """WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
         |           WHERE vec_id < 10),

@@ -123,6 +123,35 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** Recall@k evaluation of an ANN ranking against the exact one — the
+    * readout that turns "we swapped brute force for IVF/LSH/PQ" into a
+    * number a curation pipeline can gate on (the ANN mirror of
+    * `Classify.evaluateBinary`). Both inputs use the family's top-k
+    * shape (probe_id, rank, nbr_id, ...); output is one row per EXACT
+    * probe: n_exact (its exact-list size, ≤ k when the corpus is
+    * smaller), n_hits = |approx ∩ exact|, and recall = n_hits/n_exact —
+    * integer counts and ONE IEEE division, so the whole row sits under
+    * a cross-engine hash oracle. Probes absent from `approx` (an ANN
+    * route that found nothing) score recall 0, not a dropped row;
+    * probes absent from `exact` are ignored (nothing to recall).
+    *
+    * Scale: one left-semi join + two aggregates, all keyed on the
+    * high-cardinality (probe_id, nbr_id) / probe_id — evaluation cost
+    * tracks the lists (probes × k), never the corpus. */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("probe_id"), col("nbr_id"))
+    val hits = ex
+      .join(approx.select(col("probe_id"), col("nbr_id")),
+        Seq("probe_id", "nbr_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    ex.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   /** The exact scored-pair kernel shared by `bruteForceTopK` and
     * `contrastiveMine`: every (probe, corpus) pair with its cosine, probe
     * side broadcast, corpus side streaming shuffle-free. */

@@ -674,4 +674,24 @@ class SimilaritySpec extends SparkTestBase {
       seeding = Similarity.KMeansSeeding.Parallel(l = 4, rounds = 3))
     assert(sameCents.length === 1) // phi=0 after candidate 0: no more draws
   }
+
+  test("annRecall: hand-computed hit counts — a probe the ANN route " +
+    "missed entirely scores 0 (not a dropped row), a probe absent from " +
+    "exact is ignored, short exact lists set the denominator") {
+    val exact = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),  // probe 1: 3 exact nbrs
+      (2L, 1, 20L), (2L, 2, 21L),                // probe 2: 2 exact nbrs
+      (3L, 1, 30L))                              // probe 3: never in approx
+      .toDF("probe_id", "rank", "nbr_id")
+    val approx = Seq(
+      (1L, 1, 11L), (1L, 2, 99L), (1L, 3, 12L),  // 2 of 3 hit
+      (2L, 1, 21L), (2L, 2, 20L),                // both hit, order differs
+      (9L, 1, 90L))                              // probe 9: not in exact
+      .toDF("probe_id", "rank", "nbr_id")
+    val r = Similarity.annRecall(exact, approx)
+      .orderBy("probe_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r === Seq((1L, 3L, 2L, 2.0 / 3.0), (2L, 2L, 2L, 1.0),
+      (3L, 1L, 0L, 0.0)))
+  }
 }
