@@ -830,6 +830,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SPAN-LEVEL decontamination: remove exactly the grid spans that
+    // equal ANY stride-1 benchmark window (leaks caught at arbitrary
+    // word offsets), keep the rest of the document — at sf0.01 /
+    // chunkWords=6 the gate removes 69 of 4,484 corpus spans, so the
+    // hash pins surgical removal + reassembly, not a no-op
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateSpans(docs.where(col("doc_id") % 20 =!= 0),
+          col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 20 === 0), col("text"),
+          chunkWords = decontamSpanWords)
+        .orderBy("doc_id")
+    }),
+
     // SEMANTIC decontamination: the embedding-side mirror of
     // q_decontaminate — catches paraphrased leakage sharing no n-grams
     // with the benchmark. Benchmark = vec_id % 20 == 0 (broadcast build
@@ -2742,6 +2756,7 @@ object SparkEntry {
   // literals would let the pair drift silently until a hash mismatch
   private val spansChunkWords = 3
   private val boilerplateMinDocs = 3
+  private val decontamSpanWords = 6
   private val calibrationBinCount = 8
   // dyadic sketch params: 2^17 covers floor(l_extendedprice) < 104998
   private val dyadicLevels = 17
@@ -3805,6 +3820,44 @@ object SparkEntry {
        |ORDER BY doc.doc_id""".stripMargin
   }
 
+  /** q_decontaminate_spans oracle: the boilerplate grid/reassembly SQL
+    * with the hot-span set replaced by the benchmark's stride-1 window
+    * set (truncated tails included via DuckDB's clamped list slice). */
+  private def decontaminateSpansOracleSql(chunkWords: Int): String = {
+    val n = chunkWords
+    s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
+       |           FROM documents
+       |           WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |             AND doc_id % 20 <> 0),
+       |sp AS (SELECT doc_id, u.i AS span_idx,
+       |         array_to_string(w[(u.i*$n+1):((u.i+1)*$n)], ' ') AS span
+       |       FROM d, unnest(range(0, greatest(
+       |         CAST(ceil(len(w) / $n.0) AS BIGINT), 1))) AS u(i)),
+       |b AS (SELECT string_split($normTextSql, ' ') AS w
+       |      FROM documents
+       |      WHERE text IS NOT NULL AND doc_id % 20 = 0),
+       |bw AS (SELECT DISTINCT
+       |         array_to_string(w[(u.i+1):(u.i+$n)], ' ') AS span
+       |       FROM b, unnest(range(0, len(w))) AS u(i)),
+       |mk AS (SELECT sp.doc_id, sp.span_idx, sp.span,
+       |         sp.span IN (SELECT span FROM bw) AS rm
+       |       FROM sp),
+       |rb AS (SELECT doc_id,
+       |         coalesce(string_agg(CASE WHEN NOT rm THEN span END, ' '
+       |           ORDER BY span_idx), '') AS text_decontaminated,
+       |         CAST(count(*) AS BIGINT) AS n_spans,
+       |         CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_removed
+       |       FROM mk GROUP BY doc_id)
+       |SELECT doc.doc_id,
+       |  coalesce(rb.text_decontaminated, '') AS text_decontaminated,
+       |  coalesce(rb.n_spans, 0) AS n_spans,
+       |  coalesce(rb.n_removed, 0) AS n_removed
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) doc
+       |LEFT JOIN rb USING (doc_id)
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   /** Shared CTE fragments of the two passage oracles — the SQL mirror
     * of the Spark-side `passagePostings`/`passageReassemble` split, so
     * the one-shot and probe oracles cannot drift apart. */
@@ -4295,6 +4348,9 @@ object SparkEntry {
     "q_dedup_spans" -> spansOracleSql(spansChunkWords),
     "q_dedup_boilerplate" ->
       boilerplateOracleSql(spansChunkWords, boilerplateMinDocs),
+
+    "q_decontaminate_spans" ->
+      decontaminateSpansOracleSql(decontamSpanWords),
 
     "q_dedup_passages" ->
       passagesOracleSql(passageWindowWords, passageStrideWords),

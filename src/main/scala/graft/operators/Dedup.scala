@@ -186,6 +186,62 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** SPAN-LEVEL benchmark decontamination — the surgical sibling of
+    * [[contaminationScores]]: instead of scoring whole documents for
+    * drop-or-keep, REMOVE exactly the spans that leak benchmark text and
+    * keep the rest of the document (the RefinedWeb/FineWeb line-level
+    * decontamination posture — dropping a 10k-word page because one
+    * quoted benchmark sentence leaked throws away good tokens).
+    *
+    * A corpus span (disjoint `chunkWords`-word grid cell, the
+    * [[spanDedup]] grid) is removed iff its normalized text equals ANY
+    * `chunkWords`-word window of the benchmark at ANY word offset —
+    * the benchmark side slides stride-1 (and keeps its truncated tail
+    * windows), so a leaked run is caught wherever the corpus grid cuts
+    * it and short final chunks still match. Documents reduced to
+    * nothing come back as "", never disappear; (n_spans, n_removed)
+    * ride along for the datacard.
+    *
+    * Scale: the corpus side is the shared one-generator span grid
+    * (normalize+split once per doc, behind the spread exchange);
+    * benchmarks are bounded by construction, so their distinct window
+    * set is BROADCAST (the [[contaminationScores]] contract) and the
+    * mark is a shuffle-free broadcast left join — one corpus pass, no
+    * span-keyed exchange at all; reassembly is the one groupBy(doc_id).
+    */
+  def decontaminateSpans(docs: DataFrame, id: Column, text: Column,
+                         bench: DataFrame, benchText: Column,
+                         chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"decontaminateSpans: chunkWords=$chunkWords")
+    val spans = spanGrid(docs.where(id.isNotNull), id, text, chunkWords)
+    val benchWin = spread(bench.where(benchText.isNotNull)
+        .select(normalizeText(benchText).as("__t")))
+      .select(split(col("__t"), " ").as("__w"))
+      .select(explode(transform(sequence(lit(0), size(col("__w")) - 1),
+        i => array_join(slice(col("__w"), i + 1, lit(chunkWords)), " ")))
+        .as("span"))
+      .distinct()
+      .select(col("span"), lit(true).as("__hot"))
+    val marked = spans.join(broadcast(benchWin), Seq("span"), "left")
+      .select(col("doc_id"), col("span_idx"), col("span"),
+        coalesce(col("__hot"), lit(false)).as("__rm"))
+    val rebuilt = marked.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("__rm"),
+            struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("text_decontaminated"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__rm").cast("long")).as("n_removed"))
+    docs.select(id.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_decontaminated"), lit(""))
+          .as("text_decontaminated"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Passage-level exact dedup over OVERLAPPING windows (the ExactSubstr
     * shape of Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better", re-expressed relationally; the suffix-array

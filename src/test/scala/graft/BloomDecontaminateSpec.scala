@@ -76,4 +76,33 @@ class BloomDecontaminateSpec extends SparkTestBase {
         bench, col("doc_id"), col("text"), expectedItems = 0)
     }
   }
+
+  test("decontaminateSpans: an UNALIGNED leaked run is removed (bench " +
+    "windows slide stride-1), clean spans survive, a fully leaked doc " +
+    "comes back empty, short tail chunks match truncated windows") {
+    // chunkWords = 3; bench text "alpha beta gamma delta epsilon"
+    val b = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val c = Seq(
+      // grid span [0] = "beta gamma delta" = bench window at bench
+      // offset 1 — removed ONLY because the bench side slides stride-1
+      (1L, "beta gamma delta own tail here"),
+      // span [0] = bench offset 0; span [1] = the doc's short 2-word
+      // tail, equal to a TRUNCATED bench tail window -> all removed
+      (2L, "alpha beta gamma delta epsilon"),
+      // clean
+      (3L, "completely separate vocabulary lives here today"),
+      // the grid cutting a leak across two spans keeps both — span
+      // resolution is the documented contract, not substring removal
+      (4L, "own words beta gamma delta tail words here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.decontaminateSpans(c, col("doc_id"), col("text"),
+        b, col("text"), chunkWords = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(r === Seq(
+      (1L, "own tail here", 2L, 1L),
+      (2L, "", 2L, 2L),
+      (3L, "completely separate vocabulary lives here today", 2L, 0L),
+      (4L, "own words beta gamma delta tail words here", 3L, 0L)))
+  }
 }

@@ -1382,6 +1382,55 @@ object ScaleProbe {
       }
     }
 
+    if (which("graph-weak")) {
+      // k-core + BFS at ~2M edges over graphs with EXACT closed-form
+      // answers (disjoint components make any deviation an operator
+      // bug, not noise — the family's weak-scaling protocol).
+      // k-core: 100k disjoint K6 cliques (every vertex degree 5,
+      // survives k=3) + 100k disjoint 5-chains (peel to nothing at
+      // k=3) = 600k + 500k vertices, 1.5M + 0.4M edges.
+      val m = 100000L
+      val cliquePairs = for { j <- 0 until 6; j2 <- j + 1 until 6 }
+        yield (j, j2)
+      val cliqueEdges = spark.range(m)
+        .select(col("id"), explode(typedlit(cliquePairs)).as("p"))
+        .select((col("id") * 10 + col("p._1")).as("s"),
+          (col("id") * 10 + col("p._2")).as("d"))
+      val chainBase = m * 10
+      val chainPairs = (0 until 4).map(j => (j, j + 1))
+      val chainEdges = spark.range(m)
+        .select(col("id"), explode(typedlit(chainPairs)).as("p"))
+        .select((lit(chainBase) + col("id") * 10 + col("p._1")).as("s"),
+          (lit(chainBase) + col("id") * 10 + col("p._2")).as("d"))
+      val edges = cliqueEdges.unionByName(chainEdges).localCheckpoint(true)
+      t("graph_kcore_1p9m_edges") {
+        val r = graft.operators.Graph.kCore(edges, col("s"), col("d"),
+          k = 3, rounds = 2).localCheckpoint(true)
+        val n = r.count()
+        require(n == 6 * m, s"expected ${6 * m} core vertices, got $n")
+        val bad = r.where(col("degree") =!= 5L).count()
+        require(bad == 0, s"$bad core vertices with degree != 5")
+        n
+      }
+      // BFS: 100k disjoint directed 10-chains, sources = chain heads;
+      // at rounds=6 exactly 100k vertices sit at every dist 0..6
+      val bfsPairs = (0 until 9).map(j => (j, j + 1))
+      val bfsEdges = spark.range(m)
+        .select(col("id"), explode(typedlit(bfsPairs)).as("p"))
+        .select((col("id") * 16 + col("p._1")).as("s"),
+          (col("id") * 16 + col("p._2")).as("d")).localCheckpoint(true)
+      val sources = spark.range(m).select((col("id") * 16).as("v"))
+      t("graph_bfs_1m_vertices_6_rounds") {
+        val r = graft.operators.Graph.bfs(bfsEdges, col("s"), col("d"),
+          sources, rounds = 6).localCheckpoint(true)
+        val byDist = r.groupBy("dist").count().collect()
+          .map(x => x.getInt(0) -> x.getLong(1)).toMap
+        require((0 to 6).forall(d => byDist.getOrElse(d, 0L) == m),
+          s"per-dist counts off: $byDist")
+        r.count()
+      }
+    }
+
     if (which("interval-weak")) {
       // Interval overlap join at 1M x 1M intervals: the naive overlap
       // predicate is 10^12 comparisons (BroadcastNestedLoopJoin — does
