@@ -1204,6 +1204,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // systematic PPS weighted sampling: exactly 200 draws (with
+    // multiplicity), expected draws per doc exactly 200·w/W — the
+    // quality-weighted selection cut. ALL-INTEGER grid arithmetic
+    // (no pow/exp keys), so the draw is engine-bit-identical by
+    // construction; weight = n_chars as the stand-in quality score
+    "q_sample_weighted" -> ((s, dir) =>
+      Shard.systematicPps(Tables.documents(s, dir), n = 200,
+          weight = greatest(col("n_chars"), lit(1L)), seed = "pps0")
+        .orderBy("doc_id")),
+
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1502,6 +1512,51 @@ object SparkEntry {
         .select(col("x"), col("exact_rank"), col("rank_est"),
           (col("rank_est") - col("exact_rank")).as("overcount"))
         .orderBy("x")
+    }),
+
+    // HLL-shaped distinct sketches, one per priority group, PLUS the
+    // 'ALL' row built by elementwise-max MERGE of the five group
+    // sketches — the oracle recomputes 'ALL' registers over the union
+    // directly, so its hash match IS the merge-of-partials ≡
+    // recompute-on-union proof (the distinct-count mirror of
+    // q_sketch_rolling's sum-merge). Registers are md5-addressed
+    // (engine-reproducible, unlike approx_count_distinct's private
+    // HLL++ state — kept rows-only by design); the estimate is a pure
+    // arithmetic readout (ascending-index fold of exact 2^-reg doubles,
+    // no libm), so raw doubles sit under the hash. m=256 keeps the
+    // n >= 2.5m raw-estimator regime at sf0.01 (~1300 distinct/group)
+    "q_sketch_hll" -> ((s, dir) => {
+      import graft.functions.SketchAggregates
+      val hex = hllHexChars
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          col("o_custkey").cast("string").as("item"))
+      val perGroup = src.groupBy("grp")
+        .agg(SketchAggregates.hllSketch(col("item"), hex).as("sk"))
+      val exact = src.groupBy("grp")
+        .agg(countDistinct(col("item")).as("n_exact"))
+      val per = perGroup.join(exact, Seq("grp"))
+        .select(col("grp"), col("n_exact"),
+          size(filter(col("sk"), r => r > lit(0))).as("n_hit"),
+          SketchAggregates.hllEstimate(col("sk"), hex).as("n_est"))
+      // merged registers: every group sketch is a dense m-array, so the
+      // posexplode → max-per-idx groupBy is the aggregate's own merge,
+      // done relationally; the estimate fold re-sorts by idx because a
+      // float sum's rounding depends on order
+      val mergedRegs = perGroup
+        .select(posexplode(col("sk")).as(Seq("idx", "r")))
+        .groupBy("idx").agg(max(col("r")).as("r"))
+      val all = mergedRegs
+        .agg(collect_list(struct(col("idx"), col("r"))).as("xs"))
+        .crossJoin(broadcast(
+          src.agg(countDistinct(col("item")).as("n_exact"))))
+        .select(lit("ALL").as("grp"), col("n_exact"),
+          size(filter(col("xs"), x => x.getField("r") > lit(0)))
+            .as("n_hit"),
+          SketchAggregates.hllEstimate(
+            transform(array_sort(col("xs")), _.getField("r")), hex)
+            .as("n_est"))
+      per.unionByName(all).orderBy("grp")
     }),
 
     // ordered conversion funnel view→click→signup→purchase: step i =
@@ -2763,6 +2818,8 @@ object SparkEntry {
   private val dyadicDepth = 3
   private val dyadicProbes = Seq(900L, 9000L, 25000L, 50000L, 104000L)
   // rolling sketch params: 2^16 covers floor(value*100) <= 49002 cents
+  private val hllHexChars = 2
+
   private val rollingLevels = 16
   private val rollingDepth = 3
   private val rollingProbes = Seq(100L, 5000L, 20000L, 49001L)
@@ -4806,6 +4863,48 @@ object SparkEntry {
         |FROM probes p JOIN est e USING (item)
         |ORDER BY item""".stripMargin,
 
+    // HLL registers recomputed relationally: same md5 addressing, same
+    // bin()-length rho convention, same ascending-idx estimate fold;
+    // the 'ALL' row is recomputed over the union — hash equality proves
+    // elementwise-max merge ≡ recompute
+    "q_sketch_hll" -> {
+      val m = 1 << (4 * hllHexChars)
+      s"""WITH src AS (SELECT o_orderpriority AS grp,
+         |               CAST(o_custkey AS VARCHAR) AS item FROM orders),
+         |u AS (SELECT grp, item FROM src
+         |      UNION ALL SELECT 'ALL', item FROM src),
+         |regs AS (SELECT grp,
+         |           ('0x' || substr(md5(item), 1, $hllHexChars))::INT
+         |             AS idx,
+         |           max(53 - length(bin(('0x' ||
+         |             substr(md5(item), ${hllHexChars + 1}, 13))::UBIGINT)))
+         |             AS r
+         |         FROM u GROUP BY 1, 2),
+         |spine AS (SELECT g.grp, i.idx
+         |          FROM (SELECT DISTINCT grp FROM u) g
+         |          CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1}))
+         |                      AS idx) i),
+         |dense AS (SELECT s.grp, s.idx, coalesce(r.r, 0) AS r
+         |          FROM spine s LEFT JOIN regs r
+         |            ON s.grp = r.grp AND s.idx = r.idx),
+         |folded AS (SELECT grp,
+         |             list_sum(list(CAST(1 AS DOUBLE) / (1::BIGINT << r)
+         |               ORDER BY idx)) AS s,
+         |             CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS INT)
+         |               AS n_hit
+         |           FROM dense GROUP BY grp),
+         |exact AS (SELECT grp, CAST(count(DISTINCT item) AS BIGINT)
+         |            AS n_exact
+         |          FROM u GROUP BY grp)
+         |SELECT e.grp, e.n_exact, f.n_hit,
+         |  CAST(0.7213 AS DOUBLE) /
+         |    (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) /
+         |      CAST($m AS DOUBLE)) *
+         |    CAST($m AS DOUBLE) * CAST($m AS DOUBLE) / f.s AS n_est
+         |FROM exact e JOIN folded f USING (grp)
+         |ORDER BY grp""".stripMargin
+    },
+
     // funnel: cascaded per-user min CTEs, strictly-after step chaining
     "q_events_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
@@ -6026,6 +6125,28 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+
+    // same seeded-hash line layout, same integer grid: the global
+    // window here is the oracle's shortcut; the engine runs the
+    // bucketed two-phase prefix sum, and equal cum values make the
+    // draws identical
+    "q_sample_weighted" ->
+      """WITH src AS (SELECT doc_id,
+        |               CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+        |               md5('pps0:' || CAST(doc_id AS VARCHAR)) AS k
+        |             FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        sum(w) OVER (ORDER BY k, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        sum(w) OVER () AS wtot
+        |      FROM src)
+        |SELECT doc_id, w,
+        |  CAST((cum * 200) // wtot - ((cum - w) * 200) // wtot AS BIGINT)
+        |    AS mult
+        |FROM c
+        |WHERE (cum * 200) // wtot - ((cum - w) * 200) // wtot >= 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_enrich_metrics" ->
       """SELECT DISTINCT lower(trim(lang)) AS journal_norm,

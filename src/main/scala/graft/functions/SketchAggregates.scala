@@ -4,7 +4,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.functions.{concat, conv, lit, md5, substring}
+import org.apache.spark.sql.functions.{aggregate, concat, conv, element_at,
+  lit, md5, substring, typedlit}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -327,6 +328,128 @@ case class DyadicCmsAgg(child: Expression, levels: Int, depth: Int,
   override def prettyName: String = "graft_dyadic_count_min"
 }
 
+/** HyperLogLog-shaped distinct-count sketch (Flajolet et al. 2007) as a
+  * native `TypedImperativeAggregate`, built on the ENGINE-REPRODUCIBLE
+  * md5 register discipline of [[CountMinAgg]] instead of an opaque
+  * library hash — so the whole artifact, registers AND estimate, sits
+  * under the cross-engine hash oracle (Spark's own
+  * `approx_count_distinct` is HLL++ with engine-private xxhash state:
+  * correct, but un-oracle-able — the battery keeps it rows-only by
+  * design; this sketch is the auditable mirror).
+  *
+  * Register layout: m = 16^hexChars registers; an item routes to
+  * register `substr(md5(item), 1, hexChars)` and contributes
+  * rho = 53 - length(bin(v)) where v = the NEXT 13 hex chars (52 bits)
+  * of the same digest — i.e. one plus the count of leading zeros in
+  * the 52-bit tail, with the v = 0 edge pinned to 52 by the shared
+  * `length(bin(0)) = 1` convention (bit-identical in DuckDB and
+  * `java.lang.Long.toBinaryString`). Register value = MAX rho seen.
+  *
+  * Merge is ELEMENTWISE MAX, so like Count-Min (and unlike GK or
+  * Misra-Gries) the sketch is a pure function of the input SET — any
+  * partitioning, any merge order, any duplication of inputs produces
+  * identical registers: merge-of-partials ≡ recompute-on-union holds
+  * EXACTLY, which is what lets daily sketches serve rolling distinct
+  * counts without re-scanning facts. State is m small ints per
+  * partition regardless of cardinality (m = 256 at hexChars = 2 —
+  * 1 KiB; standard error 1.04/√m ≈ 6.5%).
+  *
+  * The ESTIMATE is deliberately not computed here: it is a
+  * deterministic arithmetic readout of the registers
+  * ([[SketchAggregates.hllEstimate]] — ascending-index sequential fold
+  * of exact 2^-reg terms, one multiply, one divide), kept relational so
+  * the oracle replays the identical IEEE chain. Raw-estimator bias
+  * below ~2.5m distincts is the documented HLL trade (production HLL++
+  * switches to linear counting there); callers pick m against their
+  * expected cardinality floor.
+  */
+case class HllAgg(child: Expression, hexChars: Int,
+                  override val mutableAggBufferOffset: Int = 0,
+                  override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]]
+  with UnaryLike[Expression] {
+
+  require(hexChars >= 1 && hexChars <= 3,
+    s"HllAgg: hexChars=$hexChars out of [1, 3]")
+
+  val m: Int = 1 << (4 * hexChars)
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](m)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (idx, rho) =
+        HllAgg.registerOf(v.asInstanceOf[UTF8String].toString, hexChars)
+      if (rho > buf(idx)) buf(idx) = rho
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Int]): Any =
+    new GenericArrayData(buf.map(Int.box).asInstanceOf[Array[Any]])
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    // registers are <= 52: one byte each
+    val out = new Array[Byte](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i).toByte; i += 1 }
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] =
+    bytes.map(_.toInt)
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): HllAgg =
+    copy(child = c)
+  override def prettyName: String = "graft_hll"
+}
+
+object HllAgg {
+  /** (register index, rho) of one item — the single definition the
+    * aggregate, the spec and the SQL-oracle contract share. Index =
+    * first `hexChars` hex chars of md5(item); rho = 53 - bit-length of
+    * the NEXT 13 hex chars as a 52-bit integer (bit-length of 0 is 1,
+    * the `bin(0) = '0'` convention). */
+  def registerOf(item: String, hexChars: Int): (Int, Int) = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+    val h = dig.digest(
+      item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var idx = 0
+    var nib = 0
+    while (nib < hexChars) {
+      val b = h(nib / 2) & 0xff
+      idx = (idx << 4) | (if (nib % 2 == 0) b >>> 4 else b & 0xf)
+      nib += 1
+    }
+    var v = 0L
+    var n = hexChars
+    while (n < hexChars + 13) {
+      val b = h(n / 2) & 0xff
+      v = (v << 4) | (if (n % 2 == 0) b >>> 4 else b & 0xf)
+      n += 1
+    }
+    (idx, 53 - java.lang.Long.toBinaryString(v).length)
+  }
+}
+
 object SketchAggregates {
   /** Misra-Gries sketch aggregate over a string column: array of
     * (item, count_lb) structs, at most k entries, count-desc order. */
@@ -346,6 +469,29 @@ object SketchAggregates {
   def countMinBucket(d: Int, item: Column): Column =
     conv(substring(md5(concat(lit(d.toString), lit(":"), item)), 1, 3),
       16, 10).cast("int")
+
+  /** HLL-shaped distinct sketch over a string column: 16^hexChars
+    * registers (max-rho), elementwise-max merge — a pure function of
+    * the input SET. See [[HllAgg]]. */
+  def hllSketch(item: Column, hexChars: Int): Column =
+    GraftBridge.column(
+      HllAgg(GraftBridge.expression(item), hexChars).toAggregateExpression())
+
+  /** The raw HLL estimate of a register array, as the deterministic
+    * IEEE chain both engines replay identically: ascending-index
+    * sequential fold of the EXACT doubles 1/2^reg (looked up from a
+    * 53-entry literal of exactly-representable powers of two — no libm
+    * anywhere), then alpha_m·m²/S with alpha_m = 0.7213/(1 + 1.079/m)
+    * spelled in that op order. The oracle's `1/(1::BIGINT << r)` lands
+    * on the identical exact doubles. */
+  def hllEstimate(registers: Column, hexChars: Int): Column = {
+    val m = 1 << (4 * hexChars)
+    val inv = typedlit((0 to 52).map(i => 1.0 / (1L << i).toDouble))
+    val s = aggregate(registers, lit(0.0),
+      (acc, r) => acc + element_at(inv, r.cast("int") + lit(1)))
+    lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble) / s
+  }
 
   /** Dyadic Count-Min sketch aggregate over a long column in
     * [0, 2^levels): levels*depth*4096 longs, row-major by

@@ -126,4 +126,86 @@ object Shard {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
   }
+
+  /** Systematic probability-proportional-to-size sampling WITHOUT
+    * replacement (the survey-statistics workhorse — Madow 1949):
+    * exactly `n` draws (counted with multiplicity) from a weighted
+    * corpus, each row's expected draw count exactly `n·w/W` — the
+    * quality-weighted selection stage of a curation pipeline ("keep
+    * 10M documents, preferring high scores") without the
+    * all-float-ulps fragility of Efraimidis-Spirakis exponential keys
+    * (u^(1/w) orderings hinge on libm `pow`, which no cross-engine
+    * bit contract covers).
+    *
+    * Construction — ALL-INTEGER, so the draw is a pure function of
+    * (corpus, seed) on any engine: rows are laid on a line in
+    * seeded-hash order (`md5(seed:id)`, the trainingOrder draw —
+    * systematic sampling needs a random order to decorrelate
+    * neighbors), each row occupying an interval of its integer weight
+    * `w`; a grid of `n` points at spacing `W/n` is dropped on the
+    * line, and a row is drawn once per grid point in its interval:
+    * `mult = (cum·n) div W − ((cum−w)·n) div W` (the #{integers in
+    * (a,b]} = ⌊b⌋−⌊a⌋ identity, scaled to keep every comparison in
+    * exact integer space). Σ mult = n exactly; rows with w > W/n are
+    * "certainty units" drawn ⌊w·n/W⌋ or ⌈w·n/W⌉ times.
+    *
+    * Scale: the global running sum never funnels through one window
+    * partition — rows bucket by the leading hex pair of their order
+    * key (256 contiguous ranges of the line), each bucket runs its own
+    * running-sum window after ONE hash exchange, and the 256 bucket
+    * totals make an exclusive-prefix frame that broadcasts back (the
+    * two-phase scan prefix-sum; same discipline as Pack's bucketed
+    * running sums, plus the tiny offsets join exactness requires).
+    * Driver state: the 256-row totals collect (bounded), which also
+    * guards the `cum·n` long-overflow envelope loudly (ANSI mode would
+    * catch it anyway; the require names the fix — rescale weights).
+    *
+    * Weights must be POSITIVE integers (scale fractional scores to
+    * fixed-point units upstream); a null/non-positive weight FAILS the
+    * job — silently dropping or clamping would change every other
+    * row's inclusion probability.
+    *
+    * Returns (id-named-as-input, w, mult) for rows with mult >= 1, in
+    * no particular order.
+    */
+  def systematicPps(docs: DataFrame, n: Int, weight: Column,
+                    seed: String = "pps0",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"systematicPps: n=$n")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val keyed = docs
+      .select(col(idCol), weight.cast("long").as("w"), key.as("__key"))
+      .withColumn("w", when(col("w").isNull || col("w") <= 0,
+        raise_error(concat(lit("systematicPps: non-positive weight for " +
+          s"$idCol="), col(idCol).cast("string"))))
+        .otherwise(col("w")))
+      .withColumn("__bucket",
+        conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+    val inBucket = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__key"), col(idCol))
+    val totals = keyed.groupBy("__bucket").agg(sum(col("w")).as("bw"))
+      .orderBy("__bucket").collect() // <= 256 rows — the prefix frame
+    require(totals.nonEmpty, "systematicPps: empty corpus")
+    val grand = totals.map(_.getLong(1)).sum
+    require(grand <= Long.MaxValue / n,
+      s"systematicPps: total weight $grand * n=$n overflows the exact " +
+        "integer grid — rescale weights to coarser units")
+    val offsets = {
+      var acc = 0L
+      totals.map { r =>
+        val off = acc; acc += r.getLong(1); (r.getInt(0), off)
+      }.toSeq
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__bucket", "__off"))
+    keyed
+      .withColumn("__cum_in", sum(col("w")).over(inBucket))
+      .join(offDf, Seq("__bucket"))
+      .withColumn("__cum", col("__cum_in") + col("__off"))
+      .select(col(idCol), col("w"),
+        (expr(s"__cum * ${n}L div ${grand}L") -
+          expr(s"(__cum - w) * ${n}L div ${grand}L")).as("mult"))
+      .where(col("mult") >= 1)
+  }
 }

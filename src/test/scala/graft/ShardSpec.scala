@@ -9,6 +9,63 @@ class ShardSpec extends SparkTestBase {
   private lazy val docs = (1L to 400L).map(i => (i, s"text$i"))
     .toDF("doc_id", "text")
 
+  test("systematicPps: exactly n draws with multiplicity, expected " +
+    "count floor/ceil of n·w/W, partition-layout-free") {
+    val weighted = (1L to 300L).map(i => (i, 1L + i % 7)).toDF("doc_id", "w")
+    val n = 40
+    val got = Shard.systematicPps(weighted, n, col("w"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sum === n)
+    // every draw count is within 1 of the exact expectation n·w/W
+    val bigW = (1L to 300L).map(i => 1L + i % 7).sum
+    got.foreach { case (_, w, m) =>
+      val expect = n.toDouble * w / bigW
+      assert(m >= math.floor(expect) - 1 && m <= math.ceil(expect) + 1)
+    }
+    // layout independence: same draws from a different partitioning
+    val re = Shard.systematicPps(weighted.repartition(13), n, col("w"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq === got.toSeq)
+  }
+
+  test("systematicPps: a certainty unit (w > W/n) is drawn ~n·w/W " +
+    "times; driver replay of the grid is identical") {
+    // one dominant row: w=1000 among 100 rows of w=10 → W=2000,
+    // n=20 → grid spacing 100 → the heavy row must absorb ~10 draws
+    val rows = ((1L to 100L).map(i => (i, 10L)) :+ (999L, 1000L))
+      .toDF("doc_id", "w")
+    val n = 20
+    val got = Shard.systematicPps(rows, n, col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.values.sum === n)
+    val heavy = got(999L)
+    assert(heavy == 10L || heavy == 11L, s"heavy=$heavy")
+    // exact driver replay: same md5 order, same integer grid
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"pps0:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val line = (((1L to 100L).map(i => (i, 10L)) :+ (999L, 1000L)))
+      .sortBy { case (id, _) => (key(id), id) }
+    var cum = 0L
+    val bigW = line.map(_._2).sum
+    val replay = line.map { case (id, w) =>
+      val prev = cum; cum += w
+      (id, (cum * n) / bigW - (prev * n) / bigW)
+    }.filter(_._2 >= 1).toMap
+    assert(replay === got)
+  }
+
+  test("systematicPps: non-positive weight fails loudly") {
+    val bad = Seq((1L, 5L), (2L, 0L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Shard.systematicPps(bad, 3, col("w")).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive")))
+  }
+
   test("trainingOrder is a deterministic permutation: every doc exactly " +
     "once, positions dense per shard, identical across runs") {
     val a = Shard.trainingOrder(docs, "epoch0", nShards = 8)
