@@ -1391,6 +1391,22 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // HITS hubs/authorities on the same bipartite customer→supplier
+    // graph, UNNORMALIZED fixed rounds: every score is an exact integer
+    // (alternating-path count), so the whole iteration is bit-identical
+    // with no repro mode — the one float per share column is a
+    // correctly-rounded cast + one IEEE division at readout. Customers
+    // carry hub mass, suppliers authority; top-100 under a total order
+    "q_graph_hits" -> ((s, dir) => {
+      val e = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.hits(e, col("src"), col("dst"), iters = 2)
+        .orderBy(col("auth").desc, col("hub").desc, col("id").asc)
+        .limit(100)
+    }),
+
     // exact heavy hitters by sketch-then-verify: the Misra-Gries
     // TypedImperativeAggregate bounds aggregate state at k counters
     // per partition (no vocabulary-cardinality shuffle), its guaranteed-
@@ -4779,6 +4795,41 @@ object SparkEntry {
          |SELECT id, outdeg, rank FROM r3
          |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
     },
+
+    // HITS unrolled: h0=1 → a1 → h1 → a2 → h2, all-integer sums; the
+    // share casts ride on HUGEINT totals (exact), one division each
+    "q_graph_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+        |             CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nd AS (SELECT DISTINCT id FROM
+        |        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM nd),
+        |a1 AS (SELECT nd.id, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+        |       FROM nd LEFT JOIN (SELECT e.dst AS id, sum(h0.h) AS a
+        |         FROM e JOIN h0 ON e.src = h0.id GROUP BY e.dst) s
+        |       USING (id)),
+        |h1 AS (SELECT nd.id, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+        |       FROM nd LEFT JOIN (SELECT e.src AS id, sum(a1.a) AS h
+        |         FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src) s
+        |       USING (id)),
+        |a2 AS (SELECT nd.id, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+        |       FROM nd LEFT JOIN (SELECT e.dst AS id, sum(h1.h) AS a
+        |         FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst) s
+        |       USING (id)),
+        |h2 AS (SELECT nd.id, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+        |       FROM nd LEFT JOIN (SELECT e.src AS id, sum(a2.a) AS h
+        |         FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src) s
+        |       USING (id)),
+        |t AS (SELECT (SELECT sum(h) FROM h2) AS th,
+        |             (SELECT sum(a) FROM a2) AS ta)
+        |SELECT h2.id, h2.h AS hub, a2.a AS auth,
+        |  CAST(h2.h AS DOUBLE) / nullif(CAST(t.th AS DOUBLE), 0)
+        |    AS hub_share,
+        |  CAST(a2.a AS DOUBLE) / nullif(CAST(t.ta AS DOUBLE), 0)
+        |    AS auth_share
+        |FROM h2 JOIN a2 USING (id) CROSS JOIN t
+        |ORDER BY auth DESC, hub DESC, id ASC LIMIT 100""".stripMargin,
 
     // co-citation: the same degree-capped self-join, integer counts only
     "q_graph_cocitation" ->

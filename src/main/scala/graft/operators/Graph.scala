@@ -360,4 +360,70 @@ object Graph {
     releaseMaterialized(e)
     dist.select(col("v").as("node"), col("dist"))
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) over a directed edge
+    * list, fixed `iters` full rounds, UNNORMALIZED: starting from
+    * h₀ = 1 everywhere, each round computes a(v) = Σ_{u→v} h(u) then
+    * h(u) = Σ_{u→v} a(v). Skipping the per-round normalization keeps
+    * every score an exact INTEGER — after r rounds h/a are alternating-
+    * path counts, so the whole result is engine-bit-identical with no
+    * float folds, no repro mode, no ordered aggregates (the division
+    * classic HITS applies per round only rescales: the RANKING is
+    * identical, and the share columns apply it once at readout as a
+    * single correctly-rounded cast + one IEEE division each). Scores
+    * grow like (d_max²)^iters; ANSI mode fails the job loudly on long
+    * overflow rather than ranking on wrapped counts — at web-graph
+    * scale use 2-3 rounds, which is where HITS rankings stabilize.
+    *
+    * Scale shape: per round two edges⋈scores hash joins (keyed on the
+    * high-cardinality src / dst) + two per-node partial aggregates;
+    * score frames materialize per round and the superseded round is
+    * released — same discipline as `pageRank`, with the driver holding
+    * nothing but the two share denominators.
+    *
+    * Output: (id, hub, auth, hub_share, auth_share) for every node.
+    */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"hits: iters=$iters must be >= 1")
+    val e = materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .distinct())
+    require(!e.isEmpty, "hits: empty edge list")
+    val nodes = materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var hubs = materialize(nodes.select(col("id"), lit(1L).as("h")))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aSum = e.join(hubs.select(col("id").as("src"), col("h")),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+      val nextA = materialize(nodes.join(aSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a")))
+      if (auths != null) releaseMaterialized(auths)
+      auths = nextA
+      val hSum = e.join(auths.select(col("id").as("dst"), col("a")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+      val nextH = materialize(nodes.join(hSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h")))
+      releaseMaterialized(hubs)
+      hubs = nextH
+    }
+    // share denominators: exact DECIMAL sums (a long total could
+    // overflow even when every score fits), one correctly-rounded cast
+    // to double each — not collected, one broadcast row
+    val totals = hubs.agg(sum(col("h").cast("decimal(38,0)")).as("th"))
+      .crossJoin(auths.agg(sum(col("a").cast("decimal(38,0)")).as("ta")))
+    val out = hubs.join(auths, Seq("id"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"),
+        (col("h").cast("double") /
+          nullif(col("th").cast("double"), lit(0.0))).as("hub_share"),
+        (col("a").cast("double") /
+          nullif(col("ta").cast("double"), lit(0.0))).as("auth_share"))
+    releaseMaterialized(e)
+    releaseMaterialized(nodes)
+    out
+  }
 }

@@ -191,4 +191,39 @@ class GraphSpec extends SparkTestBase {
         col("dst"), damping = 1.0)
     }
   }
+
+  test("hits: hand-traced integer alternating-path counts, shares sum " +
+    "to 1, duplicate edges collapse, partition-layout-free") {
+    // 1→10, 2→10, 3→10, 1→20 (plus a duplicate of 1→10):
+    // a1 = indeg = {10:3, 20:1}; h1 = {1:4, 2:3, 3:3};
+    // a2 = {10:10, 20:4};       h2 = {1:14, 2:10, 3:10}
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (1L, 10L))
+      .toDF("s", "d")
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.hits(e.repartition(parts), col("s"), col("d"),
+          iters = 2)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      assert(got.view.mapValues(v => (v._1, v._2)).toMap === Map(
+        1L -> ((14L, 0L)), 2L -> ((10L, 0L)), 3L -> ((10L, 0L)),
+        10L -> ((0L, 10L)), 20L -> ((0L, 4L))))
+      assert(got(1L)._3 === 14.0 / 34.0)
+      assert(got(10L)._4 === 10.0 / 14.0)
+      assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-12)
+      assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("hits: guards — empty edges and bad iters refuse loudly") {
+    intercept[IllegalArgumentException] {
+      Graph.hits(Seq.empty[(Long, Long)].toDF("s", "d"), col("s"),
+        col("d"))
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(Seq((1L, 2L)).toDF("s", "d"), col("s"), col("d"),
+        iters = 0)
+    }
+  }
 }
