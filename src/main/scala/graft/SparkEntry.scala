@@ -2249,6 +2249,17 @@ object SparkEntry {
           iters = kmeansIters, deterministic = true, num = 1, den = 10)
         .orderBy("vec_id")),
 
+    // Johnson-Lindenstrauss ±1 sign projection 64 → 16 dims: every
+    // downstream distance pass gets 4× cheaper in flops and bytes at
+    // ~1/√16 distortion; each output dim is one fused codegen'd dot
+    // against a sign literal, and √16 = 4 makes the scale division
+    // exact — raw projected doubles under the hash oracle (sign matrix
+    // inlined as SQL literals from the one shared definition)
+    "q_embed_rp" -> ((s, dir) =>
+      Similarity.randomProject(Tables.embeddings(s, dir), outDim = rpDim,
+          seed = rpSeed)
+        .orderBy("vec_id")),
+
     // SemDeDup composition: the kMeans partition bounds the pair search
     // (shuffle key = cluster id), so the only all-pairs work left is
     // within-cluster — the scale answer to q_embed_cluster's global
@@ -2872,6 +2883,8 @@ object SparkEntry {
   private val pqIters = 1
   private val pqSampleN = 4096
   private val embedDim = 64
+  private val rpDim = 16
+  private val rpSeed = 7
 
   private[graft] def kmeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ${kmeansCteChain(k, iters)}
@@ -6355,6 +6368,30 @@ object SparkEntry {
     "q_embed_kmeans" -> kmeansOracleSql(kmeansK, kmeansIters),
     "q_embed_outliers" ->
       outliersOracleSql(kmeansK, kmeansIters, num = 1, den = 10),
+
+    // JL projection: the sign matrix inlined as DOUBLE[] literals from
+    // Similarity.rpSigns (the one shared definition), each output dim
+    // the same ascending-index fold the fused dot runs, scale division
+    // exact at outDim = 16
+    "q_embed_rp" -> {
+      val signs = graft.operators.Similarity.rpSigns(embedDim, rpDim,
+        rpSeed)
+      val dims = signs.map { row =>
+        val litRow = row.map(s =>
+          if (s > 0) "1" else "-1").mkString("[", ", ", "]")
+        s"""list_sum(list_transform(range(1, ${embedDim + 1}),
+           |      i -> CAST(embedding[i] AS DOUBLE) *
+           |        ($litRow::DOUBLE[])[i]))
+           |      / CAST(4 AS DOUBLE)""".stripMargin
+      }.mkString(",\n    ")
+      s"""SELECT vec_id, [
+         |    $dims] AS proj
+         |FROM embeddings
+         |WHERE embedding IS NOT NULL
+         |  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+         |  AND len(embedding) = $embedDim
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // PQ training unrolled per subspace + full-corpus argmin encode
     "q_embed_pq" -> pqOracleSql(embedDim, pqM, pqKsub, pqIters, pqSampleN),

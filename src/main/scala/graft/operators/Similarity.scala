@@ -423,6 +423,61 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Johnson-Lindenstrauss random sign projection (Achlioptas 2003's
+    * ±1 database-friendly variant): y_j = (Σ_i s_ij·x_i) / √outDim for
+    * a deterministic splitmix64-derived ±1 sign matrix — the
+    * dimensionality-reduction stage that makes every downstream
+    * distance computation (brute-force rerank, k-means assignment,
+    * bucketing) outDim/dim cheaper in flops AND bytes at a distortion
+    * that concentrates like 1/√outDim, independent of the source
+    * dimension (the JL lemma). Exact copies keep exactly equal
+    * projections, so the dedup family's true-duplicate recall survives
+    * the reduction by construction.
+    *
+    * Determinism: signs are a pure function of (seed, i, j) — the
+    * HyperplaneBuckets formula, inlined by the SQL oracle as literals;
+    * each y_j is one codegen'd `DotProductF32` ascending-index fold
+    * (±1·x_i products are exact sign flips) and the √outDim division is
+    * a single correctly-rounded op per element (exact when outDim is an
+    * even power of two), so the raw projected doubles sit under the
+    * hash oracle. Plan size is linear in outDim (one fused dot per
+    * output dimension — the centroidRanking posture), constant in the
+    * corpus.
+    *
+    * Rows are pinned to the probed dimension (a dim-mismatched vector
+    * has no meaningful projection); degenerate embeddings are excluded
+    * as everywhere in the family. Returns (id-named-as-input,
+    * proj: array<double> of length outDim).
+    */
+  def randomProject(emb: DataFrame, outDim: Int, seed: Int = 7,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && outDim <= 1024,
+      s"randomProject: outDim=$outDim out of [1, 1024]")
+    val dim = probeDim(emb.where(wellFormed(col(embCol))), embCol)
+    val rows = rpSigns(dim, outDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    val projected = array((0 until outDim).map(j =>
+      (graft.functions.VectorExpressions.dotF32(col(embCol),
+        typedlit(rows(j).toSeq)) / lit(scale)).as(s"p$j")): _*)
+    emb.where(wellFormed(col(embCol)) && size(col(embCol)) === dim)
+      .select(col(idCol), projected.as("proj"))
+  }
+
+  /** The RP sign matrix, row j = the outDim-th projection's ±1 signs —
+    * one definition shared by the operator and the oracle generator
+    * (which inlines it as SQL literals), so they can never disagree.
+    * Same splitmix64 finalizer as HyperplaneBuckets, table = j. */
+  private[graft] def rpSigns(dim: Int, outDim: Int,
+                             seed: Int): Array[Array[Float]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      var z = (seed.toLong << 42) + (j.toLong << 21) + i.toLong +
+        0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+    }
+
   /** IVF (inverted-file) approximate top-k — the second standard ANN
     * scale path next to lshTopK: a coarse quantizer (k-means centroids
     * trained driver-side on a broadcastable sample, deterministic init +

@@ -694,4 +694,61 @@ class SimilaritySpec extends SparkTestBase {
     assert(r === Seq((1L, 3L, 2L, 2.0 / 3.0), (2L, 2L, 2L, 1.0),
       (3L, 1L, 0L, 0.0)))
   }
+
+  test("randomProject: driver replay is bit-identical, exact copies " +
+    "keep equal projections, layout-free, degenerate rows excluded") {
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 40L).map(i =>
+      (i, Array.fill(24)(rnd.nextFloat() * 2 - 1)))
+    // 41 duplicates 1's vector; 42 is null, 43 carries a null element,
+    // 44 is dim-mismatched — all three excluded
+    val rows = base ++ Seq((41L, base.head._2.clone()),
+      (42L, null.asInstanceOf[Array[Float]]),
+      (44L, Array(1f, 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+      .unionByName(Seq((43L, Seq(Some(1f), None, Some(2f)) ++
+        Seq.fill(21)(Some(0f)))).toDF("vec_id", "embedding"))
+    val outDim = 8
+    val got = Similarity.randomProject(df, outDim, seed = 3)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet === (1L to 41L).toSet)
+    assert(got(41L) === got(1L))
+    // replay: ascending-index fold of double products, one division
+    val signs = Similarity.rpSigns(24, outDim, 3)
+    val scale = math.sqrt(outDim.toDouble)
+    base.foreach { case (id, v) =>
+      val expect = (0 until outDim).map { j =>
+        var s = 0.0
+        var i = 0
+        while (i < 24) { s += v(i).toDouble * signs(j)(i).toDouble; i += 1 }
+        s / scale
+      }
+      assert(got(id) === expect, s"id=$id")
+    }
+    val re = Similarity.randomProject(df.repartition(7), outDim, seed = 3)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(re === got)
+  }
+
+  test("randomProject: JL distance concentration — norms preserved " +
+    "within loose statistical bounds at outDim 32") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (1L to 60L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(df, 32, seed = 9)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ratios = vecs.map { case (id, v) =>
+      val orig = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val p = proj(id)
+      math.sqrt(p.map(x => x * x).sum) / orig
+    }
+    // E[ratio²] = 1; at k=32 the ratio concentrates in ~[0.5, 1.6]
+    // except with vanishing probability, and the MEAN much tighter
+    assert(ratios.forall(r => r > 0.4 && r < 1.8), ratios.min -> ratios.max)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.9 && mean < 1.1, mean)
+  }
 }
