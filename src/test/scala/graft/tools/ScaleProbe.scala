@@ -1475,6 +1475,175 @@ object ScaleProbe {
       }
     }
 
+    if (which("sketch-weak")) {
+      // HLL + PPS at 2M rows with closed-form invariants. HLL: 2M rows
+      // over exactly 1M distinct keys (each key twice — duplication
+      // must not move a single register) sketched per 16 groups and
+      // merged; the estimate must land within 5 standard errors
+      // (5·1.04/√256 ≈ 32%) of 1M, and the relational merge must equal
+      // the direct sketch of the union REGISTER-FOR-REGISTER.
+      import graft.functions.SketchAggregates
+      val n = 1000000L
+      val src = spark.range(2 * n)
+        .select((col("id") % 16).cast("int").as("grp"),
+          concat(lit("k"), (col("id") % n).cast("string")).as("item"))
+        .localCheckpoint(true)
+      t("sketch_hll_2m_rows")(src.count())
+      var perGroup: DataFrame = null
+      t("sketch_hll_2m_group_sketches") {
+        perGroup = src.groupBy("grp")
+          .agg(SketchAggregates.hllSketch(col("item"), 2).as("sk"))
+          .localCheckpoint(true)
+        perGroup.count()
+      }
+      t("sketch_hll_2m_merge_estimate_pct") {
+        val merged = perGroup
+          .select(posexplode(col("sk")).as(Seq("idx", "r")))
+          .groupBy("idx").agg(max(col("r")).as("r"))
+          .agg(collect_list(struct(col("idx"), col("r"))).as("xs"))
+          .select(SketchAggregates.hllEstimate(
+            transform(array_sort(col("xs")), _.getField("r")), 2).as("e"))
+          .head().getDouble(0)
+        val direct = src.agg(SketchAggregates.hllSketch(col("item"), 2)
+            .as("sk"))
+          .select(SketchAggregates.hllEstimate(col("sk"), 2).as("e"))
+          .head().getDouble(0)
+        require(merged == direct,
+          s"merge-of-partials estimate $merged != direct $direct")
+        val errPct = math.abs(merged - n) / n * 100
+        require(errPct < 32.5, s"estimate $merged vs $n")
+        math.round(errPct * 10) // tenths of a percent
+      }
+      // PPS: 2M rows, weight = 1 + id%13, n = 10,000 draws — the draw
+      // count is EXACTLY n by construction at any scale
+      t("sketch_pps_2m_draws") {
+        val weighted = spark.range(2 * n)
+          .select(col("id").as("doc_id"), (lit(1L) + col("id") % 13).as("w"))
+        val got = graft.operators.Shard.systematicPps(weighted, 10000,
+          col("w")).agg(sum(col("mult"))).head().getLong(0)
+        require(got == 10000L, s"expected 10000 draws, got $got")
+        got
+      }
+    }
+
+    if (which("hits-weak")) {
+      // HITS at 1M edges over 100k disjoint 10-leaf stars — closed
+      // form after 2 rounds: every center hub = 100 (= leafcount²),
+      // every leaf authority = 10; any deviation is an operator bug.
+      val stars = 100000L
+      val e = spark.range(stars * 10)
+        .select((col("id") / 10).as("src"),
+          (lit(stars) + col("id")).as("dst"))
+        .localCheckpoint(true)
+      t("hits_1m_edges")(e.count())
+      t("hits_1m_2rounds") {
+        val h = graft.operators.Graph.hits(e, col("src"), col("dst"),
+          iters = 2).localCheckpoint(true)
+        val badC = h.where(col("id") < stars &&
+          (col("hub") =!= 100L || col("auth") =!= 0L)).count()
+        val badL = h.where(col("id") >= stars &&
+          (col("hub") =!= 0L || col("auth") =!= 10L)).count()
+        require(badC == 0 && badL == 0, s"centers off=$badC leaves off=$badL")
+        h.count() // 1.1M vertices
+      }
+    }
+
+    if (which("rp-recall")) {
+      // JL projection at 100k vectors (50 sign-flip replicas of sf0.1,
+      // dim 64 — the pq-100k corpus): project 64 → 16, brute top-10 for
+      // 20 probes in PROJECTED space vs exact in original space. The
+      // near-orthogonal corpus is JL's worst case (every inter-vector
+      // gap is the same magnitude as the distortion), so this recall is
+      // the honest floor — clustered real corpora sit far above it; the
+      // wall comparison is the 4x-fewer-flops payoff.
+      val emb = graft.Tables.embeddings(spark, dir)
+      // 50 INDEPENDENT splitmix sign transforms (the pq-100k corpus) —
+      // a parity-based flip would leave only 2 distinct transforms and
+      // fill every top-10 with exact copies, trivializing the recall
+      val replicas = (0 until 50).map { k =>
+        val signs = typedlit(Array.tabulate(64) { i =>
+          var z = (k.toLong << 32) + i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+        })
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_)).localCheckpoint(true)
+      t("rp_100k_rows")(big.count())
+      val probes = big.where(col("vec_id") % 5000 === 0)
+      var exact: DataFrame = null
+      t("rp_100k_brute64_top10") {
+        exact = graft.operators.Similarity
+          .bruteForceTopK(big, probes, k = 10)
+          .select("probe_id", "nbr_id").localCheckpoint(true)
+        exact.count()
+      }
+      var proj: DataFrame = null
+      t("rp_100k_project16") {
+        proj = graft.operators.Similarity.randomProject(big, 16)
+          .select(col("vec_id"),
+            col("proj").cast("array<float>").as("embedding"))
+          .localCheckpoint(true)
+        proj.count()
+      }
+      t("rp_100k_brute16_top10_hits") {
+        val approx = graft.operators.Similarity.bruteForceTopK(proj,
+          proj.where(col("vec_id") % 5000 === 0), k = 10)
+          .select("probe_id", "nbr_id")
+        approx.join(exact, Seq("probe_id", "nbr_id"), "left_semi").count()
+      }
+      t("rp_100k_brute32_top10_hits") {
+        val proj32 = graft.operators.Similarity.randomProject(big, 32)
+          .select(col("vec_id"),
+            col("proj").cast("array<float>").as("embedding"))
+          .localCheckpoint(true)
+        val approx = graft.operators.Similarity.bruteForceTopK(proj32,
+          proj32.where(col("vec_id") % 5000 === 0), k = 10)
+          .select("probe_id", "nbr_id")
+        val hits = approx.join(exact, Seq("probe_id", "nbr_id"),
+          "left_semi").count()
+        proj32.unpersist()
+        hits
+      }
+      // the STRUCTURED case RP exists for: 10 exact copies per identity
+      // (10k identities) — copies project to exactly equal vectors, so
+      // the projected top-10 recovers them by construction; recall here
+      // must be >= 0.9 (9 of any probe's top-10 are its copies)
+      t("rp_100k_structured_top10_hits") {
+        val copies = (0 until 10).map { c =>
+          replicas.head.select(
+            (col("vec_id") + lit(c * 50000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_.unionByName(_))
+          .unionByName(big.where(col("vec_id") >= 1000000L)
+            .limit(80000).select(
+              (col("vec_id") + lit(900000000L)).as("vec_id"),
+              col("embedding")))
+          .localCheckpoint(true)
+        val sprobes = copies.where(col("vec_id") % 500 === 0 &&
+          col("vec_id") < 1000000L)
+        val sexact = graft.operators.Similarity
+          .bruteForceTopK(copies, sprobes, k = 10)
+          .select("probe_id", "nbr_id").localCheckpoint(true)
+        val sproj = graft.operators.Similarity.randomProject(copies, 16)
+          .select(col("vec_id"),
+            col("proj").cast("array<float>").as("embedding"))
+          .localCheckpoint(true)
+        val approx = graft.operators.Similarity.bruteForceTopK(sproj,
+          sproj.where(col("vec_id") % 500 === 0 &&
+            col("vec_id") < 1000000L), k = 10)
+          .select("probe_id", "nbr_id")
+        val nExact = sexact.count()
+        val hits = approx.join(sexact, Seq("probe_id", "nbr_id"),
+          "left_semi").count()
+        require(hits * 10 >= nExact * 9,
+          s"structured recall $hits/$nExact below 0.9")
+        hits
+      }
+    }
+
     spark.stop()
   }
 }
