@@ -1575,6 +1575,45 @@ object SparkEntry {
       per.unionByName(all).orderBy("grp")
     }),
 
+    // ROLLING distinct serving — the #1 warehouse use of HLL: one
+    // register array persisted per day, "uniques over any date range"
+    // answered by elementwise-MAX of the daily partials (posexplode +
+    // groupBy idx), never re-scanning events. The oracle recomputes the
+    // sketch over the unioned range directly — hash equality IS the
+    // merge-of-partials ≡ recompute proof (max is also IDEMPOTENT,
+    // which is what makes the streaming uniques gate replay-safe with
+    // zero epoch bookkeeping). Exact recount carried for the honesty
+    // column
+    "q_sketch_hll_rolling" -> ((s, dir) => {
+      import graft.functions.SketchAggregates
+      val hex = hllHexChars
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          col("user_id").cast("string").as("item"))
+      val daily = ev.groupBy("day")
+        .agg(SketchAggregates.hllSketch(col("item"), hex).as("sk"))
+      val span = ev.agg(min(col("day")).as("d0"))
+      val inRange = daily.crossJoin(broadcast(span))
+        .where(col("day") >= col("d0") &&
+          col("day") <= date_add(col("d0"), 6))
+      val merged = inRange
+        .select(posexplode(col("sk")).as(Seq("idx", "r")))
+        .groupBy("idx").agg(max(col("r")).as("r"))
+        .agg(collect_list(struct(col("idx"), col("r"))).as("xs"))
+        .select(
+          size(filter(col("xs"), x => x.getField("r") > lit(0)))
+            .as("n_hit"),
+          SketchAggregates.hllEstimate(
+            transform(array_sort(col("xs")), _.getField("r")), hex)
+            .as("n_est"))
+      val exact = ev.crossJoin(broadcast(span))
+        .where(col("day") >= col("d0") &&
+          col("day") <= date_add(col("d0"), 6))
+        .agg(countDistinct(col("item")).as("n_exact"))
+      exact.crossJoin(merged)
+        .select(col("n_exact"), col("n_hit"), col("n_est"))
+    }),
+
     // ordered conversion funnel view→click→signup→purchase: step i =
     // earliest s_i-event STRICTLY after the user's step-(i-1) time;
     // exact counts, conversion ratios are single IEEE divisions
@@ -4967,6 +5006,43 @@ object SparkEntry {
          |    CAST($m AS DOUBLE) * CAST($m AS DOUBLE) / f.s AS n_est
          |FROM exact e JOIN folded f USING (grp)
          |ORDER BY grp""".stripMargin
+    },
+
+    // rolling HLL: registers recomputed over the unioned 7-day range —
+    // hash equality proves elementwise-max merge ≡ recompute
+    "q_sketch_hll_rolling" -> {
+      val m = 1 << (4 * hllHexChars)
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item
+         |            FROM events
+         |            CROSS JOIN (SELECT min(CAST(ts AS DATE)) AS d0
+         |                        FROM events) sp
+         |            WHERE CAST(ts AS DATE) >= d0
+         |              AND CAST(ts AS DATE) <= d0 + 6),
+         |regs AS (SELECT
+         |           ('0x' || substr(md5(item), 1, $hllHexChars))::INT
+         |             AS idx,
+         |           max(53 - length(bin(('0x' ||
+         |             substr(md5(item), ${hllHexChars + 1}, 13))::UBIGINT)))
+         |             AS r
+         |         FROM ev GROUP BY 1),
+         |dense AS (SELECT i.idx, coalesce(r.r, 0) AS r
+         |          FROM (SELECT unnest(generate_series(0, ${m - 1}))
+         |                AS idx) i
+         |          LEFT JOIN regs r ON i.idx = r.idx),
+         |folded AS (SELECT
+         |             list_sum(list(CAST(1 AS DOUBLE) / (1::BIGINT << r)
+         |               ORDER BY idx)) AS s,
+         |             CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS INT)
+         |               AS n_hit
+         |           FROM dense)
+         |SELECT (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM ev)
+         |    AS n_exact,
+         |  f.n_hit,
+         |  CAST(0.7213 AS DOUBLE) /
+         |    (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) /
+         |      CAST($m AS DOUBLE)) *
+         |    CAST($m AS DOUBLE) * CAST($m AS DOUBLE) / f.s AS n_est
+         |FROM folded f""".stripMargin
     },
 
     // funnel: cascaded per-user min CTEs, strictly-after step chaining

@@ -461,6 +461,113 @@ object Warehouse {
       .map(_.getName.stripPrefix("v=").toLong)
   }
 
+  /** Continuous DISTINCT counting — daily HLL registers maintained as a
+    * versioned snapshot table (the [[cdcGateBatch]] layout: full
+    * snapshot per epoch under `v=<epoch>/`, marker-last, self-excluding
+    * base read), folded by per-day elementwise MAX of the batch's
+    * sketches into the newest committed version.
+    *
+    * Why a sketch gate and not a distinct-user table: the state is
+    * m ints per DAY — bytes, not users — and the fold is idempotent at
+    * the ITEM level (max of a max), so at-least-once replay needs no
+    * epoch bookkeeping at all: replaying an epoch, even with its rows
+    * duplicated by the source, rewrites the version register-identically
+    * (`q_sketch_hll_rolling` pins merge ≡ recompute; the replay spec
+    * pins the gate). That idempotence is exactly what GK/HLL++ style
+    * merge-order-sensitive state cannot offer.
+    *
+    * The register width is pinned in `meta/` at bootstrap; an epoch
+    * arriving with a different `hexChars` fails loudly (registers of
+    * different widths would max-merge garbage). Readers answer "uniques
+    * over any date range" via [[uniquesOverRange]] without ever
+    * re-scanning events; [[compactSnapshots]] bounds version count.
+    */
+  def uniquesGateBatch(tableDir: String, hexChars: Int,
+                       dayCol: String, itemCol: String)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(hexChars >= 1 && hexChars <= 3,
+      s"uniquesGateBatch: hexChars=$hexChars out of [1, 3]")
+    val m = 1 << (4 * hexChars)
+    val metaCommitted =
+      new org.apache.hadoop.fs.Path(s"$tableDir/meta/_GRAFT_COMMITTED")
+    val metaDir = new org.apache.hadoop.fs.Path(s"$tableDir/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(metaCommitted)
+    if (!bootstrap) {
+      val persisted = spark.read.parquet(s"$tableDir/meta")
+        .collect()(0).getInt(0)
+      require(persisted == hexChars,
+        s"uniquesGateBatch: persisted hexChars=$persisted != caller " +
+          s"$hexChars — registers of different widths cannot merge")
+    }
+    val base = committedVersions(fs, tableDir).filter(_ < batchId)
+      .sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$tableDir/v=$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day", DateType),
+          org.apache.spark.sql.types.StructField("sk",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, false)))))
+    }
+    val batchSk = batch
+      .select(col(dayCol).cast("date").as("day"),
+        col(itemCol).cast("string").as("item"))
+      .groupBy("day")
+      .agg(graft.functions.SketchAggregates.hllSketch(col("item"),
+        hexChars).as("sk"))
+    val zeros = typedlit(Array.fill(m)(0))
+    val next = base.select(col("day"), col("sk").as("a"))
+      .join(batchSk.select(col("day"), col("sk").as("b")),
+        Seq("day"), "full_outer")
+      .select(col("day"),
+        zip_with(coalesce(col("a"), zeros), coalesce(col("b"), zeros),
+          (x, y) => greatest(x, y)).as("sk"))
+    val vDir = s"$tableDir/v=$batchId"
+    next.write.mode("overwrite").parquet(vDir)
+    if (bootstrap) {
+      if (fs.exists(metaDir)) fs.delete(metaDir, true)
+      Seq(hexChars).toDF("hex_chars").coalesce(1)
+        .write.mode("errorifexists").parquet(s"$tableDir/meta")
+      fs.create(metaCommitted, false).close()
+    }
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$vDir/_GRAFT_COMMITTED"), false)
+      .close()
+  }
+
+  /** Estimated distinct items over an inclusive [from, to] date range,
+    * answered from a [[uniquesGateBatch]] table's newest committed
+    * snapshot — elementwise-max of the covered days' registers, then
+    * the deterministic estimate fold; zero scans of the fact table.
+    * Register width comes FROM the persisted meta (the build/read
+    * contract). Returns one row (n_days, n_hit, n_est); an empty range
+    * yields (0, 0, null) rather than a fabricated estimate. */
+  def uniquesOverRange(spark: org.apache.spark.sql.SparkSession,
+                       tableDir: String, from: String,
+                       to: String): DataFrame = {
+    val hexChars = spark.read.parquet(s"$tableDir/meta")
+      .collect()(0).getInt(0)
+    val merged = readSnapshot(spark, tableDir)
+      .where(col("day") >= lit(from).cast("date") &&
+        col("day") <= lit(to).cast("date"))
+      .select(col("day"), posexplode(col("sk")).as(Seq("idx", "r")))
+      .groupBy("idx").agg(max(col("r")).as("r"),
+        countDistinct(col("day")).as("nd"))
+      .agg(collect_list(struct(col("idx"), col("r"))).as("xs"),
+        coalesce(max(col("nd")), lit(0L)).as("n_days"))
+    merged.select(col("n_days"),
+      size(filter(col("xs"), x => x.getField("r") > lit(0))).as("n_hit"),
+      when(size(col("xs")) === 0, lit(null).cast("double"))
+        .otherwise(graft.functions.SketchAggregates.hllEstimate(
+          transform(array_sort(col("xs")), _.getField("r")), hexChars))
+        .as("n_est"))
+  }
+
   /** CDC snapshot apply — the MERGE INTO shape (SCD Type-1: latest
     * state wins, no history) over a plain-parquet base, for engines
     * without a transactional table format: fold a change feed of

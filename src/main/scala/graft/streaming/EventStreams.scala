@@ -267,6 +267,25 @@ object EventStreams {
         tableDir, keyCols, payloadCols, ord, tiebreak, op) _)
       .start()
 
+  /** Continuous distinct counting — `Warehouse.uniquesGateBatch` per
+    * microbatch: each epoch max-merges its per-day HLL registers into
+    * the newest committed snapshot and commits the next full version
+    * (marker-last). The fold is IDEMPOTENT at the item level (max of a
+    * max), so at-least-once replay — even with source-duplicated rows —
+    * rewrites its version register-identically with no epoch
+    * bookkeeping. Readers answer any date range via
+    * `Warehouse.uniquesOverRange` with zero fact scans. */
+  def startUniquesGate(stream: DataFrame, tableDir: String,
+                       checkpoint: String, hexChars: Int,
+                       dayCol: String, itemCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Warehouse.uniquesGateBatch(
+        tableDir, hexChars, dayCol, itemCol) _)
+      .start()
+
   /** Continuous SEMANTIC ingestion gate — the embedding-side sibling of
     * `startIngestDedupGate`: each microbatch of (id, embedding) rows
     * probes the persisted k-means index (`Similarity.semanticGateBatch`

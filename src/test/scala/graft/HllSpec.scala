@@ -67,4 +67,84 @@ class HllSpec extends SparkTestBase {
       .head().getSeq[Int](0)
     assert(got.forall(_ === 0) && got.length === m)
   }
+
+  test("uniques gate: epoch fold == direct sketch per day, replay with " +
+    "duplicated rows is register-identical, torn version invisible, " +
+    "width contract from meta") {
+    import graft.operators.Warehouse
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hll_gate").toString
+    def ev(rows: Seq[(String, String)]) =
+      rows.toDF("day", "user").select(col("day").cast("date").as("day"),
+        col("user"))
+    val e0 = ev(Seq(("2024-01-01", "u1"), ("2024-01-01", "u2"),
+      ("2024-01-02", "u2")))
+    val e1 = ev(Seq(("2024-01-02", "u3"), ("2024-01-03", "u4")))
+    Warehouse.uniquesGateBatch(dir, hex, "day", "user")(e0, 0L)
+    Warehouse.uniquesGateBatch(dir, hex, "day", "user")(e1, 1L)
+    def snap() = Warehouse.readSnapshot(spark, dir)
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getSeq[Int](1).toVector)
+    val after1 = snap()
+    // per-day registers equal the direct sketch of each day's full set
+    val direct = e0.unionByName(e1).groupBy("day")
+      .agg(SketchAggregates.hllSketch(col("user"), hex).as("sk"))
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getSeq[Int](1).toVector)
+    assert(after1 === direct)
+    // at-least-once replay of epoch 1 WITH duplicated rows: max is
+    // idempotent, so the rewritten version is register-identical
+    Warehouse.uniquesGateBatch(dir, hex, "day", "user")(
+      e1.unionByName(e1), 1L)
+    assert(snap() === after1)
+    // a torn (uncommitted) version stays invisible to readers
+    ev(Seq(("2024-01-04", "u9"))).write
+      .parquet(s"$dir/v=2") // no _GRAFT_COMMITTED marker
+    assert(snap() === after1)
+    // register-width contract is pinned in meta
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.uniquesGateBatch(dir, 3, "day", "user")(e1, 3L)
+    }
+    assert(e.getMessage.contains("hexChars"))
+    // range readout: 01-01..01-02 covers u1,u2,u3 = 3 distinct over 2
+    // days; estimate is within the m=256 small-n bias envelope but
+    // n_hit counts exactly the 3 distinct items' registers
+    val r = Warehouse.uniquesOverRange(spark, dir,
+      "2024-01-01", "2024-01-02").head()
+    assert(r.getLong(0) === 2L && r.getInt(1) === 3)
+    val empty = Warehouse.uniquesOverRange(spark, dir,
+      "2030-01-01", "2030-01-02").head()
+    assert(empty.getLong(0) === 0L && empty.isNullAt(2))
+  }
+
+  test("startUniquesGate streaming smoke: microbatches through the " +
+    "MemoryStream wiring land as committed versions; a later batch " +
+    "only raises registers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Warehouse
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hll_stream").toString
+    val mem = MemoryStream[(String, String)]
+    val q = EventStreams.startUniquesGate(
+      mem.toDF.toDF("day", "user"),
+      s"$dir/table", s"$dir/ckpt", hex, "day", "user")
+    try {
+      mem.addData(("2024-02-01", "u1"), ("2024-02-01", "u2"))
+      q.processAllAvailable()
+      val v1 = Warehouse.readSnapshot(spark, s"$dir/table")
+        .orderBy("day").collect()
+        .map(r => r.getDate(0).toString -> r.getSeq[Int](1).toVector)
+      assert(v1.map(_._1).toSeq === Seq("2024-02-01"))
+      mem.addData(("2024-02-01", "u3"), ("2024-02-02", "u4"))
+      q.processAllAvailable()
+      val v2 = Warehouse.readSnapshot(spark, s"$dir/table")
+        .orderBy("day").collect()
+        .map(r => r.getDate(0).toString -> r.getSeq[Int](1).toVector)
+      assert(v2.map(_._1).toSeq === Seq("2024-02-01", "2024-02-02"))
+      // max-merge only raises registers, never lowers
+      v1.head._2.zip(v2.head._2).foreach { case (a, b) => assert(b >= a) }
+    } finally q.stop()
+  }
 }
