@@ -1813,6 +1813,21 @@ object SparkEntry {
         .orderBy("key", "h")
     }),
 
+    // Holt-Winters additive weekly seasonality over the same gapfilled
+    // daily frame: the 7-slot seasonal state rides the recursive-CTE
+    // oracle as a DOUBLE[] column, every update replayed IEEE-op-for-op
+    // (all of α, β, γ are exact halves); forecast adds the learned
+    // phase offset to the Holt line
+    "q_events_forecast_seasonal" -> ((s, dir) => {
+      val daily = Warehouse.gapfillDaily(Tables.events(s, dir),
+        col("event_type"), col("ts"))
+      Warehouse.holtWintersForecast(daily, col("key"),
+          datediff(col("day"), to_date(lit("1970-01-01"))),
+          col("n_events"), alpha = 0.5, beta = 0.5, gamma = 0.5,
+          period = 7, horizon = 3)
+        .orderBy("key", "h")
+    }),
+
     // CDC snapshot apply (MERGE shape, SCD1): fold a deterministic I/U/D
     // feed derived from orders into the customer snapshot — updates
     // re-price acctbal from each key's latest order, deletes remove the
@@ -5363,6 +5378,54 @@ object SparkEntry {
         |FROM fin f JOIN cnt c ON c.k = f.k
         |CROSS JOIN (SELECT unnest(range(1, 4)) AS h) h
         |ORDER BY key, h""".stripMargin,
+
+    // Holt-Winters: the Holt recursion plus the 7-slot seasonal list —
+    // nl is spelled out three times exactly as the operator computes it
+    // (the repeated-subexpression discipline of the Holt oracle)
+    "q_events_forecast_seasonal" -> {
+      val nl = "0.5 * (v.x - rec.s[(v.rn - 1) % 7 + 1]) " +
+        "+ (1 - 0.5) * (rec.l + rec.t)"
+      s"""WITH RECURSIVE
+         |tagged AS (SELECT event_type AS k, CAST(ts AS DATE) AS day
+         |           FROM events),
+         |span AS (SELECT min(day) AS lo, max(day) AS hi FROM tagged),
+         |days AS (SELECT CAST(unnest(generate_series(
+         |             CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+         |             INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+         |keys AS (SELECT DISTINCT k FROM tagged),
+         |daily AS (SELECT k, day, CAST(count(*) AS BIGINT) AS n
+         |          FROM tagged GROUP BY 1, 2),
+         |v AS (SELECT ks.k, d.day, CAST(coalesce(n, 0) AS DOUBLE) AS x,
+         |        row_number() OVER (PARTITION BY ks.k ORDER BY d.day)
+         |          AS rn
+         |      FROM days d CROSS JOIN keys ks
+         |      LEFT JOIN daily ON daily.k = ks.k AND daily.day = d.day),
+         |cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs
+         |        FROM v GROUP BY k),
+         |rec AS (
+         |  SELECT k, rn, x AS l, CAST(0.0 AS DOUBLE) AS t,
+         |    list_transform(range(1, 8), i -> CAST(0 AS DOUBLE)) AS s
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.k, v.rn,
+         |    $nl,
+         |    0.5 * (($nl) - rec.l) + (1 - 0.5) * rec.t,
+         |    list_transform(range(1, 8), i ->
+         |      CASE WHEN i = (v.rn - 1) % 7 + 1
+         |        THEN 0.5 * (v.x - ($nl))
+         |          + (1 - 0.5) * rec.s[(v.rn - 1) % 7 + 1]
+         |        ELSE rec.s[i] END)
+         |  FROM rec JOIN v ON v.k = rec.k AND v.rn = rec.rn + 1),
+         |fin AS (SELECT rec.k, rec.l, rec.t, rec.s
+         |        FROM rec JOIN cnt ON cnt.k = rec.k AND rec.rn = cnt.n_obs)
+         |SELECT f.k AS key, c.n_obs, f.l AS level, f.t AS trend,
+         |  f.s[(c.n_obs - 1 + h.h) % 7 + 1] AS season,
+         |  h.h AS h,
+         |  f.l + h.h * f.t + f.s[(c.n_obs - 1 + h.h) % 7 + 1] AS yhat
+         |FROM fin f JOIN cnt c ON c.k = f.k
+         |CROSS JOIN (SELECT unnest(range(1, 4)) AS h) h
+         |ORDER BY key, h""".stripMargin
+    },
 
     // CDC apply: same feed, latest-per-key window, full join + CASE
     "q_warehouse_cdc" ->

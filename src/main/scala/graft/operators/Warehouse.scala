@@ -330,6 +330,70 @@ object Warehouse {
       .toDF("key", "n_obs", "level", "trend", "h", "yhat")
   }
 
+  /** Holt-Winters ADDITIVE seasonal forecast per key — `holtForecast`
+    * plus a `period`-slot seasonal state (Winters 1960): for
+    * observation n ≥ 1 at phase si = n mod period,
+    *
+    *   l' = α(x − s[si]) + (1−α)(l + t)
+    *   t' = β(l' − l) + (1−β)t
+    *   s[si]' = γ(x − l') + (1−γ)s[si]
+    *
+    * with the first observation seeding l = x, t = 0 and all seasonal
+    * slots 0 (the indices LEARN through γ — no closed-form init, so
+    * the chain is a pure left fold the recursive-CTE oracle replays
+    * IEEE-op-for-op, carrying the slot array as a DOUBLE[] column).
+    * Forecast ŷ_h = l + h·t + s[(n−1+h) mod period].
+    *
+    * Seasonality is POSITIONAL (slot = observation index mod period),
+    * which equals day-of-week exactly when the input is the contiguous
+    * gapfilled daily frame — same contract as `holtForecast`; feeding
+    * gappy days would silently rotate the phase, which is why both
+    * document `gapfillDaily` as the upstream.
+    *
+    * Scale: identical to `holtForecast` — one key shuffle, a day-sorted
+    * fold with O(period) state per key, output horizon rows per key.
+    */
+  def holtWintersForecast(daily: DataFrame, key: Column, day: Column,
+                          value: Column, alpha: Double, beta: Double,
+                          gamma: Double, period: Int,
+                          horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1,
+      s"holtWintersForecast: alpha=$alpha, beta=$beta, gamma=$gamma")
+    require(period >= 2 && period <= 366,
+      s"holtWintersForecast: period=$period")
+    require(horizon >= 1, s"holtWintersForecast: horizon=$horizon")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val ds = daily
+      .select(key.cast("string").as("k"), day.cast("long").as("d"),
+        value.cast("double").as("x"))
+      .where(col("k").isNotNull && col("d").isNotNull && col("x").isNotNull)
+      .as[(String, Long, Double)]
+    ds.groupByKey(_._1)
+      .flatMapSortedGroups($"d") { (k: String,
+                                    it: Iterator[(String, Long, Double)]) =>
+        var n = 0L; var l = 0.0; var t = 0.0
+        val s = new Array[Double](period)
+        it.foreach { case (_, _, x) =>
+          if (n == 0L) { l = x; t = 0.0 }
+          else {
+            val si = (n % period).toInt
+            val nl = alpha * (x - s(si)) + (1 - alpha) * (l + t)
+            t = beta * (nl - l) + (1 - beta) * t
+            s(si) = gamma * (x - nl) + (1 - gamma) * s(si)
+            l = nl
+          }
+          n += 1L
+        }
+        (1 to horizon).map { h =>
+          val phase = ((n - 1 + h) % period).toInt
+          (k, n, l, t, s(phase), h.toLong, l + h * t + s(phase))
+        }
+      }
+      .toDF("key", "n_obs", "level", "trend", "season", "h", "yhat")
+  }
+
   /** One microbatch of the CONTINUOUS CDC gate — [[applyCdc]] run as a
     * `foreachBatch` body over a VERSIONED snapshot table (see
     * `EventStreams.startCdcGate` for the stream wiring): plain parquet

@@ -282,6 +282,47 @@ class WarehouseSpec extends SparkTestBase {
     }
   }
 
+  test("holtWintersForecast: driver replay of the seasonal chain is " +
+    "bit-identical; a pure weekly pattern concentrates in the matching " +
+    "phase slot") {
+    // 6 full weeks of a pure pattern: 10 on phase 0, 0 elsewhere
+    val period = 7
+    val series = (0 until 42).map(d =>
+      ("a", d.toLong, if (d % period == 0) 10.0 else 0.0))
+    val daily = series.toDF("k", "d", "x")
+    val got = Warehouse.holtWintersForecast(daily, col("k"), col("d"),
+        col("x"), alpha = 0.5, beta = 0.5, gamma = 0.5,
+        period = period, horizon = 7)
+      .orderBy("h")
+      .as[(String, Long, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    // driver replay, op-for-op
+    var n = 0L; var l = 0.0; var t = 0.0
+    val s = new Array[Double](period)
+    series.foreach { case (_, _, x) =>
+      if (n == 0L) { l = x; t = 0.0 }
+      else {
+        val si = (n % period).toInt
+        val nl = 0.5 * (x - s(si)) + (1 - 0.5) * (l + t)
+        t = 0.5 * (nl - l) + (1 - 0.5) * t
+        s(si) = 0.5 * (x - nl) + (1 - 0.5) * s(si)
+        l = nl
+      }
+      n += 1L
+    }
+    got.foreach { case (_, nObs, lvl, tr, sea, h, yhat) =>
+      val phase = ((n - 1 + h) % period).toInt
+      assert(nObs === n && lvl === l && tr === t && sea === s(phase))
+      assert(yhat === l + h * t + s(phase), s"h=$h")
+    }
+    // the spike phase (observation index ≡ 0 mod 7 → h where
+    // (n-1+h) % 7 == 0) carries by far the largest seasonal term
+    val byPhase = got.map(r => ((n - 1 + r._6) % period, r._5)).toMap
+    assert(byPhase(0) > 5.0, byPhase.toString)
+    (1L until period.toLong).foreach(p =>
+      assert(byPhase(p) < byPhase(0) - 5.0, s"phase $p"))
+  }
+
   test("applyCdc: latest change per key wins, U upserts absent keys, " +
     "D deletes (and no-ops on absent keys), replay is idempotent") {
     val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
