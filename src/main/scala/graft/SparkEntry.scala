@@ -1575,6 +1575,15 @@ object SparkEntry {
       per.unionByName(all).orderBy("grp")
     }),
 
+    // KMV bottom-k signatures: cross-source vocabulary overlap from
+    // k-row sketches (mergeable union, Jaccard error ~1/√k) instead of
+    // a full token-set join — the corpus-audit readout; exact columns
+    // ride along as the test-scale honesty convention
+    "q_sketch_kmv" -> ((s, dir) =>
+      graft.operators.Kmv.sourceOverlap(Tables.documents(s, dir),
+          col("source"), col("text"), k = 64)
+        .orderBy("src_a", "src_b")),
+
     // ROLLING distinct serving — the #1 warehouse use of HLL: one
     // register array persisted per day, "uniques over any date range"
     // answered by elementwise-MAX of the daily partials (posexplode +
@@ -5022,6 +5031,58 @@ object SparkEntry {
          |FROM exact e JOIN folded f USING (grp)
          |ORDER BY grp""".stripMargin
     },
+
+    // KMV: identical bottom-k construction — distinct tokens, md5
+    // ranks, per-pair union re-rank, one division per estimate
+    "q_sketch_kmv" ->
+      s"""WITH raw AS (SELECT CAST(source AS VARCHAR) AS source,
+         |               unnest(string_split($normTextSql, ' ')) AS tok
+         |             FROM documents),
+         |toks AS (SELECT DISTINCT source, tok FROM raw
+         |         WHERE length(tok) > 0),
+         |sig AS (SELECT source, tok, h FROM (
+         |          SELECT source, tok, md5(tok) AS h,
+         |            row_number() OVER (PARTITION BY source
+         |              ORDER BY md5(tok), tok) AS rank
+         |          FROM toks) WHERE rank <= 64),
+         |srcs AS (SELECT DISTINCT source FROM sig),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+         |          FROM srcs a JOIN srcs b ON a.source < b.source),
+         |mem AS (SELECT p.src_a, p.src_b, s.tok, s.h,
+         |          max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END)
+         |            AS in_a,
+         |          max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END)
+         |            AS in_b
+         |        FROM pairs p JOIN sig s
+         |          ON s.source = p.src_a OR s.source = p.src_b
+         |        GROUP BY 1, 2, 3, 4),
+         |est AS (SELECT src_a, src_b, max(rank) AS k_used,
+         |          sum(in_a * in_b) AS n_inter
+         |        FROM (SELECT *, row_number() OVER (
+         |                PARTITION BY src_a, src_b ORDER BY h, tok)
+         |                AS rank FROM mem)
+         |        WHERE rank <= 64 GROUP BY 1, 2),
+         |cnts AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |         FROM toks GROUP BY source),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |            CAST(count(*) AS BIGINT) AS nie
+         |          FROM toks a JOIN toks b
+         |            ON a.tok = b.tok AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT e.src_a, e.src_b, CAST(e.k_used AS BIGINT) AS k_used,
+         |  CAST(e.n_inter AS BIGINT) AS n_inter,
+         |  CAST(e.n_inter AS DOUBLE) / CAST(e.k_used AS DOUBLE)
+         |    AS jaccard_est,
+         |  coalesce(i.nie, 0) AS n_inter_exact,
+         |  ca.n + cb.n - coalesce(i.nie, 0) AS n_union_exact,
+         |  CAST(coalesce(i.nie, 0) AS DOUBLE) /
+         |    CAST(ca.n + cb.n - coalesce(i.nie, 0) AS DOUBLE)
+         |    AS jaccard_exact
+         |FROM est e
+         |JOIN cnts ca ON ca.source = e.src_a
+         |JOIN cnts cb ON cb.source = e.src_b
+         |LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+         |ORDER BY e.src_a, e.src_b""".stripMargin,
 
     // rolling HLL: registers recomputed over the unioned 7-day range —
     // hash equality proves elementwise-max merge ≡ recompute
