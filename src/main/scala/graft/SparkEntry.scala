@@ -1567,10 +1567,8 @@ object SparkEntry {
         .crossJoin(broadcast(
           src.agg(countDistinct(col("item")).as("n_exact"))))
         .select(lit("ALL").as("grp"), col("n_exact"),
-          size(filter(col("xs"), x => x.getField("r") > lit(0)))
-            .as("n_hit"),
-          SketchAggregates.hllEstimate(
-            transform(array_sort(col("xs")), _.getField("r")), hex)
+          SketchAggregates.hllHitsFromCells(col("xs")).as("n_hit"),
+          SketchAggregates.hllEstimateFromCells(col("xs"), hex)
             .as("n_est"))
       per.unionByName(all).orderBy("grp")
     }),
@@ -1610,10 +1608,8 @@ object SparkEntry {
         .groupBy("idx").agg(max(col("r")).as("r"))
         .agg(collect_list(struct(col("idx"), col("r"))).as("xs"))
         .select(
-          size(filter(col("xs"), x => x.getField("r") > lit(0)))
-            .as("n_hit"),
-          SketchAggregates.hllEstimate(
-            transform(array_sort(col("xs")), _.getField("r")), hex)
+          SketchAggregates.hllHitsFromCells(col("xs")).as("n_hit"),
+          SketchAggregates.hllEstimateFromCells(col("xs"), hex)
             .as("n_est"))
       val exact = ev.crossJoin(broadcast(span))
         .where(col("day") >= col("d0") &&
@@ -6390,9 +6386,10 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
 
-    // same seeded-hash line layout, same integer grid: the global
-    // window here is the oracle's shortcut; the engine runs the
-    // bucketed two-phase prefix sum, and equal cum values make the
+    // same seeded-hash line layout, same integer grid INCLUDING the
+    // seed-derived Madow random start (md5(seed) mod W + 1); the
+    // global window here is the oracle's shortcut — the engine runs
+    // the bucketed two-phase prefix sum, and equal cum values make the
     // draws identical
     "q_sample_weighted" ->
       """WITH src AS (SELECT doc_id,
@@ -6404,12 +6401,17 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |          AS cum,
         |        sum(w) OVER () AS wtot
-        |      FROM src)
+        |      FROM src),
+        |s AS (SELECT doc_id, w, cum, wtot,
+        |        CAST(('0x' || substr(md5('pps0'), 1, 15))::UBIGINT
+        |          AS HUGEINT) % wtot + 1 AS strt
+        |      FROM c)
         |SELECT doc_id, w,
-        |  CAST((cum * 200) // wtot - ((cum - w) * 200) // wtot AS BIGINT)
-        |    AS mult
-        |FROM c
-        |WHERE (cum * 200) // wtot - ((cum - w) * 200) // wtot >= 1
+        |  CAST((cum * 200 - strt + wtot) // wtot
+        |    - ((cum - w) * 200 - strt + wtot) // wtot AS BIGINT) AS mult
+        |FROM s
+        |WHERE (cum * 200 - strt + wtot) // wtot
+        |  - ((cum - w) * 200 - strt + wtot) // wtot >= 1
         |ORDER BY doc_id""".stripMargin,
 
     "q_enrich_metrics" ->
@@ -6576,13 +6578,21 @@ object SparkEntry {
     "q_embed_rp" -> {
       val signs = graft.operators.Similarity.rpSigns(embedDim, rpDim,
         rpSeed)
+      // the oracle's scale literal must be the EXACT double the
+      // operator divides by; pin the generator to perfect-square
+      // output dims so the integer literal below cannot drift from
+      // math.sqrt (the operator itself accepts any outDim)
+      val rpScale = math.sqrt(rpDim.toDouble).toLong
+      require(rpScale * rpScale == rpDim,
+        s"q_embed_rp oracle: rpDim=$rpDim is not a perfect square — " +
+          "generalize the scale literal before changing it")
       val dims = signs.map { row =>
         val litRow = row.map(s =>
           if (s > 0) "1" else "-1").mkString("[", ", ", "]")
         s"""list_sum(list_transform(range(1, ${embedDim + 1}),
            |      i -> CAST(embedding[i] AS DOUBLE) *
            |        ($litRow::DOUBLE[])[i]))
-           |      / CAST(4 AS DOUBLE)""".stripMargin
+           |      / CAST($rpScale AS DOUBLE)""".stripMargin
       }.mkString(",\n    ")
       s"""SELECT vec_id, [
          |    $dims] AS proj

@@ -4,8 +4,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.functions.{aggregate, concat, conv, element_at,
-  lit, md5, substring, typedlit}
+import org.apache.spark.sql.functions.{aggregate, array_sort, concat, conv,
+  element_at, filter, lit, md5, size, substring, transform, typedlit}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -224,11 +224,16 @@ private[functions] object SketchHash {
       java.security.MessageDigest.getInstance("MD5"))
 
   def bucket12(d: Int, item: String): Int = {
+    val h = md5Bytes(d.toString + ":" + item)
+    ((h(0) & 0xff) << 4) | ((h(1) & 0xf0) >>> 4)
+  }
+
+  /** Raw md5 digest through the thread-local instance — shared with
+    * [[HllAgg]] so no per-row `getInstance` lands on an update path. */
+  def md5Bytes(item: String): Array[Byte] = {
     val dig = md5Local.get()
     dig.reset()
-    val h = dig.digest((d.toString + ":" + item)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((h(0) & 0xff) << 4) | ((h(1) & 0xf0) >>> 4)
+    dig.digest(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 
@@ -369,8 +374,12 @@ case class HllAgg(child: Expression, hexChars: Int,
   extends TypedImperativeAggregate[Array[Int]]
   with UnaryLike[Expression] {
 
-  require(hexChars >= 1 && hexChars <= 3,
-    s"HllAgg: hexChars=$hexChars out of [1, 3]")
+  // >= 2: the asymptotic alpha_m constant hllEstimate applies is the
+  // documented-correct one only for m >= 128 (Flajolet et al. 2007 use
+  // alpha_16 = 0.673 at m = 16 — a ~0.4% systematic skew the shared
+  // formula would silently add)
+  require(hexChars >= 2 && hexChars <= 3,
+    s"HllAgg: hexChars=$hexChars out of [2, 3]")
 
   val m: Int = 1 << (4 * hexChars)
 
@@ -429,9 +438,7 @@ object HllAgg {
     * the NEXT 13 hex chars as a 52-bit integer (bit-length of 0 is 1,
     * the `bin(0) = '0'` convention). */
   def registerOf(item: String, hexChars: Int): (Int, Int) = {
-    val dig = java.security.MessageDigest.getInstance("MD5")
-    val h = dig.digest(
-      item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = SketchHash.md5Bytes(item)
     var idx = 0
     var nib = 0
     while (nib < hexChars) {
@@ -492,6 +499,22 @@ object SketchAggregates {
     lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
       lit(m.toDouble) * lit(m.toDouble) / s
   }
+
+  /** The HLL estimate read off RELATIONALLY-MERGED register cells — an
+    * array of (idx, r) structs as produced by
+    * `posexplode(sk) → groupBy(idx).agg(max(r)) → collect_list(struct)`.
+    * THE one definition of the order-sensitive readout (sort by idx
+    * BEFORE the float fold — a different order rounds differently), so
+    * the q_sketch_hll 'ALL' row, q_sketch_hll_rolling,
+    * `Warehouse.uniquesOverRange` and the scale probes can never
+    * drift. */
+  def hllEstimateFromCells(cells: Column, hexChars: Int): Column =
+    hllEstimate(transform(array_sort(cells), _.getField("r")), hexChars)
+
+  /** Count of non-zero registers in the same merged-cell shape — the
+    * n_hit honesty column next to [[hllEstimateFromCells]]. */
+  def hllHitsFromCells(cells: Column): Column =
+    size(filter(cells, x => x.getField("r") > lit(0)))
 
   /** Dyadic Count-Min sketch aggregate over a long column in
     * [0, 2^levels): levels*depth*4096 longs, row-major by

@@ -142,12 +142,16 @@ object Shard {
     * seeded-hash order (`md5(seed:id)`, the trainingOrder draw —
     * systematic sampling needs a random order to decorrelate
     * neighbors), each row occupying an interval of its integer weight
-    * `w`; a grid of `n` points at spacing `W/n` is dropped on the
-    * line, and a row is drawn once per grid point in its interval:
-    * `mult = (cum·n) div W − ((cum−w)·n) div W` (the #{integers in
-    * (a,b]} = ⌊b⌋−⌊a⌋ identity, scaled to keep every comparison in
-    * exact integer space). Σ mult = n exactly; rows with w > W/n are
-    * "certainty units" drawn ⌊w·n/W⌋ or ⌈w·n/W⌉ times.
+    * `w`; a grid of `n` points at spacing `W/n`, shifted by the
+    * seed-derived RANDOM START (`md5(seed) mod W + 1` in n-scaled
+    * space — Madow's U ~ Unif(0, W/n], without which the row ending at
+    * position W is drawn with certainty and inclusion is biased), is
+    * dropped on the line, and a row is drawn once per grid point in
+    * its interval — the #{integers in (a,b]} = ⌊b⌋−⌊a⌋ identity,
+    * scaled to keep every comparison in exact integer space. Σ mult =
+    * n exactly, and the expected draw count of a w-row over the
+    * uniform start is exactly n·w/W; rows with w > W/n are "certainty
+    * units" drawn ⌊w·n/W⌋ or ⌈w·n/W⌉ times.
     *
     * Scale: the global running sum never funnels through one window
     * partition — rows bucket by the leading hex pair of their order
@@ -187,9 +191,22 @@ object Shard {
       .orderBy("__bucket").collect() // <= 256 rows — the prefix frame
     require(totals.nonEmpty, "systematicPps: empty corpus")
     val grand = totals.map(_.getLong(1)).sum
-    require(grand <= Long.MaxValue / n,
+    // n+1 (not n): the grid arithmetic below adds one extra W to keep
+    // every `div` numerator non-negative (truncating division only
+    // equals floor there)
+    require(grand <= Long.MaxValue / (n + 1),
       s"systematicPps: total weight $grand * n=$n overflows the exact " +
         "integer grid — rescale weights to coarser units")
+    // the Madow RANDOM START, derived from the seed alone (never the
+    // data): an integer in [1, W] placing grid point j at scaled
+    // position start + j·W. Without it the last row on the line is
+    // drawn with certainty and per-row inclusion is NOT n·w/W; with a
+    // uniform start every residue class is hit uniformly, making the
+    // expected draw count of a w-row EXACTLY n·w/W (review r9s4)
+    val start = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16) % grand + 1
     val offsets = {
       var acc = 0L
       totals.map { r =>
@@ -199,13 +216,17 @@ object Shard {
     val spark = docs.sparkSession
     import spark.implicits._
     val offDf = broadcast(offsets.toDF("__bucket", "__off"))
+    // mult = #{grid points in (prev, cum]} = ⌊(cum·n − start + W)/W⌋ −
+    // ⌊(prev·n − start + W)/W⌋ (the +W keeps numerators ≥ 0 and cancels
+    // in the difference; start ≤ W guarantees prev·n − start + W ≥ 0)
     keyed
       .withColumn("__cum_in", sum(col("w")).over(inBucket))
       .join(offDf, Seq("__bucket"))
       .withColumn("__cum", col("__cum_in") + col("__off"))
       .select(col(idCol), col("w"),
-        (expr(s"__cum * ${n}L div ${grand}L") -
-          expr(s"(__cum - w) * ${n}L div ${grand}L")).as("mult"))
+        (expr(s"(__cum * ${n}L - ${start}L + ${grand}L) div ${grand}L") -
+          expr(s"((__cum - w) * ${n}L - ${start}L + ${grand}L) " +
+            s"div ${grand}L")).as("mult"))
       .where(col("mult") >= 1)
   }
 }

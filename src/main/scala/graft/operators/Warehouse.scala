@@ -454,8 +454,18 @@ object Warehouse {
           s"caller (keys=${keyCols.mkString(",")}, " +
           s"payload=${payloadCols.mkString(",")})")
     }
-    val base = committedVersions(fs, tableDir).filter(_ < batchId)
-      .sorted.lastOption match {
+    val committed = committedVersions(fs, tableDir)
+    val baseV = committed.filter(_ < batchId).sorted.lastOption
+    // same refusal as uniquesGateBatch: an empty base is only valid at
+    // (re-)bootstrap — if newer committed versions survive while the
+    // replay's base is compacted away, folding the change feed alone
+    // would silently drop every unmentioned key
+    require(baseV.nonEmpty || committed.isEmpty,
+      s"cdcGateBatch: replay of epoch $batchId has no committed base " +
+        s"version (surviving: ${committed.sorted.mkString(",")}) — " +
+        "compaction removed the replay base; restore an older version " +
+        "or advance the stream checkpoint past this epoch")
+    val base = baseV match {
       case Some(v) => spark.read.parquet(s"$tableDir/v=$v")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -495,7 +505,11 @@ object Warehouse {
     * (every epoch is a full snapshot). Always refuses to touch the
     * newest version; uncommitted (torn) versions older than the newest
     * committed one are garbage from crashed epochs and are removed too.
-    * Returns the removed version numbers. */
+    * Returns the removed version numbers.
+    *
+    * While a stream is live, run with `keep >= 2`: `keep = 1` leaves an
+    * at-least-once REPLAY of the newest epoch without its base version,
+    * which the gates refuse loudly rather than fold into data loss. */
   def compactSnapshots(spark: org.apache.spark.sql.SparkSession,
                        tableDir: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, s"compactSnapshots: keep=$keep")
@@ -552,8 +566,8 @@ object Warehouse {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     import spark.implicits._
-    require(hexChars >= 1 && hexChars <= 3,
-      s"uniquesGateBatch: hexChars=$hexChars out of [1, 3]")
+    require(hexChars >= 2 && hexChars <= 3,
+      s"uniquesGateBatch: hexChars=$hexChars out of [2, 3]")
     val m = 1 << (4 * hexChars)
     val metaCommitted =
       new org.apache.hadoop.fs.Path(s"$tableDir/meta/_GRAFT_COMMITTED")
@@ -567,8 +581,19 @@ object Warehouse {
         s"uniquesGateBatch: persisted hexChars=$persisted != caller " +
           s"$hexChars — registers of different widths cannot merge")
     }
-    val base = committedVersions(fs, tableDir).filter(_ < batchId)
-      .sorted.lastOption match {
+    val committed = committedVersions(fs, tableDir)
+    val baseV = committed.filter(_ < batchId).sorted.lastOption
+    // an empty-base fold is only legitimate at (re-)bootstrap: if any
+    // committed version >= batchId survives while the replay's base is
+    // gone (compactSnapshots(keep=1) before an at-least-once replay),
+    // folding the batch alone would silently ZERO all accumulated
+    // registers — refuse instead (review r9s4)
+    require(baseV.nonEmpty || committed.isEmpty,
+      s"uniquesGateBatch: replay of epoch $batchId has no committed " +
+        s"base version (surviving: ${committed.sorted.mkString(",")}) — " +
+        "compaction removed the replay base; restore an older version " +
+        "or advance the stream checkpoint past this epoch")
+    val base = baseV match {
       case Some(v) => spark.read.parquet(s"$tableDir/v=$v")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -625,10 +650,11 @@ object Warehouse {
       .agg(collect_list(struct(col("idx"), col("r"))).as("xs"),
         coalesce(max(col("nd")), lit(0L)).as("n_days"))
     merged.select(col("n_days"),
-      size(filter(col("xs"), x => x.getField("r") > lit(0))).as("n_hit"),
+      graft.functions.SketchAggregates.hllHitsFromCells(col("xs"))
+        .as("n_hit"),
       when(size(col("xs")) === 0, lit(null).cast("double"))
-        .otherwise(graft.functions.SketchAggregates.hllEstimate(
-          transform(array_sort(col("xs")), _.getField("r")), hexChars))
+        .otherwise(graft.functions.SketchAggregates
+          .hllEstimateFromCells(col("xs"), hexChars))
         .as("n_est"))
   }
 

@@ -117,6 +117,32 @@ class HllSpec extends SparkTestBase {
     assert(empty.getLong(0) === 0L && empty.isNullAt(2))
   }
 
+  test("uniques gate: a replay whose base version was compacted away " +
+    "is refused instead of zeroing history") {
+    import graft.operators.Warehouse
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hll_compact").toString
+    def ev(rows: Seq[(String, String)]) =
+      rows.toDF("day", "user").select(col("day").cast("date").as("day"),
+        col("user"))
+    Warehouse.uniquesGateBatch(dir, hex, "day", "user")(
+      ev(Seq(("2024-03-01", "u1"))), 0L)
+    Warehouse.uniquesGateBatch(dir, hex, "day", "user")(
+      ev(Seq(("2024-03-02", "u2"))), 1L)
+    // keep=1 removes v=0 — epoch 1's replay base is gone
+    assert(Warehouse.compactSnapshots(spark, dir, keep = 1) === Seq(0L))
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.uniquesGateBatch(dir, hex, "day", "user")(
+        ev(Seq(("2024-03-02", "u2"))), 1L)
+    }
+    assert(e.getMessage.contains("no committed base"))
+    // history is intact, and the stream moving FORWARD still works
+    assert(Warehouse.readSnapshot(spark, dir).count() === 2L)
+    Warehouse.uniquesGateBatch(dir, hex, "day", "user")(
+      ev(Seq(("2024-03-03", "u3"))), 2L)
+    assert(Warehouse.readSnapshot(spark, dir).count() === 3L)
+  }
+
   test("startUniquesGate streaming smoke: microbatches through the " +
     "MemoryStream wiring land as committed versions; a later batch " +
     "only raises registers") {

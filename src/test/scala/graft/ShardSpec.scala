@@ -42,7 +42,7 @@ class ShardSpec extends SparkTestBase {
     assert(got.values.sum === n)
     val heavy = got(999L)
     assert(heavy == 10L || heavy == 11L, s"heavy=$heavy")
-    // exact driver replay: same md5 order, same integer grid
+    // exact driver replay: same md5 order, same start, same grid
     val md = java.security.MessageDigest.getInstance("MD5")
     def key(id: Long) = md.digest(s"pps0:$id".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -50,11 +50,30 @@ class ShardSpec extends SparkTestBase {
       .sortBy { case (id, _) => (key(id), id) }
     var cum = 0L
     val bigW = line.map(_._2).sum
+    val start = java.lang.Long.parseLong(
+      md.digest("pps0".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16) % bigW + 1
     val replay = line.map { case (id, w) =>
       val prev = cum; cum += w
-      (id, (cum * n) / bigW - (prev * n) / bigW)
+      (id, (cum * n - start + bigW) / bigW -
+        (prev * n - start + bigW) / bigW)
     }.filter(_._2 >= 1).toMap
     assert(replay === got)
+  }
+
+  test("systematicPps: per-row inclusion probability is n·w/W — a " +
+    "seed sweep draws the heavy row in proportion to its weight") {
+    // n=1 over w=1 vs w=3 (W=4): the heavy row must be drawn in ~3/4
+    // of seeds. The pre-fix fixed-start grid drew whichever row the
+    // hash order placed LAST (probability 1/2 each) — this sweep
+    // catches exactly that bias. 120 seeds, binomial sd ≈ 4.7; the
+    // biased scheme lands ≈ 60, far below the 4σ lower bound.
+    val rows = Seq((1L, 1L), (2L, 3L)).toDF("doc_id", "w")
+    val heavyDraws = (0 until 120).map { s =>
+      Shard.systematicPps(rows, 1, col("w"), seed = s"sweep$s")
+        .collect().map(_.getLong(0)).toSeq
+    }.count(_ == Seq(2L))
+    assert(heavyDraws > 70 && heavyDraws < 110, s"heavy=$heavyDraws/120")
   }
 
   test("systematicPps: non-positive weight fails loudly") {

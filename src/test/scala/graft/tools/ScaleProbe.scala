@@ -1501,8 +1501,8 @@ object ScaleProbe {
           .select(posexplode(col("sk")).as(Seq("idx", "r")))
           .groupBy("idx").agg(max(col("r")).as("r"))
           .agg(collect_list(struct(col("idx"), col("r"))).as("xs"))
-          .select(SketchAggregates.hllEstimate(
-            transform(array_sort(col("xs")), _.getField("r")), 2).as("e"))
+          .select(SketchAggregates.hllEstimateFromCells(col("xs"), 2)
+            .as("e"))
           .head().getDouble(0)
         val direct = src.agg(SketchAggregates.hllSketch(col("item"), 2)
             .as("sk"))
