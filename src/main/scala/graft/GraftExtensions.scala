@@ -66,5 +66,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => graft.functions.NfcNormalize(cs.head)))
     ext.injectFunction(register("graft_jaro_winkler", 2)(
       cs => graft.functions.JaroWinkler(cs(0), cs(1))))
+    // sketch AGGREGATES: the builder returns the bare AggregateFunction
+    // and the analyzer wraps it in an AggregateExpression, exactly as
+    // for built-in aggregates — SQL then runs the same mergeable
+    // sketches the Column API does (size parameters must be integer
+    // literals: they fix the aggregation buffer layout at plan time)
+    ext.injectFunction(register("graft_hll_sketch", 2)(cs =>
+      graft.functions.HllAgg(cs.head,
+        intLit("graft_hll_sketch", "hexChars", cs(1)))))
+    ext.injectFunction(register("graft_count_min", 2)(cs =>
+      graft.functions.CountMinAgg(cs.head,
+        intLit("graft_count_min", "depth", cs(1)))))
+    ext.injectFunction(register("graft_misra_gries", 2)(cs =>
+      graft.functions.MisraGriesAgg(cs.head,
+        intLit("graft_misra_gries", "k", cs(1)))))
   }
+
+  private def intLit(fname: String, pname: String, e: Expression): Int =
+    e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fname: $pname must be an INTEGER literal, got $other")
+    }
 }

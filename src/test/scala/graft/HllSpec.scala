@@ -143,6 +143,34 @@ class HllSpec extends SparkTestBase {
     assert(Warehouse.readSnapshot(spark, dir).count() === 3L)
   }
 
+  test("SQL-surface sketch aggregates: graft_hll_sketch / " +
+    "graft_count_min / graft_misra_gries run from spark.sql and match " +
+    "the Column API; non-literal size params are rejected") {
+    val items = (1 to 500).map(i => s"it${i % 97}")
+    items.toDF("x").createOrReplaceTempView("hll_sql_items")
+    val sqlRegs = spark.sql(
+      s"SELECT graft_hll_sketch(x, $hex) FROM hll_sql_items")
+      .head().getSeq[Int](0)
+    assert(sqlRegs === registers(items))
+    val cmSql = spark.sql(
+      "SELECT graft_count_min(x, 3) FROM hll_sql_items")
+      .head().getSeq[Long](0)
+    val cmApi = items.toDF("x")
+      .agg(SketchAggregates.countMin(col("x"), 3)).head().getSeq[Long](0)
+    assert(cmSql === cmApi)
+    val mgSql = spark.sql(
+      "SELECT graft_misra_gries(x, 200) FROM hll_sql_items")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    // k >= distinct: exact counts regardless of merge order
+    assert(mgSql.toMap === items.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap)
+    intercept[Exception] {
+      spark.sql("SELECT graft_hll_sketch(x, length(x)) FROM hll_sql_items")
+        .collect()
+    }
+  }
+
   test("startUniquesGate streaming smoke: microbatches through the " +
     "MemoryStream wiring land as committed versions; a later batch " +
     "only raises registers") {
