@@ -1391,6 +1391,25 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // personalized PageRank: teleport restricted to the %100 customer
+    // sources — "rank relative to these" (related-item shape). Repro
+    // mode folds in key order like q_graph_pagerank; the teleport
+    // column rides the node frame and dangling mass re-lands on the
+    // source set, so total mass stays 1
+    "q_graph_ppr" -> ((s, dir) => {
+      val e = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val sources = Tables.customer(s, dir)
+        .where(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("id"))
+      graft.operators.Graph.personalizedPageRank(e, col("src"),
+          col("dst"), sources, iters = 3, deterministic = true)
+        .orderBy(col("rank").desc, col("id").asc)
+        .limit(100)
+    }),
+
     // HITS hubs/authorities on the same bipartite customer→supplier
     // graph, UNNORMALIZED fixed rounds: every score is an exact integer
     // (alternating-path count), so the whole iteration is bit-identical
@@ -4865,6 +4884,49 @@ object SparkEntry {
          |${iter("r1", 2)},
          |${iter("r2", 3)}
          |SELECT id, outdeg, rank FROM r3
+         |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
+    },
+
+    // personalized pagerank: the pagerank unroll with a CASE teleport
+    // — (1-d) stays a DOUBLE subtraction so the constant's last ulp
+    // matches Scala's 1.0 - damping
+    "q_graph_ppr" -> {
+      val tele = """CASE WHEN nd.is_source
+        |            THEN CAST(1 AS DOUBLE) / (SELECT n FROM ns)
+        |            ELSE CAST(0 AS DOUBLE) END""".stripMargin
+      def iter(prev: String, k: Int): String =
+        s"""d$k AS (SELECT coalesce(list_sum(list(rank ORDER BY id)),
+           |          CAST(0 AS DOUBLE)) AS dm
+           |        FROM $prev WHERE outdeg = 0),
+           |c$k AS (SELECT e.dst AS id,
+           |          list_sum(list(r.rank / r.outdeg ORDER BY e.src)) AS ct
+           |        FROM e JOIN $prev r ON e.src = r.id GROUP BY e.dst),
+           |r$k AS (SELECT nd.id, nd.outdeg, nd.is_source,
+           |          (CAST(1 AS DOUBLE) - 0.85) * ($tele)
+           |            + 0.85 * (coalesce(ct, CAST(0 AS DOUBLE))
+           |              + (SELECT dm FROM d$k) * ($tele)) AS rank
+           |        FROM nd LEFT JOIN c$k USING (id))""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+         |             CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |od AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+         |       FROM e GROUP BY src),
+         |ss AS (SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS id
+         |       FROM customer WHERE c_custkey % 100 = 0),
+         |nd AS (SELECT n.id, coalesce(od.outdeg, 0) AS outdeg,
+         |         (ss.id IS NOT NULL) AS is_source
+         |       FROM (SELECT DISTINCT id FROM
+         |              (SELECT src AS id FROM e
+         |               UNION ALL SELECT dst FROM e)) n
+         |       LEFT JOIN od USING (id) LEFT JOIN ss ON ss.id = n.id),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd
+         |       WHERE is_source),
+         |r0 AS (SELECT id, outdeg, is_source, $tele AS rank
+         |       FROM nd),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT id, outdeg, is_source, rank FROM r3
          |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
     },
 

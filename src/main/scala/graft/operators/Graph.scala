@@ -105,6 +105,94 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002): the teleport mass lands
+    * only on a caller-supplied source set instead of uniformly — "rank
+    * relative to THESE papers/users", the related-item and
+    * recommendation readout the uniform walk cannot express. Per
+    * iteration r'(v) = (1−d)·t(v) + d·(Σ_{u→v} r(u)/outdeg(u) + D·t(v))
+    * with t(v) = 1/|S∩V| on sources present in the graph and 0
+    * elsewhere (sources not appearing as an edge endpoint are ignored —
+    * they could neither receive nor emit mass); dangling mass
+    * redistributes to the source set, so total mass stays 1.
+    *
+    * Shape, cost, and the `deterministic` repro contract are exactly
+    * `pageRank`'s (one edges⋈ranks join + one per-dst aggregate per
+    * round, materialize/release, fixed rounds); the teleport column
+    * rides the materialized node frame, and the driver holds one extra
+    * scalar (|S∩V|). Kept as its own method rather than a teleport
+    * parameter on `pageRank`: the uniform path's `(1−d)/N` expression
+    * tree is hash-pinned by its oracle, and rewriting it as
+    * `(1−d)·t(v)` would round differently in the last ulp.
+    *
+    * Output: (id, outdeg, is_source, rank).
+    */
+  def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
+                           sources: DataFrame, iters: Int = 5,
+                           damping: Double = 0.85,
+                           deterministic: Boolean = false): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank: iters=$iters")
+    require(damping > 0 && damping < 1,
+      s"personalizedPageRank: damping=$damping")
+    require(sources.columns.length == 1,
+      "personalizedPageRank: sources must be a single vertex-id column, " +
+        s"got ${sources.columns.mkString(", ")}")
+    val e = materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .distinct())
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val srcSet = sources.toDF("id")
+      .select(col("id").cast("long").as("id")).distinct()
+    val nodes = materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(outdeg, Seq("id"), "left")
+      .join(srcSet.withColumn("__s", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        (coalesce(col("__s"), lit(0)) === 1).as("is_source")))
+    val nS = nodes.where(col("is_source")).count()
+    require(nS > 0,
+      "personalizedPageRank: no source id appears in the graph")
+    val teleVal = 1.0 / nS.toDouble
+    def tele: Column =
+      when(col("is_source"), lit(teleVal)).otherwise(lit(0.0d))
+    var ranks = materialize(nodes.withColumn("rank", tele))
+    for (_ <- 1 to iters) {
+      val danglingRanks = ranks.where(col("outdeg") === 0)
+      val dmDf =
+        if (deterministic)
+          danglingRanks.agg(
+            aggregate(array_sort(collect_list(struct(col("id"),
+              col("rank")))), lit(0.0d),
+              (acc, x) => acc + x.getField("rank")).as("dm"))
+        else danglingRanks.agg(coalesce(sum(col("rank")), lit(0.0d))
+          .as("dm"))
+      val contribs = ranks.where(col("outdeg") > 0)
+        .join(e, col("id") === col("src"))
+        .select(col("dst"), col("src"),
+          (col("rank") / col("outdeg")).as("c"))
+      val summed =
+        if (deterministic)
+          contribs.groupBy(col("dst").as("id"))
+            .agg(aggregate(array_sort(collect_list(struct(col("src"),
+              col("c")))), lit(0.0d),
+              (acc, x) => acc + x.getField("c")).as("ct"))
+        else contribs.groupBy(col("dst").as("id"))
+          .agg(sum(col("c")).as("ct"))
+      // mirrored by the oracle: (1 - d) * t + d * (ct + dm * t)
+      val next = materialize(nodes.join(summed, Seq("id"), "left")
+        .crossJoin(broadcast(dmDf))
+        .select(col("id"), col("outdeg"), col("is_source"),
+          (lit(1.0d - damping) * tele + lit(damping) *
+            (coalesce(col("ct"), lit(0.0d)) + col("dm") * tele))
+            .as("rank")))
+      releaseMaterialized(ranks)
+      ranks = next
+    }
+    releaseMaterialized(e)
+    releaseMaterialized(nodes)
+    ranks
+  }
+
   /** Co-citation counts (Small 1973): how many sources point at BOTH d1
     * and d2 — the classic "these two papers are related because others
     * cite them together" signal. Bibliographic coupling (Kessler 1963) is

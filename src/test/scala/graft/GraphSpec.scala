@@ -192,6 +192,32 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("personalizedPageRank: hand-traced two-round chain, mass " +
+    "conserved onto the source set, absent sources refused") {
+    // 1→2, sources {1}: r0 = (1, 0); round 1 → (0.15, 0.85);
+    // round 2: node 2's mass is dangling and re-lands on the source
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val got = Graph.personalizedPageRank(e, col("s"), col("d"),
+        Seq(1L).toDF("id"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val r1n1 = (1.0 - 0.85) * 1.0 + 0.85 * (0.0 + 0.0 * 1.0)
+    val r1n2 = (1.0 - 0.85) * 0.0 + 0.85 * (1.0 / 1L + 0.0 * 0.0)
+    val r2n1 = (1.0 - 0.85) * 1.0 + 0.85 * (0.0 + r1n2 * 1.0)
+    val r2n2 = (1.0 - 0.85) * 0.0 + 0.85 * (r1n1 / 1L + r1n2 * 0.0)
+    assert(got === Map(1L -> r2n1, 2L -> r2n2))
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // deterministic mode agrees on this tiny graph
+    val det = Graph.personalizedPageRank(e, col("s"), col("d"),
+        Seq(1L).toDF("id"), iters = 2, deterministic = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(det === got)
+    // a source that never appears in the graph is refused
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, col("s"), col("d"),
+        Seq(99L).toDF("id"))
+    }
+  }
+
   test("hits: hand-traced integer alternating-path counts, shares sum " +
     "to 1, duplicate edges collapse, partition-layout-free") {
     // 1→10, 2→10, 3→10, 1→20 (plus a duplicate of 1→10):
