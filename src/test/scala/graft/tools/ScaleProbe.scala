@@ -1548,6 +1548,38 @@ object ScaleProbe {
       }
     }
 
+    if (which("ppr-weak")) {
+      // personalized PageRank at 1M edges (the hits-weak star corpus),
+      // sources = 1% of star centers. Closed-form invariants on the
+      // DISJOINT graph: every node outside a source star has rank
+      // EXACTLY 0.0 (zero teleport + zero contributions is exact in
+      // floats), mass stays 1 up to float folding, and within a source
+      // star the two-level chain is replayable on the driver.
+      val stars = 100000L
+      val e = spark.range(stars * 10)
+        .select((col("id") / 10).as("src"),
+          (lit(stars) + col("id")).as("dst"))
+        .localCheckpoint(true)
+      val sources = spark.range(stars).where(col("id") % 100 === 0)
+        .select(col("id"))
+      t("ppr_1m_3rounds") {
+        val r = graft.operators.Graph.personalizedPageRank(e, col("src"),
+          col("dst"), sources, iters = 3).localCheckpoint(true)
+        // Column `/` is double division — floor back to the integer
+        // center id before the mod, or source-star leaves misclassify
+        val leafCenter =
+          floor((col("id") - lit(stars)) / 10).cast("long")
+        val leak = r.where(
+          (col("id") % 100 =!= 0 && col("id") < stars ||
+            col("id") >= stars && leafCenter % 100 =!= 0)
+            && col("rank") =!= 0.0).count()
+        require(leak == 0, s"$leak nodes outside source stars have mass")
+        val mass = r.agg(sum(col("rank"))).head().getDouble(0)
+        require(math.abs(mass - 1.0) < 1e-9, s"total mass $mass")
+        r.where(col("rank") > 0.0).count() // 11 nodes per source star
+      }
+    }
+
     if (which("rp-recall")) {
       // JL projection at 100k vectors (50 sign-flip replicas of sf0.1,
       // dim 64 — the pq-100k corpus): project 64 → 16, brute top-10 for
