@@ -1580,6 +1580,55 @@ object ScaleProbe {
       }
     }
 
+    if (which("uniques-gate-weak")) {
+      // continuous distinct counting lifecycle at 1M-row bootstrap +
+      // 10 × 100k epochs: the snapshot holds REGISTER rows (a few KiB
+      // per day), so epoch cost tracks the batch, never the corpus —
+      // and the end state must equal the direct per-day sketch of ALL
+      // rows, register for register (max-merge ≡ recompute at scale).
+      import graft.functions.SketchAggregates
+      import graft.operators.Warehouse
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_uniq_gate").toString
+      def mk(n: Long, dayOff: Int, uOff: Long) = spark.range(n)
+        .select(date_add(lit("2024-01-01").cast("date"),
+          (col("id") % 30).cast("int") + dayOff).as("day"),
+          concat(lit("u"), (col("id") % 200000 + uOff).cast("string"))
+            .as("user"))
+      val boot = mk(1000000L, 0, 0L).localCheckpoint(true)
+      t("uniq_gate_bootstrap_1m") {
+        Warehouse.uniquesGateBatch(dir, 2, "day", "user")(boot, 0L)
+        Warehouse.readSnapshot(spark, dir).count() // 30 day rows
+      }
+      val epochs = (1 to 10).map(k =>
+        mk(100000L, k % 5, k * 1000000L).localCheckpoint(true))
+      t("uniq_gate_10_epochs_100k") {
+        epochs.zipWithIndex.foreach { case (b, i) =>
+          Warehouse.uniquesGateBatch(dir, 2, "day", "user")(b,
+            (i + 1).toLong)
+        }
+        Warehouse.readSnapshot(spark, dir).count() // 34 day rows
+      }
+      t("uniq_gate_parity_registers") {
+        val all = (boot +: epochs).reduce(_.unionByName(_))
+        val direct = all.groupBy("day")
+          .agg(SketchAggregates.hllSketch(col("user"), 2).as("sk"))
+          .collect().map(r => r.getDate(0).toString ->
+            r.getSeq[Int](1).toVector).toMap
+        val snap = Warehouse.readSnapshot(spark, dir)
+          .collect().map(r => r.getDate(0).toString ->
+            r.getSeq[Int](1).toVector).toMap
+        require(snap == direct,
+          "snapshot registers != direct sketch of all rows")
+        snap.size.toLong
+      }
+      t("uniq_gate_range_readout") {
+        val r = Warehouse.uniquesOverRange(spark, dir,
+          "2024-01-01", "2024-01-07").head()
+        r.getLong(0) // 7 days
+      }
+    }
+
     if (which("rp-recall")) {
       // JL projection at 100k vectors (50 sign-flip replicas of sf0.1,
       // dim 64 — the pq-100k corpus): project 64 → 16, brute top-10 for
