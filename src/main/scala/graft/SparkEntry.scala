@@ -1214,6 +1214,20 @@ object SparkEntry {
           weight = greatest(col("n_chars"), lit(1L)), seed = "pps0")
         .orderBy("doc_id")),
 
+    // per-source weighted quotas — "n_g docs from each source, weighted
+    // by quality": the Madow grid instantiated group-locally (quota,
+    // total weight, and random start all columns), one group-keyed
+    // window exchange, zero driver state
+    "q_sample_weighted_grouped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quotas = docs.select(col("source")).distinct()
+        .select(col("source"), (lit(5) + length(col("source")) % 6)
+          .as("n"))
+      Shard.systematicPpsByGroup(docs, quotas,
+          greatest(col("n_chars"), lit(1L)), seed = "pps0")
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -6474,6 +6488,34 @@ object SparkEntry {
         |FROM s
         |WHERE (cum * 200 - strt + wtot) // wtot
         |  - ((cum - w) * 200 - strt + wtot) // wtot >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // group-local grids: same construction with per-source quota,
+    // total, and start columns
+    "q_sample_weighted_grouped" ->
+      """WITH src AS (SELECT doc_id, source,
+        |               CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+        |               md5('pps0:' || CAST(doc_id AS VARCHAR)) AS k
+        |             FROM documents),
+        |q AS (SELECT source, CAST(5 + length(source) % 6 AS BIGINT) AS n
+        |      FROM (SELECT DISTINCT source FROM documents)),
+        |c AS (SELECT s.doc_id, s.source, s.w, q.n,
+        |        sum(s.w) OVER (PARTITION BY s.source
+        |          ORDER BY s.k, s.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        sum(s.w) OVER (PARTITION BY s.source) AS wt
+        |      FROM src s JOIN q USING (source)),
+        |g AS (SELECT doc_id, source, w, n, cum, wt,
+        |        CAST(('0x' || substr(md5('pps0:' || source), 1, 15))
+        |          ::UBIGINT AS HUGEINT) % wt + 1 AS strt
+        |      FROM c)
+        |SELECT doc_id, source, w,
+        |  CAST((cum * n - strt + wt) // wt
+        |    - ((cum - w) * n - strt + wt) // wt AS BIGINT) AS mult
+        |FROM g
+        |WHERE (cum * n - strt + wt) // wt
+        |  - ((cum - w) * n - strt + wt) // wt >= 1
         |ORDER BY doc_id""".stripMargin,
 
     "q_enrich_metrics" ->

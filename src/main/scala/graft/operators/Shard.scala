@@ -229,4 +229,71 @@ object Shard {
             s"div ${grand}L")).as("mult"))
       .where(col("mult") >= 1)
   }
+
+  /** PER-GROUP systematic PPS — "n_g docs from each source, weighted by
+    * quality": [[systematicPps]]'s Madow grid instantiated
+    * independently inside every group, with the quota, total weight,
+    * and random start all GROUP-LOCAL columns, so the whole operator is
+    * one relational plan with no driver state at all (the global
+    * sampler's 256-row prefix collect disappears — each group's running
+    * sum lives in its own window partition). Exactly n_g draws (with
+    * multiplicity) per group; expected draws of a w-row are exactly
+    * n_g·w/W_g over the seeded start.
+    *
+    * `quotas` is a (group, n) frame — groups present in the corpus but
+    * absent from `quotas` are NOT sampled (quota 0 by omission); quota
+    * rows for absent groups are ignored. The per-group start is
+    * `md5(seed:group) mod W_g + 1`, so groups draw independently and a
+    * new seed re-draws every group.
+    *
+    * Scale: ONE group-keyed window exchange (quotas broadcast). The
+    * per-group running sum serializes within each group's partition —
+    * right when groups are many (the mixture-sampling shape: thousands
+    * of sources); a corpus where ONE group dwarfs executor memory
+    * routes through the global [[systematicPps]] per group instead
+    * (its bucketed two-phase prefix sum exists for exactly that).
+    * Overflow is guarded row-wise: W_g·(n_g+1) must fit in a long, and
+    * the guard raises rather than wraps (ANSI would too; the error
+    * names the fix).
+    */
+  def systematicPpsByGroup(docs: DataFrame, quotas: DataFrame,
+                           weight: Column, seed: String = "pps0",
+                           idCol: String = "doc_id",
+                           grpCol: String = "source"): DataFrame = {
+    require(quotas.columns.length == 2,
+      s"systematicPpsByGroup: quotas must be (group, n), got " +
+        quotas.columns.mkString(", "))
+    val q = quotas.toDF(grpCol, "__n")
+      .select(col(grpCol), col("__n").cast("long").as("__n"))
+      .where(col("__n") >= 1)
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val keyed = docs
+      .select(col(idCol), col(grpCol), weight.cast("long").as("w"),
+        key.as("__key"))
+      .withColumn("w", when(col("w").isNull || col("w") <= 0,
+        raise_error(concat(lit("systematicPpsByGroup: non-positive " +
+          s"weight for $idCol="), col(idCol).cast("string"))))
+        .otherwise(col("w")))
+      .join(broadcast(q), Seq(grpCol))
+    val wg = Window.partitionBy(col(grpCol))
+    val inGrp = wg.orderBy(col("__key"), col(idCol))
+    val graded = keyed
+      .withColumn("__cum", sum(col("w")).over(inGrp))
+      .withColumn("__W", sum(col("w")).over(wg))
+      .withColumn("__W", when(col("__W") > lit(Long.MaxValue) /
+          (col("__n") + 1),
+        raise_error(concat(lit("systematicPpsByGroup: group "),
+          col(grpCol), lit(" total weight overflows the exact grid — " +
+            "rescale weights to coarser units"))))
+        .otherwise(col("__W")))
+      .withColumn("__start",
+        conv(substring(md5(concat(lit(seed), lit(":"),
+          col(grpCol).cast("string"))), 1, 15), 16, 10).cast("long")
+          % col("__W") + 1)
+    graded.select(col(idCol), col(grpCol), col("w"),
+        (expr("(__cum * __n - __start + __W) div __W") -
+          expr("((__cum - w) * __n - __start + __W) div __W"))
+          .as("mult"))
+      .where(col("mult") >= 1)
+  }
 }

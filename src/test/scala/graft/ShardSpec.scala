@@ -76,6 +76,33 @@ class ShardSpec extends SparkTestBase {
     assert(heavyDraws > 70 && heavyDraws < 110, s"heavy=$heavyDraws/120")
   }
 
+  test("systematicPpsByGroup: exactly n_g draws per group, omitted " +
+    "groups unsampled, layout-free, overflow guard fires") {
+    val rows = (1L to 600L)
+      .map(i => (i, s"s${i % 3}", 1L + i % 5)).toDF("doc_id", "source", "w")
+    val quotas = Seq(("s0", 10L), ("s1", 25L), ("zz", 7L))
+      .toDF("source", "n") // s2 omitted → unsampled; zz absent → ignored
+    val got = Shard.systematicPpsByGroup(rows, quotas, col("w"))
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    val perGroup = got.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(perGroup === Map("s0" -> 10L, "s1" -> 25L))
+    val re = Shard.systematicPpsByGroup(rows.repartition(11), quotas,
+        col("w"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    val base = Shard.systematicPpsByGroup(rows, quotas, col("w"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(re.toSeq === base.toSeq)
+    val huge = Seq((1L, "a", Long.MaxValue / 3), (2L, "a", Long.MaxValue / 3))
+      .toDF("doc_id", "source", "w")
+    val e = intercept[Exception] {
+      Shard.systematicPpsByGroup(huge, Seq(("a", 5L)).toDF("source", "n"),
+        col("w")).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("overflows the exact grid"))
+  }
+
   test("systematicPps: non-positive weight fails loudly") {
     val bad = Seq((1L, 5L), (2L, 0L)).toDF("doc_id", "w")
     val e = intercept[Exception] {
