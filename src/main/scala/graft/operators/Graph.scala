@@ -64,32 +64,8 @@ object Graph {
     var ranks = materialize(
       nodes.withColumn("rank", lit(1.0 / nD)))
     for (_ <- 1 to iters) {
-      val danglingRanks = ranks.where(col("outdeg") === 0)
-      // dangling mass: a 1-row aggregate cross-joined broadcast into the
-      // rank update — NOT collected to the driver, so a round costs ONE
-      // job (the materialize), not two (measured: the extra per-round
-      // head() action added ~1s/round of fixed overhead at local scale).
-      // Repro mode pays the single-reducer ordered fold for bit-exactness.
-      val dmDf =
-        if (deterministic)
-          danglingRanks.agg(
-            aggregate(array_sort(collect_list(struct(col("id"),
-              col("rank")))), lit(0.0d),
-              (acc, x) => acc + x.getField("rank")).as("dm"))
-        else danglingRanks.agg(coalesce(sum(col("rank")), lit(0.0d))
-          .as("dm"))
-      val contribs = ranks.where(col("outdeg") > 0)
-        .join(e, col("id") === col("src"))
-        .select(col("dst"), col("src"),
-          (col("rank") / col("outdeg")).as("c"))
-      val summed =
-        if (deterministic)
-          contribs.groupBy(col("dst").as("id"))
-            .agg(aggregate(array_sort(collect_list(struct(col("src"),
-              col("c")))), lit(0.0d),
-              (acc, x) => acc + x.getField("c")).as("ct"))
-        else contribs.groupBy(col("dst").as("id"))
-          .agg(sum(col("c")).as("ct"))
+      val dmDf = danglingMass(ranks, deterministic)
+      val summed = dstContributions(ranks, e, deterministic)
       // mirror the oracle's expression tree EXACTLY:
       // (1 - d)/n + d * (ct + dm/n)
       val next = materialize(nodes.join(summed, Seq("id"), "left")
@@ -157,27 +133,8 @@ object Graph {
       when(col("is_source"), lit(teleVal)).otherwise(lit(0.0d))
     var ranks = materialize(nodes.withColumn("rank", tele))
     for (_ <- 1 to iters) {
-      val danglingRanks = ranks.where(col("outdeg") === 0)
-      val dmDf =
-        if (deterministic)
-          danglingRanks.agg(
-            aggregate(array_sort(collect_list(struct(col("id"),
-              col("rank")))), lit(0.0d),
-              (acc, x) => acc + x.getField("rank")).as("dm"))
-        else danglingRanks.agg(coalesce(sum(col("rank")), lit(0.0d))
-          .as("dm"))
-      val contribs = ranks.where(col("outdeg") > 0)
-        .join(e, col("id") === col("src"))
-        .select(col("dst"), col("src"),
-          (col("rank") / col("outdeg")).as("c"))
-      val summed =
-        if (deterministic)
-          contribs.groupBy(col("dst").as("id"))
-            .agg(aggregate(array_sort(collect_list(struct(col("src"),
-              col("c")))), lit(0.0d),
-              (acc, x) => acc + x.getField("c")).as("ct"))
-        else contribs.groupBy(col("dst").as("id"))
-          .agg(sum(col("c")).as("ct"))
+      val dmDf = danglingMass(ranks, deterministic)
+      val summed = dstContributions(ranks, e, deterministic)
       // mirrored by the oracle: (1 - d) * t + d * (ct + dm * t)
       val next = materialize(nodes.join(summed, Seq("id"), "left")
         .crossJoin(broadcast(dmDf))
@@ -191,6 +148,38 @@ object Graph {
     releaseMaterialized(e)
     releaseMaterialized(nodes)
     ranks
+  }
+
+  /** The per-round dangling-mass 1-row frame shared by both walkers —
+    * a broadcast aggregate, never a driver collect (an extra per-round
+    * head() measured ~1s/round of fixed overhead at local scale). Repro
+    * mode pays the single-reducer id-ordered fold for bit-exactness;
+    * ONE definition so the two hash-pinned walkers can never diverge on
+    * the fold. */
+  private def danglingMass(ranks: DataFrame,
+                           deterministic: Boolean): DataFrame = {
+    val d = ranks.where(col("outdeg") === 0)
+    if (deterministic)
+      d.agg(aggregate(array_sort(collect_list(struct(col("id"),
+        col("rank")))), lit(0.0d),
+        (acc, x) => acc + x.getField("rank")).as("dm"))
+    else d.agg(coalesce(sum(col("rank")), lit(0.0d)).as("dm"))
+  }
+
+  /** Per-destination contribution sums Σ r(u)/outdeg(u), src-ordered
+    * fold in repro mode — the other shared half of the walk round. */
+  private def dstContributions(ranks: DataFrame, e: DataFrame,
+                               deterministic: Boolean): DataFrame = {
+    val contribs = ranks.where(col("outdeg") > 0)
+      .join(e, col("id") === col("src"))
+      .select(col("dst"), col("src"),
+        (col("rank") / col("outdeg")).as("c"))
+    if (deterministic)
+      contribs.groupBy(col("dst").as("id"))
+        .agg(aggregate(array_sort(collect_list(struct(col("src"),
+          col("c")))), lit(0.0d),
+          (acc, x) => acc + x.getField("c")).as("ct"))
+    else contribs.groupBy(col("dst").as("id")).agg(sum(col("c")).as("ct"))
   }
 
   /** Co-citation counts (Small 1973): how many sources point at BOTH d1

@@ -263,8 +263,16 @@ object Shard {
     require(quotas.columns.length == 2,
       s"systematicPpsByGroup: quotas must be (group, n), got " +
         quotas.columns.mkString(", "))
+    // duplicate quota rows would fan every doc row out per copy and
+    // corrupt the per-group line — fail loudly (the module's posture)
+    val qw = Window.partitionBy(col(grpCol))
     val q = quotas.toDF(grpCol, "__n")
       .select(col(grpCol), col("__n").cast("long").as("__n"))
+      .withColumn("__n",
+        when(count(lit(1)).over(qw) > 1,
+          raise_error(concat(lit("systematicPpsByGroup: duplicate " +
+            "quota rows for group "), col(grpCol).cast("string"))))
+        .otherwise(col("__n")))
       .where(col("__n") >= 1)
     val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
     val keyed = docs
@@ -280,8 +288,11 @@ object Shard {
     val graded = keyed
       .withColumn("__cum", sum(col("w")).over(inGrp))
       .withColumn("__W", sum(col("w")).over(wg))
-      .withColumn("__W", when(col("__W") > lit(Long.MaxValue) /
-          (col("__n") + 1),
+      // INTEGRAL comparison (Column `/` on longs is double division,
+      // whose ~2^10-ulp slack above 2^53 would let near-threshold
+      // weights wrap instead of raise)
+      .withColumn("__W", when(col("__W") >
+          expr(s"${Long.MaxValue}L div (__n + 1L)"),
         raise_error(concat(lit("systematicPpsByGroup: group "),
           col(grpCol), lit(" total weight overflows the exact grid — " +
             "rescale weights to coarser units"))))

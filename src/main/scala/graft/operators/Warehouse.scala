@@ -442,7 +442,7 @@ object Warehouse {
     val metaDir = new org.apache.hadoop.fs.Path(s"$tableDir/meta")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bootstrap = !fs.exists(metaCommitted)
-    if (!bootstrap) {
+    val bootstrapEpoch = if (bootstrap) None else {
       // the fold contract comes FROM meta: a caller whose keys/payload
       // drifted from the bootstrap's fails loudly instead of silently
       // merging a different table
@@ -453,18 +453,10 @@ object Warehouse {
         s"cdcGateBatch: persisted contract (keys=$mk, payload=$mp) != " +
           s"caller (keys=${keyCols.mkString(",")}, " +
           s"payload=${payloadCols.mkString(",")})")
+      Some(metaBootstrapEpoch(m))
     }
-    val committed = committedVersions(fs, tableDir)
-    val baseV = committed.filter(_ < batchId).sorted.lastOption
-    // same refusal as uniquesGateBatch: an empty base is only valid at
-    // (re-)bootstrap — if newer committed versions survive while the
-    // replay's base is compacted away, folding the change feed alone
-    // would silently drop every unmentioned key
-    require(baseV.nonEmpty || committed.isEmpty,
-      s"cdcGateBatch: replay of epoch $batchId has no committed base " +
-        s"version (surviving: ${committed.sorted.mkString(",")}) — " +
-        "compaction removed the replay base; restore an older version " +
-        "or advance the stream checkpoint past this epoch")
+    val baseV = replayBaseVersion(committedVersions(fs, tableDir),
+      batchId, bootstrapEpoch, "cdcGateBatch")
     val base = baseV match {
       case Some(v) => spark.read.parquet(s"$tableDir/v=$v")
       case None => spark.createDataFrame(
@@ -477,8 +469,8 @@ object Warehouse {
     next.write.mode("overwrite").parquet(vDir)
     if (bootstrap) {
       if (fs.exists(metaDir)) fs.delete(metaDir, true)
-      Seq((keyCols.mkString(","), payloadCols.mkString(",")))
-        .toDF("key_cols", "payload_cols").coalesce(1)
+      Seq((keyCols.mkString(","), payloadCols.mkString(","), batchId))
+        .toDF("key_cols", "payload_cols", "bootstrap_epoch").coalesce(1)
         .write.mode("errorifexists").parquet(s"$tableDir/meta")
       fs.create(metaCommitted, false).close()
     }
@@ -539,6 +531,41 @@ object Warehouse {
       .map(_.getName.stripPrefix("v=").toLong)
   }
 
+  /** `bootstrap_epoch` off a gate's meta row, defaulting to 0 for
+    * tables persisted before the column existed (their bootstrap was
+    * epoch 0 in every real stream). The column is appended LAST so
+    * positional reads of the older columns stay valid. */
+  private def metaBootstrapEpoch(row: org.apache.spark.sql.Row): Long =
+    row.schema.fieldNames.indexOf("bootstrap_epoch") match {
+      case -1 => 0L
+      case i => row.getLong(i)
+    }
+
+  /** THE replay-base resolution shared by the versioned-snapshot gates
+    * (one definition — the refusal semantics must never diverge): the
+    * self-excluding base of epoch N is the newest committed version
+    * < N. An EMPTY base is legitimate only when nothing is committed
+    * yet (bootstrap, or a bootstrap-crash replay) or when the epoch is
+    * at or before the recorded bootstrap epoch (the bootstrap epoch's
+    * own at-least-once replay — no earlier version ever existed, and
+    * leading EMPTY stream batches can push the bootstrap past epoch
+    * 0, which is why the epoch is recorded in meta instead of assuming
+    * 0). Any other empty base means compaction removed the replay's
+    * base version, and folding the batch alone would silently drop all
+    * accumulated state — refused loudly (review r9s4). */
+  private def replayBaseVersion(committed: Seq[Long], batchId: Long,
+                                bootstrapEpoch: Option[Long],
+                                gate: String): Option[Long] = {
+    val baseV = committed.filter(_ < batchId).sorted.lastOption
+    require(baseV.nonEmpty || committed.isEmpty ||
+        bootstrapEpoch.exists(batchId <= _),
+      s"$gate: replay of epoch $batchId has no committed base version " +
+        s"(surviving: ${committed.sorted.mkString(",")}) — compaction " +
+        "removed the replay base; restore an older version or advance " +
+        "the stream checkpoint past this epoch")
+    baseV
+  }
+
   /** Continuous DISTINCT counting — daily HLL registers maintained as a
     * versioned snapshot table (the [[cdcGateBatch]] layout: full
     * snapshot per epoch under `v=<epoch>/`, marker-last, self-excluding
@@ -574,25 +601,16 @@ object Warehouse {
     val metaDir = new org.apache.hadoop.fs.Path(s"$tableDir/meta")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bootstrap = !fs.exists(metaCommitted)
-    if (!bootstrap) {
-      val persisted = spark.read.parquet(s"$tableDir/meta")
-        .collect()(0).getInt(0)
-      require(persisted == hexChars,
-        s"uniquesGateBatch: persisted hexChars=$persisted != caller " +
-          s"$hexChars — registers of different widths cannot merge")
+    val bootstrapEpoch = if (bootstrap) None else {
+      val row = spark.read.parquet(s"$tableDir/meta").collect()(0)
+      require(row.getInt(0) == hexChars,
+        s"uniquesGateBatch: persisted hexChars=${row.getInt(0)} != " +
+          s"caller $hexChars — registers of different widths cannot " +
+          "merge")
+      Some(metaBootstrapEpoch(row))
     }
-    val committed = committedVersions(fs, tableDir)
-    val baseV = committed.filter(_ < batchId).sorted.lastOption
-    // an empty-base fold is only legitimate at (re-)bootstrap: if any
-    // committed version >= batchId survives while the replay's base is
-    // gone (compactSnapshots(keep=1) before an at-least-once replay),
-    // folding the batch alone would silently ZERO all accumulated
-    // registers — refuse instead (review r9s4)
-    require(baseV.nonEmpty || committed.isEmpty,
-      s"uniquesGateBatch: replay of epoch $batchId has no committed " +
-        s"base version (surviving: ${committed.sorted.mkString(",")}) — " +
-        "compaction removed the replay base; restore an older version " +
-        "or advance the stream checkpoint past this epoch")
+    val baseV = replayBaseVersion(committedVersions(fs, tableDir),
+      batchId, bootstrapEpoch, "uniquesGateBatch")
     val base = baseV match {
       case Some(v) => spark.read.parquet(s"$tableDir/v=$v")
       case None => spark.createDataFrame(
@@ -620,7 +638,8 @@ object Warehouse {
     next.write.mode("overwrite").parquet(vDir)
     if (bootstrap) {
       if (fs.exists(metaDir)) fs.delete(metaDir, true)
-      Seq(hexChars).toDF("hex_chars").coalesce(1)
+      Seq((hexChars, batchId)).toDF("hex_chars", "bootstrap_epoch")
+        .coalesce(1)
         .write.mode("errorifexists").parquet(s"$tableDir/meta")
       fs.create(metaCommitted, false).close()
     }

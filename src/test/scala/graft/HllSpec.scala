@@ -129,6 +129,19 @@ class HllSpec extends SparkTestBase {
       ev(Seq(("2024-03-01", "u1"))), 0L)
     Warehouse.uniquesGateBatch(dir, hex, "day", "user")(
       ev(Seq(("2024-03-02", "u2"))), 1L)
+    // the BOOTSTRAP epoch's own at-least-once replay (crash between
+    // sink commit and offset commit on the very first batch) must NOT
+    // be refused: no earlier version ever existed, and the empty-base
+    // refold rewrites v=0 register-identically
+    val snapBefore = Warehouse.readSnapshot(spark, dir)
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getSeq[Int](1).toVector).toSeq
+    Warehouse.uniquesGateBatch(dir, hex, "day", "user")(
+      ev(Seq(("2024-03-01", "u1"))), 0L)
+    assert(Warehouse.readSnapshot(spark, dir)
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString -> r.getSeq[Int](1).toVector)
+      .toSeq === snapBefore)
     // keep=1 removes v=0 — epoch 1's replay base is gone
     assert(Warehouse.compactSnapshots(spark, dir, keep = 1) === Seq(0L))
     val e = intercept[IllegalArgumentException] {

@@ -381,6 +381,11 @@ class WarehouseSpec extends SparkTestBase {
     // fold, same bytes, reader unchanged
     gate(e1, 1L)
     assert(snap === afterE1)
+    // post-commit replay of the BOOTSTRAP epoch (crash before the first
+    // offset commit): empty base is legitimate — no earlier version
+    // ever existed — and the refold rewrites v=0 identically
+    gate(e0, 0L)
+    assert(snap === afterE1)
     // torn epoch: a version directory without the marker is invisible
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -398,6 +403,14 @@ class WarehouseSpec extends SparkTestBase {
     // compaction drops old + torn versions, never the newest
     val dropped = Warehouse.compactSnapshots(spark, dir, keep = 1)
     assert(dropped === Seq(0L, 1L, 5L))
+    assert(snap === Seq((1L, "a2", 11), (3L, "c2", 31)))
+    // ...but keep=1 leaves epoch 6's replay without its base: refused
+    // loudly instead of folding the feed alone and dropping every
+    // unmentioned key
+    val ex2 = intercept[IllegalArgumentException] {
+      gate(feed(Seq((3L, "c2", 31, 3L, 1L, "U"))), 6L)
+    }
+    assert(ex2.getMessage.contains("no committed base"))
     assert(snap === Seq((1L, "a2", 11), (3L, "c2", 31)))
     // torn BOOTSTRAP: meta present but no commit marker -> re-bootstrap
     val dir2 = java.nio.file.Files.createTempDirectory("graft_cdc2")
