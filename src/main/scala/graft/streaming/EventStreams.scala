@@ -35,6 +35,26 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked per-window DISTINCT sketches: the HLL aggregate run as
+    * streaming state — `count(DISTINCT)` is unsupported in streaming
+    * aggregations (unbounded per-group state), and approx_count_distinct
+    * carries merge-order-sensitive HLL++ state; the md5-register sketch
+    * is both BOUNDED (m ints per window-group) and a pure function of
+    * the window's item SET, so late arrivals within the watermark fold
+    * into exactly the registers a batch run produces (the batch-parity
+    * spec pins it). Emits registers + the deterministic estimate. */
+  def tumblingUniques(stream: DataFrame, hexChars: Int,
+                      itemCol: String, width: String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(graft.functions.SketchAggregates
+        .hllSketch(col(itemCol).cast("string"), hexChars).as("sk"))
+      .select(col("w.start").as("window_start"), col("sk"),
+        graft.functions.SketchAggregates.hllEstimate(col("sk"), hexChars)
+          .as("n_est"))
+
   /** ST2 + ST4 — watermarked SLIDING-window aggregate: identical
     * expression to the batch `Events.sliding`, plus the watermark. Each
     * event lands in width/slide windows; state per group is bounded to

@@ -184,6 +184,43 @@ class HllSpec extends SparkTestBase {
     }
   }
 
+  test("tumblingUniques: HLL registers as STREAMING window state — " +
+    "multi-batch arrival (late rows within the watermark included) " +
+    "produces exactly the batch registers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(3600000L + m * 60000L)
+    val rows = Seq(
+      (ts(0), "u1"), (ts(5), "u2"), (ts(10), "u1"),   // window 1
+      (ts(65), "u3"), (ts(70), "u4"))                 // window 2
+    val late = Seq((ts(8), "u9"))                     // late, in-watermark
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.EventStreams.tumblingUniques(
+        mem.toDF.toDF("ts", "user"), hex, "user")
+      .writeStream.format("memory").queryName("hll_windows")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(late: _*)
+      q.processAllAvailable()
+      // complete mode: the memory table IS the latest snapshot
+      val got = spark.table("hll_windows")
+        .select("window_start", "sk").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getSeq[Int](1).toVector)
+        .toMap
+      val batch = (rows ++ late).toDF("ts", "user")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(SketchAggregates.hllSketch(col("user"), hex).as("sk"))
+        .collect()
+        .map(r => r.getStruct(0).getTimestamp(0).getTime ->
+          r.getSeq[Int](1).toVector)
+        .toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("startUniquesGate streaming smoke: microbatches through the " +
     "MemoryStream wiring land as committed versions; a later batch " +
     "only raises registers") {
