@@ -1580,6 +1580,57 @@ object ScaleProbe {
       }
     }
 
+    if (which("kmv-weak")) {
+      // KMV at 2M (source, token) rows / 500k distinct tokens over 20
+      // sources with EXACT closed-form overlaps: sources come in 10
+      // disjoint-vocabulary pairs, each pair sharing exactly half its
+      // tokens. Invariants: cross-pair sketch intersections are exactly
+      // 0 (disjoint vocabularies cannot collide in md5 space), and the
+      // within-pair estimate lands near the true J = 1/3.
+      val n = 100000L // tokens per source
+      // Column `/` is double division — keep every index integral
+      // (cast-long floor for the source index, shiftright for the pair)
+      val srcIdx = (col("id") / n).cast("long")
+      val pairIdx = shiftright(srcIdx, 1)
+      val src = spark.range(20 * n)
+        .select(concat(lit("s"), srcIdx.cast("string")).as("source"),
+          // first half of each source's tokens is shared pair-wide,
+          // the second half source-unique
+          concat(lit("w"),
+            when(col("id") % n < n / 2,
+              concat(pairIdx.cast("string"),
+                lit("_shared_"), (col("id") % n).cast("string")))
+            .otherwise(concat(srcIdx.cast("string"),
+              lit("_only_"), (col("id") % n).cast("string"))))
+            .as("tok"))
+        .select(col("source"), concat(col("tok"), lit(" "),
+          col("tok")).as("text")) // two tokens per row, same token
+        .localCheckpoint(true)
+      t("kmv_2m_rows")(src.count())
+      t("kmv_2m_overlap_pairs") {
+        val out = graft.operators.Kmv.sourceOverlap(src, col("source"),
+          col("text"), k = 256).localCheckpoint(true)
+        val within = out.where(
+          expr("shiftright(CAST(substr(src_a, 2, 10) AS INT), 1) = " +
+            "shiftright(CAST(substr(src_b, 2, 10) AS INT), 1)"))
+        val cross = out.where(
+          expr("shiftright(CAST(substr(src_a, 2, 10) AS INT), 1) != " +
+            "shiftright(CAST(substr(src_b, 2, 10) AS INT), 1)"))
+        val badCross = cross.where(col("n_inter") =!= 0L).count()
+        require(badCross == 0, s"$badCross cross-pair sketches intersect")
+        val ests = within.select(col("jaccard_est"), col("jaccard_exact"))
+          .collect()
+        require(ests.length == 10, s"${ests.length} within-pairs")
+        ests.foreach { r =>
+          require(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-9)
+          // bottom-k error ~1/sqrt(256) = 6.25%; allow 4 sigma
+          require(math.abs(r.getDouble(0) - 1.0 / 3.0) < 0.25,
+            s"est ${r.getDouble(0)}")
+        }
+        out.count() // 190 pairs
+      }
+    }
+
     if (which("uniques-gate-weak")) {
       // continuous distinct counting lifecycle at 1M-row bootstrap +
       // 10 × 100k epochs: the snapshot holds REGISTER rows (a few KiB
