@@ -2644,6 +2644,32 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // classifier-margin-WEIGHTED selection: the quality pipeline's
+    // other ending — instead of a hard top-p cut, every doc's sampling
+    // weight is its (micro-unit-quantized, floor-clamped) margin and
+    // the systematic PPS grid draws exactly 120 with inclusion
+    // proportional to quality. Soft selection keeps tail diversity the
+    // quota cut discards; the margin→weight quantization is one IEEE
+    // multiply + floor, so the composition stays hash-exact
+    "q_pipeline_select_weighted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val w = Classify.perceptronTrain(
+        emb.where(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        positive = col("label") < 5, epochs = perceptronEpochs,
+        deterministic = true)
+      val weighted = Classify
+        .perceptronScore(emb, "vec_id", "embedding", w)
+        .select(col("vec_id").as("doc_id"),
+          greatest(floor(col("margin") * lit(1000000.0)).cast("long"),
+            lit(1L)).as("wq"))
+      Shard.systematicPps(weighted, n = 120, weight = col("wq"),
+          seed = "sel0")
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("w"), col("mult"))
+        .orderBy("doc_id")
+    }),
+
     // the round-9 selection stages COMPOSED: CCNet gate first (the 400
     // most reference-like docs), then DSIR resampling whose RAW
     // distribution is fit to the GATED population (the target stays the
@@ -3727,6 +3753,38 @@ object SparkEntry {
        |w0 AS MATERIALIZED (SELECT list(0.0 ORDER BY i) AS w FROM dims),
        |$rounds""".stripMargin
   }
+
+  /** q_pipeline_select_weighted oracle: the slice-trained chain scores
+    * every usable row, margins quantize to clamped micro-units, and
+    * the global Madow grid (seed "sel0") draws 120. */
+  private def selectWeightedOracleSql(epochs: Int, lr: Double,
+                                      n: Int): String =
+    s"""WITH ${perceptronCteChain(epochs, lr,
+          "WHERE vec_id % 5 = 0")},
+       |sc AS (SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.a) + 1),
+       |      i -> CAST(e.a[i] AS DOUBLE) * w.w[i])) AS margin
+       |  FROM e, w$epochs w),
+       |wt AS (SELECT s.vec_id AS doc_id,
+       |    greatest(CAST(floor(s.margin * CAST(1000000 AS DOUBLE))
+       |      AS BIGINT), 1) AS w,
+       |    md5('sel0:' || CAST(s.vec_id AS VARCHAR)) AS k
+       |  FROM sc s),
+       |c AS (SELECT doc_id, w,
+       |    sum(w) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(w) OVER () AS wtot FROM wt),
+       |g AS (SELECT doc_id, w, cum, wtot,
+       |    CAST(('0x' || substr(md5('sel0'), 1, 15))::UBIGINT
+       |      AS HUGEINT) % wtot + 1 AS strt
+       |  FROM c)
+       |SELECT g.doc_id, d.source, g.w,
+       |  CAST((cum * $n - strt + wtot) // wtot
+       |    - ((cum - w) * $n - strt + wtot) // wtot AS BIGINT) AS mult
+       |FROM g JOIN documents d ON d.doc_id = g.doc_id
+       |WHERE (cum * $n - strt + wtot) // wtot
+       |  - ((cum - w) * $n - strt + wtot) // wtot >= 1
+       |ORDER BY g.doc_id""".stripMargin
 
   /** q_embed_classify oracle: the perceptron chain trained on every
     * usable row, then every row re-scored under w$epochs. */
@@ -6781,6 +6839,9 @@ object SparkEntry {
     // top-quota by margin per language
     "q_pipeline_quality" -> qualityOracleSql(perceptronEpochs, lr = 1.0,
       qualityQuota),
+
+    "q_pipeline_select_weighted" ->
+      selectWeightedOracleSql(perceptronEpochs, lr = 1.0, n = 120),
 
     // IVF at nProbe = nCentroids must equal exact brute-force top-k
     "q_embed_recall" ->
