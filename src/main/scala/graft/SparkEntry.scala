@@ -1405,6 +1405,40 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // item-item collaborative filtering over order baskets ("bought X
+    // also bought Y"): exact co-occurrence + binary cosine; the basket
+    // cap is part of the operator contract (no basket exceeds it here,
+    // pinned by n_dropped_baskets=0 on every row); minCooc=2 prunes the
+    // one-shot noise tail the way a production similarity model would
+    "q_rec_itemitem" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      graft.operators.Recommend.itemSimilarity(m, col("b"), col("i"),
+          maxBasketSize = 1000L, minCooc = 2L)
+        .orderBy(col("cosine").desc, col("i1").asc, col("i2").asc)
+        .limit(100)
+    }),
+
+    // user-level recommendations: owned parts vote through the top-10
+    // item-neighbor model, integer Σn_cooc scores, owned candidates
+    // anti-joined out; served for the %50 customer slice (the filter
+    // prunes the user side BEFORE the model join — the model itself is
+    // trained on the full corpus, as serving would)
+    "q_rec_user" -> ((s, dir) => {
+      val R = graft.operators.Recommend
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      val nbrs = R.topNeighbors(
+        R.itemSimilarity(m, col("b"), col("i"),
+          maxBasketSize = 1000L, minCooc = 2L), k = 10)
+      val ui = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      R.recommendForUsers(ui, col("u"), col("i"), nbrs, k = 5)
+        .orderBy(col("user").asc, col("rnk").asc)
+    }),
+
     // personalized PageRank: teleport restricted to the %100 customer
     // sources — "rank relative to these" (related-item shape). Repro
     // mode folds in key order like q_graph_pagerank; the teleport
@@ -5057,6 +5091,79 @@ object SparkEntry {
         |  (SELECT n_dropped_sources FROM dr) AS n_dropped_sources
         |FROM pr ORDER BY n_common DESC, d1 ASC, d2 ASC
         |LIMIT 100""".stripMargin,
+
+    // item-item CF: the same basket-capped self-join as co-citation plus
+    // kept-set marginals; the one float is count/sqrt(count·count) —
+    // correctly-rounded in both engines, so raw doubles hash-match
+    "q_rec_itemitem" ->
+      """WITH m AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |             CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |sz AS (SELECT b, count(*) AS sz FROM m GROUP BY b),
+        |kept AS (SELECT m.b, m.i FROM m JOIN sz USING (b)
+        |         WHERE sz <= 1000),
+        |dr AS (SELECT CAST(coalesce(sum(CASE WHEN sz > 1000
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_baskets
+        |       FROM sz),
+        |marg AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM kept
+        |         GROUP BY i),
+        |pr AS (SELECT a.i AS i1, c.i AS i2,
+        |         CAST(count(*) AS BIGINT) AS n_cooc
+        |       FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT i1, i2, n_cooc, m1.n_i AS n_i1, m2.n_i AS n_i2,
+        |  CAST(n_cooc AS DOUBLE) / sqrt(CAST(m1.n_i * m2.n_i AS DOUBLE))
+        |    AS cosine,
+        |  (SELECT n_dropped_baskets FROM dr) AS n_dropped_baskets
+        |FROM pr JOIN marg m1 ON pr.i1 = m1.i
+        |        JOIN marg m2 ON pr.i2 = m2.i
+        |ORDER BY cosine DESC, i1 ASC, i2 ASC LIMIT 100""".stripMargin,
+
+    // user recommendations: the full chain replayed — similarity, top-10
+    // mirror cut, owned-item votes (integer sums), owned anti-join,
+    // per-user top-5
+    "q_rec_user" ->
+      """WITH m AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |             CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |sz AS (SELECT b, count(*) AS sz FROM m GROUP BY b),
+        |kept AS (SELECT m.b, m.i FROM m JOIN sz USING (b)
+        |         WHERE sz <= 1000),
+        |marg AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM kept
+        |         GROUP BY i),
+        |pr AS (SELECT a.i AS i1, c.i AS i2,
+        |         CAST(count(*) AS BIGINT) AS n_cooc
+        |       FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sim AS (SELECT i1, i2, n_cooc,
+        |          CAST(n_cooc AS DOUBLE) /
+        |            sqrt(CAST(m1.n_i * m2.n_i AS DOUBLE)) AS cosine
+        |        FROM pr JOIN marg m1 ON pr.i1 = m1.i
+        |                JOIN marg m2 ON pr.i2 = m2.i),
+        |mir AS (SELECT i1 AS item, i2 AS nbr, n_cooc, cosine FROM sim
+        |        UNION ALL
+        |        SELECT i2, i1, n_cooc, cosine FROM sim),
+        |model AS (SELECT * FROM (
+        |            SELECT item, nbr, n_cooc,
+        |              row_number() OVER (PARTITION BY item
+        |                ORDER BY cosine DESC, n_cooc DESC, nbr ASC) AS rnk
+        |            FROM mir) WHERE rnk <= 10),
+        |ui AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+        |         CAST(l_partkey AS BIGINT) AS i
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |       WHERE o_custkey % 50 = 0),
+        |votes AS (SELECT u, nbr AS rec,
+        |            CAST(sum(n_cooc) AS BIGINT) AS score,
+        |            CAST(count(*) AS BIGINT) AS n_links
+        |          FROM ui JOIN model ON ui.i = model.item GROUP BY 1, 2),
+        |unseen AS (SELECT v.u, v.rec, v.score, v.n_links FROM votes v
+        |           WHERE NOT EXISTS (SELECT 1 FROM ui
+        |             WHERE ui.u = v.u AND ui.i = v.rec)),
+        |rk AS (SELECT u, rec, score, n_links,
+        |         row_number() OVER (PARTITION BY u
+        |           ORDER BY score DESC, n_links DESC, rec ASC) AS rnk
+        |       FROM unseen)
+        |SELECT u AS "user", rec AS item, score, n_links, rnk
+        |FROM rk WHERE rnk <= 5
+        |ORDER BY u ASC, rnk ASC""".stripMargin,
 
     // heavy hitters: plain exact SQL — the sketch is an execution
     // strategy, not a semantic; threshold ceil is forced into DOUBLE

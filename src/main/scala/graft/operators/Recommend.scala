@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative filtering over basket memberships — the
+  * "customers who bought X also bought Y" tier (Linden, Smith & York 2003,
+  * Amazon item-to-item CF; Sarwar et al. 2001 item-based CF). The
+  * reference's domain analog is related-record suggestion over shared
+  * citation baskets; the engine form works over any (basket, item)
+  * membership table: orders×parts, sessions×pages, papers×keywords.
+  *
+  * Three composable stages, each relational and oracle-able:
+  *  - [[itemSimilarity]]: exact co-occurrence counts + binary-cosine
+  *    similarity per unordered item pair;
+  *  - [[topNeighbors]]: the per-item k-nearest-neighbor model (the
+  *    artifact a serving tier ships);
+  *  - [[recommendForUsers]]: fold a user's owned items through the
+  *    neighbor model into unseen-item scores.
+  *
+  * Cross-engine exactness: every count is an exact integer; the one float
+  * per similarity row is cosine = n_cooc / sqrt(n_i1·n_i2), where the
+  * product of counts is exactly representable (< 2^53), `sqrt` is
+  * IEEE-correctly-rounded in both engines, and the single division is
+  * exactly rounded — so raw doubles sit under the hash oracle with no
+  * fold discipline needed. User-level scores are pure integer sums.
+  */
+object Recommend {
+
+  /** Exact item-item co-occurrence with binary-cosine scores.
+    *
+    * Semantics: memberships collapse to DISTINCT (basket, item); for every
+    * unordered pair of distinct items sharing a basket, `n_cooc` = number
+    * of shared baskets (among KEPT baskets — see the cap), `n_i1`/`n_i2` =
+    * per-item basket counts over the same kept set (so the cosine is
+    * internally consistent: 0 < cosine <= 1, exactly 1 iff the items'
+    * basket sets coincide). Pairs below `minCooc` are pruned AFTER
+    * aggregation (a threshold, not a sampling bias).
+    *
+    * Scale guard (the coCitation / inverted-index `maxDf` posture): the
+    * per-basket pair fan-out is quadratic in basket size, so baskets
+    * larger than `maxBasketSize` are EXCLUDED from pairing and marginals
+    * — a basket containing everything asserts no meaningful pairwise
+    * preference, and one 10⁶-item basket would otherwise emit 5·10¹¹
+    * pairs. Exclusion is exact, mirrored by the oracle, and counted
+    * loudly in `n_dropped_baskets` on every output row.
+    *
+    * Shape: ONE distinct on the skinny (basket, item) projection
+    * (materialized — it feeds the size pass, the marginals, and both
+    * self-join sides; without the cut Spark re-runs the upstream scan per
+    * consumer), one basket-keyed size aggregate, one self-join keyed on
+    * basket (fan-out bounded by the cap), one (i1, i2) hash aggregate
+    * with map-side combine collapsing hot pairs before the shuffle, and
+    * two item-keyed marginal joins (item tables at catalog scale are NOT
+    * assumed broadcastable — they shuffle; AQE may still elect broadcast
+    * when small).
+    *
+    * Output: i1, i2, n_cooc, n_i1, n_i2, cosine, n_dropped_baskets
+    * (i1 < i2).
+    */
+  def itemSimilarity(memberships: DataFrame, basket: Column, item: Column,
+                     maxBasketSize: Long = 1000L,
+                     minCooc: Long = 1L): DataFrame = {
+    require(maxBasketSize >= 2,
+      s"itemSimilarity: maxBasketSize=$maxBasketSize must be >= 2")
+    require(minCooc >= 1, s"itemSimilarity: minCooc=$minCooc must be >= 1")
+    val m = Dedup.materialize(
+      memberships.select(basket.cast("long").as("b"),
+        item.cast("long").as("i")).distinct())
+    val sz = m.groupBy("b").agg(count(lit(1)).as("sz"))
+    val kept = Dedup.materialize(
+      m.join(sz.where(col("sz") <= maxBasketSize), Seq("b"))
+        .select("b", "i"))
+    val dropped = sz.where(col("sz") > maxBasketSize)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_dropped_baskets"))
+    val marg = kept.groupBy("i").agg(count(lit(1)).as("n_i"))
+    val pairs = kept.as("a").join(kept.as("c"),
+        col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("i1"), col("c.i").as("i2"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .where(col("n_cooc") >= minCooc)
+    pairs
+      .join(marg.select(col("i").as("i1"), col("n_i").as("n_i1")), Seq("i1"))
+      .join(marg.select(col("i").as("i2"), col("n_i").as("n_i2")), Seq("i2"))
+      .withColumn("cosine", col("n_cooc").cast("double") /
+        sqrt((col("n_i1") * col("n_i2")).cast("double")))
+      .select("i1", "i2", "n_cooc", "n_i1", "n_i2", "cosine")
+      .crossJoin(broadcast(dropped))
+  }
+
+  /** Per-item top-k neighbor model from [[itemSimilarity]] output: pairs
+    * mirror to both directions through ONE generator (explode — a
+    * two-projection union would evaluate the upstream similarity twice),
+    * then a per-item row_number cut, deterministic on (cosine desc,
+    * n_cooc desc, nbr asc). The rank-1..k filter plans as a partial
+    * WindowGroupLimit, so each map task ships at most k rows per item
+    * into the window exchange — the shuffle carries the model, not the
+    * pair table.
+    *
+    * Output: item, nbr, n_cooc, cosine, rnk (1-based).
+    */
+  def topNeighbors(sims: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"topNeighbors: k=$k must be >= 1")
+    val mirrored = sims.select(explode(array(
+        struct(col("i1").as("item"), col("i2").as("nbr"),
+          col("n_cooc"), col("cosine")),
+        struct(col("i2").as("item"), col("i1").as("nbr"),
+          col("n_cooc"), col("cosine")))).as("p"))
+      .select(col("p.item").as("item"), col("p.nbr").as("nbr"),
+        col("p.n_cooc").as("n_cooc"), col("p.cosine").as("cosine"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cosine").desc, col("n_cooc").desc, col("nbr").asc)
+    mirrored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
+  /** Top-k unseen-item recommendations per user: each owned item votes
+    * for its neighbors from the [[topNeighbors]] model, votes aggregate
+    * to an INTEGER score per (user, candidate) — `score` = Σ n_cooc over
+    * the owned→candidate links, `n_links` = how many owned items back
+    * the candidate (both exact, so the ranking is bit-stable with no
+    * float discipline) — already-owned candidates are removed by an
+    * anti-join, and a per-user row_number cut keeps the top `k` on
+    * (score desc, n_links desc, item asc).
+    *
+    * Shape: one distinct on (user, item), one item-keyed join against
+    * the model (the model is k rows per item — skinny; at catalog scale
+    * it shuffles, AQE may elect broadcast), one (user, candidate) hash
+    * aggregate with map-side combine, one user+item-keyed anti-join, one
+    * per-user WindowGroupLimit cut. Per-user state never exists outside
+    * an aggregate; nothing is collected.
+    *
+    * Output: user, item, score, n_links, rnk (1-based).
+    */
+  def recommendForUsers(userItems: DataFrame, user: Column, item: Column,
+                        neighbors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recommendForUsers: k=$k must be >= 1")
+    val ui = Dedup.materialize(
+      userItems.select(user.cast("long").as("u"),
+        item.cast("long").as("i")).distinct())
+    val votes = ui.join(
+        neighbors.select(col("item").as("i"), col("nbr"), col("n_cooc")),
+        Seq("i"))
+      .groupBy(col("u"), col("nbr").as("rec"))
+      .agg(sum(col("n_cooc")).as("score"), count(lit(1)).as("n_links"))
+    val unseen = votes.join(
+      ui.select(col("u"), col("i").as("rec")), Seq("u", "rec"), "left_anti")
+    val w = Window.partitionBy("u")
+      .orderBy(col("score").desc, col("n_links").desc, col("rec").asc)
+    unseen.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("u").as("user"), col("rec").as("item"),
+        col("score"), col("n_links"), col("rnk"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Recommend
+
+class RecommendSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // baskets: 1={A,B,C}, 2={A,B}, 3={A,D}, 4={B,C} — items as longs
+  // (A=10, B=20, C=30, D=40). Marginals: A=3, B=3, C=2, D=1.
+  // Pairs: AB cooc=2, AC=1, BC=2, AD=1.
+  private def memberships =
+    Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+        (3L, 10L), (3L, 40L), (4L, 20L), (4L, 30L))
+      .toDF("b", "i")
+
+  test("itemSimilarity: hand-computed cooc counts, kept-set marginals, " +
+    "cosine = cooc/sqrt(n1*n2), duplicate memberships collapse") {
+    val dup = memberships.union(Seq((1L, 10L)).toDF("b", "i"))
+    val got = Recommend.itemSimilarity(dup, col("b"), col("i"))
+      .select("i1", "i2", "n_cooc", "n_i1", "n_i2", "cosine",
+        "n_dropped_baskets")
+      .as[(Long, Long, Long, Long, Long, Double, Long)]
+      .collect().toSet
+    val exp = Set(
+      (10L, 20L, 2L, 3L, 3L, 2.0 / math.sqrt(9.0), 0L),
+      (10L, 30L, 1L, 3L, 2L, 1.0 / math.sqrt(6.0), 0L),
+      (20L, 30L, 2L, 3L, 2L, 2.0 / math.sqrt(6.0), 0L),
+      (10L, 40L, 1L, 3L, 1L, 1.0 / math.sqrt(3.0), 0L))
+    assert(got === exp)
+  }
+
+  test("itemSimilarity: an oversized basket is excluded from pairs AND " +
+    "marginals, and counted in n_dropped_baskets") {
+    // basket 9 holds A,B,C,D,E (5 items) — over the cap of 4
+    val big = memberships.union(
+      Seq((9L, 10L), (9L, 20L), (9L, 30L), (9L, 40L), (9L, 50L))
+        .toDF("b", "i"))
+    val got = Recommend.itemSimilarity(big, col("b"), col("i"),
+        maxBasketSize = 4L)
+      .select("i1", "i2", "n_cooc", "n_i1", "n_i2", "n_dropped_baskets")
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    // identical to the base case (marginals unchanged) + dropped=1
+    val exp = Set(
+      (10L, 20L, 2L, 3L, 3L, 1L), (10L, 30L, 1L, 3L, 2L, 1L),
+      (20L, 30L, 2L, 3L, 2L, 1L), (10L, 40L, 1L, 3L, 1L, 1L))
+    assert(got === exp)
+  }
+
+  test("itemSimilarity: minCooc prunes pairs after exact aggregation") {
+    val got = Recommend.itemSimilarity(memberships, col("b"), col("i"),
+        minCooc = 2L)
+      .select("i1", "i2").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L), (20L, 30L)))
+  }
+
+  test("topNeighbors: mirrored pairs, deterministic (cosine, n_cooc, nbr) " +
+    "rank, k cuts per item") {
+    val sims = Recommend.itemSimilarity(memberships, col("b"), col("i"))
+    val got = Recommend.topNeighbors(sims, k = 2)
+      .select("item", "nbr", "rnk").as[(Long, Long, Int)]
+      .collect().toSet
+    // per-item cosine order:
+    //   A: AB=.667 > AD=.577 > AC=.408 → top2 = B, D
+    //   B: BC=.816 > AB=.667          → top2 = C, A
+    //   C: BC=.816 > AC=.408          → C has 2 nbrs
+    //   D: AD=.577                    → 1 nbr
+    val exp = Set(
+      (10L, 20L, 1), (10L, 40L, 2),
+      (20L, 30L, 1), (20L, 10L, 2),
+      (30L, 20L, 1), (30L, 10L, 2),
+      (40L, 10L, 1))
+    assert(got === exp)
+  }
+
+  test("recommendForUsers: integer vote sums, owned items anti-joined " +
+    "out, per-user k cut") {
+    val sims = Recommend.itemSimilarity(memberships, col("b"), col("i"))
+    val nbrs = Recommend.topNeighbors(sims, k = 3)
+    // user 1 owns {A}; user 2 owns {A, B} (via two baskets)
+    val ui = Seq((1L, 10L), (2L, 10L), (2L, 20L)).toDF("u", "i")
+    val got = Recommend.recommendForUsers(ui, col("u"), col("i"), nbrs, 5)
+      .select("user", "item", "score", "n_links", "rnk")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    // user 1: A's nbrs = B(2), D(1), C(1) all unseen →
+    //   B score 2 rank 1; C/D tie at 1 → C(30) before D(40)
+    // user 2: A votes {B:2, D:1, C:1}, B votes {C:2, A:2};
+    //   unseen: C 1+2=3 (2 links), D 1 (1 link)
+    val exp = Set(
+      (1L, 20L, 2L, 1L, 1), (1L, 30L, 1L, 1L, 2), (1L, 40L, 1L, 1L, 3),
+      (2L, 30L, 3L, 2L, 1), (2L, 40L, 1L, 1L, 2))
+    assert(got === exp)
+  }
+}
