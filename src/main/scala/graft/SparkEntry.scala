@@ -1439,6 +1439,29 @@ object SparkEntry {
         .orderBy(col("user").asc, col("rnk").asc)
     }),
 
+    // link prediction over the co-purchase similarity graph (edges =
+    // item pairs with cooc>=2): non-edges scored by common neighbors +
+    // Jaccard — candidates exist only through wedges, never N²; the
+    // center cap is contract (nothing exceeds it here, pinned by
+    // n_dropped_centers=0 on every row)
+    "q_graph_linkpred" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      val edges = graft.operators.Recommend.itemSimilarity(m, col("b"),
+          col("i"), maxBasketSize = 1000L, minCooc = 2L)
+        .select(col("i1"), col("i2"))
+      graft.operators.Graph.linkPrediction(edges, col("i1"), col("i2"))
+        // adamic_adar is dropped from the HASHED surface: its ln is
+        // StrictMath in Spark vs libm in DuckDB (the standing ln rule);
+        // the spec pins it. resource_alloc is exact-rounded divisions
+        // summed in sorted order — bit-portable, so it stays.
+        .orderBy(col("n_common").desc, col("resource_alloc").desc,
+          col("a").asc, col("b").asc)
+        .limit(100)
+        .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard",
+          "resource_alloc", "n_dropped_centers")
+    }),
+
     // personalized PageRank: teleport restricted to the %100 customer
     // sources — "rank relative to these" (related-item shape). Repro
     // mode folds in key order like q_graph_pagerank; the teleport
@@ -5164,6 +5187,50 @@ object SparkEntry {
         |SELECT u AS "user", rec AS item, score, n_links, rnk
         |FROM rk WHERE rnk <= 5
         |ORDER BY u ASC, rnk ASC""".stripMargin,
+
+    // link prediction: wedge-generated candidate non-edges over the
+    // cooc>=2 similarity graph; integer common-neighbor counts, one
+    // division for Jaccard, and the resource-allocation fold as a
+    // center-degree-ordered list_sum chain ≡ the engine's array_sort
+    // fold (adamic_adar is ln-based → unhashed, spec-pinned)
+    "q_graph_linkpred" ->
+      """WITH m AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |             CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |sz AS (SELECT b, count(*) AS sz FROM m GROUP BY b),
+        |kept AS (SELECT m.b, m.i FROM m JOIN sz USING (b)
+        |         WHERE sz <= 1000),
+        |e AS (SELECT a.i AS a, c.i AS b
+        |      FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS w, b AS n FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM sym
+        |        GROUP BY w),
+        |kc AS (SELECT w, deg FROM deg WHERE deg <= 10000),
+        |dr AS (SELECT CAST(coalesce(sum(CASE WHEN deg > 10000
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_centers
+        |       FROM deg),
+        |wa AS (SELECT s.w, s.n, kc.deg FROM sym s JOIN kc USING (w)),
+        |cand AS (SELECT l.n AS a, r.n AS b,
+        |           CAST(count(*) AS BIGINT) AS n_common,
+        |           list_sum(list(CAST(1.0 AS DOUBLE) /
+        |             CAST(l.deg AS DOUBLE) ORDER BY l.deg))
+        |             AS resource_alloc
+        |         FROM wa l JOIN wa r ON l.w = r.w AND l.n < r.n
+        |         GROUP BY 1, 2),
+        |nc AS (SELECT c.a, c.b, c.n_common,
+        |         c.resource_alloc FROM cand c
+        |       WHERE NOT EXISTS (SELECT 1 FROM e
+        |         WHERE e.a = c.a AND e.b = c.b))
+        |SELECT nc.a, nc.b, nc.n_common, da.deg AS deg_a,
+        |  db.deg AS deg_b,
+        |  CAST(nc.n_common AS DOUBLE) /
+        |    CAST(da.deg + db.deg - nc.n_common AS DOUBLE) AS jaccard,
+        |  nc.resource_alloc,
+        |  (SELECT n_dropped_centers FROM dr) AS n_dropped_centers
+        |FROM nc JOIN deg da ON nc.a = da.w JOIN deg db ON nc.b = db.w
+        |ORDER BY n_common DESC, resource_alloc DESC, a ASC, b ASC
+        |LIMIT 100""".stripMargin,
 
     // heavy hitters: plain exact SQL — the sketch is an execution
     // strategy, not a semantic; threshold ceil is forced into DOUBLE

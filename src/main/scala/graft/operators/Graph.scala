@@ -503,4 +503,90 @@ object Graph {
     releaseMaterialized(nodes)
     out
   }
+
+  /** Link prediction over an undirected simple graph: score NON-edges by
+    * neighborhood overlap — `n_common` = |N(a)∩N(b)| (exact integer),
+    * Jaccard = n_common / (deg_a + deg_b − n_common) (integer operands,
+    * one IEEE division — bit-identical across engines, so raw doubles
+    * hash-match), plus the degree-weighted pair from Liben-Nowell &
+    * Kleinberg 2003: Adamic–Adar = Σ_w 1/ln(deg w) and resource
+    * allocation = Σ_w 1/deg w over the shared wedge centers w. The two
+    * float sums fold over the center degrees sorted ASCENDING
+    * (`array_sort` → sequential `aggregate`), the repo's cross-engine
+    * determinism convention. Resource allocation is bit-portable (each
+    * term is one exact-rounded division) and sits under the oracle
+    * hash; Adamic–Adar rides ln — StrictMath in Spark, libm in DuckDB,
+    * last-ULP divergent (the repo's standing ln rule) — so it stays
+    * OUT of hashed oracle output and is spec-pinned against
+    * `StrictMath.log` instead. Centers have deg ≥ 2 by wedge
+    * construction, so ln(deg) > 0 — no division hazard.
+    * The "papers likely to cite each other next" / "items likely to
+    * co-occur next" recommender signal.
+    *
+    * Candidate generation is the wedge pass from [[triangleCounts]]'
+    * family: a pair is scored iff some shared neighbor (wedge center)
+    * generates it — exactly the pairs with n_common >= 1, so no N²
+    * enumeration ever exists. Existing edges are anti-joined out (they
+    * are facts, not predictions).
+    *
+    * Scale guard: wedge fan-out is quadratic in center degree, so
+    * centers with degree > `maxCenterDegree` are EXCLUDED from wedge
+    * generation (the coCitation hub posture: a node connected to
+    * everything predicts nothing pairwise). Exclusion is exact and
+    * mirrored by the oracle; `n_dropped_centers` rides every output row.
+    * Endpoint DEGREES stay exact (computed before the cap), so Jaccard
+    * through capped graphs is a documented lower bound on n_common over
+    * exact degrees.
+    *
+    * Shape: one canonical-edge distinct (materialized: feeds the
+    * symmetric adjacency, the anti-join, and degrees), one vertex-keyed
+    * degree aggregate, one center-keyed self-join bounded by the cap,
+    * one (a, b) hash aggregate with map-side combine, the anti-join, and
+    * two vertex-keyed degree joins (vertex tables at graph scale are NOT
+    * assumed broadcastable).
+    *
+    * Output: a, b, n_common, deg_a, deg_b, jaccard, adamic_adar,
+    * resource_alloc, n_dropped_centers (a < b, (a,b) ∉ edges).
+    */
+  def linkPrediction(edges: DataFrame, src: Column, dst: Column,
+                     maxCenterDegree: Long = 10000L): DataFrame = {
+    require(maxCenterDegree >= 2,
+      s"linkPrediction: maxCenterDegree=$maxCenterDegree must be >= 2")
+    // canonical undirected simple edges (self-loops out, a < b)
+    val e = materialize(edges
+      .select(src.cast("long").as("x"), dst.cast("long").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct())
+    val sym = e.select(explode(array(
+        struct(col("a").as("w"), col("b").as("n")),
+        struct(col("b").as("w"), col("a").as("n")))).as("p"))
+      .select(col("p.w").as("w"), col("p.n").as("n"))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
+    val keptCenters = deg.where(col("deg") <= maxCenterDegree)
+    val dropped = deg.where(col("deg") > maxCenterDegree)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_dropped_centers"))
+    // wedge adjacency carries the CENTER's degree so the weighted
+    // scores fold without a per-wedge re-join against `deg`
+    val wedgeAdj = sym.join(keptCenters, Seq("w"))
+    val cand = wedgeAdj.as("l").join(wedgeAdj.as("r"),
+        col("l.w") === col("r.w") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("a"), col("r.n").as("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sort_array(collect_list(col("l.deg"))).as("cdegs"))
+      .join(e, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("w").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("w").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+      .withColumn("adamic_adar", aggregate(col("cdegs"), lit(0.0d),
+        (acc, d) => acc + lit(1.0d) / log(d.cast("double"))))
+      .withColumn("resource_alloc", aggregate(col("cdegs"), lit(0.0d),
+        (acc, d) => acc + lit(1.0d) / d.cast("double")))
+      .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard",
+        "adamic_adar", "resource_alloc")
+      .crossJoin(broadcast(dropped))
+  }
 }

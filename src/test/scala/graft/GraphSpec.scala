@@ -252,4 +252,41 @@ class GraphSpec extends SparkTestBase {
         iters = 0)
     }
   }
+
+  test("linkPrediction: hand-computed wedge candidates — existing edges " +
+    "anti-joined out, exact CN + Jaccard, reversed/self edges collapse") {
+    // 1-2, 1-3, 2-3, 2-4, 1-5 (+ reversed dup of 1-2, + self-loop 3-3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (1L, 5L),
+        (2L, 1L), (3L, 3L))
+      .toDF("s", "d")
+    val got = Graph.linkPrediction(edges, col("s"), col("d"))
+      .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard",
+        "adamic_adar", "resource_alloc", "n_dropped_centers")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Long)]
+      .collect().toSet
+    // degrees: 1:3, 2:3, 3:2, 4:1, 5:1. Non-edge candidates:
+    //   (1,4) via 2: 1/(3+1-1); (2,5) via 1: 1/(3+1-1)
+    //   (3,4) via 2: 1/(2+1-1); (3,5) via 1: 1/(2+1-1)
+    // every candidate has exactly one wedge center of degree 3, so
+    // AA = 1/ln 3 and RA = 1/3 everywhere. (4,5) shares no neighbor
+    // and must be absent.
+    // Spark's Log expression evaluates via StrictMath (math.log may
+    // intrinsify to a different last ULP on this JVM)
+    val aa = 1.0 / StrictMath.log(3.0)
+    val exp = Set(
+      (1L, 4L, 1L, 3L, 1L, 1.0 / 3.0, aa, 1.0 / 3.0, 0L),
+      (2L, 5L, 1L, 3L, 1L, 1.0 / 3.0, aa, 1.0 / 3.0, 0L),
+      (3L, 4L, 1L, 2L, 1L, 0.5, aa, 1.0 / 3.0, 0L),
+      (3L, 5L, 1L, 2L, 1L, 0.5, aa, 1.0 / 3.0, 0L))
+    assert(got === exp)
+  }
+
+  test("linkPrediction: the center-degree cap excludes hub wedges — " +
+    "capping both hubs leaves only the (1,2) edge wedge, anti-joined out") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (1L, 5L))
+      .toDF("s", "d")
+    val got = Graph.linkPrediction(edges, col("s"), col("d"),
+      maxCenterDegree = 2L)
+    assert(got.count() === 0L)
+  }
 }
