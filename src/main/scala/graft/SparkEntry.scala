@@ -130,6 +130,54 @@ object SparkEntry {
     * (`conv(substr(h, 1, chars), 16, 10)`) — base-16 expansion per char
     * with instr, the q_train_shuffle trick, factored out because the
     * importance oracles need 4- AND 8-char prefixes. */
+  /** Unrolled BPE merge-training oracle: `numMerges` rounds of
+    * count→argmax→rewrite over the word-frequency vocab, mirroring
+    * `Bpe.train` exactly. Symbols ride a chr(1)s…chr(2)-delimited
+    * string (the corpus is whitespace-split so words carry neither
+    * marker; `q_text_bpe_train`'s engine side never needs markers — it
+    * folds real arrays). `replace` is leftmost non-overlapping, which
+    * equals the engine's sequential fold: a product l+r can never
+    * re-trigger as left partner (l+r == l impossible) nor as right
+    * (l+r == r impossible), so no within-round cascade exists in either
+    * form. MATERIALIZED pins each round to run once — the inlined form
+    * is exponential in rounds over a parquet view. */
+  private def bpeTrainOracleSql(numMerges: Int): String = {
+    val base =
+      raw"""wf AS MATERIALIZED (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+           |        FROM documents)
+           |  WHERE length(word) > 0 GROUP BY word),
+           |v0 AS MATERIALIZED (
+           |  SELECT regexp_replace(word, '(.)', chr(1) || '\1' || chr(2),
+           |    'g') AS s, freq FROM wf)""".stripMargin
+    val rounds = (1 to numMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT y[i] AS l, y[i + 1] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(s, chr(1) || chr(2)),
+         |          chr(2) || chr(1)) AS y, freq FROM v${k - 1}),
+         |    unnest(range(1, len(y))) AS t(i)
+         |  GROUP BY 1, 2),
+         |w$k AS MATERIALIZED (
+         |  SELECT l, r FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT replace(s,
+         |    chr(1) || (SELECT l FROM w$k) || chr(2) ||
+         |      chr(1) || (SELECT r FROM w$k) || chr(2),
+         |    chr(1) || (SELECT l FROM w$k) ||
+         |      (SELECT r FROM w$k) || chr(2)) AS s, freq
+         |  FROM v${k - 1})""".stripMargin
+    }
+    val sel = (1 to numMerges).map { k =>
+      s"""SELECT CAST(${k - 1} AS INTEGER) AS rank,
+         |  (SELECT l FROM w$k) AS "left",
+         |  (SELECT r FROM w$k) AS "right"""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (base +: rounds).mkString(",\n") + "\n" + sel +
+      "\nORDER BY rank"
+  }
+
   private def hexPrefixSql(h: String, chars: Int): String =
     (1 to chars).map { i =>
       val mult = (0 until (chars - i)).foldLeft(1L)((a, _) => a * 16L)
@@ -1117,12 +1165,25 @@ object SparkEntry {
     // distribution over the corpus vocabulary — the argmax of this
     // table IS the first learned merge, so hashing the whole table
     // pins the trainer's counting arithmetic and its corpus→vocab
-    // reduction. Multi-round training + encode are differential-spec'd
-    // (BpeSpec) against a driver-side reference.
+    // reduction. Multi-round training is oracle-pinned by
+    // q_text_bpe_train; encode is differential-spec'd (BpeSpec)
+    // against a driver-side reference.
     "q_text_bpe_pairs" -> ((s, dir) =>
       graft.operators.Bpe
         .initialPairCounts(Tables.documents(s, dir), col("text"))
         .orderBy("left", "right")),
+
+    // the FULL merge-training loop, hash-pinned: 8 rounds of
+    // count→argmax→rewrite over the word-freq vocab. The oracle unrolls
+    // the identical rounds in DuckDB (marker-delimited symbol strings;
+    // `replace` is leftmost non-overlapping ≡ the engine's sequential
+    // fold because a within-round product l+r can never re-trigger as
+    // either partner). Integer counts + lexicographic tie-break → the
+    // merge table is a pure function of the corpus.
+    "q_text_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe
+        .trainTable(Tables.documents(s, dir), col("text"), 8)
+        .orderBy("rank")),
 
     // exact per-language length percentiles (Spark percentile() and DuckDB
     // quantile_cont share R-7 linear interpolation — verified bit-equal).
@@ -6536,6 +6597,9 @@ object SparkEntry {
         |FROM w, unnest(range(1, length(word))) AS t(i)
         |WHERE length(word) >= 2
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the full 8-round trainer (see bpeTrainOracleSql)
+    "q_text_bpe_train" -> bpeTrainOracleSql(8),
 
     // robust scaling: identical quantiles, identical expression shapes
     "q_quality_normalize" ->
