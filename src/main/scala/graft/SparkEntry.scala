@@ -185,6 +185,50 @@ object SparkEntry {
       if (mult == 1L) digit else s"$digit * $mult"
     }.mkString(" + ")
 
+  /** Unrolled random-walk oracle (q_graph_walks): the co-purchase
+    * similarity graph (the q_graph_linkpred edge CTEs, spelled out
+    * textually per the repo's oracle convention), ranked adjacency via
+    * row_number, then `walkLen` MATERIALIZED step CTEs each replaying
+    * `Graph.randomWalks`' md5 draw: hexPrefix8(md5(seed:start:walk:t))
+    * mod cur_deg into the ascending-neighbor rank. */
+  private def graphWalksOracleSql(walkLen: Int, seed: String): String = {
+    val base =
+      """m AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |        CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |sz AS (SELECT b, count(*) AS sz FROM m GROUP BY b),
+        |kept AS (SELECT m.b, m.i FROM m JOIN sz USING (b)
+        |         WHERE sz <= 1000),
+        |e AS MATERIALIZED (SELECT a.i AS a, c.i AS b
+        |  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS u, b AS n FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY u),
+        |adj AS MATERIALIZED (SELECT s.u,
+        |    row_number() OVER (PARTITION BY s.u ORDER BY s.n) - 1
+        |      AS rank,
+        |    s.n AS nbr, dn.deg AS nbr_deg
+        |  FROM sym s JOIN deg dn ON dn.u = s.n),
+        |s0 AS MATERIALIZED (SELECT u AS start, CAST(0 AS INTEGER)
+        |    AS walk, u AS cur, deg AS cur_deg FROM deg)""".stripMargin
+    val steps = (1 to walkLen).map { t =>
+      val h = s"md5('$seed' || ':' || CAST(st.start AS VARCHAR) || " +
+        s"':' || CAST(st.walk AS VARCHAR) || ':' || '$t')"
+      s"""s$t AS MATERIALIZED (SELECT st.start, st.walk,
+         |    a.nbr AS cur, a.nbr_deg AS cur_deg
+         |  FROM s${t - 1} st JOIN adj a ON a.u = st.cur
+         |    AND a.rank = ((${hexPrefixSql(h, 8)}) % st.cur_deg))"""
+        .stripMargin
+    }
+    val sel = (0 to walkLen).map { t =>
+      s"SELECT start, walk, CAST($t AS INTEGER) AS step, cur AS node " +
+        s"FROM s$t"
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (base +: steps).mkString(",\n") + "\n" + sel +
+      "\nORDER BY start, walk, step"
+  }
+
   /** DuckDB mirror of Dedup.shingles (w=3, distinct). */
   private val shinglesSql =
     s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
@@ -1521,6 +1565,21 @@ object SparkEntry {
         .limit(100)
         .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard",
           "resource_alloc", "n_dropped_centers")
+    }),
+
+    // DeepWalk corpus over the co-purchase similarity graph: 1 walk of
+    // 6 md5-driven steps per node — the node-embedding "sentences".
+    // Every visited node hash-pinned against the oracle's replay of the
+    // identical draw chain.
+    "q_graph_walks" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      val edges = graft.operators.Recommend.itemSimilarity(m, col("b"),
+          col("i"), maxBasketSize = 1000L, minCooc = 2L)
+        .select(col("i1"), col("i2"))
+      graft.operators.Graph.randomWalks(edges, col("i1"), col("i2"),
+          walkLen = 6, walksPerNode = 1, seed = "graft")
+        .orderBy("start", "walk", "step")
     }),
 
     // personalized PageRank: teleport restricted to the %100 customer
@@ -5292,6 +5351,9 @@ object SparkEntry {
         |FROM nc JOIN deg da ON nc.a = da.w JOIN deg db ON nc.b = db.w
         |ORDER BY n_common DESC, resource_alloc DESC, a ASC, b ASC
         |LIMIT 100""".stripMargin,
+
+    // DeepWalk corpus: the unrolled 6-step md5 walk replay
+    "q_graph_walks" -> graphWalksOracleSql(6, "graft"),
 
     // heavy hitters: plain exact SQL — the sketch is an execution
     // strategy, not a semantic; threshold ceil is forced into DOUBLE

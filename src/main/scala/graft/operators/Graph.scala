@@ -589,4 +589,101 @@ object Graph {
         "adamic_adar", "resource_alloc")
       .crossJoin(broadcast(dropped))
   }
+
+  /** DeepWalk-style random-walk corpus generation (Perozzi et al. 2014):
+    * `walksPerNode` uniform walks of `walkLen` steps from every node of
+    * the undirected simple graph, emitted as (start, walk, step, node)
+    * rows — the "sentences" a skip-gram / node-embedding trainer
+    * consumes, and the graph-side mirror of the text corpus samplers.
+    *
+    * Determinism (the md5-draw convention): the step-t draw for walker
+    * (start, walk) is `hexPrefix8(md5(seed:start:walk:t)) mod deg(cur)`
+    * into the neighbor list ranked by ascending neighbor id — a pure
+    * function of (graph, seed), replayed verbatim by the generated SQL
+    * oracle. Same seed → identical corpus on every run and engine; a new
+    * seed → an independent walk set.
+    *
+    * Scale shape: the ranked adjacency (u, rank, nbr, nbr_deg) is
+    * materialized ONCE (one window over the symmetric edge list + one
+    * degree join). Walk state carries (cur, cur_deg), so every step is
+    * ONE equi join on (u, rank) with exactly one match per walker — no
+    * per-step windows, no non-equi predicates, no driver-side state
+    * (the driver never holds a single walk). Steps are materialized and
+    * the superseded state released, the iterate-many-rounds discipline
+    * of [[pageRank]]. Walkers never strand: the symmetric adjacency
+    * gives every node degree ≥ 1.
+    *
+    * Output: start, walk (0-based), step (0 = the start node itself),
+    * node.
+    */
+  def randomWalks(edges: DataFrame, src: Column, dst: Column,
+                  walkLen: Int, walksPerNode: Int = 1,
+                  seed: String = "graft"): DataFrame = {
+    require(walkLen >= 1, s"randomWalks: walkLen=$walkLen must be >= 1")
+    require(walksPerNode >= 1,
+      s"randomWalks: walksPerNode=$walksPerNode must be >= 1")
+    val e = edges
+      .select(src.cast("long").as("x"), dst.cast("long").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val sym = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("n")),
+        struct(col("b").as("u"), col("a").as("n")))).as("p"))
+      .select(col("p.u").as("u"), col("p.n").as("n"))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    // ranked adjacency joined with each NEIGHBOR's degree, so walk
+    // state always knows the modulus for its next draw
+    val adj = materialize(sym
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy("n")) - 1)
+      .join(deg.select(col("u").as("n"), col("deg").as("nbr_deg")),
+        Seq("n"))
+      .select(col("u"), col("rank"), col("n").as("nbr"), col("nbr_deg")))
+    val draw = (step: Int) => pmod(
+      conv(substring(md5(concat_ws(":", lit(seed),
+        col("start").cast("string"), col("walk").cast("string"),
+        lit(step).cast("string"))), 1, 8), 16, 10).cast("long"),
+      col("cur_deg"))
+    var state = materialize(deg
+      .select(col("u").as("start"), col("deg").as("cur_deg"))
+      .crossJoin(walkIndexFrame(edges, walksPerNode))
+      .select(col("start"), col("walk"), col("start").as("cur"),
+        col("cur_deg")))
+    // emitted rows fold into a MATERIALIZED accumulator before the
+    // round they came from is released — a released localCheckpoint
+    // cannot be recomputed, so lazily-unioned step frames would break.
+    // Cost: Σ_t t·W re-materialized rows ≈ walkLen²/2 walkers — fine
+    // for the short walks (5-20 steps) embedding corpora use.
+    var acc = materialize(state.select(col("start"), col("walk"),
+      lit(0).as("step"), col("cur").as("node")))
+    (1 to walkLen).foreach { t =>
+      val next = materialize(state
+        .withColumn("r", draw(t))
+        .join(adj, col("cur") === col("u") && col("r") === col("rank"))
+        .select(col("start"), col("walk"), col("nbr").as("cur"),
+          col("nbr_deg").as("cur_deg")))
+      val nextAcc = materialize(acc.unionAll(
+        next.select(col("start"), col("walk"),
+          lit(t).as("step"), col("cur").as("node"))))
+      releaseMaterialized(acc)
+      releaseMaterialized(state)
+      acc = nextAcc
+      state = next
+    }
+    releaseMaterialized(state)
+    releaseMaterialized(adj)
+    acc
+  }
+
+  /** A tiny (walk = 0..walksPerNode−1) frame for the walk fan-out —
+    * literal rows, no range() codepath differences to mirror. */
+  private def walkIndexFrame(edges: DataFrame,
+                             walksPerNode: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    (0 until walksPerNode).toDF("walk")
+  }
 }

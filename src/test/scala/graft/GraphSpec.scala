@@ -289,4 +289,37 @@ class GraphSpec extends SparkTestBase {
       maxCenterDegree = 2L)
     assert(got.count() === 0L)
   }
+
+  test("randomWalks: every step matches an independent driver-side " +
+    "replay of the md5 draw; walkers never strand; reversed dups collapse") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L))
+      .toDF("s", "d")
+    val walkLen = 4
+    val walksPerNode = 2
+    val seed = "t"
+    val got = Graph.randomWalks(edges, col("s"), col("d"),
+        walkLen = walkLen, walksPerNode = walksPerNode, seed = seed)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // independent reference: same ranked adjacency, same draw formula
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    def draw(start: Long, walk: Int, step: Int, deg: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$seed:$start:$walk:$step".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 8), 16) % deg).toInt
+    }
+    val exp = (for {
+      start <- adj.keys.toSeq
+      walk <- 0 until walksPerNode
+    } yield {
+      var cur = start
+      (start, walk, 0, cur) +: (1 to walkLen).map { t =>
+        cur = adj(cur)(draw(start, walk, t, adj(cur).size))
+        (start, walk, t, cur)
+      }
+    }).flatten.toSet
+    assert(got === exp)
+    assert(got.size === adj.size * walksPerNode * (walkLen + 1))
+  }
 }
