@@ -191,7 +191,10 @@ object SparkEntry {
     * row_number, then `walkLen` MATERIALIZED step CTEs each replaying
     * `Graph.randomWalks`' md5 draw: hexPrefix8(md5(seed:start:walk:t))
     * mod cur_deg into the ascending-neighbor rank. */
-  private def graphWalksOracleSql(walkLen: Int, seed: String): String = {
+  private def graphWalksOracleSql(walkLen: Int, seed: String,
+      finalSelect: String =
+        "SELECT start, walk, step, node FROM wk " +
+          "ORDER BY start, walk, step"): String = {
     val base =
       """m AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
         |        CAST(l_partkey AS BIGINT) AS i FROM lineitem),
@@ -225,9 +228,25 @@ object SparkEntry {
       s"SELECT start, walk, CAST($t AS INTEGER) AS step, cur AS node " +
         s"FROM s$t"
     }.mkString("\nUNION ALL\n")
-    "WITH " + (base +: steps).mkString(",\n") + "\n" + sel +
-      "\nORDER BY start, walk, step"
+    "WITH " + (base +: steps).mkString(",\n") +
+      s",\nwk AS (\n$sel)\n" + finalSelect
   }
+
+  /** Skip-gram pair oracle over the q_graph_walks chain: the identical
+    * walk replay, then the one-directional step-band self-join and
+    * least/greatest pair count mirroring `Graph.walkSkipGramPairs`. */
+  private def graphWalkPairsOracleSql(walkLen: Int, seed: String,
+                                      window: Int): String =
+    graphWalksOracleSql(walkLen, seed, finalSelect =
+      s"""SELECT least(a.node, b.node) AS w1,
+         |  greatest(a.node, b.node) AS w2,
+         |  CAST(count(*) AS BIGINT) AS n_pair
+         |FROM wk a JOIN wk b
+         |  ON a.start = b.start AND a.walk = b.walk
+         |    AND b.step > a.step AND b.step <= a.step + $window
+         |GROUP BY 1, 2
+         |ORDER BY n_pair DESC, w1 ASC, w2 ASC
+         |LIMIT 100""".stripMargin)
 
   /** DuckDB mirror of Dedup.shingles (w=3, distinct). */
   private val shinglesSql =
@@ -1580,6 +1599,22 @@ object SparkEntry {
       graft.operators.Graph.randomWalks(edges, col("i1"), col("i2"),
           walkLen = 6, walksPerNode = 1, seed = "graft")
         .orderBy("start", "walk", "step")
+    }),
+
+    // the DeepWalk READOUT: skip-gram (center, context) pair counts
+    // within window 2 over the q_graph_walks corpus — what a node
+    // embedder actually trains on. Top-100 under a total order.
+    "q_graph_walk_pairs" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      val edges = graft.operators.Recommend.itemSimilarity(m, col("b"),
+          col("i"), maxBasketSize = 1000L, minCooc = 2L)
+        .select(col("i1"), col("i2"))
+      val walks = graft.operators.Graph.randomWalks(edges, col("i1"),
+        col("i2"), walkLen = 6, walksPerNode = 1, seed = "graft")
+      graft.operators.Graph.walkSkipGramPairs(walks, window = 2)
+        .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+        .limit(100)
     }),
 
     // personalized PageRank: teleport restricted to the %100 customer
@@ -5354,6 +5389,9 @@ object SparkEntry {
 
     // DeepWalk corpus: the unrolled 6-step md5 walk replay
     "q_graph_walks" -> graphWalksOracleSql(6, "graft"),
+
+    // skip-gram pairs over the same walk chain
+    "q_graph_walk_pairs" -> graphWalkPairsOracleSql(6, "graft", 2),
 
     // heavy hitters: plain exact SQL — the sketch is an execution
     // strategy, not a semantic; threshold ceil is forced into DOUBLE

@@ -678,6 +678,39 @@ object Graph {
     acc
   }
 
+  /** Skip-gram training pairs from a [[randomWalks]] corpus (the
+    * DeepWalk readout): each unordered node pair co-occurring within
+    * `window` steps of the same walk, counted once per occurrence —
+    * exactly the (center, context) multiset a word2vec-style node
+    * embedder trains on, and the graph mirror of
+    * `Cooccur.windowCooccur`'s text pairs.
+    *
+    * Shape: one positional self-join keyed on (start, walk) — high
+    * cardinality, one walker per key, ≤ walkLen·window matched pairs
+    * per walk — then one (w1, w2) hash aggregate with map-side
+    * combine. Pairs orient least/greatest; a walk revisiting a node
+    * within the window yields the (x, x) self-pair, kept (word2vec
+    * keeps them too) and counted exactly.
+    *
+    * Output: w1, w2, n_pair (n_pair >= minCount).
+    */
+  def walkSkipGramPairs(walks: DataFrame, window: Int = 2,
+                        minCount: Long = 1L): DataFrame = {
+    require(window >= 1,
+      s"walkSkipGramPairs: window=$window must be >= 1")
+    val a = walks.select(col("start"), col("walk"), col("step"),
+      col("node"))
+    a.as("a").join(a.as("b"),
+        col("a.start") === col("b.start") &&
+          col("a.walk") === col("b.walk") &&
+          col("b.step") > col("a.step") &&
+          col("b.step") <= col("a.step") + window)
+      .select(least(col("a.node"), col("b.node")).as("w1"),
+        greatest(col("a.node"), col("b.node")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+  }
+
   /** A tiny (walk = 0..walksPerNode−1) frame for the walk fan-out —
     * literal rows, no range() codepath differences to mirror. */
   private def walkIndexFrame(edges: DataFrame,

@@ -322,4 +322,16 @@ class GraphSpec extends SparkTestBase {
     assert(got === exp)
     assert(got.size === adj.size * walksPerNode * (walkLen + 1))
   }
+
+  test("walkSkipGramPairs: window-2 pairs over a hand walk — " +
+    "orientation, revisit self-pair, exact counts") {
+    // one walk 1→2→3→2: window-2 pairs (1,2),(1,3),(2,3),(2,2),(2,3)
+    val walks = Seq((1L, 0, 0, 1L), (1L, 0, 1, 2L), (1L, 0, 2, 3L),
+        (1L, 0, 3, 2L))
+      .toDF("start", "walk", "step", "node")
+    val got = Graph.walkSkipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 2L, 1L)))
+  }
 }
