@@ -1431,6 +1431,78 @@ object ScaleProbe {
       }
     }
 
+    if (which("walks-weak")) {
+      // random-walk + link-prediction tier at ~2M edges, closed-form:
+      // 100k disjoint K6 cliques (1.5M edges) — every walk is TRAPPED
+      // in its clique, so row counts and clique-confinement are exact;
+      // 100k disjoint 5-chains — link prediction has exactly 3
+      // candidates per chain with hand-computable scores; and on the
+      // cliques the candidate set must be EMPTY (every wedge pair is
+      // an edge → the anti-join must kill all of them).
+      val m = 100000L
+      val cliquePairs = for { j <- 0 until 6; j2 <- j + 1 until 6 }
+        yield (j, j2)
+      val cliqueEdges = spark.range(m)
+        .select(col("id"), explode(typedlit(cliquePairs)).as("p"))
+        .select((col("id") * 10 + col("p._1")).as("s"),
+          (col("id") * 10 + col("p._2")).as("d")).localCheckpoint(true)
+      var walks: DataFrame = null
+      t("walks_600k_nodes_5_steps_1p5m_edges") {
+        walks = graft.operators.Graph.randomWalks(cliqueEdges,
+          col("s"), col("d"), walkLen = 5).localCheckpoint(true)
+        val n = walks.count()
+        require(n == 6 * m * 6, s"expected ${6 * m * 6} rows, got $n")
+        val esc = walks.where(expr("node DIV 10") =!=
+          expr("start DIV 10")).count()
+        require(esc == 0, s"$esc walk steps escaped their clique")
+        n
+      }
+      t("walk_skipgram_pairs_3p6m_rows_window2") {
+        // per walk: 5 adjacent + 4 skip-1 pairs = 9; totals exact
+        val p = graft.operators.Graph.walkSkipGramPairs(walks,
+          window = 2).localCheckpoint(true)
+        val total = p.agg(sum("n_pair")).head().getLong(0)
+        require(total == 9 * 6 * m,
+          s"expected ${9 * 6 * m} pair occurrences, got $total")
+        val cross = p.where(expr("w1 DIV 10") =!= expr("w2 DIV 10"))
+          .count()
+        require(cross == 0, s"$cross cross-clique pairs")
+        p.count()
+      }
+      val chainBase = m * 10
+      val chainPairs = (0 until 4).map(j => (j, j + 1))
+      val chainEdges = spark.range(m)
+        .select(col("id"), explode(typedlit(chainPairs)).as("p"))
+        .select((lit(chainBase) + col("id") * 10 + col("p._1")).as("s"),
+          (lit(chainBase) + col("id") * 10 + col("p._2")).as("d"))
+        .localCheckpoint(true)
+      t("linkpred_100k_chains_exact_candidates") {
+        // chain a-b-c-d-e: candidates (a,c) (b,d) (c,e), all CN=1,
+        // all wedge centers degree 2 → resource_alloc 0.5 everywhere;
+        // jaccard 0.5 / (1/3) / 0.5
+        val r = graft.operators.Graph.linkPrediction(chainEdges,
+          col("s"), col("d")).localCheckpoint(true)
+        val n = r.count()
+        require(n == 3 * m, s"expected ${3 * m} candidates, got $n")
+        val badCn = r.where(col("n_common") =!= 1L).count()
+        require(badCn == 0, s"$badCn candidates with n_common != 1")
+        val j13 = r.where(col("jaccard") === lit(1.0 / 3.0)).count()
+        val j05 = r.where(col("jaccard") === lit(0.5)).count()
+        require(j13 == m && j05 == 2 * m,
+          s"jaccard histogram off: third=$j13 half=$j05")
+        val badRa = r.where(col("resource_alloc") =!= lit(0.5)).count()
+        require(badRa == 0, s"$badRa candidates with RA != 0.5")
+        n
+      }
+      t("linkpred_cliques_empty_candidate_set") {
+        // K6: every wedge-generated pair is an edge → all anti-joined
+        val n = graft.operators.Graph.linkPrediction(cliqueEdges,
+          col("s"), col("d")).count()
+        require(n == 0, s"expected 0 candidates on cliques, got $n")
+        n + 1
+      }
+    }
+
     if (which("interval-weak")) {
       // Interval overlap join at 1M x 1M intervals: the naive overlap
       // predicate is 10^12 comparisons (BroadcastNestedLoopJoin — does
