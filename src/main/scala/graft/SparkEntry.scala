@@ -194,7 +194,8 @@ object SparkEntry {
   private def graphWalksOracleSql(walkLen: Int, seed: String,
       finalSelect: String =
         "SELECT start, walk, step, node FROM wk " +
-          "ORDER BY start, walk, step"): String = {
+          "ORDER BY start, walk, step",
+      extraCtes: Seq[String] = Nil): String = {
     val base =
       """m AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
         |        CAST(l_partkey AS BIGINT) AS i FROM lineitem),
@@ -228,8 +229,46 @@ object SparkEntry {
       s"SELECT start, walk, CAST($t AS INTEGER) AS step, cur AS node " +
         s"FROM s$t"
     }.mkString("\nUNION ALL\n")
-    "WITH " + (base +: steps).mkString(",\n") +
-      s",\nwk AS (\n$sel)\n" + finalSelect
+    "WITH " + ((base +: steps) ++ (s"wk AS (\n$sel)" +: extraCtes))
+      .mkString(",\n") + "\n" + finalSelect
+  }
+
+  /** Negative-sampling oracle over the q_graph_walks chain: node
+    * frequencies from the walk corpus, the bit-portable
+    * ⌊sqrt(sqrt(freq³))⌋ = ⌊freq^0.75⌋ noise weights (sqrt is
+    * IEEE-correctly-rounded in both engines; freq³ is exact integer
+    * below the cap), integer cumulative [lo, hi) intervals in
+    * ascending node order, and the md5 12-hex draw replay of
+    * `Graph.negativeSamples`. */
+  private def graphNegativesOracleSql(walkLen: Int, seed: String,
+                                      negatives: Int,
+                                      maxFreq: Long): String = {
+    val fr = s"CAST(least(freq, $maxFreq) AS DOUBLE)"
+    val h = s"md5('$seed' || ':' || CAST(d.start AS VARCHAR) || ':' " +
+      "|| CAST(d.walk AS VARCHAR) || ':' || CAST(d.step AS VARCHAR) " +
+      "|| ':' || CAST(j.j AS VARCHAR))"
+    val jRows = (0 until negatives).map(j => s"($j)").mkString(", ")
+    graphWalksOracleSql(walkLen, seed,
+      extraCtes = Seq(
+        s"""nf AS MATERIALIZED (SELECT node,
+           |  CAST(count(*) AS BIGINT) AS freq FROM wk GROUP BY node),
+           |nw AS (SELECT node, greatest(CAST(1 AS BIGINT),
+           |    CAST(floor(sqrt(sqrt($fr * $fr * $fr))) AS BIGINT))
+           |    AS w FROM nf),
+           |cm AS MATERIALIZED (SELECT c.node, c.hi - n.w AS lo, c.hi
+           |  FROM (SELECT node, sum(w) OVER (ORDER BY node
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |          AS hi FROM nw) c
+           |  JOIN nw n USING (node)),
+           |tot AS (SELECT max(hi) AS total FROM cm),
+           |dr AS MATERIALIZED (SELECT d.start, d.walk, d.step, j.j,
+           |    ((${hexPrefixSql(h, 12)}) % (SELECT total FROM tot))
+           |      AS u
+           |  FROM wk d, (VALUES $jRows) AS j(j))""".stripMargin),
+      finalSelect =
+        """SELECT d.start, d.walk, d.step, d.j, c.node AS neg
+          |FROM dr d JOIN cm c ON d.u >= c.lo AND d.u < c.hi
+          |ORDER BY start, walk, step, j""".stripMargin)
   }
 
   /** Skip-gram pair oracle over the q_graph_walks chain: the identical
@@ -1615,6 +1654,24 @@ object SparkEntry {
       graft.operators.Graph.walkSkipGramPairs(walks, window = 2)
         .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
         .limit(100)
+    }),
+
+    // the word2vec noise draw: 2 unigram^0.75 negatives per walk
+    // position — integer noise weights via the bit-portable
+    // floor(sqrt(sqrt(freq³))), md5 12-hex draws, point-in-interval
+    // lookup through the grid-bucketed interval join. Every drawn
+    // negative hash-pinned.
+    "q_graph_negatives" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      val edges = graft.operators.Recommend.itemSimilarity(m, col("b"),
+          col("i"), maxBasketSize = 1000L, minCooc = 2L)
+        .select(col("i1"), col("i2"))
+      val walks = graft.operators.Graph.randomWalks(edges, col("i1"),
+        col("i2"), walkLen = 6, walksPerNode = 1, seed = "graft")
+      graft.operators.Graph.negativeSamples(walks, negatives = 2,
+          seed = "graft")
+        .orderBy("start", "walk", "step", "j")
     }),
 
     // personalized PageRank: teleport restricted to the %100 customer
@@ -5392,6 +5449,10 @@ object SparkEntry {
 
     // skip-gram pairs over the same walk chain
     "q_graph_walk_pairs" -> graphWalkPairsOracleSql(6, "graft", 2),
+
+    // negative draws over the same walk chain
+    "q_graph_negatives" -> graphNegativesOracleSql(6, "graft", 2,
+      100000L),
 
     // heavy hitters: plain exact SQL — the sketch is an execution
     // strategy, not a semantic; threshold ceil is forced into DOUBLE

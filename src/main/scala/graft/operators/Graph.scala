@@ -711,6 +711,74 @@ object Graph {
       .where(col("n_pair") >= minCount)
   }
 
+  /** Word2vec-style negative sampling over a [[randomWalks]] corpus:
+    * `negatives` noise nodes per walk position, drawn from the
+    * unigram^(3/4) distribution (Mikolov et al. 2013) — the third leg
+    * of the embedding-training triple (walks → skip-gram pairs →
+    * negatives).
+    *
+    * Bit-portable smoothing WITHOUT pow(): the noise weight is
+    * `floor(sqrt(sqrt(freq³)))` = ⌊freq^0.75⌋. freq³ is exact integer
+    * arithmetic below 2⁵³ (freq capped at `maxFreq` first — the cap is
+    * ALSO the standard noise-table truncation for stopword-class
+    * nodes), and IEEE-754 requires sqrt be correctly rounded in both
+    * Spark (Math.sqrt) and DuckDB (libm) — so the composed double is
+    * identical across engines and its floor is an exact BIGINT weight.
+    * Everything downstream is integer: cumulative [lo, hi) intervals
+    * over nodes in ascending-id order (order-independent integer sums),
+    * and the step draw `hexPrefix12(md5(seed:start:walk:step:j)) mod
+    * total` — a pure function of (corpus, seed).
+    *
+    * Scale shape: the noise table is vocab-sized (one groupBy over the
+    * walk corpus; its cumulative window is a single global sort over
+    * the VOCAB, not the corpus — the standard word2vec noise-table
+    * build). The draw→node lookup is the grid-bucketed
+    * [[IntervalJoin.overlapJoin]] (point-in-interval), never a
+    * nested-loop range join. Total weight rides the driver as ONE
+    * scalar (the k-means-centroid bound).
+    *
+    * Output: start, walk, step, j (0-based draw index), neg (node id).
+    */
+  def negativeSamples(walks: DataFrame, negatives: Int,
+                      seed: String = "graft", maxFreq: Long = 100000L,
+                      bucketWidth: Long = 1L << 16): DataFrame = {
+    require(negatives >= 1,
+      s"negativeSamples: negatives=$negatives must be >= 1")
+    require(maxFreq >= 1 && maxFreq <= 200000L,
+      s"negativeSamples: maxFreq=$maxFreq must be in [1, 200000] " +
+        "(freq³ must stay below 2⁵³ for the exact-integer cube)")
+    val f = least(col("freq"), lit(maxFreq)).cast("double")
+    val wt = walks.groupBy(col("node")).agg(count(lit(1)).as("freq"))
+      .select(col("node"),
+        greatest(lit(1L), floor(sqrt(sqrt(f * f * f)))).as("w"))
+    val cum = materialize(wt
+      .withColumn("hi", sum("w").over(
+        org.apache.spark.sql.expressions.Window.orderBy("node")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select(col("node"), (col("hi") - col("w")).as("lo"),
+        (col("hi") - 1).as("hi_incl")))
+    val total = cum.agg(max("hi_incl")).head().getLong(0) + 1
+    require(total < (1L << 48),
+      s"negativeSamples: total noise weight $total exceeds the 12-hex " +
+        "draw space; raise the draw width or lower maxFreq")
+    val spark = walks.sparkSession
+    import spark.implicits._
+    val draws = walks.select(col("start"), col("walk"), col("step"))
+      .crossJoin((0 until negatives).toDF("j"))
+      .withColumn("u", pmod(
+        conv(substring(md5(concat_ws(":", lit(seed),
+          col("start").cast("string"), col("walk").cast("string"),
+          col("step").cast("string"), col("j").cast("string"))),
+          1, 12), 16, 10).cast("long"),
+        lit(total)))
+      .withColumn("u2", col("u"))
+    IntervalJoin.overlapJoin(draws, cum, "u", "u2", "lo", "hi_incl",
+        bucketWidth = bucketWidth)
+      .select(col("start"), col("walk"), col("step"), col("j"),
+        col("node").as("neg"))
+  }
+
   /** A tiny (walk = 0..walksPerNode−1) frame for the walk fan-out —
     * literal rows, no range() codepath differences to mirror. */
   private def walkIndexFrame(edges: DataFrame,

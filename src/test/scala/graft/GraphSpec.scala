@@ -334,4 +334,31 @@ class GraphSpec extends SparkTestBase {
     assert(got === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
       (2L, 2L, 1L)))
   }
+
+  test("negativeSamples: draws match an independent replay of the " +
+    "integer noise table — weights floor(freq^0.75), md5 interval pick") {
+    // freq: node 1 ×3, node 2 ×1 → w(1)=⌊3^0.75⌋=2, w(2)=1, total 3;
+    // intervals: 1 → [0,2), 2 → [2,3)
+    val walks = Seq((1L, 0, 0, 1L), (1L, 0, 1, 1L), (1L, 0, 2, 1L),
+        (1L, 0, 3, 2L))
+      .toDF("start", "walk", "step", "node")
+    val got = Graph.negativeSamples(walks, negatives = 2, seed = "t")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    def draw(start: Long, walk: Int, step: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"t:$start:$walk:$step:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 12), 16) % 3
+    }
+    val exp = (for {
+      (start, walk, step) <- Seq((1L, 0, 0), (1L, 0, 1), (1L, 0, 2),
+        (1L, 0, 3))
+      j <- 0 until 2
+    } yield {
+      val u = draw(start, walk, step, j)
+      (start, walk, step, j, if (u < 2) 1L else 2L)
+    }).toSet
+    assert(got === exp)
+    assert(got.size === 8)
+  }
 }
