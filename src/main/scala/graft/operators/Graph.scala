@@ -741,7 +741,7 @@ object Graph {
     */
   def negativeSamples(walks: DataFrame, negatives: Int,
                       seed: String = "graft", maxFreq: Long = 100000L,
-                      bucketWidth: Long = 1L << 16): DataFrame = {
+                      bucketWidth: Long = 0L): DataFrame = {
     require(negatives >= 1,
       s"negativeSamples: negatives=$negatives must be >= 1")
     require(maxFreq >= 1 && maxFreq <= 200000L,
@@ -758,10 +758,22 @@ object Graph {
             .unboundedPreceding, 0)))
       .select(col("node"), (col("hi") - col("w")).as("lo"),
         (col("hi") - 1).as("hi_incl")))
-    val total = cum.agg(max("hi_incl")).head().getLong(0) + 1
+    val Array(totalRow) = cum.agg(max("hi_incl"), count(lit(1)))
+      .collect()
+    val total = totalRow.getLong(0) + 1
+    val vocabN = totalRow.getLong(1)
     require(total < (1L << 48),
       s"negativeSamples: total noise weight $total exceeds the 12-hex " +
         "draw space; raise the draw width or lower maxFreq")
+    // auto grid width = the AVERAGE noise weight, so each cell holds
+    // ~1 interval and each draw lands in ~1 cell — the occupancy that
+    // keeps the grid join linear. A caller-pinned width that leaves
+    // only a handful of cells degrades to per-cell cross products
+    // (measured: 30 cells over a 2M-weight table was 30× slower than
+    // the auto width at 3.6M draws).
+    val width =
+      if (bucketWidth > 0) bucketWidth
+      else math.max(1L, total / math.max(1L, vocabN))
     val spark = walks.sparkSession
     import spark.implicits._
     val draws = walks.select(col("start"), col("walk"), col("step"))
@@ -774,7 +786,7 @@ object Graph {
         lit(total)))
       .withColumn("u2", col("u"))
     IntervalJoin.overlapJoin(draws, cum, "u", "u2", "lo", "hi_incl",
-        bucketWidth = bucketWidth)
+        bucketWidth = width)
       .select(col("start"), col("walk"), col("step"), col("j"),
         col("node").as("neg"))
   }

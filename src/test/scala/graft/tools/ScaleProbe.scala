@@ -1469,6 +1469,15 @@ object ScaleProbe {
         require(cross == 0, s"$cross cross-clique pairs")
         p.count()
       }
+      t("walk_negatives_3p6m_draws_total_lookup") {
+        // every draw must land in EXACTLY one noise interval: the
+        // output row count equals draws (walk rows × k) iff the
+        // cumulative intervals tile [0, total) with no gap/overlap
+        val n = graft.operators.Graph.negativeSamples(walks,
+          negatives = 1).count()
+        require(n == 6 * m * 6, s"expected ${6 * m * 6} draws, got $n")
+        n
+      }
       val chainBase = m * 10
       val chainPairs = (0 until 4).map(j => (j, j + 1))
       val chainEdges = spark.range(m)
