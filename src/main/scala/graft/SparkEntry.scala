@@ -189,7 +189,7 @@ object SparkEntry {
     * similarity graph (the q_graph_linkpred edge CTEs, spelled out
     * textually per the repo's oracle convention), ranked adjacency via
     * row_number, then `walkLen` MATERIALIZED step CTEs each replaying
-    * `Graph.randomWalks`' md5 draw: hexPrefix8(md5(seed:start:walk:t))
+    * `Graph.randomWalks`' md5 draw: hexPrefix12(md5(seed:start:walk:t))
     * mod cur_deg into the ascending-neighbor rank. */
   private def graphWalksOracleSql(walkLen: Int, seed: String,
       finalSelect: String =
@@ -222,7 +222,7 @@ object SparkEntry {
       s"""s$t AS MATERIALIZED (SELECT st.start, st.walk,
          |    a.nbr AS cur, a.nbr_deg AS cur_deg
          |  FROM s${t - 1} st JOIN adj a ON a.u = st.cur
-         |    AND a.rank = ((${hexPrefixSql(h, 8)}) % st.cur_deg))"""
+         |    AND a.rank = ((${hexPrefixSql(h, 12)}) % st.cur_deg))"""
         .stripMargin
     }
     val sel = (0 to walkLen).map { t =>
@@ -231,6 +231,54 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n")
     "WITH " + ((base +: steps) ++ (s"wk AS (\n$sel)" +: extraCtes))
       .mkString(",\n") + "\n" + finalSelect
+  }
+
+  /** Weighted-walk oracle (q_graph_walks_weighted): the co-purchase
+    * graph KEEPING its co-occurrence counts as integer edge weights,
+    * per-u cumulative [lo, hi] intervals in ascending-neighbor order,
+    * and the shared 12-hex draw `mod Σw(u)` resolved by interval
+    * containment — `Graph.randomWalksWeighted`'s chain replayed
+    * round by round. */
+  private def graphWalksWeightedOracleSql(walkLen: Int,
+                                          seed: String): String = {
+    val base =
+      """m AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+        |        CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |sz AS (SELECT b, count(*) AS sz FROM m GROUP BY b),
+        |kept AS (SELECT m.b, m.i FROM m JOIN sz USING (b)
+        |         WHERE sz <= 1000),
+        |e AS MATERIALIZED (SELECT a.i AS a, c.i AS b,
+        |    CAST(count(*) AS BIGINT) AS wt
+        |  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |symw AS (SELECT a AS u, b AS n, wt FROM e
+        |         UNION ALL SELECT b, a, wt FROM e),
+        |tot AS MATERIALIZED (SELECT u, CAST(sum(wt) AS BIGINT)
+        |    AS total FROM symw GROUP BY u),
+        |adjw AS MATERIALIZED (SELECT s.u, s.hi - s.wt AS lo,
+        |    s.hi - 1 AS hi, s.n AS nbr, tn.total AS nbr_total
+        |  FROM (SELECT u, n, wt, sum(wt) OVER (PARTITION BY u
+        |          ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |          CURRENT ROW) AS hi FROM symw) s
+        |  JOIN tot tn ON tn.u = s.n),
+        |s0 AS MATERIALIZED (SELECT u AS start, CAST(0 AS INTEGER)
+        |    AS walk, u AS cur, total AS cur_total FROM tot)"""
+        .stripMargin
+    val steps = (1 to walkLen).map { t =>
+      val h = s"md5('$seed' || ':' || CAST(st.start AS VARCHAR) || " +
+        s"':' || CAST(st.walk AS VARCHAR) || ':' || '$t')"
+      s"""s$t AS MATERIALIZED (SELECT st.start, st.walk,
+         |    a.nbr AS cur, a.nbr_total AS cur_total
+         |  FROM s${t - 1} st JOIN adjw a ON a.u = st.cur
+         |    AND ((${hexPrefixSql(h, 12)}) % st.cur_total)
+         |      BETWEEN a.lo AND a.hi)""".stripMargin
+    }
+    val sel = (0 to walkLen).map { t =>
+      s"SELECT start, walk, CAST($t AS INTEGER) AS step, cur AS node " +
+        s"FROM s$t"
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (base +: steps).mkString(",\n") + "\n" + sel +
+      "\nORDER BY start, walk, step"
   }
 
   /** Negative-sampling oracle over the q_graph_walks chain: node
@@ -1654,6 +1702,20 @@ object SparkEntry {
       graft.operators.Graph.walkSkipGramPairs(walks, window = 2)
         .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
         .limit(100)
+    }),
+
+    // weight-proportional walks: transitions ∝ co-occurrence count —
+    // the node2vec-on-weighted-graph form; integer cumulative
+    // intervals per adjacency list, the shared 12-hex draw chain
+    "q_graph_walks_weighted" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      val edges = graft.operators.Recommend.itemSimilarity(m, col("b"),
+        col("i"), maxBasketSize = 1000L, minCooc = 2L)
+      graft.operators.Graph.randomWalksWeighted(edges, col("i1"),
+          col("i2"), col("n_cooc"), walkLen = 6, walksPerNode = 1,
+          seed = "graft")
+        .orderBy("start", "walk", "step")
     }),
 
     // the word2vec noise draw: 2 unigram^0.75 negatives per walk
@@ -5453,6 +5515,9 @@ object SparkEntry {
     // negative draws over the same walk chain
     "q_graph_negatives" -> graphNegativesOracleSql(6, "graft", 2,
       100000L),
+
+    // weight-proportional walks over the cooc-weighted graph
+    "q_graph_walks_weighted" -> graphWalksWeightedOracleSql(6, "graft"),
 
     // heavy hitters: plain exact SQL — the sketch is an execution
     // strategy, not a semantic; threshold ceil is forced into DOUBLE

@@ -597,8 +597,10 @@ object Graph {
     * consumes, and the graph-side mirror of the text corpus samplers.
     *
     * Determinism (the md5-draw convention): the step-t draw for walker
-    * (start, walk) is `hexPrefix8(md5(seed:start:walk:t)) mod deg(cur)`
-    * into the neighbor list ranked by ascending neighbor id — a pure
+    * (start, walk) is `hexPrefix12(md5(seed:start:walk:t)) mod
+    * deg(cur)` — the 12-hex width every walk-family draw shares, so
+    * [[randomWalksWeighted]] with w ≡ 1 is corpus-identical —
+    * into the neighbor list ranked by ascending neighbor id, a pure
     * function of (graph, seed), replayed verbatim by the generated SQL
     * oracle. Same seed → identical corpus on every run and engine; a new
     * seed → an independent walk set.
@@ -645,7 +647,7 @@ object Graph {
     val draw = (step: Int) => pmod(
       conv(substring(md5(concat_ws(":", lit(seed),
         col("start").cast("string"), col("walk").cast("string"),
-        lit(step).cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(step).cast("string"))), 1, 12), 16, 10).cast("long"),
       col("cur_deg"))
     var state = materialize(deg
       .select(col("u").as("start"), col("deg").as("cur_deg"))
@@ -709,6 +711,99 @@ object Graph {
         greatest(col("a.node"), col("b.node")).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
       .where(col("n_pair") >= minCount)
+  }
+
+  /** Weight-proportional random walks: [[randomWalks]] where the step-t
+    * transition picks neighbor n of u with probability w(u,n)/Σw(u,·)
+    * — the weighted first-order walk (node2vec p=q=1 over a weighted
+    * graph; co-occurrence counts are the natural weights on the
+    * co-purchase/citation graphs). With w ≡ 1 the draw `hex12(md5(…))
+    * mod Σw` equals the unweighted `mod deg` and the intervals
+    * degenerate to ranks, so the two operators emit IDENTICAL corpora
+    * (spec-pinned) — the unweighted form just keeps its cheaper exact
+    * (u, rank) equi join.
+    *
+    * Integer mechanics (the [[negativeSamples]] pattern, per
+    * adjacency list): duplicate canonical edges SUM their weights;
+    * each u's neighbors carry cumulative [lo, hi] intervals in
+    * ascending-neighbor order (exact BIGINT sums), and the draw is
+    * `hexPrefix12(md5(seed:start:walk:t)) mod Σw(u)` resolved through
+    * the grid-bucketed [[IntervalJoin.overlapJoin]] with u as the equi
+    * key — never a per-step nested loop, ~1 interval per (u, cell) at
+    * the auto width (the global average edge weight). State carries
+    * the NEXT node's total, so no re-join against the totals table.
+    *
+    * Output: start, walk, step, node — same contract as
+    * [[randomWalks]].
+    */
+  def randomWalksWeighted(edges: DataFrame, src: Column, dst: Column,
+                          weight: Column, walkLen: Int,
+                          walksPerNode: Int = 1, seed: String = "graft",
+                          bucketWidth: Long = 0L): DataFrame = {
+    require(walkLen >= 1,
+      s"randomWalksWeighted: walkLen=$walkLen must be >= 1")
+    require(walksPerNode >= 1,
+      s"randomWalksWeighted: walksPerNode=$walksPerNode must be >= 1")
+    val e = edges
+      .select(src.cast("long").as("x"), dst.cast("long").as("y"),
+        weight.cast("long").as("wt"))
+      .where(col("x") =!= col("y") && col("wt") > 0)
+      .groupBy(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .agg(sum("wt").as("wt"))
+    val sym = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("n"), col("wt")),
+        struct(col("b").as("u"), col("a").as("n"), col("wt")))).as("p"))
+      .select(col("p.u").as("u"), col("p.n").as("n"),
+        col("p.wt").as("wt"))
+    val tot = sym.groupBy("u").agg(sum("wt").as("total"))
+    val adjW = materialize(sym
+      .withColumn("hi", sum("wt").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy("n")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select(col("u"), (col("hi") - col("wt")).as("lo"),
+        (col("hi") - 1).as("hi_incl"), col("n").as("nbr"))
+      .join(tot.select(col("u").as("nbr"), col("total").as("nbr_total")),
+        Seq("nbr")))
+    // auto grid width = the global average edge weight (the
+    // negativeSamples occupancy rule); two driver scalars
+    val stats = sym.agg(sum("wt"), count(lit(1))).head()
+    val width =
+      if (bucketWidth > 0) bucketWidth
+      else math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
+    val draw = (step: Int) => pmod(
+      conv(substring(md5(concat_ws(":", lit(seed),
+        col("start").cast("string"), col("walk").cast("string"),
+        lit(step).cast("string"))), 1, 12), 16, 10).cast("long"),
+      col("cur_total"))
+    var state = materialize(tot
+      .select(col("u").as("start"), col("total").as("cur_total"))
+      .crossJoin(walkIndexFrame(edges, walksPerNode))
+      .select(col("start"), col("walk"), col("start").as("u"),
+        col("cur_total")))
+    var acc = materialize(state.select(col("start"), col("walk"),
+      lit(0).as("step"), col("u").as("node")))
+    (1 to walkLen).foreach { t =>
+      val stepped = state.withColumn("r", draw(t))
+        .withColumn("r2", col("r"))
+      val next = materialize(
+        IntervalJoin.overlapJoin(stepped, adjW, "r", "r2",
+            "lo", "hi_incl", bucketWidth = width, equiKeys = Seq("u"))
+          .select(col("start"), col("walk"), col("nbr").as("u"),
+            col("nbr_total").as("cur_total")))
+      val nextAcc = materialize(acc.unionAll(
+        next.select(col("start"), col("walk"),
+          lit(t).as("step"), col("u").as("node"))))
+      releaseMaterialized(acc)
+      releaseMaterialized(state)
+      acc = nextAcc
+      state = next
+    }
+    releaseMaterialized(state)
+    releaseMaterialized(adjW)
+    acc
   }
 
   /** Word2vec-style negative sampling over a [[randomWalks]] corpus:

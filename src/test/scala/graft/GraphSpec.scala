@@ -307,7 +307,7 @@ class GraphSpec extends SparkTestBase {
       val md = java.security.MessageDigest.getInstance("MD5")
       val h = md.digest(s"$seed:$start:$walk:$step".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(h.substring(0, 8), 16) % deg).toInt
+      (java.lang.Long.parseLong(h.substring(0, 12), 16) % deg).toInt
     }
     val exp = (for {
       start <- adj.keys.toSeq
@@ -333,6 +333,54 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
       (2L, 2L, 1L)))
+  }
+
+  test("randomWalksWeighted: w ≡ 1 emits the IDENTICAL corpus to " +
+    "randomWalks — intervals degenerate to ranks, same draw chain") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("s", "d")
+    val unweighted = Graph.randomWalks(edges, col("s"), col("d"),
+        walkLen = 4, walksPerNode = 2, seed = "t")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    val weighted = Graph.randomWalksWeighted(edges.withColumn("w",
+        lit(1L)), col("s"), col("d"), col("w"),
+        walkLen = 4, walksPerNode = 2, seed = "t")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(weighted === unweighted)
+  }
+
+  test("randomWalksWeighted: weighted draw matches an independent " +
+    "replay — cumulative intervals in neighbor order, duplicate edges " +
+    "sum their weights") {
+    // 1-2 w=1, 1-3 w=2+1 (duplicate edge rows sum): node 1 total 4,
+    // intervals 2→[0,0], 3→[1,3]; nodes 2,3 bounce back to 1
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 2L), (3L, 1L, 1L))
+      .toDF("s", "d", "w")
+    val got = Graph.randomWalksWeighted(edges, col("s"), col("d"),
+        col("w"), walkLen = 3, walksPerNode = 1, seed = "t")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    def draw(start: Long, walk: Int, step: Int, total: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"t:$start:$walk:$step".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 12), 16) % total
+    }
+    // adjacency: 1 → [(2, [0,0]), (3, [1,3])] total 4; 2 → [(1, [0,0])]
+    // total 1; 3 → [(1, [0,2])] total 3
+    def stepFrom(cur: Long, start: Long, walk: Int, t: Int): Long =
+      cur match {
+        case 1L => if (draw(start, walk, t, 4L) == 0L) 2L else 3L
+        case 2L => 1L
+        case 3L => 1L
+      }
+    val exp = (for (start <- Seq(1L, 2L, 3L)) yield {
+      var cur = start
+      (start, 0, 0, cur) +: (1 to 3).map { t =>
+        cur = stepFrom(cur, start, 0, t)
+        (start, 0, t, cur)
+      }
+    }).flatten.toSet
+    assert(got === exp)
   }
 
   test("negativeSamples: draws match an independent replay of the " +
