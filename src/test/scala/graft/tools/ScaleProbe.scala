@@ -1510,6 +1510,28 @@ object ScaleProbe {
         require(n == 0, s"expected 0 candidates on cliques, got $n")
         n + 1
       }
+      t("weighted_walks_1m_walkers_exact_alternation") {
+        // 500k disjoint single edges with varying weights: each node's
+        // adjacency is ONE interval, so every draw must resolve to the
+        // unique partner — walks alternate endpoints exactly. Pins the
+        // grid lookup's totality and the nbr_total state threading at
+        // 1M walkers × 4 steps.
+        val half = 500000L
+        val we = spark.range(half).select((col("id") * 2).as("s"),
+          (col("id") * 2 + 1).as("d"),
+          (pmod(col("id"), lit(97)) + 1).as("w")).localCheckpoint(true)
+        val r = graft.operators.Graph.randomWalksWeighted(we, col("s"),
+          col("d"), col("w"), walkLen = 4).localCheckpoint(true)
+        val n = r.count()
+        require(n == 2 * half * 5, s"expected ${2 * half * 5}, got $n")
+        val bad = r.where(
+          (expr("step % 2 = 0") && col("node") =!= col("start")) ||
+          (expr("step % 2 = 1") &&
+            col("node") =!= (col("start") - expr("start % 2") * 2 + 1)))
+          .count()
+        require(bad == 0, s"$bad steps off the alternation")
+        n
+      }
     }
 
     if (which("interval-weak")) {
