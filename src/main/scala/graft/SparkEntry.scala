@@ -792,6 +792,40 @@ object SparkEntry {
               |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
+    // relational pivot (long→wide conditional aggregation) with an
+    // EXPLICIT value list — the two-arg pivot form skips the implicit
+    // values-discovery job (a full extra scan + driver collect at
+    // 100 TB); a (flag,status) cell with no rows surfaces as NULL in
+    // every pivoted column (PivotFirst's fill), mirrored by the
+    // oracle's filtered-CASE aggregates (sum over an empty CASE set is
+    // NULL — which is why the count cell is a CASE-sum, not count(*))
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumd2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("F_sum_qty").as("f_sum_qty"), col("F_n").as("f_n"),
+          col("O_sum_qty").as("o_sum_qty"), col("O_n").as("o_n"))
+        .orderBy("l_returnflag")),
+
+    // unpivot (wide→long melt) — the exact inverse: the pivoted frame
+    // melts back through ONE generator (each input row expands in
+    // place; no per-column self-union re-reading the aggregate), NULL
+    // cells dropped so the round trip lands exactly on the plain
+    // GROUP BY the oracle states
+    "q_unpivot" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumd2(col("l_quantity")))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("F"), col("O")), "l_linestatus", "sum_qty")
+        .where(col("sum_qty").isNotNull)
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "q_agg_distinct_exact" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -2098,6 +2132,23 @@ object SparkEntry {
           col("ts"))
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "day")),
+
+    // per-type OLS trendline over daily volumes: every sufficient
+    // statistic an exact decimal (order-independent partial aggs — no
+    // fold discipline), floats confined to the fixed slope/intercept/r²
+    // expression tree both engines evaluate identically; x = epoch-day
+    // ordinal so the slope reads events/day per day
+    "q_events_trend" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).as("xv"),
+          col("n"))
+      Warehouse.linearTrend(daily, col("event_type"), col("xv"),
+          col("n"))
+        .orderBy("key")
+    }),
 
     // single-pass long-format column profiler (the schema-drift readout
     // a standing warehouse diffs between ingests): row/null/distinct
@@ -4763,6 +4814,33 @@ object SparkEntry {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
         .stripMargin,
 
+    // pivot ≙ filtered-CASE aggregation; the count cell is a CASE-sum
+    // so an absent (flag,status) cell is NULL exactly like PivotFirst's
+    // fill (count(*) would say 0 and hash-mismatch)
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS f_sum_qty,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+        |    AS f_n,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS o_sum_qty,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+        |    AS o_n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+
+    // pivot-then-unpivot round-trips to the plain long-format GROUP BY
+    "q_unpivot" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem WHERE l_linestatus IN ('F', 'O')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q_window_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,
@@ -5885,6 +5963,42 @@ object SparkEntry {
         |  coalesce(n_events * trail_cnt * 10 > trail_sum * 11, FALSE)
         |    AS is_spike
         |FROM t ORDER BY event_type, day""".stripMargin,
+
+    // OLS trendline: exact-decimal sufficient statistics, then the same
+    // fixed double expression tree as the operator; the intercept
+    // repeats num/den textually (the standing repeated-subexpression
+    // rule for cross-engine float identity)
+    "q_events_trend" ->
+      """WITH d AS (SELECT event_type AS key,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS xv,
+        |    CAST(count(*) AS DECIMAL(18,6)) AS yv
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+        |    sum(CAST(xv AS DECIMAL(28,0))) AS sx, sum(yv) AS sy,
+        |    sum(CAST(xv AS DECIMAL(18,0)) * CAST(xv AS DECIMAL(18,0)))
+        |      AS sxx,
+        |    sum(CAST(xv AS DECIMAL(18,0)) * yv) AS sxy,
+        |    sum(yv * yv) AS syy,
+        |    max(xv) AS x_max
+        |  FROM d GROUP BY key),
+        |b AS (SELECT key, n_obs, x_max,
+        |    CAST(n_obs AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM a),
+        |c AS (SELECT key, n_obs, x_max, nd, sxd, syd,
+        |    nd * sxyd - sxd * syd AS num,
+        |    nd * sxxd - sxd * sxd AS den,
+        |    nd * syyd - syd * syd AS vy
+        |  FROM b)
+        |SELECT key, n_obs, x_max,
+        |  CASE WHEN den <> 0 THEN num / den END AS slope,
+        |  CASE WHEN den <> 0 THEN (syd - (num / den) * sxd) / nd END
+        |    AS intercept,
+        |  CASE WHEN den <> 0 AND vy <> 0
+        |    THEN (num * num) / (den * vy) END AS r2
+        |FROM c ORDER BY key""".stripMargin,
 
     // profiler: one UNION ALL branch per column; epoch() under the UTC
     // session ≙ Spark's unix_timestamp

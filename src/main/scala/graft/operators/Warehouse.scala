@@ -394,6 +394,68 @@ object Warehouse {
       .toDF("key", "n_obs", "level", "trend", "season", "h", "yhat")
   }
 
+  /** Per-key ordinary-least-squares trendline — grouped simple linear
+    * regression of `y` on `x`, the per-segment "is this metric growing
+    * and how fast" readout a warehouse computes over thousands of keys
+    * at once (per event type, per source, per tenant). Complements
+    * [[holtForecast]]: Holt adapts to the recent past, the OLS line is
+    * the global least-squares fit with a goodness-of-fit (r²).
+    *
+    * Exactness discipline (why NOT `regr_slope`): built-in regression
+    * aggregates accumulate FLOAT sums in engine-specific order, so two
+    * engines disagree in the last ulp. Here every sufficient statistic
+    * (n, Σx, Σy, Σxy, Σx², Σy², max x) is an EXACT integer/decimal —
+    * order-independent, partial-aggregable, no fold discipline needed —
+    * and the floats appear only in a fixed textual expression over
+    * their correctly-rounded double casts:
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = num² / (den·(n·Σy² − Σy·Σy))
+    * Each IEEE op is exactly rounded and both engines evaluate the same
+    * tree, so raw doubles sit under the hash oracle. Degenerate keys
+    * (constant x → den = 0, or constant y → var_y = 0) yield NULL
+    * slope/intercept/r² instead of ±Inf/NaN.
+    *
+    * Scale: ONE partial+final hash aggregate over the fact frame — the
+    * cheapest possible shape; no window, no sort, no collect. `x` must
+    * fit a long (day ordinals, epochs, versions); `y` is bounded by
+    * DECIMAL(18,6) per observation with sums in DECIMAL(28–38,·), which
+    * holds to ~10²⁰ aggregate magnitude — beyond any 100 TB metric.
+    *
+    * Returns (key, n_obs, x_max, slope, intercept, r2).
+    */
+  def linearTrend(facts: DataFrame, key: Column, x: Column,
+                  y: Column): DataFrame = {
+    val base = facts.select(key.cast("string").as("key"),
+        x.cast("long").as("xv"), y.cast("decimal(18,6)").as("yv"))
+      .where(col("key").isNotNull && col("xv").isNotNull &&
+        col("yv").isNotNull)
+    // x² as decimal BEFORE the multiply: long·long would overflow the
+    // integer domain silently under non-ANSI and throw under ANSI
+    val agg = base.groupBy("key").agg(
+      count(lit(1)).as("n_obs"),
+      sum(col("xv").cast("decimal(28,0)")).as("sx"),
+      sum(col("yv")).as("sy"),
+      sum(col("xv").cast("decimal(18,0)") *
+        col("xv").cast("decimal(18,0)")).as("sxx"),
+      sum(col("xv").cast("decimal(18,0)") * col("yv")).as("sxy"),
+      sum(col("yv") * col("yv")).as("syy"),
+      max(col("xv")).as("x_max"))
+    val nD = col("n_obs").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val syyD = col("syy").cast("double")
+    val num = nD * sxyD - sxD * syD
+    val den = nD * sxxD - sxD * sxD
+    val vy = nD * syyD - syD * syD
+    val slope = when(den =!= 0.0, num / den)
+    agg.select(col("key"), col("n_obs"), col("x_max"),
+      slope.as("slope"),
+      when(den =!= 0.0, (syD - slope * sxD) / nD).as("intercept"),
+      when(den =!= 0.0 && vy =!= 0.0, (num * num) / (den * vy)).as("r2"))
+  }
+
   /** One microbatch of the CONTINUOUS CDC gate — [[applyCdc]] run as a
     * `foreachBatch` body over a VERSIONED snapshot table (see
     * `EventStreams.startCdcGate` for the stream wiring): plain parquet

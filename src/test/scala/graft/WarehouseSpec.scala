@@ -470,4 +470,59 @@ class WarehouseSpec extends SparkTestBase {
         col("ordv"), col("tb"), col("op"))
     }
   }
+
+  test("linearTrend: exact fit on a perfect line, NULL stats on " +
+    "degenerate keys, nulls excluded, single-aggregate plan") {
+    val facts = Seq(
+      // key a: y = 2x + 1 exactly -> slope 2, intercept 1, r2 = 1
+      ("a", 1L, 3.0), ("a", 2L, 5.0), ("a", 3L, 7.0), ("a", 4L, 9.0),
+      // key b: constant x -> den = 0 -> all three stats NULL
+      ("b", 5L, 1.0), ("b", 5L, 2.0),
+      // key c: constant y -> slope/intercept defined (slope 0), r2 NULL
+      ("c", 1L, 4.0), ("c", 2L, 4.0), ("c", 3L, 4.0)
+    ).toDF("k", "x", "y")
+      .union(Seq(("a", Option.empty[Long], Option(1.0)),
+        (null, Option(1L), Option(1.0)))
+        .toDF("k", "x", "y"))   // null x / null key rows must not count
+    val out = Warehouse.linearTrend(facts, col("k"), col("x"), col("y"))
+      .orderBy("key").collect()
+    assert(out.length === 3)
+    val a = out(0)
+    assert(a.getString(0) === "a" && a.getLong(1) === 4L &&
+      a.getLong(2) === 4L)
+    assert(a.getDouble(3) === 2.0 && a.getDouble(4) === 1.0 &&
+      a.getDouble(5) === 1.0)
+    val b = out(1)
+    assert(b.getString(0) === "b" && b.getLong(1) === 2L)
+    assert(b.isNullAt(3) && b.isNullAt(4) && b.isNullAt(5))
+    val c = out(2)
+    assert(c.getDouble(3) === 0.0 && c.getDouble(4) === 4.0 &&
+      c.isNullAt(5))
+    // scale shape: one partial+final hash aggregate pair, no window/sort
+    val plan = Warehouse.linearTrend(facts, col("k"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Sort"), plan)
+  }
+
+  test("pivot-unpivot round trip lands on the long-format GROUP BY, " +
+    "absent cells NULL in wide form and dropped in long form") {
+    val df = Seq(("r", "F", 1.0), ("r", "F", 2.0), ("r", "O", 4.0),
+      ("s", "F", 8.0)).toDF("flag", "status", "qty")
+    val wide = df.groupBy("flag").pivot("status", Seq("F", "O"))
+      .agg(sum(col("qty").cast("decimal(18,2)")).cast("double"))
+      .orderBy("flag").collect()
+    assert(wide.length === 2)
+    assert(wide(0).getDouble(1) === 3.0 && wide(0).getDouble(2) === 4.0)
+    assert(wide(1).getDouble(1) === 8.0 && wide(1).isNullAt(2)) // absent
+    val long = df.groupBy("flag").pivot("status", Seq("F", "O"))
+      .agg(sum(col("qty").cast("decimal(18,2)")).cast("double"))
+      .unpivot(Array(col("flag")), Array(col("F"), col("O")),
+        "status", "sum_qty")
+      .where(col("sum_qty").isNotNull)
+      .orderBy("flag", "status").collect()
+    assert(long.map(r => (r.getString(0), r.getString(1),
+      r.getDouble(2))).toSeq ===
+      Seq(("r", "F", 3.0), ("r", "O", 4.0), ("s", "F", 8.0)))
+  }
 }
