@@ -1684,6 +1684,38 @@ object SparkEntry {
         .orderBy(col("user").asc, col("rnk").asc)
     }),
 
+    // offline ranking evaluation of the CF model under a temporal
+    // split: train the neighbor model on pre-2000 baskets, recommend
+    // for the %20 customer slice from their train-time items, score
+    // against what those customers actually bought from 2000 on —
+    // hits/precision/recall/RR exact-integer-derived, DCG/NDCG folding
+    // the literal discount table both engines share (ndcgTables is the
+    // ONE source; the oracle embeds the same doubles textually)
+    "q_rec_eval" -> ((s, dir) => {
+      val R = graft.operators.Recommend
+      val cutoff = lit("2000-01-01").cast("timestamp")
+      val li = Tables.lineitem(s, dir)
+      val train = Tables.orders(s, dir)
+        .where(col("o_orderdate") < cutoff)
+      val m = train.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("b"), col("l_partkey").as("i"))
+      val nbrs = R.topNeighbors(
+        R.itemSimilarity(m, col("b"), col("i"),
+          maxBasketSize = 1000L, minCooc = 2L), k = 10)
+      val ui = train.join(li, col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      val recs = R.recommendForUsers(ui, col("u"), col("i"), nbrs, k = 5)
+      val truth = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= cutoff &&
+          col("o_custkey") % 20 === 0)
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      R.evalRanking(recs, col("user"), col("item"), col("rnk"),
+          truth, col("u"), col("i"), k = 5)
+        .orderBy("user")
+    }),
+
     // link prediction over the co-purchase similarity graph (edges =
     // item pairs with cooc>=2): non-edges scored by common neighbors +
     // Jaccard — candidates exist only through wedges, never N²; the
@@ -4539,6 +4571,99 @@ object SparkEntry {
        |${passageTailSql("bwi", "bn", "rn > 1 OR h IN (SELECT h FROM cw)",
             "WHERE doc.doc_id % 10 = 0\n", windowWords)}""".stripMargin
 
+  /** The q_rec_eval oracle: the train-filtered CF chain (the q_rec_user
+    * CTEs under the temporal cutoff), then the ranking-metric fold.
+    * The NDCG discount and ideal-prefix literals come from the SAME
+    * [[graft.operators.Recommend.ndcgTables]] the operator embeds —
+    * Double.toString round-trips exactly, so both engines hold
+    * identical doubles (the lockstep-parameter rule). */
+  private def recEvalOracle: String = {
+    val (disc, idcg) = graft.operators.Recommend.ndcgTables(5)
+    // CAST ... AS DOUBLE[]: bare float literals parse as DECIMAL in
+    // DuckDB (the standing decimal-literal rule) — the cast re-rounds
+    // each element to exactly Double.parseDouble of the same string
+    val dl = disc.mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val il = idcg.mkString("CAST([", ", ", "] AS DOUBLE[])")
+    s"""WITH tr AS (SELECT o_orderkey, o_custkey FROM orders
+       |  WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+       |m AS (SELECT DISTINCT CAST(tr.o_orderkey AS BIGINT) AS b,
+       |        CAST(l_partkey AS BIGINT) AS i
+       |      FROM tr JOIN lineitem ON o_orderkey = l_orderkey),
+       |sz AS (SELECT b, count(*) AS sz FROM m GROUP BY b),
+       |kept AS (SELECT m.b, m.i FROM m JOIN sz USING (b)
+       |         WHERE sz <= 1000),
+       |marg AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM kept
+       |         GROUP BY i),
+       |pr AS (SELECT a.i AS i1, c.i AS i2,
+       |         CAST(count(*) AS BIGINT) AS n_cooc
+       |       FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sim AS (SELECT i1, i2, n_cooc,
+       |          CAST(n_cooc AS DOUBLE) /
+       |            sqrt(CAST(m1.n_i * m2.n_i AS DOUBLE)) AS cosine
+       |        FROM pr JOIN marg m1 ON pr.i1 = m1.i
+       |                JOIN marg m2 ON pr.i2 = m2.i),
+       |mir AS (SELECT i1 AS item, i2 AS nbr, n_cooc, cosine FROM sim
+       |        UNION ALL
+       |        SELECT i2, i1, n_cooc, cosine FROM sim),
+       |model AS (SELECT * FROM (
+       |            SELECT item, nbr, n_cooc,
+       |              row_number() OVER (PARTITION BY item
+       |                ORDER BY cosine DESC, n_cooc DESC, nbr ASC) AS rnk
+       |            FROM mir) WHERE rnk <= 10),
+       |ui AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+       |         CAST(l_partkey AS BIGINT) AS i
+       |       FROM tr JOIN lineitem ON o_orderkey = l_orderkey
+       |       WHERE o_custkey % 20 = 0),
+       |votes AS (SELECT u, nbr AS rec,
+       |            CAST(sum(n_cooc) AS BIGINT) AS score,
+       |            CAST(count(*) AS BIGINT) AS n_links
+       |          FROM ui JOIN model ON ui.i = model.item GROUP BY 1, 2),
+       |unseen AS (SELECT v.u, v.rec, v.score, v.n_links FROM votes v
+       |           WHERE NOT EXISTS (SELECT 1 FROM ui
+       |             WHERE ui.u = v.u AND ui.i = v.rec)),
+       |recs AS (SELECT u, rec AS i, rnk FROM (
+       |           SELECT u, rec, row_number() OVER (PARTITION BY u
+       |             ORDER BY score DESC, n_links DESC, rec ASC) AS rnk
+       |           FROM unseen) WHERE rnk <= 5),
+       |tru AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+       |          CAST(l_partkey AS BIGINT) AS i
+       |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+       |          AND o_custkey % 20 = 0),
+       |tc AS (SELECT u, CAST(count(*) AS BIGINT) AS n_truth FROM tru
+       |       GROUP BY u),
+       |mk AS (SELECT r.u, r.rnk,
+       |         CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |       FROM recs r LEFT JOIN tru t ON r.u = t.u AND r.i = t.i),
+       |per AS (SELECT u, CAST(count(*) AS BIGINT) AS n_recs,
+       |          CAST(sum(hit) AS BIGINT) AS hits,
+       |          CAST(min(CASE WHEN hit = 1 THEN rnk END) AS INTEGER)
+       |            AS first_hit,
+       |          coalesce(list_sum(
+       |              list(list_extract($dl, rnk) ORDER BY rnk)
+       |                FILTER (WHERE hit = 1)),
+       |            CAST(0 AS DOUBLE)) AS dcg
+       |        FROM mk GROUP BY u)
+       |SELECT tc.u AS "user", tc.n_truth,
+       |  coalesce(n_recs, 0) AS n_recs, coalesce(hits, 0) AS hits,
+       |  first_hit,
+       |  coalesce(CAST(1 AS DOUBLE) / first_hit, CAST(0 AS DOUBLE))
+       |    AS rr,
+       |  CAST(coalesce(hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
+       |    AS precision_k,
+       |  CAST(coalesce(hits, 0) AS DOUBLE) / CAST(tc.n_truth AS DOUBLE)
+       |    AS recall_k,
+       |  coalesce(dcg, CAST(0 AS DOUBLE)) AS dcg,
+       |  list_extract($il, least(5, CAST(tc.n_truth AS INTEGER)))
+       |    AS idcg,
+       |  coalesce(dcg, CAST(0 AS DOUBLE)) /
+       |    list_extract($il, least(5, CAST(tc.n_truth AS INTEGER)))
+       |    AS ndcg
+       |FROM tc LEFT JOIN per ON tc.u = per.u
+       |ORDER BY tc.u""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_flagship" ->
@@ -5539,6 +5664,10 @@ object SparkEntry {
         |SELECT u AS "user", rec AS item, score, n_links, rnk
         |FROM rk WHERE rnk <= 5
         |ORDER BY u ASC, rnk ASC""".stripMargin,
+
+    // offline ranking metrics under the temporal split — generated so
+    // the NDCG discount literals stay in lockstep with the operator's
+    "q_rec_eval" -> recEvalOracle,
 
     // link prediction: wedge-generated candidate non-edges over the
     // cooc>=2 similarity graph; integer common-neighbor counts, one

@@ -153,4 +153,87 @@ object Recommend {
       .select(col("u").as("user"), col("rec").as("item"),
         col("score"), col("n_links"), col("rnk"))
   }
+
+  /** NDCG discount table for ranks 1..k and its ascending prefix sums
+    * (the ideal DCG per truth-set size): disc(r) = 1/log₂(r+1)
+    * (Järvelin & Kekäläinen 2002). Computed ONCE here and embedded as
+    * LITERALS into both the Spark plan and the generated oracle SQL —
+    * the standing lockstep-parameter rule — so the engines agree
+    * bit-for-bit no matter how either's log is rounded. The prefix fold
+    * is the ascending sequential sum the DCG fold below also uses. */
+  private[graft] def ndcgTables(k: Int): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val d = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    (d, d.scanLeft(0.0)(_ + _).tail)
+  }
+
+  /** Offline ranking-quality evaluation: a ranked recommendation (or
+    * retrieval) list scored against a held-out truth set — hits@k,
+    * precision@k, recall@k, reciprocal rank and NDCG@k per user, the
+    * readout every recommender/ANN iteration loop gates on.
+    *
+    * Universe: one output row per user WITH at least one truth item
+    * (the standard offline protocol — a user the model never saw still
+    * counts, scoring 0 on every metric); rec rows with rank > k are
+    * ignored. Binary relevance (a rec item is a hit iff it is in the
+    * user's truth set).
+    *
+    * Exactness: hits/counts/first-hit-rank are exact integers; rr,
+    * precision, recall are single IEEE divisions of exact integers;
+    * DCG folds the literal discount table in ascending-rank order
+    * (ranks are distinct per user, so the sort order is total) and
+    * IDCG indexes the prefix-sum literal table at min(k, n_truth) —
+    * both folds replayed textually by the oracle, so raw doubles sit
+    * under the hash.
+    *
+    * Scale: one distinct + count on truth, one (u,i)-keyed left join
+    * from recs to truth, one per-user hash aggregate (collect_list is
+    * bounded by k — the rank filter precedes it), one truth-keyed left
+    * join back. No window, no driver state beyond the 2k literals.
+    *
+    * Output: (user, n_truth, n_recs, hits, first_hit, rr, precision_k,
+    * recall_k, dcg, idcg, ndcg).
+    */
+  def evalRanking(recs: DataFrame, user: Column, item: Column,
+                  rank: Column, truth: DataFrame, tUser: Column,
+                  tItem: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"evalRanking: k=$k must be in [1,1000]")
+    val (disc, idcg) = ndcgTables(k)
+    val discArr = array(disc.map(lit): _*)
+    val idcgArr = array(idcg.map(lit): _*)
+    val r = recs.select(user.cast("long").as("u"),
+        item.cast("long").as("i"), rank.cast("int").as("rnk"))
+      .where(col("u").isNotNull && col("i").isNotNull &&
+        col("rnk").isNotNull && col("rnk") >= 1 && col("rnk") <= k)
+    val t = truth.select(tUser.cast("long").as("u"),
+        tItem.cast("long").as("i"))
+      .where(col("u").isNotNull && col("i").isNotNull).distinct()
+    val tcnt = t.groupBy("u").agg(count(lit(1)).as("n_truth"))
+    val marked = r.join(t.withColumn("hit", lit(1)), Seq("u", "i"), "left")
+    val per = marked.groupBy("u").agg(
+      count(lit(1)).as("n_recs"),
+      sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("hits"),
+      min(when(col("hit").isNotNull, col("rnk"))).as("first_hit"),
+      // hit ranks are distinct ints -> array_sort is a total order and
+      // the fold adds discounts in ascending-rank order
+      aggregate(array_sort(collect_list(
+          when(col("hit").isNotNull, col("rnk")))), lit(0.0),
+        (acc, rk) => acc + element_at(discArr, rk)).as("dcg"))
+    tcnt.join(per, Seq("u"), "left")
+      .select(col("u").as("user"), col("n_truth"),
+        coalesce(col("n_recs"), lit(0L)).as("n_recs"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("first_hit"),
+        coalesce(lit(1.0) / col("first_hit").cast("double"), lit(0.0))
+          .as("rr"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("precision_k"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall_k"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        element_at(idcgArr, least(lit(k), col("n_truth")).cast("int"))
+          .as("idcg"),
+        (coalesce(col("dcg"), lit(0.0)) /
+          element_at(idcgArr, least(lit(k), col("n_truth")).cast("int")))
+          .as("ndcg"))
+  }
 }

@@ -92,4 +92,44 @@ class RecommendSpec extends SparkTestBase {
       (2L, 30L, 3L, 2L, 1), (2L, 40L, 1L, 1L, 2))
     assert(got === exp)
   }
+
+  test("evalRanking: hand-computed metrics; truth universe includes " +
+    "rec-less users as zeros; rank > k ignored; duplicate truth " +
+    "collapses") {
+    val (disc, idcg) = Recommend.ndcgTables(3)
+    // user 1: recs [10@1 miss, 20@2 hit, 30@3 hit, 40@4 ignored(>k)]
+    //         truth {20, 30, 40, 50} (40 only reachable at rank 4)
+    // user 2: truth {99} but NO recs -> all-zero row
+    // user 3: recs [10@1 hit] truth {10, 10 dup} -> n_truth 1, ndcg 1
+    val recs = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (1L, 40L, 4), (3L, 10L, 1)).toDF("u", "i", "r")
+    val truth = Seq((1L, 20L), (1L, 30L), (1L, 40L), (1L, 50L),
+      (2L, 99L), (3L, 10L), (3L, 10L)).toDF("u", "i")
+    val got = Recommend.evalRanking(recs, col("u"), col("i"), col("r"),
+        truth, col("u"), col("i"), k = 3)
+      .orderBy("user").collect()
+    assert(got.length === 3)
+    val r1 = got(0)
+    assert(r1.getLong(1) === 4L && r1.getLong(2) === 3L &&
+      r1.getLong(3) === 2L && r1.getInt(4) === 2)
+    assert(r1.getDouble(5) === 0.5)                       // rr = 1/2
+    assert(r1.getDouble(6) === 2.0 / 3.0)                 // precision
+    assert(r1.getDouble(7) === 0.5)                       // recall 2/4
+    assert(r1.getDouble(8) === 0.0 + disc(1) + disc(2))   // asc fold
+    assert(r1.getDouble(9) === idcg(2))                   // min(k,4)=3
+    assert(r1.getDouble(10) ===
+      (0.0 + disc(1) + disc(2)) / idcg(2))
+    val r2 = got(1)
+    assert(r2.getLong(1) === 1L && r2.getLong(2) === 0L &&
+      r2.getLong(3) === 0L && r2.isNullAt(4))
+    assert(r2.getDouble(5) === 0.0 && r2.getDouble(8) === 0.0 &&
+      r2.getDouble(10) === 0.0)
+    val r3 = got(2)
+    assert(r3.getLong(1) === 1L && r3.getLong(3) === 1L)
+    assert(r3.getDouble(10) === 1.0)                      // perfect
+    assertThrows[IllegalArgumentException] {
+      Recommend.evalRanking(recs, col("u"), col("i"), col("r"),
+        truth, col("u"), col("i"), k = 0)
+    }
+  }
 }
