@@ -1716,6 +1716,23 @@ object SparkEntry {
         .orderBy("user")
     }),
 
+    // rank-1 ALS matrix factorization over the %10 customer slice's
+    // (customer, part, quantity) ratings — 2 alternating closed-form
+    // rounds in repro mode (ascending-counterpart folds), λ-shrunk;
+    // the oracle unrolls the identical chain round for round
+    "q_rec_als" -> ((s, dir) => {
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+          col("l_quantity").cast("long").as("r"))
+      graft.operators.Recommend.alsRank1(ratings, col("u"), col("i"),
+          col("r"), iters = alsIters, lambda = alsLambda,
+          deterministic = true)
+        .orderBy("user", "item")
+    }),
+
     // link prediction over the co-purchase similarity graph (edges =
     // item pairs with cooc>=2): non-edges scored by common neighbors +
     // Jaccard — candidates exist only through wedges, never N²; the
@@ -3369,6 +3386,10 @@ object SparkEntry {
   // between a Spark query and its generated oracle — two independent
   // literals would let the pair drift silently until a hash mismatch
   private val spansChunkWords = 3
+  // rank-1 ALS: rounds + ridge, shared by q_rec_als and its unrolled
+  // oracle (the λ literal must be the same decimal text both sides)
+  private val alsIters = 2
+  private val alsLambda = 0.1
   private val boilerplateMinDocs = 3
   private val decontamSpanWords = 6
   private val calibrationBinCount = 8
@@ -4664,6 +4685,38 @@ object SparkEntry {
        |ORDER BY tc.u""".stripMargin
   }
 
+  /** The q_rec_als oracle: [[graft.operators.Recommend.alsRank1]]'s
+    * alternating rounds unrolled as CTE pairs — each half-step is the
+    * same ascending-counterpart `list_sum(list(x ORDER BY ...))` fold
+    * and the same λ-add + division the repro-mode operator runs. */
+  private def recAlsOracle: String = {
+    val lam = s"CAST($alsLambda AS DOUBLE)"
+    val rounds = (1 to alsIters).map { t =>
+      s"""u$t AS (SELECT u,
+         |  list_sum(list(CAST(r AS DOUBLE) * f ORDER BY i)) /
+         |    ($lam + list_sum(list(f * f ORDER BY i))) AS f
+         |  FROM ra JOIN v${t - 1} USING (i) GROUP BY u),
+         |v$t AS (SELECT i,
+         |  list_sum(list(CAST(r AS DOUBLE) * f ORDER BY u)) /
+         |    ($lam + list_sum(list(f * f ORDER BY u))) AS f
+         |  FROM ra JOIN u$t USING (u) GROUP BY i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ra AS (SELECT u, i, max(r) AS r FROM (
+       |    SELECT CAST(o_custkey AS BIGINT) AS u,
+       |           CAST(l_partkey AS BIGINT) AS i,
+       |           CAST(l_quantity AS BIGINT) AS r
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    WHERE o_custkey % 10 = 0) GROUP BY u, i),
+       |v0 AS (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS f FROM ra),
+       |$rounds
+       |SELECT ra.u AS "user", ra.i AS item, ra.r AS rating,
+       |  u$alsIters.f AS u_factor, v$alsIters.f AS i_factor,
+       |  u$alsIters.f * v$alsIters.f AS pred
+       |FROM ra JOIN u$alsIters ON ra.u = u$alsIters.u
+       |        JOIN v$alsIters ON ra.i = v$alsIters.i
+       |ORDER BY ra.u, ra.i""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_flagship" ->
@@ -5668,6 +5721,9 @@ object SparkEntry {
     // offline ranking metrics under the temporal split — generated so
     // the NDCG discount literals stay in lockstep with the operator's
     "q_rec_eval" -> recEvalOracle,
+
+    // rank-1 ALS, rounds unrolled in lockstep with alsIters/alsLambda
+    "q_rec_als" -> recAlsOracle,
 
     // link prediction: wedge-generated candidate non-edges over the
     // cooc>=2 similarity graph; integer common-neighbor counts, one

@@ -154,6 +154,93 @@ object Recommend {
         col("score"), col("n_links"), col("rnk"))
   }
 
+  /** Rank-1 alternating least squares — the smallest real matrix
+    * factorization (Koren, Bell & Volinsky 2009's ALS family at rank 1):
+    * each user and item gets ONE latent factor, alternately solved in
+    * closed form against the ridge-regularized least-squares objective
+    *   Σ_(u,i) (r_ui − u_f·v_i)² + λ(Σu_f² + Σv_i²):
+    *
+    *   u_f = Σ_{i∈R(u)} r_ui·v_i / (λ + Σ_{i∈R(u)} v_i²)
+    *   v_i = Σ_{u∈R(i)} r_ui·u_f / (λ + Σ_{u∈R(i)} u_f²)
+    *
+    * from v⁰ ≡ 1 (so round 1's user step is a λ-shrunk mean rating —
+    * deterministic, no random init to pin). Rank 1 is the honest
+    * oracle-able slice of ALS: the per-key solve is a scalar division
+    * instead of a k×k Cholesky, while the data movement — the part that
+    * matters at 100 TB — is IDENTICAL to full ALS: per round, one join
+    * of the ratings against the counterpart factor table and one
+    * key-grouped aggregate, each factor table skinny (key, factor).
+    *
+    * Determinism: ratings are exact longs; each round's numerator and
+    * denominator are folds of doubles. `deterministic = true` (the
+    * oracle mode) folds both in ascending-counterpart-id order via the
+    * sorted-collect discipline — per-key cost bounded by the key's
+    * degree, the documented hot-user bound of the repro mode;
+    * production mode uses plain partial-aggregated sums. The λ add and
+    * final division are single correctly-rounded IEEE ops mirrored
+    * textually by the unrolled oracle.
+    *
+    * Scale: 2·iters join+aggregate rounds over skinny frames; factor
+    * frames are materialized per round (lineage cut) and released when
+    * superseded; nothing ever reaches the driver.
+    *
+    * Output: one row per distinct rating pair —
+    * (user, item, rating, u_factor, i_factor, pred = u_factor·i_factor).
+    */
+  def alsRank1(ratings: DataFrame, user: Column, item: Column,
+               rating: Column, iters: Int, lambda: Double,
+               deterministic: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"alsRank1: iters=$iters")
+    require(lambda > 0.0, s"alsRank1: lambda=$lambda must be > 0")
+    val base = Dedup.materialize(ratings
+      .select(user.cast("long").as("u"), item.cast("long").as("i"),
+        rating.cast("long").as("r"))
+      .where(col("u").isNotNull && col("i").isNotNull &&
+        col("r").isNotNull)
+      .groupBy("u", "i").agg(max(col("r")).as("r")))
+    // one alternating half-step: solve `key`'s factors against the
+    // counterpart factor frame (other, f); output is always (key, f)
+    def solve(key: String, other: String, factors: DataFrame): DataFrame = {
+      val j = base.join(factors, Seq(other))
+      val agged =
+        if (deterministic)
+          j.groupBy(key).agg(collect_list(struct(col(other),
+              (col("r").cast("double") * col("f")).as("rv"),
+              (col("f") * col("f")).as("ff"))).as("xs"))
+            .select(col(key),
+              aggregate(array_sort(col("xs")), lit(0.0),
+                (a, s) => a + s.getField("rv")).as("num"),
+              aggregate(array_sort(col("xs")), lit(0.0),
+                (a, s) => a + s.getField("ff")).as("den"))
+        else
+          j.groupBy(key).agg(
+            sum(col("r").cast("double") * col("f")).as("num"),
+            sum(col("f") * col("f")).as("den"))
+      agged.select(col(key),
+        (col("num") / (lit(lambda) + col("den"))).as("f"))
+    }
+    var v = Dedup.materialize(base.select("i").distinct()
+      .withColumn("f", lit(1.0)))
+    var u: DataFrame = null
+    for (_ <- 1 to iters) {
+      // materialize snapshots each round eagerly, so releasing the
+      // SUPERSEDED round's storage never undercuts a pending plan; the
+      // final u/v/base stay pinned — the returned frame is lazy and
+      // still reads them
+      val nu = Dedup.materialize(solve("u", "i", v))
+      if (u != null) Dedup.releaseMaterialized(u)
+      u = nu
+      val nv = Dedup.materialize(solve("i", "u", u))
+      Dedup.releaseMaterialized(v)
+      v = nv
+    }
+    base.join(u.withColumnRenamed("f", "u_factor"), Seq("u"))
+      .join(v.withColumnRenamed("f", "i_factor"), Seq("i"))
+      .select(col("u").as("user"), col("i").as("item"),
+        col("r").as("rating"), col("u_factor"), col("i_factor"),
+        (col("u_factor") * col("i_factor")).as("pred"))
+  }
+
   /** NDCG discount table for ranks 1..k and its ascending prefix sums
     * (the ideal DCG per truth-set size): disc(r) = 1/log₂(r+1)
     * (Järvelin & Kekäläinen 2002). Computed ONCE here and embedded as

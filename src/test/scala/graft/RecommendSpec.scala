@@ -132,4 +132,42 @@ class RecommendSpec extends SparkTestBase {
         truth, col("u"), col("i"), k = 0)
     }
   }
+
+  test("alsRank1: hand-computed alternating chain at one round; " +
+    "duplicate pairs collapse by max; both modes agree on small data") {
+    // u1 rates {A:4, B:2}, u2 rates {A:3}; lambda = 0.5, v0 = 1
+    val ratings = Seq((1L, 10L, 4L), (1L, 20L, 2L), (2L, 10L, 3L),
+      (2L, 10L, 1L))   // dup (2,A) collapses to max = 3
+      .toDF("u", "i", "r")
+    val got = Recommend.alsRank1(ratings, col("u"), col("i"), col("r"),
+        iters = 1, lambda = 0.5, deterministic = true)
+      .orderBy("user", "item")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // replay the exact IEEE chain (ascending-counterpart folds)
+    val u1 = (4.0 * 1.0 + 2.0 * 1.0) / (0.5 + (1.0 + 1.0))   // 2.4
+    val u2 = (3.0 * 1.0) / (0.5 + 1.0)                        // 2.0
+    // item A folds ascending USER id (u1 before u2); two-term IEEE
+    // sums are commutative so the order only matters from 3 terms up
+    val vA = (4.0 * u1 + 3.0 * u2) / (0.5 + (u1 * u1 + u2 * u2))
+    val vB = (2.0 * u1) / (0.5 + u1 * u1)
+    assert(got === Seq(
+      (1L, 10L, 4L, u1, vA, u1 * vA),
+      (1L, 20L, 2L, u1, vB, u1 * vB),
+      (2L, 10L, 3L, u2, vA, u2 * vA)))
+    // production mode lands on the same factors here (sums of 1-2
+    // terms are order-free)
+    val prod = Recommend.alsRank1(ratings, col("u"), col("i"), col("r"),
+        iters = 1, lambda = 0.5, deterministic = false)
+      .orderBy("user", "item")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(prod === got)
+    assertThrows[IllegalArgumentException] {
+      Recommend.alsRank1(ratings, col("u"), col("i"), col("r"),
+        iters = 0, lambda = 0.5)
+    }
+    assertThrows[IllegalArgumentException] {
+      Recommend.alsRank1(ratings, col("u"), col("i"), col("r"),
+        iters = 1, lambda = 0.0)
+    }
+  }
 }
