@@ -2783,6 +2783,27 @@ object SparkEntry {
           seed = rpSeed)
         .orderBy("vec_id")),
 
+    // PCA loadings + eigenvalues: trained in repro mode on the %5
+    // vec_id slice (the bounded-sample posture — moments are one in-row
+    // generator + hash aggregate, power iteration is d×d driver flops);
+    // the oracle replays mean → covariance → power chain fold-for-fold
+    "q_embed_pca" -> ((s, dir) =>
+      Similarity.pcaComponents(
+          Tables.embeddings(s, dir).where(col("vec_id") % pcaTrainMod === 0),
+          k = pcaK, powerIters = pcaPowerIters, deterministic = true)
+        .orderBy("comp", "pos")),
+
+    // full-corpus projection onto the slice-trained axes: k fused
+    // literal-unrolled expressions per row (the randomProject plan
+    // shape), no join against a component table
+    "q_embed_pca_project" -> ((s, dir) => {
+      val m = Similarity.pcaTrain(
+        Tables.embeddings(s, dir).where(col("vec_id") % pcaTrainMod === 0),
+        k = pcaK, powerIters = pcaPowerIters, deterministic = true)
+      Similarity.pcaProject(Tables.embeddings(s, dir), m)
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup composition: the kMeans partition bounds the pair search
     // (shuffle key = cluster id), so the only all-pairs work left is
     // within-cluster — the scale answer to q_embed_cluster's global
@@ -3436,6 +3457,12 @@ object SparkEntry {
   private val pqIters = 1
   private val pqSampleN = 4096
   private val embedDim = 64
+  // PCA: components, fixed power-iteration rounds, and the train-slice
+  // modulus (PCA trains on a bounded deterministic sample — the
+  // pqSampleN posture — and projects the full corpus)
+  private val pcaK = 2
+  private val pcaPowerIters = 6
+  private val pcaTrainMod = 5
   private val rpDim = 16
   private val rpSeed = 7
 
@@ -4683,6 +4710,115 @@ object SparkEntry {
        |    AS ndcg
        |FROM tc LEFT JOIN per ON tc.u = per.u
        |ORDER BY tc.u""".stripMargin
+  }
+
+  /** The PCA oracle chain (no WITH, no final SELECT): train-slice base
+    * `e`, per-dimension cells, mean, upper-triangle moments, covariance
+    * `cov1`, then per component c: power-iteration CTEs w{c}_t/v{c}_t,
+    * the Rayleigh quotient lam{c}, and the deflated cov{c+1} — every
+    * fold `list_sum(list(x ORDER BY ...))` in the same ascending order
+    * the driver loop in [[graft.operators.Similarity.pcaTrain]] runs.
+    * `fullCells` adds a full-corpus cell CTE for projection oracles. */
+  private def pcaCteChain(k: Int, iters: Int,
+                          fullCells: Boolean = false): String = {
+    val d = embedDim
+    val rounds = (1 to k).map { c =>
+      val pw = (1 to iters).map { t =>
+        s"""w${c}_$t AS MATERIALIZED (SELECT cov.a AS pos,
+           |    list_sum(list(cov.c * v.v ORDER BY cov.b)) AS w
+           |  FROM cov$c cov JOIN v${c}_${t - 1} v ON cov.b = v.pos
+           |  GROUP BY cov.a),
+           |v${c}_$t AS MATERIALIZED (SELECT pos, w / (SELECT
+           |    sqrt(list_sum(list(w * w ORDER BY pos))) FROM w${c}_$t)
+           |    AS v
+           |  FROM w${c}_$t)""".stripMargin
+      }.mkString(",\n")
+      val deflate = if (c < k)
+        s""",
+           |cov${c + 1} AS MATERIALIZED (SELECT cov.a, cov.b,
+           |    cov.c - (SELECT lam FROM lam$c) * va.v * vb.v AS c
+           |  FROM cov$c cov JOIN v${c}_$iters va ON cov.a = va.pos
+           |                 JOIN v${c}_$iters vb ON cov.b = vb.pos)"""
+          .stripMargin
+      else ""
+      s"""v${c}_0 AS MATERIALIZED (SELECT pos,
+         |    CAST(1 AS DOUBLE) / sqrt(CAST($d AS DOUBLE)) AS v
+         |  FROM range(0, $d) t(pos)),
+         |$pw,
+         |wl$c AS MATERIALIZED (SELECT cov.a AS pos,
+         |    list_sum(list(cov.c * v.v ORDER BY cov.b)) AS w
+         |  FROM cov$c cov JOIN v${c}_$iters v ON cov.b = v.pos
+         |  GROUP BY cov.a),
+         |lam$c AS MATERIALIZED (SELECT list_sum(list(v.v * w.w ORDER BY v.pos))
+         |    AS lam
+         |  FROM v${c}_$iters v JOIN wl$c w ON v.pos = w.pos)$deflate"""
+        .stripMargin
+    }.mkString(",\n")
+    val full = if (fullCells)
+      s""",
+         |ef AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+         |    AND len(embedding) = $d),
+         |fcells AS MATERIALIZED (SELECT vec_id AS id, u.i - 1 AS pos,
+         |    CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM ef, unnest(range(1, len(embedding) + 1)) AS u(i))"""
+        .stripMargin
+    else ""
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |    AND len(embedding) = $d
+       |    AND vec_id % $pcaTrainMod = 0),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM e),
+       |cells AS MATERIALIZED (SELECT vec_id AS id, u.i - 1 AS pos,
+       |    CAST(embedding[u.i] AS DOUBLE) AS x
+       |  FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |mn AS MATERIALIZED (SELECT pos,
+       |    list_sum(list(x ORDER BY id)) / (SELECT nd FROM nn) AS m
+       |  FROM cells GROUP BY pos),
+       |mom AS MATERIALIZED (SELECT a.pos AS a, b.pos AS b,
+       |    list_sum(list(a.x * b.x ORDER BY a.id)) AS s
+       |  FROM cells a JOIN cells b ON a.id = b.id AND a.pos <= b.pos
+       |  GROUP BY 1, 2),
+       |cv AS MATERIALIZED (SELECT mom.a AS a, mom.b AS b,
+       |    s / (SELECT nd FROM nn) - ma.m * mb.m AS c
+       |  FROM mom JOIN mn ma ON mom.a = ma.pos
+       |           JOIN mn mb ON mom.b = mb.pos),
+       |cov1 AS MATERIALIZED (SELECT a, b, c FROM cv
+       |         UNION ALL SELECT b, a, c FROM cv WHERE a < b),
+       |$rounds$full""".stripMargin
+  }
+
+  /** q_embed_pca: the k×d loading matrix plus eigenvalues. */
+  private def pcaOracle: String = {
+    val sel = (1 to pcaK).map(c =>
+      s"""SELECT $c AS comp, CAST(pos AS INTEGER) AS pos, v AS loading,
+         |  (SELECT lam FROM lam$c) AS eigenvalue
+         |FROM v${c}_$pcaPowerIters""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${pcaCteChain(pcaK, pcaPowerIters)}
+       |$sel
+       |ORDER BY comp, pos""".stripMargin
+  }
+
+  /** q_embed_pca_project: full-corpus projection onto the trained
+    * axes — per component one ascending-pos fold of (x−μ)·v. */
+  private def pcaProjectOracle: String = {
+    val ps = (1 to pcaK).map(c =>
+      s"""p$c AS MATERIALIZED (SELECT f.id,
+         |    list_sum(list((f.x - m.m) * v.v ORDER BY f.pos))
+         |      AS proj_$c
+         |  FROM fcells f JOIN mn m ON f.pos = m.pos
+         |                JOIN v${c}_$pcaPowerIters v ON f.pos = v.pos
+         |  GROUP BY f.id)""".stripMargin).mkString(",\n")
+    val joins = (2 to pcaK)
+      .map(c => s"JOIN p$c ON p1.id = p$c.id").mkString(" ")
+    val cols = (1 to pcaK).map(c => s"proj_$c").mkString(", ")
+    s"""WITH ${pcaCteChain(pcaK, pcaPowerIters, fullCells = true)},
+       |$ps
+       |SELECT p1.id AS vec_id, $cols FROM p1 $joins
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** The q_rec_als oracle: [[graft.operators.Recommend.alsRank1]]'s
@@ -7500,6 +7636,12 @@ object SparkEntry {
     // Similarity.rpSigns (the one shared definition), each output dim
     // the same ascending-index fold the fused dot runs, scale division
     // exact at outDim = 16
+    // PCA: the full train chain replayed relationally (mean →
+    // upper-triangle moments → covariance → unrolled power iterations
+    // with deflation), every fold ascending-ordered like the driver's
+    "q_embed_pca" -> pcaOracle,
+    "q_embed_pca_project" -> pcaProjectOracle,
+
     "q_embed_rp" -> {
       val signs = graft.operators.Similarity.rpSigns(embedDim, rpDim,
         rpSeed)

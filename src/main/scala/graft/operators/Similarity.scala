@@ -478,6 +478,160 @@ object Similarity {
       if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
     }
 
+  /** Trained PCA model: population mean, top-k principal axes (rows of
+    * `components`, each a unit vector of length `dim`) and their
+    * eigenvalues, from [[pcaTrain]]. */
+  case class PcaModel(dim: Int, n: Long, mean: Array[Double],
+                      components: Array[Array[Double]],
+                      eigenvalues: Array[Double])
+
+  /** PCA — the DATA-DEPENDENT counterpart of [[randomProject]]: top-k
+    * eigenvectors of the population covariance, the standard embedding
+    * post-processing step (dimension reduction, whitening, the
+    * all-but-the-top anisotropy correction) of a training-data
+    * pipeline.
+    *
+    * Split of labor, sized for 100 TB:
+    *  - DISTRIBUTED: per-dimension sums (mean) and upper-triangle
+    *    second-moment sums — one in-row pair generator (sequence-based,
+    *    d(d+1)/2 structs per row, NO self-join) feeding one hash
+    *    aggregate whose map-side combine collapses every task to d²/2
+    *    cells before the shuffle; shuffle volume is tasks·d²/2,
+    *    independent of N.
+    *  - DRIVER: exactly d²/2 + d doubles collected (the documented
+    *    bounded-collect pattern), covariance assembly, `powerIters`
+    *    rounds of power iteration per component with deflation between
+    *    components (Golub & Van Loan §8.2) — O(k·powerIters·d²) flops
+    *    on d×d state, far below any executor's work.
+    *
+    * Determinism: `deterministic = true` folds mean and moment sums in
+    * ascending-vec_id order (sorted-collect; per-cell cost linear in N —
+    * the repro/oracle mode, production uses plain partial sums); every
+    * driver-side reduction (matvec rows, norms, Rayleigh quotient,
+    * deflation) runs in ascending index order with the exact IEEE op
+    * sequence the generated oracle replays relationally, so loadings
+    * and eigenvalues hash-match. The all-ones/√d start vector is fixed;
+    * power iteration from a fixed positive start pins the sign.
+    *
+    * The fixed `powerIters` is the same contract as fixed-iteration
+    * PageRank: a repro-able spec pin; production callers raise it (or
+    * iterate to a drift tolerance outside) — each round is driver-local
+    * flops, not cluster work, so over-iterating costs microseconds. */
+  def pcaTrain(emb: DataFrame, k: Int, powerIters: Int,
+               deterministic: Boolean = false,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): PcaModel = {
+    require(k >= 1 && k <= 64, s"pcaTrain: k=$k out of [1, 64]")
+    require(powerIters >= 1 && powerIters <= 100,
+      s"pcaTrain: powerIters=$powerIters out of [1, 100]")
+    val dim = probeDim(emb.where(wellFormed(col(embCol))), embCol)
+    require(k <= dim, s"pcaTrain: k=$k > dim=$dim")
+    val slim = emb
+      .where(wellFormed(col(embCol)) && size(col(embCol)) === dim)
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("e"))
+    val cells = slim
+      .select(col("id"), posexplode(col("e")).as(Seq("pos", "xf")))
+      .select(col("id"), col("pos"), col("xf").cast("double").as("x"))
+    val meanRows = (if (deterministic)
+        sequentialSumByKey(cells, Seq("pos"), "id", "x")
+      else cells.groupBy("pos").agg(count(lit(1)).as("__count"),
+        sum(col("x")).as("__sum")))
+      .select(col("pos"), col("__sum"), col("__count")).collect()
+    require(meanRows.nonEmpty, "pcaTrain: no well-formed vectors")
+    val n = meanRows.head.getLong(2)
+    val nD = n.toDouble
+    val mean = new Array[Double](dim)
+    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / nD)
+    // upper-triangle products generated IN ROW (a <= b), 0-based pos
+    val pairs = slim.select(col("id"), explode(flatten(
+        transform(sequence(lit(0), lit(dim - 1)), a =>
+          transform(sequence(a, lit(dim - 1)), b =>
+            struct(a.as("a"), b.as("b"),
+              (element_at(col("e"), a + 1).cast("double") *
+                element_at(col("e"), b + 1).cast("double"))
+                .as("p")))))).as("s"))
+      .select(col("id"), col("s.a").as("a"), col("s.b").as("b"),
+        col("s.p").as("p"))
+    val momRows = (if (deterministic)
+        sequentialSumByKey(pairs, Seq("a", "b"), "id", "p")
+      else pairs.groupBy("a", "b").agg(count(lit(1)).as("__count"),
+        sum(col("p")).as("__sum")))
+      .select(col("a"), col("b"), col("__sum")).collect()
+    val c = Array.ofDim[Double](dim, dim)
+    momRows.foreach { r =>
+      val a = r.getInt(0); val b = r.getInt(1)
+      // s/n − μ_a·μ_b, the exact expression the oracle states; the
+      // mirrored cell COPIES the value (IEEE · is commutative anyway)
+      val v = r.getDouble(2) / nD - mean(a) * mean(b)
+      c(a)(b) = v; c(b)(a) = v
+    }
+    val comps = Array.ofDim[Double](k, dim)
+    val eigs = new Array[Double](k)
+    def matvec(m: Array[Array[Double]], v: Array[Double]) =
+      Array.tabulate(dim) { a =>
+        var acc = 0.0; var b = 0
+        while (b < dim) { acc += m(a)(b) * v(b); b += 1 }
+        acc
+      }
+    def dotAsc(x: Array[Double], y: Array[Double]) = {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += x(j) * y(j); j += 1 }
+      acc
+    }
+    for (comp <- 0 until k) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 1 to powerIters) {
+        val w = matvec(c, v)
+        val nrm = math.sqrt(dotAsc(w, w))
+        require(nrm > 0.0,
+          s"pcaTrain: power iteration collapsed at component ${comp + 1}" +
+            " (rank-deficient covariance); lower k")
+        v = w.map(_ / nrm)
+      }
+      val wl = matvec(c, v)
+      val lam = dotAsc(v, wl)
+      comps(comp) = v; eigs(comp) = lam
+      // deflate: C ← C − λ·v·vᵀ, left-assoc λ·v_a·v_b like the oracle
+      for (a <- 0 until dim; b <- 0 until dim)
+        c(a)(b) = c(a)(b) - lam * v(a) * v(b)
+    }
+    PcaModel(dim, n, mean, comps, eigs)
+  }
+
+  /** [[pcaTrain]]'s model as a frame: one row per (comp 1-based,
+    * pos 0-based) with the loading and the component's eigenvalue. */
+  def pcaComponents(emb: DataFrame, k: Int, powerIters: Int,
+                    deterministic: Boolean = false,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = pcaTrain(emb, k, powerIters, deterministic, idCol, embCol)
+    (for (comp <- 0 until k; pos <- 0 until m.dim)
+      yield (comp + 1, pos, m.components(comp)(pos), m.eigenvalues(comp)))
+      .toDF("comp", "pos", "loading", "eigenvalue")
+  }
+
+  /** Project embeddings onto a trained [[PcaModel]]: score_c =
+    * Σ_j (x_j − μ_j)·v_cj as ONE literal-unrolled left-associated
+    * chain per component — the [[randomProject]] plan shape (k fused
+    * expressions, constant in the corpus; no join against a component
+    * table, which would generate d rows per vector and shuffle them).
+    * Rows are pinned to the model's dim. Output: (idCol, proj_1..k). */
+  def pcaProject(emb: DataFrame, model: PcaModel,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    val projs = model.components.zipWithIndex.map { case (v, ci) =>
+      (0 until model.dim).map { j =>
+        (element_at(col(embCol), j + 1).cast("double") -
+          lit(model.mean(j))) * lit(v(j))
+      }.reduceLeft(_ + _).as(s"proj_${ci + 1}")
+    }
+    emb.where(wellFormed(col(embCol)) &&
+        size(col(embCol)) === model.dim)
+      .select(col(idCol) +: projs.toSeq: _*)
+  }
+
   /** IVF (inverted-file) approximate top-k — the second standard ANN
     * scale path next to lshTopK: a coarse quantizer (k-means centroids
     * trained driver-side on a broadcastable sample, deterministic init +

@@ -751,4 +751,58 @@ class SimilaritySpec extends SparkTestBase {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.9 && mean < 1.1, mean)
   }
+
+  test("pcaTrain: recovers a planted principal axis with its variance; " +
+    "modes agree on tiny data; malformed rows excluded; k > dim rejected") {
+    // all variance on axis 0: x0 ∈ {0, 8} (μ = 4, var = 16), x1 = 5
+    // (constant → no variance); a null-element and a short row must
+    // be ignored
+    val df = Seq(
+      (1L, Array(0f, 5f)), (2L, Array(8f, 5f)),
+      (3L, Array(0f, 5f)), (4L, Array(8f, 5f))
+    ).toDF("vec_id", "embedding")
+      .union(Seq((5L, Array[Float](1f))).toDF("vec_id", "embedding"))
+    val m = Similarity.pcaTrain(df, k = 1, powerIters = 3,
+      deterministic = true)
+    assert(m.n === 4L && m.dim === 2)
+    assert(m.mean(0) === 4.0 && m.mean(1) === 5.0)
+    assert(math.abs(m.eigenvalues(0) - 16.0) < 1e-12, m.eigenvalues(0))
+    assert(math.abs(math.abs(m.components(0)(0)) - 1.0) < 1e-12)
+    assert(math.abs(m.components(0)(1)) < 1e-12)
+    // production-mode sums agree here (2 cells per dimension)
+    val mp = Similarity.pcaTrain(df, k = 1, powerIters = 3,
+      deterministic = false)
+    assert(mp.components(0).toSeq === m.components(0).toSeq &&
+      mp.eigenvalues(0) === m.eigenvalues(0))
+    assertThrows[IllegalArgumentException] {
+      Similarity.pcaTrain(df, k = 3, powerIters = 3)
+    }
+  }
+
+  test("pcaProject: per-row scores replay the literal left-assoc fold; " +
+    "projection onto the planted axis is the centered coordinate") {
+    // uncorrelated axes, var 16 on axis 0 and 4 on axis 1 — full-rank
+    // covariance so deflated component 2 survives
+    val vecs = Seq((1L, Array(0f, 4f)), (2L, Array(8f, 4f)),
+      (3L, Array(0f, 0f)), (4L, Array(8f, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val m = Similarity.pcaTrain(df, k = 2, powerIters = 20,
+      deterministic = true)
+    val got = Similarity.pcaProject(df, m).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val exp = vecs.map { case (id, v) =>
+      val p = m.components.map { comp =>
+        (0 until m.dim).map(j =>
+          (v(j).toDouble - m.mean(j)) * comp(j)).reduceLeft(_ + _)
+      }
+      (id, p(0), p(1))
+    }
+    assert(got.toSeq === exp)
+    // axis-0 projection = x0 − μ0 up to the component's sign
+    val s = m.components(0)(0)
+    assert(math.abs(math.abs(s) - 1.0) < 1e-9, s)
+    got.zip(Seq(0.0, 8.0, 0.0, 8.0)).foreach { case ((_, p1, _), x0) =>
+      assert(math.abs(p1 - s * (x0 - m.mean(0))) < 1e-9, (p1, x0))
+    }
+  }
 }
