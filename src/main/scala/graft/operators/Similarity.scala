@@ -529,41 +529,86 @@ object Similarity {
     val slim = emb
       .where(wellFormed(col(embCol)) && size(col(embCol)) === dim)
       .select(col(idCol).cast("long").as("id"), col(embCol).as("e"))
-    val cells = slim
-      .select(col("id"), posexplode(col("e")).as(Seq("pos", "xf")))
-      .select(col("id"), col("pos"), col("xf").cast("double").as("x"))
-    val meanRows = (if (deterministic)
-        sequentialSumByKey(cells, Seq("pos"), "id", "x")
-      else cells.groupBy("pos").agg(count(lit(1)).as("__count"),
-        sum(col("x")).as("__sum")))
-      .select(col("pos"), col("__sum"), col("__count")).collect()
-    require(meanRows.nonEmpty, "pcaTrain: no well-formed vectors")
-    val n = meanRows.head.getLong(2)
+    val nPairs = dim * (dim + 1) / 2
+    // (n, mean sums, upper-triangle moment sums) — two strategies with
+    // identical per-element arithmetic, different summation order:
+    val (n, meanSums, momSums) = if (deterministic) {
+      // repro/oracle mode: relational ascending-vec_id folds (per-cell
+      // cost linear in N — the bit-reproducibility price)
+      val cells = slim
+        .select(col("id"), posexplode(col("e")).as(Seq("pos", "xf")))
+        .select(col("id"), col("pos"), col("xf").cast("double").as("x"))
+      val meanRows = sequentialSumByKey(cells, Seq("pos"), "id", "x")
+        .select(col("pos"), col("__sum"), col("__count")).collect()
+      require(meanRows.nonEmpty, "pcaTrain: no well-formed vectors")
+      val ms = new Array[Double](dim)
+      meanRows.foreach(r => ms(r.getInt(0)) = r.getDouble(1))
+      // upper-triangle products generated IN ROW (a <= b), 0-based pos
+      val pairs = slim.select(col("id"), explode(flatten(
+          transform(sequence(lit(0), lit(dim - 1)), a =>
+            transform(sequence(a, lit(dim - 1)), b =>
+              struct(a.as("a"), b.as("b"),
+                (element_at(col("e"), a + 1).cast("double") *
+                  element_at(col("e"), b + 1).cast("double"))
+                  .as("p")))))).as("s"))
+        .select(col("id"), col("s.a").as("a"), col("s.b").as("b"),
+          col("s.p").as("p"))
+      val ss = new Array[Double](nPairs)
+      sequentialSumByKey(pairs, Seq("a", "b"), "id", "p")
+        .select(col("a"), col("b"), col("__sum")).collect()
+        .foreach { r =>
+          val a = r.getInt(0); val b = r.getInt(1)
+          // upper-triangle linear index for row a, column b >= a
+          ss(a * dim - a * (a - 1) / 2 + (b - a)) = r.getDouble(2)
+        }
+      (meanRows.head.getLong(2), ms, ss)
+    } else {
+      // production mode: ONE pass, per-partition Gram accumulation in
+      // a flat double array (the documented per-partition-imperative
+      // case — a 2080-column relational aggregate measured 55x slower
+      // and the exploded-pair generator 150x at 100k×64), reduced as
+      // elementwise adds of (d²/2 + d + 1)-sized arrays; depth-2 tree
+      // keeps the driver's merge fan-in bounded at cluster scale
+      val sp = emb.sparkSession
+      import sp.implicits._
+      val accs = slim.select(col("e")).as[Array[Float]]
+        .mapPartitions { it =>
+          val acc = new Array[Double](nPairs + dim + 1)
+          it.foreach { v =>
+            var idx = 0; var a = 0
+            while (a < dim) {
+              val xa = v(a).toDouble
+              acc(nPairs + a) += xa
+              var b = a
+              while (b < dim) { acc(idx) += xa * v(b).toDouble
+                idx += 1; b += 1 }
+              a += 1
+            }
+            acc(nPairs + dim) += 1.0
+          }
+          Iterator.single(acc)
+        }
+      require(!accs.isEmpty, "pcaTrain: no well-formed vectors")
+      val acc = accs.rdd.treeReduce({ (x, y) =>
+        val z = new Array[Double](x.length)
+        var i = 0
+        while (i < x.length) { z(i) = x(i) + y(i); i += 1 }
+        z
+      }, depth = 2)
+      (acc(nPairs + dim).toLong, acc.slice(nPairs, nPairs + dim),
+        acc.take(nPairs))
+    }
+    require(n > 0, "pcaTrain: no well-formed vectors")
     val nD = n.toDouble
-    val mean = new Array[Double](dim)
-    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / nD)
-    // upper-triangle products generated IN ROW (a <= b), 0-based pos
-    val pairs = slim.select(col("id"), explode(flatten(
-        transform(sequence(lit(0), lit(dim - 1)), a =>
-          transform(sequence(a, lit(dim - 1)), b =>
-            struct(a.as("a"), b.as("b"),
-              (element_at(col("e"), a + 1).cast("double") *
-                element_at(col("e"), b + 1).cast("double"))
-                .as("p")))))).as("s"))
-      .select(col("id"), col("s.a").as("a"), col("s.b").as("b"),
-        col("s.p").as("p"))
-    val momRows = (if (deterministic)
-        sequentialSumByKey(pairs, Seq("a", "b"), "id", "p")
-      else pairs.groupBy("a", "b").agg(count(lit(1)).as("__count"),
-        sum(col("p")).as("__sum")))
-      .select(col("a"), col("b"), col("__sum")).collect()
+    val mean = meanSums.map(_ / nD)
     val c = Array.ofDim[Double](dim, dim)
-    momRows.foreach { r =>
-      val a = r.getInt(0); val b = r.getInt(1)
+    var idx = 0
+    for (a <- 0 until dim; b <- a until dim) {
       // s/n − μ_a·μ_b, the exact expression the oracle states; the
       // mirrored cell COPIES the value (IEEE · is commutative anyway)
-      val v = r.getDouble(2) / nD - mean(a) * mean(b)
+      val v = momSums(idx) / nD - mean(a) * mean(b)
       c(a)(b) = v; c(b)(a) = v
+      idx += 1
     }
     val comps = Array.ofDim[Double](k, dim)
     val eigs = new Array[Double](k)

@@ -1879,6 +1879,89 @@ object ScaleProbe {
       }
     }
 
+    if (which("als-weak")) {
+      // 2M ratings forming a PERFECT MATCHING (user i <-> item i,
+      // rating (i%9)+1): every factor solve has a single-term sum, so
+      // production-mode partial aggregation is closed-form checkable —
+      // u/v/pred per pair depend only on the rating value. 3 rounds.
+      val n = 2000000L
+      val ra = spark.range(n).select(col("id").as("u"), col("id").as("i"),
+        (pmod(col("id"), lit(9)) + 1).as("r")).localCheckpoint(true)
+      t("als_weak_2m_matching_exact_closed_form") {
+        val out = graft.operators.Recommend.alsRank1(ra, col("u"),
+          col("i"), col("r"), iters = 3, lambda = 0.1).localCheckpoint(true)
+        // driver replay of the single-term chain per rating value
+        val expect = (1L to 9L).map { rv =>
+          val r = rv.toDouble
+          var v = 1.0
+          var u = 0.0
+          for (_ <- 1 to 3) {
+            u = r * v / (0.1 + v * v)
+            v = r * u / (0.1 + u * u)
+          }
+          rv -> u * v
+        }.toMap
+        val expDf = spark.createDataFrame(expect.toSeq)
+          .toDF("rating", "exp_pred")
+        val bad = out.join(expDf, Seq("rating"))
+          .where(col("pred") =!= col("exp_pred")).count()
+        require(bad == 0, s"$bad predictions off the closed form")
+        val cnt = out.count()
+        require(cnt == n, s"expected $n rows, got $cnt")
+        cnt
+      }
+    }
+
+    if (which("pca-weak")) {
+      // 100k 64-dim vectors with a PLANTED dominant axis: replicate the
+      // 2k corpus 50x under sign flips (variance structure preserved
+      // per replica) and add a strong common axis-0 component via a
+      // deterministic per-row offset. Production-mode moments (plain
+      // partial sums). Invariants: spectral order, near-unit loadings,
+      // projection sample variance tracking the eigenvalue.
+      val emb = graft.Tables.embeddings(spark, dir)
+        .where(col("embedding").isNotNull)
+      val copies = (0 until 50).map { k =>
+        val signs = typedlit(Array.tabulate(64) { i =>
+          var z = (k.toLong << 32) + i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+        })
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
+      }
+      val planted = copies.reduce(_.unionByName(_))
+        .select(col("vec_id"), transform(col("embedding"),
+          (x, j) => when(j === 0,
+            x + (pmod(col("vec_id"), lit(7)) - lit(3))
+              .cast("float")).otherwise(x)).as("embedding"))
+        .localCheckpoint(true)
+      t("pca_weak_100k_rows")(planted.count())
+      t("pca_weak_100k_train_top2") {
+        val m = graft.operators.Similarity.pcaTrain(planted, k = 2,
+          powerIters = 8)
+        require(m.n == 100000L, s"n=${m.n}")
+        require(m.eigenvalues(0) > m.eigenvalues(1) &&
+          m.eigenvalues(1) > 0, m.eigenvalues.mkString(","))
+        // the planted +/-3 axis-0 offset (var = 4) dominates the float
+        // noise: the top loading concentrates on dimension 0
+        require(math.abs(m.components(0)(0)) > 0.9,
+          s"top loading ${m.components(0)(0)}")
+        val nrm = math.sqrt(m.components(0).map(x => x * x).sum)
+        require(math.abs(nrm - 1.0) < 1e-9, s"norm $nrm")
+        // projected sample variance ~ eigenvalue (population / n)
+        val p = graft.operators.Similarity.pcaProject(planted, m)
+        val stats = p.agg(sum(col("proj_1")).as("s"),
+          sum(col("proj_1") * col("proj_1")).as("ss")).head()
+        val vhat = stats.getDouble(1) / m.n -
+          math.pow(stats.getDouble(0) / m.n, 2)
+        require(math.abs(vhat - m.eigenvalues(0)) <
+          0.05 * m.eigenvalues(0), s"var $vhat vs ${m.eigenvalues(0)}")
+        m.n
+      }
+    }
+
     spark.stop()
   }
 }
