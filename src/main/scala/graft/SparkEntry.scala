@@ -2182,6 +2182,23 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "day")),
 
+    // k-anonymity / l-diversity audit over the customer release
+    // candidate: QI = (segment, nation), sensitive = debt status —
+    // every equivalence class with its size, sensitive diversity and
+    // risk flags; exact integers end to end
+    "q_privacy_kanon" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(Tables.customer(s, dir),
+          Seq(col("c_mktsegment"), col("c_nationkey")),
+          col("c_acctbal") < 0, k = 5L, l = 2L)
+        .orderBy("c_mktsegment", "c_nationkey")),
+
+    // the release-gate rollup: class/row totals vs policy + the
+    // release's actual k (minimum class size)
+    "q_privacy_kanon_summary" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymitySummary(Tables.customer(s, dir),
+          Seq(col("c_mktsegment"), col("c_nationkey")),
+          col("c_acctbal") < 0, k = 5L, l = 2L)),
+
     // per-type OLS trendline over daily volumes: every sufficient
     // statistic an exact decimal (order-independent partial aggs — no
     // fold discipline), floats confined to the fixed slope/intercept/r²
@@ -6284,6 +6301,32 @@ object SparkEntry {
         |  coalesce(n_events * trail_cnt * 10 > trail_sum * 11, FALSE)
         |    AS is_spike
         |FROM t ORDER BY event_type, day""".stripMargin,
+
+    // k-anonymity audit: boolean sensitive, exact counts; count
+    // DISTINCT skips NULLs in both engines
+    "q_privacy_kanon" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT c_acctbal < 0) AS BIGINT) AS n_sensitive,
+        |  count(*) < 5 AS k_risky,
+        |  count(DISTINCT c_acctbal < 0) < 2 AS l_risky
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_privacy_kanon_summary" ->
+      """WITH a AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT c_acctbal < 0) AS BIGINT) AS n_sensitive
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS k_risky_classes,
+        |  CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS k_risky_rows,
+        |  CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS l_risky_classes,
+        |  CAST(min(n_rows) AS BIGINT) AS min_class_size
+        |FROM a""".stripMargin,
 
     // OLS trendline: exact-decimal sufficient statistics, then the same
     // fixed double expression tree as the operator; the intercept
