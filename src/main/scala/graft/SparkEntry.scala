@@ -2821,6 +2821,29 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // the SERVED shape: fit-once → write-once marker-committed model
+    // artifact → load → whitened projection; parquet round-trips the
+    // doubles bit-exactly, so the served scores equal the in-session
+    // chain the oracle replays (plus the √λ whitening division)
+    "q_embed_pca_served" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_pca_model_${math.abs(dir.hashCode)}"
+      Similarity.persistPcaModel(
+        Tables.embeddings(s, dir).where(col("vec_id") % pcaTrainMod === 0),
+        path, k = pcaK, powerIters = pcaPowerIters, deterministic = true)
+      val m = Similarity.readPcaModel(s, path)
+      Similarity.pcaProject(Tables.embeddings(s, dir), m, whiten = true)
+        .orderBy("vec_id")
+    }),
+
+    // chunk→document mean pooling over synthetic 10-chunk documents:
+    // per-dimension means via the skinny (group, pos) aggregate,
+    // arrays reassembled per group — repro-mode ascending-id folds
+    "q_embed_pool" -> ((s, dir) =>
+      Similarity.meanPoolEmbeddings(Tables.embeddings(s, dir),
+          expr("vec_id DIV 10").as("doc_id"), deterministic = true)
+        .orderBy("doc_id")),
+
     // SemDeDup composition: the kMeans partition bounds the pair search
     // (shuffle key = cluster id), so the only all-pairs work left is
     // within-cluster — the scale answer to q_embed_cluster's global
@@ -4819,16 +4842,23 @@ object SparkEntry {
        |ORDER BY comp, pos""".stripMargin
   }
 
-  /** q_embed_pca_project: full-corpus projection onto the trained
-    * axes — per component one ascending-pos fold of (x−μ)·v. */
-  private def pcaProjectOracle: String = {
-    val ps = (1 to pcaK).map(c =>
+  /** q_embed_pca_project / q_embed_pca_served: full-corpus projection
+    * onto the trained axes — per component one ascending-pos fold of
+    * (x−μ)·v, divided by √λ when whitened (the served query's shape;
+    * the persisted model round-trips doubles exactly, so the replayed
+    * chain IS the served model). */
+  private def pcaProjectOracleSql(whiten: Boolean): String = {
+    val ps = (1 to pcaK).map { c =>
+      val raw = s"list_sum(list((f.x - m.m) * v.v ORDER BY f.pos))"
+      val sc = if (whiten) s"$raw / sqrt((SELECT lam FROM lam$c))"
+        else raw
       s"""p$c AS MATERIALIZED (SELECT f.id,
-         |    list_sum(list((f.x - m.m) * v.v ORDER BY f.pos))
+         |    $sc
          |      AS proj_$c
          |  FROM fcells f JOIN mn m ON f.pos = m.pos
          |                JOIN v${c}_$pcaPowerIters v ON f.pos = v.pos
-         |  GROUP BY f.id)""".stripMargin).mkString(",\n")
+         |  GROUP BY f.id)""".stripMargin
+    }.mkString(",\n")
     val joins = (2 to pcaK)
       .map(c => s"JOIN p$c ON p1.id = p$c.id").mkString(" ")
     val cols = (1 to pcaK).map(c => s"proj_$c").mkString(", ")
@@ -7683,7 +7713,29 @@ object SparkEntry {
     // upper-triangle moments → covariance → unrolled power iterations
     // with deflation), every fold ascending-ordered like the driver's
     "q_embed_pca" -> pcaOracle,
-    "q_embed_pca_project" -> pcaProjectOracle,
+    "q_embed_pca_project" -> pcaProjectOracleSql(whiten = false),
+    // served = persisted-model round trip + whitening; the oracle is
+    // the same chain with the √λ division
+    "q_embed_pca_served" -> pcaProjectOracleSql(whiten = true),
+
+    // chunk→doc mean pooling: per-(group, pos) ascending-id fold means
+    // reassembled into ordered arrays
+    "q_embed_pool" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+         |    AND len(embedding) = $embedDim),
+         |cells AS (SELECT vec_id // 10 AS g, vec_id AS id,
+         |    u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)),
+         |per AS (SELECT g, pos,
+         |    list_sum(list(x ORDER BY id)) / CAST(count(*) AS DOUBLE)
+         |      AS m,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM cells GROUP BY g, pos)
+         |SELECT g AS doc_id, max(c) AS n_chunks,
+         |  list(m ORDER BY pos) AS embedding
+         |FROM per GROUP BY g ORDER BY doc_id""".stripMargin,
 
     "q_embed_rp" -> {
       val signs = graft.operators.Similarity.rpSigns(embedDim, rpDim,

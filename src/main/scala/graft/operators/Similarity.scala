@@ -662,19 +662,124 @@ object Similarity {
     * chain per component — the [[randomProject]] plan shape (k fused
     * expressions, constant in the corpus; no join against a component
     * table, which would generate d rows per vector and shuffle them).
-    * Rows are pinned to the model's dim. Output: (idCol, proj_1..k). */
+    * `whiten = true` divides each score by √λ_c (unit-variance
+    * coordinates — the PCA-whitening the anisotropy-correction papers
+    * use): one more correctly-rounded IEEE division per score, the
+    * divisor computed driver-side by the same `math.sqrt` the oracle's
+    * `sqrt` applies to the identical eigenvalue. Rows are pinned to
+    * the model's dim. Output: (idCol, proj_1..k). */
   def pcaProject(emb: DataFrame, model: PcaModel,
                  idCol: String = "vec_id",
-                 embCol: String = "embedding"): DataFrame = {
+                 embCol: String = "embedding",
+                 whiten: Boolean = false): DataFrame = {
+    if (whiten) model.eigenvalues.foreach(l => require(l > 0.0,
+      s"pcaProject: whitening needs positive eigenvalues, got $l"))
     val projs = model.components.zipWithIndex.map { case (v, ci) =>
-      (0 until model.dim).map { j =>
+      val raw = (0 until model.dim).map { j =>
         (element_at(col(embCol), j + 1).cast("double") -
           lit(model.mean(j))) * lit(v(j))
-      }.reduceLeft(_ + _).as(s"proj_${ci + 1}")
+      }.reduceLeft(_ + _)
+      (if (whiten) raw / lit(math.sqrt(model.eigenvalues(ci))) else raw)
+        .as(s"proj_${ci + 1}")
     }
     emb.where(wellFormed(col(embCol)) &&
         size(col(embCol)) === model.dim)
       .select(col(idCol) +: projs.toSeq: _*)
+  }
+
+  /** Persist a [[PcaModel]] as a write-once serving artifact —
+    * `components/` (comp, pos, loading, eigenvalue), `mean/`
+    * (pos, m), `meta/` (k, dim, n) with the family's
+    * `meta/_GRAFT_COMMITTED` marker written LAST, so a reader can
+    * never see a torn model (the persistSemanticIndex discipline; the
+    * whole artifact is k·d + d + 3 values — driver-sized). Fit once on
+    * the bounded train slice, apply per ingest batch forever. */
+  def persistPcaModel(emb: DataFrame, path: String, k: Int,
+                      powerIters: Int, deterministic: Boolean = false,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): PcaModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = pcaTrain(emb, k, powerIters, deterministic, idCol, embCol)
+    (for (c <- 0 until k; p <- 0 until m.dim)
+      yield (c + 1, p, m.components(c)(p), m.eigenvalues(c)))
+      .toDF("comp", "pos", "loading", "eigenvalue")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/components")
+    m.mean.zipWithIndex.map { case (v, p) => (p, v) }.toSeq
+      .toDF("pos", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/mean")
+    Seq((k, m.dim, m.n)).toDF("k", "dim", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED"), false).close()
+    m
+  }
+
+  /** Load a [[persistPcaModel]] artifact (refusing uncommitted/torn
+    * ones loudly) — parquet round-trips the doubles bit-exactly, so a
+    * served projection equals the in-session one. */
+  def readPcaModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): PcaModel = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED")),
+      s"pca model at $path has no commit marker — torn or absent")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (k, dim, n) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
+    val mean = new Array[Double](dim)
+    spark.read.parquet(s"$path/mean").collect()
+      .foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    val comps = Array.ofDim[Double](k, dim)
+    val eigs = new Array[Double](k)
+    val rows = spark.read.parquet(s"$path/components").collect()
+    require(rows.length == k * dim,
+      s"pca model at $path: expected ${k * dim} loading rows, got " +
+        s"${rows.length} — torn model")
+    rows.foreach { r =>
+      comps(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2)
+      eigs(r.getInt(0) - 1) = r.getDouble(3)
+    }
+    PcaModel(dim, n, mean, comps, eigs)
+  }
+
+  /** Chunk→document mean pooling: the standard way a long document
+    * gets ONE embedding from its chunk embeddings (average per
+    * dimension over the group). One skinny (group, pos, x) shuffle +
+    * hash aggregate, array reassembled per group — never a whole-group
+    * vector collect. Repro mode folds each (group, pos) cell in
+    * ascending-id order (the oracle's `list_sum(list(x ORDER BY ...))`
+    * shape); production uses plain partial sums. Degenerate rows
+    * (null / dim-mismatched vs the probed dim) are excluded before
+    * pooling, like the rest of the family. Output: (group-named-as-
+    * input, n_chunks, embedding array<double>). */
+  def meanPoolEmbeddings(chunks: DataFrame, group: Column,
+                         deterministic: Boolean = false,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): DataFrame = {
+    val dim = probeDim(chunks.where(wellFormed(col(embCol))), embCol)
+    val gname = chunks.select(group).columns.head
+    val cells = chunks
+      .where(wellFormed(col(embCol)) && size(col(embCol)) === dim)
+      .select(group.as("__g"), col(idCol).cast("long").as("id"),
+        posexplode(col(embCol)).as(Seq("pos", "xf")))
+      .select(col("__g"), col("id"), col("pos"),
+        col("xf").cast("double").as("x"))
+    val per = (if (deterministic)
+        sequentialSumByKey(cells, Seq("__g", "pos"), "id", "x")
+      else cells.groupBy("__g", "pos")
+        .agg(count(lit(1)).as("__count"), sum(col("x")).as("__sum")))
+      .select(col("__g"), col("pos"),
+        (col("__sum") / col("__count").cast("double")).as("m"),
+        col("__count"))
+    per.groupBy("__g")
+      .agg(max(col("__count")).as("n_chunks"),
+        collect_list(struct(col("pos"), col("m"))).as("xs"))
+      .select(col("__g").as(gname), col("n_chunks"),
+        transform(array_sort(col("xs")), s => s.getField("m"))
+          .as("embedding"))
   }
 
   /** IVF (inverted-file) approximate top-k — the second standard ANN

@@ -804,5 +804,67 @@ class SimilaritySpec extends SparkTestBase {
     got.zip(Seq(0.0, 8.0, 0.0, 8.0)).foreach { case ((_, p1, _), x0) =>
       assert(math.abs(p1 - s * (x0 - m.mean(0))) < 1e-9, (p1, x0))
     }
+    // whitening divides each score by sqrt(eigenvalue), exactly
+    val white = Similarity.pcaProject(df, m, whiten = true)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    white.zip(got).foreach { case ((w1, w2), (_, p1, p2)) =>
+      assert(w1 === p1 / math.sqrt(m.eigenvalues(0)))
+      assert(w2 === p2 / math.sqrt(m.eigenvalues(1)))
+    }
+  }
+
+  test("persistPcaModel/readPcaModel: bit-exact round trip; unmarked " +
+    "artifact refused") {
+    val df = Seq((1L, Array(0f, 4f)), (2L, Array(8f, 4f)),
+      (3L, Array(0f, 0f)), (4L, Array(8f, 0f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pca_spec").toString + "/model"
+    val m = Similarity.persistPcaModel(df, path, k = 2, powerIters = 5,
+      deterministic = true)
+    val r = Similarity.readPcaModel(spark, path)
+    assert(r.dim === m.dim && r.n === m.n)
+    assert(r.mean.toSeq === m.mean.toSeq)
+    assert(r.components.map(_.toSeq).toSeq ===
+      m.components.map(_.toSeq).toSeq)
+    assert(r.eigenvalues.toSeq === m.eigenvalues.toSeq)
+    // served projection == in-session projection, bit for bit
+    val a = Similarity.pcaProject(df, m, whiten = true).orderBy("vec_id")
+      .collect().map(x => (x.getDouble(1), x.getDouble(2))).toSeq
+    val b = Similarity.pcaProject(df, r, whiten = true).orderBy("vec_id")
+      .collect().map(x => (x.getDouble(1), x.getDouble(2))).toSeq
+    assert(a === b)
+    // marker-last discipline: no marker -> loud refusal
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED"), false)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.readPcaModel(spark, path)
+    }
+    assert(e.getMessage.contains("commit marker"))
+  }
+
+  test("meanPoolEmbeddings: hand-computed per-dimension means, " +
+    "dim-mismatched chunks excluded, modes agree") {
+    val chunks = Seq(
+      (10L, Array(1f, 2f)), (11L, Array(3f, 6f)),   // doc 1: mean (2,4)
+      (20L, Array(5f, 5f)),                          // doc 2: itself
+      (30L, Array(9f))                               // short row: dropped
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.meanPoolEmbeddings(chunks,
+        expr("vec_id DIV 10").as("doc_id"), deterministic = true)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+    assert(got.toSeq === Seq((1L, 2L, Seq(2.0, 4.0)),
+      (2L, 1L, Seq(5.0, 5.0))))
+    val prod = Similarity.meanPoolEmbeddings(chunks,
+        expr("vec_id DIV 10").as("doc_id"), deterministic = false)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+    assert(prod.toSeq === got.toSeq)
   }
 }
