@@ -170,4 +170,46 @@ class RecommendSpec extends SparkTestBase {
         iters = 1, lambda = 0.0)
     }
   }
+
+  test("alsRank1 differential: deterministic mode equals an in-memory " +
+    "reference fold on random frames, bit for bit") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nu = 5 + rnd.nextInt(10); val ni = 5 + rnd.nextInt(10)
+      val raw = (1 to 60).map(_ => (rnd.nextInt(nu).toLong,
+        rnd.nextInt(ni).toLong, (1 + rnd.nextInt(9)).toLong))
+      val iters = 1 + rnd.nextInt(3)
+      val lambda = 0.5
+      val got = Recommend.alsRank1(raw.toDF("u", "i", "r"), col("u"),
+          col("i"), col("r"), iters, lambda, deterministic = true)
+        .orderBy("user", "item")
+        .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+      // reference: same dedup (max per pair), same ascending-
+      // counterpart fold, same op order
+      val pairs = raw.groupBy(p => (p._1, p._2))
+        .map { case ((u, i), xs) => (u, i, xs.map(_._3).max) }.toSeq
+      var v = pairs.map(_._2).distinct.map(_ -> 1.0).toMap
+      var u = Map.empty[Long, Double]
+      for (_ <- 1 to iters) {
+        u = pairs.groupBy(_._1).map { case (uk, xs) =>
+          val s = xs.sortBy(_._2)
+          var num = 0.0; var den = 0.0
+          s.foreach { case (_, i, r) =>
+            num += r.toDouble * v(i); den += v(i) * v(i) }
+          uk -> num / (lambda + den)
+        }
+        v = pairs.groupBy(_._2).map { case (ik, xs) =>
+          val s = xs.sortBy(_._1)
+          var num = 0.0; var den = 0.0
+          s.foreach { case (uu, _, r) =>
+            num += r.toDouble * u(uu); den += u(uu) * u(uu) }
+          ik -> num / (lambda + den)
+        }
+      }
+      val exp = pairs.map { case (uk, ik, r) =>
+        (uk, ik, r, u(uk), v(ik), u(uk) * v(ik)) }
+        .sortBy(p => (p._1, p._2))
+      assert(got === exp, s"trial $trial (iters=$iters)")
+    }
+  }
 }
