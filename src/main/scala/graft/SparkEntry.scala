@@ -2199,6 +2199,22 @@ object SparkEntry {
           Seq(col("c_mktsegment"), col("c_nationkey")),
           col("c_acctbal") < 0, k = 5L, l = 2L)),
 
+    // rank-2 ALS over the same ratings: the per-key 2×2 ridge normal
+    // equations solved in closed form — the data movement of full ALS
+    // with the smallest true matrix solve; oracle unrolls the rounds
+    "q_rec_als2" -> ((s, dir) => {
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey").as("u"), col("l_partkey").as("i"),
+          col("l_quantity").cast("long").as("r"))
+      graft.operators.Recommend.alsRank2(ratings, col("u"), col("i"),
+          col("r"), iters = alsIters, lambda = alsLambda,
+          deterministic = true)
+        .orderBy("user", "item")
+    }),
+
     // per-type OLS trendline over daily volumes: every sufficient
     // statistic an exact decimal (order-independent partial aggs — no
     // fold discipline), floats confined to the fixed slope/intercept/r²
@@ -4900,6 +4916,51 @@ object SparkEntry {
        |ORDER BY ra.u, ra.i""".stripMargin
   }
 
+  /** The q_rec_als2 oracle: the 2×2 closed-form solve unrolled per
+    * half-step — five ascending-counterpart folds over each key's
+    * ratings, the determinant spelled in both coordinates exactly as
+    * the operator writes it. */
+  private def recAls2Oracle: String = {
+    val lam = s"CAST($alsLambda AS DOUBLE)"
+    def half(outKey: String, joinKey: String, out: String,
+             prev: String): String = {
+      val det = s"(($lam + s11) * ($lam + s22) - s12 * s12)"
+      s"""$out AS (SELECT $outKey,
+         |    (($lam + s22) * b1 - s12 * b2) / $det AS f1,
+         |    (($lam + s11) * b2 - s12 * b1) / $det AS f2
+         |  FROM (SELECT $outKey,
+         |      list_sum(list(CAST(r AS DOUBLE) * f1 ORDER BY $joinKey))
+         |        AS b1,
+         |      list_sum(list(CAST(r AS DOUBLE) * f2 ORDER BY $joinKey))
+         |        AS b2,
+         |      list_sum(list(f1 * f1 ORDER BY $joinKey)) AS s11,
+         |      list_sum(list(f1 * f2 ORDER BY $joinKey)) AS s12,
+         |      list_sum(list(f2 * f2 ORDER BY $joinKey)) AS s22
+         |    FROM ra JOIN $prev USING ($joinKey) GROUP BY $outKey))"""
+        .stripMargin
+    }
+    val rounds = (1 to alsIters).map { t =>
+      half("u", "i", s"u$t", s"v${t - 1}") + ",\n" +
+        half("i", "u", s"v$t", s"u$t")
+    }.mkString(",\n")
+    s"""WITH ra AS (SELECT u, i, max(r) AS r FROM (
+       |    SELECT CAST(o_custkey AS BIGINT) AS u,
+       |           CAST(l_partkey AS BIGINT) AS i,
+       |           CAST(l_quantity AS BIGINT) AS r
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    WHERE o_custkey % 10 = 0) GROUP BY u, i),
+       |v0 AS (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS f1,
+       |         CAST((i % 5) + 1 AS DOUBLE) / CAST(4 AS DOUBLE) AS f2
+       |       FROM ra),
+       |$rounds
+       |SELECT ra.u AS "user", ra.i AS item, ra.r AS rating,
+       |  uu.f1 AS u1, uu.f2 AS u2, vv.f1 AS v1, vv.f2 AS v2,
+       |  uu.f1 * vv.f1 + uu.f2 * vv.f2 AS pred
+       |FROM ra JOIN u$alsIters uu ON ra.u = uu.u
+       |        JOIN v$alsIters vv ON ra.i = vv.i
+       |ORDER BY ra.u, ra.i""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_flagship" ->
@@ -5907,6 +5968,9 @@ object SparkEntry {
 
     // rank-1 ALS, rounds unrolled in lockstep with alsIters/alsLambda
     "q_rec_als" -> recAlsOracle,
+
+    // rank-2 ALS: 2×2 closed-form solves, same lockstep constants
+    "q_rec_als2" -> recAls2Oracle,
 
     // link prediction: wedge-generated candidate non-edges over the
     // cooc>=2 similarity graph; integer common-neighbor counts, one

@@ -241,6 +241,98 @@ object Recommend {
         (col("u_factor") * col("i_factor")).as("pred"))
   }
 
+  /** Rank-2 ALS — [[alsRank1]] upgraded to the smallest TRUE matrix
+    * solve: each alternating half-step assembles the 2×2 ridge normal
+    * equations per key, A = λI₂ + Σ v·vᵀ and b = Σ r·v over the key's
+    * ratings, and solves u = A⁻¹b by the closed-form 2×2 inverse
+    *   det = (λ+s11)(λ+s22) − s12²   (> 0: A is positive definite)
+    *   u1  = ((λ+s22)·b1 − s12·b2) / det
+    *   u2  = ((λ+s11)·b2 − s12·b1) / det
+    * — exactly the per-key Cholesky full ALS runs at rank k, with the
+    * SAME data movement (one join against the skinny counterpart
+    * factor table + one key-grouped aggregate per half-step); only the
+    * driver-free scalar algebra differs. Items seed at v⁰ = (1,
+    * (i mod 5 + 1)/4) — the second coordinate must vary per item, or
+    * the factor columns start collinear and (by Sherman–Morrison) stay
+    * rank-1 forever.
+    *
+    * Determinism: repro mode sorts each key's ratings by counterpart
+    * id once and folds all five sufficient statistics (s11, s12, s22,
+    * b1, b2) over that one sorted list; the λ-adds, determinant and
+    * divisions are a fixed IEEE tree the unrolled oracle mirrors
+    * textually (the repeated-subexpression rule: det is SPELLED twice,
+    * in f1 and f2). Production mode uses plain partial sums.
+    *
+    * Output: (user, item, rating, u1, u2, v1, v2,
+    * pred = (u1·v1) + (u2·v2)).
+    */
+  def alsRank2(ratings: DataFrame, user: Column, item: Column,
+               rating: Column, iters: Int, lambda: Double,
+               deterministic: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"alsRank2: iters=$iters")
+    require(lambda > 0.0, s"alsRank2: lambda=$lambda must be > 0")
+    val base = Dedup.materialize(ratings
+      .select(user.cast("long").as("u"), item.cast("long").as("i"),
+        rating.cast("long").as("r"))
+      .where(col("u").isNotNull && col("i").isNotNull &&
+        col("r").isNotNull)
+      .groupBy("u", "i").agg(max(col("r")).as("r")))
+    val lam = lit(lambda)
+    def solve(key: String, other: String, factors: DataFrame): DataFrame = {
+      val j = base.join(factors, Seq(other))
+      val stats =
+        if (deterministic) {
+          val terms = struct(col(other),
+            (col("r").cast("double") * col("f1")).as("b1"),
+            (col("r").cast("double") * col("f2")).as("b2"),
+            (col("f1") * col("f1")).as("s11"),
+            (col("f1") * col("f2")).as("s12"),
+            (col("f2") * col("f2")).as("s22"))
+          def fold(fld: String) =
+            aggregate(array_sort(col("xs")), lit(0.0),
+              (a, s) => a + s.getField(fld)).as(fld)
+          j.groupBy(key).agg(collect_list(terms).as("xs"))
+            .select(col(key), fold("b1"), fold("b2"), fold("s11"),
+              fold("s12"), fold("s22"))
+        } else
+          j.groupBy(key).agg(
+            sum(col("r").cast("double") * col("f1")).as("b1"),
+            sum(col("r").cast("double") * col("f2")).as("b2"),
+            sum(col("f1") * col("f1")).as("s11"),
+            sum(col("f1") * col("f2")).as("s12"),
+            sum(col("f2") * col("f2")).as("s22"))
+      // det spelled in BOTH coordinates — the textual-mirror rule
+      val det = (lam + col("s11")) * (lam + col("s22")) -
+        col("s12") * col("s12")
+      stats.select(col(key),
+        (((lam + col("s22")) * col("b1") - col("s12") * col("b2")) / det)
+          .as("f1"),
+        (((lam + col("s11")) * col("b2") - col("s12") * col("b1")) / det)
+          .as("f2"))
+    }
+    var v = Dedup.materialize(base.select("i").distinct()
+      .select(col("i"), lit(1.0).as("f1"),
+        ((col("i") % 5 + 1).cast("double") / lit(4.0)).as("f2")))
+    var u: DataFrame = null
+    for (_ <- 1 to iters) {
+      val nu = Dedup.materialize(solve("u", "i", v))
+      if (u != null) Dedup.releaseMaterialized(u)
+      u = nu
+      val nv = Dedup.materialize(solve("i", "u", u))
+      Dedup.releaseMaterialized(v)
+      v = nv
+    }
+    base
+      .join(u.select(col("u"), col("f1").as("u1"), col("f2").as("u2")),
+        Seq("u"))
+      .join(v.select(col("i"), col("f1").as("v1"), col("f2").as("v2")),
+        Seq("i"))
+      .select(col("u").as("user"), col("i").as("item"),
+        col("r").as("rating"), col("u1"), col("u2"), col("v1"),
+        col("v2"),
+        (col("u1") * col("v1") + col("u2") * col("v2")).as("pred"))
+  }
+
   /** NDCG discount table for ranks 1..k and its ascending prefix sums
     * (the ideal DCG per truth-set size): disc(r) = 1/log₂(r+1)
     * (Järvelin & Kekäläinen 2002). Computed ONCE here and embedded as

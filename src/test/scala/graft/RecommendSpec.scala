@@ -212,4 +212,55 @@ class RecommendSpec extends SparkTestBase {
       assert(got === exp, s"trial $trial (iters=$iters)")
     }
   }
+
+  test("alsRank2 differential: the 2x2 closed-form solves match an " +
+    "in-memory reference bit for bit; rank-2 beats rank-1 on the " +
+    "training objective") {
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 80).map(_ => (rnd.nextInt(8).toLong,
+      rnd.nextInt(8).toLong, (1 + rnd.nextInt(9)).toLong))
+    val lambda = 0.5; val iters = 2
+    val got = Recommend.alsRank2(raw.toDF("u", "i", "r"), col("u"),
+        col("i"), col("r"), iters, lambda, deterministic = true)
+      .orderBy("user", "item")
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    val pairs = raw.groupBy(p => (p._1, p._2))
+      .map { case ((u, i), xs) => (u, i, xs.map(_._3).max) }.toSeq
+    var v = pairs.map(_._2).distinct
+      .map(i => i -> (1.0, (i % 5 + 1).toDouble / 4.0)).toMap
+    var u = Map.empty[Long, (Double, Double)]
+    def solve(grouped: Seq[(Long, Seq[(Long, Long)])],
+              f: Long => (Double, Double)): Map[Long, (Double, Double)] =
+      grouped.map { case (k, xs) =>
+        var b1 = 0.0; var b2 = 0.0
+        var s11 = 0.0; var s12 = 0.0; var s22 = 0.0
+        xs.sortBy(_._1).foreach { case (o, r) =>
+          val (f1, f2) = f(o)
+          b1 += r.toDouble * f1; b2 += r.toDouble * f2
+          s11 += f1 * f1; s12 += f1 * f2; s22 += f2 * f2
+        }
+        val det = (lambda + s11) * (lambda + s22) - s12 * s12
+        k -> (((lambda + s22) * b1 - s12 * b2) / det,
+          ((lambda + s11) * b2 - s12 * b1) / det)
+      }.toMap
+    for (_ <- 1 to iters) {
+      u = solve(pairs.groupBy(_._1).view
+        .mapValues(_.map(x => (x._2, x._3))).toSeq, v)
+      v = solve(pairs.groupBy(_._2).view
+        .mapValues(_.map(x => (x._1, x._3))).toSeq, u)
+    }
+    val exp = pairs.map { case (uk, ik, r) =>
+      val (u1, u2) = u(uk); val (v1, v2) = v(ik)
+      (uk, ik, r, u1, u2, v1, v2, u1 * v1 + u2 * v2)
+    }.sortBy(p => (p._1, p._2))
+    assert(got === exp)
+    // more capacity must fit the training ratings at least as well
+    val sse2 = got.map(x => math.pow(x._3.toDouble - x._8, 2)).sum
+    val r1 = Recommend.alsRank1(raw.toDF("u", "i", "r"), col("u"),
+        col("i"), col("r"), iters, lambda, deterministic = true)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    val sse1 = r1.map(x => math.pow(x._3.toDouble - x._6, 2)).sum
+    assert(sse2 < sse1, s"rank-2 SSE $sse2 not below rank-1 $sse1")
+  }
 }
