@@ -1910,6 +1910,39 @@ object ScaleProbe {
         require(cnt == n, s"expected $n rows, got $cnt")
         cnt
       }
+      t("als2_weak_2m_matching_exact_closed_form") {
+        // rank-2 on the same matching: per pair the 2x2 solve depends
+        // only on (rating, i % 5) — 45 closed-form combos replayed on
+        // the driver with the operator's exact IEEE tree
+        val out2 = graft.operators.Recommend.alsRank2(ra, col("u"),
+          col("i"), col("r"), iters = 3, lambda = 0.1)
+          .localCheckpoint(true)
+        val lam = 0.1
+        val exp2 = (for (rv <- 1L to 9L; m <- 0L to 4L) yield {
+          val r = rv.toDouble
+          var (v1, v2) = (1.0, (m + 1).toDouble / 4.0)
+          var (u1, u2) = (0.0, 0.0)
+          def slv(f1: Double, f2: Double) = {
+            val b1 = r * f1; val b2 = r * f2
+            val s11 = f1 * f1; val s12 = f1 * f2; val s22 = f2 * f2
+            val det = (lam + s11) * (lam + s22) - s12 * s12
+            (((lam + s22) * b1 - s12 * b2) / det,
+              ((lam + s11) * b2 - s12 * b1) / det)
+          }
+          for (_ <- 1 to 3) {
+            val us = slv(v1, v2); u1 = us._1; u2 = us._2
+            val vs = slv(u1, u2); v1 = vs._1; v2 = vs._2
+          }
+          (rv, m, u1 * v1 + u2 * v2)
+        })
+        val expDf2 = spark.createDataFrame(exp2)
+          .toDF("rating", "imod", "exp_pred")
+        val bad2 = out2.withColumn("imod", pmod(col("item"), lit(5)))
+          .join(expDf2, Seq("rating", "imod"))
+          .where(col("pred") =!= col("exp_pred")).count()
+        require(bad2 == 0, s"$bad2 rank-2 predictions off the closed form")
+        out2.count()
+      }
     }
 
     if (which("pca-weak")) {
