@@ -2199,6 +2199,45 @@ object SparkEntry {
           Seq(col("c_mktsegment"), col("c_nationkey")),
           col("c_acctbal") < 0, k = 5L, l = 2L)),
 
+    // gradient-boosted stumps, integer-exact: quantity regressed on
+    // two binned keys; the model (3 stumps: split + scaled integer
+    // leaves + selection gain) IS the output — the entire training
+    // trajectory replayed by the unrolled oracle
+    "q_ml_boost" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Classify.boostedStumpsTrain(
+          Tables.lineitem(s, dir), col("l_quantity"),
+          Seq(("pk", col("l_partkey") % 32),
+            ("sk", col("l_suppkey") % 16)),
+          rounds = boostRounds, lrDen = boostLrDen, scale = boostScale)
+        .map(st => (st.round, st.feature, st.thr, st.leafLeft,
+          st.leafRight, st.gain))
+        .toDF("round", "feature", "thr", "leaf_left", "leaf_right",
+          "gain")
+        .orderBy("round")
+    }),
+
+    // the apply side: one fused integer CASE chain per row + a single
+    // division back to label units, on the %100 order slice
+    "q_ml_boost_score" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val model = graft.operators.Classify.boostedStumpsTrain(
+        li, col("l_quantity"),
+        Seq(("pk", col("l_partkey") % 32),
+          ("sk", col("l_suppkey") % 16)),
+        rounds = boostRounds, lrDen = boostLrDen, scale = boostScale)
+      graft.operators.Classify.boostedStumpsScore(
+          li.select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey") % 32).as("pk"),
+            (col("l_suppkey") % 16).as("sk"),
+            col("l_quantity").cast("long").as("label")),
+          model, scale = boostScale)
+        .where(col("l_orderkey") % 100 === 0)
+        .select("l_orderkey", "l_linenumber", "label", "score_scaled",
+          "pred")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // rank-2 ALS over the same ratings: the per-key 2×2 ridge normal
     // equations solved in closed form — the data movement of full ALS
     // with the smallest true matrix solve; oracle unrolls the rounds
@@ -3467,6 +3506,10 @@ object SparkEntry {
   // oracle (the λ literal must be the same decimal text both sides)
   private val alsIters = 2
   private val alsLambda = 0.1
+  // boosted stumps: rounds / integer scale / learning-rate denominator
+  private val boostRounds = 3
+  private val boostScale = 1000000000L
+  private val boostLrDen = 2
   private val boilerplateMinDocs = 3
   private val decontamSpanWords = 6
   private val calibrationBinCount = 8
@@ -4961,6 +5004,90 @@ object SparkEntry {
        |ORDER BY ra.u, ra.i""".stripMargin
   }
 
+  /** The boosted-stumps oracle chain: per round and per feature, bin
+    * stats (exact decimal sums) → ascending-bin prefix sums → split
+    * gains in doubles → the (gain DESC, feature order, thr ASC)
+    * argmax → floor-div integer leaves (the positive-mod emulation:
+    * both engines' % is C-style) → the CASE residual update. Shared by
+    * the model and score oracles. */
+  private def boostCteChain(): String = {
+    val feats = Seq(("pk", 1), ("sk", 2))
+    val rounds = (1 to boostRounds).map { t =>
+      val perFeat = feats.map { case (f, idx) =>
+        s"""st${t}_$f AS MATERIALIZED (SELECT $f AS bin,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(r AS DECIMAL(38,0))) AS s
+           |  FROM b${t - 1} GROUP BY 1),
+           |g${t}_$f AS (SELECT '$f' AS feature, $idx AS fidx,
+           |    bin AS thr, nl, sl, ntot - nl AS nr, stot - sl AS sr
+           |  FROM (SELECT bin,
+           |      sum(n) OVER w AS nl, sum(s) OVER w AS sl,
+           |      (SELECT sum(n) FROM st${t}_$f) AS ntot,
+           |      (SELECT sum(s) FROM st${t}_$f) AS stot
+           |    FROM st${t}_$f
+           |    WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW))
+           |  WHERE bin < (SELECT max(bin) FROM st${t}_$f)
+           |    AND nl > 0 AND ntot - nl > 0)""".stripMargin
+      }.mkString(",\n")
+      val union = feats.map { case (f, _) => s"SELECT * FROM g${t}_$f" }
+        .mkString(" UNION ALL ")
+      s"""$perFeat,
+         |best$t AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))
+         |        / CAST(nl AS DOUBLE)
+         |      + (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+         |        / CAST(nr AS DOUBLE) AS gain
+         |    FROM ($union)) t
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY gain DESC, fidx ASC, thr ASC) = 1),
+         |leaf$t AS MATERIALIZED (SELECT feature, thr, gain,
+         |    CAST((sl - ((sl % ($boostLrDen * nl) + ($boostLrDen * nl))
+         |        % ($boostLrDen * nl))) / ($boostLrDen * nl) AS BIGINT)
+         |      AS lf,
+         |    CAST((sr - ((sr % ($boostLrDen * nr) + ($boostLrDen * nr))
+         |        % ($boostLrDen * nr))) / ($boostLrDen * nr) AS BIGINT)
+         |      AS rf
+         |  FROM best$t),
+         |b$t AS MATERIALIZED (SELECT l_orderkey, l_linenumber, pk, sk,
+         |    ql, r - (CASE WHEN (SELECT feature FROM leaf$t) = 'pk'
+         |      THEN CASE WHEN pk <= (SELECT thr FROM leaf$t)
+         |        THEN (SELECT lf FROM leaf$t)
+         |        ELSE (SELECT rf FROM leaf$t) END
+         |      ELSE CASE WHEN sk <= (SELECT thr FROM leaf$t)
+         |        THEN (SELECT lf FROM leaf$t)
+         |        ELSE (SELECT rf FROM leaf$t) END END) AS r
+         |  FROM b${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""b0 AS MATERIALIZED (SELECT l_orderkey, l_linenumber,
+       |    CAST(l_partkey % 32 AS BIGINT) AS pk,
+       |    CAST(l_suppkey % 16 AS BIGINT) AS sk,
+       |    CAST(l_quantity AS BIGINT) AS ql,
+       |    CAST(l_quantity AS BIGINT) * $boostScale AS r
+       |  FROM lineitem),
+       |$rounds""".stripMargin
+  }
+
+  private def boostModelOracle: String = {
+    val sel = (1 to boostRounds).map(t =>
+      s"""SELECT $t AS round, feature, thr, lf AS leaf_left,
+         |  rf AS leaf_right, gain FROM leaf$t""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${boostCteChain()}
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
+  private def boostScoreOracle: String =
+    s"""WITH ${boostCteChain()}
+       |SELECT l_orderkey, l_linenumber, ql AS label,
+       |  ql * $boostScale - r AS score_scaled,
+       |  CAST(ql * $boostScale - r AS DOUBLE)
+       |    / CAST($boostScale AS DOUBLE) AS pred
+       |FROM b$boostRounds
+       |WHERE l_orderkey % 100 = 0
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_flagship" ->
@@ -5971,6 +6098,10 @@ object SparkEntry {
 
     // rank-2 ALS: 2×2 closed-form solves, same lockstep constants
     "q_rec_als2" -> recAls2Oracle,
+
+    // boosted stumps: the full integer-exact training trajectory
+    "q_ml_boost" -> boostModelOracle,
+    "q_ml_boost_score" -> boostScoreOracle,
 
     // link prediction: wedge-generated candidate non-edges over the
     // cooc>=2 similarity graph; integer common-neighbor counts, one

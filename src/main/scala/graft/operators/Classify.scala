@@ -298,4 +298,128 @@ object Classify {
         (col("n_pos").cast("double") /
           nullif(col("n").cast("double"), lit(0.0))).as("frac_pos"))
   }
+
+  /** One trained stump of [[boostedStumpsTrain]]: at `round`, split on
+    * `feature` at bin ≤ `thr`, adding the SCALED integer leaf values
+    * to the running score. `gain` is the split's selection score
+    * (informational — selection itself is pinned by the deterministic
+    * ordering, not by reading this double back). */
+  case class Stump(round: Int, feature: String, thr: Long,
+                   leafLeft: Long, leafRight: Long, gain: Double)
+
+  /** Gradient-boosted depth-1 trees (stumps) for squared loss — the
+    * workhorse tabular model (Friedman 2001), INTEGER-EXACT end to
+    * end so the whole training trajectory is oracle-able:
+    *
+    *  - labels scale to `y·scale` (exact longs); every residual stays
+    *    an exact long because each leaf value is the floor-divided
+    *    integer `⌊S_L / (lrDen·n_L)⌋` (learning rate 1/lrDen) — no
+    *    float ever enters per-row state, so the per-bin residual SUMS
+    *    are order-independent exact decimals and the operator needs
+    *    NO fold discipline at any scale (contrast the perceptron's
+    *    ordered-gradient repro mode);
+    *  - per round, ONE groupBy per feature over its (bounded,
+    *    caller-binned) bins — count + Σr — collected to the driver as
+    *    ≤ nBins rows per feature (the kmeans bounded-collect pattern);
+    *    prefix sums, split gains `S_L²/n_L + S_R²/n_R` (doubles from
+    *    correctly-rounded casts of exact decimals — identical in both
+    *    engines) and the argmax (gain desc, feature order, thr asc)
+    *    run on the driver exactly as the oracle's window states;
+    *  - the residual update is a literal CASE per row (new column,
+    *    integer subtract), frame materialized per round, superseded
+    *    rounds released.
+    *
+    * Features must be integer bin columns (bin upstream: `% k`,
+    * width-bucketing, or quantile ids); at most `maxBins` distinct
+    * bins per feature are allowed — more fails loudly (a high-
+    * cardinality split column is a leak, not a feature).
+    *
+    * Returns the trained model (one [[Stump]] per round). Driver holds
+    * rounds × features × bins longs — model-sized, never data-sized.
+    */
+  def boostedStumpsTrain(df: DataFrame, label: Column,
+                         features: Seq[(String, Column)], rounds: Int,
+                         lrDen: Int = 2, scale: Long = 1000000000L,
+                         maxBins: Int = 256): Seq[Stump] = {
+    require(features.nonEmpty, "boostedStumpsTrain: need features")
+    require(rounds >= 1 && rounds <= 20,
+      s"boostedStumpsTrain: rounds=$rounds")
+    require(lrDen >= 1 && scale >= 1,
+      s"boostedStumpsTrain: lrDen=$lrDen scale=$scale")
+    val fcols = features.map(_._1)
+    var cur = Dedup.materialize(df
+      .select(features.map { case (n, c) => c.cast("long").as(n) } :+
+        (label.cast("long") * lit(scale)).as("__r"): _*)
+      .where(col("__r").isNotNull &&
+        fcols.map(col(_).isNotNull).reduce(_ && _)))
+    val model = scala.collection.mutable.ArrayBuffer.empty[Stump]
+    try {
+      for (t <- 1 to rounds) {
+        // per-feature bin stats — exact decimal sums, bounded collect
+        var best: Option[Stump] = None
+        for (fn <- fcols) {
+          val rows = cur.groupBy(fn)
+            .agg(count(lit(1)).as("n"),
+              sum(col("__r").cast("decimal(38,0)")).as("s"))
+            .orderBy(fn).collect()
+          require(rows.length <= maxBins,
+            s"boostedStumpsTrain: feature $fn has ${rows.length} " +
+              s"bins > maxBins=$maxBins — bin it upstream")
+          val nTot = rows.map(_.getLong(1)).sum
+          val sTot = rows.map(r => BigInt(r.getDecimal(2).toBigInteger))
+            .sum
+          var nL = 0L; var sL = BigInt(0)
+          // candidate thresholds: every bin except the last (a split
+          // keeping everything left is no split)
+          for (k <- 0 until rows.length - 1) {
+            nL += rows(k).getLong(1)
+            sL += BigInt(rows(k).getDecimal(2).toBigInteger)
+            val nR = nTot - nL; val sR = sTot - sL
+            if (nL > 0 && nR > 0) {
+              // the oracle's exact expression tree: casts of exact
+              // decimals, then (sl*sl)/nl + (sr*sr)/nr
+              val slD = sL.toDouble; val srD = sR.toDouble
+              val gain = (slD * slD) / nL.toDouble +
+                (srD * srD) / nR.toDouble
+              // strict > ≡ the oracle's (gain DESC, feature order,
+              // thr ASC) row_number: first maximum wins
+              if (best.forall(b => gain > b.gain)) {
+                val d = BigInt(lrDen) * nL
+                val lf = ((sL - sL.mod(d)) / d).toLong
+                val dr = BigInt(lrDen) * nR
+                val rf = ((sR - sR.mod(dr)) / dr).toLong
+                best = Some(Stump(t, fn, rows(k).getLong(0), lf, rf,
+                  gain))
+              }
+            }
+          }
+        }
+        val b = best.getOrElse(throw new IllegalArgumentException(
+          s"boostedStumpsTrain: round $t found no valid split — every " +
+            "feature is single-bin"))
+        model += b
+        val nxt = Dedup.materialize(cur.withColumn("__r",
+          col("__r") - when(col(b.feature) <= b.thr, lit(b.leafLeft))
+            .otherwise(lit(b.leafRight))))
+        Dedup.releaseMaterialized(cur)
+        cur = nxt
+      }
+    } finally Dedup.releaseMaterialized(cur)
+    model.toSeq
+  }
+
+  /** Apply a [[boostedStumpsTrain]] model: the summed CASE chain as
+    * ONE fused integer projection per row (exact scaled score) plus
+    * the single double division back to label units. Append-only
+    * columns; every input row kept. */
+  def boostedStumpsScore(df: DataFrame, model: Seq[Stump],
+                         scale: Long = 1000000000L): DataFrame = {
+    require(model.nonEmpty, "boostedStumpsScore: empty model")
+    val scoreScaled = model.map(s =>
+      when(col(s.feature) <= s.thr, lit(s.leafLeft))
+        .otherwise(lit(s.leafRight)): Column).reduceLeft(_ + _)
+    df.withColumn("score_scaled", scoreScaled)
+      .withColumn("pred",
+        col("score_scaled").cast("double") / lit(scale.toDouble))
+  }
 }

@@ -149,4 +149,52 @@ class ClassifySpec extends SparkTestBase {
     assert(sb(0).getLong(3) === 1L && sb(0).getDouble(5) === 1.0)
     assert(sb(3).getLong(3) === 1L && sb(3).getDouble(5) === 0.0)
   }
+
+  test("boostedStumps: hand-computed 3-round trajectory, integer " +
+    "floor-div leaves (incl. negative sums), SSE shrinks per round, " +
+    "guards fire") {
+    val df = Seq((0L, 2L), (0L, 2L), (1L, 6L), (1L, 6L))
+      .toDF("f", "y")
+    val m = Classify.boostedStumpsTrain(df, col("y"),
+      Seq(("f", col("f"))), rounds = 3, lrDen = 2, scale = 10L)
+    // r0 = (20,20,60,60); split thr=0 every round; leaves are
+    // floorDiv(S, 2n): (10,30) -> (5,15) -> (2,7)
+    assert(m.map(s => (s.round, s.feature, s.thr, s.leafLeft,
+      s.leafRight)) === Seq((1, "f", 0L, 10L, 30L),
+      (2, "f", 0L, 5L, 15L), (3, "f", 0L, 2L, 7L)))
+    assert(m.head.gain === (40.0 * 40.0) / 2.0 + (120.0 * 120.0) / 2.0)
+    val scored = Classify.boostedStumpsScore(
+        df.withColumn("id", monotonically_increasing_id()), m,
+        scale = 10L)
+      .select("f", "y", "score_scaled", "pred").distinct()
+      .orderBy("f").collect()
+    assert(scored.map(r => (r.getLong(0), r.getLong(2),
+      r.getDouble(3))).toSeq === Seq((0L, 17L, 1.7), (1L, 52L, 5.2)))
+    // negative residual sums floor toward -inf like Math.floorDiv
+    val neg = Classify.boostedStumpsTrain(
+      Seq((0L, -3L), (1L, 5L)).toDF("f", "y"), col("y"),
+      Seq(("f", col("f"))), rounds = 1, lrDen = 2, scale = 10L)
+    assert(neg.head.leafLeft === -15L && neg.head.leafRight === 25L)
+    // training SSE is monotone over rounds (squared-loss boosting)
+    val sses = (1 to 3).map { t =>
+      val mt = Classify.boostedStumpsTrain(df, col("y"),
+        Seq(("f", col("f"))), rounds = t, lrDen = 2, scale = 10L)
+      Classify.boostedStumpsScore(df, mt, scale = 10L)
+        .select(sum(pow(col("y").cast("double") - col("pred"), 2)))
+        .head().getDouble(0)
+    }
+    assert(sses(1) < sses(0) && sses(2) < sses(1), sses)
+    // single-bin feature cannot split
+    assertThrows[IllegalArgumentException] {
+      Classify.boostedStumpsTrain(Seq((1L, 2L)).toDF("f", "y"),
+        col("y"), Seq(("f", col("f"))), rounds = 1)
+    }
+    // high-cardinality feature refused loudly
+    val wide = (1L to 300L).map(i => (i, i)).toDF("f", "y")
+    val e = intercept[IllegalArgumentException] {
+      Classify.boostedStumpsTrain(wide, col("y"),
+        Seq(("f", col("f"))), rounds = 1, maxBins = 256)
+    }
+    assert(e.getMessage.contains("maxBins"))
+  }
 }
