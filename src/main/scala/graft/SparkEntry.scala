@@ -2199,6 +2199,15 @@ object SparkEntry {
           Seq(col("c_mktsegment"), col("c_nationkey")),
           col("c_acctbal") < 0, k = 5L, l = 2L)),
 
+    // smoothed target encoding of order priority against price: the
+    // categorical→numeric encoder artifact, exact-decimal statistics,
+    // m=20 shrinkage toward the global mean
+    "q_ml_target_encode" -> ((s, dir) =>
+      graft.operators.Classify.targetEncode(Tables.orders(s, dir),
+          col("o_orderpriority"), dec2(col("o_totalprice")),
+          smoothing = 20.0)
+        .orderBy("o_orderpriority")),
+
     // gradient-boosted stumps, integer-exact: quantity regressed on
     // two binned keys; the model (3 stumps: split + scaled integer
     // leaves + selection gain) IS the output — the entire training
@@ -6102,6 +6111,22 @@ object SparkEntry {
     // boosted stumps: the full integer-exact training trajectory
     "q_ml_boost" -> boostModelOracle,
     "q_ml_boost_score" -> boostScoreOracle,
+
+    // target encoding: exact-decimal stats, one shrinkage expression
+    "q_ml_target_encode" ->
+      """WITH b AS (SELECT o_orderpriority AS c,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,6))
+        |      AS y
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |g AS (SELECT sum(y) AS gs, CAST(count(*) AS BIGINT) AS gn
+        |  FROM b)
+        |SELECT c AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS DOUBLE) AS sum_y,
+        |  (CAST(sum(y) AS DOUBLE) + CAST(20.0 AS DOUBLE) *
+        |      ((SELECT CAST(gs AS DOUBLE) FROM g)
+        |        / (SELECT CAST(gn AS DOUBLE) FROM g)))
+        |    / (CAST(count(*) AS DOUBLE) + CAST(20.0 AS DOUBLE)) AS enc
+        |FROM b GROUP BY c ORDER BY c""".stripMargin,
 
     // link prediction: wedge-generated candidate non-edges over the
     // cooc>=2 similarity graph; integer common-neighbor counts, one

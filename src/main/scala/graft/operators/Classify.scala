@@ -408,6 +408,40 @@ object Classify {
     model.toSeq
   }
 
+  /** Smoothed target (mean) encoding — the standard categorical→
+    * numeric feature prep (Micci-Barreca 2001): each category maps to
+    * the shrunk mean  enc = (Σy + m·prior) / (n + m), prior = the
+    * global mean, so rare categories pull toward the corpus and the
+    * encoder cannot memorize singletons. ONE partial+final aggregate
+    * over the category key plus a 1-row global aggregate; sufficient
+    * statistics are exact decimals (the linearTrend discipline), the
+    * floats a fixed tree of correctly-rounded casts and one division
+    * each, so the artifact hash-matches cross-engine with no fold
+    * discipline. NULL categories encode like any value (a real level);
+    * NULL labels are excluded. Returns the ENCODER artifact
+    * (category-named-as-input, n, sum_y, enc) — apply = broadcast join
+    * (categories are dimension-sized by construction), unseen
+    * categories at apply time coalesce to the prior. */
+  def targetEncode(df: DataFrame, category: Column, label: Column,
+                   smoothing: Double): DataFrame = {
+    require(smoothing >= 0.0, s"targetEncode: smoothing=$smoothing")
+    val base = df.select(category.as("__c"),
+        label.cast("decimal(18,6)").as("__y"))
+      .where(col("__y").isNotNull)
+    val cname = df.select(category).columns.head
+    val g = base.agg(sum(col("__y")).as("gs"),
+      count(lit(1)).as("gn"))
+    val prior = col("gs").cast("double") / col("gn").cast("double")
+    val m = lit(smoothing)
+    base.groupBy("__c")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"))
+      .crossJoin(broadcast(g))
+      .select(col("__c").as(cname), col("n"),
+        col("sum_y").cast("double").as("sum_y"),
+        ((col("sum_y").cast("double") + m * prior) /
+          (col("n").cast("double") + m)).as("enc"))
+  }
+
   /** Apply a [[boostedStumpsTrain]] model: the summed CASE chain as
     * ONE fused integer projection per row (exact scaled score) plus
     * the single double division back to label units. Append-only

@@ -197,4 +197,26 @@ class ClassifySpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("maxBins"))
   }
+
+  test("targetEncode: exact shrunk means, null labels excluded, null " +
+    "category is a level") {
+    val df = Seq((Option("a"), Option(2.0)), (Option("a"), Option(4.0)),
+      (Option("b"), Option(10.0)), (Option("b"), Option.empty[Double]),
+      (Option.empty[String], Option(16.0)))
+      .toDF("cat", "y")
+    val out = Classify.targetEncode(df, col("cat"), col("y"),
+        smoothing = 2.0)
+      .orderBy(col("cat").asc_nulls_first).collect()
+    assert(out.length === 3)
+    val prior = 32.0 / 4.0   // (2+4+10+16)/4 — the null label dropped
+    assert(out(0).isNullAt(0) &&
+      out(0).getDouble(3) === (16.0 + 2.0 * prior) / (1.0 + 2.0))
+    assert(out(1).getString(0) === "a" && out(1).getLong(1) === 2L &&
+      out(1).getDouble(3) === (6.0 + 2.0 * prior) / (2.0 + 2.0))
+    assert(out(2).getString(0) === "b" &&
+      out(2).getDouble(3) === (10.0 + 2.0 * prior) / (1.0 + 2.0))
+    assertThrows[IllegalArgumentException] {
+      Classify.targetEncode(df, col("cat"), col("y"), smoothing = -1.0)
+    }
+  }
 }
