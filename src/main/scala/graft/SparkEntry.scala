@@ -2205,7 +2205,7 @@ object SparkEntry {
     "q_ml_target_encode" -> ((s, dir) =>
       graft.operators.Classify.targetEncode(Tables.orders(s, dir),
           col("o_orderpriority"), dec2(col("o_totalprice")),
-          smoothing = 20.0)
+          smoothing = targetEncodeSmoothing.toDouble)
         .orderBy("o_orderpriority")),
 
     // gradient-boosted stumps, integer-exact: quantity regressed on
@@ -3517,6 +3517,8 @@ object SparkEntry {
   private val alsLambda = 0.1
   // boosted stumps: rounds / integer scale / learning-rate denominator
   private val boostRounds = 3
+  // target encoding shrinkage, shared by query and oracle text
+  private val targetEncodeSmoothing = "20.0"
   private val boostScale = 1000000000L
   private val boostLrDen = 2
   private val boilerplateMinDocs = 3
@@ -4943,22 +4945,23 @@ object SparkEntry {
   private def recAlsOracle: String = {
     val lam = s"CAST($alsLambda AS DOUBLE)"
     val rounds = (1 to alsIters).map { t =>
-      s"""u$t AS (SELECT u,
+      s"""u$t AS MATERIALIZED (SELECT u,
          |  list_sum(list(CAST(r AS DOUBLE) * f ORDER BY i)) /
          |    ($lam + list_sum(list(f * f ORDER BY i))) AS f
          |  FROM ra JOIN v${t - 1} USING (i) GROUP BY u),
-         |v$t AS (SELECT i,
+         |v$t AS MATERIALIZED (SELECT i,
          |  list_sum(list(CAST(r AS DOUBLE) * f ORDER BY u)) /
          |    ($lam + list_sum(list(f * f ORDER BY u))) AS f
          |  FROM ra JOIN u$t USING (u) GROUP BY i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ra AS (SELECT u, i, max(r) AS r FROM (
+    s"""WITH ra AS MATERIALIZED (SELECT u, i, max(r) AS r FROM (
        |    SELECT CAST(o_custkey AS BIGINT) AS u,
        |           CAST(l_partkey AS BIGINT) AS i,
        |           CAST(l_quantity AS BIGINT) AS r
        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |    WHERE o_custkey % 10 = 0) GROUP BY u, i),
-       |v0 AS (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS f FROM ra),
+       |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS f
+       |  FROM ra),
        |$rounds
        |SELECT ra.u AS "user", ra.i AS item, ra.r AS rating,
        |  u$alsIters.f AS u_factor, v$alsIters.f AS i_factor,
@@ -4977,7 +4980,7 @@ object SparkEntry {
     def half(outKey: String, joinKey: String, out: String,
              prev: String): String = {
       val det = s"(($lam + s11) * ($lam + s22) - s12 * s12)"
-      s"""$out AS (SELECT $outKey,
+      s"""$out AS MATERIALIZED (SELECT $outKey,
          |    (($lam + s22) * b1 - s12 * b2) / $det AS f1,
          |    (($lam + s11) * b2 - s12 * b1) / $det AS f2
          |  FROM (SELECT $outKey,
@@ -4995,14 +4998,15 @@ object SparkEntry {
       half("u", "i", s"u$t", s"v${t - 1}") + ",\n" +
         half("i", "u", s"v$t", s"u$t")
     }.mkString(",\n")
-    s"""WITH ra AS (SELECT u, i, max(r) AS r FROM (
+    s"""WITH ra AS MATERIALIZED (SELECT u, i, max(r) AS r FROM (
        |    SELECT CAST(o_custkey AS BIGINT) AS u,
        |           CAST(l_partkey AS BIGINT) AS i,
        |           CAST(l_quantity AS BIGINT) AS r
        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |    WHERE o_custkey % 10 = 0) GROUP BY u, i),
-       |v0 AS (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS f1,
-       |         CAST((i % 5) + 1 AS DOUBLE) / CAST(4 AS DOUBLE) AS f2
+       |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS f1,
+       |         CAST((${hexPrefixSql("md5(CAST(i AS VARCHAR))", 2)})
+       |           % 8 + 1 AS DOUBLE) / CAST(8 AS DOUBLE) AS f2
        |       FROM ra),
        |$rounds
        |SELECT ra.u AS "user", ra.i AS item, ra.r AS rating,
@@ -6114,7 +6118,7 @@ object SparkEntry {
 
     // target encoding: exact-decimal stats, one shrinkage expression
     "q_ml_target_encode" ->
-      """WITH b AS (SELECT o_orderpriority AS c,
+      s"""WITH b AS (SELECT o_orderpriority AS c,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,6))
         |      AS y
         |  FROM orders WHERE o_totalprice IS NOT NULL),
@@ -6122,10 +6126,12 @@ object SparkEntry {
         |  FROM b)
         |SELECT c AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(y) AS DOUBLE) AS sum_y,
-        |  (CAST(sum(y) AS DOUBLE) + CAST(20.0 AS DOUBLE) *
+        |  (CAST(sum(y) AS DOUBLE) + CAST($targetEncodeSmoothing AS DOUBLE) *
         |      ((SELECT CAST(gs AS DOUBLE) FROM g)
         |        / (SELECT CAST(gn AS DOUBLE) FROM g)))
-        |    / (CAST(count(*) AS DOUBLE) + CAST(20.0 AS DOUBLE)) AS enc
+        |    / (CAST(count(*) AS DOUBLE) + CAST($targetEncodeSmoothing AS DOUBLE)) AS enc,
+        |  (SELECT CAST(gs AS DOUBLE) FROM g)
+        |    / (SELECT CAST(gn AS DOUBLE) FROM g) AS prior
         |FROM b GROUP BY c ORDER BY c""".stripMargin,
 
     // link prediction: wedge-generated candidate non-edges over the
@@ -6589,10 +6595,10 @@ object SparkEntry {
         |    CAST(count(*) AS DECIMAL(18,6)) AS yv
         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
         |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
-        |    sum(CAST(xv AS DECIMAL(28,0))) AS sx, sum(yv) AS sy,
-        |    sum(CAST(xv AS DECIMAL(18,0)) * CAST(xv AS DECIMAL(18,0)))
+        |    sum(CAST(xv AS DECIMAL(38,0))) AS sx, sum(yv) AS sy,
+        |    sum(CAST(xv AS DECIMAL(38,0)) * CAST(xv AS DECIMAL(38,0)))
         |      AS sxx,
-        |    sum(CAST(xv AS DECIMAL(18,0)) * yv) AS sxy,
+        |    sum(CAST(xv AS DECIMAL(38,0)) * yv) AS sxy,
         |    sum(yv * yv) AS syy,
         |    max(xv) AS x_max
         |  FROM d GROUP BY key),

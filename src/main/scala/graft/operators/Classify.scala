@@ -347,6 +347,14 @@ object Classify {
     require(lrDen >= 1 && scale >= 1,
       s"boostedStumpsTrain: lrDen=$lrDen scale=$scale")
     val fcols = features.map(_._1)
+    // loud domain check BEFORE scaling: label·scale must fit a long or
+    // the residual arithmetic wraps silently under non-ANSI (one tiny
+    // 1-row aggregate job — the trainer already runs rounds of jobs)
+    val maxAbsRow = df.select(max(abs(label.cast("long")))).head()
+    val maxAbs = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
+    require(maxAbs <= Long.MaxValue / scale,
+      s"boostedStumpsTrain: max |label| = $maxAbs overflows the " +
+        s"integer residual domain at scale=$scale — lower scale")
     var cur = Dedup.materialize(df
       .select(features.map { case (n, c) => c.cast("long").as(n) } :+
         (label.cast("long") * lit(scale)).as("__r"): _*)
@@ -419,9 +427,11 @@ object Classify {
     * each, so the artifact hash-matches cross-engine with no fold
     * discipline. NULL categories encode like any value (a real level);
     * NULL labels are excluded. Returns the ENCODER artifact
-    * (category-named-as-input, n, sum_y, enc) — apply = broadcast join
-    * (categories are dimension-sized by construction), unseen
-    * categories at apply time coalesce to the prior. */
+    * (category-named-as-input, n, sum_y, enc, prior) — the prior rides
+    * on every row so the apply side (broadcast join; categories are
+    * dimension-sized by construction) can coalesce UNSEEN categories
+    * to it without recomputing a not-bit-identical global mean from
+    * the rounded per-category doubles. */
   def targetEncode(df: DataFrame, category: Column, label: Column,
                    smoothing: Double): DataFrame = {
     require(smoothing >= 0.0, s"targetEncode: smoothing=$smoothing")
@@ -439,7 +449,8 @@ object Classify {
       .select(col("__c").as(cname), col("n"),
         col("sum_y").cast("double").as("sum_y"),
         ((col("sum_y").cast("double") + m * prior) /
-          (col("n").cast("double") + m)).as("enc"))
+          (col("n").cast("double") + m)).as("enc"),
+        prior.as("prior"))
   }
 
   /** Apply a [[boostedStumpsTrain]] model: the summed CASE chain as

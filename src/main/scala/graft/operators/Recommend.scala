@@ -252,9 +252,12 @@ object Recommend {
     * SAME data movement (one join against the skinny counterpart
     * factor table + one key-grouped aggregate per half-step); only the
     * driver-free scalar algebra differs. Items seed at v⁰ = (1,
-    * (i mod 5 + 1)/4) — the second coordinate must vary per item, or
-    * the factor columns start collinear and (by Sherman–Morrison) stay
-    * rank-1 forever.
+    * (hex2(md5(i)) mod 8 + 1)/8) — the second coordinate must vary per
+    * item, or the factor columns start collinear and (by
+    * Sherman–Morrison) stay rank-1 forever; the md5 draw (the engine's
+    * standing randomness source) varies across EVERY id population,
+    * where an `i mod k` seed would collapse on ids sharing a residue
+    * class (catalogs keyed in steps of k).
     *
     * Determinism: repro mode sorts each key's ratings by counterpart
     * id once and folds all five sufficient statistics (s11, s12, s22,
@@ -312,7 +315,8 @@ object Recommend {
     }
     var v = Dedup.materialize(base.select("i").distinct()
       .select(col("i"), lit(1.0).as("f1"),
-        ((col("i") % 5 + 1).cast("double") / lit(4.0)).as("f2")))
+        ((conv(substring(md5(col("i").cast("string")), 1, 2), 16, 10)
+          .cast("long") % 8 + 1).cast("double") / lit(8.0)).as("f2")))
     var u: DataFrame = null
     for (_ <- 1 to iters) {
       val nu = Dedup.materialize(solve("u", "i", v))

@@ -588,13 +588,18 @@ object Similarity {
           }
           Iterator.single(acc)
         }
-      require(!accs.isEmpty, "pcaTrain: no well-formed vectors")
-      val acc = accs.rdd.treeReduce({ (x, y) =>
+      // treeAggregate with a zero accumulator: an emptiness pre-check
+      // (isEmpty = take(1)) would force partition 0's ENTIRE Gram pass
+      // just to throw the result away; with a zero value the empty
+      // case simply yields n = 0, caught by the require below
+      val zero = new Array[Double](nPairs + dim + 1)
+      def add(x: Array[Double], y: Array[Double]): Array[Double] = {
         val z = new Array[Double](x.length)
         var i = 0
         while (i < x.length) { z(i) = x(i) + y(i); i += 1 }
         z
-      }, depth = 2)
+      }
+      val acc = accs.rdd.treeAggregate(zero)(add, add, depth = 2)
       (acc(nPairs + dim).toLong, acc.slice(nPairs, nPairs + dim),
         acc.take(nPairs))
     }
@@ -690,10 +695,12 @@ object Similarity {
   /** Persist a [[PcaModel]] as a write-once serving artifact —
     * `components/` (comp, pos, loading, eigenvalue), `mean/`
     * (pos, m), `meta/` (k, dim, n) with the family's
-    * `meta/_GRAFT_COMMITTED` marker written LAST, so a reader can
-    * never see a torn model (the persistSemanticIndex discipline; the
-    * whole artifact is k·d + d + 3 values — driver-sized). Fit once on
-    * the bounded train slice, apply per ingest batch forever. */
+    * `meta/_GRAFT_COMMITTED` marker written LAST — and, on a
+    * re-persist, the OLD marker deleted FIRST — so a reader can never
+    * see a torn or mixed-generation model (the persistSemanticIndex
+    * discipline; the whole artifact is k·d + d + 3 values —
+    * driver-sized). Fit once on the bounded train slice, apply per
+    * ingest batch forever. */
   def persistPcaModel(emb: DataFrame, path: String, k: Int,
                       powerIters: Int, deterministic: Boolean = false,
                       idCol: String = "vec_id",
@@ -701,6 +708,14 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val m = pcaTrain(emb, k, powerIters, deterministic, idCol, embCol)
+    val fs0 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-persist over an existing artifact: retract the OLD marker
+    // BEFORE touching any file — a crash mid-rewrite must leave the
+    // artifact unreadable (readPcaModel refuses), never a
+    // mixed-generation model the old marker still vouches for
+    fs0.delete(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED"), false)
     (for (c <- 0 until k; p <- 0 until m.dim)
       yield (c + 1, p, m.components(c)(p), m.eigenvalues(c)))
       .toDF("comp", "pos", "loading", "eigenvalue")
@@ -730,8 +745,11 @@ object Similarity {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (k, dim, n) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
     val mean = new Array[Double](dim)
-    spark.read.parquet(s"$path/mean").collect()
-      .foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    val meanRows = spark.read.parquet(s"$path/mean").collect()
+    require(meanRows.length == dim,
+      s"pca model at $path: expected $dim mean rows, got " +
+        s"${meanRows.length} — torn model")
+    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1))
     val comps = Array.ofDim[Double](k, dim)
     val eigs = new Array[Double](k)
     val rows = spark.read.parquet(s"$path/components").collect()

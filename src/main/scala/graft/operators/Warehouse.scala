@@ -418,9 +418,10 @@ object Warehouse {
     *
     * Scale: ONE partial+final hash aggregate over the fact frame — the
     * cheapest possible shape; no window, no sort, no collect. `x` must
-    * fit a long (day ordinals, epochs, versions); `y` is bounded by
-    * DECIMAL(18,6) per observation with sums in DECIMAL(28–38,·), which
-    * holds to ~10²⁰ aggregate magnitude — beyond any 100 TB metric.
+    * fit a long (day ordinals, epochs — any long is exact, including
+    * epoch nanoseconds); `y` is bounded by DECIMAL(18,6) per
+    * observation; sufficient statistics live in DECIMAL(38,·), so only
+    * aggregate magnitudes beyond 10³⁸ can overflow — loud under ANSI.
     *
     * Returns (key, n_obs, x_max, slope, intercept, r2).
     */
@@ -430,15 +431,19 @@ object Warehouse {
         x.cast("long").as("xv"), y.cast("decimal(18,6)").as("yv"))
       .where(col("key").isNotNull && col("xv").isNotNull &&
         col("yv").isNotNull)
-    // x² as decimal BEFORE the multiply: long·long would overflow the
-    // integer domain silently under non-ANSI and throw under ANSI
+    // x² as DECIMAL(38,0) BEFORE the multiply: long·long would wrap;
+    // a narrower decimal cast would NULL epoch-scale x (~1.7e18)
+    // under non-ANSI and skew the statistics silently — at (38,0) the
+    // product of any two longs (< 8.6e37) is exact, so the whole long
+    // domain is safe and only aggregate magnitudes beyond 10³⁸ can
+    // overflow (loud under ANSI, the engine's standing mode)
     val agg = base.groupBy("key").agg(
       count(lit(1)).as("n_obs"),
-      sum(col("xv").cast("decimal(28,0)")).as("sx"),
+      sum(col("xv").cast("decimal(38,0)")).as("sx"),
       sum(col("yv")).as("sy"),
-      sum(col("xv").cast("decimal(18,0)") *
-        col("xv").cast("decimal(18,0)")).as("sxx"),
-      sum(col("xv").cast("decimal(18,0)") * col("yv")).as("sxy"),
+      sum(col("xv").cast("decimal(38,0)") *
+        col("xv").cast("decimal(38,0)")).as("sxx"),
+      sum(col("xv").cast("decimal(38,0)") * col("yv")).as("sxy"),
       sum(col("yv") * col("yv")).as("syy"),
       max(col("xv")).as("x_max"))
     val nD = col("n_obs").cast("double")

@@ -209,6 +209,7 @@ class ClassifySpec extends SparkTestBase {
       .orderBy(col("cat").asc_nulls_first).collect()
     assert(out.length === 3)
     val prior = 32.0 / 4.0   // (2+4+10+16)/4 — the null label dropped
+    assert(out.forall(_.getDouble(4) === prior))   // prior on every row
     assert(out(0).isNullAt(0) &&
       out(0).getDouble(3) === (16.0 + 2.0 * prior) / (1.0 + 2.0))
     assert(out(1).getString(0) === "a" && out(1).getLong(1) === 2L &&

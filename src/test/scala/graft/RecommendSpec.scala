@@ -227,8 +227,15 @@ class RecommendSpec extends SparkTestBase {
       .collect().toSeq
     val pairs = raw.groupBy(p => (p._1, p._2))
       .map { case ((u, i), xs) => (u, i, xs.map(_._3).max) }.toSeq
+    def seed2(i: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(h.substring(0, 2), 16) % 8) + 1)
+        .toDouble / 8.0
+    }
     var v = pairs.map(_._2).distinct
-      .map(i => i -> (1.0, (i % 5 + 1).toDouble / 4.0)).toMap
+      .map(i => i -> (1.0, seed2(i))).toMap
     var u = Map.empty[Long, (Double, Double)]
     def solve(grouped: Seq[(Long, Seq[(Long, Long)])],
               f: Long => (Double, Double)): Map[Long, (Double, Double)] =

@@ -1912,15 +1912,15 @@ object ScaleProbe {
       }
       t("als2_weak_2m_matching_exact_closed_form") {
         // rank-2 on the same matching: per pair the 2x2 solve depends
-        // only on (rating, i % 5) — 45 closed-form combos replayed on
-        // the driver with the operator's exact IEEE tree
+        // only on (rating, md5-seed class) — 72 closed-form combos
+        // replayed on the driver with the operator's exact IEEE tree
         val out2 = graft.operators.Recommend.alsRank2(ra, col("u"),
           col("i"), col("r"), iters = 3, lambda = 0.1)
           .localCheckpoint(true)
         val lam = 0.1
-        val exp2 = (for (rv <- 1L to 9L; m <- 0L to 4L) yield {
+        val exp2 = (for (rv <- 1L to 9L; m <- 0L to 7L) yield {
           val r = rv.toDouble
-          var (v1, v2) = (1.0, (m + 1).toDouble / 4.0)
+          var (v1, v2) = (1.0, (m + 1).toDouble / 8.0)
           var (u1, u2) = (0.0, 0.0)
           def slv(f1: Double, f2: Double) = {
             val b1 = r * f1; val b2 = r * f2
@@ -1937,7 +1937,9 @@ object ScaleProbe {
         })
         val expDf2 = spark.createDataFrame(exp2)
           .toDF("rating", "imod", "exp_pred")
-        val bad2 = out2.withColumn("imod", pmod(col("item"), lit(5)))
+        val bad2 = out2.withColumn("imod",
+            conv(substring(md5(col("item").cast("string")), 1, 2),
+              16, 10).cast("long") % 8)
           .join(expDf2, Seq("rating", "imod"))
           .where(col("pred") =!= col("exp_pred")).count()
         require(bad2 == 0, s"$bad2 rank-2 predictions off the closed form")
