@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.operators.{Importance, Perplexity}
+import graft.operators.{Classify, Importance, Perplexity}
 import graft.streaming.EventStreams
 
 /** Streaming closure of the round-9 quality gates: the persisted
@@ -67,6 +67,33 @@ class QualityGateStreamSpec extends SparkTestBase {
     intercept[Exception] {
       Perplexity.perplexityGateBatch(s"$dir/nonexistent", s"$dir/out2",
         10.0)(batch1.toDF("doc_id", "text"), 0L) }
+  }
+
+  test("streaming boost scoring: the fused integer CASE chain is a " +
+    "stateless streaming projection with exact batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((0L, 2L), (0L, 2L), (1L, 6L), (1L, 6L))
+      .toDF("f", "y")
+    val m = Classify.boostedStumpsTrain(train, col("y"),
+      Seq(("f", col("f"))), rounds = 3, lrDen = 2, scale = 10L)
+    val mem = MemoryStream[(Long, Long)]
+    val q = Classify.boostedStumpsScore(mem.toDF.toDF("id", "f"), m,
+        scale = 10L)
+      .writeStream.format("memory").queryName("graft_boost_scored")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 0L), (11L, 1L)); q.processAllAvailable()
+      mem.addData((12L, 0L)); q.processAllAvailable()
+      val got = spark.table("graft_boost_scored")
+        .select("id", "score_scaled", "pred")
+        .as[(Long, Long, Double)].collect().toSet
+      val exp = Classify.boostedStumpsScore(
+          Seq((10L, 0L), (11L, 1L), (12L, 0L)).toDF("id", "f"), m,
+          scale = 10L)
+        .select("id", "score_scaled", "pred")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === exp && got.size === 3)
+    } finally q.stop()
   }
 
   test("streaming importance gate: frozen LLR table, admissions match " +
