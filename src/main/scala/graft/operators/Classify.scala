@@ -439,12 +439,18 @@ object Classify {
         label.cast("decimal(18,6)").as("__y"))
       .where(col("__y").isNotNull)
     val cname = df.select(category).columns.head
-    val g = base.agg(sum(col("__y")).as("gs"),
-      count(lit(1)).as("gn"))
+    // ONE scan: the global sums re-aggregate from the per-category
+    // DECIMAL partials (sum-of-sums is the same exact decimal — plan
+    // audit showed the naive separate global aggregate re-reading the
+    // table); materialize cuts the shared subtree so the two
+    // aggregates run it once
+    val percat = Dedup.materialize(base.groupBy("__c")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y")))
+    val g = percat.agg(sum(col("sum_y")).as("gs"),
+      sum(col("n")).as("gn"))
     val prior = col("gs").cast("double") / col("gn").cast("double")
     val m = lit(smoothing)
-    base.groupBy("__c")
-      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"))
+    percat
       .crossJoin(broadcast(g))
       .select(col("__c").as(cname), col("n"),
         col("sum_y").cast("double").as("sum_y"),
