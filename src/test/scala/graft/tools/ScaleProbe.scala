@@ -1534,6 +1534,62 @@ object ScaleProbe {
       }
     }
 
+    if (which("pca-recall")) {
+      // PCA as a SEARCH reduction, on data where reduction is the
+      // right tool: the 100k sign-flip corpus with dims 0-15 scaled
+      // 8x (variance 64:1 — an anisotropic spectrum, PCA's operating
+      // point, vs rp-recall's isotropic worst case). PCA-16 trained
+      // on a 2k slice must (a) concentrate every component on the
+      // scaled subspace and (b) preserve brute top-10 recall through
+      // a 4x-fewer-flops projected search.
+      val emb = graft.Tables.embeddings(spark, dir)
+      val replicas = (0 until 50).map { k =>
+        val signs = typedlit(Array.tabulate(64) { i =>
+          var z = (k.toLong << 32) + i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+        })
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
+      }
+      val big = replicas.reduce(_.unionByName(_))
+        .select(col("vec_id"), transform(col("embedding"),
+          (x, j) => when(j < 16, x * lit(8.0f)).otherwise(x))
+          .as("embedding"))
+        .localCheckpoint(true)
+      t("pcarec_100k_rows")(big.count())
+      var exact: DataFrame = null
+      t("pcarec_100k_brute64_top10") {
+        exact = graft.operators.Similarity.bruteForceTopK(big,
+            big.where(col("vec_id") % 5000 === 0), k = 10)
+          .select("probe_id", "nbr_id").localCheckpoint(true)
+        exact.count()
+      }
+      t("pcarec_100k_train16_project_hits") {
+        val m = graft.operators.Similarity.pcaTrain(
+          big.where(col("vec_id") % 50 === 0), k = 16, powerIters = 8)
+        // every component's mass sits in the scaled subspace
+        m.components.foreach { c =>
+          val inSub = c.take(16).map(x => x * x).sum
+          require(inSub > 0.9, s"component leaks: $inSub in subspace")
+        }
+        val proj = graft.operators.Similarity.pcaProject(big, m)
+          .select(col("vec_id"), array((1 to 16).map(c =>
+            col(s"proj_$c").cast("float")): _*).as("embedding"))
+          .localCheckpoint(true)
+        val approx = graft.operators.Similarity.bruteForceTopK(proj,
+          proj.where(col("vec_id") % 5000 === 0), k = 10)
+          .select("probe_id", "nbr_id")
+        val hits = approx.join(exact, Seq("probe_id", "nbr_id"),
+          "left_semi").count()
+        val nExact = exact.count()
+        require(hits * 10 >= nExact * 7,
+          s"pca-16 recall $hits/$nExact below 0.7")
+        hits
+      }
+    }
+
     if (which("interval-weak")) {
       // Interval overlap join at 1M x 1M intervals: the naive overlap
       // predicate is 10^12 comparisons (BroadcastNestedLoopJoin — does
