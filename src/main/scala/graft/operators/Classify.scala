@@ -332,7 +332,10 @@ object Classify {
     * Features must be integer bin columns (bin upstream: `% k`,
     * width-bucketing, or quantile ids); at most `maxBins` distinct
     * bins per feature are allowed — more fails loudly (a high-
-    * cardinality split column is a leak, not a feature).
+    * cardinality split column is a leak, not a feature). Rows with a
+    * NULL label or ANY null feature are excluded from training (the
+    * stump cannot route them); impute or sentinel-bin upstream if
+    * missingness is signal.
     *
     * Returns the trained model (one [[Stump]] per round). Driver holds
     * rounds × features × bins longs — model-sized, never data-sized.
@@ -457,6 +460,56 @@ object Classify {
         ((col("sum_y").cast("double") + m * prior) /
           (col("n").cast("double") + m)).as("enc"),
         prior.as("prior"))
+  }
+
+  /** Persist a trained stump model as the family's marker-committed
+    * serving artifact — `model/` (one row per stump) and `meta/`
+    * (rounds, scale) with `meta/_GRAFT_COMMITTED` written LAST and,
+    * on re-persist, the OLD marker deleted FIRST (the
+    * persistPcaModel discipline): a crash mid-rewrite leaves the
+    * artifact unreadable, never mixed-generation. The model is
+    * integer literals end to end, so the parquet round trip is
+    * trivially exact. */
+  def persistBoostModel(spark: org.apache.spark.sql.SparkSession,
+                        model: Seq[Stump], path: String,
+                        scale: Long): Unit = {
+    require(model.nonEmpty, "persistBoostModel: empty model")
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED"), false)
+    model.map(s => (s.round, s.feature, s.thr, s.leafLeft, s.leafRight,
+        s.gain))
+      .toDF("round", "feature", "thr", "leaf_left", "leaf_right",
+        "gain")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    Seq((model.length, scale)).toDF("rounds", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED"), false).close()
+  }
+
+  /** Load a [[persistBoostModel]] artifact (refusing uncommitted or
+    * torn ones loudly). Returns the stumps in round order plus the
+    * training scale the scorer must reuse. */
+  def readBoostModel(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Seq[Stump], Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED")),
+      s"boost model at $path has no commit marker — torn or absent")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (rounds, scale) = (meta.getInt(0), meta.getLong(1))
+    val model = spark.read.parquet(s"$path/model").orderBy("round")
+      .collect().map(r => Stump(r.getInt(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    require(model.length == rounds,
+      s"boost model at $path: meta says $rounds rounds but model/ has " +
+        s"${model.length} — torn model")
+    (model, scale)
   }
 
   /** Apply a [[boostedStumpsTrain]] model: the summed CASE chain as

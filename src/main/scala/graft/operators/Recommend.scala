@@ -358,7 +358,10 @@ object Recommend {
     * (the standard offline protocol — a user the model never saw still
     * counts, scoring 0 on every metric); rec rows with rank > k are
     * ignored. Binary relevance (a rec item is a hit iff it is in the
-    * user's truth set).
+    * user's truth set). The rec list is assumed (user, item)-unique
+    * with distinct ranks per user — what [[recommendForUsers]] (or any
+    * row_number cut) produces; a caller feeding duplicate rec rows
+    * would double-count their hits.
     *
     * Exactness: hits/counts/first-hit-rank are exact integers; rr,
     * precision, recall are single IEEE divisions of exact integers;

@@ -198,6 +198,44 @@ class ClassifySpec extends SparkTestBase {
     assert(e.getMessage.contains("maxBins"))
   }
 
+  test("persistBoostModel/readBoostModel: exact round trip, torn " +
+    "artifacts refused, served scores equal in-session scores") {
+    val df = Seq((0L, 2L), (0L, 2L), (1L, 6L), (1L, 6L)).toDF("f", "y")
+    val m = Classify.boostedStumpsTrain(df, col("y"),
+      Seq(("f", col("f"))), rounds = 3, lrDen = 2, scale = 10L)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_boost_spec").toString + "/model"
+    Classify.persistBoostModel(spark, m, path, scale = 10L)
+    val (loaded, scale) = Classify.readBoostModel(spark, path)
+    assert(loaded === m && scale === 10L)
+    val a = Classify.boostedStumpsScore(df, m, 10L)
+      .select("score_scaled", "pred").collect().toSeq
+    val b = Classify.boostedStumpsScore(df, loaded, scale)
+      .select("score_scaled", "pred").collect().toSeq
+    assert(a === b)
+    // re-persist is crash-safe the marker-first way: deleting the
+    // marker models the torn window — the reader must refuse
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/meta/_GRAFT_COMMITTED"), false)
+    val e = intercept[IllegalArgumentException] {
+      Classify.readBoostModel(spark, path)
+    }
+    assert(e.getMessage.contains("commit marker"))
+    // meta/model round-count drift is a torn model
+    Classify.persistBoostModel(spark, m, path, scale = 10L)
+    spark.read.parquet(s"$path/model").where(col("round") < 3)
+      .write.mode("overwrite").parquet(s"$path/model2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/model"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/model2"),
+      new org.apache.hadoop.fs.Path(s"$path/model"))
+    val e2 = intercept[IllegalArgumentException] {
+      Classify.readBoostModel(spark, path)
+    }
+    assert(e2.getMessage.contains("torn"))
+  }
+
   test("targetEncode: exact shrunk means, null labels excluded, null " +
     "category is a level") {
     val df = Seq((Option("a"), Option(2.0)), (Option("a"), Option(4.0)),
