@@ -442,19 +442,24 @@ object Classify {
         label.cast("decimal(18,6)").as("__y"))
       .where(col("__y").isNotNull)
     val cname = df.select(category).columns.head
-    // ONE scan: the global sums re-aggregate from the per-category
-    // DECIMAL partials (sum-of-sums is the same exact decimal — plan
-    // audit showed the naive separate global aggregate re-reading the
-    // table); materialize cuts the shared subtree so the two
-    // aggregates run it once
-    val percat = Dedup.materialize(base.groupBy("__c")
-      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y")))
-    val g = percat.agg(sum(col("sum_y")).as("gs"),
-      sum(col("n")).as("gn"))
+    // ONE scan, fully LAZY: the global sums re-aggregate from the
+    // per-category DECIMAL partials (sum-of-sums is the same exact
+    // decimal — plan audit showed the naive separate global aggregate
+    // re-reading the table) via an unpartitioned window OVER THE
+    // AGGREGATED frame, which is dimension-sized by construction —
+    // the one case a global window is the right tool (a materialize
+    // would pin checkpoint storage for the session and make the
+    // operator eager)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val percat = base.groupBy("__c")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"))
+      .withColumn("gs", sum(col("sum_y")).over(w))
+      .withColumn("gn", sum(col("n")).over(w))
     val prior = col("gs").cast("double") / col("gn").cast("double")
     val m = lit(smoothing)
     percat
-      .crossJoin(broadcast(g))
       .select(col("__c").as(cname), col("n"),
         col("sum_y").cast("double").as("sum_y"),
         ((col("sum_y").cast("double") + m * prior) /
@@ -515,14 +520,22 @@ object Classify {
   /** Apply a [[boostedStumpsTrain]] model: the summed CASE chain as
     * ONE fused integer projection per row (exact scaled score) plus
     * the single double division back to label units. Append-only
-    * columns; every input row kept. */
+    * columns; every input row kept — a row with ANY null feature gets
+    * a NULL score/pred (training excluded such rows, so serving
+    * refuses to invent a prediction for them). */
   def boostedStumpsScore(df: DataFrame, model: Seq[Stump],
                          scale: Long = 1000000000L): DataFrame = {
     require(model.nonEmpty, "boostedStumpsScore: empty model")
-    val scoreScaled = model.map(s =>
+    // a NULL feature must yield a NULL score, not a silent
+    // right-leaf route (when(null <= thr) is null -> otherwise fires):
+    // training excludes null-feature rows, so serving must not invent
+    // a prediction for them — rows stay, score/pred are NULL
+    val ok = model.map(_.feature).distinct
+      .map(col(_).isNotNull).reduce(_ && _)
+    val chain = model.map(s =>
       when(col(s.feature) <= s.thr, lit(s.leafLeft))
         .otherwise(lit(s.leafRight)): Column).reduceLeft(_ + _)
-    df.withColumn("score_scaled", scoreScaled)
+    df.withColumn("score_scaled", when(ok, chain))
       .withColumn("pred",
         col("score_scaled").cast("double") / lit(scale.toDouble))
   }

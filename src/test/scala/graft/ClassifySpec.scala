@@ -170,6 +170,12 @@ class ClassifySpec extends SparkTestBase {
       .orderBy("f").collect()
     assert(scored.map(r => (r.getLong(0), r.getLong(2),
       r.getDouble(3))).toSeq === Seq((0L, 17L, 1.7), (1L, 52L, 5.2)))
+    // a null feature yields a NULL score, never a right-leaf route
+    val nulled = Classify.boostedStumpsScore(
+      Seq((Option(0L), 1L), (Option.empty[Long], 2L)).toDF("f", "id"),
+      m, scale = 10L).orderBy("id").collect()
+    assert(nulled(0).getLong(2) === 17L)
+    assert(nulled(1).isNullAt(2) && nulled(1).isNullAt(3))
     // negative residual sums floor toward -inf like Math.floorDiv
     val neg = Classify.boostedStumpsTrain(
       Seq((0L, -3L), (1L, 5L)).toDF("f", "y"), col("y"),
