@@ -2247,6 +2247,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // OLS extrapolation 7 days past each type's last observation —
+    // the trendline's serving half (Holt adapts, OLS extrapolates)
+    "q_events_trend_forecast" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).as("xv"),
+          col("n"))
+      Warehouse.trendForecast(
+          Warehouse.linearTrend(daily, col("event_type"), col("xv"),
+            col("n")), horizon = 7)
+        .orderBy("key", "h")
+    }),
+
     // rank-2 ALS over the same ratings: the per-key 2×2 ridge normal
     // equations solved in closed form — the data movement of full ALS
     // with the smallest true matrix solve; oracle unrolls the rounds
@@ -6619,6 +6634,41 @@ object SparkEntry {
         |  CASE WHEN den <> 0 AND vy <> 0
         |    THEN (num * num) / (den * vy) END AS r2
         |FROM c ORDER BY key""".stripMargin,
+
+    // the trendline's forecast half: same chain, horizon exploded;
+    // the yhat tree repeats slope/intercept textually (the standing
+    // repeated-subexpression rule)
+    "q_events_trend_forecast" ->
+      """WITH d AS (SELECT event_type AS key,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS xv,
+        |    CAST(count(*) AS DECIMAL(18,6)) AS yv
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+        |    sum(CAST(xv AS DECIMAL(38,0))) AS sx, sum(yv) AS sy,
+        |    sum(CAST(xv AS DECIMAL(38,0)) * CAST(xv AS DECIMAL(38,0)))
+        |      AS sxx,
+        |    sum(CAST(xv AS DECIMAL(38,0)) * yv) AS sxy,
+        |    max(xv) AS x_max
+        |  FROM d GROUP BY key),
+        |b AS (SELECT key, x_max,
+        |    CAST(n_obs AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM a),
+        |c AS (SELECT key, x_max, nd, sxd, syd,
+        |    nd * sxyd - sxd * syd AS num,
+        |    nd * sxxd - sxd * sxd AS den
+        |  FROM b),
+        |f AS (SELECT key, x_max,
+        |    num / den AS slope, (syd - (num / den) * sxd) / nd
+        |      AS intercept
+        |  FROM c WHERE den <> 0)
+        |SELECT key, CAST(h.h AS INTEGER) AS h,
+        |  intercept + slope * (CAST(x_max AS DOUBLE) + CAST(h.h AS DOUBLE))
+        |    AS yhat
+        |FROM f, range(1, 8) h(h)
+        |ORDER BY key, h""".stripMargin,
 
     // profiler: one UNION ALL branch per column; epoch() under the UTC
     // session ≙ Spark's unix_timestamp

@@ -461,6 +461,26 @@ object Warehouse {
       when(den =!= 0.0 && vy =!= 0.0, (num * num) / (den * vy)).as("r2"))
   }
 
+  /** Extrapolate a [[linearTrend]] frame `horizon` steps past each
+    * key's last observed x: ŷ_h = intercept + slope·(x_max + h) — the
+    * OLS complement of [[holtForecast]] (global least-squares line vs
+    * recency-weighted smoothing). Keys with NULL stats (degenerate
+    * fits) are excluded — extrapolating them would be fiction. One
+    * generator per row, no shuffle; the float tree is two IEEE ops per
+    * forecast over the trend frame's already-pinned doubles. Output:
+    * (key, h, yhat), h = 1..horizon. */
+  def trendForecast(trend: DataFrame, horizon: Int): DataFrame = {
+    require(horizon >= 1 && horizon <= 10000,
+      s"trendForecast: horizon=$horizon")
+    trend.where(col("slope").isNotNull)
+      .select(col("key"), col("x_max"), col("slope"), col("intercept"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col("key"), col("h"),
+        (col("intercept") + col("slope") *
+          (col("x_max").cast("double") + col("h").cast("double")))
+          .as("yhat"))
+  }
+
   /** One microbatch of the CONTINUOUS CDC gate — [[applyCdc]] run as a
     * `foreachBatch` body over a VERSIONED snapshot table (see
     * `EventStreams.startCdcGate` for the stream wiring): plain parquet

@@ -505,6 +505,25 @@ class WarehouseSpec extends SparkTestBase {
     assert(!plan.contains("Window") && !plan.contains("Sort"), plan)
   }
 
+  test("trendForecast extrapolates the exact fitted line and excludes " +
+    "degenerate keys") {
+    val facts = Seq(
+      ("a", 1L, 3.0), ("a", 2L, 5.0), ("a", 3L, 7.0),   // y = 2x + 1
+      ("b", 5L, 1.0), ("b", 5L, 2.0)                    // constant x
+    ).toDF("k", "x", "y")
+    val f = Warehouse.trendForecast(
+        Warehouse.linearTrend(facts, col("k"), col("x"), col("y")),
+        horizon = 3)
+      .orderBy("key", "h").collect()
+    // only key a (b's fit is NULL); x_max = 3 -> yhat = 2(3+h)+1
+    assert(f.map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .toSeq === Seq(("a", 1, 9.0), ("a", 2, 11.0), ("a", 3, 13.0)))
+    assertThrows[IllegalArgumentException] {
+      Warehouse.trendForecast(
+        Warehouse.linearTrend(facts, col("k"), col("x"), col("y")), 0)
+    }
+  }
+
   test("pivot-unpivot round trip lands on the long-format GROUP BY, " +
     "absent cells NULL in wide form and dropped in long form") {
     val df = Seq(("r", "F", 1.0), ("r", "F", 2.0), ("r", "O", 4.0),
