@@ -649,33 +649,31 @@ object Graph {
         col("start").cast("string"), col("walk").cast("string"),
         lit(step).cast("string"))), 1, 12), 16, 10).cast("long"),
       col("cur_deg"))
-    var state = materialize(deg
+    val state = materialize(deg
       .select(col("u").as("start"), col("deg").as("cur_deg"))
       .crossJoin(walkIndexFrame(edges, walksPerNode))
       .select(col("start"), col("walk"), col("start").as("cur"),
         col("cur_deg")))
-    // emitted rows fold into a MATERIALIZED accumulator before the
-    // round they came from is released — a released localCheckpoint
-    // cannot be recomputed, so lazily-unioned step frames would break.
-    // Cost: Σ_t t·W re-materialized rows ≈ walkLen²/2 walkers — fine
-    // for the short walks (5-20 steps) embedding corpora use.
-    var acc = materialize(state.select(col("start"), col("walk"),
-      lit(0).as("step"), col("cur").as("node")))
+    // every step frame stays PINNED until the single final union
+    // materializes — a released localCheckpoint cannot be recomputed,
+    // and the alternative (re-materializing a growing accumulator
+    // every round) checkpoints Σ_t t·W ≈ walkLen²/2·W rows and doubles
+    // the job count. Peak pinned storage is the same either way
+    // (≈ 2·(walkLen+1)·W rows at the final materialization); this
+    // shape writes (walkLen+1)·W of them once.
+    val states = scala.collection.mutable.ArrayBuffer(state)
     (1 to walkLen).foreach { t =>
-      val next = materialize(state
+      states += materialize(states.last
         .withColumn("r", draw(t))
         .join(adj, col("cur") === col("u") && col("r") === col("rank"))
         .select(col("start"), col("walk"), col("nbr").as("cur"),
           col("nbr_deg").as("cur_deg")))
-      val nextAcc = materialize(acc.unionAll(
-        next.select(col("start"), col("walk"),
-          lit(t).as("step"), col("cur").as("node"))))
-      releaseMaterialized(acc)
-      releaseMaterialized(state)
-      acc = nextAcc
-      state = next
     }
-    releaseMaterialized(state)
+    val acc = materialize(states.zipWithIndex.map { case (s, t) =>
+      s.select(col("start"), col("walk"), lit(t).as("step"),
+        col("cur").as("node"))
+    }.reduce(_.unionAll(_)))
+    states.foreach(releaseMaterialized)
     releaseMaterialized(adj)
     acc
   }
@@ -778,30 +776,29 @@ object Graph {
         col("start").cast("string"), col("walk").cast("string"),
         lit(step).cast("string"))), 1, 12), 16, 10).cast("long"),
       col("cur_total"))
-    var state = materialize(tot
+    val state = materialize(tot
       .select(col("u").as("start"), col("total").as("cur_total"))
       .crossJoin(walkIndexFrame(edges, walksPerNode))
       .select(col("start"), col("walk"), col("start").as("u"),
         col("cur_total")))
-    var acc = materialize(state.select(col("start"), col("walk"),
-      lit(0).as("step"), col("u").as("node")))
+    // pinned step frames + ONE final union materialization — the
+    // randomWalks shape (see the comment there): same peak storage,
+    // half the checkpoint writes and jobs of a per-round accumulator
+    val states = scala.collection.mutable.ArrayBuffer(state)
     (1 to walkLen).foreach { t =>
-      val stepped = state.withColumn("r", draw(t))
+      val stepped = states.last.withColumn("r", draw(t))
         .withColumn("r2", col("r"))
-      val next = materialize(
+      states += materialize(
         IntervalJoin.overlapJoin(stepped, adjW, "r", "r2",
             "lo", "hi_incl", bucketWidth = width, equiKeys = Seq("u"))
           .select(col("start"), col("walk"), col("nbr").as("u"),
             col("nbr_total").as("cur_total")))
-      val nextAcc = materialize(acc.unionAll(
-        next.select(col("start"), col("walk"),
-          lit(t).as("step"), col("u").as("node"))))
-      releaseMaterialized(acc)
-      releaseMaterialized(state)
-      acc = nextAcc
-      state = next
     }
-    releaseMaterialized(state)
+    val acc = materialize(states.zipWithIndex.map { case (s, t) =>
+      s.select(col("start"), col("walk"), lit(t).as("step"),
+        col("u").as("node"))
+    }.reduce(_.unionAll(_)))
+    states.foreach(releaseMaterialized)
     releaseMaterialized(adjW)
     acc
   }
