@@ -2124,24 +2124,33 @@ object SparkEntry {
     }),
 
     // RFM segmentation: per-user recency/frequency/monetary quintiles
-    // (the classic behavioral-cohort encoding); ntile is deterministic
-    // under a TOTAL order (metric, user_id tiebreak), monetary sums go
-    // through the exact-decimal discipline, segment = 100r + 10f + m
+    // (the classic behavioral-cohort encoding); quintiles are
+    // deterministic under a TOTAL order (metric, user_id tiebreak),
+    // monetary sums go through the exact-decimal discipline, segment =
+    // 100r + 10f + m. Each quintile cut is Shard.scalableNtile — the
+    // bucketed two-phase exact NTILE — because the per-user frame is
+    // dimension-sized, not small: at web scale a global
+    // Window.orderBy would funnel every user through ONE task. The
+    // frame is materialized once so the three cuts (each needing a
+    // quantile-sketch pass + a count pass) don't recompute the
+    // events aggregate.
     "q_events_rfm" -> ((s, dir) => {
-      val per = Tables.events(s, dir)
+      val per = Dedup.materialize(Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(max(col("ts")).as("last_ts"),
           count(lit(1)).as("frequency"),
-          sum(dec6(col("value"))).cast("double").as("monetary"))
-      val r = ntile(5).over(Window.orderBy(col("last_ts").desc,
-        col("user_id").asc))
-      val f = ntile(5).over(Window.orderBy(col("frequency").desc,
-        col("user_id").asc))
-      val m = ntile(5).over(Window.orderBy(col("monetary").desc,
-        col("user_id").asc))
-      per.select(col("user_id"), col("last_ts"), col("frequency"),
-          col("monetary"), r.as("r_quint"), f.as("f_quint"),
-          m.as("m_quint"))
+          sum(dec6(col("value"))).cast("double").as("monetary")))
+      val cut = Shard.scalableNtile(
+        Shard.scalableNtile(
+          Shard.scalableNtile(per, 5, col("last_ts"), col("user_id"),
+            "r_quint", descending = true),
+          5, col("frequency"), col("user_id"), "f_quint",
+          descending = true),
+        5, col("monetary"), col("user_id"), "m_quint",
+        descending = true)
+      cut.select(col("user_id"), col("last_ts"), col("frequency"),
+          col("monetary"), col("r_quint"), col("f_quint"),
+          col("m_quint"))
         .withColumn("segment",
           col("r_quint") * 100 + col("f_quint") * 10 + col("m_quint"))
         .orderBy("user_id")
@@ -2873,11 +2882,17 @@ object SparkEntry {
     // ~1/√16 distortion; each output dim is one fused codegen'd dot
     // against a sign literal, and √16 = 4 makes the scale division
     // exact — raw projected doubles under the hash oracle (sign matrix
-    // inlined as SQL literals from the one shared definition)
+    // inlined as SQL literals from the one shared definition). The
+    // QUERY output is long format (vec_id, pos, value) — scalar cells
+    // only, the q_embed_pca shape — because the gate's comparer sorts
+    // on every column and cannot order array cells; the operator keeps
+    // its array<double> contract for downstream composition.
     "q_embed_rp" -> ((s, dir) =>
       Similarity.randomProject(Tables.embeddings(s, dir), outDim = rpDim,
           seed = rpSeed)
-        .orderBy("vec_id")),
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("pos", "value")))
+        .orderBy("vec_id", "pos")),
 
     // PCA loadings + eigenvalues: trained in repro mode on the %5
     // vec_id slice (the bounded-sample posture — moments are one in-row
@@ -2905,8 +2920,13 @@ object SparkEntry {
     // doubles bit-exactly, so the served scores equal the in-session
     // chain the oracle replays (plus the √λ whitening division)
     "q_embed_pca_served" -> ((s, dir) => {
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_pca_model_${math.abs(dir.hashCode)}"
+      // per-invocation unique artifact dir: a path keyed on the data
+      // dir alone would let two concurrent batteries over the same
+      // data race on the delete-marker/rewrite sequence and serve a
+      // mid-rewrite artifact (result determinism is unaffected — the
+      // model content is a pure function of the data)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pca_model_").toString + "/m"
       Similarity.persistPcaModel(
         Tables.embeddings(s, dir).where(col("vec_id") % pcaTrainMod === 0),
         path, k = pcaK, powerIters = pcaPowerIters, deterministic = true)
@@ -2917,11 +2937,16 @@ object SparkEntry {
 
     // chunk→document mean pooling over synthetic 10-chunk documents:
     // per-dimension means via the skinny (group, pos) aggregate,
-    // arrays reassembled per group — repro-mode ascending-id folds
+    // arrays reassembled per group — repro-mode ascending-id folds.
+    // Long-format (doc_id, n_chunks, pos, value) output for the gate
+    // (array cells break the comparer's sort); the operator's
+    // array<double> contract is unchanged.
     "q_embed_pool" -> ((s, dir) =>
       Similarity.meanPoolEmbeddings(Tables.embeddings(s, dir),
           expr("vec_id DIV 10").as("doc_id"), deterministic = true)
-        .orderBy("doc_id")),
+        .select(col("doc_id"), col("n_chunks"),
+          posexplode(col("embedding")).as(Seq("pos", "value")))
+        .orderBy("doc_id", "pos")),
 
     // SemDeDup composition: the kMeans partition bounds the pair search
     // (shuffle key = cluster id), so the only all-pairs work left is
@@ -7994,8 +8019,10 @@ object SparkEntry {
     // the same chain with the √λ division
     "q_embed_pca_served" -> pcaProjectOracleSql(whiten = true),
 
-    // chunk→doc mean pooling: per-(group, pos) ascending-id fold means
-    // reassembled into ordered arrays
+    // chunk→doc mean pooling: per-(group, pos) ascending-id fold means,
+    // emitted long-format (one row per pooled dimension) with the
+    // group's max chunk count replicated per row — the gate-safe
+    // scalar-cell shape mirroring the Spark query's posexplode
     "q_embed_pool" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE embedding IS NOT NULL
@@ -8008,10 +8035,12 @@ object SparkEntry {
          |    list_sum(list(x ORDER BY id)) / CAST(count(*) AS DOUBLE)
          |      AS m,
          |    CAST(count(*) AS BIGINT) AS c
-         |  FROM cells GROUP BY g, pos)
-         |SELECT g AS doc_id, max(c) AS n_chunks,
-         |  list(m ORDER BY pos) AS embedding
-         |FROM per GROUP BY g ORDER BY doc_id""".stripMargin,
+         |  FROM cells GROUP BY g, pos),
+         |n AS (SELECT g, max(c) AS n_chunks FROM per GROUP BY g)
+         |SELECT per.g AS doc_id, n.n_chunks,
+         |  CAST(per.pos AS INTEGER) AS pos, per.m AS value
+         |FROM per JOIN n ON per.g = n.g
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_embed_rp" -> {
       val signs = graft.operators.Similarity.rpSigns(embedDim, rpDim,
@@ -8032,13 +8061,18 @@ object SparkEntry {
            |        ($litRow::DOUBLE[])[i]))
            |      / CAST($rpScale AS DOUBLE)""".stripMargin
       }.mkString(",\n    ")
-      s"""SELECT vec_id, [
+      // long format: one row per projected dimension (scalar cells for
+      // the gate's sort), pos matching Spark's 0-based posexplode
+      s"""WITH t AS (SELECT vec_id, [
          |    $dims] AS proj
          |FROM embeddings
          |WHERE embedding IS NOT NULL
          |  AND len(list_filter(embedding, x -> x IS NULL)) = 0
-         |  AND len(embedding) = $embedDim
-         |ORDER BY vec_id""".stripMargin
+         |  AND len(embedding) = $embedDim)
+         |SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS pos,
+         |  proj[u.i] AS value
+         |FROM t, unnest(range(1, ${rpDim + 1})) AS u(i)
+         |ORDER BY vec_id, pos""".stripMargin
     },
 
     // PQ training unrolled per subspace + full-corpus argmin encode

@@ -23,8 +23,27 @@ object Verify {
       .foreach { case (name, fn) =>
       // NonFatal: one broken query shouldn't kill the dump loop, but a
       // fatal error (OOM) must propagate, not mislabel later queries
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Gate hygiene: the driver's comparer sorts every output column
+        // and cannot order array/map/struct cells — an oracle-checked
+        // query emitting one would fail the gate at compare time with an
+        // opaque pandas error. Fail HERE, loudly, at dump time instead.
+        // Rows-only queries (no oracleSql entry) may emit any shape.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val complex = df.schema.fields.filter(f => f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          })
+          require(complex.isEmpty,
+            s"query $name is oracle-checked but emits non-scalar " +
+              s"column(s) ${complex.map(_.name).mkString(", ")} — " +
+              "reshape to long format (id, pos, value) like q_embed_pca")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -211,14 +211,16 @@ object Classify {
     * the precision/recall composition, whose extra roundings engines
     * could order differently.
     *
-    * Scale: one partial+final aggregate to score groups, then the
-    * running-negatives window ORDERS THE GROUP FRAME GLOBALLY — the
-    * sorted frame is the DISTINCT-score frame, so its size is the
-    * score cardinality, not the corpus (margins quantize hard in
-    * practice; a truly-all-distinct 100 TB score column wants the
-    * binned readout of [[calibrationBins]] instead, which is
-    * window-free). Degenerate frames (no positives or no negatives)
-    * yield NULL auc rather than a fake 0.5.
+    * Scale: one partial+final aggregate to score groups; the frame the
+    * running-negatives prefix runs over is the DISTINCT-score frame,
+    * so its size is the score cardinality, not the corpus — but
+    * continuous margins can push that cardinality toward corpus size,
+    * so the prefix is [[Shard.twoPhaseRunningSum]] (bucketed two-phase,
+    * never one window partition), exact because the negatives counts
+    * are integers. A binned approximate readout also exists in
+    * [[calibrationBins]], which is window-free outright. Degenerate
+    * frames (no positives or no negatives) yield NULL auc rather than
+    * a fake 0.5.
     *
     * Returns one row: (n_pos, n_neg, auc, tp, fp, tn, fn, precision,
     * recall, f1). `predicted` = score > threshold, matching
@@ -230,9 +232,10 @@ object Classify {
       .where(col("s").isNotNull)
       .groupBy("s")
       .agg(sum(col("ip")).as("p"), (count(lit(1)) - sum(col("ip"))).as("n"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grp.withColumn("cn", sum(col("n")).over(w))
+    // bucketed two-phase prefix (s is the group key — unique, non-null
+    // after the filter above), bit-identical to a global window because
+    // the negative counts are integers
+    val cum = Shard.twoPhaseRunningSum(grp, col("s"), col("n"), "cn")
     cum.agg(
         sum(col("p")).as("np"),
         sum(col("n")).as("nn"),
@@ -352,10 +355,15 @@ object Classify {
     val fcols = features.map(_._1)
     // loud domain check BEFORE scaling: label·scale must fit a long or
     // the residual arithmetic wraps silently under non-ANSI (one tiny
-    // 1-row aggregate job — the trainer already runs rounds of jobs)
-    val maxAbsRow = df.select(max(abs(label.cast("long")))).head()
-    val maxAbs = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
-    require(maxAbs <= Long.MaxValue / scale,
+    // 1-row aggregate job — the trainer already runs rounds of jobs).
+    // abs rides DECIMAL(38,0): abs(Long.MinValue) WRAPS negative on
+    // longs under non-ANSI eval, which would slip the one label this
+    // guard exists to reject straight past it
+    val maxAbsRow =
+      df.select(max(abs(label.cast("decimal(38,0)")))).head()
+    val maxAbs = if (maxAbsRow.isNullAt(0)) BigDecimal(0)
+      else BigDecimal(maxAbsRow.getDecimal(0))
+    require(maxAbs <= BigDecimal(Long.MaxValue / scale),
       s"boostedStumpsTrain: max |label| = $maxAbs overflows the " +
         s"integer residual domain at scale=$scale — lower scale")
     var cur = Dedup.materialize(df

@@ -768,6 +768,12 @@ object Graph {
     // auto grid width = the global average edge weight (the
     // negativeSamples occupancy rule); two driver scalars
     val stats = sym.agg(sum("wt"), count(lit(1))).head()
+    // sum(wt) is NULL (not 0) over an empty frame — an all-self-loop /
+    // all-nonpositive-weight edge list must fail with the CAUSE, not a
+    // downstream NullPointerException (the hits() empty-edge posture)
+    require(!stats.isNullAt(0),
+      "randomWalksWeighted: no usable edges after filtering — every " +
+        "edge was a self-loop or had weight <= 0")
     val width =
       if (bucketWidth > 0) bucketWidth
       else math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
@@ -822,9 +828,16 @@ object Graph {
     * total` — a pure function of (corpus, seed).
     *
     * Scale shape: the noise table is vocab-sized (one groupBy over the
-    * walk corpus; its cumulative window is a single global sort over
-    * the VOCAB, not the corpus — the standard word2vec noise-table
-    * build). The draw→node lookup is the grid-bucketed
+    * walk corpus), and its cumulative intervals are built with the
+    * bucketed TWO-PHASE prefix sum (the [[Shard.systematicPps]]
+    * discipline): nodes bucket into 256 contiguous id ranges (a
+    * monotone shift of the driver-collected id span, so bucket order
+    * IS node order), each bucket runs its own running-sum window after
+    * one hash exchange, and the 256 bucket (total, count) rows collect
+    * as the exclusive-prefix frame that broadcasts back — integer
+    * sums, so the result is bit-identical to a global-window build
+    * while never funneling a web-scale vocabulary through one window
+    * partition. The draw→node lookup is the grid-bucketed
     * [[IntervalJoin.overlapJoin]] (point-in-interval), never a
     * nested-loop range join. Total weight rides the driver as ONE
     * scalar (the k-means-centroid bound).
@@ -839,21 +852,10 @@ object Graph {
     require(maxFreq >= 1 && maxFreq <= 200000L,
       s"negativeSamples: maxFreq=$maxFreq must be in [1, 200000] " +
         "(freq³ must stay below 2⁵³ for the exact-integer cube)")
-    val f = least(col("freq"), lit(maxFreq)).cast("double")
-    val wt = walks.groupBy(col("node")).agg(count(lit(1)).as("freq"))
-      .select(col("node"),
-        greatest(lit(1L), floor(sqrt(sqrt(f * f * f)))).as("w"))
-    val cum = materialize(wt
-      .withColumn("hi", sum("w").over(
-        org.apache.spark.sql.expressions.Window.orderBy("node")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
-      .select(col("node"), (col("hi") - col("w")).as("lo"),
-        (col("hi") - 1).as("hi_incl")))
-    val Array(totalRow) = cum.agg(max("hi_incl"), count(lit(1)))
-      .collect()
-    val total = totalRow.getLong(0) + 1
-    val vocabN = totalRow.getLong(1)
+    val spark = walks.sparkSession
+    import spark.implicits._
+    val (cumPlan, total, vocabN) = noiseTable(walks, maxFreq)
+    val cum = materialize(cumPlan)
     require(total < (1L << 48),
       s"negativeSamples: total noise weight $total exceeds the 12-hex " +
         "draw space; raise the draw width or lower maxFreq")
@@ -866,8 +868,6 @@ object Graph {
     val width =
       if (bucketWidth > 0) bucketWidth
       else math.max(1L, total / math.max(1L, vocabN))
-    val spark = walks.sparkSession
-    import spark.implicits._
     val draws = walks.select(col("start"), col("walk"), col("step"))
       .crossJoin((0 until negatives).toDF("j"))
       .withColumn("u", pmod(
@@ -881,6 +881,63 @@ object Graph {
         bucketWidth = width)
       .select(col("start"), col("walk"), col("step"), col("j"),
         col("node").as("neg"))
+  }
+
+  /** The UNMATERIALIZED noise-table build behind [[negativeSamples]]
+    * (split out so specs can assert on its executed plan): cumulative
+    * [lo, hi_incl] intervals per node via the bucketed TWO-PHASE prefix
+    * sum (the [[Shard.systematicPps]] discipline) — bucket = top bits
+    * of the id offset from the collected min (MONOTONE in node, so
+    * buckets are contiguous id ranges and concatenating them in bucket
+    * order replays the exact node-ascending fold), one per-bucket
+    * running-sum window after a hash exchange, ≤256 bucket
+    * (weight, count) rows collected as the exclusive-prefix frame.
+    * Integer sums make lo/hi bit-identical to a global-window build.
+    * Returns (cum plan, total weight, vocab size). */
+  private[graft] def noiseTable(walks: DataFrame,
+                                maxFreq: Long): (DataFrame, Long, Long) = {
+    val spark = walks.sparkSession
+    import spark.implicits._
+    val f = least(col("freq"), lit(maxFreq)).cast("double")
+    val wt = walks.groupBy(col("node")).agg(count(lit(1)).as("freq"))
+      .select(col("node"),
+        greatest(lit(1L), floor(sqrt(sqrt(f * f * f)))).as("w"))
+    val mmRow = wt.agg(min(col("node").cast("long")),
+      max(col("node").cast("long"))).head()
+    require(!mmRow.isNullAt(0),
+      "negativeSamples: empty walk corpus — no nodes to build a noise " +
+        "table from (zero walk rows or all-null node ids)")
+    val minNode = mmRow.getLong(0)
+    val span = BigInt(mmRow.getLong(1)) - BigInt(minNode)
+    require(span < (BigInt(1) << 62),
+      s"negativeSamples: node id span $span exceeds 2^62 — remap ids " +
+        "to a dense range before sampling")
+    val shift = math.max(0, span.bitLength - 8) // ≤ 256 buckets
+    val bucketed = wt.withColumn("__bucket",
+      shiftright(col("node").cast("long") - lit(minNode), shift)
+        .cast("int"))
+    val totals = bucketed.groupBy("__bucket")
+      .agg(sum(col("w")).as("bw"), count(lit(1)).as("bn"))
+      .orderBy("__bucket").collect() // ≤ 256 rows — the prefix frame
+    val total = totals.map(_.getLong(1)).foldLeft(0L)(Math.addExact)
+    val vocabN = totals.map(_.getLong(2)).sum
+    val offsets = {
+      var acc = 0L
+      totals.map { r =>
+        val off = acc; acc = Math.addExact(acc, r.getLong(1))
+        (r.getInt(0), off)
+      }.toSeq
+    }
+    val offDf = broadcast(offsets.toDF("__bucket", "__off"))
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col("node"))
+    val cum = bucketed
+      .withColumn("__cum_in", sum(col("w")).over(inBucket))
+      .join(offDf, Seq("__bucket"))
+      .withColumn("hi", col("__cum_in") + col("__off"))
+      .select(col("node"), (col("hi") - col("w")).as("lo"),
+        (col("hi") - 1).as("hi_incl"))
+    (cum, total, vocabN)
   }
 
   /** A tiny (walk = 0..walksPerNode−1) frame for the walk fan-out —

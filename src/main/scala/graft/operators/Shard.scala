@@ -307,4 +307,138 @@ object Shard {
           .as("mult"))
       .where(col("mult") >= 1)
   }
+
+  /** EXACT global NTILE(k) without a single-partition window — the
+    * two-phase-prefix answer (same discipline as [[systematicPps]]) to
+    * the classic scale trap `ntile(k).over(Window.orderBy(...))`, which
+    * funnels the whole frame through ONE task. Semantics are identical
+    * to SQL NTILE over `(leading [DESC], tiebreak ASC)`: the first
+    * `n mod k` tiles get ⌈n/k⌉ rows, the rest ⌊n/k⌋.
+    *
+    * Why the result is EXACT even though the bucketing uses an
+    * approximate quantile sketch: the split points only have to be a
+    * MONOTONE partition of the order (every row in bucket i sorts no
+    * later than every row in bucket i+1 — guaranteed because rows
+    * compare against the same split values their bucket index is
+    * derived from). Each bucket then computes row_number after ONE
+    * hash exchange, the ≤`buckets` per-bucket counts collect as the
+    * exclusive-prefix frame (bounded driver state, the systematicPps
+    * pattern), and global_rank = bucket_offset + in_bucket_rank is
+    * exact integer arithmetic. Sketch quality affects only bucket
+    * BALANCE (a skew concern), never the tile numbers.
+    *
+    * The leading column is compared through `cast("double")` for the
+    * bucket draw only; within-bucket ordering uses the ORIGINAL column,
+    * so cast collisions (e.g. close timestamps) cannot reorder rows —
+    * colliding rows simply share a bucket. NULL leading values FAIL
+    * loudly (a null has no defined tile; filter or impute upstream).
+    *
+    * Returns the input columns plus `out` (INT, 1..k). */
+  def scalableNtile(df: DataFrame, k: Int, leading: Column,
+                    tiebreak: Column, out: String,
+                    descending: Boolean = false,
+                    buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"scalableNtile: k=$k must be >= 1")
+    require(buckets >= 1 && buckets <= 4096,
+      s"scalableNtile: buckets=$buckets out of [1, 4096]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signed = if (descending) -leading.cast("double")
+      else leading.cast("double")
+    val work = df.withColumn("__nt_d",
+      when(signed.isNull, raise_error(lit("scalableNtile: null leading " +
+        "value — a null has no defined tile; filter or impute upstream")))
+      .otherwise(signed))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val splits =
+      if (buckets == 1) Array.empty[Double]
+      else work.stat.approxQuantile("__nt_d", probs, 0.001)
+        .distinct.sorted
+    val bucketExpr = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(lit(s) < col("__nt_d"), 1).otherwise(0) }
+    val wb = work.withColumn("__nt_b", bucketExpr)
+    val counts = wb.groupBy("__nt_b").agg(count(lit(1)).as("c"))
+      .orderBy("__nt_b").collect() // ≤ buckets rows — the prefix frame
+    val n = counts.map(_.getLong(1)).foldLeft(0L)(Math.addExact)
+    val offsets = {
+      var acc = 0L
+      counts.map { r =>
+        val off = acc; acc += r.getLong(1); (r.getInt(0), off)
+      }.toSeq
+    }
+    val offDf = broadcast(offsets.toDF("__nt_b", "__nt_off"))
+    val ord: Seq[Column] =
+      if (descending) Seq(leading.desc, tiebreak.asc)
+      else Seq(leading.asc, tiebreak.asc)
+    val inBucket = Window.partitionBy(col("__nt_b")).orderBy(ord: _*)
+    val (tq, tr) = (n / k, n % k) // tile sizes: tq+1 ×tr, then tq
+    val withRank = wb
+      .withColumn("__nt_rank0",
+        row_number().over(inBucket).cast("long") - 1L)
+      .join(offDf, Seq("__nt_b"))
+      .withColumn("__nt_rank0", col("__nt_rank0") + col("__nt_off"))
+    val tile =
+      if (tq == 0L) col("__nt_rank0") + 1L // n < k: row i → tile i+1
+      else expr(s"IF(__nt_rank0 < ${tr * (tq + 1L)}L, " +
+        s"__nt_rank0 div ${tq + 1L}L + 1L, " +
+        s"(__nt_rank0 - ${tr * (tq + 1L)}L) div ${tq}L + ${tr + 1L}L)")
+    withRank.withColumn(out, tile.cast("int"))
+      .drop("__nt_d", "__nt_b", "__nt_off", "__nt_rank0")
+  }
+
+  /** EXACT global running (inclusive-prefix) sum of `value` in `order`
+    * ascending, without a single-partition window — the companion of
+    * [[scalableNtile]] for the `sum(x).over(Window.orderBy(k))` trap.
+    * Same two-phase shape: monotone approx-quantile bucketing (split
+    * quality affects only balance, never the result), one per-bucket
+    * running-sum window after a hash exchange, ≤`buckets` bucket totals
+    * collected as the exclusive-prefix frame and broadcast back. The
+    * sums must be exact under reordering for the result to be
+    * bit-identical to the global window — `value` must be INTEGRAL
+    * (sums ride as LONG, overflow raises); float sums do NOT qualify
+    * (their fold order would change), so pre-scale floats to fixed
+    * point upstream.
+    *
+    * `order` must be UNIQUE per row (e.g. a group key): with ties the
+    * global running sum is order-dependent and no two engines (or two
+    * runs) need agree. NULL order values fail loudly.
+    *
+    * Returns the input columns plus `out` = Σ value over rows with
+    * order ≤ this row's. */
+  def twoPhaseRunningSum(df: DataFrame, order: Column, value: Column,
+                         out: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1 && buckets <= 4096,
+      s"twoPhaseRunningSum: buckets=$buckets out of [1, 4096]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val work = df.withColumn("__ps_d",
+      when(order.isNull, raise_error(lit("twoPhaseRunningSum: null " +
+        "order value — a null has no defined prefix; filter upstream")))
+      .otherwise(order.cast("double")))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val splits =
+      if (buckets == 1) Array.empty[Double]
+      else work.stat.approxQuantile("__ps_d", probs, 0.001)
+        .distinct.sorted
+    val bucketExpr = splits.foldLeft(lit(0)) { (acc, s) =>
+      acc + when(lit(s) < col("__ps_d"), 1).otherwise(0) }
+    val wb = work.withColumn("__ps_b", bucketExpr)
+    val totals = wb.groupBy("__ps_b").agg(sum(value).as("t"))
+      .orderBy("__ps_b").collect() // ≤ buckets rows — the prefix frame
+    val offsets = {
+      var acc = 0L
+      totals.map { r =>
+        val off = acc
+        acc = Math.addExact(acc, if (r.isNullAt(1)) 0L else r.getLong(1))
+        (r.getInt(0), off)
+      }.toSeq
+    }
+    val offDf = broadcast(offsets.toDF("__ps_b", "__ps_off"))
+    val inBucket = Window.partitionBy(col("__ps_b")).orderBy(order.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb.withColumn("__ps_in", sum(value).over(inBucket))
+      .join(offDf, Seq("__ps_b"))
+      .withColumn(out, col("__ps_in") + col("__ps_off"))
+      .drop("__ps_d", "__ps_b", "__ps_in", "__ps_off")
+  }
 }

@@ -202,6 +202,15 @@ class ClassifySpec extends SparkTestBase {
         Seq(("f", col("f"))), rounds = 1, maxBins = 256)
     }
     assert(e.getMessage.contains("maxBins"))
+    // Long.MinValue label: abs() on longs WRAPS negative, which would
+    // sneak the one value the overflow guard exists for straight past
+    // it — the decimal-domain guard must refuse it loudly instead
+    val minval = Seq((0L, Long.MinValue), (1L, 1L)).toDF("f", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      Classify.boostedStumpsTrain(minval, col("y"),
+        Seq(("f", col("f"))), rounds = 1, scale = 10L)
+    }
+    assert(e2.getMessage.contains("overflows"))
   }
 
   test("persistBoostModel/readBoostModel: exact round trip, torn " +

@@ -409,4 +409,62 @@ class GraphSpec extends SparkTestBase {
     assert(got === exp)
     assert(got.size === 8)
   }
+
+  test("negativeSamples: the noise-table build is the bucketed " +
+    "two-phase prefix sum — no single-partition exchange anywhere in " +
+    "the plan, and the intervals survive a hostile id range") {
+    val walks = Seq((1L, 0, 0, 1L), (1L, 0, 1, 1L), (1L, 0, 2, 1L),
+        (1L, 0, 3, 2L))
+      .toDF("start", "walk", "step", "node")
+    // the noise-table build BEFORE materialization (the output plan
+    // would only show the checkpoint scan)
+    val (cumPlan, total, vocabN) = Graph.noiseTable(walks, 100000L)
+    assert((total, vocabN) === (3L, 2L))
+    val plan = cumPlan.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"found a single-partition exchange:\n$plan")
+    // ids spread over a 2^40 span: the shift-bucketing must stay
+    // monotone and the cumulative intervals exact — same replay as the
+    // dense-id spec (w(hi)=2 from freq 3, w(lo)=1, total 3)
+    val hi = 1L << 40
+    val wide = Seq((hi, 0, 0, hi), (hi, 0, 1, hi), (hi, 0, 2, hi),
+        (hi, 0, 3, 7L))
+      .toDF("start", "walk", "step", "node")
+    val got = Graph.negativeSamples(wide, negatives = 1, seed = "t")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    def draw(start: Long, walk: Int, step: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"t:$start:$walk:$step:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 12), 16) % 3
+    }
+    // ascending node order: 7 (w=1, [0,1)) then 2^40 (w=2, [1,3))
+    val exp = Seq((hi, 0, 0), (hi, 0, 1), (hi, 0, 2), (hi, 0, 3)).map {
+      case (s, w, t) =>
+        val u = draw(s, w, t, 0)
+        (s, w, t, 0, if (u < 1) 7L else hi)
+    }.toSet
+    assert(got === exp)
+  }
+
+  test("negativeSamples: empty walk corpus fails with the cause, not " +
+    "an opaque NPE") {
+    val empty = Seq.empty[(Long, Int, Int, Long)]
+      .toDF("start", "walk", "step", "node")
+    val e = intercept[IllegalArgumentException] {
+      Graph.negativeSamples(empty, negatives = 1)
+    }
+    assert(e.getMessage.contains("empty walk corpus"))
+  }
+
+  test("randomWalksWeighted: an edge list that filters to nothing " +
+    "(all self-loops / non-positive weights) fails loudly") {
+    val edges = Seq((1L, 1L, 5L), (2L, 2L, 3L), (3L, 4L, 0L))
+      .toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graph.randomWalksWeighted(edges, col("src"), col("dst"),
+        col("w"), walkLen = 2)
+    }
+    assert(e.getMessage.contains("no usable edges"))
+  }
 }

@@ -167,4 +167,89 @@ class ShardSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("out of [1,4096]"))
   }
+
+  // -- scalableNtile: the two-phase exact NTILE ------------------------------
+
+  private def ntileFixture = {
+    // deliberately collision-heavy metric (19 distinct values over 237
+    // rows) so tie groups straddle candidate split points, plus a
+    // unique tiebreak — the shape that breaks naive bucketings
+    (1L to 237L).map(i => (i, (i * 7919) % 19, s"u$i"))
+      .toDF("id", "metric", "tag")
+  }
+
+  test("scalableNtile equals the global-window ntile exactly — asc and " +
+    "desc, over tie-heavy data and across bucket counts") {
+    import org.apache.spark.sql.expressions.Window
+    val df = ntileFixture
+    for (desc <- Seq(false, true); buckets <- Seq(1, 4, 64)) {
+      val ord = if (desc) Seq(col("metric").desc, col("id").asc)
+        else Seq(col("metric").asc, col("id").asc)
+      val want = df.withColumn("t",
+          ntile(5).over(Window.orderBy(ord: _*)))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val got = Shard.scalableNtile(df, 5, col("metric"), col("id"),
+          "t", descending = desc, buckets = buckets)
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got === want, s"desc=$desc buckets=$buckets")
+    }
+  }
+
+  test("scalableNtile: fewer rows than tiles (row i → tile i+1), and " +
+    "result is partition-layout-free") {
+    import org.apache.spark.sql.expressions.Window
+    val small = Seq((10L, 5.0), (20L, 1.0), (30L, 3.0)).toDF("id", "m")
+    val want = small.withColumn("t",
+        ntile(7).over(Window.orderBy(col("m").asc, col("id").asc)))
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    val got = Shard.scalableNtile(small, 7, col("m"), col("id"), "t")
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    assert(got === want)
+    val re = Shard.scalableNtile(ntileFixture.repartition(13), 5,
+        col("metric"), col("id"), "t", descending = true)
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    val base = Shard.scalableNtile(ntileFixture, 5, col("metric"),
+        col("id"), "t", descending = true)
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    assert(re === base)
+  }
+
+  test("scalableNtile: no single-partition exchange in the plan; null " +
+    "leading value fails loudly") {
+    val plan = Shard.scalableNtile(ntileFixture, 5, col("metric"),
+      col("id"), "t").queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"found a single-partition exchange:\n$plan")
+    val withNull = ntileFixture.withColumn("metric",
+      when(col("id") === 3L, lit(null)).otherwise(col("metric")))
+    val e = intercept[Exception] {
+      Shard.scalableNtile(withNull, 5, col("metric"), col("id"), "t")
+        .collect()
+    }
+    assert(e.getMessage.contains("null leading value"))
+  }
+
+  // -- twoPhaseRunningSum ----------------------------------------------------
+
+  test("twoPhaseRunningSum equals the global running-sum window " +
+    "exactly, across bucket counts, and keeps a partitioned plan") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 301L).map(i => ((i * 31) % 501, i % 13))
+      .toMap.toSeq // distinct order keys
+      .toDF("k", "v")
+    val want = df.withColumn("cs", sum(col("v")).over(
+        Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cs").as[(Long, Long)].collect().toMap
+    for (buckets <- Seq(1, 8, 64)) {
+      val got = Shard.twoPhaseRunningSum(df, col("k"), col("v"), "cs",
+          buckets = buckets)
+        .select("k", "cs").as[(Long, Long)].collect().toMap
+      assert(got === want, s"buckets=$buckets")
+    }
+    val plan = Shard.twoPhaseRunningSum(df, col("k"), col("v"), "cs")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"found a single-partition exchange:\n$plan")
+  }
 }
