@@ -31,22 +31,30 @@ object External {
     def advance(millis: Long): Unit = now += millis * 1000000L
   }
 
-  /** Token bucket: at most `ratePerSec` acquisitions per second, with a
-    * burst of `burst`. The reference's 0.5s-min-interval throttle is
-    * TokenBucket(2, 1). */
+  /** Token bucket: at most `ratePerSec` acquisition-units per second,
+    * with a burst of `burst`. The reference's 0.5s-min-interval throttle
+    * is TokenBucket(2, 1). `acquire(n)` is the WEIGHTED draw (n units at
+    * once — the tpm accounting of [[DualBudget]]); a draw larger than
+    * the burst can never be satisfied and fails loudly instead of
+    * sleeping forever. */
   final class TokenBucket(ratePerSec: Double, burst: Int,
                           clock: Clock = SystemClock) extends Serializable {
     private var tokens: Double = burst.toDouble
     private var last: Long = clock.nanoTime()
 
-    def acquire(): Unit = synchronized {
+    def acquire(): Unit = acquire(1.0)
+
+    def acquire(n: Double): Unit = synchronized {
+      require(n <= burst,
+        s"TokenBucket.acquire($n) exceeds burst=$burst — the draw can " +
+          "never be satisfied; raise the budget or shrink the request")
       refill()
-      while (tokens < 1.0) {
-        val needMs = math.ceil((1.0 - tokens) / ratePerSec * 1000).toLong
+      while (tokens < n) {
+        val needMs = math.ceil((n - tokens) / ratePerSec * 1000).toLong
         clock.sleep(needMs)
         refill()
       }
-      tokens -= 1.0
+      tokens -= n
     }
 
     private def refill(): Unit = {
@@ -54,6 +62,32 @@ object External {
       tokens = math.min(burst.toDouble,
         tokens + (now - last) / 1e9 * ratePerSec)
       last = now
+    }
+  }
+
+  /** Dual per-minute budget — the reference's SiliconFlow client
+    * DECLARES rpm (requests/minute) and tpm (tokens/minute) limits
+    * (`llm_api.py:279`, config `siliconflow_rpm`/`siliconflow_tpm`) but
+    * never enforces them, leaning on the server's RateLimitError +
+    * exponential backoff instead (`llm_api.py:348-357`). This enforces
+    * the declared contract client-side so a well-sized job never trips
+    * the server limit at all: one bucket per unit, each refilling
+    * continuously at budget/60 per second with a full minute's budget
+    * as burst. `acquire(tokens)` draws 1 request-unit AND `tokens`
+    * token-units, sleeping until BOTH budgets allow (requests first —
+    * the cheaper bucket gates before the expensive one is debited).
+    * A non-positive budget disables that unit. Per-partition like every
+    * throttle here: cluster-wide budget = partitions × (rpm, tpm). */
+  final class DualBudget(rpm: Int, tpm: Int,
+                         clock: Clock = SystemClock) extends Serializable {
+    private val req =
+      if (rpm > 0) new TokenBucket(rpm / 60.0, rpm, clock) else null
+    private val tok =
+      if (tpm > 0) new TokenBucket(tpm / 60.0, tpm, clock) else null
+
+    def acquire(tokens: Long): Unit = {
+      if (req != null) req.acquire()
+      if (tok != null) tok.acquire(tokens.toDouble)
     }
   }
 

@@ -31,13 +31,21 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object HttpClients {
 
-  /** Endpoint configuration shared by both clients. */
+  /** Endpoint configuration shared by both clients. `ratePerSec` is the
+    * reference's metrics-style min-interval throttle; `rpm`/`tpm` are
+    * the per-minute request/token budgets its SiliconFlow client
+    * declares (`llm_api.py:279`) — enforced here client-side via
+    * [[External.DualBudget]] (the reference only stores them and lets
+    * the server's RateLimitError + backoff do the limiting). All three
+    * compose; <= 0 disables each independently. */
   case class HttpConfig(baseUrl: String,
                         apiKey: Option[String] = None,
                         timeoutMillis: Int = 120000,
                         maxRetries: Int = 3,
                         retryBaseMillis: Long = 1000,
-                        ratePerSec: Double = 0.0) // <= 0 disables throttling
+                        ratePerSec: Double = 0.0, // <= 0 disables throttling
+                        rpm: Int = 0,
+                        tpm: Int = 0)
 
   final class HttpStatusException(val code: Int, body: String)
       extends RuntimeException(s"HTTP $code: ${body.take(500)}")
@@ -86,14 +94,15 @@ object HttpClients {
 
   private val mapper = new ObjectMapper()
 
-  /** Shared throttle + retry envelope (one request = one token; a retry is
-    * a fresh request against the service budget, so acquisition happens
-    * INSIDE the retried thunk — same rule as ThrottledRetryingClient).
-    * Only transient failures retry: 5xx, 408 (timeout), 429 (throttled),
-    * and transport errors. Other 4xx (bad key, bad request, not found)
-    * can never succeed on retry and fail fast instead of burning the
-    * exponential-backoff budget per row. */
-  private def request(transport: HttpTransport, bucket: External.TokenBucket,
+  /** Shared throttle + retry envelope (a retry is a fresh request
+    * against the service budget, so `acquire` runs INSIDE the retried
+    * thunk — same rule as ThrottledRetryingClient). Only transient
+    * failures retry: 5xx, 408 (timeout), 429 (throttled — the
+    * reference's RateLimitError path, exponential 2^attempt sleeps,
+    * `llm_api.py:348-357`), and transport errors. Other 4xx (bad key,
+    * bad request, not found) can never succeed on retry and fail fast
+    * instead of burning the exponential-backoff budget per row. */
+  private def request(transport: HttpTransport, acquire: () => Unit,
                       cfg: HttpConfig, clock: External.Clock)
                      (method: String, url: String,
                       headers: Map[String, String],
@@ -104,7 +113,7 @@ object HttpClients {
           h.code >= 500 || h.code == 408 || h.code == 429
         case _ => true
       }) {
-      if (bucket != null) bucket.acquire()
+      acquire()
       val (code, text) =
         transport.send(method, url, headers, body, cfg.timeoutMillis)
       if (code >= 400) throw new HttpStatusException(code, text)
@@ -132,7 +141,8 @@ object HttpClients {
       val key = cfg.apiKey.map(k =>
         s"key=${URLEncoder.encode(k, "UTF-8")}&").getOrElse("")
       val url = s"${cfg.baseUrl}?${key}publication=$enc"
-      val text = request(transport, bucket, cfg, clock)(
+      val text = request(transport,
+        () => if (bucket != null) bucket.acquire(), cfg, clock)(
         "GET", url, Map("Accept" -> "application/json"), None)
       val node: JsonNode = mapper.readTree(text)
       (node.path("impact_factor").asDouble(Double.NaN),
@@ -161,6 +171,19 @@ object HttpClients {
     @transient private lazy val bucket =
       if (cfg.ratePerSec > 0) new External.TokenBucket(cfg.ratePerSec, 1, clock)
       else null
+    @transient private lazy val budget =
+      if (cfg.rpm > 0 || cfg.tpm > 0)
+        new External.DualBudget(cfg.rpm, cfg.tpm, clock)
+      else null
+
+    /** Client-side tpm charge for one call: the worst case the server
+      * could meter — estimated prompt tokens (the ~4-chars/token
+      * heuristic every budget planner uses; deliberately simple and
+      * deterministic) plus the full completion cap. Over-reserving is
+      * the safe direction for a throttle: the job paces below the
+      * declared budget instead of tripping 429s. */
+    private[graft] def tokenCharge(userContent: String): Long =
+      (userContent.length + 3L) / 4L + maxTokens
 
     private def payload(userContent: String): String = {
       val root = mapper.createObjectNode()
@@ -182,7 +205,10 @@ object HttpClients {
       try {
         val headers = Map("Content-Type" -> "application/json") ++
           cfg.apiKey.map(k => "Authorization" -> s"Bearer $k")
-        val text = request(transport, bucket, cfg, clock)(
+        val text = request(transport, () => {
+            if (bucket != null) bucket.acquire()
+            if (budget != null) budget.acquire(tokenCharge(abstractText))
+          }, cfg, clock)(
           "POST", cfg.baseUrl, headers, Some(payload(abstractText)))
         mapper.readTree(text)
           .path("choices").path(0).path("message").path("content").asText("")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.External
-import graft.operators.External.{FakeClock, TokenBucket}
+import graft.operators.External.{DualBudget, FakeClock, TokenBucket}
 
 class ExternalSpec extends AnyFunSuite {
 
@@ -47,5 +47,40 @@ class ExternalSpec extends AnyFunSuite {
     }
     assert(e.getMessage === "n3") // attempts 0,1,2
     assert(clock.sleeps.toSeq === Seq(10L, 20L))
+  }
+
+  test("dual budget: the rpm unit saturates — a full minute's burst " +
+    "fires instantly, the next request waits a refill interval") {
+    val clock = new FakeClock()
+    val b = new DualBudget(rpm = 3, tpm = 0, clock) // tpm disabled
+    (1 to 3).foreach(_ => b.acquire(999999L)) // token charge ignored
+    assert(clock.sleeps.isEmpty)
+    b.acquire(1L) // 4th request: 1 unit at 3/60 per sec = 20s
+    assert(clock.sleeps.sum >= 20000 && clock.sleeps.sum <= 20100)
+  }
+
+  test("dual budget: the tpm unit saturates independently of request " +
+    "count — the wait is proportional to the token charge") {
+    val clock = new FakeClock()
+    val b = new DualBudget(rpm = 0, tpm = 1200, clock) // rpm disabled
+    b.acquire(1000L) // burst covers it
+    assert(clock.sleeps.isEmpty)
+    b.acquire(1000L) // 200 left, need 800 more at 20/s = 40s
+    assert(clock.sleeps.sum >= 40000 && clock.sleeps.sum <= 40100)
+  }
+
+  test("dual budget: both units gate — rpm spaces small requests even " +
+    "when tokens abound, and a charge above the tpm burst is refused " +
+    "loudly instead of sleeping forever") {
+    val clock = new FakeClock()
+    val b = new DualBudget(rpm = 2, tpm = 1000000, clock)
+    b.acquire(10L); b.acquire(10L)
+    assert(clock.sleeps.isEmpty)
+    b.acquire(10L) // rpm=2 → 1 unit at 2/60 per sec = 30s
+    assert(clock.sleeps.sum >= 30000 && clock.sleeps.sum <= 30100)
+    val e = intercept[IllegalArgumentException] {
+      new DualBudget(rpm = 0, tpm = 100, clock).acquire(101L)
+    }
+    assert(e.getMessage.contains("exceeds burst"))
   }
 }

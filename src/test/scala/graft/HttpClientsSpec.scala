@@ -147,6 +147,36 @@ class HttpClientsSpec extends SparkTestBase with BeforeAndAfterAll {
     intercept[HttpClients.HttpStatusException] { strict.complete("text") }
   }
 
+  test("llm client enforces the declared rpm budget against the real " +
+    "server: a burst of rpm requests flows, the next one is paced a " +
+    "full refill interval") {
+    val clock = new graft.operators.External.FakeClock()
+    llmCalls.set(0)
+    val c = new HttpLlmClient(
+      fastCfg("/v1/chat/completions").copy(rpm = 2),
+      model = "m", maxTokens = 50, clock = clock)
+    c.complete("one"); c.complete("two")
+    assert(clock.sleeps.isEmpty) // the minute's burst
+    c.complete("three") // 1 request-unit at 2/60 per sec = 30s pacing
+    assert(clock.sleeps.sum >= 30000 && clock.sleeps.sum <= 30100)
+    assert(llmCalls.get() === 3) // paced, never rejected
+  }
+
+  test("llm client enforces the declared tpm budget: the charge is " +
+    "prompt-estimate + completion cap, and saturation waits in " +
+    "proportion to it") {
+    val clock = new graft.operators.External.FakeClock()
+    val prompt = "x" * 40 // 40 chars → 10 estimated prompt tokens
+    val c = new HttpLlmClient(
+      fastCfg("/v1/chat/completions").copy(tpm = 220),
+      model = "m", maxTokens = 100, clock = clock)
+    assert(c.tokenCharge(prompt) === 110L)
+    c.complete(prompt); c.complete(prompt) // 220-token burst covers both
+    assert(clock.sleeps.isEmpty)
+    c.complete(prompt) // needs 110 at 220/60 per sec = 30s
+    assert(clock.sleeps.sum >= 30000 && clock.sleeps.sum <= 30100)
+  }
+
   test("end-to-end X1 enrichment through mapPartitions with the real " +
     "HTTP client") {
     import spark.implicits._
