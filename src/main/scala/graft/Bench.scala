@@ -36,6 +36,7 @@ object Bench {
     // total of 0.000 with exit 0
     require(selected.nonEmpty,
       s"SPARK_GRAFT_BENCH_ONLY matched no queries: ${only.getOrElse(Set())}")
+    val allTimes = collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = selected.map { case (name, fn) =>
       val times =
         try {
@@ -56,6 +57,7 @@ object Bench {
       // naturally within the battery, and the accumulated state degrades
       // later queries (observed 6s -> 41s for the same query in round 4)
       System.gc()
+      allTimes(name) = times
       name -> (if (times.isEmpty) Double.NaN else times(times.size / 2))
     }
     val ok = results.filter(!_._2.isNaN)
@@ -69,6 +71,18 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver retains only a bounded TAIL of stdout, so the one-line
+    // summary above can be truncated away by later log noise. Write the
+    // UNTRUNCATED record (every rep per query, sorted ascending) to a
+    // file too, so round-over-round per-query comparison never depends
+    // on tail luck. Path override: SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_full.json")
+    val repsJson = allTimes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"rep_times":$repsJson,"failed":$failedJson,"sf":"$sfDir"}""" + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

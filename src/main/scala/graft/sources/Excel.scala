@@ -57,12 +57,70 @@ object Excel {
       case c => c.toString
     }
 
+  /** The reference's per-column-name width table, default 20
+    * (`excel_formatter.py:226-260`) — widths are presentation hints, so
+    * parity by value, not derivation. */
+  private val columnWidths: Map[String, Int] = Map(
+    "title" -> 60, "abstract" -> 60, "ai_summary" -> 60,
+    "authors" -> 30, "full_authors" -> 40, "journal" -> 25,
+    "publication_year" -> 20, "pmid" -> 15, "doi" -> 15,
+    "wos_id" -> 15, "affiliation" -> 40, "keywords" -> 30,
+    "mesh_terms" -> 30, "publication_type" -> 20, "source_type" -> 15,
+    "doi_link" -> 25, "pubmed_link" -> 25, "wos_link" -> 25,
+    "sciencedirect_link" -> 25, "impact_factor" -> 15,
+    "中科院分区" -> 15, "sciif" -> 15, "sci" -> 15, "sciUp" -> 15)
+
+  /** The title column's click-through priority: PubMed, then WOS, then
+    * ScienceDirect, then DOI (`excel_formatter.py:324-338`). */
+  private val titleLinkPriority =
+    Seq("pubmed_link", "wos_link", "sciencedirect_link", "doi_link")
+
+  // cell style ids into styles.xml's cellXfs (0 = default)
+  private val headerStyle = 1 // bold white on the reference's blue fill
+  private val dataStyle = 2   // top-aligned, wrapped, thin border
+  private val linkStyle = 3   // data + the blue underlined link font
+
+  private def stylesXml: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      // font 1 = header (bold, white), font 2 = hyperlink (blue, underline)
+      """<fonts count="3"><font><sz val="11"/><name val="Calibri"/></font>""" +
+      """<font><b/><sz val="11"/><color rgb="FFFFFFFF"/><name val="Calibri"/></font>""" +
+      """<font><u/><sz val="11"/><color rgb="FF0563C1"/><name val="Calibri"/></font></fonts>""" +
+      // fill 2 = the reference's header blue #366092 (fills 0/1 are the
+      // format's mandated none/gray125 pair)
+      """<fills count="3"><fill><patternFill patternType="none"/></fill>""" +
+      """<fill><patternFill patternType="gray125"/></fill>""" +
+      """<fill><patternFill patternType="solid"><fgColor rgb="FF366092"/><bgColor indexed="64"/></patternFill></fill></fills>""" +
+      """<borders count="2"><border><left/><right/><top/><bottom/><diagonal/></border>""" +
+      """<border><left style="thin"/><right style="thin"/><top style="thin"/><bottom style="thin"/><diagonal/></border></borders>""" +
+      """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
+      """<cellXfs count="4"><xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>""" +
+      """<xf numFmtId="0" fontId="1" fillId="2" borderId="1" xfId="0" applyFont="1" applyFill="1" applyBorder="1" applyAlignment="1"><alignment horizontal="center" vertical="center" wrapText="1"/></xf>""" +
+      """<xf numFmtId="0" fontId="0" fillId="0" borderId="1" xfId="0" applyBorder="1" applyAlignment="1"><alignment vertical="top" wrapText="1"/></xf>""" +
+      """<xf numFmtId="0" fontId="2" fillId="0" borderId="1" xfId="0" applyFont="1" applyBorder="1" applyAlignment="1"><alignment vertical="top" wrapText="1"/></xf></cellXfs>""" +
+      """<cellStyles count="1"><cellStyle name="Normal" xfId="0" builtinId="0"/></cellStyles>""" +
+      "</styleSheet>"
+
   /** Write `df` as an .xlsx workbook. With `sheetBy` set, one sheet per
     * distinct value of that column (sheet ≙ partition — the reference's
     * separate_sheets mode), sheets sorted by name; otherwise a single
-    * "data" sheet. */
+    * "data" sheet.
+    *
+    * `styled = true` (the default — the reference's sink always styles,
+    * `excel_formatter.py:202-345`) adds the presentation layer on top of
+    * the identical data plane: bold-white-on-blue centered header with a
+    * frozen first row, per-column-name widths (default 20), thin borders
+    * and top-aligned wrapped data cells, content-derived row heights
+    * (15 per started 100 chars above the first, clamped to [20, 150];
+    * header fixed at 25), `doi_link` cells hyperlinked to their own
+    * value, and `title` cells hyperlinked by the PubMed > WOS >
+    * ScienceDirect > DOI priority — all emitted as plain OOXML
+    * (styles.xml + sheetViews/cols/hyperlinks + per-sheet rels), no
+    * spreadsheet library. `styled = false` writes the bare data plane. */
   def writeXlsx(df: DataFrame, path: String,
-                sheetBy: Option[String] = None): Unit = {
+                sheetBy: Option[String] = None,
+                styled: Boolean = true): Unit = {
     val cols = df.columns.filterNot(sheetBy.contains)
     val rows = df.limit(excelMaxRows + 1).collect()
     require(rows.length <= excelMaxRows,
@@ -76,6 +134,10 @@ object Excel {
       case None => Seq("data" -> rows)
     }
     val colIdxs = cols.map(df.columns.indexOf(_))
+    // hyperlink source columns, positions within the SHEET's columns
+    val titlePos = cols.indexOf("title")
+    val doiLinkPos = cols.indexOf("doi_link")
+    val priorityPos = titleLinkPriority.map(cols.indexOf(_))
 
     val zip = new ZipOutputStream(new BufferedOutputStream(
       new FileOutputStream(path)))
@@ -92,6 +154,9 @@ object Excel {
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (if (styled)
+            """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>"""
+          else "") +
           (1 to n).map(i =>
             s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
             .mkString + "</Types>")
@@ -111,41 +176,116 @@ object Excel {
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
           (1 to n).map(i =>
             s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
-            .mkString + "</Relationships>")
+            .mkString +
+          (if (styled)
+            s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
+          else "") + "</Relationships>")
+      if (styled) entry("xl/styles.xml", stylesXml)
       sheets.zipWithIndex.foreach { case ((_, sheetRows), si) =>
+        // (cellRef, url) hyperlinks for this sheet, reference semantics:
+        // doi_link → its own value; title → first non-empty of the
+        // priority chain
+        val links = mutable.ArrayBuffer[(String, String)]()
+        def strAt(r: Row, pos: Int): Option[String] =
+          if (pos < 0) None
+          else {
+            val src = colIdxs(pos)
+            if (r.isNullAt(src)) None
+            else Some(r.get(src).toString).filter(_.nonEmpty)
+          }
+        if (styled) sheetRows.zipWithIndex.foreach { case (r, ri) =>
+          strAt(r, doiLinkPos).foreach(u =>
+            links += s"${colRef(doiLinkPos)}${ri + 2}" -> u)
+          if (titlePos >= 0 && strAt(r, titlePos).isDefined)
+            priorityPos.iterator.flatMap(strAt(r, _)).take(1).foreach(u =>
+              links += s"${colRef(titlePos)}${ri + 2}" -> u)
+        }
+        val linkedRefs = links.map(_._1).toSet
         val sb = new StringBuilder
         sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
-        sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
-        sb ++= "<row r=\"1\">"
+        sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">"""
+        if (styled) {
+          // frozen header row (reference: ws.freeze_panes = "A2")
+          sb ++= """<sheetViews><sheetView workbookViewId="0"><pane ySplit="1" topLeftCell="A2" activePane="bottomLeft" state="frozen"/></sheetView></sheetViews>"""
+          sb ++= "<cols>"
+          cols.zipWithIndex.foreach { case (c, ci) =>
+            val w = columnWidths.getOrElse(c, 20)
+            sb ++= s"""<col min="${ci + 1}" max="${ci + 1}" width="$w" customWidth="1"/>"""
+          }
+          sb ++= "</cols>"
+        }
+        sb ++= "<sheetData>"
+        sb ++= (if (styled) """<row r="1" ht="25" customHeight="1">"""
+          else "<row r=\"1\">")
+        val hs = if (styled) s""" s="$headerStyle"""" else ""
         cols.zipWithIndex.foreach { case (c, ci) =>
-          sb ++= s"""<c r="${colRef(ci)}1" t="inlineStr"><is><t>${xmlEscape(c)}</t></is></c>"""
+          sb ++= s"""<c r="${colRef(ci)}1"$hs t="inlineStr"><is><t>${xmlEscape(c)}</t></is></c>"""
         }
         sb ++= "</row>"
         sheetRows.zipWithIndex.foreach { case (r, ri) =>
-          sb ++= s"""<row r="${ri + 2}">"""
+          if (styled) {
+            // reference row heights: 15 per started 100 chars beyond the
+            // first, capped at +100, clamped to [20, 150]; rows with no
+            // string content keep the default height
+            val contentH = colIdxs.map { src =>
+              if (r.isNullAt(src)) 0
+              else r.get(src) match {
+                case s: String =>
+                  15 + math.min(s.length / 100 * 15, 100)
+                case _ => 0
+              }
+            }.max
+            if (contentH > 0) {
+              val h = math.min(math.max(contentH, 20), 150)
+              sb ++= s"""<row r="${ri + 2}" ht="$h" customHeight="1">"""
+            } else sb ++= s"""<row r="${ri + 2}">"""
+          } else sb ++= s"""<row r="${ri + 2}">"""
           colIdxs.zipWithIndex.foreach { case (src, ci) =>
+            val ref = s"${colRef(ci)}${ri + 2}"
+            val st =
+              if (!styled) ""
+              else if (linkedRefs(ref)) s""" s="$linkStyle""""
+              else s""" s="$dataStyle""""
             if (!r.isNullAt(src)) {
-              val ref = s"${colRef(ci)}${ri + 2}"
               // NaN/Infinity are not valid OOXML numerics (Excel would
               // report the file corrupt) — fall through to inlineStr
               def finite(d: Double) = !d.isNaN && !d.isInfinite
               r.get(src) match {
                 case num @ (_: Long | _: Int | _: Short | _: Byte |
                             _: java.math.BigDecimal) =>
-                  sb ++= s"""<c r="$ref" t="n"><v>$num</v></c>"""
+                  sb ++= s"""<c r="$ref"$st t="n"><v>$num</v></c>"""
                 case d: Double if finite(d) =>
-                  sb ++= s"""<c r="$ref" t="n"><v>$d</v></c>"""
+                  sb ++= s"""<c r="$ref"$st t="n"><v>$d</v></c>"""
                 case f: Float if finite(f.toDouble) =>
-                  sb ++= s"""<c r="$ref" t="n"><v>$f</v></c>"""
+                  sb ++= s"""<c r="$ref"$st t="n"><v>$f</v></c>"""
                 case other =>
-                  sb ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(other.toString)}</t></is></c>"""
+                  sb ++= s"""<c r="$ref"$st t="inlineStr"><is><t>${xmlEscape(other.toString)}</t></is></c>"""
               }
+            } else if (styled) {
+              // the reference borders every cell in the used range, so
+              // empty cells carry the style too (style-only, no value)
+              sb ++= s"""<c r="$ref"$st/>"""
             }
           }
           sb ++= "</row>"
         }
-        sb ++= "</sheetData></worksheet>"
+        sb ++= "</sheetData>"
+        if (links.nonEmpty) {
+          sb ++= "<hyperlinks>"
+          links.zipWithIndex.foreach { case ((ref, _), li) =>
+            sb ++= s"""<hyperlink ref="$ref" r:id="rhl${li + 1}"/>"""
+          }
+          sb ++= "</hyperlinks>"
+        }
+        sb ++= "</worksheet>"
         entry(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
+        if (links.nonEmpty)
+          entry(s"xl/worksheets/_rels/sheet${si + 1}.xml.rels",
+            """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+              """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+              links.zipWithIndex.map { case ((_, url), li) =>
+                s"""<Relationship Id="rhl${li + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" Target="${xmlEscape(url)}" TargetMode="External"/>"""
+              }.mkString + "</Relationships>")
       }
     } finally zip.close()
   }

@@ -186,4 +186,89 @@ class ExcelSpec extends SparkTestBase {
     Excel.writeXlsx(big, path) // well under cap: fine
     assert(Excel.readXlsx(spark, path).count() === 10)
   }
+
+  private def zipEntries(path: String): Map[String, String] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(path)))
+    val out = scala.collection.mutable.Map[String, String]()
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        out(e.getName) = new String(zin.readAllBytes(), "UTF-8")
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  test("styled workbook carries the reference's presentation layer: " +
+    "header style + frozen row + column widths + content row heights") {
+    val path = Files.createTempDirectory("graft_xlsx").toString + "/s.xlsx"
+    val df = Seq(
+      ("Paper A", "x" * 250, "https://doi.org/10.1/a", "https://pubmed.gov/1"),
+      ("Paper B", "short", null, null)
+    ).toDF("title", "abstract", "doi_link", "pubmed_link")
+    Excel.writeXlsx(df, path)
+    val parts = zipEntries(path)
+    // styles: the reference's blue header fill + link font colors
+    val styles = parts("xl/styles.xml")
+    assert(styles.contains("FF366092") && styles.contains("FF0563C1"))
+    assert(parts("[Content_Types].xml").contains("styles.xml"))
+    assert(parts("xl/_rels/workbook.xml.rels").contains("styles.xml"))
+    val sheet = parts("xl/worksheets/sheet1.xml")
+    // frozen first row
+    assert(sheet.contains("""<pane ySplit="1" topLeftCell="A2""") &&
+      sheet.contains("""state="frozen""""))
+    // widths: title=60 (col 1), abstract=60, doi_link=25, pubmed_link=25
+    assert(sheet.contains("""<col min="1" max="1" width="60""""))
+    assert(sheet.contains("""<col min="3" max="3" width="25""""))
+    // header row fixed height, styled header cells
+    assert(sheet.contains("""<row r="1" ht="25""""))
+    assert(sheet.contains("""s="1" t="inlineStr"><is><t>title</t>"""))
+    // 250-char abstract: 15 + (250/100)*15 = 45
+    assert(sheet.contains("""<row r="2" ht="45""""))
+    // short strings floor to the minimum height 20
+    assert(sheet.contains("""<row r="3" ht="20""""))
+  }
+
+  test("styled workbook hyperlinks: doi_link cells link their own value, " +
+    "title follows the pubmed > wos > sciencedirect > doi priority; " +
+    "round trip is unchanged and unstyled output has no style parts") {
+    val dir = Files.createTempDirectory("graft_xlsx").toString
+    val df = Seq(
+      // pubmed present → title links pubmed, doi_link links itself
+      ("A", "https://doi.org/10.1/a", "https://pubmed.gov/1"),
+      // only doi → title falls through the priority chain to doi
+      ("B", "https://doi.org/10.1/b", null),
+      // no links at all → no hyperlink rows for this record
+      ("C", null, null)
+    ).toDF("title", "doi_link", "pubmed_link")
+    Excel.writeXlsx(df, s"$dir/h.xlsx")
+    val parts = zipEntries(s"$dir/h.xlsx")
+    val sheet = parts("xl/worksheets/sheet1.xml")
+    val rels = parts("xl/worksheets/_rels/sheet1.xml.rels")
+    // A2 = title row 2 (pubmed target), B2 = doi_link row 2 (own value)
+    assert(sheet.contains("""<hyperlink ref="B2"""") &&
+      sheet.contains("""<hyperlink ref="A2""""))
+    assert(rels.contains("""Target="https://pubmed.gov/1" TargetMode="External""""))
+    assert(rels.contains("""Target="https://doi.org/10.1/a""""))
+    // B3: title B links doi (fallback); C row: no refs at all
+    assert(sheet.contains("""<hyperlink ref="A3""""))
+    assert(rels.contains("""Target="https://doi.org/10.1/b""""))
+    assert(!sheet.contains("""ref="A4""""))
+    // linked cells carry the link style, other data cells the data style
+    assert(sheet.contains("""<c r="A2" s="3""""))
+    assert(sheet.contains("""<c r="C3" s="2""""))
+    // the presentation layer never changes the data plane
+    val back = Excel.readXlsx(spark, s"$dir/h.xlsx")
+      .orderBy("title").collect()
+    assert(back.map(_.getString(0)).toSeq === Seq("A", "B", "C"))
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+    // unstyled: bare data plane, no styles part, no hyperlinks
+    Excel.writeXlsx(df, s"$dir/u.xlsx", styled = false)
+    val uparts = zipEntries(s"$dir/u.xlsx")
+    assert(!uparts.contains("xl/styles.xml"))
+    assert(!uparts.keys.exists(_.contains("sheet1.xml.rels")))
+    assert(!uparts("xl/worksheets/sheet1.xml").contains("hyperlink"))
+  }
 }
