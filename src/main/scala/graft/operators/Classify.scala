@@ -227,11 +227,15 @@ object Classify {
     * `perceptronScore`. */
   def evaluateBinary(scored: DataFrame, label: Column, score: Column,
                      threshold: Double = 0.0): DataFrame = {
-    val grp = scored
+    // the group frame materializes FIRST: the two-phase prefix reads it
+    // three times (quantile splits, bucket totals, cumulative pass) and
+    // each read must hit the distinct-score-sized checkpoint, not
+    // re-run the scoring plan behind it
+    val grp = Dedup.materialize(scored
       .select(score.as("s"), when(label, 1L).otherwise(0L).as("ip"))
       .where(col("s").isNotNull)
       .groupBy("s")
-      .agg(sum(col("ip")).as("p"), (count(lit(1)) - sum(col("ip"))).as("n"))
+      .agg(sum(col("ip")).as("p"), (count(lit(1)) - sum(col("ip"))).as("n")))
     // bucketed two-phase prefix (s is the group key — unique, non-null
     // after the filter above), bit-identical to a global window because
     // the negative counts are integers

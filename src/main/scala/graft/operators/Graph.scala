@@ -854,8 +854,9 @@ object Graph {
         "(freq³ must stay below 2⁵³ for the exact-integer cube)")
     val spark = walks.sparkSession
     import spark.implicits._
-    val (cumPlan, total, vocabN) = noiseTable(walks, maxFreq)
+    val (cumPlan, total, vocabN, wt) = noiseTable(walks, maxFreq)
     val cum = materialize(cumPlan)
+    releaseMaterialized(wt) // cum owns the intervals now
     require(total < (1L << 48),
       s"negativeSamples: total noise weight $total exceeds the 12-hex " +
         "draw space; raise the draw width or lower maxFreq")
@@ -893,15 +894,22 @@ object Graph {
     * running-sum window after a hash exchange, ≤256 bucket
     * (weight, count) rows collected as the exclusive-prefix frame.
     * Integer sums make lo/hi bit-identical to a global-window build.
-    * Returns (cum plan, total weight, vocab size). */
-  private[graft] def noiseTable(walks: DataFrame,
-                                maxFreq: Long): (DataFrame, Long, Long) = {
+    * Returns (cum plan, total weight, vocab size, the MATERIALIZED
+    * weight table the plan reads — release it once the plan is
+    * materialized). */
+  private[graft] def noiseTable(walks: DataFrame, maxFreq: Long)
+      : (DataFrame, Long, Long, DataFrame) = {
     val spark = walks.sparkSession
     import spark.implicits._
     val f = least(col("freq"), lit(maxFreq)).cast("double")
-    val wt = walks.groupBy(col("node")).agg(count(lit(1)).as("freq"))
+    // the weight table materializes FIRST: the two-phase build reads it
+    // three times (id span, bucket totals, cumulative pass) and each
+    // read must hit the vocab-sized checkpoint, not re-run the
+    // corpus-sized groupBy behind it
+    val wt = materialize(walks.groupBy(col("node"))
+      .agg(count(lit(1)).as("freq"))
       .select(col("node"),
-        greatest(lit(1L), floor(sqrt(sqrt(f * f * f)))).as("w"))
+        greatest(lit(1L), floor(sqrt(sqrt(f * f * f)))).as("w")))
     val mmRow = wt.agg(min(col("node").cast("long")),
       max(col("node").cast("long"))).head()
     require(!mmRow.isNullAt(0),
@@ -937,7 +945,7 @@ object Graph {
       .withColumn("hi", col("__cum_in") + col("__off"))
       .select(col("node"), (col("hi") - col("w")).as("lo"),
         (col("hi") - 1).as("hi_incl"))
-    (cum, total, vocabN)
+    (cum, total, vocabN, wt)
   }
 
   /** A tiny (walk = 0..walksPerNode−1) frame for the walk fan-out —

@@ -2053,6 +2053,78 @@ object ScaleProbe {
       }
     }
 
+    if (which("twophase-weak")) {
+      // The bucketed two-phase prefix helpers vs the global window they
+      // replace, head-to-head at 2M rows. Exactness is the invariant
+      // (zero disagreeing rows — the whole point of the construction);
+      // wall times land in BASELINE.md. Collision-heavy metric (1,000
+      // distinct values over 2M rows) so tie groups straddle split
+      // points, plus a hostile sparse id key for the running sum.
+      val n = 2000000L
+      val df = spark.range(n)
+        .select(col("id"), pmod(col("id") * 7919, lit(1000)).as("metric"),
+          (col("id") % 13).as("v"))
+        .localCheckpoint(true)
+      t("twophase_2m_rows")(df.count())
+      var two: DataFrame = null
+      t("twophase_ntile_bucketed") {
+        two = graft.operators.Shard.scalableNtile(df, 5, col("metric"),
+          col("id"), "t", descending = true).localCheckpoint(true)
+        two.count()
+      }
+      var glob: DataFrame = null
+      t("twophase_ntile_global_window") {
+        glob = df.withColumn("t", ntile(5).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("metric").desc, col("id").asc)))
+          .localCheckpoint(true)
+        glob.count()
+      }
+      t("twophase_ntile_zero_mismatches") {
+        val bad = two.select("id", "t").as("a")
+          .join(glob.select("id", "t").as("b"), Seq("id"))
+          .where(col("a.t") =!= col("b.t")).count()
+        require(bad == 0, s"$bad rows disagree with the global ntile")
+        // quintile sizes exactly n/5 each (5 divides 2M)
+        val sizes = two.groupBy("t").count().orderBy("t")
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        require(sizes.toSeq == (1 to 5).map(t => (t, n / 5)),
+          sizes.mkString(","))
+        n
+      }
+      // running sum over 2M DISTINCT sparse keys (id * 31 — gaps force
+      // the quantile bucketing, not dense ranges)
+      val rs = spark.range(n)
+        .select((col("id") * 31).as("k"), (col("id") % 13).as("v"))
+        .localCheckpoint(true)
+      var rsTwo: DataFrame = null
+      t("twophase_runsum_bucketed") {
+        rsTwo = graft.operators.Shard.twoPhaseRunningSum(rs, col("k"),
+          col("v"), "cs").localCheckpoint(true)
+        rsTwo.count()
+      }
+      var rsGlob: DataFrame = null
+      t("twophase_runsum_global_window") {
+        rsGlob = rs.withColumn("cs", sum(col("v")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+          .localCheckpoint(true)
+        rsGlob.count()
+      }
+      t("twophase_runsum_zero_mismatches") {
+        val bad = rsTwo.select("k", "cs").as("a")
+          .join(rsGlob.select("k", "cs").as("b"), Seq("k"))
+          .where(col("a.cs") =!= col("b.cs")).count()
+        require(bad == 0, s"$bad rows disagree with the global window")
+        val last = rsTwo.agg(max("cs")).head().getLong(0)
+        val expect = (0L until 13L).map(r => (n / 13) * r).sum +
+          (0L until n % 13).sum // Σ id%13 in closed form
+        require(last == expect, s"total $last != $expect")
+        n
+      }
+    }
+
     spark.stop()
   }
 }
