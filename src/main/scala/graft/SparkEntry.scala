@@ -2127,27 +2127,28 @@ object SparkEntry {
     // (the classic behavioral-cohort encoding); quintiles are
     // deterministic under a TOTAL order (metric, user_id tiebreak),
     // monetary sums go through the exact-decimal discipline, segment =
-    // 100r + 10f + m. Each quintile cut is Shard.scalableNtile — the
-    // bucketed two-phase exact NTILE — because the per-user frame is
-    // dimension-sized, not small: at web scale a global
-    // Window.orderBy would funnel every user through ONE task. The
-    // frame is materialized once so the three cuts (each needing a
-    // quantile-sketch pass + a count pass) don't recompute the
-    // events aggregate.
+    // 100r + 10f + m. The three quintile cuts are ONE
+    // Shard.scalableNtileMulti — the bucketed two-phase exact NTILE
+    // over a single materialized frame — because the per-user frame is
+    // dimension-sized, not small: at web scale a global Window.orderBy
+    // would funnel every user through ONE task, and NESTED single cuts
+    // would re-execute each other's window+join in every later cut's
+    // sketch and count passes (the r10 9× residual). Multi shares one
+    // checkpoint, one multi-column sketch pass, and chains the three
+    // rank windows into one executed plan.
     "q_events_rfm" -> ((s, dir) => {
-      val per = Dedup.materialize(Tables.events(s, dir)
+      val per = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(max(col("ts")).as("last_ts"),
           count(lit(1)).as("frequency"),
-          sum(dec6(col("value"))).cast("double").as("monetary")))
-      val cut = Shard.scalableNtile(
-        Shard.scalableNtile(
-          Shard.scalableNtile(per, 5, col("last_ts"), col("user_id"),
-            "r_quint", descending = true),
-          5, col("frequency"), col("user_id"), "f_quint",
+          sum(dec6(col("value"))).cast("double").as("monetary"))
+      val cut = Shard.scalableNtileMulti(per, Seq(
+        Shard.NtileSpec(5, col("last_ts"), col("user_id"), "r_quint",
           descending = true),
-        5, col("monetary"), col("user_id"), "m_quint",
-        descending = true)
+        Shard.NtileSpec(5, col("frequency"), col("user_id"), "f_quint",
+          descending = true),
+        Shard.NtileSpec(5, col("monetary"), col("user_id"), "m_quint",
+          descending = true)))
       cut.select(col("user_id"), col("last_ts"), col("frequency"),
           col("monetary"), col("r_quint"), col("f_quint"),
           col("m_quint"))
@@ -4241,16 +4242,25 @@ object SparkEntry {
 
   /** The CCNet head/middle/tail frame shared by q_perplexity_buckets
     * and q_train_curriculum: per-language perplexity terciles under the
-    * src0 reference model, (doc_id, lang, bucket). */
+    * src0 reference model, (doc_id, lang, bucket). The tercile cut is
+    * `Shard.scalableNtileByGroup` — a real pretraining corpus is
+    * majority ONE language, so the window form
+    * `ntile(3).over(partitionBy(lang).orderBy(ppl))` funnels a
+    * corpus-scale frame through a single task; the grouped two-phase
+    * cut spreads the hot language over `buckets` tasks with
+    * bit-identical tile numbers. The scored frame is materialized
+    * first so the cut's three passes hit a doc-dimension checkpoint,
+    * not three re-runs of the bigram scoring. */
   private def perplexityBucketsFrame(s: org.apache.spark.sql.SparkSession,
                                      dir: String)
       : org.apache.spark.sql.DataFrame = {
     val d = Tables.documents(s, dir)
-    Perplexity.perplexityScores(d, col("doc_id"), col("text"),
-        col("source") === "src0")
-      .join(d.select("doc_id", "lang"), Seq("doc_id"))
-      .withColumn("nt", ntile(3).over(
-        Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))))
+    val scored = Dedup.materialize(
+      Perplexity.perplexityScores(d, col("doc_id"), col("text"),
+          col("source") === "src0")
+        .join(d.select("doc_id", "lang"), Seq("doc_id")))
+    Shard.scalableNtileByGroup(scored, 3, col("lang"), col("ppl"),
+        col("doc_id"), "nt")
       .select(col("doc_id"), col("lang"),
         when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
           .otherwise("tail").as("bucket"))

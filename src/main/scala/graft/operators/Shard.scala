@@ -330,8 +330,10 @@ object Shard {
     * The leading column is compared through `cast("double")` for the
     * bucket draw only; within-bucket ordering uses the ORIGINAL column,
     * so cast collisions (e.g. close timestamps) cannot reorder rows —
-    * colliding rows simply share a bucket. NULL leading values FAIL
-    * loudly (a null has no defined tile; filter or impute upstream).
+    * colliding rows simply share a bucket. NULL and NaN leading values
+    * FAIL loudly: a null has no defined tile, and NaN would silently
+    * sort under Spark's NaN-greatest rule while the quantile sketch
+    * gives it no defined bucket — filter or impute both upstream.
     *
     * Returns the input columns plus `out` (INT, 1..k). */
   def scalableNtile(df: DataFrame, k: Int, leading: Column,
@@ -348,6 +350,9 @@ object Shard {
     val work = df.withColumn("__nt_d",
       when(signed.isNull, raise_error(lit("scalableNtile: null leading " +
         "value — a null has no defined tile; filter or impute upstream")))
+      .when(isnan(signed), raise_error(lit("scalableNtile: NaN leading " +
+        "value — NaN has no defined quantile bucket; filter or impute " +
+        "upstream")))
       .otherwise(signed))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val splits =
@@ -401,7 +406,10 @@ object Shard {
     *
     * `order` must be UNIQUE per row (e.g. a group key): with ties the
     * global running sum is order-dependent and no two engines (or two
-    * runs) need agree. NULL order values fail loudly.
+    * runs) need agree. NULL, non-numeric (cast-to-null), and NaN order
+    * values all fail loudly — the guard sits on the CAST result, so a
+    * string key that casts to null cannot silently land in bucket 0
+    * and break the monotone-bucket invariant.
     *
     * Returns the input columns plus `out` = Σ value over rows with
     * order ≤ this row's. */
@@ -411,10 +419,15 @@ object Shard {
       s"twoPhaseRunningSum: buckets=$buckets out of [1, 4096]")
     val spark = df.sparkSession
     import spark.implicits._
+    val cast = order.cast("double")
     val work = df.withColumn("__ps_d",
-      when(order.isNull, raise_error(lit("twoPhaseRunningSum: null " +
-        "order value — a null has no defined prefix; filter upstream")))
-      .otherwise(order.cast("double")))
+      when(cast.isNull, raise_error(lit("twoPhaseRunningSum: null or " +
+        "non-numeric order value — it has no defined prefix position; " +
+        "filter or fix upstream")))
+      .when(isnan(cast), raise_error(lit("twoPhaseRunningSum: NaN " +
+        "order value — NaN has no defined quantile bucket; filter " +
+        "upstream")))
+      .otherwise(cast))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val splits =
       if (buckets == 1) Array.empty[Double]
@@ -440,5 +453,222 @@ object Shard {
       .join(offDf, Seq("__ps_b"))
       .withColumn(out, col("__ps_in") + col("__ps_off"))
       .drop("__ps_d", "__ps_b", "__ps_in", "__ps_off")
+  }
+
+  /** EXACT per-group NTILE(k) without a hot-key single-task window —
+    * the grouped companion of [[scalableNtile]], for the
+    * `ntile(k).over(Window.partitionBy(g).orderBy(...))` trap where one
+    * group holds most of the frame (a pretraining corpus is majority
+    * one language, so CCNet-style per-language buckets funnel the
+    * corpus through ONE task under the window form). Semantics are
+    * identical to SQL NTILE over `(PARTITION BY group, ORDER BY
+    * leading [DESC], tiebreak ASC)`.
+    *
+    * Same two-phase construction as [[scalableNtile]], keyed one level
+    * down: per-group monotone split points (one `percentile_approx`
+    * aggregation — sketch quality affects only bucket BALANCE inside a
+    * group, never the tile numbers), bucket draw against the own
+    * group's splits via a broadcast join, ONE hash exchange on
+    * `(group, bucket)` for the per-bucket `row_number`, and a
+    * ≤groups×buckets prefix frame (per-(group,bucket) exclusive
+    * offsets + per-group total, built with windows over the
+    * counts frame itself — ≤`buckets` rows per group, so those windows
+    * are trivially bounded) broadcast back. global-in-group rank =
+    * bucket_offset + in_bucket_rank is exact integer arithmetic;
+    * per-group tile sizes (first `n_g mod k` tiles get ⌈n_g/k⌉ rows)
+    * come from the same frame.
+    *
+    * Scale shape: the hot group's rows spread over `buckets` tasks
+    * instead of one; the prefix frame is ≤`maxGroups`×`buckets` rows
+    * (guarded — this is a per-GROUP primitive for bounded group
+    * cardinality like languages or sources, not a per-entity one; for
+    * millions of groups the plain window is already parallel enough).
+    *
+    * NULL groups, and NULL or NaN leading values, FAIL loudly (same
+    * policy as [[scalableNtile]]). The input is scanned three times
+    * (splits, counts, final) — [[Dedup.materialize]] expensive
+    * upstream frames first.
+    *
+    * Returns the input columns plus `out` (INT, 1..k). */
+  def scalableNtileByGroup(df: DataFrame, k: Int, group: Column,
+                           leading: Column, tiebreak: Column, out: String,
+                           descending: Boolean = false, buckets: Int = 64,
+                           maxGroups: Int = 65536): DataFrame = {
+    require(k >= 1, s"scalableNtileByGroup: k=$k must be >= 1")
+    require(buckets >= 1 && buckets <= 4096,
+      s"scalableNtileByGroup: buckets=$buckets out of [1, 4096]")
+    val signed = if (descending) -leading.cast("double")
+      else leading.cast("double")
+    val work = df
+      .withColumn("__nt_g",
+        when(group.isNull, raise_error(lit("scalableNtileByGroup: null " +
+          "group value — a null belongs to no partition; filter or " +
+          "impute upstream"))).otherwise(group))
+      .withColumn("__nt_d",
+        when(signed.isNull, raise_error(lit("scalableNtileByGroup: null " +
+          "leading value — a null has no defined tile; filter or " +
+          "impute upstream")))
+        .when(isnan(signed), raise_error(lit("scalableNtileByGroup: " +
+          "NaN leading value — NaN has no defined quantile bucket; " +
+          "filter or impute upstream")))
+        .otherwise(signed))
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    // pass 1: per-group split points (ONE aggregation; ≤groups rows),
+    // materialized so the cardinality guard and the broadcast read the
+    // same tiny checkpoint instead of re-running the sketch pass
+    val splitsDf = Dedup.materialize(
+      if (buckets == 1)
+        work.select(col("__nt_g")).distinct()
+          .withColumn("__nt_splits", typedLit(Seq.empty[Double]))
+      else
+        work.groupBy(col("__nt_g"))
+          .agg(percentile_approx(col("__nt_d"), typedLit(probs),
+            lit(10000)).as("__nt_splits")))
+    val nGroups = splitsDf.count()
+    require(nGroups <= maxGroups,
+      s"scalableNtileByGroup: $nGroups groups exceeds maxGroups=" +
+        s"$maxGroups — the prefix frame (groups×buckets rows) must stay " +
+        "broadcast-sized. This primitive is for bounded group " +
+        "cardinality (languages, sources); at millions of groups the " +
+        "plain grouped window is already parallel — use it, or raise " +
+        "maxGroups deliberately")
+    val bucketCol =
+      if (buckets == 1) lit(0)
+      else expr("aggregate(__nt_splits, 0, " +
+        "(acc, s) -> acc + IF(s < __nt_d, 1, 0))")
+    val wb = work.join(broadcast(splitsDf), Seq("__nt_g"))
+      .withColumn("__nt_b", bucketCol).drop("__nt_splits")
+    // pass 2: the prefix frame — per-(group,bucket) counts, exclusive
+    // offsets and group totals via windows OVER THE COUNTS FRAME
+    // (≤buckets rows per group — bounded by construction, no hot task)
+    val counts = wb.groupBy(col("__nt_g"), col("__nt_b"))
+      .agg(count(lit(1)).as("__nt_c"))
+    val wOff = Window.partitionBy(col("__nt_g")).orderBy(col("__nt_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = Dedup.materialize(counts
+      .withColumn("__nt_off", coalesce(sum("__nt_c").over(wOff), lit(0L)))
+      .withColumn("__nt_n",
+        sum("__nt_c").over(Window.partitionBy(col("__nt_g"))))
+      .drop("__nt_c"))
+    // pass 3: per-(group,bucket) rank + exact per-group tile arithmetic
+    val ord: Seq[Column] =
+      if (descending) Seq(leading.desc, tiebreak.asc)
+      else Seq(leading.asc, tiebreak.asc)
+    val inBucket = Window.partitionBy(col("__nt_g"), col("__nt_b"))
+      .orderBy(ord: _*)
+    wb.withColumn("__nt_rank0",
+        row_number().over(inBucket).cast("long") - 1L)
+      .join(broadcast(offDf), Seq("__nt_g", "__nt_b"))
+      .withColumn("__nt_r0", col("__nt_rank0") + col("__nt_off"))
+      .withColumn("__nt_tq", expr(s"__nt_n div ${k}L"))
+      .withColumn("__nt_tr", expr(s"__nt_n % ${k}L"))
+      .withColumn(out, expr(
+        """CAST(CASE
+          |  WHEN __nt_tq = 0L THEN __nt_r0 + 1L
+          |  WHEN __nt_r0 < __nt_tr * (__nt_tq + 1L)
+          |    THEN __nt_r0 DIV (__nt_tq + 1L) + 1L
+          |  ELSE (__nt_r0 - __nt_tr * (__nt_tq + 1L)) DIV __nt_tq
+          |    + __nt_tr + 1L
+          |END AS INT)""".stripMargin))
+      .drop("__nt_g", "__nt_d", "__nt_b", "__nt_rank0", "__nt_r0",
+        "__nt_off", "__nt_n", "__nt_tq", "__nt_tr")
+  }
+
+  /** One cut specification for [[scalableNtileMulti]] — the arguments
+    * of a single [[scalableNtile]] call. */
+  final case class NtileSpec(k: Int, leading: Column, tiebreak: Column,
+                             out: String, descending: Boolean = false)
+
+  /** Several [[scalableNtile]] cuts over ONE materialized frame —
+    * the multi-metric form (RFM-style segmentations cut the same
+    * per-entity frame by several metrics). Chaining single cuts
+    * re-executes the upstream plan per phase of every later cut
+    * (cut 3's sketch pass re-runs cut 1's window+join); this instead:
+    *
+    *   1. materializes the guarded input ONCE ([[Dedup.materialize]]);
+    *   2. draws ALL split sets in ONE multi-column `approxQuantile`
+    *      pass;
+    *   3. collects each cut's ≤`buckets`-row prefix frame from the
+    *      checkpoint BEFORE any window is attached — so no count pass
+    *      ever re-executes another cut's window;
+    *   4. chains the per-bucket rank windows + broadcast offset joins
+    *      into one final plan, executed once.
+    *
+    * Tile numbers are bit-identical to applying [[scalableNtile]] per
+    * spec (same splits discipline, same integer arithmetic); each
+    * spec's null/NaN policy is the same loud failure.
+    *
+    * Returns the input columns plus one `spec.out` INT column per
+    * spec. */
+  def scalableNtileMulti(df: DataFrame, specs: Seq[NtileSpec],
+                         buckets: Int = 64): DataFrame = {
+    require(specs.nonEmpty, "scalableNtileMulti: no cut specs")
+    require(specs.map(_.out).distinct.size == specs.size,
+      "scalableNtileMulti: duplicate output column names")
+    require(buckets >= 1 && buckets <= 4096,
+      s"scalableNtileMulti: buckets=$buckets out of [1, 4096]")
+    specs.foreach(sp => require(sp.k >= 1,
+      s"scalableNtileMulti: k=${sp.k} must be >= 1 (${sp.out})"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dCols = specs.indices.map(i => s"__nt_d$i")
+    val work = specs.zipWithIndex.foldLeft(df) { case (acc, (sp, i)) =>
+      val signed = if (sp.descending) -sp.leading.cast("double")
+        else sp.leading.cast("double")
+      acc.withColumn(dCols(i),
+        when(signed.isNull, raise_error(lit("scalableNtileMulti: null " +
+          s"leading value (${sp.out}) — a null has no defined tile; " +
+          "filter or impute upstream")))
+        .when(isnan(signed), raise_error(lit("scalableNtileMulti: NaN " +
+          s"leading value (${sp.out}) — NaN has no defined quantile " +
+          "bucket; filter or impute upstream")))
+        .otherwise(signed))
+    }
+    val mat = Dedup.materialize(work)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // one sketch pass for ALL metrics
+    val allSplits: Array[Array[Double]] =
+      if (buckets == 1) Array.fill(specs.size)(Array.empty[Double])
+      else mat.stat.approxQuantile(dCols.toArray, probs, 0.001)
+        .map(_.distinct.sorted)
+    val bucketExprs = specs.indices.map { i =>
+      allSplits(i).foldLeft(lit(0)) { (acc, s) =>
+        acc + when(lit(s) < col(dCols(i)), 1).otherwise(0) }
+    }
+    // all prefix frames from the checkpoint, BEFORE any window exists
+    val cuts = specs.zipWithIndex.map { case (sp, i) =>
+      val counts = mat.withColumn("__nt_b", bucketExprs(i))
+        .groupBy("__nt_b").agg(count(lit(1)).as("c"))
+        .orderBy("__nt_b").collect() // ≤ buckets rows
+      val n = counts.map(_.getLong(1)).foldLeft(0L)(Math.addExact)
+      val offsets = {
+        var acc = 0L
+        counts.map { r =>
+          val off = acc; acc += r.getLong(1); (r.getInt(0), off)
+        }.toSeq
+      }
+      (sp, i, n, offsets)
+    }
+    val withTiles = cuts.foldLeft(mat) { case (acc, (sp, i, n, offsets)) =>
+      val b = s"__nt_b$i"; val off = s"__nt_off$i"; val r0 = s"__nt_r0$i"
+      val offDf = broadcast(offsets.toDF(b, off))
+      val ord: Seq[Column] =
+        if (sp.descending) Seq(sp.leading.desc, sp.tiebreak.asc)
+        else Seq(sp.leading.asc, sp.tiebreak.asc)
+      val inBucket = Window.partitionBy(col(b)).orderBy(ord: _*)
+      val (tq, tr) = (n / sp.k, n % sp.k)
+      val tile =
+        if (tq == 0L) col(r0) + 1L
+        else expr(s"IF($r0 < ${tr * (tq + 1L)}L, " +
+          s"$r0 div ${tq + 1L}L + 1L, " +
+          s"($r0 - ${tr * (tq + 1L)}L) div ${tq}L + ${tr + 1L}L)")
+      acc.withColumn(b, bucketExprs(i))
+        .withColumn(r0, row_number().over(inBucket).cast("long") - 1L)
+        .join(offDf, Seq(b))
+        .withColumn(r0, col(r0) + col(off))
+        .withColumn(sp.out, tile.cast("int"))
+        .drop(b, off, r0)
+    }
+    withTiles.drop(dCols: _*)
   }
 }

@@ -252,4 +252,166 @@ class ShardSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"),
       s"found a single-partition exchange:\n$plan")
   }
+
+  test("twoPhaseRunningSum: a non-numeric order key that casts to null " +
+    "fails loudly instead of silently landing in bucket 0") {
+    val df = Seq(("1", 1L), ("oops", 2L), ("3", 3L)).toDF("k", "v")
+    val e = intercept[Exception] {
+      Shard.twoPhaseRunningSum(df, col("k"), col("v"), "cs").collect()
+    }
+    // ANSI mode: the cast itself fails loudly (CAST_INVALID_INPUT);
+    // non-ANSI: the cast yields null and OUR guard fires. Either way
+    // the row cannot silently land in bucket 0.
+    assert(e.getMessage.contains("null or non-numeric order value") ||
+      e.getMessage.contains("CAST_INVALID_INPUT"))
+  }
+
+  test("scalableNtile / twoPhaseRunningSum: NaN leading/order values " +
+    "fail loudly (NaN-greatest would otherwise silently sort)") {
+    val withNaN = ntileFixture.withColumn("metric",
+      when(col("id") === 3L, lit(Double.NaN))
+        .otherwise(col("metric").cast("double")))
+    val e1 = intercept[Exception] {
+      Shard.scalableNtile(withNaN, 5, col("metric"), col("id"), "t")
+        .collect()
+    }
+    assert(e1.getMessage.contains("NaN leading value"))
+    val rs = Seq((1.0, 1L), (Double.NaN, 2L), (3.0, 3L)).toDF("k", "v")
+    val e2 = intercept[Exception] {
+      Shard.twoPhaseRunningSum(rs, col("k"), col("v"), "cs").collect()
+    }
+    assert(e2.getMessage.contains("NaN order value"))
+  }
+
+  // -- scalableNtileByGroup: the grouped two-phase exact NTILE ---------------
+
+  /** 90/10-skewed groups (the pretraining-corpus language shape): ~90%
+    * of rows in "en", the rest over 9 small languages; collision-heavy
+    * metric so tie groups straddle split points. */
+  private def groupedFixture = {
+    (1L to 900L).map { i =>
+      val g = if (i % 10 != 0) "en" else s"l${i % 90 / 10}"
+      (i, g, (i * 7919) % 19, s"u$i")
+    }.toDF("id", "lang", "metric", "tag")
+  }
+
+  test("scalableNtileByGroup equals the per-group window ntile exactly " +
+    "— asc and desc, skewed groups, tie-heavy data, across bucket " +
+    "counts and k") {
+    import org.apache.spark.sql.expressions.Window
+    val df = groupedFixture
+    for (desc <- Seq(false, true); buckets <- Seq(1, 4, 64);
+         k <- Seq(3, 5)) {
+      val ord = if (desc) Seq(col("metric").desc, col("id").asc)
+        else Seq(col("metric").asc, col("id").asc)
+      val want = df.withColumn("t",
+          ntile(k).over(Window.partitionBy("lang").orderBy(ord: _*)))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val got = Shard.scalableNtileByGroup(df, k, col("lang"),
+          col("metric"), col("id"), "t", descending = desc,
+          buckets = buckets)
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got === want, s"desc=$desc buckets=$buckets k=$k")
+    }
+  }
+
+  test("scalableNtileByGroup: groups smaller than k (row i → tile i+1 " +
+    "within the group), and result is partition-layout-free") {
+    import org.apache.spark.sql.expressions.Window
+    // group "big" has 200 rows, group "tiny" has 2 rows < k=7
+    val df = ((1L to 200L).map(i => (i, "big", (i * 13) % 11)) ++
+      Seq((201L, "tiny", 5L), (202L, "tiny", 1L))).toDF("id", "g", "m")
+    val want = df.withColumn("t",
+        ntile(7).over(Window.partitionBy("g")
+          .orderBy(col("m").asc, col("id").asc)))
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    val got = Shard.scalableNtileByGroup(df, 7, col("g"), col("m"),
+        col("id"), "t")
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    assert(got === want)
+    val re = Shard.scalableNtileByGroup(groupedFixture.repartition(13),
+        5, col("lang"), col("metric"), col("id"), "t", descending = true)
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    val base = Shard.scalableNtileByGroup(groupedFixture, 5, col("lang"),
+        col("metric"), col("id"), "t", descending = true)
+      .select("id", "t").as[(Long, Int)].collect().toMap
+    assert(re === base)
+  }
+
+  test("scalableNtileByGroup: plan has no single-partition exchange " +
+    "and the rank window is keyed by (group, bucket), not the hot " +
+    "group alone; null group / null leading / NaN leading fail loudly; " +
+    "group-cardinality guard") {
+    val plan = Shard.scalableNtileByGroup(groupedFixture, 3, col("lang"),
+        col("metric"), col("id"), "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"found a single-partition exchange:\n$plan")
+    // the row_number window's partition spec must include the bucket
+    // column — a window keyed by the group alone is the hot-key trap
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .filter(_.contains("__nt_g"))
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("__nt_b")),
+      s"rank window not keyed by (group, bucket):\n$plan")
+    val nullG = groupedFixture.withColumn("lang",
+      when(col("id") === 3L, lit(null)).otherwise(col("lang")))
+    val e1 = intercept[Exception] {
+      Shard.scalableNtileByGroup(nullG, 3, col("lang"), col("metric"),
+        col("id"), "t").collect()
+    }
+    assert(e1.getMessage.contains("null group value"))
+    val nullM = groupedFixture.withColumn("metric",
+      when(col("id") === 3L, lit(null)).otherwise(col("metric")))
+    val e2 = intercept[Exception] {
+      Shard.scalableNtileByGroup(nullM, 3, col("lang"), col("metric"),
+        col("id"), "t").collect()
+    }
+    assert(e2.getMessage.contains("null leading value"))
+    val nanM = groupedFixture.withColumn("metric",
+      when(col("id") === 3L, lit(Double.NaN))
+        .otherwise(col("metric").cast("double")))
+    val e3 = intercept[Exception] {
+      Shard.scalableNtileByGroup(nanM, 3, col("lang"), col("metric"),
+        col("id"), "t").collect()
+    }
+    assert(e3.getMessage.contains("NaN leading value"))
+    val e4 = intercept[IllegalArgumentException] {
+      Shard.scalableNtileByGroup(groupedFixture, 3, col("id"),
+        col("metric"), col("id"), "t", maxGroups = 10)
+    }
+    assert(e4.getMessage.contains("exceeds maxGroups"))
+  }
+
+  // -- scalableNtileMulti: several cuts over one materialized frame ----------
+
+  test("scalableNtileMulti is bit-identical to nested scalableNtile " +
+    "cuts, and its count passes never re-execute another cut's window") {
+    val df = (1L to 237L)
+      .map(i => (i, (i * 7919) % 19, (i * 31) % 7, i % 13))
+      .toDF("id", "r", "f", "m")
+    val nested = Shard.scalableNtile(
+      Shard.scalableNtile(
+        Shard.scalableNtile(df, 5, col("r"), col("id"), "rq",
+          descending = true),
+        5, col("f"), col("id"), "fq", descending = true),
+      4, col("m"), col("id"), "mq")
+      .select("id", "rq", "fq", "mq")
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (i, a, b, c) => i -> ((a, b, c)) }.toMap
+    val multi = Shard.scalableNtileMulti(df, Seq(
+        Shard.NtileSpec(5, col("r"), col("id"), "rq", descending = true),
+        Shard.NtileSpec(5, col("f"), col("id"), "fq", descending = true),
+        Shard.NtileSpec(4, col("m"), col("id"), "mq")))
+      .select("id", "rq", "fq", "mq")
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (i, a, b, c) => i -> ((a, b, c)) }.toMap
+    assert(multi === nested)
+    val e = intercept[IllegalArgumentException] {
+      Shard.scalableNtileMulti(df, Seq(
+        Shard.NtileSpec(5, col("r"), col("id"), "q"),
+        Shard.NtileSpec(5, col("f"), col("id"), "q")))
+    }
+    assert(e.getMessage.contains("duplicate output column names"))
+  }
 }
