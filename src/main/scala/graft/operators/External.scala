@@ -57,6 +57,16 @@ object External {
       tokens -= n
     }
 
+    /** Post-hoc correction of an earlier draw: positive `delta`
+      * refunds unused reservation (capped at the burst), negative
+      * debits an under-reserve — the balance may go NEGATIVE, which
+      * simply makes the next `acquire` wait the shortfall out. The
+      * reconciliation half of reserve-then-reconcile metering. */
+    def adjust(delta: Double): Unit = synchronized {
+      refill()
+      tokens = math.min(burst.toDouble, tokens + delta)
+    }
+
     private def refill(): Unit = {
       val now = clock.nanoTime()
       tokens = math.min(burst.toDouble,
@@ -89,6 +99,20 @@ object External {
       if (req != null) req.acquire()
       if (tok != null) tok.acquire(tokens.toDouble)
     }
+
+    /** Reconcile a completed call against the server's metered actuals
+      * (the `usage` object of a chat-completions response): the
+      * request-time draw is a worst-case RESERVE (prompt estimate +
+      * full completion cap — the safe direction for a throttle), and
+      * without reconciliation a long-running job under-utilizes the
+      * declared tpm by the unused completion headroom. Refunds
+      * `charged - actual` when the reserve was high; debits the
+      * difference (possibly below zero — the next acquire waits it
+      * out) when the server metered more than estimated. Calls with no
+      * usable `usage` simply keep the conservative reserve. */
+    def reconcile(charged: Long, actual: Long): Unit =
+      if (tok != null && actual >= 0)
+        tok.adjust(charged.toDouble - actual.toDouble)
   }
 
   /** Exponential backoff retry: attempts at 0,1,..,maxRetries; sleep

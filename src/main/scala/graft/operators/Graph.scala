@@ -921,9 +921,14 @@ object Graph {
       s"negativeSamples: node id span $span exceeds 2^62 — remap ids " +
         "to a dense range before sampling")
     val shift = math.max(0, span.bitLength - 8) // ≤ 256 buckets
+    // a PARTIALLY-null node column would otherwise form a null bucket
+    // and die later with an opaque NPE in the offsets build — fail with
+    // the same descriptive message shape as the empty-corpus case
     val bucketed = wt.withColumn("__bucket",
-      shiftright(col("node").cast("long") - lit(minNode), shift)
-        .cast("int"))
+      when(col("node").isNull, raise_error(lit("negativeSamples: null " +
+        "node ids in the walk corpus — filter null nodes upstream")))
+      .otherwise(shiftright(col("node").cast("long") - lit(minNode), shift)
+        .cast("int")))
     val totals = bucketed.groupBy("__bucket")
       .agg(sum(col("w")).as("bw"), count(lit(1)).as("bn"))
       .orderBy("__bucket").collect() // ≤ 256 rows — the prefix frame

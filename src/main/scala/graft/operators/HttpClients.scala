@@ -111,6 +111,10 @@ object HttpClients {
       retryIf = {
         case h: HttpStatusException =>
           h.code >= 500 || h.code == 408 || h.code == 429
+        // a budget/config violation (e.g. a token draw above the tpm
+        // burst) is deterministic — re-attempting burns the whole
+        // exponential-backoff schedule re-throwing instantly
+        case _: IllegalArgumentException => false
         case _ => true
       }) {
       acquire()
@@ -168,6 +172,14 @@ object HttpClients {
                       transport: HttpTransport = UrlConnectionTransport,
                       clock: External.Clock = External.SystemClock)
       extends Enrich.LlmClient {
+    // surface the config error BEFORE the job runs: every call charges
+    // at least maxTokens against the tpm burst (= tpm), so a cap above
+    // the budget could never complete a single request
+    require(cfg.tpm <= 0 || maxTokens <= cfg.tpm,
+      s"HttpLlmClient: maxTokens=$maxTokens exceeds the tpm budget " +
+        s"${cfg.tpm} — every call reserves at least the completion " +
+        "cap, so no request could ever be admitted; raise tpm or " +
+        "lower maxTokens")
     @transient private lazy val bucket =
       if (cfg.ratePerSec > 0) new External.TokenBucket(cfg.ratePerSec, 1, clock)
       else null
@@ -205,14 +217,28 @@ object HttpClients {
       try {
         val headers = Map("Content-Type" -> "application/json") ++
           cfg.apiKey.map(k => "Authorization" -> s"Bearer $k")
+        val charge = tokenCharge(abstractText)
         val text = request(transport, () => {
             if (bucket != null) bucket.acquire()
-            if (budget != null) budget.acquire(tokenCharge(abstractText))
+            if (budget != null) budget.acquire(charge)
           }, cfg, clock)(
           "POST", cfg.baseUrl, headers, Some(payload(abstractText)))
-        mapper.readTree(text)
-          .path("choices").path(0).path("message").path("content").asText("")
+        val root = mapper.readTree(text)
+        // reconcile the worst-case reserve against the server's metered
+        // actuals — the reference's budget is metered on usage, and
+        // without this a long job under-utilizes tpm by the unused
+        // completion headroom. No/odd usage → keep the safe reserve.
+        if (budget != null) {
+          val used = root.path("usage").path("total_tokens")
+          if (used.isNumber) budget.reconcile(charge, used.asLong())
+        }
+        root.path("choices").path(0).path("message").path("content")
+          .asText("")
       } catch {
+        // fail-open covers FLAKY rows (transport, 5xx, throttling); a
+        // budget/config violation is deterministic and must fail the
+        // job, not silently empty-enrich every row
+        case e: IllegalArgumentException => throw e
         case scala.util.control.NonFatal(e) if failOpen => ""
       }
   }

@@ -196,7 +196,10 @@ object Excel {
         if (styled) sheetRows.zipWithIndex.foreach { case (r, ri) =>
           strAt(r, doiLinkPos).foreach(u =>
             links += s"${colRef(doiLinkPos)}${ri + 2}" -> u)
-          if (titlePos >= 0 && strAt(r, titlePos).isDefined)
+          // reference parity (excel_formatter.py:322-343): the title
+          // cell gets the priority-chain hyperlink whenever ANY chain
+          // link exists — even when the title value itself is empty
+          if (titlePos >= 0)
             priorityPos.iterator.flatMap(strAt(r, _)).take(1).foreach(u =>
               links += s"${colRef(titlePos)}${ri + 2}" -> u)
         }

@@ -241,7 +241,11 @@ class ExcelSpec extends SparkTestBase {
       // only doi → title falls through the priority chain to doi
       ("B", "https://doi.org/10.1/b", null),
       // no links at all → no hyperlink rows for this record
-      ("C", null, null)
+      ("C", null, null),
+      // NULL title but a link exists → the title CELL still gets the
+      // hyperlink (reference excel_formatter.py:322-343 keys on the
+      // link's presence, never on the title value)
+      (null, null, "https://pubmed.gov/4")
     ).toDF("title", "doi_link", "pubmed_link")
     Excel.writeXlsx(df, s"$dir/h.xlsx")
     val parts = zipEntries(s"$dir/h.xlsx")
@@ -256,14 +260,17 @@ class ExcelSpec extends SparkTestBase {
     assert(sheet.contains("""<hyperlink ref="A3""""))
     assert(rels.contains("""Target="https://doi.org/10.1/b""""))
     assert(!sheet.contains("""ref="A4""""))
+    // row 5: null title, pubmed present → title cell still linked
+    assert(sheet.contains("""<hyperlink ref="A5""""))
+    assert(rels.contains("""Target="https://pubmed.gov/4""""))
     // linked cells carry the link style, other data cells the data style
     assert(sheet.contains("""<c r="A2" s="3""""))
     assert(sheet.contains("""<c r="C3" s="2""""))
     // the presentation layer never changes the data plane
     val back = Excel.readXlsx(spark, s"$dir/h.xlsx")
-      .orderBy("title").collect()
-    assert(back.map(_.getString(0)).toSeq === Seq("A", "B", "C"))
-    assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+      .orderBy("title").collect() // nulls first
+    assert(back.map(_.getString(0)).toSeq === Seq(null, "A", "B", "C"))
+    assert(back(3).isNullAt(1) && back(3).isNullAt(2))
     // unstyled: bare data plane, no styles part, no hyperlinks
     Excel.writeXlsx(df, s"$dir/u.xlsx", styled = false)
     val uparts = zipEntries(s"$dir/u.xlsx")

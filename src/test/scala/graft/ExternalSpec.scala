@@ -83,4 +83,43 @@ class ExternalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exceeds burst"))
   }
+
+  test("token bucket adjust: refunds are capped at the burst, debits " +
+    "may drive the balance negative and the next acquire waits it out") {
+    val clock = new FakeClock()
+    val tb = new TokenBucket(1.0, 10, clock)
+    tb.acquire(10.0)       // drained
+    tb.adjust(8.0)         // refund 8
+    tb.acquire(8.0)        // covered — no sleep
+    assert(clock.sleeps.isEmpty)
+    tb.adjust(100.0)       // refund far beyond capacity → capped at 10
+    tb.acquire(10.0)
+    assert(clock.sleeps.isEmpty)
+    tb.adjust(-5.0)        // debit below zero (balance −5)
+    tb.acquire(1.0)        // needs 6 units at 1/s = 6s
+    assert(clock.sleeps.sum >= 6000 && clock.sleeps.sum <= 6100)
+  }
+
+  test("dual budget reconcile: refunding the unused completion " +
+    "headroom sustains tpm/actual throughput instead of " +
+    "tpm/(estimate+cap)") {
+    val clock = new FakeClock()
+    val b = new DualBudget(rpm = 0, tpm = 600, clock)
+    // reserve-only metering admits exactly 2×300 charges per burst;
+    // with actuals of 50 reconciled back each call nets 50, so six
+    // calls leave 600 − 6·50 = 300 — all sleep-free
+    (1 to 6).foreach { _ =>
+      b.acquire(300L)
+      b.reconcile(charged = 300L, actual = 50L)
+    }
+    assert(clock.sleeps.isEmpty, clock.sleeps.toString)
+    b.acquire(300L) // drains the remaining 300, still no sleep
+    assert(clock.sleeps.isEmpty)
+    // an UNDER-estimate debits: the server metered 200 MORE than the
+    // reserve, driving the balance to −200; the next 200-token draw
+    // must wait the full 400-token shortfall out at 10/s = 40s
+    b.reconcile(charged = 300L, actual = 500L)
+    b.acquire(200L)
+    assert(clock.sleeps.sum >= 40000 && clock.sleeps.sum <= 40100)
+  }
 }

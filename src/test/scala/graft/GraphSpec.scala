@@ -457,6 +457,21 @@ class GraphSpec extends SparkTestBase {
     assert(e.getMessage.contains("empty walk corpus"))
   }
 
+  test("negativeSamples: a PARTIALLY-null node column fails with a " +
+    "descriptive message, not an opaque NPE in the offsets build") {
+    val mixed = Seq((1L, 0, 0, java.lang.Long.valueOf(10L)),
+        (1L, 0, 1, null.asInstanceOf[java.lang.Long]),
+        (2L, 0, 0, java.lang.Long.valueOf(12L)))
+      .toDF("start", "walk", "step", "node")
+    val e = intercept[Exception] {
+      Graph.negativeSamples(mixed, negatives = 1).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        msgs(t.getCause)
+    assert(msgs(e).contains("null node ids"))
+  }
+
   test("randomWalksWeighted: an edge list that filters to nothing " +
     "(all self-loops / non-positive weights) fails loudly") {
     val edges = Seq((1L, 1L, 5L), (2L, 2L, 3L), (3L, 4L, 0L))

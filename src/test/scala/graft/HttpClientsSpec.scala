@@ -67,8 +67,20 @@ class HttpClientsSpec extends SparkTestBase with BeforeAndAfterAll {
       val content = "```json\\n{\\\"summary\\\": \\\"" +
         toks.take(3).mkString(" ") +
         "\\\", \\\"n_words\\\": \\\"" + toks.length + "\\\"}\\n```"
+      // OpenAI-style usage actuals so reserve-then-reconcile metering
+      // is exercised against a realistic response shape
       respond(ex, 200,
-        s"""{"choices": [{"message": {"role": "assistant", "content": "$content"}}]}""")
+        s"""{"choices": [{"message": {"role": "assistant", "content": "$content"}}],
+           | "usage": {"prompt_tokens": ${toks.length},
+           |           "completion_tokens": 7,
+           |           "total_tokens": ${toks.length + 7}}}""".stripMargin)
+    })
+    // a provider that reports no usage — the client must keep the
+    // conservative worst-case reserve for these
+    server.createContext("/nousage/chat", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      respond(ex, 200,
+        """{"choices": [{"message": {"role": "assistant", "content": "ok"}}]}""")
     })
     server.createContext("/dead", (ex: HttpExchange) =>
       respond(ex, 500, "nope"))
@@ -163,18 +175,59 @@ class HttpClientsSpec extends SparkTestBase with BeforeAndAfterAll {
   }
 
   test("llm client enforces the declared tpm budget: the charge is " +
-    "prompt-estimate + completion cap, and saturation waits in " +
+    "prompt-estimate + completion cap, and with NO usage in the " +
+    "response the conservative reserve stands — saturation waits in " +
     "proportion to it") {
     val clock = new graft.operators.External.FakeClock()
     val prompt = "x" * 40 // 40 chars → 10 estimated prompt tokens
     val c = new HttpLlmClient(
-      fastCfg("/v1/chat/completions").copy(tpm = 220),
+      fastCfg("/nousage/chat").copy(tpm = 220),
       model = "m", maxTokens = 100, clock = clock)
     assert(c.tokenCharge(prompt) === 110L)
     c.complete(prompt); c.complete(prompt) // 220-token burst covers both
     assert(clock.sleeps.isEmpty)
     c.complete(prompt) // needs 110 at 220/60 per sec = 30s
     assert(clock.sleeps.sum >= 30000 && clock.sleeps.sum <= 30100)
+  }
+
+  test("tpm reconciliation against response usage: sustained " +
+    "throughput tracks tpm/actual-tokens, not tpm/(estimate+cap)") {
+    val clock = new graft.operators.External.FakeClock()
+    val prompt = "x" * 40 // 1 whitespace token → server usage total = 8
+    val c = new HttpLlmClient(
+      fastCfg("/v1/chat/completions").copy(tpm = 220),
+      model = "m", maxTokens = 100, clock = clock)
+    // charge-only metering admits exactly 2 calls per burst (110 each,
+    // the un-reconciled spec above); with the 8-token actuals refunded
+    // after each call, 10 calls draw ~80 tokens total — no pacing sleep
+    (1 to 10).foreach(_ => c.complete(prompt))
+    assert(clock.sleeps.isEmpty,
+      s"reconciled budget paced anyway: ${clock.sleeps}")
+  }
+
+  test("a token charge above the tpm burst fails the job loudly: " +
+    "non-retryable (no backoff burn) and NOT swallowed by fail-open") {
+    val clock = new graft.operators.External.FakeClock()
+    llmCalls.set(0)
+    val c = new HttpLlmClient(
+      fastCfg("/v1/chat/completions").copy(tpm = 220),
+      model = "m", maxTokens = 100, clock = clock) // failOpen default
+    val e = intercept[IllegalArgumentException] {
+      c.complete("y" * 500) // charge 125 + 100 = 225 > burst 220
+    }
+    assert(e.getMessage.contains("exceeds burst"))
+    assert(clock.sleeps.isEmpty, // fail-fast: no exponential backoff
+      s"burned backoff on a deterministic failure: ${clock.sleeps}")
+    assert(llmCalls.get() === 0) // never reached the server
+  }
+
+  test("a completion cap above the tpm budget is rejected at " +
+    "construction, before any job runs") {
+    val e = intercept[IllegalArgumentException] {
+      new HttpLlmClient(fastCfg("/v1/chat/completions").copy(tpm = 50),
+        model = "m", maxTokens = 100)
+    }
+    assert(e.getMessage.contains("exceeds the tpm budget"))
   }
 
   test("end-to-end X1 enrichment through mapPartitions with the real " +
