@@ -522,8 +522,10 @@ object Shard {
           .withColumn("__nt_splits", typedLit(Seq.empty[Double]))
       else
         work.groupBy(col("__nt_g"))
+          // accuracy 1000 ≙ the 0.001 relative error scalableNtile
+          // uses — split precision affects only bucket balance
           .agg(percentile_approx(col("__nt_d"), typedLit(probs),
-            lit(10000)).as("__nt_splits")))
+            lit(1000)).as("__nt_splits")))
     val nGroups = splitsDf.count()
     require(nGroups <= maxGroups,
       s"scalableNtileByGroup: $nGroups groups exceeds maxGroups=" +

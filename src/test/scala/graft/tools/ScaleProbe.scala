@@ -2053,6 +2053,57 @@ object ScaleProbe {
       }
     }
 
+    if (which("grouped-ntile")) {
+      // The grouped two-phase NTILE vs the per-group window it
+      // replaces, on a 90/10-skewed 2M-row corpus (the pretraining
+      // language shape: 90% "en", the rest over 9 small languages).
+      // Exactness is the invariant; the window form funnels 1.8M rows
+      // through ONE task on the hot key, the grouped cut spreads them
+      // over (group, bucket). Wall times land in BASELINE.md.
+      val n = 2000000L
+      val df = spark.range(n)
+        .select(col("id"),
+          when(pmod(col("id"), lit(10)) =!= 0, "en")
+            .otherwise(concat(lit("l"),
+              pmod(expr("id div 10"), lit(9)))).as("lang"),
+          pmod(col("id") * 7919, lit(1000)).as("metric"))
+        .localCheckpoint(true)
+      t("grouped_ntile_2m_rows")(df.count())
+      var two: DataFrame = null
+      t("grouped_ntile_bucketed") {
+        two = graft.operators.Shard.scalableNtileByGroup(df, 3,
+          col("lang"), col("metric"), col("id"), "t")
+          .localCheckpoint(true)
+        two.count()
+      }
+      var glob: DataFrame = null
+      t("grouped_ntile_hotkey_window") {
+        glob = df.withColumn("t", ntile(3).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy(col("metric").asc, col("id").asc)))
+          .localCheckpoint(true)
+        glob.count()
+      }
+      t("grouped_ntile_zero_mismatches") {
+        val bad = two.select("id", "t").as("a")
+          .join(glob.select("id", "t").as("b"), Seq("id"))
+          .where(col("a.t") =!= col("b.t")).count()
+        require(bad == 0, s"$bad rows disagree with the window ntile")
+        // per-group tercile sizes: 1.8M "en" rows split 600k each;
+        // every small language's 3 tiles within 1 of each other
+        val sizes = two.groupBy("lang", "t").count()
+          .collect().map(r => ((r.getString(0), r.getInt(1)),
+            r.getLong(2))).toMap
+        require((1 to 3).forall(t => sizes(("en", t)) == 600000L),
+          sizes.filter(_._1._1 == "en").toString)
+        (0 until 9).foreach { l =>
+          val s = (1 to 3).map(t => sizes((s"l$l", t)))
+          require(s.max - s.min <= 1, s"l$l: $s")
+        }
+        n
+      }
+    }
+
     if (which("twophase-weak")) {
       // The bucketed two-phase prefix helpers vs the global window they
       // replace, head-to-head at 2M rows. Exactness is the invariant
