@@ -81,8 +81,16 @@ object Bench {
     val repsJson = allTimes.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val record =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"rep_times":$repsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"rep_times":$repsJson,"failed":$failedJson,"sf":"$sfDir"}""" + "\n")
+      record + "\n")
+    // ALSO append to the tracked history log so round-over-round
+    // comparison is a `git diff`, not stdout-tail archaeology
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_history.jsonl"), record + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

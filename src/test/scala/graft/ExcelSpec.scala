@@ -278,4 +278,39 @@ class ExcelSpec extends SparkTestBase {
     assert(!uparts.keys.exists(_.contains("sheet1.xml.rels")))
     assert(!uparts("xl/worksheets/sheet1.xml").contains("hyperlink"))
   }
+
+  test("styled workbook golden: every OOXML part is byte-identical to " +
+    "the committed fixture — presentation parity is pinned the way the " +
+    "data plane already is") {
+    val df = Seq(
+      ("Alpha study", "https://doi.org/10.1/a", "https://pubmed.gov/1",
+        null.asInstanceOf[String], "a " * 150, 2021),
+      ("Beta survey", "https://doi.org/10.1/b", null.asInstanceOf[String],
+        "https://wos.example/2", "short", 2022),
+      (null.asInstanceOf[String], null.asInstanceOf[String],
+        "https://pubmed.gov/3", null.asInstanceOf[String],
+        "mid length abstract text", 2023)
+    ).toDF("title", "doi_link", "pubmed_link", "wos_link", "abstract",
+      "year")
+    val dir = Files.createTempDirectory("graft_xlsx_golden").toString
+    Excel.writeXlsx(df, s"$dir/g.xlsx")
+    val parts = zipEntries(s"$dir/g.xlsx")
+    // fixture part files are named with '/' → '_' (flat directory)
+    val goldenDir = java.nio.file.Paths.get("fixtures/xlsx_golden")
+    val golden = java.nio.file.Files.list(goldenDir).iterator()
+    var checked = 0
+    golden.forEachRemaining { p =>
+      val partName = parts.keys.find(_.replace('/', '_') ==
+        p.getFileName.toString)
+      assert(partName.isDefined, s"fixture ${p.getFileName} has no " +
+        s"matching part in ${parts.keys}")
+      val want = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      assert(parts(partName.get) === want, s"part ${partName.get} " +
+        "drifted from the committed golden fixture")
+      checked += 1
+    }
+    assert(checked === 7, s"expected 7 golden parts, checked $checked")
+    assert(parts.size === checked,
+      s"workbook grew parts not covered by the fixture: ${parts.keys}")
+  }
 }
