@@ -637,16 +637,30 @@ object Shard {
       allSplits(i).foldLeft(lit(0)) { (acc, s) =>
         acc + when(lit(s) < col(dCols(i)), 1).otherwise(0) }
     }
-    // all prefix frames from the checkpoint, BEFORE any window exists
+    // all prefix frames in ONE scan of the checkpoint, BEFORE any
+    // window exists: GROUPING SETS ((b0),(b1),(b2),…) expands each row
+    // once per cut and partial aggregation collapses to ≤specs×buckets
+    // rows — at corpus scale this replaces one full scan PER CUT with
+    // a single one. Bucket columns are never null, so in the output a
+    // null b_j simply marks "this row counts cut i≠j".
+    val bCols = specs.indices.map(i => s"__nt_cb$i")
+    val withB = mat.select(bucketExprs.zipWithIndex.map {
+      case (e, i) => e.as(bCols(i)) }: _*)
+    val allCounts = withB.groupingSets(
+        specs.indices.map(i => Seq(col(bCols(i)))),
+        bCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .collect() // ≤ specs × buckets rows — the prefix frames
     val cuts = specs.zipWithIndex.map { case (sp, i) =>
-      val counts = mat.withColumn("__nt_b", bucketExprs(i))
-        .groupBy("__nt_b").agg(count(lit(1)).as("c"))
-        .orderBy("__nt_b").collect() // ≤ buckets rows
-      val n = counts.map(_.getLong(1)).foldLeft(0L)(Math.addExact)
+      val counts = allCounts
+        .filter(r => !r.isNullAt(i))
+        .map(r => (r.getInt(i), r.getLong(specs.size)))
+        .sortBy(_._1)
+      val n = counts.map(_._2).foldLeft(0L)(Math.addExact)
       val offsets = {
         var acc = 0L
-        counts.map { r =>
-          val off = acc; acc += r.getLong(1); (r.getInt(0), off)
+        counts.map { case (b, c) =>
+          val off = acc; acc += c; (b, off)
         }.toSeq
       }
       (sp, i, n, offsets)
