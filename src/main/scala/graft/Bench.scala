@@ -86,9 +86,13 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       record + "\n")
     // ALSO append to the tracked history log so round-over-round
-    // comparison is a `git diff`, not stdout-tail archaeology
+    // comparison is a `git diff`, not stdout-tail archaeology.
+    // Path override: SPARK_GRAFT_BENCH_HISTORY (the default is
+    // cwd-relative, i.e. the repo root when run via sbt).
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_history.jsonl"), record + "\n",
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")),
+      record + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     spark.stop()

@@ -356,8 +356,13 @@ object Shard {
       .otherwise(signed))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val splits =
-      if (buckets == 1) Array.empty[Double]
-      else work.stat.approxQuantile("__nt_d", probs, 0.001)
+      if (buckets == 1) {
+        // no sketch pass at buckets=1 — force one evaluation of the
+        // guarded column anyway so null/NaN leading values still fail
+        // loudly instead of being pruned with the unused sketch input
+        work.agg(sum(col("__nt_d"))).head()
+        Array.empty[Double]
+      } else work.stat.approxQuantile("__nt_d", probs, 0.001)
         .distinct.sorted
     val bucketExpr = splits.foldLeft(lit(0)) { (acc, s) =>
       acc + when(lit(s) < col("__nt_d"), 1).otherwise(0) }
@@ -376,19 +381,28 @@ object Shard {
       if (descending) Seq(leading.desc, tiebreak.asc)
       else Seq(leading.asc, tiebreak.asc)
     val inBucket = Window.partitionBy(col("__nt_b")).orderBy(ord: _*)
-    val (tq, tr) = (n / k, n % k) // tile sizes: tq+1 ×tr, then tq
     val withRank = wb
       .withColumn("__nt_rank0",
         row_number().over(inBucket).cast("long") - 1L)
       .join(offDf, Seq("__nt_b"))
       .withColumn("__nt_rank0", col("__nt_rank0") + col("__nt_off"))
-    val tile =
-      if (tq == 0L) col("__nt_rank0") + 1L // n < k: row i → tile i+1
-      else expr(s"IF(__nt_rank0 < ${tr * (tq + 1L)}L, " +
-        s"__nt_rank0 div ${tq + 1L}L + 1L, " +
-        s"(__nt_rank0 - ${tr * (tq + 1L)}L) div ${tq}L + ${tr + 1L}L)")
-    withRank.withColumn(out, tile.cast("int"))
+    withRank.withColumn(out, tileFromRank(n, k, "__nt_rank0").cast("int"))
       .drop("__nt_d", "__nt_b", "__nt_off", "__nt_rank0")
+  }
+
+  /** The exact NTILE(k) index from a 0-based global rank over `n` rows
+    * (tile sizes: the first `n mod k` tiles take ⌈n/k⌉ rows, the rest
+    * ⌊n/k⌋; n < k degenerates to row i → tile i+1) — THE tile
+    * arithmetic, shared by [[scalableNtile]] and [[scalableNtileMulti]]
+    * so the single and multi forms are identical by construction.
+    * [[scalableNtileByGroup]] spells the same CASE over per-group n
+    * COLUMNS (its n varies by group and cannot be a literal here). */
+  private def tileFromRank(n: Long, k: Int, rank0: String): Column = {
+    val (tq, tr) = (n / k, n % k)
+    if (tq == 0L) col(rank0) + 1L
+    else expr(s"IF($rank0 < ${tr * (tq + 1L)}L, " +
+      s"$rank0 div ${tq + 1L}L + 1L, " +
+      s"($rank0 - ${tr * (tq + 1L)}L) div ${tq}L + ${tr + 1L}L)")
   }
 
   /** EXACT global running (inclusive-prefix) sum of `value` in `order`
@@ -404,12 +418,16 @@ object Shard {
     * (their fold order would change), so pre-scale floats to fixed
     * point upstream.
     *
-    * `order` must be UNIQUE per row (e.g. a group key): with ties the
-    * global running sum is order-dependent and no two engines (or two
-    * runs) need agree. NULL, non-numeric (cast-to-null), and NaN order
-    * values all fail loudly — the guard sits on the CAST result, so a
-    * string key that casts to null cannot silently land in bucket 0
-    * and break the monotone-bucket invariant.
+    * The order is `order`'s NUMERIC value (both the bucket draw and
+    * the in-bucket window run over the `cast("double")` image, so they
+    * can never disagree — a numeric-string key like "9"/"10" orders
+    * numerically, not lexicographically). The cast image must be
+    * UNIQUE per row (e.g. a group key): with ties the running sum is
+    * order-dependent and no two engines (or two runs) need agree.
+    * NULL, non-numeric (cast-to-null), and NaN order values all fail
+    * loudly — the guard sits on the CAST result, so a string key that
+    * casts to null cannot silently land in bucket 0 and break the
+    * monotone-bucket invariant.
     *
     * Returns the input columns plus `out` = Σ value over rows with
     * order ≤ this row's. */
@@ -430,8 +448,13 @@ object Shard {
       .otherwise(cast))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val splits =
-      if (buckets == 1) Array.empty[Double]
-      else work.stat.approxQuantile("__ps_d", probs, 0.001)
+      if (buckets == 1) {
+        // no sketch pass at buckets=1 — force one evaluation of the
+        // guarded column anyway so null/NaN keys still fail loudly
+        // instead of being pruned away with the unused quantile input
+        work.agg(sum(col("__ps_d"))).head()
+        Array.empty[Double]
+      } else work.stat.approxQuantile("__ps_d", probs, 0.001)
         .distinct.sorted
     val bucketExpr = splits.foldLeft(lit(0)) { (acc, s) =>
       acc + when(lit(s) < col("__ps_d"), 1).otherwise(0) }
@@ -447,7 +470,11 @@ object Shard {
       }.toSeq
     }
     val offDf = broadcast(offsets.toDF("__ps_b", "__ps_off"))
-    val inBucket = Window.partitionBy(col("__ps_b")).orderBy(order.asc)
+    // order by the SAME cast image the buckets were drawn from — a
+    // string key ordered lexicographically here could disagree with
+    // its numeric bucket and make the result splits-dependent
+    val inBucket = Window.partitionBy(col("__ps_b"))
+      .orderBy(col("__ps_d").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wb.withColumn("__ps_in", sum(value).over(inBucket))
       .join(offDf, Seq("__ps_b"))
@@ -517,10 +544,14 @@ object Shard {
     // materialized so the cardinality guard and the broadcast read the
     // same tiny checkpoint instead of re-running the sketch pass
     val splitsDf = Dedup.materialize(
-      if (buckets == 1)
+      if (buckets == 1) {
+        // no sketch pass at buckets=1 — force one evaluation of the
+        // guarded leading column anyway so null/NaN still fail loudly
+        // instead of being pruned with the unused sketch input
+        work.agg(sum(col("__nt_d"))).head()
         work.select(col("__nt_g")).distinct()
           .withColumn("__nt_splits", typedLit(Seq.empty[Double]))
-      else
+      } else
         work.groupBy(col("__nt_g"))
           // accuracy 1000 ≙ the 0.001 relative error scalableNtile
           // uses — split precision affects only bucket balance
@@ -672,17 +703,11 @@ object Shard {
         if (sp.descending) Seq(sp.leading.desc, sp.tiebreak.asc)
         else Seq(sp.leading.asc, sp.tiebreak.asc)
       val inBucket = Window.partitionBy(col(b)).orderBy(ord: _*)
-      val (tq, tr) = (n / sp.k, n % sp.k)
-      val tile =
-        if (tq == 0L) col(r0) + 1L
-        else expr(s"IF($r0 < ${tr * (tq + 1L)}L, " +
-          s"$r0 div ${tq + 1L}L + 1L, " +
-          s"($r0 - ${tr * (tq + 1L)}L) div ${tq}L + ${tr + 1L}L)")
       acc.withColumn(b, bucketExprs(i))
         .withColumn(r0, row_number().over(inBucket).cast("long") - 1L)
         .join(offDf, Seq(b))
         .withColumn(r0, col(r0) + col(off))
-        .withColumn(sp.out, tile.cast("int"))
+        .withColumn(sp.out, tileFromRank(n, sp.k, r0).cast("int"))
         .drop(b, off, r0)
     }
     withTiles.drop(dCols: _*)

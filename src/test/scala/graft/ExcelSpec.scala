@@ -297,9 +297,9 @@ class ExcelSpec extends SparkTestBase {
     val parts = zipEntries(s"$dir/g.xlsx")
     // fixture part files are named with '/' → '_' (flat directory)
     val goldenDir = java.nio.file.Paths.get("fixtures/xlsx_golden")
-    val golden = java.nio.file.Files.list(goldenDir).iterator()
+    val stream = java.nio.file.Files.list(goldenDir)
     var checked = 0
-    golden.forEachRemaining { p =>
+    try stream.iterator().forEachRemaining { p =>
       val partName = parts.keys.find(_.replace('/', '_') ==
         p.getFileName.toString)
       assert(partName.isDefined, s"fixture ${p.getFileName} has no " +
@@ -308,7 +308,7 @@ class ExcelSpec extends SparkTestBase {
       assert(parts(partName.get) === want, s"part ${partName.get} " +
         "drifted from the committed golden fixture")
       checked += 1
-    }
+    } finally stream.close()
     assert(checked === 7, s"expected 7 golden parts, checked $checked")
     assert(parts.size === checked,
       s"workbook grew parts not covered by the fixture: ${parts.keys}")

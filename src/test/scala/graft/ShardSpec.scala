@@ -266,6 +266,47 @@ class ShardSpec extends SparkTestBase {
       e.getMessage.contains("CAST_INVALID_INPUT"))
   }
 
+  test("twoPhaseRunningSum orders numeric-string keys NUMERICALLY — " +
+    "the window runs over the same cast image the buckets are drawn " +
+    "from, so \"9\" < \"10\" holds at every bucket count") {
+    // lexicographic order would be "10" < "100" < "9"; the numeric
+    // contract is 9 < 10 < 100 regardless of where the splits land
+    val df = Seq(("9", 1L), ("10", 2L), ("100", 4L)).toDF("k", "v")
+    for (buckets <- Seq(1, 2, 64)) {
+      val got = Shard.twoPhaseRunningSum(df, col("k"), col("v"), "cs",
+          buckets = buckets)
+        .select("k", "cs").as[(String, Long)].collect().toMap
+      assert(got === Map("9" -> 1L, "10" -> 3L, "100" -> 7L),
+        s"buckets=$buckets: $got")
+    }
+  }
+
+  test("the null/NaN guards still fire at buckets = 1, where no " +
+    "sketch pass consumes the guarded column") {
+    val withNaN = ntileFixture.withColumn("metric",
+      when(col("id") === 3L, lit(Double.NaN))
+        .otherwise(col("metric").cast("double")))
+    val e1 = intercept[Exception] {
+      Shard.scalableNtile(withNaN, 5, col("metric"), col("id"), "t",
+        buckets = 1).collect()
+    }
+    assert(e1.getMessage.contains("NaN leading value"))
+    val rsNull = Seq((java.lang.Double.valueOf(1.0), 1L),
+        (null.asInstanceOf[java.lang.Double], 2L)).toDF("k", "v")
+    val e2 = intercept[Exception] {
+      Shard.twoPhaseRunningSum(rsNull, col("k"), col("v"), "cs",
+        buckets = 1).collect()
+    }
+    assert(e2.getMessage.contains("null or non-numeric order value"))
+    val nullM = groupedFixture.withColumn("metric",
+      when(col("id") === 3L, lit(null)).otherwise(col("metric")))
+    val e3 = intercept[Exception] {
+      Shard.scalableNtileByGroup(nullM, 3, col("lang"), col("metric"),
+        col("id"), "t", buckets = 1).collect()
+    }
+    assert(e3.getMessage.contains("null leading value"))
+  }
+
   test("scalableNtile / twoPhaseRunningSum: NaN leading/order values " +
     "fail loudly (NaN-greatest would otherwise silently sort)") {
     val withNaN = ntileFixture.withColumn("metric",
