@@ -397,7 +397,7 @@ object Shard {
     * so the single and multi forms are identical by construction.
     * [[scalableNtileByGroup]] spells the same CASE over per-group n
     * COLUMNS (its n varies by group and cannot be a literal here). */
-  private def tileFromRank(n: Long, k: Int, rank0: String): Column = {
+  private[graft] def tileFromRank(n: Long, k: Int, rank0: String): Column = {
     val (tq, tr) = (n / k, n % k)
     if (tq == 0L) col(rank0) + 1L
     else expr(s"IF($rank0 < ${tr * (tq + 1L)}L, " +

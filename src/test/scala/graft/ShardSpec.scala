@@ -424,6 +424,35 @@ class ShardSpec extends SparkTestBase {
     assert(e4.getMessage.contains("exceeds maxGroups"))
   }
 
+  test("tileFromRank property: for random (n, k) the tile sizes and " +
+    "boundaries match the SQL NTILE definition exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    // reference NTILE: first n mod k tiles take ⌈n/k⌉ rows
+    def refTile(n: Long, k: Int, r: Long): Long = {
+      val tq = n / k; val tr = n % k
+      if (tq == 0L) r + 1
+      else if (r < tr * (tq + 1)) r / (tq + 1) + 1
+      else (r - tr * (tq + 1)) / tq + tr + 1
+    }
+    val gen = Gen.zip(Gen.chooseNum(1L, 5000L), Gen.chooseNum(1, 97))
+    val prop = Prop.forAll(gen) { case (n, k) =>
+      val got = spark.range(n)
+        .select(Shard.tileFromRank(n, k, "id").as("t"))
+        .groupBy("t").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = (0L until n).groupBy(refTile(n, k, _))
+        .view.mapValues(_.size.toLong).toMap
+      got == want &&
+        // SQL NTILE invariants, independent of the reference impl:
+        got.keySet == (1L to math.min(n, k)).toSet &&
+        (got.values.max - got.values.min) <= 1 &&
+        got.values.sum == n
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // -- scalableNtileMulti: several cuts over one materialized frame ----------
 
   test("scalableNtileMulti is bit-identical to nested scalableNtile " +
