@@ -84,6 +84,33 @@ class ExternalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exceeds burst"))
   }
 
+  test("reconcile pacing property: over random acquire/reconcile " +
+    "sequences the ACTUAL metered token volume never exceeds " +
+    "tpm/60 x elapsed + burst — refunds can't inflate the real budget") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    val tpm = 6000
+    val callGen = Gen.zip(Gen.chooseNum(1L, 3000L), Gen.chooseNum(0L, 4000L))
+    val prop = Prop.forAll(Gen.listOfN(40, callGen)) { calls =>
+      val clock = new FakeClock()
+      val b = new DualBudget(rpm = 0, tpm = tpm, clock)
+      var actualTotal = 0L
+      calls.foreach { case (charge, actual) =>
+        b.acquire(charge)
+        b.reconcile(charge, actual)
+        actualTotal += actual
+      }
+      val elapsedSec = clock.nanoTime() / 1e9
+      // the real consumption must fit the declared budget plus the
+      // initial burst of credit plus at most ONE un-waited over-meter
+      // debit (the final reconcile's debt is only collected by the
+      // NEXT acquire, which this sequence never makes)
+      actualTotal <= tpm / 60.0 * elapsedSec + tpm + 4000 + 1e-6
+    }
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("token bucket adjust: refunds are capped at the burst, debits " +
     "may drive the balance negative and the next acquire waits it out") {
     val clock = new FakeClock()
