@@ -631,6 +631,14 @@ object Shard {
     * spec (same splits discipline, same integer arithmetic); each
     * spec's null/NaN policy is the same loud failure.
     *
+    * Sizing note: the checkpoint is of the WHOLE input frame — this is
+    * the right shape for dimension-sized per-entity frames (an RFM
+    * user table, a per-source rollup), where it converts per-cut
+    * re-aggregation into one cheap materialization. For a genuinely
+    * corpus-scale frame, checkpointing the corpus costs corpus-sized
+    * disk; apply independent [[scalableNtile]] cuts (each re-reading
+    * the columnar source, which prunes to the cut's columns) instead.
+    *
     * Returns the input columns plus one `spec.out` INT column per
     * spec. */
   def scalableNtileMulti(df: DataFrame, specs: Seq[NtileSpec],
