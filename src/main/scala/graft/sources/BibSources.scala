@@ -60,6 +60,42 @@ object BibSources {
       case f => m.getOrElse(f, null)
     }.toIndexedSeq)
 
+  /** Driver-side peek at the first file's first 64 KB: a Windows (CRLF)
+    * export's blank-line record separator is `\r\n\r\n`, which the
+    * byte-exact Hadoop record delimiter would never match as `\n\n` —
+    * the whole file would collapse into ONE record. The reference's
+    * Python parsers are immune because text-mode `open()` normalizes
+    * newlines; this sniff (one bounded read, the same spirit as the
+    * reference's CSV dialect sniffing, `wos_parser.py:111-139`) picks
+    * the CRLF delimiter variant up front, and the per-record parsers
+    * strip any residual `\r` per line. */
+  private[graft] def usesCrlf(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(p)).filter(_.nonEmpty)
+      .getOrElse(Array(fs.getFileStatus(p)))
+    val firstFile = statuses.iterator.flatMap { s =>
+      if (s.isDirectory)
+        fs.listStatus(s.getPath).iterator.filter(_.isFile).map(_.getPath)
+      else Iterator(s.getPath)
+    }.toSeq.sortBy(_.getName).headOption
+    firstFile.exists { f =>
+      val in = fs.open(f)
+      try {
+        val buf = new Array[Byte](65536)
+        val n = in.read(buf)
+        n > 1 && (0 until n - 1).exists(i =>
+          buf(i) == '\r'.toByte && buf(i + 1) == '\n'.toByte)
+      } finally in.close()
+    }
+  }
+
+  /** The blank-line record delimiter in the file's own newline
+    * convention. */
+  private def blankLineSep(spark: SparkSession, path: String): String =
+    if (usesCrlf(spark, path)) "\r\n\r\n" else "\n\n"
+
   /** Splittable segmented read: one string per delimited record. */
   def readRecords(spark: SparkSession, path: String,
                   delimiter: String): DataFrame = {
@@ -75,8 +111,6 @@ object BibSources {
 
   // ---- S1: PubMed tagged text ----------------------------------------------
 
-  /** PubMed repeating tags accumulate into lists (`pubmed_parser.py:32`). */
-  private val pubmedMulti = Set("IS", "LID", "FAU", "AU", "AD", "OT", "PHST")
   private val pubmedTag = "^([A-Z0-9]+)\\s*-\\s*(.*)$".r
 
   /** Pure per-record parse: `TAG - value` lines, untagged lines continue
@@ -87,7 +121,7 @@ object BibSources {
     * scalar fields the FIRST value (the reference's downstream flatten
     * takes element 0, `parsers_manager.py:226-230`). */
   def parsePubmedRecord(record: String): Option[Row] = {
-    val lines = record.split("\n")
+    val lines = record.split("\n").map(_.stripSuffix("\r"))
     var last: String = null
     val vals = collection.mutable.LinkedHashMap[String, Vector[String]]()
     def append(tag: String, v: String): Unit = {
@@ -134,9 +168,10 @@ object BibSources {
     ), "pubmed"))
   }
 
-  /** S1 — records separated by blank lines; splittable via "\n\n". */
+  /** S1 — records separated by blank lines; splittable via the file's
+    * own blank-line convention (LF or CRLF). */
   def pubmed(spark: SparkSession, path: String): DataFrame = {
-    val rdd = readRecords(spark, path, "\n\n").rdd
+    val rdd = readRecords(spark, path, blankLineSep(spark, path)).rdd
       .flatMap(r => parsePubmedRecord(r.getString(0)))
     spark.createDataFrame(rdd, schema)
   }
@@ -156,7 +191,7 @@ object BibSources {
     * duplicated scalar tag (e.g. two TI lines) keeps the first rather than
     * last-wins. */
   def parseWosRecord(record: String): Option[Row] = {
-    val lines = record.split("\n")
+    val lines = record.split("\n").map(_.stripSuffix("\r"))
       .filterNot(l => l.startsWith("FN ") || l.startsWith("VR ") ||
         l.trim == "EF" || l.trim == "ER")
     var last: String = null
@@ -190,9 +225,11 @@ object BibSources {
     ), "wos"))
   }
 
-  /** S2 — records end with an `ER` line; delimiter keeps splittability. */
+  /** S2 — records end with an `ER` line; delimiter keeps splittability
+    * (CRLF exports split on `\r\nER`). */
   def wos(spark: SparkSession, path: String): DataFrame = {
-    val rdd = readRecords(spark, path, "\nER").rdd
+    val sep = if (usesCrlf(spark, path)) "\r\nER" else "\nER"
+    val rdd = readRecords(spark, path, sep).rdd
       .flatMap(r => parseWosRecord(r.getString(0)))
     spark.createDataFrame(rdd, schema)
   }
@@ -323,9 +360,9 @@ object BibSources {
     ), "sciencedirect"))
   }
 
-  /** S5 — entries separated by blank-line runs. */
+  /** S5 — entries separated by blank-line runs (LF or CRLF). */
   def sciencedirect(spark: SparkSession, path: String): DataFrame = {
-    val rdd = readRecords(spark, path, "\n\n").rdd
+    val rdd = readRecords(spark, path, blankLineSep(spark, path)).rdd
       .flatMap(r => parseSdEntry(r.getString(0)))
     spark.createDataFrame(rdd, schema)
   }
@@ -337,6 +374,8 @@ object BibSources {
                sourceHint: String): DataFrame = {
     val lower = path.toLowerCase
     (sourceHint, lower) match {
+      case (_, p) if p.endsWith(".xlsx") || p.endsWith(".xls") =>
+        Excel.wosExcel(spark, path)
       case (_, p) if p.endsWith(".csv") => wosCsv(spark, path)
       case ("pubmed", _) => pubmed(spark, path)
       case ("wos", _) => wos(spark, path)
@@ -361,8 +400,12 @@ object BibSources {
     val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     all
       .withColumn("publication_year",
+        // no-match regexp_extract returns "" for non-null input; the
+        // reference's str.extract gives NaN — expose NULL, not ""
         coalesce(col("publication_year"),
-          regexp_extract(col("publication_date"), "(\\d{4})", 1)))
+          when(regexp_extract(col("publication_date"), "(\\d{4})", 1)
+            =!= "", regexp_extract(col("publication_date"),
+              "(\\d{4})", 1))))
       .withColumn("full_authors", array_join(col("authors"), ", "))
   }
 }

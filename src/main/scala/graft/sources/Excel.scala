@@ -123,15 +123,45 @@ object Excel {
                 styled: Boolean = true): Unit = {
     val cols = df.columns.filterNot(sheetBy.contains)
     val rows = df.limit(excelMaxRows + 1).collect()
+    // the FORMAT's limit is per worksheet; this sink ADDITIONALLY caps
+    // the total collect at the same figure as a driver-memory valve —
+    // a multi-sheet workbook bigger than that belongs in parquet
     require(rows.length <= excelMaxRows,
       s"writeXlsx: more than $excelMaxRows rows — Excel is a driver-side " +
-        "curated-output sink; use the parquet sink for data-plane output")
-    val sheetIdx = sheetBy.map(df.columns.indexOf(_))
-    val sheets: Seq[(String, Array[Row])] = sheetIdx match {
-      case Some(si) =>
+        "curated-output sink (the cap is this sink's driver-collect " +
+        "valve; the xlsx format's own cap is per SHEET); use the " +
+        "parquet sink for data-plane output")
+    val sheetIdx = sheetBy.map { c =>
+      val i = df.columns.indexOf(c)
+      require(i >= 0, s"writeXlsx: sheetBy column '$c' is not a column " +
+        s"of the frame (${df.columns.mkString(", ")})")
+      i
+    }
+    val grouped: Seq[(String, Array[Row])] = sheetIdx match {
+      case Some(si) if rows.nonEmpty =>
         rows.groupBy(r => if (r.isNullAt(si)) "null" else r.get(si).toString)
           .toSeq.sortBy(_._1)
-      case None => Seq("data" -> rows)
+      // empty frame + sheetBy: a ZERO-sheet workbook is invalid OOXML
+      // (CT_Sheets requires one) — fall back to the single empty sheet
+      // the ungrouped path writes
+      case _ => Seq("data" -> rows)
+    }
+    // Excel sheet-name rules: []:*?/\ forbidden, 31 chars max, names
+    // unique case-insensitively, never empty — violations make Excel
+    // declare the workbook corrupt, so sanitize deterministically
+    val usedNames = collection.mutable.Set[String]()
+    val sheets: Seq[(String, Array[Row])] = grouped.map { case (raw, rs) =>
+      val cleaned = raw.replaceAll("[\\[\\]:*?/\\\\]", "_").take(31)
+      val base = if (cleaned.trim.isEmpty) "sheet" else cleaned
+      var cand = base
+      var k = 1
+      while (usedNames.contains(cand.toLowerCase)) {
+        val suffix = s"_$k"
+        cand = base.take(31 - suffix.length) + suffix
+        k += 1
+      }
+      usedNames += cand.toLowerCase
+      cand -> rs
     }
     val colIdxs = cols.map(df.columns.indexOf(_))
     // hyperlink source columns, positions within the SHEET's columns
@@ -361,10 +391,18 @@ object Excel {
           val idx = if (ref.isEmpty) prevIdx + 1 else cellCol(ref)
           prevIdx = idx
           val t = c.getAttribute("t")
+          // a FORMULA cell is <c><f>expr</f><v>cached</v></c>: the value
+          // lives in the <v> child, and getTextContent on the cell would
+          // concatenate the formula text in front of it — prefer <v>
+          // whenever one exists
+          def vChild: Option[String] = {
+            val vs = c.getElementsByTagName("v")
+            if (vs.getLength > 0) Some(vs.item(0).getTextContent) else None
+          }
           val text = t match {
             case "inlineStr" => c.getTextContent
-            case "s" => shared(c.getTextContent.trim.toInt)
-            case _ => c.getTextContent
+            case "s" => shared(vChild.getOrElse(c.getTextContent).trim.toInt)
+            case _ => vChild.getOrElse(c.getTextContent)
           }
           idx -> text
         }.toArray

@@ -511,6 +511,15 @@ object EventStreams {
     * from residual events; only replaying the FULL sequence afterwards
     * starts a fresh journey (a second conversion, not a duplicate).
     *
+    * ABANDONMENT EVICTION: in a real funnel most users who hit step 1
+    * never finish, and without a TTL each one would hold state forever —
+    * linear growth with every user ever seen, the exact unbounded-state
+    * failure this family of operators exists to avoid. A journey with no
+    * progress for `abandonAfterDays` of EVENT TIME (event-time timeout
+    * keyed off the last reached step, fired once the watermark passes
+    * it) is dropped without emitting; the same horizon bounds how late
+    * an event may arrive (the watermark delay).
+    *
     * Parity contract (spec-pinned): when each user's events arrive in
     * timestamp order across batches, completed users and their step
     * times equal `Funnel.funnelUsers` on the union of all batches —
@@ -520,16 +529,25 @@ object EventStreams {
     * committed state; pipelines with out-of-order sources put a
     * watermark-sized sort buffer in front, the standard trade.
     */
-  def funnelConversions(events: Dataset[FunnelEvent], steps: Seq[String])
+  def funnelConversions(events: Dataset[FunnelEvent], steps: Seq[String],
+                        abandonAfterDays: Int = 7)
       : Dataset[FunnelConversion] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnelConversions: steps must be non-empty and distinct: $steps")
+    require(abandonAfterDays >= 1,
+      s"funnelConversions: abandonAfterDays=$abandonAfterDays must be " +
+        ">= 1 — an unbounded funnel state grows with every user ever seen")
     val spark = events.sparkSession
     import spark.implicits._
     val k = steps.size
+    val ttlMs = abandonAfterDays * 86400000L
 
     def fn(userId: Long, batch: Iterator[FunnelEvent],
            state: GroupState[FunnelProgress]): Iterator[FunnelConversion] = {
+      if (state.hasTimedOut) {
+        state.remove() // abandoned journey: drop without emitting
+        return Iterator.empty
+      }
       var times = state.getOption.map(_.reachedMs).getOrElse(Seq.empty)
       val ordered = batch.toSeq.sortBy(_.ts.getTime)
       ordered.foreach { e =>
@@ -542,15 +560,19 @@ object EventStreams {
         Iterator.single(
           FunnelConversion(userId, times.map(new Timestamp(_))))
       } else {
-        if (times.nonEmpty) state.update(FunnelProgress(times))
+        if (times.nonEmpty) {
+          state.update(FunnelProgress(times))
+          state.setTimeoutTimestamp(times.last + ttlMs)
+        }
         Iterator.empty
       }
     }
 
     events
+      .withWatermark("ts", s"$abandonAfterDays days")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   case class Scd2Event(user_id: Long, ts: Timestamp, event_id: Long,

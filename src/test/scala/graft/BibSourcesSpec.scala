@@ -98,6 +98,62 @@ class BibSourcesSpec extends SparkTestBase {
     }
   }
 
+  test("CRLF exports parse identically to LF: the record delimiter is " +
+    "sniffed from the file, residual \\r is stripped per line") {
+    def crlfCopy(src: String): String = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(src)), "UTF-8")
+      val out = java.nio.file.Files.createTempFile("graft_crlf", ".txt")
+      java.nio.file.Files.write(out,
+        text.replace("\n", "\r\n").getBytes("UTF-8"))
+      out.toString
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("title").collect().map(_.toSeq).toSeq
+    val pmCrlf = BibSources.pubmed(spark, crlfCopy(s"$fx/pubmed_sample.txt"))
+    assert(rows(pmCrlf) === rows(BibSources.pubmed(spark,
+      s"$fx/pubmed_sample.txt")))
+    assert(pmCrlf.count() === 2) // NOT one collapsed record
+    val wosCrlf = BibSources.wos(spark, crlfCopy(s"$fx/wos_sample.txt"))
+    assert(rows(wosCrlf) === rows(BibSources.wos(spark,
+      s"$fx/wos_sample.txt")))
+    val sdCrlf = BibSources.sciencedirect(spark,
+      crlfCopy(s"$fx/sciencedirect_sample.txt"))
+    assert(rows(sdCrlf) === rows(BibSources.sciencedirect(spark,
+      s"$fx/sciencedirect_sample.txt")))
+    // no value carries a stray \r
+    assert(!pmCrlf.collect().exists(_.toSeq.exists {
+      case s: String => s.contains("\r")
+      case _ => false
+    }))
+  }
+
+  test("S6 dispatch routes .xlsx to the Excel carrier (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    graft.sources.Excel.writeXlsx(
+      Seq(("T1", "Abs", "J", "10.1/x", "2024", "WOS:1", "A, B; C, D"))
+        .toDF("Article Title", "Abstract", "Source Title", "DOI",
+          "Publication Year", "UT (Unique WOS ID)", "Author Full Names"),
+      s"$dir/export.xlsx", styled = false)
+    val df = BibSources.readAuto(spark, s"$dir/export.xlsx", "wos")
+    val r = df.head()
+    assert(r.getAs[String]("title") === "T1")
+    assert(r.getAs[String]("source_type") === "wos")
+    assert(r.getAs[Seq[String]]("authors") === Seq("A, B", "C, D"))
+  }
+
+  test("combine: a publication_date with no 4-digit year yields a NULL " +
+    "publication_year, not the empty string") {
+    val df = BibSources.pubmed(spark, s"$fx/pubmed_sample.txt")
+      .withColumn("publication_year", lit(null).cast("string"))
+      .withColumn("publication_date",
+        when(col("pmid") === "12345678", lit("Spring"))
+          .otherwise(col("publication_date")))
+    val out = BibSources.combine(Seq(df))
+    val bad = out.where(col("pmid") === "12345678").head()
+    assert(bad.isNullAt(bad.fieldIndex("publication_year")))
+  }
+
   test("C4 pipeline: union -> normalize -> priority dedup keeps the WOS copy") {
     val all = BibSources.combine(Seq(
       BibSources.pubmed(spark, s"$fx/pubmed_sample.txt"),

@@ -279,6 +279,71 @@ class ExcelSpec extends SparkTestBase {
     assert(!uparts("xl/worksheets/sheet1.xml").contains("hyperlink"))
   }
 
+  test("readXlsx: a formula cell surfaces its CACHED <v> value, never " +
+    "the formula text concatenated in front of it") {
+    // hand-build a minimal external workbook with formula cells
+    val dir = Files.createTempDirectory("graft_xlsx_f").toString
+    val path = s"$dir/formulas.xlsx"
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>total</t></is></c><c r="B1" t="inlineStr"><is><t>label</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><f>A1+B1</f><v>42</v></c><c r="B2" t="str"><f>CONCAT("a","b")</f><v>ab</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val back = Excel.readXlsx(spark, path).collect()
+    assert(back.length === 1)
+    assert(back(0).getAs[String]("total") === "42")  // not "A1+B142"
+    assert(back(0).getAs[String]("label") === "ab")  // not formula text
+  }
+
+  test("writeXlsx: unknown sheetBy column fails with a clear message; " +
+    "an empty frame with sheetBy still writes a valid one-sheet " +
+    "workbook; sheet names are sanitized and deduped") {
+    val dir = Files.createTempDirectory("graft_xlsx_s").toString
+    val df = Seq(("a", 1)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Excel.writeXlsx(df, s"$dir/bad.xlsx", sheetBy = Some("typo_col"))
+    }
+    assert(e.getMessage.contains("sheetBy column 'typo_col'"))
+    // empty + sheetBy: must not emit a zero-sheet (invalid) workbook
+    Excel.writeXlsx(df.where(lit(false)), s"$dir/empty.xlsx",
+      sheetBy = Some("k"))
+    val eparts = zipEntries(s"$dir/empty.xlsx")
+    assert(eparts.contains("xl/worksheets/sheet1.xml"))
+    assert(eparts("xl/workbook.xml").contains("""name="data""""))
+    assert(Excel.readXlsx(spark, s"$dir/empty.xlsx")
+      .where(col("__sheet").isNotNull).count() === 0)
+    // forbidden chars replaced, 31-char cap, case-insensitive dedupe
+    val grouped = Seq(
+      ("results/2024", 1), ("WOS", 2), ("wos", 3),
+      ("x" * 40, 4)).toDF("g", "v")
+    Excel.writeXlsx(grouped, s"$dir/grouped.xlsx", sheetBy = Some("g"))
+    val wb = zipEntries(s"$dir/grouped.xlsx")("xl/workbook.xml")
+    val names = "name=\"([^\"]+)\"".r.findAllMatchIn(wb)
+      .map(_.group(1)).toSeq
+    assert(names.contains("results_2024"), names.toString)
+    assert(names.count(_.toLowerCase == "wos") === 1)
+    assert(names.exists(n => n.toLowerCase.startsWith("wos") &&
+      n.endsWith("_1")), names.toString)
+    assert(names.forall(_.length <= 31), names.toString)
+    // the data plane still round-trips: 4 rows across 4 sheets
+    assert(Excel.readXlsx(spark, s"$dir/grouped.xlsx").count() === 4)
+  }
+
   test("styled workbook golden: every OOXML part is byte-identical to " +
     "the committed fixture — presentation parity is pinned the way the " +
     "data plane already is") {

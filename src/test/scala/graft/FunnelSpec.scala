@@ -109,6 +109,50 @@ class FunnelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnelConversions: an abandoned journey is EVICTED " +
+    "once the watermark passes its last progress + TTL — stale partial " +
+    "state can never complete, a fresh full replay can") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{FunnelEvent, FunnelConversion}
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    def dayTs(d: Double) = new Timestamp((d * 86400000L).toLong)
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelConversions(mem.toDS(), steps,
+        abandonAfterDays = 7)
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("append").start()
+    try {
+      // user 1 stalls at step 1 on day 0 (state TTL = day 7)
+      mem.addData(FunnelEvent(1L, dayTs(0), "view"))
+      q.processAllAvailable()
+      // user 9's day-20 event moves the watermark to day 13 (> TTL)...
+      mem.addData(FunnelEvent(9L, dayTs(20), "view"))
+      q.processAllAvailable()
+      // ...and a trigger where user 1 has NO data fires their timeout
+      mem.addData(FunnelEvent(9L, dayTs(20.1), "click"))
+      q.processAllAvailable()
+      // user 1's old progress is gone: click/buy alone must NOT convert
+      mem.addData(FunnelEvent(1L, dayTs(21), "click"),
+        FunnelEvent(1L, dayTs(21.5), "buy"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_evict").count() === 0)
+      // a fresh FULL journey converts with the NEW times — proof the
+      // day-0 state (which would have yielded step_ts(0)=day 0) is gone
+      mem.addData(FunnelEvent(1L, dayTs(22), "view"),
+        FunnelEvent(1L, dayTs(23), "click"),
+        FunnelEvent(1L, dayTs(24), "buy"))
+      q.processAllAvailable()
+      import spark.implicits._
+      val got = spark.table("funnel_evict").as[FunnelConversion].collect()
+      assert(got.length === 1)
+      assert(got(0).user_id === 1L)
+      assert(got(0).step_ts.map(_.getTime).toSeq ===
+        Seq(22L, 23L, 24L).map(_ * 86400000L))
+    } finally q.stop()
+  }
+
   test("funnelSummary: exact counts and ratio columns; guards refuse " +
     "empty and duplicate step lists") {
     val events = Seq(
