@@ -88,11 +88,15 @@ object JsonRepair {
     // reference's unquoted-value pattern (`llm_api.py:64-76` tries both)
     val stage3 = stage2.orElse {
       val perField = fields.flatMap { f =>
+        // escape-aware value grammar + the SAME unescape as stages 1-2,
+        // so which ladder stage fires never changes a recovered value
+        // (and an escaped quote inside the value no longer truncates it)
         val quotedR = ("\"" + java.util.regex.Pattern.quote(f) +
-          "\"\\s*:\\s*\"([^\"]*)\"").r
+          "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
         val bareR = ("\"" + java.util.regex.Pattern.quote(f) +
           "\"\\s*:\\s*([^,}\\s\"]+)").r
-        quotedR.findFirstMatchIn(unfenced).map(m => f -> m.group(1))
+        quotedR.findFirstMatchIn(unfenced)
+          .map(m => f -> unescape(m.group(1)))
           .orElse(bareR.findFirstMatchIn(unfenced).map(m => f -> m.group(1)))
       }.toMap
       if (perField.isEmpty) None else Some(perField)

@@ -29,19 +29,31 @@ object ConfigManager {
   private case class Line(raw: String, indent: Int, content: String)
 
   /** Strip a `#` comment that sits outside single/double quotes and is
-    * either at the start or preceded by whitespace. */
+    * either at the start or preceded by whitespace. A quote only OPENS
+    * a string when it can start a scalar (line start, after `:`, `-`,
+    * `,`, `[`, or an adjacent quote — the `''` escape); an apostrophe
+    * inside a bare scalar (`name: O'Brien  # x`) is plain text and must
+    * not swallow the comment. */
   private def stripComment(s: String): String = {
     var inD = false; var inS = false
+    var prevNonWs: Char = 0 // 0 = line start
     var i = 0
     while (i < s.length) {
-      s.charAt(i) match {
-        case '"' if !inS => inD = !inD
-        case '\'' if !inD => inS = !inS
+      val c = s.charAt(i)
+      def opens = prevNonWs == 0 || prevNonWs == ':' ||
+        prevNonWs == '-' || prevNonWs == ',' || prevNonWs == '[' ||
+        prevNonWs == c
+      c match {
+        case '"' if inD => inD = false
+        case '"' if !inS && opens => inD = true
+        case '\'' if inS => inS = false
+        case '\'' if !inD && opens => inS = true
         case '#' if !inD && !inS &&
           (i == 0 || s.charAt(i - 1).isWhitespace) =>
           return s.substring(0, i)
         case _ => ()
       }
+      if (!c.isWhitespace) prevNonWs = c
       i += 1
     }
     s
@@ -181,10 +193,16 @@ object ConfigManager {
             out(key) = body
             i = j
           } else if (rest.isEmpty) {
-            // nested node if the next content line is deeper, else ""
+            // nested node if the next content line is deeper — OR a
+            // block sequence at the SAME indent as the key, the common
+            // zero-indent "key:\n- a\n- b" YAML style (a map never
+            // holds bare "- " entries itself, so the dash can only be
+            // this key's sequence); else ""
             var j = i + 1
             while (j < lines.length && isBlank(j)) j += 1
-            if (j < lines.length && lines(j).indent > indent) {
+            if (j < lines.length && (lines(j).indent > indent ||
+                (lines(j).indent == indent &&
+                  lines(j).content.startsWith("- ")))) {
               val (node, k) = parseNode(j, lines(j).indent)
               out(key) = node
               i = k
@@ -330,7 +348,10 @@ object ConfigManager {
     * `HttpClients.HttpLlmClient`, dispatching on `llm.type` exactly like
     * the reference's client factory (`llm_api.py` backend selection):
     * url/key/model come from the per-backend keys; hosted backends get
-    * their request budget as a token-bucket rate (rpm/60). */
+    * their request budget as a token-bucket rate (rpm/60) AND the
+    * declared rpm/tpm dual budget (config_manager.py:121-125 defaults
+    * them to 3000/200000), so `External.DualBudget` enforcement
+    * engages for config-driven clients — not just hand-built ones. */
   def llmHttpConfig(conf: Conf): (HttpClients.HttpConfig, String) = {
     def key(k: String): Option[String] = {
       val v = getString(conf, s"llm.$k")
@@ -342,7 +363,9 @@ object ConfigManager {
           baseUrl = getString(conf, "llm.siliconflow_base_url")
             .stripSuffix("/") + "/chat/completions",
           apiKey = key("siliconflow_api_key"),
-          ratePerSec = getLong(conf, "llm.siliconflow_rpm") / 60.0),
+          ratePerSec = getLong(conf, "llm.siliconflow_rpm") / 60.0,
+          rpm = getLong(conf, "llm.siliconflow_rpm").toInt,
+          tpm = getLong(conf, "llm.siliconflow_tpm").toInt),
           getString(conf, "llm.siliconflow_model"))
       case "ollama" =>
         // route to the server's OpenAI-compatible surface (/v1/chat/

@@ -55,7 +55,13 @@ object Warehouse {
       .agg(min(col("state")).as("state"), // constant within an island
         min(col("ts")).as("valid_from"),
         count(lit(1)).as("n_events"))
-    val succ = Window.partitionBy(col("entity")).orderBy(col("valid_from"))
+    // (valid_from, grp): two adjacent islands CAN share a start when
+    // equal-timestamp rows change state (the tiebreak orders them into
+    // distinct islands at one ts) — grp is monotone in event order
+    // within the entity, so it extends the successor order to a total
+    // one instead of leaving the pair's valid_to assignment run-varying
+    val succ = Window.partitionBy(col("entity"))
+      .orderBy(col("valid_from"), col("grp"))
     islands
       .withColumn("valid_to", lead(col("valid_from"), 1).over(succ))
       .select(col("entity"), col("state"), col("valid_from"),
@@ -199,9 +205,15 @@ object Warehouse {
       .where(col("v").isNotNull)
     val span = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val width = (col("hi") - col("lo")) / lit(nBuckets.toDouble)
+    // a CONSTANT column makes width 0 and (v-lo)/width = 0/0 = NaN —
+    // engine-dependent NaN ordering would then pick an arbitrary
+    // bucket; pin the degenerate case to bucket 0 (all mass, zero-width
+    // bounds) deterministically
     val counts = v.crossJoin(broadcast(span))
-      .select(least(greatest(floor((col("v") - col("lo")) / width),
-        lit(0.0)), lit((nBuckets - 1).toDouble)).cast("long").as("bucket"))
+      .select(when(col("hi") === col("lo"), lit(0.0))
+        .otherwise(least(greatest(floor((col("v") - col("lo")) / width),
+          lit(0.0)), lit((nBuckets - 1).toDouble)))
+        .cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     span
       .select(explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"),
@@ -234,8 +246,17 @@ object Warehouse {
   def incrementalDailyRollup(df: DataFrame, day: Column, value: Column,
                              cutoff: Column, path: String): DataFrame = {
     val spark = df.sparkSession
-    dailyRollup(df.where(to_date(day) < cutoff), day, value)
-      .write.mode("overwrite").parquet(path)
+    // write-once FOR REAL: a committed base at `path` is reused, so a
+    // per-ingest maintenance job pays delta cost, not a full base
+    // rescan+rewrite per call. The path identifies one (base range) —
+    // changing the cutoff needs a fresh path (caller contract).
+    val basePath = new org.apache.hadoop.fs.Path(path)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      fs.exists(new org.apache.hadoop.fs.Path(basePath, "_SUCCESS"))
+    if (!committed)
+      dailyRollup(df.where(to_date(day) < cutoff), day, value)
+        .write.mode("overwrite").parquet(path)
     val delta = dailyRollup(df.where(to_date(day) >= cutoff), day, value)
     spark.read.parquet(path).unionByName(delta)
       .groupBy(col("day"))
@@ -250,15 +271,27 @@ object Warehouse {
     * IEEE division of exact integers — bit-stable across engines. Days
     * with no trailing history (the first per key) flag false. Scale: one
     * partial-aggregated groupBy + one window, both keyed on `key`.
-    * Feed [[gapfillDaily]] output instead of raw facts when silent days
-    * must count as zeros in the baseline.
+    * This form counts RAW FACT rows; to make silent days count as zeros
+    * in the baseline, use [[dailySpikesFromDaily]] over
+    * [[gapfillDaily]]'s output — feeding the gapfilled frame HERE would
+    * count each (key, day) summary row as one event.
     */
   def dailySpikes(df: DataFrame, key: Column, ts: Column,
                   lookback: Int = 7, num: Int = 11, den: Int = 10)
-      : DataFrame = {
-    val daily = df.select(key.as("key"), to_date(ts).as("day"))
-      .groupBy(col("key"), col("day"))
-      .agg(count(lit(1)).as("n_events"))
+      : DataFrame =
+    dailySpikesFromDaily(
+      df.select(key.as("key"), to_date(ts).as("day"))
+        .groupBy(col("key"), col("day"))
+        .agg(count(lit(1)).as("n_events")),
+      lookback, num, den)
+
+  /** [[dailySpikes]] over an ALREADY-aggregated `(key, day, n_events)`
+    * frame — the form that composes with [[gapfillDaily]], whose
+    * explicit zero days must enter the trailing baseline as zeros
+    * rather than as one row apiece. Same integer-exact flag and ratio
+    * arithmetic. */
+  def dailySpikesFromDaily(daily: DataFrame, lookback: Int = 7,
+                           num: Int = 11, den: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("day"))
       .rowsBetween(-lookback, -1)
     daily

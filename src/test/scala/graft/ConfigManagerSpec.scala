@@ -196,5 +196,35 @@ class ConfigManagerSpec extends AnyFunSuite {
     assert(hc.apiKey === Some("k"))
     assert(hc.ratePerSec === 10.0) // 600 rpm
     assert(hm === "deepseek-ai/DeepSeek-V3")
+    // the DECLARED dual budget reaches the client config — without these
+    // the DualBudget enforcement never engages for config-driven clients
+    assert(hc.rpm === 600)
+    assert(hc.tpm === 200000) // the reference's default siliconflow_tpm
+  }
+
+  test("zero-indent block sequences under a key parse as the key's " +
+    "list (the 'fields:\\n- a\\n- b' YAML style), not as \"\"") {
+    val conf = ConfigManager.parseYaml(
+      "fields:\n- summary\n- methods\nother: 1\n")
+    assert(ConfigManager.getSeq(conf, "fields") ===
+      Seq("summary", "methods"))
+    assert(ConfigManager.getLong(conf, "other") === 1L)
+    // nested form: same-indent sequence under a nested key
+    val nested = ConfigManager.parseYaml(
+      "llm:\n  fields:\n  - a\n  - b\n  model: m\n")
+    assert(ConfigManager.getSeq(nested, "llm.fields") === Seq("a", "b"))
+    assert(ConfigManager.getString(nested, "llm.model") === "m")
+  }
+
+  test("an apostrophe inside a bare scalar does not swallow the " +
+    "trailing comment; quoted strings still protect their hashes") {
+    val conf = ConfigManager.parseYaml(
+      "name: O'Brien  # maintainer\ntag: \"a # not-a-comment\"  # real\n")
+    assert(ConfigManager.getString(conf, "name") === "O'Brien")
+    assert(ConfigManager.getString(conf, "tag") === "a # not-a-comment")
+    // the '' escape form still parses as a quoted string
+    val esc = ConfigManager.parseYaml("who: 'O''Brien'  # c\n")
+    assert(ConfigManager.getString(conf, "name") === "O'Brien")
+    assert(ConfigManager.getString(esc, "who").startsWith("O"))
   }
 }

@@ -183,6 +183,81 @@ class WarehouseSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"spine join must not SMJ:\n$plan")
   }
 
+  test("scd2History: equal-timestamp state changes order by the " +
+    "tiebreak — the successor window is total, not run-varying") {
+    val log = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (7L, ts("2024-01-01 10:00:00"), 2L, "B"), // same ts, later tiebreak
+      (7L, ts("2024-01-02 10:00:00"), 3L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Warehouse.scd2History(df, col("user_id"), col("ts"),
+          col("event_id"), col("event_type"))
+        .orderBy("valid_from", "state")
+        .collect().map(r => (r.getString(1),
+          Option(r.getAs[java.sql.Timestamp]("valid_to"))
+            .map(_.toString).orNull, r.getBoolean(5)))
+    val got = run(log)
+    // A's interval CLOSES at the same instant (B supersedes it at ts);
+    // B closes at C's start; C is current — deterministic by tiebreak
+    assert(got.toSeq === Seq(
+      ("A", "2024-01-01 10:00:00.0", false),
+      ("B", "2024-01-02 10:00:00.0", false),
+      ("C", null, true)))
+    assert(run(log.repartition(7)).toSeq === got.toSeq)
+  }
+
+  test("histogram: a constant column lands ALL mass in bucket 0 " +
+    "deterministically instead of a NaN-ordered arbitrary bucket") {
+    val out = Warehouse.histogram(Seq(7.0, 7.0, 7.0).toDF("x"),
+        col("x"), 5)
+      .orderBy("bucket").collect()
+    assert(out.length === 5)
+    assert(out.map(r => (r.getLong(0), r.getLong(3))).toSeq ===
+      Seq((0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+    assert(out.head.getDouble(1) === 7.0 && out.head.getDouble(2) === 7.0)
+  }
+
+  test("incrementalDailyRollup: the persisted base is WRITE-ONCE — a " +
+    "second maintenance call reuses it instead of rescanning the base") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_wh_once").toString + "/base"
+    val cutoff = to_date(lit("1999-01-01"))
+    Warehouse.incrementalDailyRollup(orders, col("o_orderdate"),
+      col("o_totalprice"), cutoff, path).count()
+    val firstWrite = spark.read.parquet(path).collect().toSet
+    val mtime = new java.io.File(path, "_SUCCESS").lastModified()
+    Thread.sleep(5)
+    val again = Warehouse.incrementalDailyRollup(orders,
+      col("o_orderdate"), col("o_totalprice"), cutoff, path)
+    again.count()
+    assert(new java.io.File(path, "_SUCCESS").lastModified() === mtime,
+      "base was rewritten on the second call")
+    assert(spark.read.parquet(path).collect().toSet === firstWrite)
+  }
+
+  test("dailySpikesFromDaily composes with gapfillDaily: explicit zero " +
+    "days enter the trailing baseline as zeros") {
+    // key k: 1 event/day on days 1-3, nothing on 4-6, 4 events day 7
+    val ev = (Seq(1, 2, 3).map(d => ("k", ts(f"2024-01-0$d 09:00:00"))) ++
+      Seq.fill(4)(("k", ts("2024-01-07 09:00:00"))))
+      .toDF("key", "ts")
+    val gapfilled = Warehouse.gapfillDaily(ev, col("key"), col("ts"))
+    val out = Warehouse.dailySpikesFromDaily(gapfilled, lookback = 6)
+      .where(col("day") === lit("2024-01-07").cast("date")).head()
+    // trailing 6 days = 1+1+1+0+0+0 = 3 → mean 0.5; 4 >> 1.1×0.5
+    assert(out.getAs[Long]("trail_sum") === 3L)
+    assert(out.getAs[Long]("trail_cnt") === 6L)
+    assert(out.getAs[Boolean]("is_spike"))
+    // fed RAW (ungapfilled) daily counts the baseline would be 1,1,1
+    // (mean 1) — still a spike here, but the trailing stats differ
+    val raw = Warehouse.dailySpikes(ev, col("key"), col("ts"),
+        lookback = 6)
+      .where(col("day") === lit("2024-01-07").cast("date")).head()
+    assert(raw.getAs[Long]("trail_cnt") === 3L)
+  }
+
   test("WAP routing: a failing blocking audit aborts the whole batch") {
     // dirty staging batch: duplicate key -> the uniqueness audit blocks
     val fact = Seq((1L, 5.0), (1L, 7.0), (2L, 3.0)).toDF("k", "x")
