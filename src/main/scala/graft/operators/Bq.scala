@@ -92,10 +92,14 @@ object Bq {
         wordsExpr(col(embCol), dim).as("p_words"),
         Similarity.norm(col(embCol)).as("p_nrm"))
 
+  // NO norm here: this projection sits BELOW the candidate join, so a
+  // norm computed in it runs the interpreted per-row fold over the
+  // WHOLE fetch tier on every query — the exact cost the melted plan
+  // exists to avoid. `search` computes c_nrm AFTER the join, on the
+  // rerank-sized candidate rows only.
   private def vectorSide(vectors: DataFrame, idCol: String,
                          embCol: String): DataFrame =
-    vectors.select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"),
-      Similarity.norm(col(embCol)).as("c_nrm"))
+    vectors.select(col(idCol).as("nbr_id"), col(embCol).as("c_emb"))
 
   /** The shared search tail: skinny Hamming pre-rank over `cWords`
     * (ids + hamming only through the window shuffle), then the
@@ -112,12 +116,14 @@ object Bq {
       .where(col("crank") <= rerank)
     cand
       .join(cVecs, Seq("nbr_id"))
+      .withColumn("c_nrm", Similarity.norm(col("c_emb")))
       .join(broadcast(pFull.select("probe_id", "p_emb", "p_nrm")),
         Seq("probe_id"))
       .withColumn("cos",
         graft.functions.VectorExpressions.dotF32(col("c_emb"),
           col("p_emb")) /
           nullif(col("c_nrm") * col("p_nrm"), lit(0.0)))
+      .where(Similarity.notNaN(col("cos")))
       .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
         .orderBy(col("cos").desc, col("nbr_id").asc)))
       .where(col("rank") <= k)
@@ -126,8 +132,11 @@ object Bq {
   }
 
   /** Persist the BQ serving index: the packed words plus a dim meta row,
-    * meta written LAST (the persistIvfPqIndex order, so a torn write
-    * leaves no readable-but-wrong index). The index holds ONLY the 32×
+    * meta RETRACTED FIRST and re-written LAST (the persistPcaModel
+    * discipline) — write-last alone only protects the FIRST persist; on
+    * a RE-persist the old meta would keep vouching while words/ is
+    * mid-overwrite, and a crash there leaves a readable-but-wrong
+    * mixed-generation index. The index holds ONLY the 32×
     * form — the standard deployment splits the ANN index from a vector
     * fetch tier, which `probeBqIndex` takes as its `vectors` frame. */
   def persistBqIndex(corpus: DataFrame, path: String,
@@ -136,6 +145,9 @@ object Bq {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = Similarity.probeDim(corpus, embCol)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaDir)) fs.delete(metaDir, true)
     encoded(corpus, dim, idCol, embCol)
       .write.mode("overwrite").parquet(s"$path/words")
     Seq(dim).toDF("dim").coalesce(1)

@@ -370,9 +370,18 @@ object Classify {
     require(maxAbs <= BigDecimal(Long.MaxValue / scale),
       s"boostedStumpsTrain: max |label| = $maxAbs overflows the " +
         s"integer residual domain at scale=$scale — lower scale")
+    // scale BEFORE integerizing: cast("long")-then-multiply would
+    // truncate fractional labels to whole numbers first, zeroing any
+    // label in (-1, 1) and defeating the scale that exists to carry
+    // sub-integer precision. The product rides DECIMAL (exact past
+    // 2^53, where a double multiply would round) and lands on the
+    // integer domain HALF_UP — the same rounding the overflow guard
+    // above uses. Labels are carried at 6-decimal precision (the
+    // repo-wide dec6 money/measure convention).
     var cur = Dedup.materialize(df
       .select(features.map { case (n, c) => c.cast("long").as(n) } :+
-        (label.cast("long") * lit(scale)).as("__r"): _*)
+        (label.cast("decimal(38,6)") * lit(scale))
+          .cast("decimal(38,0)").cast("long").as("__r"): _*)
       .where(col("__r").isNotNull &&
         fcols.map(col(_).isNotNull).reduce(_ && _)))
     val model = scala.collection.mutable.ArrayBuffer.empty[Stump]

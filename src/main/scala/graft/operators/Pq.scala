@@ -67,7 +67,11 @@ object Pq {
     require(dim % m == 0, s"pqTrain: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val sample = emb
-      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .select(when(col(idCol).cast("long").isNull,
+          raise_error(lit("pqTrain: id must be numeric (castable to " +
+            "long) — map string ids to longs first")))
+        .otherwise(col(idCol).cast("long")).as("id"),
+        col(embCol).as("emb"))
       .where(wellFormedDim(col("emb"), dim))
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(sampleN)
@@ -299,6 +303,12 @@ object Pq {
       idCol, embCol, deterministic)
     val (index, cb) = buildIvfPqIndex(corpus, cents, m, ksub, pqIters,
       idCol, embCol)
+    // retract the OLD meta before any data overwrite (persistPcaModel
+    // discipline): otherwise a crash mid-re-persist leaves new codes
+    // readable under the old codebook/centroids — silently wrong ADC
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaDir)) fs.delete(metaDir, true)
     index.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/vectors")
     cents.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }

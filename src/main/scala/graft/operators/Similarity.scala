@@ -58,6 +58,16 @@ object Similarity {
   private[graft] def wellFormed(emb: Column): Column =
     emb.isNotNull && !exists(emb, _.isNull)
 
+  /** TRUE unless the cosine is NaN (a NaN-poisoned embedding): Spark
+    * orders NaN GREATER than every double and its comparisons agree, so
+    * an unguarded NaN cosine ranks 1 for every probe and passes every
+    * `>= threshold` gate. Guarding the SCALAR result is free (one isnan
+    * per candidate) where a per-element vector scan would tax every
+    * corpus row; NULL cosines (zero norms) keep their existing
+    * rank-last / fail-gate semantics. */
+  private[graft] def notNaN(cos: Column): Column =
+    !coalesce(isnan(cos), lit(false))
+
   /** Deterministic id-ordered sequential fold Σ value per key group —
     * the bit-reproducibility-critical aggregation shared by the
     * oracle/repro modes of `kMeansCentroids` and
@@ -118,6 +128,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
     scoredAgainstProbes(corpus, probes, idCol, embCol)
+      .where(notNaN(col("cos")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
@@ -210,6 +221,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"), col("kind"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
     scored
+      .where(notNaN(col("cos")))
       .withColumn("kind",
         when(col("cos") >= posThreshold, lit("pos")).otherwise(lit("neg")))
       .withColumn("rank", row_number().over(w))
@@ -362,7 +374,8 @@ object Similarity {
       .withColumn("cos", cosine(col("c_emb"), col("p_emb")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    cand.where(notNaN(col("cos")))
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
   }
@@ -419,7 +432,7 @@ object Similarity {
       .withColumn("cos",
         graft.functions.VectorExpressions.dotF32(col("emb_a"), col("emb_b")) /
           nullif(col("nrm_a") * col("nrm_b"), lit(0.0)))
-      .where(col("cos") >= threshold)
+      .where(col("cos") >= threshold && notNaN(col("cos")))
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
@@ -829,10 +842,17 @@ object Similarity {
     // at scale — crawl batches, per-source shards); hashing gives a
     // deterministic UNIFORM draw with the same reproducibility
     val cents: Array[Array[Double]] = centroids.getOrElse {
-      val sample = corpus.select(col(idCol).cast("long"), col(embCol))
+      // degenerate rows are excluded from TRAINING like every other
+      // trainer in the family (pqTrain/kMeansTrain/sqTrain filter
+      // before collecting) — a null or short vector in the 4096-row
+      // sample would NPE/AIOOBE the driver-side Lloyd loop
+      val rawSample = corpus.where(wellFormed(col(embCol)))
+        .select(col(idCol).cast("long"), col(embCol))
         .as[(Long, Array[Float])]
         .sort(xxhash64(col(idCol)), col(idCol)).limit(4096).collect()
-      require(sample.nonEmpty, "empty corpus")
+      require(rawSample.nonEmpty, "empty corpus")
+      val sample =
+        rawSample.filter(_._2.length == rawSample.head._2.length)
       val dim = sample.head._2.length
       val step = math.max(1, sample.length / nCentroids)
       var cs: Array[Array[Double]] =
@@ -888,6 +908,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
     scored
+      .where(notNaN(col("cos")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("nbr_id"), col("cos"))
@@ -1043,8 +1064,14 @@ object Similarity {
                   seeding: KMeansSeeding = KMeansSeeding.HashOrder)
       : KMeansResult = {
     require(k > 0 && iters >= 0, s"kMeans: k=$k, iters=$iters")
+    // dim-consistency is enforced BEFORE seeding: a dim-mismatched
+    // vector picked as a seed would hand NearestCentroid a mixed-dim
+    // centroid set (construction throws), and in the update pass its
+    // posexploded cells would resize or contaminate cluster 0's mean.
+    // The canonical dim is the first well-formed row's (probeDim).
+    val dim = probeDim(emb.where(wellFormed(col(embCol))), embCol)
     val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .where(wellFormed(col("emb")))
+      .where(wellFormed(col("emb")) && size(col("emb")) === dim)
     val seeds = seeding match {
       case KMeansSeeding.HashOrder =>
         slim.orderBy(md5(col("id").cast("string")), col("id")).limit(k)
@@ -1374,7 +1401,7 @@ object Similarity {
         graft.functions.VectorExpressions.dotF32(col("a.emb"),
           col("b.emb")) /
           nullif(col("a.nrm") * col("b.nrm"), lit(0.0)))
-      .where(col("cos") >= threshold)
+      .where(col("cos") >= threshold && notNaN(col("cos")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
 
   /** The guarded-cluster pair kernel: random-hyperplane banding INSIDE
@@ -1419,7 +1446,7 @@ object Similarity {
         graft.functions.VectorExpressions.dotF32(col("emb_a"),
           col("emb_b")) /
           nullif(col("nrm_a") * col("nrm_b"), lit(0.0)))
-      .where(col("cos") >= threshold)
+      .where(col("cos") >= threshold && notNaN(col("cos")))
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
@@ -1559,7 +1586,7 @@ object Similarity {
       .withColumn("cos",
         graft.functions.VectorExpressions.dotF32(col("emb"), col("b_emb")) /
           nullif(col("nrm") * col("b_nrm"), lit(0.0)))
-      .where(col("cos") >= threshold)
+      .where(col("cos") >= threshold && notNaN(col("cos")))
       .select(col("batch_id"), col("id").as("corpus_id"), col("cos"))
   }
 
@@ -1705,8 +1732,13 @@ object Similarity {
         s"(~${maxBuildBytes >> 30} GiB build side); exact all-pairs needs a " +
         "driver-broadcastable build side — use lshNearDupPairs for large " +
         "corpora")
-    val e = emb.select(col(idCol).cast("long").as("id"),
-      col(embCol).as("emb")).as[(Long, Array[Float])]
+    // same degenerate-row policy as the rest of the family (kMeans,
+    // pcaTrain): null/null-element/dim-mismatched embeddings are
+    // excluded, not allowed to NPE the norm loop or AIOOBE the kernel
+    val e = emb.where(wellFormed(col(embCol)) &&
+        size(col(embCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).as("emb")).as[(Long, Array[Float])]
     val all = e.collect().sortBy(_._1)
     val norms = all.map { case (_, v) =>
       var s = 0.0; var i = 0

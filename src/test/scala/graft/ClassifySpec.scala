@@ -190,6 +190,16 @@ class ClassifySpec extends SparkTestBase {
         .head().getDouble(0)
     }
     assert(sses(1) < sses(0) && sses(2) < sses(1), sses)
+    // FRACTIONAL labels scale BEFORE integerizing: quality scores in
+    // (0,1) must not truncate to an all-zero residual domain (the
+    // pre-fix cast('long')-then-multiply zeroed them silently)
+    val frac = Seq((0L, 0.3), (0L, 0.3), (1L, 0.7), (1L, 0.7))
+      .toDF("f", "y")
+    val fm = Classify.boostedStumpsTrain(frac, col("y"),
+      Seq(("f", col("f"))), rounds = 1, lrDen = 2, scale = 10L)
+    // r0 = (3,3,7,7) in scaled units: leaves floorDiv(6,4)=1,
+    // floorDiv(14,4)=3 — a non-degenerate model, not all zeros
+    assert(fm.map(s => (s.leafLeft, s.leafRight)) === Seq((1L, 3L)))
     // single-bin feature cannot split
     assertThrows[IllegalArgumentException] {
       Classify.boostedStumpsTrain(Seq((1L, 2L)).toDF("f", "y"),

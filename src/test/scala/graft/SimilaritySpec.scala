@@ -137,6 +137,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("degenerate embeddings are excluded, not crashes: a null row and " +
+    "a dim-mismatched row pass through cosineNearDupPairs; a " +
+    "NaN-poisoned vector never ranks or pairs") {
+    val dirty = vecs.unionByName(Seq(
+        (6L, null.asInstanceOf[Array[Float]]),
+        (7L, Array(1f, 0f)), // wrong dim
+        (8L, Array(Float.NaN, 0f, 0f))) // NaN-poisoned
+      .toDF("vec_id", "embedding"))
+    // pre-fix: id 6 NPE'd the driver norm loop, id 7 AIOOBE'd the kernel
+    val pairs = Similarity.cosineNearDupPairs(dirty, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // NaN cosine must not become everyone's rank-1 neighbor (Spark
+    // orders NaN greater than every double) — 8 is excluded outright
+    val top = Similarity.bruteForceTopK(
+        vecs.unionByName(Seq((8L, Array(Float.NaN, 0f, 0f)))
+          .toDF("vec_id", "embedding")),
+        vecs.where(col("vec_id") === 1), k = 2)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(!top.contains(8L))
+    assert(top === Set(2L, 3L))
+  }
+
+  test("kMeans training excludes dim-mismatched vectors from the " +
+    "update pass instead of letting them resize cluster 0's centroid") {
+    val dirty = vecs.where(col("vec_id") =!= 5)
+      .unionByName(Seq((9L, Array(1f, 0f, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"))
+    // pre-fix: round 2 threw "centroid has dim 3, not 5"
+    val cents = Similarity.kMeansCentroids(dirty, k = 2, iters = 3)
+    assert(cents.forall(_.length === 3))
+  }
+
   test("semanticContaminationScores: every corpus row kept, counts and " +
     "max over the broadcast benchmark, degenerates can never match") {
     // benchmark: one vector near corpus 1/2, one null (filtered from
