@@ -211,14 +211,23 @@ object Importance {
   def persistLlrModel(docs: DataFrame, id: Column, text: Column,
                       targetPred: Column, path: String, n: Int = 2,
                       buckets: Int = 4096): Unit = {
+    // retract-then-overwrite (the persistEntityIndex discipline), NOT
+    // mode("error"): a crash between the llr and meta writes would
+    // otherwise wedge every rerun on the surviving llr/ directory —
+    // replays must self-heal. Meta absence still marks "uncommitted".
+    val spark = docs.sparkSession
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaDir)) fs.delete(metaDir, true)
     llrModel(docs, id, text, targetPred, n, buckets)
-      .select("bucket", "llr").write.mode("error").parquet(s"$path/llr")
+      .select("bucket", "llr").write.mode("overwrite")
+      .parquet(s"$path/llr")
     // meta rides the light totals pass — re-selecting from the llr
     // frame would re-run the heavy count lineage a second time
     gramTotals(docs, id, text, targetPred, n)
       .select(lit(n).as("n"), lit(buckets).as("buckets"),
         col("raw_t"), col("tgt_t"))
-      .write.mode("error").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Continuous importance gate: score one microbatch against the

@@ -73,7 +73,12 @@ object Layout {
       Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1),
           shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
     }
-    terms.reduce(_ bitwiseOR _)
+    // flip the sign bit so the LONG ordering equals the UNSIGNED curve
+    // ordering: a's bit 31 lands at position 63, and without the flip
+    // every a >= 2^31 key sorts negative — the upper half of the
+    // documented [0, 2^32) domain would sort BEFORE the lower half and
+    // the file spanning the signed boundary gets full-range stats
+    terms.reduce(_ bitwiseOR _).bitwiseXOR(lit(Long.MinValue))
   }
 
   /** Write `df` as a hash-bucketed, bucket-sorted external table at

@@ -49,10 +49,15 @@ object Mixture {
       if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
       else pow(col("n_docs").cast("double"), lit(alpha)))
     // Σ w as a domain-ordered sequential fold — the engine's standard
-    // bit-reproducible sum over a small keyed set
+    // bit-reproducible sum over a small keyed set. The leading null
+    // flag pins NULLS LAST: Spark's struct comparison sorts a null
+    // field FIRST while a SQL `ORDER BY domain` fold is NULLS LAST,
+    // and a fold-order difference on a null-domain corpus would move
+    // tw by an ulp and a quota by 1 at a floor boundary
     val total = weighted
-      .agg(aggregate(array_sort(collect_list(struct(col("domain"),
-          col("w")))), lit(0.0), (acc, s) => acc + s.getField("w"))
+      .agg(aggregate(array_sort(collect_list(struct(
+          col("domain").isNull.as("nl"), col("domain"), col("w")))),
+          lit(0.0), (acc, s) => acc + s.getField("w"))
         .as("tw"))
     weighted.crossJoin(broadcast(total))
       .select(col("domain"), col("n_docs"), col("w"),
@@ -107,8 +112,23 @@ object Mixture {
     val spark = docs.sparkSession
     val counts = docs.groupBy(domain.as("domain"))
       .agg(count(lit(1)).as("n_docs"))
-    val sorted = counts.collect().sortBy(r =>
-      (r.getLong(1), r.isNullAt(0), String.valueOf(r.get(0))))
+    // typed tiebreak: a SQL `ORDER BY n_docs, domain` compares numeric
+    // domains numerically — String.valueOf would put 10 before 2 and
+    // desync every downstream quota (each step depends on `rem`)
+    val sorted = counts.collect().sortWith { (a, b) =>
+      if (a.getLong(1) != b.getLong(1)) a.getLong(1) < b.getLong(1)
+      else (a.isNullAt(0), b.isNullAt(0)) match {
+        case (true, _) => false // nulls last, like SQL ASC
+        case (_, true) => true
+        case _ => (a.get(0), b.get(0)) match {
+          case (x: java.lang.Number, y: java.lang.Number) =>
+            new java.math.BigDecimal(x.toString)
+              .compareTo(new java.math.BigDecimal(y.toString)) < 0
+          case (x, y) =>
+            String.valueOf(x).compareTo(String.valueOf(y)) < 0
+        }
+      }
+    }
     var rem = budget
     val n = sorted.length
     val out = new Array[org.apache.spark.sql.Row](n)

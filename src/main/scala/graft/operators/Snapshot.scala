@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `idCol` must be unique within each snapshot (a corpus
   * primary key — the same contract every dedup survivor set satisfies).
-  * Null handling: a null compared column is encoded as a sentinel
-  * (`\u0002`) distinct from the empty string, and compared columns are
-  * joined with a `\u0001` separator so ("ab", "") and ("a", "b") cannot
-  * collide; null == null counts as unchanged, mirroring SQL's
-  * IS NOT DISTINCT FROM.
+  * Null handling: the fingerprint is a LENGTH-PREFIXED encoding —
+  * `N` for null, `V<charlen>:<value>` otherwise, concatenated — so no
+  * data value can forge a column boundary (separator characters CAN
+  * occur in raw corpus text, and a separator-joined encoding would
+  * then report ("x\u0001y", "z") vs ("x", "y\u0001z") as unchanged).
+  * The encoding is prefix-free, so distinct column tuples map to
+  * distinct pre-hash strings; null == null counts as unchanged,
+  * mirroring SQL's IS NOT DISTINCT FROM.
   */
 object Snapshot {
 
@@ -39,10 +42,12 @@ object Snapshot {
     require(cols.nonEmpty, "Snapshot.diff: no columns to compare")
     def slim(df: DataFrame, fpName: String) =
       df.select(col(idCol).as("__id"),
-        md5(concat_ws("\u0001",
-          cols.map(c =>
-            coalesce(col(c).cast("string"), lit("\u0002"))): _*))
-          .as(fpName))
+        md5(concat(cols.map { c =>
+          val s = col(c).cast("string")
+          when(s.isNull, lit("N"))
+            .otherwise(concat(lit("V"), length(s).cast("string"),
+              lit(":"), s))
+        }: _*)).as(fpName))
     slim(oldSnap, "__fp_old")
       .join(slim(newSnap, "__fp_new"), Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),

@@ -56,11 +56,12 @@ class LayoutSpec extends SparkTestBase {
 
   test("zValue interleaves bits (reference check) and orders both " +
     "dimensions locally") {
-    // reference interleave on the driver
+    // reference interleave on the driver; sign bit flipped so LONG
+    // order == unsigned curve order across the whole [0, 2^32) domain
     def zRef(a: Long, b: Long): Long =
       (0 until 32).foldLeft(0L) { (acc, i) =>
         acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
-      }
+      } ^ Long.MinValue
     val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
       (0xffffffffL, 0L), (0L, 0xffffffffL), (123456789L, 987654321L))
     val got = cases.toDF("a", "b")
@@ -78,6 +79,13 @@ class LayoutSpec extends SparkTestBase {
       (acc, q) => if (acc.headOption.contains(q)) acc else q :: acc
     }
     assert(runs.size === 4, s"quadrants interleaved: $runs")
+    // UNSIGNED ordering across the signed boundary: the upper half of
+    // the 32-bit domain must sort AFTER the lower half (pre-fix, keys
+    // with a >= 2^31 went negative and sorted first)
+    val lowHalf = zRef(0x7fffffffL, 0L)
+    val highHalf = zRef(0x80000000L, 0L)
+    assert(lowHalf < highHalf,
+      s"signed boundary broke the curve: $lowHalf !< $highHalf")
   }
 
   test("parquet aggregate pushdown: min/max/count answered from footer " +

@@ -47,6 +47,17 @@ class SnapshotSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(got(1L) === "changed") // null -> "" must not read as unchanged
     assert(got(2L) === "changed") // ("ab","") vs ("a","b") must differ
+    // data values CANNOT forge column boundaries (length-prefixed
+    // encoding): a value containing the old separator/sentinel
+    // characters must still read as a change
+    val a2 = Seq((1L, "xy", "z"), (2L, "", "k"))
+      .toDF("id", "c1", "c2")
+    val b2 = Seq((1L, "x", "yz"),
+      (2L, null.asInstanceOf[String], "k")).toDF("id", "c1", "c2")
+    val got2 = Snapshot.diff(a2, b2, "id", Seq("c1", "c2"))
+      .as[(Long, String)].collect().toMap
+    assert(got2(1L) === "changed") // injected separator must not merge
+    assert(got2(2L) === "changed") // literal sentinel char vs real null
   }
 
   test("comparing a subset of columns ignores the rest; empty snapshots " +
