@@ -4132,7 +4132,8 @@ object SparkEntry {
   private def bm25RankCtes: String =
     s"""nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
        |dd AS (SELECT doc_id, string_split(t, ' ') AS ws,
-       |         len(string_split(t, ' ')) AS dl FROM nrm),
+       |         CASE WHEN t = '' THEN 0
+       |              ELSE len(string_split(t, ' ')) END AS dl FROM nrm),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
        |tok AS (SELECT doc_id, dl, unnest(ws) AS tok FROM dd),
        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok

@@ -51,8 +51,13 @@ object Retrieval {
     require(k > 0, s"bm25TopK: k=$k")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val base = docs.select(id.as("doc_id"),
-        split(TextAnalysis.normText(text), " ").as("ws"))
-      .withColumn("dl", size(col("ws")))
+        TextAnalysis.normText(text).as("__t"))
+      .select(col("doc_id"), split(col("__t"), " ").as("ws"),
+        // empty text = ZERO tokens: split("") yields [""], and dl=1
+        // phantom tokens from punctuation-only docs inflate sum_dl and
+        // skew every score through avgdl
+        when(col("__t") === "", lit(0))
+          .otherwise(size(split(col("__t"), " "))).as("dl"))
     // one row: corpus size + total token count — exact integer sums, so
     // avgdl is ONE double division on identical operands in any engine
     val stats = base.agg(count(lit(1)).as("n_docs"),

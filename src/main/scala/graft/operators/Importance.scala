@@ -82,6 +82,12 @@ object Importance {
       .select(col("doc_id"), col("__tgt"),
         posexplode(split(graft.functions.TextAnalysis
           .normText(col("__text")), " ")).as(Seq("pos", "w")))
+      // an EMPTY normalized text must contribute ZERO tokens — split("")
+      // yields [""], and at n=1 that minted a phantom md5("") gram for
+      // every empty/punctuation-only document. A "" token can ONLY come
+      // from empty text (normText never emits interior empties), so this
+      // filter is exactly the zero-token rule
+      .where(col("w") =!= "")
     val ordered = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val unordered = org.apache.spark.sql.expressions.Window
@@ -197,7 +203,9 @@ object Importance {
     * Σ max(dl − n + 1, 0) IS the corpus gram count. */
   private def gramTotals(docs: DataFrame, id: Column, text: Column,
                          targetPred: Column, n: Int): DataFrame = {
-    val dl = size(split(graft.functions.TextAnalysis.normText(text), " "))
+    val t = graft.functions.TextAnalysis.normText(text)
+    val dl = when(length(t) === 0, lit(0))
+      .otherwise(size(split(t, " "))) // empty text = ZERO tokens
     val perDoc = when(dl >= n, (dl - lit(n - 1)).cast("long"))
       .otherwise(0L)
     docs.agg(sum(perDoc).as("raw_t"),
