@@ -162,14 +162,25 @@ object EntityResolution {
                       block: Column => Column,
                       maxDistNum: Int = 1, maxDistDen: Int = 8,
                       maxBlock: Int = 1000): DataFrame = {
+    val (base, linkable) = baseFrames(records, id, name, block)
+    resolveCore(base, linkable, maxNormLen(linkable), maxDistNum,
+      maxDistDen, maxBlock)
+  }
+
+  /** The shared resolution core — takes the (base, linkable) frames and
+    * the ALREADY-PROBED max normalized length, so callers that need the
+    * probe themselves ([[persistEntityIndex]]'s empty-corpus refusal)
+    * don't pay a second full normalize+aggregate scan. */
+  private def resolveCore(base: DataFrame, linkable: DataFrame,
+                          maxLenOpt: Option[Int], maxDistNum: Int,
+                          maxDistDen: Int, maxBlock: Int): DataFrame = {
     require(maxDistNum >= 0 && maxDistDen > 0,
       s"resolveEntities: ratio $maxDistNum/$maxDistDen must be a " +
         "non-negative fraction")
     require(maxBlock >= 2,
       s"resolveEntities: maxBlock=$maxBlock cannot form any pair")
-    val (base, linkable) = baseFrames(records, id, name, block)
     val ids = base.select(col("id"))
-    maxNormLen(linkable) match {
+    maxLenOpt match {
       case None =>
         // nothing linkable — everyone resolves as themselves
         ids.select(col("id"), col("id").as("entity_id"))
@@ -213,7 +224,10 @@ object EntityResolution {
       new IllegalArgumentException("persistEntityIndex: no linkable " +
         "records (every name null/empty after normalization) — " +
         "refusing to commit an empty entity index"))
-    val resolved = resolveEntities(records, id, name, block,
+    // reuse the probe: re-deriving it inside resolveEntities would run
+    // the full normalize+max scan a second time per index build
+    val (base, _) = baseFrames(records, id, name, block)
+    val resolved = resolveCore(base, linkable, Some(maxLen),
       maxDistNum, maxDistDen, maxBlock)
     // norm_len rides along so probes recover the corpus-wide maximum
     // (the banded-lev cap) from parquet FOOTER stats as the index
