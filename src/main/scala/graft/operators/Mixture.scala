@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** True for a floating-point NaN/±Infinity — values whose toString
+    * image BigDecimal cannot parse. Integral Numbers are always finite. */
+  private def isNonFinite(n: java.lang.Number): Boolean = n match {
+    case d: java.lang.Double => d.isNaN || d.isInfinite
+    case f: java.lang.Float  => f.isNaN || f.isInfinite
+    case _                   => false
+  }
+
   /** (domain, n_docs, w, quota): the derived mixture table. A NULL
     * domain gets its own quota row here, but `temperatureSample`'s
     * equi-join never matches it (SQL null ≠ null), so null-domain
@@ -121,6 +129,13 @@ object Mixture {
         case (true, _) => false // nulls last, like SQL ASC
         case (_, true) => true
         case _ => (a.get(0), b.get(0)) match {
+          case (x: java.lang.Number, y: java.lang.Number)
+              if isNonFinite(x) || isNonFinite(y) =>
+            // BigDecimal(NaN/Infinity.toString) throws; compare like
+            // Spark's sort order (NaN greatest, then +Inf) instead.
+            // Transitive with the BigDecimal branch: every finite value
+            // compares below +Inf/NaN under Double.compare too.
+            java.lang.Double.compare(x.doubleValue, y.doubleValue) < 0
           case (x: java.lang.Number, y: java.lang.Number) =>
             new java.math.BigDecimal(x.toString)
               .compareTo(new java.math.BigDecimal(y.toString)) < 0

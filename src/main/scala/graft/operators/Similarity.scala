@@ -827,67 +827,80 @@ object Similarity {
     * corpus actually clustering; with nProbe = nCentroids the operator
     * degenerates to exact brute force (the property the spec pins).
     */
+  /** ivfTopK's built-in coarse quantizer: Lloyd's algorithm run
+    * driver-side on a deterministic 4096-row sample.
+    *
+    * Sample ordered by xxhash64(id), NOT by id: the id-prefix is a biased
+    * sample whenever content correlates with ingest order (it always does
+    * at scale — crawl batches, per-source shards); hashing gives a
+    * deterministic UNIFORM draw with the same reproducibility.
+    *
+    * Degenerate rows are excluded from TRAINING like every other trainer
+    * in the family (pqTrain/kMeansTrain/sqTrain filter before collecting)
+    * — a null or short vector in the sample would NPE/AIOOBE the
+    * driver-side Lloyd loop. The canonical dim is the corpus-wide
+    * `probeDim` rule, matching kMeans — NOT the hash-ordered sample's
+    * first element: if that first row were a dim-mismatched outlier, the
+    * whole sample would be filtered down to outlier-dim rows and the
+    * centroids would silently train on the wrong dimension. */
+  private[graft] def ivfSampleCentroids(corpus: DataFrame, idCol: String,
+                                        embCol: String, nCentroids: Int,
+                                        iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = probeDim(corpus.where(wellFormed(col(embCol))), embCol)
+    val sample = corpus
+      .where(wellFormed(col(embCol)) && size(col(embCol)) === dim)
+      .select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .sort(xxhash64(col(idCol)), col(idCol)).limit(4096).collect()
+    require(sample.nonEmpty, "empty corpus")
+    val step = math.max(1, sample.length / nCentroids)
+    var cs: Array[Array[Double]] =
+      (0 until math.min(nCentroids, sample.length))
+        .map(i => sample((i * step) % sample.length)._2.map(_.toDouble))
+        .toArray
+    def cosD(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else dot / den
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cs.length, dim)(0.0)
+      val counts = Array.fill(cs.length)(0L)
+      sample.foreach { case (_, v) =>
+        var best = 0; var bestC = -3.0; var c = 0
+        while (c < cs.length) {
+          val s = cosD(cs(c), v)
+          if (s > bestC) { bestC = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cs = cs.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cs
+  }
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5,
               idCol: String = "vec_id",
               embCol: String = "embedding",
               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     // ---- coarse quantizer: caller-provided (e.g. a full-corpus `kMeans`
     // when the corpus has structure a sample misses), else trained
-    // driver-side on a deterministic sample ----
-    // sample ordered by xxhash64(id), NOT by id: the id-prefix is a biased
-    // sample whenever content correlates with ingest order (it always does
-    // at scale — crawl batches, per-source shards); hashing gives a
-    // deterministic UNIFORM draw with the same reproducibility
-    val cents: Array[Array[Double]] = centroids.getOrElse {
-      // degenerate rows are excluded from TRAINING like every other
-      // trainer in the family (pqTrain/kMeansTrain/sqTrain filter
-      // before collecting) — a null or short vector in the 4096-row
-      // sample would NPE/AIOOBE the driver-side Lloyd loop
-      val rawSample = corpus.where(wellFormed(col(embCol)))
-        .select(col(idCol).cast("long"), col(embCol))
-        .as[(Long, Array[Float])]
-        .sort(xxhash64(col(idCol)), col(idCol)).limit(4096).collect()
-      require(rawSample.nonEmpty, "empty corpus")
-      val sample =
-        rawSample.filter(_._2.length == rawSample.head._2.length)
-      val dim = sample.head._2.length
-      val step = math.max(1, sample.length / nCentroids)
-      var cs: Array[Array[Double]] =
-        (0 until math.min(nCentroids, sample.length))
-          .map(i => sample((i * step) % sample.length)._2.map(_.toDouble))
-          .toArray
-      def cosD(a: Array[Double], b: Array[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < dim) {
-          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
-          i += 1
-        }
-        val den = math.sqrt(na) * math.sqrt(nb)
-        if (den == 0.0) -2.0 else dot / den
-      }
-      for (_ <- 0 until iters) {
-        val sums = Array.fill(cs.length, dim)(0.0)
-        val counts = Array.fill(cs.length)(0L)
-        sample.foreach { case (_, v) =>
-          var best = 0; var bestC = -3.0; var c = 0
-          while (c < cs.length) {
-            val s = cosD(cs(c), v)
-            if (s > bestC) { bestC = s; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < dim) { sums(best)(i) += v(i); i += 1 }
-        }
-        cs = cs.zipWithIndex.map { case (old, c) =>
-          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
-        }
-      }
-      cs
-    }
+    // driver-side on a deterministic sample (ivfSampleCentroids) ----
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(
+        ivfSampleCentroids(corpus, idCol, embCol, nCentroids, iters))
     // ---- expression-level assignment: centroids ranked per row by
     // (negated) dot/|c| — cosine ordering without the per-row norm ----
     val ranked = centroidRanking(col(embCol), cents)

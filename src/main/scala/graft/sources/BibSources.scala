@@ -83,8 +83,13 @@ object BibSources {
     firstFile.exists { f =>
       val in = fs.open(f)
       try {
+        // readFully semantics: a single read() may return far fewer bytes
+        // than requested (HDFS streams legally short-read), which could
+        // miss the first \r\n entirely — loop until 64 KB or EOF.
         val buf = new Array[Byte](65536)
-        val n = in.read(buf)
+        var n = 0
+        var r = in.read(buf, n, buf.length - n)
+        while (r > 0) { n += r; r = in.read(buf, n, buf.length - n) }
         n > 1 && (0 until n - 1).exists(i =>
           buf(i) == '\r'.toByte && buf(i + 1) == '\n'.toByte)
       } finally in.close()

@@ -329,6 +329,21 @@ object Excel {
     * reference's own typing at this boundary); missing/blank cells are
     * null. Sheets must share a header (unionByName aligns them). */
   def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    // OOXML only: a legacy BIFF .xls is not a zip, so ZipInputStream would
+    // yield zero entries and the parts lookup below would die with an
+    // opaque NoSuchElementException. Sniff the zip magic (PK\x03\x04) up
+    // front and fail with an actionable message instead. (The reference's
+    // pd.read_excel reads both formats, wos_parser.py:144; BIFF support is
+    // out of contract here — the fix is a one-time convert.)
+    {
+      val magic = new Array[Byte](4)
+      val fin = new FileInputStream(path)
+      val read = try fin.read(magic) finally fin.close()
+      require(read == 4 && magic(0) == 'P'.toByte && magic(1) == 'K'.toByte
+          && magic(2) == 3.toByte && magic(3) == 4.toByte,
+        s"readXlsx: '$path' is not an OOXML (.xlsx) workbook — legacy " +
+          "BIFF .xls is not supported; convert it to .xlsx first")
+    }
     // ---- unzip the parts we need ----
     val parts = mutable.Map[String, Array[Byte]]()
     val zin = new ZipInputStream(new BufferedInputStream(

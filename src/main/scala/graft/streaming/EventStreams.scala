@@ -549,6 +549,17 @@ object EventStreams {
         return Iterator.empty
       }
       var times = state.getOption.map(_.reachedMs).getOrElse(Seq.empty)
+      // Lazy eviction: a journey staler than watermark − TTL is already
+      // abandoned — its timeout would have fired before this batch's
+      // events were observable (they sit at/above the watermark). Treating
+      // it as evicted HERE (a) makes the outcome independent of whether a
+      // data-less trigger happened to fire the timeout first, and (b)
+      // avoids re-arming setTimeoutTimestamp at/behind the watermark on a
+      // non-advancing event, which throws in Spark 4.1 — and the
+      // checkpoint replays the same batch on restart: a poison pill.
+      val stale =
+        times.nonEmpty && times.last + ttlMs <= state.getCurrentWatermarkMs()
+      if (stale) times = Seq.empty
       val ordered = batch.toSeq.sortBy(_.ts.getTime)
       ordered.foreach { e =>
         if (times.size < k && e.event_type == steps(times.size) &&
@@ -561,8 +572,13 @@ object EventStreams {
           FunnelConversion(userId, times.map(new Timestamp(_))))
       } else {
         if (times.nonEmpty) {
+          // times.last here is ≥ the watermark (late rows are filtered
+          // upstream) or the state was non-stale, so the deadline is
+          // strictly ahead of the watermark — safe to arm.
           state.update(FunnelProgress(times))
           state.setTimeoutTimestamp(times.last + ttlMs)
+        } else if (stale) {
+          state.remove() // abandoned journey with no fresh restart
         }
         Iterator.empty
       }

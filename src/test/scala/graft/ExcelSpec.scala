@@ -378,4 +378,25 @@ class ExcelSpec extends SparkTestBase {
     assert(parts.size === checked,
       s"workbook grew parts not covered by the fixture: ${parts.keys}")
   }
+
+  test("readXlsx refuses a non-OOXML payload (legacy BIFF .xls) with an " +
+    "actionable message instead of an opaque zip-parts failure") {
+    val path = Files.createTempDirectory("graft_xlsx").toString + "/legacy.xls"
+    // BIFF8 compound-file magic (D0 CF 11 E0 ...) — what a real .xls starts
+    // with; any non-PK payload must hit the same guard
+    val out = new java.io.FileOutputStream(path)
+    out.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte))
+    out.write(new Array[Byte](512))
+    out.close()
+    val ex = intercept[IllegalArgumentException] {
+      Excel.readXlsx(spark, path)
+    }
+    assert(ex.getMessage.contains("convert it to .xlsx"))
+    // the dispatch route (.xls -> wosExcel) surfaces the same guard
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.sources.BibSources.readAuto(spark, path, "wos")
+    }
+    assert(ex2.getMessage.contains(".xlsx"))
+  }
 }

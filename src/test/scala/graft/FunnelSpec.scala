@@ -153,6 +153,53 @@ class FunnelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnelConversions: a NON-advancing event for a journey " +
+    "already staler than watermark − TTL drops the state instead of " +
+    "poisoning the query with a behind-watermark timeout") {
+    // Regression: the handler used to re-arm setTimeoutTimestamp at
+    // times.last + TTL unconditionally; for stale state that deadline is
+    // at/behind the current watermark, which throws in Spark 4.1 — and the
+    // checkpoint replays the batch on restart, a poison pill.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{FunnelEvent, FunnelConversion}
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    def dayTs(d: Double) = new Timestamp((d * 86400000L).toLong)
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelConversions(mem.toDS(), steps,
+        abandonAfterDays = 7)
+      .writeStream.format("memory").queryName("funnel_poison")
+      .outputMode("append").start()
+    try {
+      // user 1 stalls at step 1 on day 0 (deadline = day 7)
+      mem.addData(FunnelEvent(1L, dayTs(0), "view"))
+      q.processAllAvailable()
+      // another user's day-20 event advances the watermark to day 13
+      mem.addData(FunnelEvent(9L, dayTs(20), "view"))
+      q.processAllAvailable()
+      // now user 1 receives another step-1 event. Against the STALE
+      // day-0 state it is non-advancing (steps(1)=click) and the old
+      // deadline day 7 <= watermark day 13 would poison the re-arm; lazy
+      // eviction must instead treat the journey as abandoned and let this
+      // event start a FRESH one — exactly what a timeout-then-data
+      // sequence would have produced.
+      mem.addData(FunnelEvent(1L, dayTs(21), "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_poison").count() === 0)
+      // the fresh journey completes with the NEW times — proof the day-0
+      // progress is gone (it would have yielded step_ts(0) = day 0)
+      mem.addData(FunnelEvent(1L, dayTs(21.25), "click"),
+        FunnelEvent(1L, dayTs(21.5), "buy"))
+      q.processAllAvailable()
+      import spark.implicits._
+      val got = spark.table("funnel_poison").as[FunnelConversion].collect()
+      assert(got.length === 1)
+      assert(got(0).step_ts.map(_.getTime).toSeq ===
+        Seq(dayTs(21), dayTs(21.25), dayTs(21.5)).map(_.getTime))
+    } finally q.stop()
+  }
+
   test("funnelSummary: exact counts and ratio columns; guards refuse " +
     "empty and duplicate step lists") {
     val events = Seq(

@@ -110,4 +110,27 @@ class MixtureSpec extends SparkTestBase {
       budget = 60)
     assert(sn.where(col("doc_id") === 900L).count() === 0)
   }
+
+  test("uniMaxQuotas: non-finite double domain values don't crash the " +
+    "typed tiebreak and sort greatest (Spark sort order), fold intact") {
+    // BigDecimal(NaN.toString) throws NumberFormatException; the
+    // comparator must route non-finite floating values through
+    // Double.compare instead. Domain sizes are EQUAL so the tiebreak is
+    // exercised on every adjacent pair.
+    val dd = (
+      (1L to 4L).map(i => (i, 1.5)) ++
+      (5L to 8L).map(i => (i, Double.NaN)) ++
+      (9L to 12L).map(i => (i, Double.PositiveInfinity)) ++
+      (13L to 16L).map(i => (i, -2.0))
+    ).toDF("doc_id", "dom")
+    val q = Mixture.uniMaxQuotas(dd, col("dom"), budget = 10)
+      .collect().map(r => r.getDouble(0) -> r.getLong(2))
+    // ascending-size fold with equal sizes walks the tiebreak order:
+    // -2.0, 1.5, +Inf, NaN (NaN greatest, like Spark/SQL sorts);
+    // shares: min(4,10/4)=2, min(4,8/3)=2, min(4,6/2)=3, min(4,3/1)=3
+    assert(q.map(_._1).takeWhile(!_.isNaN) === Seq(-2.0, 1.5,
+      Double.PositiveInfinity))
+    assert(q.last._1.isNaN)
+    assert(q.map(_._2) === Seq(2L, 2L, 3L, 3L))
+  }
 }

@@ -900,4 +900,28 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
     assert(prod.toSeq === got.toSeq)
   }
+
+  test("ivfSampleCentroids trains on the corpus-canonical dimension even " +
+    "when the hash-ordered sample's FIRST row is a dim-mismatched outlier") {
+    // Regression: the canonical dim used to be taken from the sample's
+    // first element; an outlier landing first (by xxhash64 order) filtered
+    // the whole sample down to outlier-dim rows and the centroids silently
+    // trained on the wrong dimension. Pin the probeDim rule instead.
+    val base = (0L until 40L).map { i =>
+      (i, Array(1f + i, 2f, 3f, 4f))
+    }.toDF("vec_id", "embedding")
+    // find the id that sorts FIRST under (xxhash64(id), id) — the same
+    // ordering the sampler uses — and make THAT row the dim-2 outlier
+    val firstId = base
+      .sort(xxhash64(col("vec_id")), col("vec_id"))
+      .select("vec_id").as[Long].head()
+    val corpus = base.withColumn("embedding",
+      when(col("vec_id") === firstId, typedlit(Array(9f, 9f)))
+        .otherwise(col("embedding")))
+    val cents = Similarity.ivfSampleCentroids(corpus, "vec_id",
+      "embedding", nCentroids = 4, iters = 3)
+    assert(cents.nonEmpty)
+    assert(cents.forall(_.length === 4),
+      s"centroids trained on dims ${cents.map(_.length).toSeq}")
+  }
 }
