@@ -33,6 +33,32 @@ import org.apache.spark.sql.functions._
   */
 object Shard {
 
+  /** Default routing threshold for the `scalableNtile` family's adaptive
+    * small-frame dispatch. The bucketed two-phase forms pay a measured
+    * 2-8× fixed per-pass job overhead at toy scale (BASELINE.md, r11
+    * probes), while the plain window form is only a scale hazard once
+    * ONE task must sort the whole frame (global cut) or the hottest
+    * group (grouped cut). A 2M-row frame sorts comfortably inside one
+    * task (the 2M-row probe's window form ran 4.2 s against 8.3 s
+    * bucketed), so sub-threshold frames take the window; above it the
+    * two-phase machinery takes over. The forms are bit-identical by
+    * construction — dispatch can never change a result, only a plan
+    * (ShardSpec pins equality on both paths). Pass `windowFormMax = 0`
+    * to force the bucketed path (the scale probes do). */
+  val defaultWindowFormMax: Int = 2000000
+
+  /** Bounded-count dispatch probe: "does the frame hold at most `limit`
+    * rows?" via `limit(n+1).count()` — early-aborting on big frames
+    * (each partition stops once n+1 rows surface) and column-pruned to
+    * nothing (an upstream scoring projection is NOT computed for the
+    * probe), so its cost is a fraction of any real pass. The probe never
+    * evaluates the raise_error guards; the dispatching caller threads
+    * the guarded column through the routed window's OUTPUT expression,
+    * so the guards fire inside the window job itself — the small path
+    * stays at one cheap probe + ONE full pass. */
+  private def smallFrame(df: DataFrame, limit: Int): Boolean =
+    limit > 0 && df.limit(limit + 1).count() <= limit
+
   /** Value of the first FOUR hex characters of an md5 hex string
     * (0..65535) — the cross-engine uniform bucket draw. Four digits, not
     * one: `mod nShards` of a 16-value draw is uniform only when nShards
@@ -339,10 +365,13 @@ object Shard {
   def scalableNtile(df: DataFrame, k: Int, leading: Column,
                     tiebreak: Column, out: String,
                     descending: Boolean = false,
-                    buckets: Int = 64): DataFrame = {
+                    buckets: Int = 64,
+                    windowFormMax: Int = defaultWindowFormMax): DataFrame = {
     require(k >= 1, s"scalableNtile: k=$k must be >= 1")
     require(buckets >= 1 && buckets <= 4096,
       s"scalableNtile: buckets=$buckets out of [1, 4096]")
+    require(windowFormMax >= 0 && windowFormMax < Int.MaxValue,
+      s"scalableNtile: windowFormMax=$windowFormMax out of [0, 2^31-2]")
     val spark = df.sparkSession
     import spark.implicits._
     val signed = if (descending) -leading.cast("double")
@@ -354,6 +383,23 @@ object Shard {
         "value — NaN has no defined quantile bucket; filter or impute " +
         "upstream")))
       .otherwise(signed))
+    val ordCols: Seq[Column] =
+      if (descending) Seq(leading.desc, tiebreak.asc)
+      else Seq(leading.asc, tiebreak.asc)
+    if (smallFrame(df, windowFormMax)) {
+      // Adaptive dispatch: the two forms are bit-identical by
+      // construction (same order, same tile arithmetic — spec-pinned on
+      // both paths), so a sub-threshold frame takes the plain window and
+      // skips the sketch + count passes' fixed per-pass job overhead.
+      // The output references the guarded cast image (__nt_d is never
+      // null — the guard raises first — so the `when` is the identity),
+      // which makes the null/NaN guards fire INSIDE the window job: no
+      // guard pre-pass re-executes the upstream plan.
+      return work
+        .withColumn(out, when(col("__nt_d").isNotNull,
+          ntile(k).over(Window.orderBy(ordCols: _*))).cast("int"))
+        .drop("__nt_d")
+    }
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val splits =
       if (buckets == 1) {
@@ -377,10 +423,7 @@ object Shard {
       }.toSeq
     }
     val offDf = broadcast(offsets.toDF("__nt_b", "__nt_off"))
-    val ord: Seq[Column] =
-      if (descending) Seq(leading.desc, tiebreak.asc)
-      else Seq(leading.asc, tiebreak.asc)
-    val inBucket = Window.partitionBy(col("__nt_b")).orderBy(ord: _*)
+    val inBucket = Window.partitionBy(col("__nt_b")).orderBy(ordCols: _*)
     val withRank = wb
       .withColumn("__nt_rank0",
         row_number().over(inBucket).cast("long") - 1L)
@@ -520,10 +563,14 @@ object Shard {
   def scalableNtileByGroup(df: DataFrame, k: Int, group: Column,
                            leading: Column, tiebreak: Column, out: String,
                            descending: Boolean = false, buckets: Int = 64,
-                           maxGroups: Int = 65536): DataFrame = {
+                           maxGroups: Int = 65536,
+                           windowFormMax: Int = defaultWindowFormMax)
+      : DataFrame = {
     require(k >= 1, s"scalableNtileByGroup: k=$k must be >= 1")
     require(buckets >= 1 && buckets <= 4096,
       s"scalableNtileByGroup: buckets=$buckets out of [1, 4096]")
+    require(windowFormMax >= 0 && windowFormMax < Int.MaxValue,
+      s"scalableNtileByGroup: windowFormMax=$windowFormMax out of range")
     val signed = if (descending) -leading.cast("double")
       else leading.cast("double")
     val work = df
@@ -539,6 +586,22 @@ object Shard {
           "NaN leading value — NaN has no defined quantile bucket; " +
           "filter or impute upstream")))
         .otherwise(signed))
+    if (smallFrame(df, windowFormMax)) {
+      // Adaptive dispatch (see scalableNtile): sub-threshold frames —
+      // where even the HOTTEST group fits one task by definition — take
+      // the plain grouped window. Partitioning by the guarded group
+      // image (identical values — null raises) and referencing the
+      // guarded leading image in the output makes ALL guards fire
+      // inside the window job itself.
+      val ordW: Seq[Column] =
+        if (descending) Seq(leading.desc, tiebreak.asc)
+        else Seq(leading.asc, tiebreak.asc)
+      return work
+        .withColumn(out, when(col("__nt_d").isNotNull,
+          ntile(k).over(Window.partitionBy(col("__nt_g"))
+            .orderBy(ordW: _*))).cast("int"))
+        .drop("__nt_g", "__nt_d")
+    }
     val probs = (1 until buckets).map(_.toDouble / buckets)
     // pass 1: per-group split points (ONE aggregation; ≤groups rows),
     // materialized so the cardinality guard and the broadcast read the
@@ -642,12 +705,16 @@ object Shard {
     * Returns the input columns plus one `spec.out` INT column per
     * spec. */
   def scalableNtileMulti(df: DataFrame, specs: Seq[NtileSpec],
-                         buckets: Int = 64): DataFrame = {
+                         buckets: Int = 64,
+                         windowFormMax: Int = defaultWindowFormMax)
+      : DataFrame = {
     require(specs.nonEmpty, "scalableNtileMulti: no cut specs")
     require(specs.map(_.out).distinct.size == specs.size,
       "scalableNtileMulti: duplicate output column names")
     require(buckets >= 1 && buckets <= 4096,
       s"scalableNtileMulti: buckets=$buckets out of [1, 4096]")
+    require(windowFormMax >= 0 && windowFormMax < Int.MaxValue,
+      s"scalableNtileMulti: windowFormMax=$windowFormMax out of range")
     specs.foreach(sp => require(sp.k >= 1,
       s"scalableNtileMulti: k=${sp.k} must be >= 1 (${sp.out})"))
     val spark = df.sparkSession
@@ -664,6 +731,20 @@ object Shard {
           s"leading value (${sp.out}) — NaN has no defined quantile " +
           "bucket; filter or impute upstream")))
         .otherwise(signed))
+    }
+    if (smallFrame(df, windowFormMax)) {
+      // Adaptive dispatch (see scalableNtile): sub-threshold frames take
+      // chained plain windows in ONE plan — no checkpoint, no sketch
+      // pass, no grouping-sets count pass. Each output references its
+      // spec's guarded cast image, so every guard fires inside the
+      // window job.
+      return specs.zipWithIndex.foldLeft(work) { case (acc, (sp, i)) =>
+        val ordW: Seq[Column] =
+          if (sp.descending) Seq(sp.leading.desc, sp.tiebreak.asc)
+          else Seq(sp.leading.asc, sp.tiebreak.asc)
+        acc.withColumn(sp.out, when(col(dCols(i)).isNotNull,
+          ntile(sp.k).over(Window.orderBy(ordW: _*))).cast("int"))
+      }.drop(dCols: _*)
     }
     val mat = Dedup.materialize(work)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray

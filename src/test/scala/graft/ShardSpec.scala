@@ -189,7 +189,7 @@ class ShardSpec extends SparkTestBase {
           ntile(5).over(Window.orderBy(ord: _*)))
         .select("id", "t").as[(Long, Int)].collect().toMap
       val got = Shard.scalableNtile(df, 5, col("metric"), col("id"),
-          "t", descending = desc, buckets = buckets)
+          "t", descending = desc, buckets = buckets, windowFormMax = 0)
         .select("id", "t").as[(Long, Int)].collect().toMap
       assert(got === want, s"desc=$desc buckets=$buckets")
     }
@@ -202,14 +202,16 @@ class ShardSpec extends SparkTestBase {
     val want = small.withColumn("t",
         ntile(7).over(Window.orderBy(col("m").asc, col("id").asc)))
       .select("id", "t").as[(Long, Int)].collect().toMap
-    val got = Shard.scalableNtile(small, 7, col("m"), col("id"), "t")
+    val got = Shard.scalableNtile(small, 7, col("m"), col("id"), "t",
+      windowFormMax = 0)
       .select("id", "t").as[(Long, Int)].collect().toMap
     assert(got === want)
     val re = Shard.scalableNtile(ntileFixture.repartition(13), 5,
-        col("metric"), col("id"), "t", descending = true)
+        col("metric"), col("id"), "t", descending = true,
+        windowFormMax = 0)
       .select("id", "t").as[(Long, Int)].collect().toMap
     val base = Shard.scalableNtile(ntileFixture, 5, col("metric"),
-        col("id"), "t", descending = true)
+        col("id"), "t", descending = true, windowFormMax = 0)
       .select("id", "t").as[(Long, Int)].collect().toMap
     assert(re === base)
   }
@@ -217,13 +219,15 @@ class ShardSpec extends SparkTestBase {
   test("scalableNtile: no single-partition exchange in the plan; null " +
     "leading value fails loudly") {
     val plan = Shard.scalableNtile(ntileFixture, 5, col("metric"),
-      col("id"), "t").queryExecution.executedPlan.toString
+      col("id"), "t", windowFormMax = 0)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"found a single-partition exchange:\n$plan")
     val withNull = ntileFixture.withColumn("metric",
       when(col("id") === 3L, lit(null)).otherwise(col("metric")))
     val e = intercept[Exception] {
-      Shard.scalableNtile(withNull, 5, col("metric"), col("id"), "t")
+      Shard.scalableNtile(withNull, 5, col("metric"), col("id"), "t",
+          windowFormMax = 0)
         .collect()
     }
     assert(e.getMessage.contains("null leading value"))
@@ -288,7 +292,7 @@ class ShardSpec extends SparkTestBase {
         .otherwise(col("metric").cast("double")))
     val e1 = intercept[Exception] {
       Shard.scalableNtile(withNaN, 5, col("metric"), col("id"), "t",
-        buckets = 1).collect()
+        buckets = 1, windowFormMax = 0).collect()
     }
     assert(e1.getMessage.contains("NaN leading value"))
     val rsNull = Seq((java.lang.Double.valueOf(1.0), 1L),
@@ -302,7 +306,7 @@ class ShardSpec extends SparkTestBase {
       when(col("id") === 3L, lit(null)).otherwise(col("metric")))
     val e3 = intercept[Exception] {
       Shard.scalableNtileByGroup(nullM, 3, col("lang"), col("metric"),
-        col("id"), "t", buckets = 1).collect()
+        col("id"), "t", buckets = 1, windowFormMax = 0).collect()
     }
     assert(e3.getMessage.contains("null leading value"))
   }
@@ -313,7 +317,8 @@ class ShardSpec extends SparkTestBase {
       when(col("id") === 3L, lit(Double.NaN))
         .otherwise(col("metric").cast("double")))
     val e1 = intercept[Exception] {
-      Shard.scalableNtile(withNaN, 5, col("metric"), col("id"), "t")
+      Shard.scalableNtile(withNaN, 5, col("metric"), col("id"), "t",
+          windowFormMax = 0)
         .collect()
     }
     assert(e1.getMessage.contains("NaN leading value"))
@@ -350,7 +355,7 @@ class ShardSpec extends SparkTestBase {
         .select("id", "t").as[(Long, Int)].collect().toMap
       val got = Shard.scalableNtileByGroup(df, k, col("lang"),
           col("metric"), col("id"), "t", descending = desc,
-          buckets = buckets)
+          buckets = buckets, windowFormMax = 0)
         .select("id", "t").as[(Long, Int)].collect().toMap
       assert(got === want, s"desc=$desc buckets=$buckets k=$k")
     }
@@ -367,14 +372,16 @@ class ShardSpec extends SparkTestBase {
           .orderBy(col("m").asc, col("id").asc)))
       .select("id", "t").as[(Long, Int)].collect().toMap
     val got = Shard.scalableNtileByGroup(df, 7, col("g"), col("m"),
-        col("id"), "t")
+        col("id"), "t", windowFormMax = 0)
       .select("id", "t").as[(Long, Int)].collect().toMap
     assert(got === want)
     val re = Shard.scalableNtileByGroup(groupedFixture.repartition(13),
-        5, col("lang"), col("metric"), col("id"), "t", descending = true)
+        5, col("lang"), col("metric"), col("id"), "t", descending = true,
+        windowFormMax = 0)
       .select("id", "t").as[(Long, Int)].collect().toMap
     val base = Shard.scalableNtileByGroup(groupedFixture, 5, col("lang"),
-        col("metric"), col("id"), "t", descending = true)
+        col("metric"), col("id"), "t", descending = true,
+        windowFormMax = 0)
       .select("id", "t").as[(Long, Int)].collect().toMap
     assert(re === base)
   }
@@ -384,7 +391,7 @@ class ShardSpec extends SparkTestBase {
     "group alone; null group / null leading / NaN leading fail loudly; " +
     "group-cardinality guard") {
     val plan = Shard.scalableNtileByGroup(groupedFixture, 3, col("lang"),
-        col("metric"), col("id"), "t")
+        col("metric"), col("id"), "t", windowFormMax = 0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"found a single-partition exchange:\n$plan")
@@ -399,14 +406,14 @@ class ShardSpec extends SparkTestBase {
       when(col("id") === 3L, lit(null)).otherwise(col("lang")))
     val e1 = intercept[Exception] {
       Shard.scalableNtileByGroup(nullG, 3, col("lang"), col("metric"),
-        col("id"), "t").collect()
+        col("id"), "t", windowFormMax = 0).collect()
     }
     assert(e1.getMessage.contains("null group value"))
     val nullM = groupedFixture.withColumn("metric",
       when(col("id") === 3L, lit(null)).otherwise(col("metric")))
     val e2 = intercept[Exception] {
       Shard.scalableNtileByGroup(nullM, 3, col("lang"), col("metric"),
-        col("id"), "t").collect()
+        col("id"), "t", windowFormMax = 0).collect()
     }
     assert(e2.getMessage.contains("null leading value"))
     val nanM = groupedFixture.withColumn("metric",
@@ -414,12 +421,13 @@ class ShardSpec extends SparkTestBase {
         .otherwise(col("metric").cast("double")))
     val e3 = intercept[Exception] {
       Shard.scalableNtileByGroup(nanM, 3, col("lang"), col("metric"),
-        col("id"), "t").collect()
+        col("id"), "t", windowFormMax = 0).collect()
     }
     assert(e3.getMessage.contains("NaN leading value"))
     val e4 = intercept[IllegalArgumentException] {
       Shard.scalableNtileByGroup(groupedFixture, 3, col("id"),
-        col("metric"), col("id"), "t", maxGroups = 10)
+        col("metric"), col("id"), "t", maxGroups = 10,
+        windowFormMax = 0)
     }
     assert(e4.getMessage.contains("exceeds maxGroups"))
   }
@@ -463,16 +471,18 @@ class ShardSpec extends SparkTestBase {
     val nested = Shard.scalableNtile(
       Shard.scalableNtile(
         Shard.scalableNtile(df, 5, col("r"), col("id"), "rq",
-          descending = true),
-        5, col("f"), col("id"), "fq", descending = true),
-      4, col("m"), col("id"), "mq")
+          descending = true, windowFormMax = 0),
+        5, col("f"), col("id"), "fq", descending = true,
+        windowFormMax = 0),
+      4, col("m"), col("id"), "mq", windowFormMax = 0)
       .select("id", "rq", "fq", "mq")
       .as[(Long, Int, Int, Int)].collect()
       .map { case (i, a, b, c) => i -> ((a, b, c)) }.toMap
     val multi = Shard.scalableNtileMulti(df, Seq(
         Shard.NtileSpec(5, col("r"), col("id"), "rq", descending = true),
         Shard.NtileSpec(5, col("f"), col("id"), "fq", descending = true),
-        Shard.NtileSpec(4, col("m"), col("id"), "mq")))
+        Shard.NtileSpec(4, col("m"), col("id"), "mq")),
+      windowFormMax = 0)
       .select("id", "rq", "fq", "mq")
       .as[(Long, Int, Int, Int)].collect()
       .map { case (i, a, b, c) => i -> ((a, b, c)) }.toMap
@@ -483,5 +493,68 @@ class ShardSpec extends SparkTestBase {
         Shard.NtileSpec(5, col("f"), col("id"), "q")))
     }
     assert(e.getMessage.contains("duplicate output column names"))
+  }
+
+  // -- adaptive small-frame dispatch (windowFormMax) -------------------------
+
+  test("scalableNtile family: adaptive dispatch routes sub-threshold " +
+    "frames to the plain window form, bit-identical to the bucketed " +
+    "path, with the null/NaN guards still firing") {
+    import org.apache.spark.sql.expressions.Window
+    val df = ntileFixture
+    // the DEFAULT threshold routes this toy frame to the window form:
+    // no bucket machinery in the plan, an ntile window instead
+    val small = Shard.scalableNtile(df, 5, col("metric"), col("id"), "t")
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("__nt_b"), smallPlan.take(2000))
+    assert(smallPlan.toLowerCase.contains("ntile"), smallPlan.take(2000))
+    // ... and windowFormMax = 0 forces the bucketed machinery
+    val forced = Shard.scalableNtile(df, 5, col("metric"), col("id"),
+      "t", windowFormMax = 0)
+    assert(forced.queryExecution.executedPlan.toString.contains("__nt_b"))
+    // both paths bit-identical, for all three forms
+    def m(d: org.apache.spark.sql.DataFrame, cols: String*) =
+      d.select("id", cols: _*).collect()
+        .map(r => r.getLong(0) -> cols.indices.map(i => r.getInt(i + 1)))
+        .toMap
+    assert(m(small, "t") === m(forced, "t"))
+    val g = groupedFixture
+    assert(m(Shard.scalableNtileByGroup(g, 3, col("lang"), col("metric"),
+        col("id"), "t"), "t") ===
+      m(Shard.scalableNtileByGroup(g, 3, col("lang"), col("metric"),
+        col("id"), "t", windowFormMax = 0), "t"))
+    val rfm = (1L to 237L)
+      .map(i => (i, (i * 7919) % 19, (i * 31) % 7, i % 13))
+      .toDF("id", "r", "f", "m")
+    val specs = Seq(
+      Shard.NtileSpec(5, col("r"), col("id"), "rq", descending = true),
+      Shard.NtileSpec(5, col("f"), col("id"), "fq", descending = true),
+      Shard.NtileSpec(4, col("m"), col("id"), "mq"))
+    assert(m(Shard.scalableNtileMulti(rfm, specs), "rq", "fq", "mq") ===
+      m(Shard.scalableNtileMulti(rfm, specs, windowFormMax = 0),
+        "rq", "fq", "mq"))
+    // guards are NOT lost on the window path: the window sorts by the
+    // original column, so the guarded cast image must be forced
+    val withNull = df.withColumn("metric",
+      when(col("id") === 3L, lit(null)).otherwise(col("metric")))
+    val e1 = intercept[Exception] {
+      Shard.scalableNtile(withNull, 5, col("metric"), col("id"), "t")
+        .collect()
+    }
+    assert(e1.getMessage.contains("null leading value"))
+    val nullG = groupedFixture.withColumn("lang",
+      when(col("id") === 3L, lit(null)).otherwise(col("lang")))
+    val e2 = intercept[Exception] {
+      Shard.scalableNtileByGroup(nullG, 3, col("lang"), col("metric"),
+        col("id"), "t").collect()
+    }
+    assert(e2.getMessage.contains("null group value"))
+    val nanR = rfm.withColumn("f",
+      when(col("id") === 3L, lit(Double.NaN))
+        .otherwise(col("f").cast("double")))
+    val e3 = intercept[Exception] {
+      Shard.scalableNtileMulti(nanR, specs).collect()
+    }
+    assert(e3.getMessage.contains("NaN leading value"))
   }
 }

@@ -2072,7 +2072,7 @@ object ScaleProbe {
       var two: DataFrame = null
       t("grouped_ntile_bucketed") {
         two = graft.operators.Shard.scalableNtileByGroup(df, 3,
-          col("lang"), col("metric"), col("id"), "t")
+          col("lang"), col("metric"), col("id"), "t", windowFormMax = 0)
           .localCheckpoint(true)
         two.count()
       }
@@ -2120,7 +2120,7 @@ object ScaleProbe {
       var two: DataFrame = null
       t("twophase_ntile_bucketed") {
         two = graft.operators.Shard.scalableNtile(df, 5, col("metric"),
-          col("id"), "t", descending = true).localCheckpoint(true)
+          col("id"), "t", descending = true, windowFormMax = 0).localCheckpoint(true)
         two.count()
       }
       var glob: DataFrame = null
