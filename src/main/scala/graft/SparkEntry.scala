@@ -985,6 +985,23 @@ object SparkEntry {
           minDocs = boilerplateMinDocs)
         .orderBy("doc_id")),
 
+    // the incremental form: corpus span-counts persisted once, the
+    // batch probed against summed corpus+batch document frequencies —
+    // EXACT equivalence to the full recompute restricted to batch docs
+    // (hotness is a symmetric count), which is what the oracle runs
+    "q_dedup_boilerplate_probe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = System.getProperty("java.io.tmpdir") +
+        s"/graft_boiler_idx_${math.abs(dir.hashCode)}"
+      Dedup.persistBoilerplateIndex(docs.where(col("doc_id") % 10 =!= 0),
+        col("doc_id"), col("text"), idx, chunkWords = spansChunkWords,
+        minDocs = boilerplateMinDocs)
+      Dedup.probeBoilerplateIndex(docs.where(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), idx, chunkWords = spansChunkWords,
+          minDocs = boilerplateMinDocs)
+        .orderBy("doc_id")
+    }),
+
     // passage-level exact dedup (ExactSubstr-style): OVERLAPPING 6-word
     // windows at stride 1, so repeated runs are excised at arbitrary
     // word offsets — not just on the disjoint chunk grid q_dedup_spans
@@ -4650,7 +4667,8 @@ object SparkEntry {
     * document-frequency gate as the Spark query (mirrors
     * `Dedup.boilerplateDedup`): spans in >= minDocs distinct documents
     * are removed everywhere; per-doc totals ride along. */
-  private def boilerplateOracleSql(chunkWords: Int, minDocs: Int): String = {
+  private def boilerplateOracleSql(chunkWords: Int, minDocs: Int,
+                                   docWhereSql: String = "TRUE"): String = {
     val n = chunkWords
     s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS w
        |           FROM documents
@@ -4676,6 +4694,7 @@ object SparkEntry {
        |  coalesce(rb.n_spans, 0) AS n_spans,
        |  coalesce(rb.n_removed, 0) AS n_removed
        |FROM documents doc LEFT JOIN rb USING (doc_id)
+       |WHERE $docWhereSql
        |ORDER BY doc.doc_id""".stripMargin
   }
 
@@ -5606,6 +5625,12 @@ object SparkEntry {
     "q_dedup_spans" -> spansOracleSql(spansChunkWords),
     "q_dedup_boilerplate" ->
       boilerplateOracleSql(spansChunkWords, boilerplateMinDocs),
+
+    // full recompute over corpus ∪ batch, restricted to the batch docs —
+    // the probe's exact-equivalence contract
+    "q_dedup_boilerplate_probe" ->
+      boilerplateOracleSql(spansChunkWords, boilerplateMinDocs,
+        docWhereSql = "doc.doc_id % 10 = 0"),
 
     "q_decontaminate_spans" ->
       decontaminateSpansOracleSql(decontamSpanWords),

@@ -186,6 +186,241 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Persist the corpus's per-span distinct-document counts as a
+    * write-once parquet index — the ingest-time half of CONTINUOUS
+    * boilerplate removal ([[boilerplateDedup]]'s incremental shape,
+    * mirroring [[persistPassageIndex]]). Cross-doc template chrome
+    * changes slowly; a pipeline pays the corpus span-count pass ONCE and
+    * every later batch probes at batch cost instead of re-counting the
+    * corpus document frequencies per batch.
+    *
+    * Unlike the passage index (a SET of window hashes — any corpus
+    * occurrence outranks a batch one), boilerplate hotness is a COUNT
+    * threshold, so the index stores (span, n_docs) and the probe sums
+    * corpus + batch counts against `minDocs`. Layout under `path`:
+    * `spans/` (span, n_docs), `meta/` (chunk_words, min_docs) — meta is
+    * RETRACTED FIRST on re-persist and written LAST (the persistPcaModel
+    * discipline), so a crash mid-re-persist can never leave old meta
+    * vouching for new spans. */
+  def persistBoilerplateIndex(corpus: DataFrame, id: Column, text: Column,
+                              path: String, chunkWords: Int,
+                              minDocs: Int): Unit = {
+    require(chunkWords > 0 && minDocs > 0,
+      s"persistBoilerplateIndex: chunkWords=$chunkWords, minDocs=$minDocs")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaDir)) fs.delete(metaDir, true)
+    spanGrid(corpus.where(id.isNotNull), id, text, chunkWords)
+      .dropDuplicates("span", "doc_id")
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$path/spans")
+    Seq((chunkWords, minDocs)).toDF("chunk_words", "min_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a [[persistBoilerplateIndex]] artifact with an ingestion
+    * batch: a batch span is removed iff its corpus document count PLUS
+    * its batch distinct-document count reaches the index's `minDocs`.
+    * Output contract = [[boilerplateDedup]] over corpus ∪ batch
+    * restricted to the batch docs — EXACT, not approximate (hotness is a
+    * symmetric count, so the union recompute and the summed probe see
+    * identical frequencies; spec-pinned, batch ids disjoint from corpus
+    * ids).
+    *
+    * Scale shape: the batch's per-span counts are batch-bounded and
+    * broadcast into a semi-join over the index scan (the index is read
+    * once, never shuffled); the batch-relevant corpus counts broadcast
+    * back over the batch spans. Probe cost tracks the BATCH plus one
+    * index scan. `broadcastBatch = false` is the same
+    * too-big-to-broadcast dial as [[probePassageIndex]]. */
+  def probeBoilerplateIndex(batch: DataFrame, batchId: Column,
+                            batchText: Column, path: String,
+                            chunkWords: Int, minDocs: Int,
+                            broadcastBatch: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    requireBoilerplateMeta(spark, path, chunkWords, minDocs, "probe")
+    probeBoilerplateFrame(batch, batchId, batchText,
+      spark.read.parquet(s"$path/spans").select("span", "n_docs"),
+      chunkWords, minDocs, broadcastBatch)
+  }
+
+  /** The path-free probe core: `indexCounts` is the corpus per-span
+    * count frame (span, n_docs). [[boilerplateGateBatch]] applies the
+    * same count-summing logic against its strictly-earlier epoch view
+    * (it re-derives the frame to share one pinned span pass with the
+    * index write). */
+  private def probeBoilerplateFrame(batch: DataFrame, batchId: Column,
+                                    batchText: Column,
+                                    indexCounts: DataFrame,
+                                    chunkWords: Int, minDocs: Int,
+                                    broadcastBatch: Boolean): DataFrame = {
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
+    val spans = spanGrid(batch.where(batchId.isNotNull), batchId,
+      batchText, chunkWords)
+    val batchCounts = spans.select(col("span"), col("doc_id"))
+      .dropDuplicates("span", "doc_id")
+      .groupBy("span").agg(count(lit(1)).as("__bn"))
+    val corpusCounts = indexCounts
+      .join(bc(batchCounts.select("span")), Seq("span"), "left_semi")
+    val hot = batchCounts.join(bc(corpusCounts), Seq("span"), "left")
+      .where(col("__bn") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
+      .select(col("span"), lit(true).as("__hot"))
+    val marked = spans.join(bc(hot), Seq("span"), "left")
+      .select(col("doc_id"), col("span_idx"), col("span"),
+        coalesce(col("__hot"), lit(false)).as("__rm"))
+    val rebuilt = marked.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("__rm"),
+            struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("text_deduped"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__rm").cast("long")).as("n_removed"))
+    batch.select(batchId.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  private def requireBoilerplateMeta(spark: SparkSession, path: String,
+                                     chunkWords: Int, minDocs: Int,
+                                     op: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (mc, md) = (meta.getInt(0), meta.getInt(1))
+    require(mc == chunkWords && md == minDocs,
+      s"boilerplate index at $path was built with (chunkWords=$mc, " +
+        s"minDocs=$md) but $op requested (chunkWords=$chunkWords, " +
+        s"minDocs=$minDocs)")
+  }
+
+  /** One microbatch of the continuous BOILERPLATE gate — the
+    * df-threshold sibling of [[passageGateBatch]] (same epoch
+    * partitioning, marker-last bootstrap, self-excluding replay read),
+    * with one structural difference: the index is a COUNT store, not a
+    * set. Each epoch appends its batch's per-span distinct-doc counts
+    * as partition `ingest_batch = N`; a probe SUMS counts across
+    * committed epochs (minus its own — the self-exclusion), so hotness
+    * reflects every document ever ingested, INCLUDING chrome already
+    * excised from earlier batches' rewritten text (the raw batch is
+    * counted, which is exactly what a full recompute over the raw
+    * union would see).
+    *
+    * Because the index is consulted by SUMMING, [[compactSetIndex]]'s
+    * duplicate-tolerance argument does NOT apply — transient duplicate
+    * partitions would double-count. Compaction for this index means
+    * summing, and is deliberately not provided until needed; refuse the
+    * temptation to point compactSetIndex here.
+    *
+    * Replay idempotence: the probe reads only STRICTLY-EARLIER epochs
+    * (`ingest_batch < batchId`, not the passage gate's `!=` — counts
+    * are raw frequencies, so a later epoch can carry this batch's own
+    * spans and `!=` would inflate a bootstrap replay's view), so any
+    * replayed epoch recomputes EXACTLY the original rewritten batch and
+    * per-span counts, and rewrites its own partitions identically
+    * (dynamic overwrite). At-least-once × idempotent = exactly-once. */
+  def boilerplateGateBatch(indexPath: String, corpusPath: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           chunkWords: Int = 8, minDocs: Int = 4,
+                           broadcastBatch: Boolean = true)
+                          (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    val marker =
+      new org.apache.hadoop.fs.Path(s"$indexPath/meta/_GRAFT_COMMITTED")
+    val spansDir = new org.apache.hadoop.fs.Path(s"$indexPath/spans")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(marker)
+    if (!bootstrap)
+      requireBoilerplateMeta(spark, indexPath, chunkWords, minDocs, "gate")
+    // a FLAT spans/ layout is a persistBoilerplateIndex artifact —
+    // probe-only, refused in BOTH paths (the passage gate's argument)
+    if (fs.exists(spansDir))
+      require(!fs.listStatus(spansDir).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")),
+        s"boilerplate gate at $indexPath: spans/ is not " +
+          "epoch-partitioned (persistBoilerplateIndex artifact?) — use " +
+          "probeBoilerplateIndex for one-shot probes")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
+    val id = col(idCol)
+    val text = col(textCol)
+    // the index view, SUMMED over the STRICTLY-EARLIER epochs only —
+    // stronger than the passage gate's `!= batchId` self-exclusion,
+    // and necessary here: counts are RAW batch frequencies (not
+    // novel-only sets), so a later epoch's partition can carry the
+    // same spans this batch contributed; a bootstrap replay reading it
+    // under `!=` would see inflated frequencies and excise spans the
+    // original run admitted. Under `<` every replay recomputes against
+    // exactly the view its original run saw. Bootstrap runs the same
+    // code path against an empty count frame.
+    val idxCounts =
+      if (bootstrap)
+        Seq.empty[(String, Long)].toDF("span", "n_docs")
+      else
+        spark.read.parquet(s"$indexPath/spans")
+          .where(col("ingest_batch") < lit(batchId))
+          .groupBy("span").agg(sum(col("n_docs")).as("n_docs"))
+    // ONE batch span-count pass feeds the probe and the index write
+    val spans = materialize(
+      spanGrid(batch.where(id.isNotNull), id, text, chunkWords))
+    val batchCounts = materialize(spans
+      .select(col("span"), col("doc_id"))
+      .dropDuplicates("span", "doc_id")
+      .groupBy("span").agg(count(lit(1)).as("n_docs")))
+    val corpusCounts = idxCounts
+      .join(bc(batchCounts.select("span")), Seq("span"), "left_semi")
+    val hot = batchCounts.withColumnRenamed("n_docs", "__bn")
+      .join(bc(corpusCounts), Seq("span"), "left")
+      .where(col("__bn") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
+      .select(col("span"), lit(true).as("__hot"))
+    val marked = spans.join(bc(hot), Seq("span"), "left")
+      .select(col("doc_id"), col("span_idx"), col("span"),
+        coalesce(col("__hot"), lit(false)).as("__rm"))
+    val rebuilt = marked.groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(when(!col("__rm"),
+            struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("text_deduped"))
+    val admitted = materialize(
+      batch.select(id.as("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+        .where(col("text_deduped") =!= ""))
+    try {
+      if (!admitted.isEmpty || !batchCounts.isEmpty) {
+        def dyn(df: DataFrame) = df.withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+        dyn(admitted).parquet(corpusPath)
+        // never create a schema-less empty spans/ dir (the passage
+        // gate's bootstrap-deferral argument)
+        if (!batchCounts.isEmpty)
+          dyn(batchCounts).parquet(s"$indexPath/spans")
+        if (bootstrap && !batchCounts.isEmpty) {
+          if (fs.exists(metaDir)) fs.delete(metaDir, true)
+          Seq((chunkWords, minDocs)).toDF("chunk_words", "min_docs")
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(s"$indexPath/meta")
+          fs.create(marker, false).close()
+        }
+      }
+    } finally {
+      releaseMaterialized(admitted)
+      releaseMaterialized(batchCounts)
+      releaseMaterialized(spans)
+    }
+  }
+
   /** SPAN-LEVEL benchmark decontamination — the surgical sibling of
     * [[contaminationScores]]: instead of scoring whole documents for
     * drop-or-keep, REMOVE exactly the spans that leak benchmark text and

@@ -405,6 +405,27 @@ object EventStreams {
         strideWords, broadcastBatch) _)
       .start()
 
+  /** Continuous boilerplate-removal gate: every microbatch runs
+    * `Dedup.boilerplateGateBatch` — spans whose summed corpus+batch
+    * document frequency reaches the threshold are excised from the
+    * arriving text, the batch's per-span counts fold into the
+    * epoch-partitioned count index, replay-safe per the self-excluding
+    * summed index read documented there. */
+  def startBoilerplateGate(stream: DataFrame, indexPath: String,
+                           corpusPath: String, checkpoint: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           chunkWords: Int = 8, minDocs: Int = 4,
+                           broadcastBatch: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.operators.Dedup.boilerplateGateBatch(
+        indexPath, corpusPath, idCol, textCol, chunkWords,
+        minDocs, broadcastBatch) _)
+      .start()
+
   /** Continuous entity resolution: every microbatch runs
     * `EntityResolution.entityGateBatch` — new records adopt matched
     * persisted entities or mint new ones, assignments land in the

@@ -728,4 +728,53 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(star === plain)
   }
+
+  test("boilerplate index: probe equals the full recompute restricted " +
+    "to batch docs — spans hot from corpus alone, from summed " +
+    "corpus+batch counts, and batch-only cold spans; meta mismatch " +
+    "and re-persist retraction") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_boiler_idx").toString
+    val corpus = Seq(
+      (1L, "nav bar xx yy"),   // "nav bar" in 2 corpus docs -> hot alone
+      (2L, "nav bar zz ww"),
+      (3L, "foot er aa bb"))   // "foot er" needs the batch to go hot
+    .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "nav bar qq rr"),  // corpus-hot chrome excised
+      (11L, "foot er cc dd"),  // 1 corpus + 1 batch = 2 >= minDocs
+      (12L, "fresh text here okay"))
+    .toDF("doc_id", "text")
+    Dedup.persistBoilerplateIndex(corpus, col("doc_id"), col("text"),
+      dir, chunkWords = 2, minDocs = 2)
+    val got = Dedup.probeBoilerplateIndex(batch, col("doc_id"),
+        col("text"), dir, chunkWords = 2, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // the exact-equivalence contract: full recompute over the union,
+    // restricted to the batch ids
+    val want = Dedup.boilerplateDedup(corpus.unionByName(batch),
+        col("doc_id"), col("text"), chunkWords = 2, minDocs = 2)
+      .where(col("doc_id") >= 10L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got === want)
+    assert(got.map(r => r._1 -> r._2).toMap ===
+      Map(10L -> "qq rr", 11L -> "cc dd", 12L -> "fresh text here okay"))
+    // params are pinned: probing with different ones is refused
+    val e = intercept[IllegalArgumentException] {
+      Dedup.probeBoilerplateIndex(batch, col("doc_id"), col("text"),
+        dir, chunkWords = 3, minDocs = 2)
+    }
+    assert(e.getMessage.contains("was built with"))
+    // re-persist with new params retracts the old meta first and the
+    // artifact answers under the NEW contract
+    Dedup.persistBoilerplateIndex(corpus, col("doc_id"), col("text"),
+      dir, chunkWords = 2, minDocs = 3)
+    val relaxed = Dedup.probeBoilerplateIndex(batch, col("doc_id"),
+        col("text"), dir, chunkWords = 2, minDocs = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // at minDocs=3 only "nav bar" (2 corpus + 1 batch) reaches the bar
+    assert(relaxed.map(r => r._1 -> r._2).toMap ===
+      Map(10L -> "qq rr", 11L -> "foot er cc dd",
+        12L -> "fresh text here okay"))
+  }
 }

@@ -357,4 +357,76 @@ class QualityGateStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/corpus")
       .select("doc_id").as[Long].collect().toSet === Set(1L, 5L))
   }
+
+  test("streaming boilerplate gate: hotness sums counts across epochs, " +
+    "batch text rewritten not dropped, replay-safe epochs including " +
+    "post-commit bootstrap replay under the strictly-earlier read") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_boiler_gate").toString
+    // chunkWords=2, minDocs=3: "hdr x" reaches the bar only when epoch
+    // 1 adds its third distinct document
+    val b1 = Seq(
+      (1L, "hdr x aa bb"),
+      (2L, "hdr x cc dd"),
+      (3L, "ee ff"))
+    val b2 = Seq(
+      (10L, "hdr x gg hh"),   // 2 corpus + 1 batch = 3 -> chrome excised
+      (11L, "ee ff"))         // 1 + 1 = 2 -> kept
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.startBoilerplateGate(
+      mem.toDF.toDF("doc_id", "text"), s"$dir/idx", s"$dir/corpus",
+      s"$dir/ckpt", chunkWords = 2, minDocs = 3)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id", "text_deduped").as[(Long, String)]
+        .collect().toMap
+      // epoch 0: nothing hot yet (max df = 2) -> everything verbatim;
+      // earlier batches' chrome stays (documented incremental posture)
+      assert(out(1L) === "hdr x aa bb" && out(2L) === "hdr x cc dd")
+      assert(out(3L) === "ee ff")
+      assert(out(10L) === "gg hh")
+      assert(out(11L) === "ee ff")
+      // replaying committed epoch 1 rewrites its partition identically
+      graft.operators.Dedup.boilerplateGateBatch(s"$dir/idx",
+        s"$dir/corpus", chunkWords = 2, minDocs = 3)(
+        b2.toDF("doc_id", "text"), 1L)
+      val after = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id", "text_deduped").as[(Long, String)].collect()
+      assert(after.length === after.map(_._1).distinct.length)
+      assert(after.toMap === out)
+      // replaying the committed BOOTSTRAP epoch — the case that forces
+      // the strictly-earlier read: epoch 1's partition carries "hdr x"
+      // counts, and a `!=`-style exclusion would see df=3 and excise
+      // chrome the original bootstrap admitted
+      graft.operators.Dedup.boilerplateGateBatch(s"$dir/idx",
+        s"$dir/corpus", chunkWords = 2, minDocs = 3)(
+        b1.toDF("doc_id", "text"), 0L)
+      val after2 = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id", "text_deduped").as[(Long, String)].collect()
+      assert(after2.length === after2.map(_._1).distinct.length)
+      assert(after2.toMap === out)
+    } finally q.stop()
+    // a restart with different params fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.boilerplateGateBatch(s"$dir/idx",
+        s"$dir/corpus", chunkWords = 3, minDocs = 3)(
+        b1.toDF("doc_id", "text"), 5L)
+    }
+    // a flat persistBoilerplateIndex artifact is probe-only for the gate
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft_boiler_flat").toString
+    graft.operators.Dedup.persistBoilerplateIndex(
+      b1.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      s"$flat/idx", chunkWords = 2, minDocs = 3)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.boilerplateGateBatch(s"$flat/idx",
+        s"$dir/corpus2", chunkWords = 2, minDocs = 3)(
+        b2.toDF("doc_id", "text"), 0L)
+    }
+  }
 }
