@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Normalize, TextAnalysis}
-import graft.operators.{AsOfJoin, Bq, Classify, Dedup, Enrich, Events, Importance, IntervalJoin, Layout, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq, Warehouse}
+import graft.functions.{Normalize, TextAnalysis, Urls}
+import graft.operators.{AsOfJoin, Bq, Classify, Curation, Dedup, Enrich, Events, Importance, IntervalJoin, Layout, Mixture, Pack, Perplexity, Pq, PromptTemplates, Shard, Similarity, Skew, Snapshot, Sq, Warehouse}
 import graft.sources.BibSources
 
 /** Driver contract (SURVEY.md §2/§7): one entry per implemented operator,
@@ -41,6 +41,92 @@ object SparkEntry {
     * text (the corpus plants prefix-sharing near-dups), priority derived
     * from the source id (reference priority map shape, `main.py:113-114`).
     */
+  /** Deterministic messy-URL column for the curation tier: every
+    * canonicalization rule is exercised (scheme/host case, default and
+    * explicit ports, root/trailing-slash paths, query, fragment) and the
+    * domain mix includes a multi-part suffix, an IPv4 literal, and a
+    * single-label host. Mirrored textually by [[syntheticUrlSql]]. */
+  private def syntheticUrl(id: Column): Column = concat(
+    when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+    when(id % 7 === 0, lit("Example.COM"))
+      .when(id % 7 === 1, lit("news.Example.com"))
+      .when(id % 7 === 2, lit("blog.Example.co.uk"))
+      .when(id % 7 === 3, lit("cdn.a.example.com.au"))
+      .when(id % 7 === 4, lit("EXAMPLE.org"))
+      .when(id % 7 === 5, lit("192.168.0.1"))
+      .otherwise(lit("localhost")),
+    when(id % 5 === 0,
+        when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(id % 5 === 1, lit(":8080")).otherwise(lit("")),
+    when(id % 4 === 0, lit("")).when(id % 4 === 1, lit("/"))
+      .when(id % 4 === 2, lit("/A/b/")).otherwise(lit("/a")),
+    when(id % 3 === 0, lit("?q=Mixed&x=1")).otherwise(lit("")),
+    when(id % 6 === 0, lit("#SEC")).otherwise(lit("")))
+
+  private val syntheticUrlSql =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+      | || (CASE doc_id % 7 WHEN 0 THEN 'Example.COM'
+      |      WHEN 1 THEN 'news.Example.com' WHEN 2 THEN 'blog.Example.co.uk'
+      |      WHEN 3 THEN 'cdn.a.example.com.au' WHEN 4 THEN 'EXAMPLE.org'
+      |      WHEN 5 THEN '192.168.0.1' ELSE 'localhost' END)
+      | || (CASE WHEN doc_id % 5 = 0 THEN
+      |        (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+      |      WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+      | || (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/'
+      |      WHEN 2 THEN '/A/b/' ELSE '/a' END)
+      | || (CASE WHEN doc_id % 3 = 0 THEN '?q=Mixed&x=1' ELSE '' END)
+      | || (CASE WHEN doc_id % 6 = 0 THEN '#SEC' ELSE '' END)""".stripMargin
+
+  /** CTE chain url → canonical_url/host/domain replaying
+    * `Urls.canonicalizeUrl`/`urlHost`/`registeredDomain` regexp-for-regexp
+    * (the suffix IN-list is generated from the SAME Seq the engine
+    * uses, so the two can never drift). Expects a CTE named `u`
+    * providing (doc_id, url). */
+  private val urlCanonCtes: String = {
+    val suffixes =
+      Urls.multiPartSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""cn AS (SELECT doc_id, url,
+       |         regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),
+       |ca AS (SELECT doc_id, url,
+       |         lower(regexp_extract(nofrag,
+       |           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS auth,
+       |         regexp_replace(nofrag,
+       |           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+       |       FROM cn),
+       |cc AS (SELECT doc_id, url,
+       |         CASE WHEN auth = '' THEN NULL ELSE
+       |           (CASE WHEN auth LIKE 'http://%'
+       |                   THEN regexp_replace(auth, ':80$$', '')
+       |                 WHEN auth LIKE 'https://%'
+       |                   THEN regexp_replace(auth, ':443$$', '')
+       |                 ELSE auth END)
+       |           || regexp_replace(regexp_replace(rest, '\\?.*$$', ''),
+       |                '/+$$', '')
+       |           || regexp_extract(rest, '(\\?.*)$$', 1)
+       |         END AS canonical_url
+       |       FROM ca),
+       |ch AS (SELECT doc_id, url, canonical_url,
+       |         nullif(regexp_replace(regexp_replace(
+       |           regexp_extract(canonical_url,
+       |             '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+       |           '^.*@', ''), ':[0-9]+$$', ''), '') AS host
+       |       FROM cc),
+       |cd AS (SELECT doc_id, url, canonical_url, host,
+       |         CASE WHEN host IS NULL THEN NULL
+       |           WHEN regexp_matches(host,
+       |             '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN host
+       |           WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = ''
+       |             THEN host
+       |           WHEN regexp_extract(host,
+       |                  '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |             AND regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |                 IN ($suffixes)
+       |             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |           ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |         END AS domain
+       |       FROM ch)""".stripMargin
+  }
+
   private def bibRecords(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("source_type", col("source"))
@@ -551,6 +637,24 @@ object SparkEntry {
         .withColumn("title_link", Normalize.nullToEmpty(Normalize.titleLink(
           col("wos_link"), col("pubmed_link"), lit(""), col("doi_link"))))
         .orderBy("doc_id")
+    }),
+
+    // -- URL/domain curation tier (canonicalize -> eTLD+1 -> gate) ----------
+    "q_url_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+        .withColumn("canonical_url", Urls.canonicalizeUrl(col("url")))
+        .withColumn("host", Urls.urlHost(col("canonical_url")))
+        .withColumn("domain", Urls.registeredDomain(col("host")))
+        .orderBy("doc_id")),
+
+    "q_domain_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), syntheticUrl(col("doc_id")).as("url"))
+      Curation.domainGate(docs, col("url"), col("doc_id"),
+          maxPerDomain = 40, blocklist = Seq("example.org", "localhost"))
+        .select("doc_id", "domain")
+        .orderBy("domain", "doc_id")
     }),
 
     "q_coalesce_fallback" -> ((s, dir) =>
@@ -5267,6 +5371,27 @@ object SparkEntry {
         |       coalesce(nullif(wos_link, ''), nullif(pubmed_link, ''),
         |                nullif('', ''), nullif(doi_link, ''), '') AS title_link
         |FROM links ORDER BY doc_id""".stripMargin,
+
+    // NOTE: concatenation, not an outer stripMargin — the interpolated
+    // fragments contain SQL `||` operators at line starts, which an outer
+    // stripMargin would truncate to `|`.
+    "q_url_normalize" ->
+      ("WITH u AS (SELECT doc_id, " + syntheticUrlSql +
+        " AS url FROM documents),\n" + urlCanonCtes + "\n" +
+        "SELECT doc_id, url, canonical_url, host, domain\n" +
+        "FROM cd ORDER BY doc_id"),
+
+    "q_domain_gate" ->
+      ("WITH u AS (SELECT doc_id, " + syntheticUrlSql +
+        " AS url FROM documents),\n" + urlCanonCtes + ",\n" +
+        """g AS (SELECT doc_id, domain,
+          |        row_number() OVER (PARTITION BY domain
+          |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |      FROM cd
+          |      WHERE domain IS NOT NULL
+          |        AND domain NOT IN ('example.org', 'localhost'))
+          |SELECT doc_id, domain FROM g WHERE rk <= 40
+          |ORDER BY domain, doc_id""".stripMargin),
 
     "q_coalesce_fallback" ->
       """SELECT doc_id,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Urls
+import graft.operators.Curation
+
+class UrlsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(s: String): String = {
+    val r = Seq(Tuple1(s)).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"))).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+  private def dom(s: String): String = {
+    val r = Seq(Tuple1(s)).toDF("u")
+      .select(Urls.urlDomain(col("u"))).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("canonicalizeUrl: each policy rule, one at a time") {
+    // scheme+authority lowercased; path/query case preserved
+    assert(canon("HTTPS://WWW.Example.COM/Path?Q=Mixed") ===
+      "https://www.example.com/Path?Q=Mixed")
+    // fragment stripped
+    assert(canon("http://a.com/x#Frag") === "http://a.com/x")
+    // default ports stripped, non-default kept
+    assert(canon("http://a.com:80/x") === "http://a.com/x")
+    assert(canon("https://a.com:443/x") === "https://a.com/x")
+    assert(canon("https://a.com:80/x") === "https://a.com:80/x")
+    assert(canon("http://a.com:8080/x") === "http://a.com:8080/x")
+    // trailing slashes stripped uniformly, root included
+    assert(canon("https://a.com/") === "https://a.com")
+    assert(canon("https://a.com/x///") === "https://a.com/x")
+    // trailing slash before a query also goes; query survives
+    assert(canon("https://a.com/x/?q=1") === "https://a.com/x?q=1")
+    // surrounding whitespace trimmed
+    assert(canon("  https://a.com/x ") === "https://a.com/x")
+    // non-URLs (no scheme://authority) -> null
+    assert(canon("not a url") === null)
+    assert(canon("example.com/path") === null)
+    assert(canon("mailto:a@b.com") === null)
+    // null in -> null out
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("urlHost strips userinfo and port; registeredDomain handles " +
+    "multi-part suffixes, IPv4 literals, and single labels") {
+    val h = Seq(Tuple1("https://user:pw@Sub.Example.co.UK:8443/p?x=1"))
+      .toDF("u")
+      .select(Urls.urlHost(Urls.canonicalizeUrl(col("u")))).head().getString(0)
+    assert(h === "sub.example.co.uk")
+    assert(dom("https://blog.news.example.com/x") === "example.com")
+    assert(dom("https://a.b.example.co.uk/") === "example.co.uk")
+    assert(dom("http://cdn.assets.shop.com.au") === "shop.com.au")
+    assert(dom("http://example.com") === "example.com")
+    assert(dom("http://192.168.0.1:8080/admin") === "192.168.0.1")
+    assert(dom("http://localhost:3000/x") === "localhost")
+    assert(dom("garbage") === null)
+  }
+
+  test("domainGate: blocklist matches by REGISTERED domain (subdomains " +
+    "included), per-domain cap is the deterministic md5-rank prefix, " +
+    "unparseable URLs are quarantined") {
+    val docs = Seq(
+      (1L, "https://a.example.org/1"),   // blocked via registered domain
+      (2L, "http://example.org/2"),      // blocked
+      (3L, "https://keep.com/a"),
+      (4L, "https://keep.com/b"),
+      (5L, "https://keep.com/c"),
+      (6L, "https://other.net/x"),
+      (7L, "not a url")                  // null domain -> dropped
+    ).toDF("doc_id", "url")
+    val out = Curation.domainGate(docs, col("url"), col("doc_id"),
+        maxPerDomain = 2, blocklist = Seq("example.org"))
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    assert(!out.exists(_._2 == "example.org"))
+    assert(!out.exists(_._1 == 7L))
+    assert(out.count(_._2 == "keep.com") === 2)
+    assert(out.exists(_._1 == 6L))
+    // the two keep.com survivors are the md5-rank prefix — replay it
+    val expectKeep = Seq(3L, 4L, 5L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .take(2).toSet
+    assert(out.filter(_._2 == "keep.com").map(_._1) === expectKeep)
+    // guard: a non-positive cap is refused loudly
+    intercept[IllegalArgumentException] {
+      Curation.domainGate(docs, col("url"), col("doc_id"), 0)
+    }
+  }
+
+  test("domainGate plans the cap as WindowGroupLimit (partial top-k: the " +
+    "hot domain never converges on one task)") {
+    val docs = (1L to 200L).map(i => (i, s"https://hot.com/$i"))
+      .toDF("doc_id", "url")
+    val plan = Curation.domainGate(docs, col("url"), col("doc_id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+}
