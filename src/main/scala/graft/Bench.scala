@@ -70,7 +70,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // headline keys LAST: the driver retains only a bounded tail of
+    // stdout, and with "value" leading a long line the truncation ate
+    // the headline every round (BENCH_r*.json "parsed: null"). With the
+    // per-query map first and value/failed last, any tail suffix of the
+    // line still carries the totals...
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${ok.size},"failed":$failedJson,"value":${fmt(total)}}""")
+    // ...and a short FINAL summary line survives tail capture whole.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir"}""")
     // The driver retains only a bounded TAIL of stdout, so the one-line
     // summary above can be truncated away by later log noise. Write the
     // UNTRUNCATED record (every rep per query, sorted ascending) to a
