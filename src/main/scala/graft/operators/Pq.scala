@@ -127,8 +127,17 @@ object Pq {
     Similarity.wellFormed(emb) && size(emb) === dim
 
   /** The corpus with its PQ code array: `(idCol, codes)` — one codegen'd
-    * projection pass, the form a pipeline persists (codes are m ints vs
-    * dim floats; parquet stores them as such). */
+    * projection pass, the form a pipeline persists.
+    *
+    * Codes ride as INT deliberately: a controlled at-rest probe (100k
+    * rows × 8 codes, BASELINE.md round 12) measured byte-typed
+    * (TINYINT, shifted −128) storage at 1,222,226 bytes vs 1,222,177
+    * for INT — parquet's dictionary/bit-packing already stores a
+    * ksub≤256 code at ~1 byte regardless of the logical int width, and
+    * a chr()-packed binary column came out 52% LARGER (UTF-8 doubles
+    * bytes ≥ 0x80). The residual between the measured ~20× at-rest win
+    * and the 32× payload theory is the id column and the array
+    * repetition levels, not the code type. */
   def encoded(corpus: DataFrame, cb: Codebook,
               idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame =

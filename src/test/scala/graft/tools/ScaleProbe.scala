@@ -2176,6 +2176,107 @@ object ScaleProbe {
       }
     }
 
+    if (which("vec-768")) {
+      // Production-dim ANN probe: the BQ/PQ sizing claims ("32× wins at
+      // dims 768-4096") were extrapolated from dim-64 corpora; this pins
+      // brute-force vs BQ walls and BQ/SQ/PQ recall at 100k × 768.
+      // Graded-neighbor geometry (the regime ANN serves): 10k groups of
+      // 10, member m = the group's hash direction + m·3% member-specific
+      // perturbation — a probe's true neighbors are its 9 group-mates at
+      // graded radii, foreign groups sit near cosine 0 (random 768-dim
+      // directions). Every value is an engine-deterministic integer
+      // hash, so the corpus is identical across runs. (A first attempt
+      // drew 32 shared centers + iid noise: there intra-cluster order IS
+      // the noise, which no 32×-compressed code can rank — recall
+      // probed the geometry, not the operator.)
+      val dim768 = 768
+      val nv = 100000L
+      def h01(seed: org.apache.spark.sql.Column,
+              i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(xxhash64(seed, i), lit(1000L)).cast("double") / 500.0 - 1.0
+      val big = spark.range(nv).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim768 - 1)),
+          i => (h01(expr("id div 10"), i) +
+            h01(col("id"), i) * (pmod(col("id"), lit(10L)).cast("double")
+              * 0.03)).cast("float")).as("embedding"))
+        .localCheckpoint(true)
+      t("vec768_rows")(big.count())
+      // probes = member 0 of the first 20 groups
+      val probes = big.where(col("vec_id") % 10 === 0 &&
+        col("vec_id") < 200)
+      var bruteSet: Set[(Long, Long)] = null
+      t("vec768_brute_topk10") {
+        bruteSet = graft.operators.Similarity
+          .bruteForceTopK(big, probes, k = 10)
+          .select("probe_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        bruteSet.size
+      }
+      // BQ in its production shape: the one-off interpreted encode pass
+      // is PERSISTED (that is the serving contract — hammingTopK's
+      // in-flight encode is the one-shot form), then the search runs
+      // against the 32×-compressed words parquet
+      val bqIdx = java.nio.file.Files
+        .createTempDirectory("graft_vec768_bq").toString
+      t("vec768_bq_persist_encode") {
+        graft.operators.Bq.persistBqIndex(big, bqIdx)
+        1L
+      }
+      var bqSet: Set[(Long, Long)] = null
+      t("vec768_bq_probe_topk10_rerank100") {
+        bqSet = graft.operators.Bq
+          .probeBqIndex(probes, bqIdx, big, k = 10, rerank = 100)
+          .select("probe_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        bqSet.size
+      }
+      t("vec768_bq_recall_of_100")(
+        bqSet.intersect(bruteSet).size.toLong * 100L / bruteSet.size)
+      var sqp: graft.operators.Sq.SqParams = null
+      var sqSet: Set[(Long, Long)] = null
+      t("vec768_sq_topk10") {
+        sqp = graft.operators.Sq.sqTrain(big)
+        sqSet = graft.operators.Sq.sqTopK(big, probes, k = 10, sqp)
+          .select("probe_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        sqSet.size
+      }
+      t("vec768_sq_recall_of_100")(
+        sqSet.intersect(bruteSet).size.toLong * 100L / bruteSet.size)
+      // m=96 subspaces × 256 codewords: dsub=8, 96-byte codes = the 32×
+      // payload point at production dims
+      var cb: graft.operators.Pq.Codebook = null
+      t("vec768_pq_train_m96_k256") {
+        cb = graft.operators.Pq.pqTrain(big, m = 96, ksub = 256, iters = 3)
+        cb.cents.length
+      }
+      var pqSet: Set[(Long, Long)] = null
+      t("vec768_pq_adc_topk10") {
+        pqSet = graft.operators.Pq.pqTopK(big, probes, k = 10, cb)
+          .select("probe_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        pqSet.size
+      }
+      t("vec768_pq_recall_of_100")(
+        pqSet.intersect(bruteSet).size.toLong * 100L / bruteSet.size)
+      // at-rest bytes at production dims: raw floats vs BQ words vs PQ
+      // codes (real-valued floats, so the raw side does NOT dictionary-
+      // compress the way the synthetic dim-64 corpus did)
+      val b768 = java.nio.file.Files
+        .createTempDirectory("graft_vec768").toString
+      def dirBytes768(p: String): Long = {
+        val d = new java.io.File(p)
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+      }
+      big.write.parquet(s"$b768/raw")
+      graft.operators.Bq.encoded(big, dim768).write.parquet(s"$b768/bq")
+      graft.operators.Pq.encoded(big, cb).write.parquet(s"$b768/pq")
+      t("vec768_raw_bytes")(dirBytes768(s"$b768/raw"))
+      t("vec768_bq_bytes")(dirBytes768(s"$b768/bq"))
+      t("vec768_pq_bytes")(dirBytes768(s"$b768/pq"))
+    }
+
     spark.stop()
   }
 }
