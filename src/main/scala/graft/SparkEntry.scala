@@ -1096,7 +1096,7 @@ object SparkEntry {
     "q_dedup_boilerplate_probe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val idx = System.getProperty("java.io.tmpdir") +
-        s"/graft_boiler_idx_${math.abs(dir.hashCode)}"
+        s"/graft_boiler_idx_${math.floorMod(dir.hashCode, 1 << 30)}"
       Dedup.persistBoilerplateIndex(docs.where(col("doc_id") % 10 =!= 0),
         col("doc_id"), col("text"), idx, chunkWords = spansChunkWords,
         minDocs = boilerplateMinDocs)
@@ -1123,7 +1123,7 @@ object SparkEntry {
     "q_dedup_passages_probe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val idx = System.getProperty("java.io.tmpdir") +
-        s"/graft_passage_idx_${math.abs(dir.hashCode)}"
+        s"/graft_passage_idx_${math.floorMod(dir.hashCode, 1 << 30)}"
       Dedup.persistPassageIndex(docs.where(col("doc_id") % 10 =!= 0),
         col("doc_id"), col("text"), idx,
         passageWindowWords, passageStrideWords)
@@ -1225,7 +1225,7 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val idx = System.getProperty("java.io.tmpdir") +
-        s"/graft_corpus_idx_${math.abs(dir.hashCode)}"
+        s"/graft_corpus_idx_${math.floorMod(dir.hashCode, 1 << 30)}"
       Dedup.persistIndex(docs.where(col("doc_id") % 10 =!= 0),
         col("doc_id"), col("text"), idx, k = 128, bands = 32)
       Dedup.probePersistedIndex(docs.where(col("doc_id") % 10 === 0),
@@ -1653,7 +1653,7 @@ object SparkEntry {
     // the batch
     "q_entity_incremental" -> ((s, dir) => {
       val idxPath = System.getProperty("java.io.tmpdir") +
-        s"/graft_entity_idx_${math.abs(dir.hashCode)}"
+        s"/graft_entity_idx_${math.floorMod(dir.hashCode, 1 << 30)}"
       val recs = entityNameVariants(s, dir)
       val corpus = recs.where(expr(
         "(id DIV 3) % 10 <> 0 AND NOT ((id DIV 3) % 10 = 1 AND id % 3 = 2)"))
@@ -2623,7 +2623,7 @@ object SparkEntry {
     // aggregate mirror of q_dedup_incremental's persisted-index contract
     "q_rollup_incremental" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_rollup_base_${math.abs(dir.hashCode)}"
+        s"/graft_rollup_base_${math.floorMod(dir.hashCode, 1 << 30)}"
       Warehouse.incrementalDailyRollup(Tables.orders(s, dir),
           col("o_orderdate"), col("o_totalprice"),
           to_date(lit("1999-01-01")), path)
@@ -3096,7 +3096,7 @@ object SparkEntry {
     "q_embed_incremental" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = System.getProperty("java.io.tmpdir") +
-        s"/graft_sem_idx_${math.abs(dir.hashCode)}"
+        s"/graft_sem_idx_${math.floorMod(dir.hashCode, 1 << 30)}"
       Similarity.persistSemanticIndex(emb.where(col("vec_id") % 10 =!= 0),
         idx, kClusters = kmeansK, iters = kmeansIters, deterministic = true)
       val cents = Similarity.readSemanticCentroids(s, idx)
@@ -3234,7 +3234,7 @@ object SparkEntry {
     "q_embed_bq_probe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = System.getProperty("java.io.tmpdir") +
-        s"/graft_bq_idx_${math.abs(dir.hashCode)}"
+        s"/graft_bq_idx_${math.floorMod(dir.hashCode, 1 << 30)}"
       val corpus = emb.where(col("vec_id") % 10 =!= 0)
       Bq.persistBqIndex(corpus, idx)
       Bq.probeBqIndex(emb.where(col("vec_id") % 10 === 0), idx, corpus,
@@ -3252,7 +3252,7 @@ object SparkEntry {
     "q_embed_ivfpq_probe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = System.getProperty("java.io.tmpdir") +
-        s"/graft_ivfpq_idx_${math.abs(dir.hashCode)}"
+        s"/graft_ivfpq_idx_${math.floorMod(dir.hashCode, 1 << 30)}"
       Pq.persistIvfPqIndex(emb.where(col("vec_id") % 10 =!= 0), idx,
         nCentroids = kmeansK, coarseIters = kmeansIters,
         m = pqM, ksub = pqKsub, pqIters = pqIters, deterministic = true)
@@ -3453,7 +3453,7 @@ object SparkEntry {
     // pinned by LayoutSpec footer-stat assertions and the layout probe.
     "q_layout_sorted" -> ((s, dir) => {
       val out = System.getProperty("java.io.tmpdir") +
-        s"/graft_layout_sorted_${math.abs(dir.hashCode)}"
+        s"/graft_layout_sorted_${math.floorMod(dir.hashCode, 1 << 30)}"
       Layout.sortedLayout(
         Tables.documents(s, dir).select("doc_id", "n_chars", "lang"),
         out, Seq(col("n_chars"), col("doc_id")), numFiles = 8)
@@ -3470,7 +3470,7 @@ object SparkEntry {
     // semantics = plain two-column filter on the source.
     "q_layout_zorder" -> ((s, dir) => {
       val out = System.getProperty("java.io.tmpdir") +
-        s"/graft_layout_z_${math.abs(dir.hashCode)}"
+        s"/graft_layout_z_${math.floorMod(dir.hashCode, 1 << 30)}"
       Layout.sortedLayout(
         Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
           .withColumn("__z", Layout.zValue(col("n_chars"), col("doc_id"))),
@@ -3487,7 +3487,7 @@ object SparkEntry {
     // shuffles (spec-pinned) — the oracle pins that the bucketed layout
     // returns exactly the plain join's answer.
     "q_layout_bucketed" -> ((s, dir) => {
-      val tag = math.abs(dir.hashCode)
+      val tag = math.floorMod(dir.hashCode, 1 << 30)
       val tmpdir = System.getProperty("java.io.tmpdir")
       Layout.bucketedTable(
         Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),

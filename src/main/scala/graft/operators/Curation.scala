@@ -38,6 +38,13 @@ object Curation {
                  maxPerDomain: Int,
                  blocklist: Seq[String] = Seq.empty): DataFrame = {
     require(maxPerDomain > 0, s"domainGate: maxPerDomain=$maxPerDomain")
+    // fail loudly instead of silently clobbering caller data: the output
+    // contract is "input columns + domain", which is unsatisfiable if the
+    // input already carries one of the gate's columns
+    Seq("domain", "__rk").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"domainGate: input already has a '$c' column — rename it " +
+          "upstream; the gate adds its own"))
     val spark = docs.sparkSession
     import spark.implicits._
     val withDom = docs

@@ -241,16 +241,23 @@ object Dedup {
                             broadcastBatch: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     requireBoilerplateMeta(spark, path, chunkWords, minDocs, "probe")
+    // SUM per span on read: a flat persistBoilerplateIndex artifact has
+    // one row per span (the sum is a no-op), but a gate-built index is
+    // epoch-PARTITIONED and carries one row per (span, epoch) — joining
+    // those rows raw would test each epoch's count against minDocs
+    // separately (under-removal) and duplicate hot rows into the mark
+    // join. A probe of a quiesced gate index sees all epochs folded.
     probeBoilerplateFrame(batch, batchId, batchText,
-      spark.read.parquet(s"$path/spans").select("span", "n_docs"),
+      spark.read.parquet(s"$path/spans")
+        .groupBy("span").agg(sum(col("n_docs")).as("n_docs")),
       chunkWords, minDocs, broadcastBatch)
   }
 
   /** The path-free probe core: `indexCounts` is the corpus per-span
-    * count frame (span, n_docs). [[boilerplateGateBatch]] applies the
-    * same count-summing logic against its strictly-earlier epoch view
-    * (it re-derives the frame to share one pinned span pass with the
-    * index write). */
+    * count frame (span, n_docs). [[boilerplateGateBatch]] shares the
+    * [[boilerplateMarked]] hotness core against its strictly-earlier
+    * epoch view (deriving spans itself so one pinned span pass feeds
+    * both the probe and the index write). */
   private def probeBoilerplateFrame(batch: DataFrame, batchId: Column,
                                     batchText: Column,
                                     indexCounts: DataFrame,
@@ -262,15 +269,9 @@ object Dedup {
       batchText, chunkWords)
     val batchCounts = spans.select(col("span"), col("doc_id"))
       .dropDuplicates("span", "doc_id")
-      .groupBy("span").agg(count(lit(1)).as("__bn"))
-    val corpusCounts = indexCounts
-      .join(bc(batchCounts.select("span")), Seq("span"), "left_semi")
-    val hot = batchCounts.join(bc(corpusCounts), Seq("span"), "left")
-      .where(col("__bn") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
-      .select(col("span"), lit(true).as("__hot"))
-    val marked = spans.join(bc(hot), Seq("span"), "left")
-      .select(col("doc_id"), col("span_idx"), col("span"),
-        coalesce(col("__hot"), lit(false)).as("__rm"))
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+    val marked = boilerplateMarked(spans, batchCounts, indexCounts,
+      minDocs, bc)
     val rebuilt = marked.groupBy("doc_id")
       .agg(
         array_join(transform(
@@ -285,6 +286,28 @@ object Dedup {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** THE count-summing hotness rule, shared by [[probeBoilerplateIndex]]
+    * and [[boilerplateGateBatch]] so the one-shot probe and the
+    * streaming gate can never drift: a span is hot iff its batch
+    * distinct-doc count plus its corpus count reaches `minDocs`.
+    * `spans` is a spanGrid frame, `batchCounts` its per-span
+    * distinct-doc counts as (span, n_docs), `indexCounts` the corpus
+    * view (span, n_docs). Returns the marked span stream
+    * (doc_id, span_idx, span, __rm). */
+  private def boilerplateMarked(spans: DataFrame, batchCounts: DataFrame,
+                                indexCounts: DataFrame, minDocs: Int,
+                                bc: DataFrame => DataFrame): DataFrame = {
+    val corpusCounts = indexCounts
+      .join(bc(batchCounts.select("span")), Seq("span"), "left_semi")
+    val hot = batchCounts.withColumnRenamed("n_docs", "__bn")
+      .join(bc(corpusCounts), Seq("span"), "left")
+      .where(col("__bn") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
+      .select(col("span"), lit(true).as("__hot"))
+    spans.join(bc(hot), Seq("span"), "left")
+      .select(col("doc_id"), col("span_idx"), col("span"),
+        coalesce(col("__hot"), lit(false)).as("__rm"))
   }
 
   private def requireBoilerplateMeta(spark: SparkSession, path: String,
@@ -375,16 +398,9 @@ object Dedup {
       .select(col("span"), col("doc_id"))
       .dropDuplicates("span", "doc_id")
       .groupBy("span").agg(count(lit(1)).as("n_docs")))
-    val corpusCounts = idxCounts
-      .join(bc(batchCounts.select("span")), Seq("span"), "left_semi")
-    val hot = batchCounts.withColumnRenamed("n_docs", "__bn")
-      .join(bc(corpusCounts), Seq("span"), "left")
-      .where(col("__bn") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
-      .select(col("span"), lit(true).as("__hot"))
-    val marked = spans.join(bc(hot), Seq("span"), "left")
-      .select(col("doc_id"), col("span_idx"), col("span"),
-        coalesce(col("__hot"), lit(false)).as("__rm"))
-    val rebuilt = marked.groupBy("doc_id")
+    val rebuilt = boilerplateMarked(spans, batchCounts, idxCounts,
+        minDocs, bc)
+      .groupBy("doc_id")
       .agg(array_join(transform(
           array_sort(collect_list(when(!col("__rm"),
             struct(col("span_idx"), col("span"))))),

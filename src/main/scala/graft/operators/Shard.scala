@@ -55,7 +55,17 @@ object Shard {
     * evaluates the raise_error guards; the dispatching caller threads
     * the guarded column through the routed window's OUTPUT expression,
     * so the guards fire inside the window job itself — the small path
-    * stays at one cheap probe + ONE full pass. */
+    * stays at one cheap probe + ONE full pass.
+    *
+    * Known costs of probing, accepted deliberately: the probe EXECUTES
+    * the upstream plan once more (the family was already eager — the
+    * big path's quantile sketch runs at call time), and pruning cannot
+    * help an upstream whose rows are expensive to PRODUCE (a window or
+    * join must still run; a limit cannot early-abort a sort). Chained
+    * cuts therefore re-execute lower cuts' windows in each layer's
+    * probe — for multi-cut frames use `scalableNtileMulti` (one
+    * materialization), or materialize the input / pass
+    * `windowFormMax = 0` when the upstream is the dominant cost. */
   private def smallFrame(df: DataFrame, limit: Int): Boolean =
     limit > 0 && df.limit(limit + 1).count() <= limit
 
@@ -586,20 +596,24 @@ object Shard {
           "NaN leading value — NaN has no defined quantile bucket; " +
           "filter or impute upstream")))
         .otherwise(signed))
+    val ordCols: Seq[Column] =
+      if (descending) Seq(leading.desc, tiebreak.asc)
+      else Seq(leading.asc, tiebreak.asc)
     if (smallFrame(df, windowFormMax)) {
       // Adaptive dispatch (see scalableNtile): sub-threshold frames —
       // where even the HOTTEST group fits one task by definition — take
       // the plain grouped window. Partitioning by the guarded group
       // image (identical values — null raises) and referencing the
       // guarded leading image in the output makes ALL guards fire
-      // inside the window job itself.
-      val ordW: Seq[Column] =
-        if (descending) Seq(leading.desc, tiebreak.asc)
-        else Seq(leading.asc, tiebreak.asc)
+      // inside the window job itself. The maxGroups guard deliberately
+      // does NOT bind here: it protects the bucketed path's
+      // groups×buckets broadcast prefix frame, which this path never
+      // builds — it fires exactly when the frame grows into the path
+      // that materializes the protected structure.
       return work
         .withColumn(out, when(col("__nt_d").isNotNull,
           ntile(k).over(Window.partitionBy(col("__nt_g"))
-            .orderBy(ordW: _*))).cast("int"))
+            .orderBy(ordCols: _*))).cast("int"))
         .drop("__nt_g", "__nt_d")
     }
     val probs = (1 until buckets).map(_.toDouble / buckets)
@@ -647,11 +661,8 @@ object Shard {
         sum("__nt_c").over(Window.partitionBy(col("__nt_g"))))
       .drop("__nt_c"))
     // pass 3: per-(group,bucket) rank + exact per-group tile arithmetic
-    val ord: Seq[Column] =
-      if (descending) Seq(leading.desc, tiebreak.asc)
-      else Seq(leading.asc, tiebreak.asc)
     val inBucket = Window.partitionBy(col("__nt_g"), col("__nt_b"))
-      .orderBy(ord: _*)
+      .orderBy(ordCols: _*)
     wb.withColumn("__nt_rank0",
         row_number().over(inBucket).cast("long") - 1L)
       .join(broadcast(offDf), Seq("__nt_g", "__nt_b"))
@@ -674,6 +685,13 @@ object Shard {
     * of a single [[scalableNtile]] call. */
   final case class NtileSpec(k: Int, leading: Column, tiebreak: Column,
                              out: String, descending: Boolean = false)
+
+  /** THE order of one cut — a single definition shared by the window
+    * and bucketed paths so the dispatch bit-identity can never drift
+    * on a one-sided ordering tweak. */
+  private def specOrd(sp: NtileSpec): Seq[Column] =
+    if (sp.descending) Seq(sp.leading.desc, sp.tiebreak.asc)
+    else Seq(sp.leading.asc, sp.tiebreak.asc)
 
   /** Several [[scalableNtile]] cuts over ONE materialized frame —
     * the multi-metric form (RFM-style segmentations cut the same
@@ -739,11 +757,8 @@ object Shard {
       // spec's guarded cast image, so every guard fires inside the
       // window job.
       return specs.zipWithIndex.foldLeft(work) { case (acc, (sp, i)) =>
-        val ordW: Seq[Column] =
-          if (sp.descending) Seq(sp.leading.desc, sp.tiebreak.asc)
-          else Seq(sp.leading.asc, sp.tiebreak.asc)
         acc.withColumn(sp.out, when(col(dCols(i)).isNotNull,
-          ntile(sp.k).over(Window.orderBy(ordW: _*))).cast("int"))
+          ntile(sp.k).over(Window.orderBy(specOrd(sp): _*))).cast("int"))
       }.drop(dCols: _*)
     }
     val mat = Dedup.materialize(work)
@@ -788,10 +803,7 @@ object Shard {
     val withTiles = cuts.foldLeft(mat) { case (acc, (sp, i, n, offsets)) =>
       val b = s"__nt_b$i"; val off = s"__nt_off$i"; val r0 = s"__nt_r0$i"
       val offDf = broadcast(offsets.toDF(b, off))
-      val ord: Seq[Column] =
-        if (sp.descending) Seq(sp.leading.desc, sp.tiebreak.asc)
-        else Seq(sp.leading.asc, sp.tiebreak.asc)
-      val inBucket = Window.partitionBy(col(b)).orderBy(ord: _*)
+      val inBucket = Window.partitionBy(col(b)).orderBy(specOrd(sp): _*)
       acc.withColumn(b, bucketExprs(i))
         .withColumn(r0, row_number().over(inBucket).cast("long") - 1L)
         .join(offDf, Seq(b))

@@ -838,11 +838,16 @@ object Similarity {
     * Degenerate rows are excluded from TRAINING like every other trainer
     * in the family (pqTrain/kMeansTrain/sqTrain filter before collecting)
     * — a null or short vector in the sample would NPE/AIOOBE the
-    * driver-side Lloyd loop. The canonical dim is the corpus-wide
-    * `probeDim` rule, matching kMeans — NOT the hash-ordered sample's
-    * first element: if that first row were a dim-mismatched outlier, the
-    * whole sample would be filtered down to outlier-dim rows and the
-    * centroids would silently train on the wrong dimension. */
+    * driver-side Lloyd loop. The canonical dim is the `probeDim` rule
+    * (first well-formed row in corpus scan order), matching kMeans — NOT
+    * the hash-ordered sample's first element, whose outlier sensitivity
+    * was the r11 finding: a dim-mismatched row landing first in hash
+    * order filtered the whole sample down to outlier-dim rows. The
+    * family convention remains first-ROW-wins, so a corpus whose very
+    * first scanned row is the outlier still canonicalizes to its dim —
+    * mixed-dim corpora should be dim-filtered upstream; the rule here
+    * only guarantees ivfTopK and kMeans pick the SAME dim for the same
+    * input. */
   private[graft] def ivfSampleCentroids(corpus: DataFrame, idCol: String,
                                         embCol: String, nCentroids: Int,
                                         iters: Int): Array[Array[Double]] = {

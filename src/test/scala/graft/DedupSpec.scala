@@ -777,4 +777,31 @@ class DedupSpec extends SparkTestBase {
       Map(10L -> "qq rr", 11L -> "foot er cc dd",
         12L -> "fresh text here okay"))
   }
+
+  test("probeBoilerplateIndex sums per-span counts when the index is " +
+    "epoch-partitioned (gate layout): hotness uses the TOTAL corpus " +
+    "frequency, not any single epoch's row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_boiler_epochs").toString
+    // simulate a quiesced gate index: the same span counted once in
+    // each of two epochs — no single row reaches minDocs=3, the sum
+    // plus the batch does
+    Seq(("chrome a", 1L, 0L), ("solo x", 1L, 0L))
+      .toDF("span", "n_docs", "ingest_batch")
+      .write.partitionBy("ingest_batch").parquet(s"$dir/spans")
+    Seq(("chrome a", 1L, 1L))
+      .toDF("span", "n_docs", "ingest_batch")
+      .write.mode("append").partitionBy("ingest_batch")
+      .parquet(s"$dir/spans")
+    Seq((2, 3)).toDF("chunk_words", "min_docs")
+      .write.parquet(s"$dir/meta")
+    val batch = Seq((30L, "chrome a tt uu")).toDF("doc_id", "text")
+    val got = Dedup.probeBoilerplateIndex(batch, col("doc_id"),
+        col("text"), dir, chunkWords = 2, minDocs = 3)
+      .as[(Long, String, Long, Long)].collect()
+    // summed: 1 (epoch 0) + 1 (epoch 1) + 1 (batch) = 3 >= 3 -> excised;
+    // a per-epoch-row join would see 2 < 3 twice and keep the chrome
+    assert(got === Array((30L, "tt uu", 2L, 1L)))
+  }
 }

@@ -101,4 +101,19 @@ class UrlsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+
+  test("domainGate refuses inputs already carrying its output columns " +
+    "instead of silently clobbering caller data") {
+    val withDomain = Seq((1L, "https://a.com/x", "label"))
+      .toDF("doc_id", "url", "domain")
+    val e = intercept[IllegalArgumentException] {
+      Curation.domainGate(withDomain, col("url"), col("doc_id"), 5)
+    }
+    assert(e.getMessage.contains("already has a 'domain' column"))
+    val withRk = Seq((1L, "https://a.com/x", 7))
+      .toDF("doc_id", "url", "__rk")
+    intercept[IllegalArgumentException] {
+      Curation.domainGate(withRk, col("url"), col("doc_id"), 5)
+    }
+  }
 }
