@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object Biblio {
 
-  /** Per-group citation indices. Output: group (named `group_name` via the
-    * caller's alias on `group`), n_papers, n_cites, h_index, g_index, i10.
-    */
+  /** Per-group citation indices. Output: `grp` (the group key — the
+    * caller's alias on `group` is NOT propagated; rename on the result
+    * if another name is needed), n_papers, n_cites, h_index, g_index,
+    * i10. */
   def scholarIndices(papers: DataFrame, group: Column, id: Column,
                      cites: Column): DataFrame = {
     val base = papers.select(group.as("grp"), id.as("id"),

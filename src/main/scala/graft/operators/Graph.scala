@@ -45,9 +45,13 @@ object Graph {
     require(iters >= 1, s"pageRank: iters=$iters must be >= 1")
     require(damping > 0 && damping < 1,
       s"pageRank: damping=$damping must be in (0, 1)")
-    // simple directed edges; materialized — iterated over every round
+    // simple directed edges; materialized — iterated over every round.
+    // Null endpoints are DROPPED (the alsRank/evalRanking convention): a
+    // malformed edge must not mint a phantom node that inflates N and
+    // siphons teleport + dangling mass from every real node's rank.
     val e = materialize(
       edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
         .distinct())
     val outdeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
@@ -114,6 +118,7 @@ object Graph {
         s"got ${sources.columns.mkString(", ")}")
     val e = materialize(
       edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull) // pageRank rule
         .distinct())
     val outdeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
@@ -242,17 +247,43 @@ object Graph {
     *
     * Output: node, label (community = nodes sharing a label).
     */
+
+  /** THE canonical undirected simple edge list (a, b) with a < b:
+    * null endpoints dropped (the pageRank rule), self-loops dropped,
+    * parallel edges collapsed. ONE definition for the undirected family
+    * — labelPropagation, kCore, randomWalks, linkPrediction — which had
+    * drifted into per-operator copies (a null-endpoint fix would have
+    * needed four edits). `castLong = true` for the operators whose
+    * hash-draw contract needs numeric ids (walks, link prediction);
+    * label propagation and k-core accept any id type. */
+  private def canonicalUndirected(edges: DataFrame, src: Column,
+                                  dst: Column,
+                                  castLong: Boolean): DataFrame =
+    edges
+      .select((if (castLong) src.cast("long") else src).as("x"),
+        (if (castLong) dst.cast("long") else dst).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+
+  /** Both directions of a [[canonicalUndirected]] frame as (uName,
+    * nName) — the symmetric adjacency, one generator. */
+  private def bothDirections(pairs: DataFrame, uName: String,
+                             nName: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col("a").as(uName), col("b").as(nName)),
+        struct(col("b").as(uName), col("a").as(nName)))).as("p"))
+      .select(col(s"p.$uName").as(uName), col(s"p.$nName").as(nName))
+
   def labelPropagation(edges: DataFrame, src: Column, dst: Column,
                        iters: Int): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters=$iters must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val sym = materialize(edges
-      .select(src.as("a"), dst.as("b"))
-      .where(col("a") =!= col("b"))
-      .select(explode(array(
-        struct(col("a").as("v"), col("b").as("n")),
-        struct(col("b").as("v"), col("a").as("n")))).as("e"))
-      .select(col("e.v").as("v"), col("e.n").as("n")).distinct())
+    val sym = materialize(
+      bothDirections(canonicalUndirected(edges, src, dst,
+        castLong = false), "v", "n"))
     var labels = materialize(
       sym.select(col("v")).distinct().withColumn("label", col("v")))
     var iter = 0
@@ -313,6 +344,7 @@ object Graph {
       .select(when(aFirst, col("a")).otherwise(col("b")).as("lo"),
         when(aFirst, col("b")).otherwise(col("a")).as("hi"),
         when(aFirst, col("db")).otherwise(col("da")).as("dhi")))
+    releaseMaterialized(und) // last consumer was oriented's build
     // canonical wedges (out-edge pairs ordered by the same global order)
     // + the closing edge, which — being between two order-larger nodes —
     // is necessarily oriented e1.hi → e2.hi if present
@@ -362,13 +394,9 @@ object Graph {
             rounds: Int): DataFrame = {
     require(k >= 1, s"kCore: k=$k must be >= 1")
     require(rounds >= 1, s"kCore: rounds=$rounds must be >= 1")
-    var sym = materialize(edges
-      .select(src.as("a"), dst.as("b"))
-      .where(col("a") =!= col("b"))
-      .select(explode(array(
-        struct(col("a").as("v"), col("b").as("n")),
-        struct(col("b").as("v"), col("a").as("n")))).as("e"))
-      .select(col("e.v").as("v"), col("e.n").as("n")).distinct())
+    var sym = materialize(
+      bothDirections(canonicalUndirected(edges, src, dst,
+        castLong = false), "v", "n"))
     var r = 0
     while (r < rounds) {
       val keep = sym.groupBy("v").agg(count(lit(1)).as("deg"))
@@ -421,7 +449,13 @@ object Graph {
       (if (directed) fwd
        else fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b"))))
         .where(col("a") =!= col("b")).distinct())
+    // seed only sources that ARE graph vertices (the PPR rule): a stale
+    // or null source id must not surface as a phantom dist-0 "reachable"
+    // row in the output
+    val vertices = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v"))).distinct()
     var dist = materialize(sources.toDF("v").distinct()
+      .join(vertices, Seq("v"), "left_semi")
       .select(col("v"), lit(0).as("dist")))
     var r = 1
     while (r <= rounds) {
@@ -465,6 +499,7 @@ object Graph {
     require(iters >= 1, s"hits: iters=$iters must be >= 1")
     val e = materialize(
       edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull) // pageRank rule
         .distinct())
     require(!e.isEmpty, "hits: empty edge list")
     val nodes = materialize(e.select(col("src").as("id"))
@@ -553,16 +588,9 @@ object Graph {
     require(maxCenterDegree >= 2,
       s"linkPrediction: maxCenterDegree=$maxCenterDegree must be >= 2")
     // canonical undirected simple edges (self-loops out, a < b)
-    val e = materialize(edges
-      .select(src.cast("long").as("x"), dst.cast("long").as("y"))
-      .where(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct())
-    val sym = e.select(explode(array(
-        struct(col("a").as("w"), col("b").as("n")),
-        struct(col("b").as("w"), col("a").as("n")))).as("p"))
-      .select(col("p.w").as("w"), col("p.n").as("n"))
+    val e = materialize(
+      canonicalUndirected(edges, src, dst, castLong = true))
+    val sym = bothDirections(e, "w", "n")
     val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
     val keptCenters = deg.where(col("deg") <= maxCenterDegree)
     val dropped = deg.where(col("deg") > maxCenterDegree)
@@ -624,16 +652,8 @@ object Graph {
     require(walkLen >= 1, s"randomWalks: walkLen=$walkLen must be >= 1")
     require(walksPerNode >= 1,
       s"randomWalks: walksPerNode=$walksPerNode must be >= 1")
-    val e = edges
-      .select(src.cast("long").as("x"), dst.cast("long").as("y"))
-      .where(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
-    val sym = e.select(explode(array(
-        struct(col("a").as("u"), col("b").as("n")),
-        struct(col("b").as("u"), col("a").as("n")))).as("p"))
-      .select(col("p.u").as("u"), col("p.n").as("n"))
+    val sym = bothDirections(
+      canonicalUndirected(edges, src, dst, castLong = true), "u", "n")
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     // ranked adjacency joined with each NEIGHBOR's degree, so walk
     // state always knows the modulus for its next draw
@@ -649,8 +669,15 @@ object Graph {
         col("start").cast("string"), col("walk").cast("string"),
         lit(step).cast("string"))), 1, 12), 16, 10).cast("long"),
       col("cur_deg"))
-    val state = materialize(deg
-      .select(col("u").as("start"), col("deg").as("cur_deg"))
+    // per-node degree read back off the adj CHECKPOINT (deg(u) =
+    // max(rank)+1 by construction of the ranked adjacency): deriving it
+    // from `deg` instead would re-execute the whole raw-edge scan +
+    // distinct + aggregate as a second action (exchange reuse does not
+    // cross actions — the Cooccur lesson)
+    val state = materialize(adj
+      .groupBy(col("u"))
+      .agg((max(col("rank")) + lit(1)).cast("long").as("cur_deg"))
+      .select(col("u").as("start"), col("cur_deg"))
       .crossJoin(walkIndexFrame(edges, walksPerNode))
       .select(col("start"), col("walk"), col("start").as("cur"),
         col("cur_deg")))
@@ -765,15 +792,31 @@ object Graph {
         (col("hi") - 1).as("hi_incl"), col("n").as("nbr"))
       .join(tot.select(col("u").as("nbr"), col("total").as("nbr_total")),
         Seq("nbr")))
+    // per-node totals and the global stats read back off the adjW
+    // CHECKPOINT (total(u) = max(hi_incl)+1 by construction of the
+    // cumulative intervals) — deriving them from `tot`/`sym` would
+    // re-execute the raw-edge scan + aggregate as two more actions
+    val perU = adjW.groupBy(col("u"))
+      .agg((max(col("hi_incl")) + lit(1L)).as("cur_total"),
+        count(lit(1)).as("n_edges"))
     // auto grid width = the global average edge weight (the
-    // negativeSamples occupancy rule); two driver scalars
-    val stats = sym.agg(sum("wt"), count(lit(1))).head()
-    // sum(wt) is NULL (not 0) over an empty frame — an all-self-loop /
+    // negativeSamples occupancy rule); three driver scalars
+    val stats =
+      perU.agg(sum("cur_total"), sum("n_edges"), max("cur_total")).head()
+    // sum is NULL (not 0) over an empty frame — an all-self-loop /
     // all-nonpositive-weight edge list must fail with the CAUSE, not a
     // downstream NullPointerException (the hits() empty-edge posture)
     require(!stats.isNullAt(0),
       "randomWalksWeighted: no usable edges after filtering — every " +
         "edge was a self-loop or had weight <= 0")
+    // the step draw is 12 md5 hex digits (< 2^48): a node whose summed
+    // incident weight reaches that could never route to its interval
+    // tail — neighbors above 2^48 would SILENTLY get probability zero
+    // (the negativeSamples guard, applied per node here)
+    require(stats.getLong(2) < (1L << 48),
+      s"randomWalksWeighted: a node's total incident weight " +
+        s"(${stats.getLong(2)}) exceeds the 12-hex draw space (2^48) — " +
+        "rescale weights upstream")
     val width =
       if (bucketWidth > 0) bucketWidth
       else math.max(1L, stats.getLong(0) / math.max(1L, stats.getLong(1)))
@@ -782,8 +825,8 @@ object Graph {
         col("start").cast("string"), col("walk").cast("string"),
         lit(step).cast("string"))), 1, 12), 16, 10).cast("long"),
       col("cur_total"))
-    val state = materialize(tot
-      .select(col("u").as("start"), col("total").as("cur_total"))
+    val state = materialize(perU
+      .select(col("u").as("start"), col("cur_total"))
       .crossJoin(walkIndexFrame(edges, walksPerNode))
       .select(col("start"), col("walk"), col("start").as("u"),
         col("cur_total")))

@@ -84,7 +84,15 @@ object Recommend {
       .join(marg.select(col("i").as("i1"), col("n_i").as("n_i1")), Seq("i1"))
       .join(marg.select(col("i").as("i2"), col("n_i").as("n_i2")), Seq("i2"))
       .withColumn("cosine", col("n_cooc").cast("double") /
-        sqrt((col("n_i1") * col("n_i2")).cast("double")))
+        // the bit-exactness contract needs n_i1*n_i2 exactly
+        // representable as a double; enforce the documented 2^53 bound
+        // loudly instead of letting the hash-oracle parity rot silently
+        sqrt(when(col("n_i1") * col("n_i2") < lit(1L << 53),
+            col("n_i1") * col("n_i2"))
+          .otherwise(raise_error(concat(lit("itemSimilarity: n_i1*n_i2 " +
+            "= "), (col("n_i1") * col("n_i2")).cast("string"),
+            lit(" >= 2^53 — the exact-double cosine contract breaks; " +
+              "cap item frequencies upstream")))).cast("double")))
       .select("i1", "i2", "n_cooc", "n_i1", "n_i2", "cosine")
       .crossJoin(broadcast(dropped))
   }
