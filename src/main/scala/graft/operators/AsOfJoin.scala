@@ -46,20 +46,35 @@ object AsOfJoin {
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the right row as ONE struct: carrying each column through its
     // own last(ignoreNulls) would stitch fields from DIFFERENT right rows
-    // whenever a right column holds a null (row tearing)
-    val rightStruct = when(col("__side") === 0,
+    // whenever a right column holds a null (row tearing). A null right
+    // TIME never matches anything (rightTime <= leftTime is undefined),
+    // so such rows carry nothing — without the guard they sort
+    // nulls-first and their struct would leak into every left row
+    // before the first real right row.
+    val rightStruct = when(col("__side") === 0 && col("__t").isNotNull,
       struct(rightCols.map(col): _*))
+    // deterministic tiebreak among right rows sharing (key, time): the
+    // LARGEST carried struct wins (field-order lexicographic) — without
+    // it, last() picks a partition-layout-dependent row and the as-of
+    // output is non-deterministic under time collisions. Left rows have
+    // a null struct; their relative order within a frame is irrelevant
+    // (each left row reads the frame up to itself).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc, rightStruct.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__asof", last(rightStruct, ignoreNulls = true).over(w))
+    // drop EVERY right-only column, not just rightCols: unionByName
+    // added the rest to left rows as all-null, and leaking them out
+    // would hand callers phantom null columns (schema-pinned writes,
+    // unionByName downstream)
+    val rightOnly = right.columns.toSeq.diff(left.columns.toSeq)
     rightCols.foldLeft(carried) { (df, c) =>
       df.withColumn(s"asof_$c", col("__asof").getField(c))
     }
       .where(col("__side") === 1)
-      .drop("__t" :: "__side" :: "__asof" :: rightCols.toList: _*)
+      .drop("__t" :: "__side" :: "__asof" :: rightOnly.toList: _*)
   }
 }

@@ -58,7 +58,10 @@ object IntervalJoin {
     // quotient rounds toward -inf for negative coordinates too. The
     // divide is Catalyst's IntegralDivide (long div long -> long), NOT
     // Column./ (always double — silently wrong past 2^53, i.e. for any
-    // epoch-micros domain)
+    // epoch-micros domain). Domain bound: coordinates must sit above
+    // Long.MinValue + bucketWidth — `cl - pmod(cl, w)` wraps below the
+    // long minimum inside that sliver (ANSI: ARITHMETIC_OVERFLOW; no
+    // real time/coordinate domain reaches it)
     def fdiv(c: Column): Column = {
       val cl = c.cast("long")
       org.apache.spark.sql.GraftBridge.column(

@@ -25,6 +25,9 @@ object Skew {
     * schema: key, n, sum — identical to the unsalted groupBy. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      saltSource: Column, buckets: Int = 32): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "saltedSumCount: input already has a '__salt' column — rename it " +
+        "upstream; the operator adds its own")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(buckets.toLong)))
     salted
@@ -58,6 +61,19 @@ object Skew {
       "saltedJoin preserves the FACT side only: right/full outer would " +
         "emit each unmatched dim row once per salt replica")
     require(buckets > 0, "buckets must be positive")
+    // the AsOfJoin/IntervalJoin clash discipline: a pre-existing __salt
+    // would be silently overwritten then dropped, and overlapping
+    // non-key fact/dim columns would emit ambiguous duplicates that
+    // fail on first downstream reference
+    Seq(fact -> "fact", dim -> "dim").foreach { case (side, name) =>
+      require(!side.columns.contains("__salt"),
+        s"saltedJoin: $name already has a '__salt' column — rename it " +
+          "upstream; the operator adds its own") }
+    val overlap = fact.columns.toSeq.intersect(dim.columns.toSeq)
+      .diff(keys)
+    require(overlap.isEmpty,
+      s"saltedJoin: non-key columns ${overlap.mkString(", ")} exist on " +
+        "both sides — rename or prefix the dim columns first")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(buckets.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",

@@ -120,4 +120,57 @@ class AsOfSkewSpec extends SparkTestBase {
   private def withNoBroadcast[T](body: => T): T =
     withConfs(Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false"))(body)
+
+  test("asOf hardening: deterministic largest-struct tiebreak on time " +
+    "collisions, null right time never matches, right-only columns " +
+    "don't leak as phantom nulls") {
+    val clicks = Seq((1L, 7L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // two purchases at the IDENTICAL timestamp: the larger carried
+    // struct (pts, pvalue) must win deterministically, on any layout
+    val duped = Seq(
+      (7L, ts("2024-01-01 11:00:00"), 3.0),
+      (7L, ts("2024-01-01 11:00:00"), 8.0)
+    ).toDF("user_id", "pts", "pvalue")
+    for (parts <- Seq(1, 7)) {
+      val got = AsOfJoin.asOf(clicks, duped.repartition(parts),
+          "user_id", "ts", "pts", Seq("pvalue"))
+        .select("asof_pvalue").as[Double].head()
+      assert(got === 8.0, s"parts=$parts")
+    }
+    // a null right time sorts first but can never satisfy pts <= ts —
+    // it must carry nothing
+    val nullT = Seq(
+      (7L, null.asInstanceOf[Timestamp], 99.0),
+      (7L, ts("2024-01-01 13:00:00"), 1.0) // after the click
+    ).toDF("user_id", "pts", "pvalue")
+    val gotN = AsOfJoin.asOf(clicks, nullT, "user_id", "ts", "pts",
+        Seq("pvalue"))
+      .select("asof_pvalue").as[Option[Double]].head()
+    assert(gotN === None)
+    // right-only columns NOT in rightCols must not leak into the output
+    val extra = Seq((7L, ts("2024-01-01 11:00:00"), 5.0, "leaky"))
+      .toDF("user_id", "pts", "pvalue", "note")
+    val cols = AsOfJoin.asOf(clicks, extra, "user_id", "ts", "pts",
+      Seq("pvalue")).columns.toSeq
+    assert(!cols.contains("note") && !cols.contains("pts"))
+    assert(cols.contains("asof_pvalue"))
+  }
+
+  test("skew operators refuse __salt/overlap collisions loudly") {
+    val fact = Seq((1L, "k", 2.0)).toDF("id", "k", "__salt")
+    intercept[IllegalArgumentException] {
+      Skew.saltedSumCount(fact, col("k"), col("__salt"), col("id"))
+    }
+    val dim = Seq(("k", 1)).toDF("k", "d")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, Seq("k"), col("id"))
+    }
+    val factOk = Seq((1L, "k", 2.0)).toDF("id", "k", "v")
+    val dimClash = Seq(("k", 9.0)).toDF("k", "v") // non-key overlap
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(factOk, dimClash, Seq("k"), col("id"))
+    }
+    assert(e.getMessage.contains("both sides"))
+  }
 }
