@@ -4345,10 +4345,12 @@ object SparkEntry {
        |v AS (SELECT count(DISTINCT w2) + 1 AS v FROM rc),
        |cc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM d
        |       GROUP BY 1, 2, 3),
+       |mc AS (SELECT w1, sum(c_big) AS c_ctx FROM rc GROUP BY w1),
        |x AS (SELECT cc.doc_id, cc.w1, cc.w2, cc.cnt,
        |        cc.cnt * ln(CAST(coalesce(m.c_big, 0) + 1 AS DOUBLE)
-       |          / CAST(coalesce(m.c_ctx, 0) + v.v AS DOUBLE)) AS x
-       |      FROM cc LEFT JOIN m USING (w1, w2), v),
+       |          / CAST(coalesce(mc.c_ctx, 0) + v.v AS DOUBLE)) AS x
+       |      FROM cc LEFT JOIN m USING (w1, w2)
+       |        LEFT JOIN mc USING (w1), v),
        |lw AS (SELECT doc_id, sum(cnt) AS n_bigrams,
        |         list_sum(list(x ORDER BY w1, w2)) AS logprob
        |       FROM x GROUP BY 1),
@@ -7466,10 +7468,12 @@ object SparkEntry {
          |v AS (SELECT count(DISTINCT w2) + 1 AS v FROM rc),
          |cc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM d
          |       GROUP BY 1, 2, 3),
+         |mc AS (SELECT w1, sum(c_big) AS c_ctx FROM rc GROUP BY w1),
          |x AS (SELECT cc.doc_id, cc.w1, cc.w2, cc.cnt,
          |        cc.cnt * ln(CAST(coalesce(m.c_big, 0) + 1 AS DOUBLE)
-         |          / CAST(coalesce(m.c_ctx, 0) + v.v AS DOUBLE)) AS x
-         |      FROM cc LEFT JOIN m USING (w1, w2), v),
+         |          / CAST(coalesce(mc.c_ctx, 0) + v.v AS DOUBLE)) AS x
+         |      FROM cc LEFT JOIN m USING (w1, w2)
+         |        LEFT JOIN mc USING (w1), v),
          |lw AS (SELECT doc_id, sum(cnt) AS n_bigrams,
          |         list_sum(list(x ORDER BY w1, w2)) AS logprob
          |       FROM x GROUP BY 1),
@@ -7528,10 +7532,12 @@ object SparkEntry {
          |v AS (SELECT count(DISTINCT w2) + 1 AS v FROM rc),
          |cc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM d
          |       GROUP BY 1, 2, 3),
+         |mc AS (SELECT w1, sum(c_big) AS c_ctx FROM rc GROUP BY w1),
          |px AS (SELECT cc.doc_id, cc.w1, cc.w2, cc.cnt,
          |        cc.cnt * ln(CAST(coalesce(m.c_big, 0) + 1 AS DOUBLE)
-         |          / CAST(coalesce(m.c_ctx, 0) + v.v AS DOUBLE)) AS x
-         |      FROM cc LEFT JOIN m USING (w1, w2), v),
+         |          / CAST(coalesce(mc.c_ctx, 0) + v.v AS DOUBLE)) AS x
+         |      FROM cc LEFT JOIN m USING (w1, w2)
+         |        LEFT JOIN mc USING (w1), v),
          |plw AS (SELECT doc_id, sum(cnt) AS n_bigrams,
          |         list_sum(list(x ORDER BY w1, w2)) AS logprob
          |       FROM px GROUP BY 1),

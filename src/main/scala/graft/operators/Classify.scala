@@ -230,17 +230,24 @@ object Classify {
     // the group frame materializes FIRST: the two-phase prefix reads it
     // three times (quantile splits, bucket totals, cumulative pass) and
     // each read must hit the distinct-score-sized checkpoint, not
-    // re-run the scoring plan behind it
+    // re-run the scoring plan behind it.
+    // Grouping key = the DOUBLE image of the score: twoPhaseRunningSum's
+    // exactness contract requires the cast image be unique per group, so
+    // scores indistinguishable as doubles (long margins past 2^53) must
+    // be ONE group — which is also the right AUC tie semantics.
+    // Null LABELS are excluded like null scores: an unlabeled row is not
+    // a negative.
     val grp = Dedup.materialize(scored
-      .select(score.as("s"), when(label, 1L).otherwise(0L).as("ip"))
-      .where(col("s").isNotNull)
+      .where(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("ip"))
       .groupBy("s")
       .agg(sum(col("ip")).as("p"), (count(lit(1)) - sum(col("ip"))).as("n")))
     // bucketed two-phase prefix (s is the group key — unique, non-null
     // after the filter above), bit-identical to a global window because
     // the negative counts are integers
     val cum = Shard.twoPhaseRunningSum(grp, col("s"), col("n"), "cn")
-    cum.agg(
+    val out = cum.agg(
         sum(col("p")).as("np"),
         sum(col("n")).as("nn"),
         sum(lit(2L) * col("p") * (col("cn") - col("n")) +
@@ -264,6 +271,15 @@ object Classify {
         ((lit(2L) * col("tp")).cast("double") /
           nullif((lit(2L) * col("tp") + col("fp") + col("fn"))
             .cast("double"), lit(0.0))).as("f1"))
+    // the one output row is computed EAGERLY so the distinct-score
+    // checkpoint can be RELEASED (the operator already runs eager jobs
+    // — splits/totals passes — so laziness was never real); without the
+    // release a threshold-tuning loop leaks one corpus-scale checkpoint
+    // per call for the application lifetime
+    val row = out.head()
+    Dedup.releaseMaterialized(grp)
+    scored.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), out.schema)
   }
 
   /** Calibration readout: `nBins` equal-width score bins with a
@@ -459,8 +475,12 @@ object Classify {
   def targetEncode(df: DataFrame, category: Column, label: Column,
                    smoothing: Double): DataFrame = {
     require(smoothing >= 0.0, s"targetEncode: smoothing=$smoothing")
+    // decimal(38,6), not (18,6): a label past ~1e12 would overflow the
+    // narrow cast — loudly under ANSI, but SILENTLY TO NULL elsewhere,
+    // excluding the row from the encoder statistics as if unlabeled
+    // (boostedStumpsTrain guards the analogous bound with a require)
     val base = df.select(category.as("__c"),
-        label.cast("decimal(18,6)").as("__y"))
+        label.cast("decimal(38,6)").as("__y"))
       .where(col("__y").isNotNull)
     val cname = df.select(category).columns.head
     // ONE scan, fully LAZY: the global sums re-aggregate from the

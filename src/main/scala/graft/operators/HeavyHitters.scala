@@ -41,10 +41,16 @@ object HeavyHitters {
       s"exactHeavyHitters: k=$k too small for minShare=$minShare — the " +
         s"Misra-Gries completeness guarantee needs k + 1 > 1/minShare " +
         s"(= ${1.0 / minShare}); raise k or the share")
-    val it = item.as("item")
+    // MisraGriesAgg consumes UTF8String internally with no input
+    // coercion — a numeric item column would ClassCastException deep in
+    // the aggregate; cast here so ANY item type works (the
+    // Kmv.sourceSignatures convention), and use the SAME cast image for
+    // the verify pass's isin keys below
+    val it = item.cast("string").as("item")
     val row = df.agg(
       count(item).as("n"),
-      SketchAggregates.misraGries(item, k).as("sketch")).head()
+      SketchAggregates.misraGries(item.cast("string"), k).as("sketch"))
+      .head()
     val n = row.getLong(0)
     val candidates: Seq[String] =
       row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))

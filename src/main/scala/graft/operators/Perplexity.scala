@@ -85,14 +85,23 @@ object Perplexity {
 
   /** Score a frame against an EXPLICIT model — the shared kernel of
     * the in-query operator (model fit in the same plan) and the frozen
-    * persisted-model gate (`perplexityGateBatch`). Unseen bigrams fall
-    * through the left join to (0 + 1)/(0 + V) = 1/V — the same add-one
-    * mass whether the model came from this plan or from parquet. */
+    * persisted-model gate (`perplexityGateBatch`). Add-one smoothing
+    * uses the CONTEXT total whenever the context w1 is in the model:
+    * an unseen pair under a seen context scores (0+1)/(c_ctx(w1)+V),
+    * and only a fully unseen context falls to 1/V. The context total
+    * therefore joins on w1 ALONE — joining it through the (w1, w2)
+    * pair join would null c_ctx for every unseen pair, scoring an
+    * off-model continuation 1/V, which for any context with
+    * c_ctx > V is HIGHER than a seen-once continuation's
+    * 2/(c_ctx+V) — inverting exactly the ranking a perplexity gate
+    * exists to provide. */
   def scoresAgainstModel(docs: DataFrame, id: Column, text: Column,
                          model: DataFrame, v: DataFrame): DataFrame =
     bigramCounts(docs, id, text)
-      .join(model.select("w1", "w2", "c_big", "c_ctx"),
+      .join(model.select("w1", "w2", "c_big"),
         Seq("w1", "w2"), "left")
+      .join(model.groupBy("w1").agg(max(col("c_ctx")).as("c_ctx")),
+        Seq("w1"), "left")
       .crossJoin(broadcast(v.select(col("v"))))
       .select(col("doc_id"), col("cnt"),
         struct(col("w1"), col("w2"),
@@ -123,10 +132,25 @@ object Perplexity {
 
   /** Fit the bigram model once and write it frozen: `$path/model`
     * (w1, w2, c_big, c_ctx) then `$path/meta` (v) LAST — meta presence
-    * is the commit marker (`errorIfExists` on both: a torn write leaves
-    * no meta, a re-run fails loudly instead of silently refitting). */
+    * is the commit marker. A torn write leaves no meta: the next run
+    * retracts the orphaned model/ and refits (self-healing); a
+    * COMMITTED artifact is refused loudly instead of silently
+    * refitting. */
   def persistModel(docs: DataFrame, id: Column, text: Column,
                    refPred: Column, path: String): Unit = {
+    // retract-then-overwrite when UNCOMMITTED (the persistLlrModel
+    // discipline): a crash between the model and meta writes would
+    // otherwise wedge every rerun on the surviving model/ directory —
+    // replays must self-heal. A COMMITTED artifact (meta present) still
+    // fails loudly rather than silently refitting.
+    val spark = docs.sparkSession
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val modelDir = new org.apache.hadoop.fs.Path(s"$path/model")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(metaDir),
+      s"persistModel: a committed model already exists at $path — " +
+        "remove it explicitly to refit")
+    if (fs.exists(modelDir)) fs.delete(modelDir, true)
     val model = bigramModel(docs, id, text, refPred)
     model.write.mode("error").parquet(s"$path/model")
     // v from the WRITTEN bytes, not the model lineage: re-aggregating

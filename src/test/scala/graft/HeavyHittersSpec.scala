@@ -183,4 +183,14 @@ class HeavyHittersSpec extends SparkTestBase {
       dyadicSketch(Seq(-1L), levels = 6, depth = 2, parts = 1)
     }
   }
+
+  test("exactHeavyHitters accepts a non-string item column (numeric ids " +
+    "cast through the sketch and the verify pass identically)") {
+    val df = ((1 to 90).map(_ => 7L) ++ (1 to 10).map(_ => 9L))
+      .toDF("user_id")
+    val hh = HeavyHitters.exactHeavyHitters(df, col("user_id"),
+        minShare = 0.5, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hh === Map("7" -> 90L))
+  }
 }

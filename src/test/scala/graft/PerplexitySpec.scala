@@ -56,4 +56,44 @@ class PerplexitySpec extends SparkTestBase {
       Perplexity.perplexityGate(docs, col("doc_id"), col("text"),
         col("src") === "ref", quota = 0) }
   }
+
+  test("scoresAgainstModel: an unseen PAIR under a SEEN context uses " +
+    "the context total — (0+1)/(c_ctx+V), not 1/V — so off-model " +
+    "continuations never outscore seen ones") {
+    // reference "a b a b a": c_ctx(a)=2, c_ctx(b)=2, V=3
+    // doc 4 "a a": seen context a, unseen pair (a,a)
+    //   P = (0+1)/(2+3) = 0.2  — the buggy pair-join gave 1/V = 1/3
+    val withUnseen = docs.unionByName(
+      Seq((40L, "a a", "raw")).toDF("doc_id", "text", "src"))
+    val s = Perplexity.perplexityScores(withUnseen, col("doc_id"),
+        col("text"), col("src") === "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(s(40L)._1 - math.log(0.2)) < 1e-12)
+    // ranking sanity: the seen bigram "a b" (P=0.6) must be LESS
+    // perplexing than the unseen "a a" under the same context
+    assert(s(2L)._2 < s(40L)._2)
+  }
+
+  test("persistModel self-heals an UNCOMMITTED (torn) artifact and " +
+    "refuses a committed one loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ppl_model").toString
+    // simulate a crash between the model and meta writes: model/ exists,
+    // meta/ does not
+    docs.limit(1).select(col("text").as("w1"), col("text").as("w2"),
+        lit(1L).as("c_big"), lit(1L).as("c_ctx"))
+      .write.parquet(s"$dir/model")
+    // the rerun must retract the orphan and succeed
+    Perplexity.persistModel(docs, col("doc_id"), col("text"),
+      col("src") === "ref", dir)
+    val m = spark.read.parquet(s"$dir/model")
+    assert(m.count() === 2) // (a,b) and (b,a), not the orphan row
+    // a COMMITTED artifact is refused, not silently refit
+    val e = intercept[IllegalArgumentException] {
+      Perplexity.persistModel(docs, col("doc_id"), col("text"),
+        col("src") === "ref", dir)
+    }
+    assert(e.getMessage.contains("committed model already exists"))
+  }
 }
