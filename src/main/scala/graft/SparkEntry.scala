@@ -7277,8 +7277,9 @@ object SparkEntry {
     // only tf-idf scoring a cross-engine hash oracle can pin
     "q_text_tfidf" ->
       s"""WITH nrm AS (SELECT doc_id, $normTextSql AS t FROM documents),
-         |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
-         |        FROM nrm),
+         |tok AS (SELECT doc_id, tok FROM (
+         |          SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+         |          FROM nrm) WHERE tok <> ''),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
          |idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
          |sc AS (SELECT doc_id, tok, tf, df,

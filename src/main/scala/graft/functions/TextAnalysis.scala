@@ -43,6 +43,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(id.as("doc_id"),
       explode(split(normText(text), " ")).as("tok"))
+      // an empty/whitespace-only doc splits to [""] — without the
+      // filter the empty string becomes a "term" whose df counts every
+      // empty doc (tfidfCosineTopK applies the same guard)
+      .where(length(col("tok")) > 0)
     val tf = toks.groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val wRank = Window.partitionBy("doc_id")
@@ -171,7 +175,12 @@ object TextAnalysis {
     val lenOk   = when(length(c) >= 100 && length(c) <= 20000, 0.25).otherwise(0.0)
     val punctOk = when(punctRatio(c) <= 0.2, 0.25).otherwise(0.0)
     val stopOk  = when(stopwordRatio(c) >= 0.01, 0.25).otherwise(0.0)
-    val wordOk  = when(avgWordLen(c) >= 2.0 && avgWordLen(c) <= 12.0, 0.25)
+    // between() expands to the same two avgWordLen subtrees, but
+    // whole-stage codegen's subexpression elimination collapses
+    // duplicates WITHIN one projection — the langIdFrame caveat is
+    // about duplication ACROSS projections (CollapseProject), where
+    // CSE cannot reach. Plan-checked: one tokenization per row.
+    val wordOk  = when(avgWordLen(c).between(2.0, 12.0), 0.25)
       .otherwise(0.0)
     lenOk + punctOk + stopOk + wordOk
   }

@@ -61,13 +61,21 @@ object Multimodal {
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
                    stride: Int, idCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // loud parameter guards (the chunkDocs/concatChunk convention): a
+    // zero stride is a modulo-by-zero deep inside the expression (ANSI
+    // throws at runtime; non-ANSI silently drops every frame), and a
+    // zero frameSize sends the chunk-count division through garbage
+    require(frameSize > 0, s"sampleFrames: frameSize=$frameSize")
+    require(stride > 0, s"sampleFrames: stride=$stride")
+    // the binary column rides through quoted so dotted/spaced names work
+    val b = s"`$binCol`"
     df.select(
         org.apache.spark.sql.functions.col(idCol),
         posexplode_outer(expr(
           s"""transform(
-             |  filter(sequence(0, greatest(int(floor((octet_length($binCol) - 1) / $frameSize)), 0)),
-             |    i -> i % $stride = 0 AND octet_length($binCol) > 0),
-             |  i -> substring($binCol, i * $frameSize + 1, $frameSize))"""
+             |  filter(sequence(0, greatest(int(floor((octet_length($b) - 1) / $frameSize)), 0)),
+             |    i -> i % $stride = 0 AND octet_length($b) > 0),
+             |  i -> substring($b, i * $frameSize + 1, $frameSize))"""
             .stripMargin)).as(Seq("sample_idx", "frame_bytes")))
       .withColumnRenamed("sample_idx", "frame_idx")
   }
@@ -82,9 +90,12 @@ object Multimodal {
     val w = col(s"$metaCol.width").cast("double")
     val h = col(s"$metaCol.height").cast("double")
     val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    // clamp to 1: an extreme aspect ratio (10000×20 at maxSide 100)
+    // would otherwise round the short side to 0 — an invalid target a
+    // real resize kernel divides by
     df.withColumn(outCol, when(col(metaCol).isNotNull, struct(
-      round(w * scale).cast("int").as("width"),
-      round(h * scale).cast("int").as("height"))))
+      greatest(lit(1), round(w * scale).cast("int")).as("width"),
+      greatest(lit(1), round(h * scale).cast("int")).as("height"))))
   }
 
   /** Decode a binary column into a metadata struct via mapPartitions:

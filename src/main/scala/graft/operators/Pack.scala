@@ -51,8 +51,13 @@ object Pack {
       bucketExpr.getOrElse(pmod(xxhash64(id), lit(buckets.toLong)))
         .cast("long").as("bucket"),
       orderExpr.getOrElse(xxhash64(id, lit(42))).as("__ord"))
+    // explicit ROWS frame: the default RANGE frame makes rows tying on
+    // (__ord, doc_id) — duplicate doc ids — frame PEERS, so both would
+    // read the same cum_before and overlap at one (seq, offset) while a
+    // budget-sized hole goes unassigned
     val w = Window.partitionBy("bucket")
       .orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)) - col("n_tokens"))
