@@ -7,7 +7,7 @@ import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.functions.{aggregate, array_sort, concat, conv,
   element_at, filter, lit, md5, size, substring, transform, typedlit}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -42,9 +42,13 @@ case class MisraGriesAgg(child: Expression, k: Int,
                          override val mutableAggBufferOffset: Int = 0,
                          override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
-  with UnaryLike[Expression] {
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
 
   require(k >= 1, s"MisraGriesAgg: k=$k must be >= 1")
+
+  // analysis-time typing: wrong-typed input gets an implicit cast or a
+  // clean analysis error, not an executor-side ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
@@ -152,10 +156,12 @@ case class CountMinAgg(child: Expression, depth: Int,
                        override val mutableAggBufferOffset: Int = 0,
                        override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
-  with UnaryLike[Expression] {
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
 
   require(depth >= 1 && depth <= 16,
     s"CountMinAgg: depth=$depth out of [1, 16]")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   val width: Int = CountMinAgg.Width
 
@@ -266,10 +272,12 @@ case class DyadicCmsAgg(child: Expression, levels: Int, depth: Int,
                         override val mutableAggBufferOffset: Int = 0,
                         override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
-  with UnaryLike[Expression] {
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
 
   require(levels >= 1 && levels <= 40,
     s"DyadicCmsAgg: levels=$levels out of [1, 40]")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   require(depth >= 1 && depth <= 16,
     s"DyadicCmsAgg: depth=$depth out of [1, 16]")
 
@@ -372,7 +380,9 @@ case class HllAgg(child: Expression, hexChars: Int,
                   override val mutableAggBufferOffset: Int = 0,
                   override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]]
-  with UnaryLike[Expression] {
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   // >= 2: the asymptotic alpha_m constant hllEstimate applies is the
   // documented-correct one only for m >= 128 (Flajolet et al. 2007 use
@@ -531,7 +541,10 @@ object SketchAggregates {
     * generated oracle and [[dyadicRank]], so the three can never
     * disagree on the decomposition. */
   def dyadicNodes(x: Long, levels: Int): Seq[(Int, Long)] = {
-    require(x >= -1 && x + 1 <= (1L << levels),
+    // x < (1L << levels), NOT x + 1 <= ...: at x = Long.MaxValue the
+    // +1 wraps negative and the guard would fail OPEN, silently
+    // returning an empty decomposition
+    require(x >= -1 && x < (1L << levels),
       s"dyadicNodes: x=$x outside [-1, 2^$levels - 1]")
     val y = x + 1
     // the full domain: y = 2^levels has its single set bit ABOVE the

@@ -215,53 +215,54 @@ case class HyperplaneBuckets(child: Expression, dim: Int, nBits: Int,
   * null product poison the fold → null cosine → coalesce(-2) for every
   * centroid) and the SQL oracle's CASE guard.
   */
-case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+/** THE centroid-scan arithmetic shared by [[NearestCentroid]] and
+  * [[NearestCentroidScore]] — one definition of the flattened matrix,
+  * the driver-side norms, the degenerate test, the interpreted scan,
+  * and the codegen template. The two expressions are spec-pinned to be
+  * the argmax/max pair of ONE scan; a tie-break or norm-order change
+  * applied to a private copy of either would silently break that
+  * pairing, so no private copies exist. */
+private[functions] object CentroidScan {
 
-  require(cents.nonEmpty, "NearestCentroid: no centroids")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_nearest_centroid requires ARRAY<FLOAT> input, got $t")
-  }
-  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
-  override def prettyName: String = "graft_nearest_centroid"
-
-  private def k: Int = cents.length
-  private def dim: Int = cents.head.length
-  /** Flattened [centroid][dim] matrix for the codegen reference. */
-  private lazy val flat: Array[Double] = {
+  def flatten(cents: Array[Array[Double]], owner: String): Array[Double] = {
+    val k = cents.length
+    val dim = cents.head.length
     val out = new Array[Double](k * dim)
     var j = 0
     while (j < k) {
       require(cents(j).length == dim,
-        s"NearestCentroid: centroid $j has dim ${cents(j).length}, not $dim")
+        s"$owner: centroid $j has dim ${cents(j).length}, not $dim")
       System.arraycopy(cents(j), 0, out, j * dim, dim)
       j += 1
     }
     out
   }
+
   /** Centroid L2 norms, ascending-index driver sum (same order as the
     * SQL oracle's list_sum). */
-  private lazy val cNorms: Array[Double] = cents.map { c =>
+  def norms(cents: Array[Array[Double]]): Array[Double] = cents.map { c =>
     var s = 0.0; var i = 0
     while (i < c.length) { s += c(i) * c(i); i += 1 }
     math.sqrt(s)
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    // a vector whose length differs from the centroid dim, or that
-    // carries a null ELEMENT, scores every centroid -2 in the composed
-    // HOF form (zip_with's null pad / the null product poison the fold →
-    // null cosine → coalesce(-2)) and in the SQL oracle's CASE guard —
-    // all-equal scores resolve to cluster 0
-    if (x.numElements() != dim) return 0
+  /** Dim mismatch or a null ELEMENT — the inputs the composed HOF form
+    * scores -2 everywhere (each expression maps them to its own
+    * documented default). */
+  def degenerate(x: ArrayData, dim: Int): Boolean = {
+    if (x.numElements() != dim) return true
     var i = 0
-    while (i < dim) { if (x.isNullAt(i)) return 0; i += 1 }
+    while (i < dim) { if (x.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  /** (argmax, max cosine) over a WELL-FORMED input: ascending-index
+    * sequential double folds, zero-norm scored -2.0, ties to the lower
+    * centroid index. */
+  def scan(x: ArrayData, flat: Array[Double], cNorms: Array[Double],
+           k: Int, dim: Int): (Int, Double) = {
     var nrm = 0.0
-    i = 0
+    var i = 0
     while (i < dim) {
       val e = x.getFloat(i).toDouble; nrm += e * e; i += 1
     }
@@ -280,49 +281,92 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       if (score > bestScore) { bestScore = score; best = j }
       j += 1
     }
-    best
+    (best, bestScore)
+  }
+
+  /** Codegen template computing BOTH the argmax (`best`, 0 on a
+    * degenerate input) and the max score (`bestS`, `degenScore` on a
+    * degenerate input); the caller emits whichever its dataType is. */
+  def genBody(ctx: CodegenContext, v: String, flat: Array[Double],
+              cNorms: Array[Double], k: Int, dim: Int,
+              best: String, bestS: String, degenScore: String): String = {
+    val fl = ctx.addReferenceObj("cents", flat, "double[]")
+    val cn = ctx.addReferenceObj("cnorms", cNorms, "double[]")
+    val nrm = ctx.freshName("nrm")
+    val el = ctx.freshName("el")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val dot = ctx.freshName("dot")
+    val den = ctx.freshName("den")
+    val sc = ctx.freshName("score")
+    val ok = ctx.freshName("ok")
+    s"""
+       |int $best = 0;
+       |double $bestS = $degenScore;
+       |boolean $ok = $v.numElements() == $dim;
+       |for (int $i = 0; $ok && $i < $dim; $i++) {
+       |  $ok = !$v.isNullAt($i);
+       |}
+       |if ($ok) {
+       |  double $nrm = 0.0;
+       |  for (int $i = 0; $i < $dim; $i++) {
+       |    double $el = (double) $v.getFloat($i);
+       |    $nrm += $el * $el;
+       |  }
+       |  $nrm = java.lang.Math.sqrt($nrm);
+       |  $bestS = java.lang.Double.NEGATIVE_INFINITY;
+       |  for (int $j = 0; $j < $k; $j++) {
+       |    double $dot = 0.0;
+       |    for (int $i = 0; $i < $dim; $i++) {
+       |      $dot += ((double) $v.getFloat($i)) * $fl[$j * $dim + $i];
+       |    }
+       |    double $den = $nrm * $cn[$j];
+       |    double $sc = ($den == 0.0) ? -2.0 : $dot / $den;
+       |    if ($sc > $bestS) { $bestS = $sc; $best = $j; }
+       |  }
+       |}
+     """.stripMargin
+  }
+}
+
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty, "NearestCentroid: no centroids")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid requires ARRAY<FLOAT> input, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  private def k: Int = cents.length
+  private def dim: Int = cents.head.length
+  private lazy val flat: Array[Double] =
+    CentroidScan.flatten(cents, "NearestCentroid")
+  private lazy val cNorms: Array[Double] = CentroidScan.norms(cents)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    // a vector whose length differs from the centroid dim, or that
+    // carries a null ELEMENT, scores every centroid -2 in the composed
+    // HOF form (zip_with's null pad / the null product poison the fold →
+    // null cosine → coalesce(-2)) and in the SQL oracle's CASE guard —
+    // all-equal scores resolve to cluster 0
+    if (CentroidScan.degenerate(x, dim)) return 0
+    CentroidScan.scan(x, flat, cNorms, k, dim)._1
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val fl = ctx.addReferenceObj("cents", flat, "double[]")
-      val cn = ctx.addReferenceObj("cnorms", cNorms, "double[]")
-      val nrm = ctx.freshName("nrm")
-      val el = ctx.freshName("el")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val dot = ctx.freshName("dot")
-      val den = ctx.freshName("den")
-      val sc = ctx.freshName("score")
       val best = ctx.freshName("best")
       val bestS = ctx.freshName("bestScore")
-      s"""
-         |int $best = 0;
-         |boolean ${best}_ok = $v.numElements() == $dim;
-         |for (int $i = 0; ${best}_ok && $i < $dim; $i++) {
-         |  ${best}_ok = !$v.isNullAt($i);
-         |}
-         |if (${best}_ok) {
-         |  double $nrm = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    double $el = (double) $v.getFloat($i);
-         |    $nrm += $el * $el;
-         |  }
-         |  $nrm = java.lang.Math.sqrt($nrm);
-         |  double $bestS = java.lang.Double.NEGATIVE_INFINITY;
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $dim; $i++) {
-         |      $dot += ((double) $v.getFloat($i)) * $fl[$j * $dim + $i];
-         |    }
-         |    double $den = $nrm * $cn[$j];
-         |    double $sc = ($den == 0.0) ? -2.0 : $dot / $den;
-         |    if ($sc > $bestS) { $bestS = $sc; $best = $j; }
-         |  }
-         |}
-         |${ev.value} = $best;
-       """.stripMargin
+      CentroidScan.genBody(ctx, v, flat, cNorms, k, dim, best, bestS,
+        degenScore = "1.0") +
+        s"\n${ev.value} = $best;"
     })
 
   override protected def withNewChildInternal(
@@ -363,91 +407,24 @@ case class NearestCentroidScore(child: Expression,
 
   private def k: Int = cents.length
   private def dim: Int = cents.head.length
-  private lazy val flat: Array[Double] = {
-    val out = new Array[Double](k * dim)
-    var j = 0
-    while (j < k) {
-      require(cents(j).length == dim,
-        s"NearestCentroidScore: centroid $j has dim ${cents(j).length}, " +
-          s"not $dim")
-      System.arraycopy(cents(j), 0, out, j * dim, dim)
-      j += 1
-    }
-    out
-  }
-  private lazy val cNorms: Array[Double] = cents.map { c =>
-    var s = 0.0; var i = 0
-    while (i < c.length) { s += c(i) * c(i); i += 1 }
-    math.sqrt(s)
-  }
+  private lazy val flat: Array[Double] =
+    CentroidScan.flatten(cents, "NearestCentroidScore")
+  private lazy val cNorms: Array[Double] = CentroidScan.norms(cents)
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    if (x.numElements() != dim) return 1.0
-    var i = 0
-    while (i < dim) { if (x.isNullAt(i)) return 1.0; i += 1 }
-    var nrm = 0.0
-    i = 0
-    while (i < dim) {
-      val e = x.getFloat(i).toDouble; nrm += e * e; i += 1
-    }
-    nrm = math.sqrt(nrm)
-    var bestScore = java.lang.Double.NEGATIVE_INFINITY
-    var j = 0
-    while (j < k) {
-      var dot = 0.0
-      i = 0
-      while (i < dim) {
-        dot += x.getFloat(i).toDouble * flat(j * dim + i); i += 1
-      }
-      val den = nrm * cNorms(j)
-      val score = if (den == 0.0) -2.0 else dot / den
-      if (score > bestScore) bestScore = score
-      j += 1
-    }
-    bestScore
+    if (CentroidScan.degenerate(x, dim)) return 1.0
+    CentroidScan.scan(x, flat, cNorms, k, dim)._2
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val fl = ctx.addReferenceObj("cents", flat, "double[]")
-      val cn = ctx.addReferenceObj("cnorms", cNorms, "double[]")
-      val nrm = ctx.freshName("nrm")
-      val el = ctx.freshName("el")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val dot = ctx.freshName("dot")
-      val den = ctx.freshName("den")
-      val sc = ctx.freshName("score")
+      val best = ctx.freshName("best")
       val bestS = ctx.freshName("bestScore")
-      val ok = ctx.freshName("ok")
-      s"""
-         |double $bestS = 1.0;
-         |boolean $ok = $v.numElements() == $dim;
-         |for (int $i = 0; $ok && $i < $dim; $i++) {
-         |  $ok = !$v.isNullAt($i);
-         |}
-         |if ($ok) {
-         |  double $nrm = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    double $el = (double) $v.getFloat($i);
-         |    $nrm += $el * $el;
-         |  }
-         |  $nrm = java.lang.Math.sqrt($nrm);
-         |  $bestS = java.lang.Double.NEGATIVE_INFINITY;
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $dim; $i++) {
-         |      $dot += ((double) $v.getFloat($i)) * $fl[$j * $dim + $i];
-         |    }
-         |    double $den = $nrm * $cn[$j];
-         |    double $sc = ($den == 0.0) ? -2.0 : $dot / $den;
-         |    if ($sc > $bestS) { $bestS = $sc; }
-         |  }
-         |}
-         |${ev.value} = $bestS;
-       """.stripMargin
+      CentroidScan.genBody(ctx, v, flat, cNorms, k, dim, best, bestS,
+        degenScore = "1.0") +
+        s"\n${ev.value} = $bestS;"
     })
 
   override protected def withNewChildInternal(
@@ -804,8 +781,14 @@ object VectorExpressions {
          Seq[Expression] => Expression) =
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot_f32"),
-      (children: Seq[Expression]) =>
-        DotProductF32(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        // arity-checked like graft_lsh_buckets: extra args must not be
+        // silently dropped (a typo'd call would return a wrong-looking-
+        // right dot), and too few must fail readably
+        require(children.size == 2,
+          s"graft_dot_f32 takes 2 arguments, got ${children.size}")
+        DotProductF32(children.head, children(1))
+      })
 
   /** SQL form `graft_lsh_buckets(emb, dim, nBits, nTables, seed)` — the
     * four config arguments must be integer literals (they size the
