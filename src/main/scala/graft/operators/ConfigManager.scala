@@ -67,7 +67,10 @@ object ConfigManager {
     else t match {
       case "true" => true
       case "false" => false
-      case _ if t.matches("-?\\d+") => t.toLong
+      // toLongOption: an unquoted numeric wider than Long (a 23-digit
+      // key) must stay a STRING, not kill the whole config load
+      case _ if t.matches("-?\\d+") =>
+        t.toLongOption.getOrElse(t): Any
       case _ if t.matches("-?\\d+\\.\\d+") => t.toDouble
       case _ => t
     }
@@ -102,10 +105,25 @@ object ConfigManager {
       (if (keep && body.nonEmpty) body + "\n" else body, j)
     }
 
-    def parseNode(start: Int, indent: Int): (Any, Int) =
-      if (start < lines.length && lines(start).content.startsWith("- "))
-        parseList(start, lines(start).indent)
-      else parseMap(start, indent)
+    def parseNode(start: Int, indent: Int): (Any, Int) = {
+      // dispatch on the first NON-BLANK content line and use ITS indent:
+      // a top-level list behind a comment/blank line, or a uniformly
+      // indented document, would otherwise fall into parseMap(0,0) and
+      // silently parse to an empty map (every default would win)
+      var first = start
+      while (first < lines.length && lines(first).content.isEmpty)
+        first += 1
+      if (first >= lines.length) (Map.empty[String, Any], first)
+      else if (lines(first).content.startsWith("- "))
+        parseList(first, lines(first).indent)
+      else {
+        // the TOP-level call adopts the document's own base indent;
+        // internal calls already pass their content line's indent
+        val mapIndent =
+          if (start == 0 && indent == 0) lines(first).indent else indent
+        parseMap(first, mapIndent)
+      }
+    }
 
     def parseList(start: Int, indent: Int): (Seq[Any], Int) = {
       val items = collection.mutable.Buffer[Any]()
@@ -182,8 +200,15 @@ object ConfigManager {
       while (i < lines.length &&
         (isBlank(i) || lines(i).indent >= indent)) {
         if (isBlank(i)) i += 1
-        else if (lines(i).indent > indent || // stray deeper line: skip
-          !keyLine.pattern.matcher(lines(i).content).matches()) i += 1
+        else if (lines(i).indent > indent ||
+          !keyLine.pattern.matcher(lines(i).content).matches()) {
+          // same visibility rule as the list-continuation branch: a
+          // skipped line means a config value is silently absent
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"config map: dropping unparseable line " +
+              s"'${lines(i).content}'")
+          i += 1
+        }
         else {
           val m = keyLine.findFirstMatchIn(lines(i).content).get
           val key = unquote(m.group(1)).toString
@@ -378,8 +403,19 @@ object ConfigManager {
           apiKey = key("ollama_api_key")),
           getString(conf, "llm.ollama_model"))
       case _ =>
+        // same routing fix as ollama: HttpLlmClient speaks the CHAT
+        // completions protocol ({"messages":[...]} in,
+        // choices[0].message.content out); the reference default URL is
+        // the legacy /v1/completions, which rejects that payload (or
+        // answers choices[0].text, read as "") — every row would
+        // silently degrade to JsonRepair defaults
         (HttpClients.HttpConfig(
-          baseUrl = getString(conf, "llm.vllm_api_url"),
+          baseUrl = {
+            val raw = getString(conf, "llm.vllm_api_url").stripSuffix("/")
+            if (raw.endsWith("/v1/chat/completions")) raw
+            else raw.stripSuffix("/v1/completions").stripSuffix("/v1") +
+              "/v1/chat/completions"
+          },
           apiKey = key("vllm_api_key")),
           getString(conf, "llm.vllm_model"))
     }

@@ -67,6 +67,12 @@ object Enrich {
       }
     }
     val metricsDim = spark.createDataFrame(metricsRdd, schema)
+    // journal_norm is a DOCUMENTED output column (the normalized join
+    // key downstream dedup/reporting reads); a pre-existing one would
+    // be silently clobbered, so refuse it loudly
+    require(!df.columns.contains("journal_norm"),
+      "journalMetrics: input already has a 'journal_norm' column — " +
+        "rename it upstream; the operator adds its own")
     df.withColumn("journal_norm", lower(trim(col(journalCol))))
       .join(broadcast(metricsDim), Seq("journal_norm"), "left")
   }
@@ -204,13 +210,22 @@ object Enrich {
     def chat(messages: Seq[(String, String)]): String = {
       val parts = template.userTemplate
         .split(java.util.regex.Pattern.quote("{abstract}"), -1)
-      val prefix = parts.head
-      val suffix = if (parts.length > 1) parts(1) else ""
       val sysOk = messages.headOption.contains("system" -> template.system)
       val user = messages.collectFirst { case ("user", c) => c }.getOrElse("")
-      if (!sysOk || user.length < prefix.length + suffix.length ||
-          !user.startsWith(prefix) || !user.endsWith(suffix)) return "{}"
-      val abs = user.substring(prefix.length, user.length - suffix.length)
+      // reconstruct against ALL placeholder occurrences: messages()
+      // substitutes every {abstract}, so with N parts the abstract's
+      // length is (|user| − Σ|parts|)/(N−1) and the rebuilt template
+      // must equal the prompt EXACTLY (the old prefix/parts(1) check
+      // rejected correctly built multi-placeholder prompts)
+      val nSlots = parts.length - 1
+      if (!sysOk || nSlots < 1) return "{}"
+      val spare = user.length - parts.map(_.length).sum
+      if (spare < 0 || spare % nSlots != 0) return "{}"
+      val absLen = spare / nSlots
+      val prefix = parts.head
+      if (user.length < prefix.length + absLen) return "{}"
+      val abs = user.substring(prefix.length, prefix.length + absLen)
+      if (parts.mkString(abs) != user) return "{}"
       val toks = abs.trim.split("\\s+").filter(_.nonEmpty)
       val json = template.fields.zipWithIndex.map { case (f, i) =>
         val v = if (i == 0) toks.take(8).mkString(" ")

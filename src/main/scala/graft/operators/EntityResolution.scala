@@ -76,12 +76,17 @@ object EntityResolution {
     * row's gate threshold). */
   private def matchedPairs(recs: DataFrame, maxDistNum: Int,
                            maxDistDen: Int, maxBlock: Int,
-                           cap: Int): DataFrame = {
+                           cap: Int,
+                           preGuarded: Option[DataFrame] = None)
+      : DataFrame = {
     // block histogram is #distinct-blocks-sized (small relative to the
-    // corpus); the explicit blk exchange spreads the edit-distance work
-    val sized = recs.join(
+    // corpus); the explicit blk exchange spreads the edit-distance work.
+    // `preGuarded` lets a caller that already built the histogram-
+    // filtered (id, norm, blk) frame share it instead of paying the
+    // histogram shuffle twice per probe (the probeEntityIndex case).
+    val sized = preGuarded.getOrElse(recs.join(
       recs.groupBy("blk").agg(count(lit(1)).as("blk_n")), Seq("blk"))
-      .where(col("blk_n") <= maxBlock)
+      .where(col("blk_n") <= maxBlock))
       .repartition(col("blk"))
     val a = sized.select(col("blk"), col("id").as("id_a"),
       col("norm").as("norm_a")).as("era")
@@ -235,6 +240,24 @@ object EntityResolution {
     // first time a gate epoch admits a longer name. Partitioned under
     // ingest_batch = -1: the layout [[entityGateBatch]] appends its
     // epochs into, keeping every file at one directory depth.
+    // A GATE-GROWN index (epoch partitions beyond the base) cannot be
+    // re-bootstrapped in place: dynamic overwrite would rewrite only
+    // ingest_batch=-1, leaving stale pre-merge assignments alive in
+    // the epoch partitions under a fresh commit marker — refuse loudly
+    // (the persistPcaModel "loud refusal, not a torn artifact" posture).
+    val recDir = new org.apache.hadoop.fs.Path(s"$path/records")
+    val recFs =
+      recDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (recFs.exists(recDir)) {
+      val epochs = recFs.listStatus(recDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("ingest_batch=") &&
+          n != "ingest_batch=-1")
+      require(epochs.isEmpty,
+        s"persistEntityIndex: $path holds gate epoch partitions " +
+          s"(${epochs.take(3).mkString(", ")}) — a re-bootstrap would " +
+          "leave their stale assignments under a fresh marker; delete " +
+          "the index or build to a fresh path")
+    }
     writeRecordsPartition(linkable.join(resolved, Seq("id")), -1L, path)
     Seq((maxDistNum, maxDistDen, maxBlock, maxLen))
       .toDF("max_dist_num", "max_dist_den", "max_block", "max_norm_len")
@@ -331,7 +354,8 @@ object EntityResolution {
           .where(col("lv") >= 0 && col("lv") * lit(den)
             <= maxLen * lit(num))
           .groupBy(col("id")).agg(min(col("entity_id")).as("ext"))
-        val pairs = matchedPairs(linkable, num, den, maxBlock, cap)
+        val pairs =
+          matchedPairs(linkable, num, den, maxBlock, cap, Some(guarded))
         val assign = ids.join(blockComponents(pairs), Seq("id"), "left")
           .select(col("id"),
             coalesce(col("component"), col("id")).as("comp"))
@@ -392,15 +416,22 @@ object EntityResolution {
           s"${meta.getInt(2)}) but the gate requested " +
           s"($maxDistNum/$maxDistDen, maxBlock $maxBlock)")
     }
+    // ONE baseFrames + ONE maxNormLen probe for the whole epoch: the
+    // bootstrap path previously ran the normalize+max scan twice
+    // (inside resolveEntities, then again for the meta row) over what
+    // is typically the largest batch the gate ever sees — the initial
+    // backfill corpus (the persistEntityIndex single-scan discipline,
+    // commit 2a02427)
+    val (base, linkable) =
+      baseFrames(batch, col(idCol), col(nameCol), block)
+    val bootMaxLen = if (bootstrap) maxNormLen(linkable) else None
     val assigned =
       if (bootstrap)
-        resolveEntities(batch, col(idCol), col(nameCol), block,
+        resolveCore(base, linkable, bootMaxLen,
           maxDistNum, maxDistDen, maxBlock)
       else
         probeEntityIndex(batch, col(idCol), col(nameCol), block,
           indexPath, excludeEpoch = Some(epochId))
-    val (_, linkable) =
-      baseFrames(batch, col(idCol), col(nameCol), block)
     // only linkable records are indexed (same as the batch build); the
     // lineage reads the partition tree the write below mutates, so the
     // frame is pinned across the write and released in the finally
@@ -411,7 +442,7 @@ object EntityResolution {
         writeRecordsPartition(admitted, epochId, indexPath)
         if (bootstrap) {
           if (fs.exists(metaDir)) fs.delete(metaDir, true)
-          val maxLen = maxNormLen(linkable).getOrElse(0)
+          val maxLen = bootMaxLen.getOrElse(0)
           Seq((maxDistNum, maxDistDen, maxBlock, maxLen))
             .toDF("max_dist_num", "max_dist_den", "max_block",
               "max_norm_len")

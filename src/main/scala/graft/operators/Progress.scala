@@ -102,10 +102,15 @@ object Progress {
       val sc = spark.sparkContext
       sc.setJobGroup(groupOf(name),
         s"graft progress stage: $name", interruptOnCancel = false)
-      try body
-      finally {
-        sc.clearJobGroup()
+      try {
+        val r = body
+        // full weight only on SUCCESS: crediting in a finally made a
+        // failed stage jump the polled progress FORWARD, and a retry
+        // showed the stage complete while re-running
         completed += name
+        r
+      } finally {
+        sc.clearJobGroup()
         current = None
       }
     }
