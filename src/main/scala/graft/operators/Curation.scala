@@ -41,14 +41,28 @@ object Curation {
     // fail loudly instead of silently clobbering caller data: the output
     // contract is "input columns + domain", which is unsatisfiable if the
     // input already carries one of the gate's columns
-    Seq("domain", "__rk").foreach(c =>
+    Seq("domain", "__rk", "__url_canon", "__url_host").foreach(c =>
       require(!docs.columns.contains(c),
         s"domainGate: input already has a '$c' column — rename it " +
           "upstream; the gate adds its own"))
     val spark = docs.sparkSession
     import spark.implicits._
+    // LAYERED projections + a ComputeOnce barrier, not the composed
+    // Urls.urlDomain: the one-expression composition re-inlines the full
+    // canonicalize chain at every internal reference (registeredDomain
+    // alone reads its host argument 6 times), and the isNotNull predicate
+    // below would be pushed down with the whole subtree substituted —
+    // measured 8.3 s warm / 16.3 s cold at sf0.1 for the inlined plan vs
+    // ~0.4 s for this shape (OPTIMIZATION_r12.md, guide §4.4). Each stage
+    // evaluates once per row; ComputeOnce pins the final alias so neither
+    // CollapseProject nor predicate pushdown can duplicate the chain.
     val withDom = docs
-      .withColumn("domain", Urls.urlDomain(url))
+      .withColumn("__url_canon", Urls.canonicalizeUrl(url))
+      .withColumn("__url_host", Urls.urlHost(col("__url_canon")))
+      .withColumn("domain",
+        graft.functions.ComputeOnce.once(
+          Urls.registeredDomain(col("__url_host"))))
+      .drop("__url_canon", "__url_host")
       .where(col("domain").isNotNull)
     val kept =
       if (blocklist.isEmpty) withDom

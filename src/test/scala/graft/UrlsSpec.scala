@@ -102,6 +102,39 @@ class UrlsSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("domainGate's layered domain build equals the composed " +
+    "Urls.urlDomain AND the plan evaluates the canonicalize chain once " +
+    "(r12: the inlined composition re-ran ~20 regexps per reference)") {
+    val docs = (1L to 50L).map { i =>
+      val url = i % 7 match {
+        case 0 => s"  HTTPS://User@Sub$i.Example.ORG:443/p/$i/?q=X#f"
+        case 1 => "not a url"
+        case 2 => s"http://shop$i.co.uk:80/a//"
+        case 3 => s"http://10.0.0.$i/raw"
+        case 4 => s"ftp://files.site$i.com:21/x"
+        case 5 => s"https://localhost/$i"
+        case _ => s"https://www.site$i.com/path/$i?a=B#frag"
+      }
+      (i, url)
+    }.toDF("doc_id", "url")
+    val gated = Curation.domainGate(docs, col("url"), col("doc_id"),
+      maxPerDomain = 1000)
+    val viaGate = gated.select("doc_id", "domain")
+      .as[(Long, String)].collect().toMap
+    val composed = docs.select(col("doc_id"),
+        Urls.urlDomain(col("url")).as("domain"))
+      .where(col("domain").isNotNull)
+      .as[(Long, String)].collect().toMap
+    assert(viaGate === composed)
+    // one evaluation of the chain: the canonicalize step's trim appears in
+    // the executed plan a bounded number of times (projection + nothing
+    // else), not once per downstream reference as the composed form inlined
+    val plan = gated.queryExecution.executedPlan.toString
+    val trims = "trim\\(".r.findAllIn(plan).size
+    assert(trims <= 4, s"canonicalize chain inlined $trims times:\n" +
+      plan.take(3000))
+  }
+
   test("domainGate refuses inputs already carrying its output columns " +
     "instead of silently clobbering caller data") {
     val withDomain = Seq((1L, "https://a.com/x", "label"))
