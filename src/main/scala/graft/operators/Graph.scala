@@ -635,13 +635,21 @@ object Graph {
     *
     * Scale shape: the ranked adjacency (u, rank, nbr, nbr_deg) is
     * materialized ONCE (one window over the symmetric edge list + one
-    * degree join). Walk state carries (cur, cur_deg), so every step is
-    * ONE equi join on (u, rank) with exactly one match per walker — no
-    * per-step windows, no non-equi predicates, no driver-side state
-    * (the driver never holds a single walk). Steps are materialized and
-    * the superseded state released, the iterate-many-rounds discipline
-    * of [[pageRank]]. Walkers never strand: the symmetric adjacency
-    * gives every node degree ≥ 1.
+    * degree join). Walk state carries (cur, cur_deg) plus the walk
+    * HISTORY as an in-row array, so every step is ONE equi join on
+    * (u, rank) with exactly one match per walker — no per-step windows,
+    * no non-equi predicates, no driver-side state (the driver never
+    * holds a single walk). Because the length is FIXED (no convergence
+    * probe, unlike [[pageRank]]), the step joins chain LAZILY inside a
+    * single action: the adjacency side of every step hashes identically,
+    * so the physical plan reuses ONE adj exchange across all walkLen
+    * joins, and only the final (start, walk, step, node) corpus is
+    * checkpointed (r12: the previous shape checkpointed every step frame
+    * — walkLen+2 driver actions and (walkLen+1)·W checkpointed rows per
+    * corpus, measured 2.5-3 s of pure job/checkpoint overhead at sf0.1;
+    * peak storage is unchanged, rows ride wider but exactly once).
+    * Walkers never strand: the symmetric adjacency gives every node
+    * degree ≥ 1.
     *
     * Output: start, walk (0-based), step (0 = the start node itself),
     * node.
@@ -674,33 +682,30 @@ object Graph {
     // from `deg` instead would re-execute the whole raw-edge scan +
     // distinct + aggregate as a second action (exchange reuse does not
     // cross actions — the Cooccur lesson)
-    val state = materialize(adj
+    var cur = adj
       .groupBy(col("u"))
       .agg((max(col("rank")) + lit(1)).cast("long").as("cur_deg"))
       .select(col("u").as("start"), col("cur_deg"))
       .crossJoin(walkIndexFrame(edges, walksPerNode))
-      .select(col("start"), col("walk"), col("start").as("cur"),
-        col("cur_deg")))
-    // every step frame stays PINNED until the single final union
-    // materializes — a released localCheckpoint cannot be recomputed,
-    // and the alternative (re-materializing a growing accumulator
-    // every round) checkpoints Σ_t t·W ≈ walkLen²/2·W rows and doubles
-    // the job count. Peak pinned storage is the same either way
-    // (≈ 2·(walkLen+1)·W rows at the final materialization); this
-    // shape writes (walkLen+1)·W of them once.
-    val states = scala.collection.mutable.ArrayBuffer(state)
+      .select(col("start"), col("walk"),
+        array(col("start")).as("hist"), col("start").as("cur"),
+        col("cur_deg"))
+    // fixed-length loop, so the step joins chain lazily (see scaladoc):
+    // each round appends the stepped-to node to the in-row history and
+    // re-keys state on it; every adj side is the same checkpointed frame
+    // hashed the same way, so execution reuses one exchange for all steps
     (1 to walkLen).foreach { t =>
-      states += materialize(states.last
+      cur = cur
         .withColumn("r", draw(t))
         .join(adj, col("cur") === col("u") && col("r") === col("rank"))
-        .select(col("start"), col("walk"), col("nbr").as("cur"),
-          col("nbr_deg").as("cur_deg")))
+        .select(col("start"), col("walk"),
+          concat(col("hist"), array(col("nbr"))).as("hist"),
+          col("nbr").as("cur"), col("nbr_deg").as("cur_deg"))
     }
-    val acc = materialize(states.zipWithIndex.map { case (s, t) =>
-      s.select(col("start"), col("walk"), lit(t).as("step"),
-        col("cur").as("node"))
-    }.reduce(_.unionAll(_)))
-    states.foreach(releaseMaterialized)
+    // ONE materialization: the finished corpus (same rows as the old
+    // per-step-union shape — posexplode's pos IS the step index)
+    val acc = materialize(cur.select(col("start"), col("walk"),
+      posexplode(col("hist")).as(Seq("step", "node"))))
     releaseMaterialized(adj)
     acc
   }
@@ -825,29 +830,27 @@ object Graph {
         col("start").cast("string"), col("walk").cast("string"),
         lit(step).cast("string"))), 1, 12), 16, 10).cast("long"),
       col("cur_total"))
-    val state = materialize(perU
+    var cur = perU
       .select(col("u").as("start"), col("cur_total"))
       .crossJoin(walkIndexFrame(edges, walksPerNode))
-      .select(col("start"), col("walk"), col("start").as("u"),
-        col("cur_total")))
-    // pinned step frames + ONE final union materialization — the
-    // randomWalks shape (see the comment there): same peak storage,
-    // half the checkpoint writes and jobs of a per-round accumulator
-    val states = scala.collection.mutable.ArrayBuffer(state)
+      .select(col("start"), col("walk"),
+        array(col("start")).as("hist"), col("start").as("u"),
+        col("cur_total"))
+    // fixed-length loop: step interval joins chain LAZILY with the walk
+    // history accumulated in-row, one final materialization — the
+    // [[randomWalks]] r12 shape (see its scaladoc); the per-step
+    // checkpoints bought nothing here either (no convergence probe)
     (1 to walkLen).foreach { t =>
-      val stepped = states.last.withColumn("r", draw(t))
+      val stepped = cur.withColumn("r", draw(t))
         .withColumn("r2", col("r"))
-      states += materialize(
-        IntervalJoin.overlapJoin(stepped, adjW, "r", "r2",
-            "lo", "hi_incl", bucketWidth = width, equiKeys = Seq("u"))
-          .select(col("start"), col("walk"), col("nbr").as("u"),
-            col("nbr_total").as("cur_total")))
+      cur = IntervalJoin.overlapJoin(stepped, adjW, "r", "r2",
+          "lo", "hi_incl", bucketWidth = width, equiKeys = Seq("u"))
+        .select(col("start"), col("walk"),
+          concat(col("hist"), array(col("nbr"))).as("hist"),
+          col("nbr").as("u"), col("nbr_total").as("cur_total"))
     }
-    val acc = materialize(states.zipWithIndex.map { case (s, t) =>
-      s.select(col("start"), col("walk"), lit(t).as("step"),
-        col("u").as("node"))
-    }.reduce(_.unionAll(_)))
-    states.foreach(releaseMaterialized)
+    val acc = materialize(cur.select(col("start"), col("walk"),
+      posexplode(col("hist")).as(Seq("step", "node"))))
     releaseMaterialized(adjW)
     acc
   }
