@@ -84,10 +84,18 @@ object EntityResolution {
     // `preGuarded` lets a caller that already built the histogram-
     // filtered (id, norm, blk) frame share it instead of paying the
     // histogram shuffle twice per probe (the probeEntityIndex case).
+    // The exchange pins an EXPLICIT partition count (the session's
+    // shuffle parallelism): a bare repartition(col) lets AQE coalesce on
+    // INPUT bytes, and the within-block pair fan-out below multiplies
+    // rows ~blockSize/2× AFTER the exchange — measured at sf0.1, AQE
+    // folded the 45k-record frame to ONE partition and ran the 765k
+    // banded-levenshtein pairs on a single task (3.2 s serial vs 0.3 s
+    // spread; OPTIMIZATION_r12.md, guide §2.5 input-vs-output sizing).
     val sized = preGuarded.getOrElse(recs.join(
       recs.groupBy("blk").agg(count(lit(1)).as("blk_n")), Seq("blk"))
       .where(col("blk_n") <= maxBlock))
-      .repartition(col("blk"))
+      .repartition(recs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions").toInt, col("blk"))
     val a = sized.select(col("blk"), col("id").as("id_a"),
       col("norm").as("norm_a")).as("era")
     val b = sized.select(col("blk"), col("id").as("id_b"),
@@ -139,13 +147,18 @@ object EntityResolution {
       .toDF("id", "component")
   }
 
-  /** (id, norm, blk) projection + the linkability filter. */
+  /** (id, norm, blk) projection + the linkability filter. The normalize
+    * regexp is computed ONCE per row behind a ComputeOnce barrier: the
+    * former one-projection form re-inlined it at every reference (the
+    * blk expression and each pushed-down linkability predicate re-ran
+    * the regexp — 4+ evaluations per row; guide §4.4). */
   private def baseFrames(records: DataFrame, id: Column, name: Column,
                          block: Column => Column)
       : (DataFrame, DataFrame) = {
-    val norm = normalizeName(name)
-    val base = records.select(id.as("id"), norm.as("norm"),
-      block(norm).as("blk"))
+    val base = records
+      .select(id.as("id"),
+        graft.functions.ComputeOnce.once(normalizeName(name)).as("norm"))
+      .withColumn("blk", block(col("norm")))
     val linkable = base.where(col("norm").isNotNull &&
       length(col("norm")) > 0 && col("blk").isNotNull)
     (base, linkable)
