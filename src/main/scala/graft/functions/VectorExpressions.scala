@@ -70,6 +70,70 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of an ARRAY<FLOAT> row vector against an ARRAY<DOUBLE>
+  * weight vector — the perceptron margin against DATA-borne weights.
+  *
+  * Why this next to [[DotProductF32]]: the trainer's epoch loop needs the
+  * CURRENT weights in the margin expression, and embedding them as a
+  * typed literal (`staticDot(a, typedlit(w))`) changes the generated
+  * code every epoch — a fresh whole-stage-codegen compile per epoch per
+  * training call (measured ~60-150 ms each at dim 65, r12). With the
+  * weights riding a broadcast one-row column, the plan and its generated
+  * source are epoch-invariant (compiled once, cached) while the loop
+  * stays whole-stage-codegen'd — the scale-right margin pass.
+  *
+  * Semantics: ascending-index, left-associated double sum starting at
+  * 0.0 — the exact IEEE sequence of `staticDot`, the HOF fold, and
+  * DuckDB's list_sum (spec-pinned). Shorter length wins; elements
+  * assumed non-null; null input array → null. */
+case class DotProductF32F64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_f32f64 requires ARRAY<FLOAT>, ARRAY<DOUBLE> inputs, " +
+          s"got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_f32f64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF32F64 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All `nTables` random-hyperplane LSH bucket values of a float vector in
   * ONE codegen'd pass: bucket bit b of table t = sign of the projection
   * against hyperplane (t, b), hyperplanes a driver-precomputed ±1 sign
@@ -742,6 +806,12 @@ object VectorExpressions {
   def dotF32(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProductF32(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column form of the float-row x double-weights dot product (see
+    * [[DotProductF32F64]]). */
+  def dotF32F64(a: Column, w: Column): Column =
+    GraftBridge.column(
+      DotProductF32F64(GraftBridge.expression(a), GraftBridge.expression(w)))
 
   /** Column form of the nearest-centroid assignment (see
     * [[NearestCentroid]]). */

@@ -50,15 +50,33 @@ object Classify {
     // dimension differs from the probed one are excluded like degenerate
     // vectors — the unrolled dot would otherwise silently truncate them
     // where the HOF form nulls them.
-    val base = Dedup.spread(df.where(Similarity.wellFormed(col(embCol)) &&
+    // materialized ONCE: every epoch is its own action (the updated
+    // weights are a driver-side literal in the next epoch's margin), so
+    // a lazy frame would re-run the scan + well-formed filter + augment
+    // + spread exchange `epochs` times (r12: 8 recomputations measured
+    // as ~2-3 s of the classify-tier queries at sf0.1); the epoch loop
+    // reads the checkpointed training slice instead
+    val base = Dedup.materialize(
+      Dedup.spread(df.where(Similarity.wellFormed(col(embCol)) &&
         size(col(embCol)) === dim - 1)
       .select(col(idCol).as("id"),
         concat(col(embCol), array(lit(1.0f))).as("a"),
-        when(positive, 1.0d).otherwise(-1.0d).as("y")))
+        when(positive, 1.0d).otherwise(-1.0d).as("y"))))
     var w = new Array[Double](dim)
+    val spark = df.sparkSession
+    import spark.implicits._
     for (_ <- 0 until epochs) {
-      val margin = col("y") * weightDot(col("a"), w)
-      val cells = base.where(margin <= 0)
+      // weights ride a broadcast ONE-ROW frame, not a typed literal: the
+      // literal form re-generated (and re-compiled) the epoch stage's
+      // whole-stage code every epoch because the constants are baked into
+      // the source; as data, the plan and generated code are
+      // epoch-invariant and the codegen cache hits. DotProductF32F64 is
+      // the same ascending left-associated IEEE sum as staticDot/the HOF
+      // fold (spec-pinned), so margins are bit-identical.
+      val wDf = broadcast(Seq(Tuple1(w.toSeq)).toDF("__w"))
+      val margin = col("y") *
+        graft.functions.VectorExpressions.dotF32F64(col("a"), col("__w"))
+      val cells = base.crossJoin(wDf).where(margin <= 0)
         .select(col("id"), col("y"), posexplode(col("a")).as(Seq("i", "x")))
         .select(col("id"), col("i"),
           (col("y") * col("x").cast("double")).as("v"))
@@ -70,6 +88,7 @@ object Classify {
       val g = agg.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       w = w.zipWithIndex.map { case (wi, i) => wi + lr * g.getOrElse(i, 0.0) }
     }
+    Dedup.releaseMaterialized(base)
     w
   }
 

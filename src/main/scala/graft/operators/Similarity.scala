@@ -84,7 +84,19 @@ object Similarity {
                                         valCol: String,
                                         extraAggs: Seq[Column] = Nil)
       : DataFrame = {
-    val agged = cells.groupBy(keys.map(col): _*)
+    // the fold below is INTERPRETED per-row work that AQE cannot see in
+    // its byte-based sizing: without an explicit partition count the
+    // post-shuffle stage coalesces to one task and the whole per-key
+    // sort+fold serializes (measured ~230 ms/epoch on the perceptron's
+    // 26k cells vs ~30 ms spread, r12 — the entity-levenshtein lesson,
+    // guide §2.5). The keyed repartition pins the session's shuffle
+    // parallelism and the groupBy reuses its partitioning, so no second
+    // exchange appears; per-key fold order (and thus every value) is
+    // partition-placement-independent.
+    val spreadCells = cells.repartition(
+      cells.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      keys.map(col): _*)
+    val agged = spreadCells.groupBy(keys.map(col): _*)
       .agg(collect_list(struct(col(idCol), col(valCol))).as("__xs"),
         count(lit(1)).as("__count") +: extraAggs: _*)
     // caller-supplied extra aggregates (must be aliased) ride along in
