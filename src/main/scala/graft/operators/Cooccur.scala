@@ -51,7 +51,7 @@ object Cooccur {
 
   /** Positioned token stream (id, pos, word) — one row per token. */
   private def postings(docs: DataFrame, id: Column, text: Column): DataFrame =
-    Dedup.spread(docs.select(id.as("id"), text.as("text")))
+    Dedup.spreadBy(docs.select(id.as("id"), text.as("text")), col("id"))
       .select(col("id"),
         posexplode(split(TextAnalysis.normText(col("text")), " "))
           .as(Seq("pos", "word")))

@@ -585,7 +585,11 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(split(normalizeText(col("__text")), " "))
           .as(Seq("pos", "word")))
-      .repartition(col("doc_id"))
+      // explicit count: AQE would otherwise coalesce THE shared exchange
+      // to 2-3 tasks on its (small) byte size and serialize every
+      // downstream lead-window pass (the spreadBy rationale)
+      .repartition(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions").toInt, col("doc_id"))
     val ordered = Window.partitionBy("doc_id").orderBy("pos")
     // a full window exists at pos iff the last of its words does (words
     // are never null, so a null lead means the doc tail was crossed)
@@ -960,6 +964,20 @@ object Dedup {
   private[operators] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Keyed spread for the posting builders: one explicit-count hash
+    * exchange on the document key, placed BEFORE the heavy
+    * normalize/split/explode projection. Downstream per-document windows
+    * and aggregates reuse the partitioning (hash(id) satisfies every
+    * ClusteredDistribution keyed on id), so no second exchange appears —
+    * and because the count is explicit, AQE cannot coalesce the stage
+    * that does the real per-token work down to 2-3 tasks based on the
+    * (small) upstream text bytes (r12: the shingle windows of a 5k-doc
+    * corpus ran on 3 AQE-coalesced tasks, ~4 s of the dedup family's
+    * wall; guide §2.5 — size on output work, not input bytes). */
+  private[operators] def spreadBy(df: DataFrame, key: Column): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+
   /** Distinct w-shingles from an ALREADY-MATERIALIZED words-array column.
     *
     * The words array must be a bound attribute, not an inline split(...)
@@ -1002,10 +1020,18 @@ object Dedup {
     */
   private def shinglePostings(docs: DataFrame, id: Column, text: Column,
                               w: Int): DataFrame = {
+    // round-robin spread parallelizes the normalize/split/explode (the
+    // raw scan is 1-3 splits), then ONE pinned keyed exchange feeds every
+    // per-doc window/aggregate — the passagePostings shape: the explicit
+    // count stops AQE from coalescing the window stage to 2-3 tasks on
+    // byte size, and keying post-explode keeps normalize a once-per-
+    // instance map-side pass instead of a per-consumer recompute
     val posted = spread(docs.select(id.as("id"), text.as("text")))
       .select(col("id"),
         posexplode(split(normalizeText(col("text")), " "))
           .as(Seq("pos", "word")))
+      .repartition(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions").toInt, col("id"))
     val ordered = Window.partitionBy("id").orderBy("pos")
     val perDoc = Window.partitionBy("id")
     posted
@@ -1724,7 +1750,8 @@ object Dedup {
     * overflow-free even under ANSI mode.
     */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = spread(docs.select(id.as("id"), text.as("text")))
+    val toks = spreadBy(docs.select(id.as("id"), text.as("text")),
+        col("id"))
       .select(col("id"),
         explode(split(normalizeText(col("text")), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

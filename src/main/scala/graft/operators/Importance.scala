@@ -77,8 +77,8 @@ object Importance {
     require(buckets >= 2 && buckets <= 65536,
       s"hashedNgramCounts: buckets=$buckets out of [2,65536] — four md5 " +
         "hex digits drive the bucket draw; widen hexPrefix4 to raise it")
-    val posted = Dedup.spread(docs.select(id.as("doc_id"),
-        targetPred.as("__tgt"), text.as("__text")))
+    val posted = Dedup.spreadBy(docs.select(id.as("doc_id"),
+        targetPred.as("__tgt"), text.as("__text")), col("doc_id"))
       .select(col("doc_id"), col("__tgt"),
         posexplode(split(graft.functions.TextAnalysis
           .normText(col("__text")), " ")).as(Seq("pos", "w")))

@@ -43,8 +43,8 @@ object Perplexity {
     * element (the CollapseProject inline-split trap). */
   private def bigramCounts(docs: DataFrame, id: Column,
                            text: Column): DataFrame = {
-    val posted = Dedup.spread(docs.select(id.as("doc_id"),
-        text.as("__text")))
+    val posted = Dedup.spreadBy(docs.select(id.as("doc_id"),
+        text.as("__text")), col("doc_id"))
       .select(col("doc_id"),
         posexplode(split(graft.functions.TextAnalysis
           .normText(col("__text")), " ")).as(Seq("pos", "w1")))
