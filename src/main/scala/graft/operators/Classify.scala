@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -422,25 +422,38 @@ object Classify {
     val model = scala.collection.mutable.ArrayBuffer.empty[Stump]
     try {
       for (t <- 1 to rounds) {
-        // per-feature bin stats — exact decimal sums, bounded collect
+        // ALL features' bin stats in ONE data pass (r12): the former
+        // per-feature groupBy+collect re-aggregated the full residual
+        // frame once per feature per round (features × rounds scans);
+        // melting (feature, bin, __r) through one generator costs one
+        // explode with map-side partial aggregation and collects the
+        // same bounded ≤ features × maxBins rows. Driver-side candidate
+        // evaluation then walks features in declaration order and bins
+        // ascending — the exact order (and tiebreak) of the former loop.
+        val statRows = cur.select(explode(array(fcols.map(fn =>
+            struct(lit(fn).as("f"), col(fn).as("bin"),
+              col("__r").as("r"))): _*)).as("m"))
+          .groupBy(col("m.f").as("f"), col("m.bin").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("m.r").cast("decimal(38,0)")).as("s"))
+          .collect()
+        val byFeature = statRows.groupBy(_.getString(0))
         var best: Option[Stump] = None
         for (fn <- fcols) {
-          val rows = cur.groupBy(fn)
-            .agg(count(lit(1)).as("n"),
-              sum(col("__r").cast("decimal(38,0)")).as("s"))
-            .orderBy(fn).collect()
+          val rows = byFeature.getOrElse(fn, Array.empty[Row])
+            .sortBy(_.getLong(1))
           require(rows.length <= maxBins,
             s"boostedStumpsTrain: feature $fn has ${rows.length} " +
               s"bins > maxBins=$maxBins — bin it upstream")
-          val nTot = rows.map(_.getLong(1)).sum
-          val sTot = rows.map(r => BigInt(r.getDecimal(2).toBigInteger))
+          val nTot = rows.map(_.getLong(2)).sum
+          val sTot = rows.map(r => BigInt(r.getDecimal(3).toBigInteger))
             .sum
           var nL = 0L; var sL = BigInt(0)
           // candidate thresholds: every bin except the last (a split
           // keeping everything left is no split)
           for (k <- 0 until rows.length - 1) {
-            nL += rows(k).getLong(1)
-            sL += BigInt(rows(k).getDecimal(2).toBigInteger)
+            nL += rows(k).getLong(2)
+            sL += BigInt(rows(k).getDecimal(3).toBigInteger)
             val nR = nTot - nL; val sR = sTot - sL
             if (nL > 0 && nR > 0) {
               // the oracle's exact expression tree: casts of exact
@@ -455,7 +468,7 @@ object Classify {
                 val lf = ((sL - sL.mod(d)) / d).toLong
                 val dr = BigInt(lrDen) * nR
                 val rf = ((sR - sR.mod(dr)) / dr).toLong
-                best = Some(Stump(t, fn, rows(k).getLong(0), lf, rf,
+                best = Some(Stump(t, fn, rows(k).getLong(1), lf, rf,
                   gain))
               }
             }

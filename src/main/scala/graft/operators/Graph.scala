@@ -172,7 +172,11 @@ object Graph {
   }
 
   /** Per-destination contribution sums Σ r(u)/outdeg(u), src-ordered
-    * fold in repro mode — the other shared half of the walk round. */
+    * fold in repro mode — the other shared half of the walk round. The
+    * repro fold routes through [[Similarity.sequentialSumByKey]] (same
+    * struct-sort-fold, value-identical) for its pinned keyed spread:
+    * inlined here the interpreted fold sat on an AQE-coalesced
+    * single-task stage every round (byte-blind sizing, guide §2.5). */
   private def dstContributions(ranks: DataFrame, e: DataFrame,
                                deterministic: Boolean): DataFrame = {
     val contribs = ranks.where(col("outdeg") > 0)
@@ -180,10 +184,8 @@ object Graph {
       .select(col("dst"), col("src"),
         (col("rank") / col("outdeg")).as("c"))
     if (deterministic)
-      contribs.groupBy(col("dst").as("id"))
-        .agg(aggregate(array_sort(collect_list(struct(col("src"),
-          col("c")))), lit(0.0d),
-          (acc, x) => acc + x.getField("c")).as("ct"))
+      Similarity.sequentialSumByKey(contribs, Seq("dst"), "src", "c")
+        .select(col("dst").as("id"), col("__sum").as("ct"))
     else contribs.groupBy(col("dst").as("id")).agg(sum(col("c")).as("ct"))
   }
 
