@@ -2064,7 +2064,19 @@ object SparkEntry {
         .select(to_date(col("ts")).as("day"),
           floor(col("value") * 100).cast("long").as("v"))
         .where(col("v").isNotNull)
-      val daily = ev.groupBy("day")
+      // day-keyed spread before the sketch build: events.parquet is a
+      // single row group (unsplittable — 1 scan task), so the per-row
+      // dyadic updates serialized on one core (2.1 s of a 3.2 s query,
+      // r12). The exchange must be KEYED, not round-robin: each partial
+      // state is levels x depth x 4096 longs (~1.5 MB), so round-robin
+      // partials would build and merge partitions x days of them
+      // (measured 2-3x SLOWER); keyed by day the agg plans as one full
+      // aggregate, one sketch per day, built in parallel across days
+      // from a skinny (day, v) shuffle
+      val daily = ev
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("day"))
+        .groupBy("day")
         .agg(SketchAggregates.dyadicCountMin(col("v"),
           rollingLevels, rollingDepth).as("sk"))
       val span = ev.agg(min(col("day")).as("d0"))

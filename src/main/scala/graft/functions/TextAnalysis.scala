@@ -100,22 +100,30 @@ object TextAnalysis {
       .where(col("df") <= maxDf)
       .withColumn("w", col("tf").cast("double") / col("df"))
       .select("doc_id", "tok", "w"))
-    val norms = w
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("tok"),
-        (col("w") * col("w")).as("w2"))).as("__xs"))
-      .select(col("doc_id"), sqrt(aggregate(array_sort(col("__xs")),
-        lit(0.0), (acc, x) => acc + x.getField("w2"))).as("nrm"))
-    val dots = w.as("tx")
-      .join(w.as("ty"), col("tx.tok") === col("ty.tok")
-        && col("tx.doc_id") < col("ty.doc_id"))
-      .select(col("tx.doc_id").as("a"), col("ty.doc_id").as("b"),
-        col("tx.tok").as("tok"),
-        (col("tx.w") * col("ty.w")).as("p"))
-      .groupBy("a", "b")
-      .agg(collect_list(struct(col("tok"), col("p"))).as("__ps"))
-      .select(col("a"), col("b"), aggregate(array_sort(col("__ps")),
-        lit(0.0), (acc, x) => acc + x.getField("p")).as("dot"))
+    // both deterministic tok-ordered folds route through
+    // sequentialSumByKey (identical struct-sort-fold, value-identical)
+    // for its pinned keyed spread, and the posting self-join's exchange
+    // pins an explicit count: its input is postings-sized but its output
+    // fans out per shared token, which AQE's byte-based sizing cannot
+    // see — the pair generation and fold ran on ONE coalesced task
+    // (1.5 s of q_text_simdocs' 2.3 s at sf0.1, r12; guide §2.5)
+    val norms = graft.operators.Similarity.sequentialSumByKey(
+        w.select(col("doc_id"), col("tok"),
+          (col("w") * col("w")).as("w2")),
+        Seq("doc_id"), "tok", "w2")
+      .select(col("doc_id"), sqrt(col("__sum")).as("nrm"))
+    val wp = w.repartition(
+      w.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("tok"))
+    val dots = graft.operators.Similarity.sequentialSumByKey(
+        wp.as("tx")
+          .join(wp.as("ty"), col("tx.tok") === col("ty.tok")
+            && col("tx.doc_id") < col("ty.doc_id"))
+          .select(col("tx.doc_id").as("a"), col("ty.doc_id").as("b"),
+            col("tx.tok").as("tok"),
+            (col("tx.w") * col("ty.w")).as("p")),
+        Seq("a", "b"), "tok", "p")
+      .select(col("a"), col("b"), col("__sum").as("dot"))
     val cos = dots
       .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")),
         Seq("a"))

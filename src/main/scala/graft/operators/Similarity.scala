@@ -427,9 +427,18 @@ object Similarity {
     // one bucket evaluation per row, and the banded self-join keys on
     // (table, bucket) with both sides the identical subtree (exchange
     // reuse) — the same shape as simhash banding.
+    // the band self-join's input is SKINNY (ids × tables) but its output
+    // fans out quadratically within each (table, bucket) group — AQE's
+    // byte-based sizing coalesced the exchange to ONE task and generated
+    // every candidate pair serially (4.7 s of a 5.0 s query at sf0.1,
+    // r12); the explicit count pins the session's shuffle parallelism
+    // (guide §2.5 — size on output work, not input bytes). Both sides
+    // stay the identical subtree, so exchange reuse still holds.
     val banded = slim.select(col("id"),
-      posexplode(bucketsExpr(col("emb"), dim, nBits, nTables,
-        seedBase = 2000)).as(Seq("table", "bucket")))
+        posexplode(bucketsExpr(col("emb"), dim, nBits, nTables,
+          seedBase = 2000)).as(Seq("table", "bucket")))
+      .repartition(slim.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions").toInt, col("table"), col("bucket"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
