@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // diagnostics passthrough (empty by default — the bench JVM is
+  // unchanged unless explicitly asked): lets a profiling run add e.g.
+  // -Xlog:gc without editing this file
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

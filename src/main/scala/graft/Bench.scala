@@ -76,6 +76,21 @@ object Bench {
     // per-query map first and value/failed last, any tail suffix of the
     // line still carries the totals...
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${ok.size},"failed":$failedJson,"value":${fmt(total)}}""")
+    // The driver retains only a ~2000-char stdout TAIL, so the single
+    // per-query line above (~5.5 KB at 200+ queries) is always truncated
+    // mid-line and round-over-round per-query comparison came up empty
+    // (PERF_r12 per_query: {}). Re-emit the same medians as SHORT chunked
+    // lines (<1 KB each): whole lines survive tail capture, and ascending
+    // -time order puts the queries that dominate the total nearest the
+    // end, inside the guaranteed tail window. Purely additive — the full
+    // map above and the final summary line below are unchanged.
+    val byTime = ok.toSeq.sortBy(_._2)
+    val chunks = byTime.grouped(8).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val body = c.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","i":${i + 1},"n":${chunks.size},"queries":$body}""")
+    }
     // ...and a short FINAL summary line survives tail capture whole.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir"}""")
     // The driver retains only a bounded TAIL of stdout, so the one-line
