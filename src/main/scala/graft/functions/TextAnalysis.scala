@@ -113,8 +113,7 @@ object TextAnalysis {
         Seq("doc_id"), "tok", "w2")
       .select(col("doc_id"), sqrt(col("__sum")).as("nrm"))
     val wp = w.repartition(
-      w.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      col("tok"))
+      graft.operators.Dedup.workParallelism(w.sparkSession), col("tok"))
     val dots = graft.operators.Similarity.sequentialSumByKey(
         wp.as("tx")
           .join(wp.as("ty"), col("tx.tok") === col("ty.tok")

@@ -739,6 +739,78 @@ case class PqDecodeF32(child: Expression, codebook: Array[Array[Array[Double]]])
       newChild: Expression): PqDecodeF32 = copy(child = newChild)
 }
 
+/** |A∩B| of two DISTINCT-element ARRAY<BIGINT> columns in one codegen'd
+  * pass: copy both to primitive long[], sort, merge-count — no hash
+  * set, no boxing, no intersection array ever materialized.
+  *
+  * Why an Expression: `size(array_intersect(a, b))` is the per-PAIR hot
+  * path of every shingle-verify stage (minhash/simhash/incremental
+  * candidate verification), and ArrayIntersect is evaluated interpreted
+  * with a per-row hash set AND builds the intersection array only for
+  * its size to be read (r12 profile: the verify stage's dominant CPU).
+  *
+  * Contract: inputs are SETS (duplicate-free, null-free elements — the
+  * hashed-shingle frames are built by a distinct aggregate); on inputs
+  * with duplicates this counts min-multiplicity matches where
+  * array_intersect would dedupe, so callers with non-set inputs must
+  * dedupe first. Null input array → null, matching size(null)'s
+  * behavior under the callers' non-null frames. */
+case class IntersectCountLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_count_i64 requires two ARRAY<BIGINT> inputs, " +
+          s"got $l and $r")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_intersect_count_i64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var c = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) < ys(j)) i += 1
+      else if (xs(i) > ys(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      s"""
+         |long[] $xs = $a.toLongArray();
+         |long[] $ys = $b.toLongArray();
+         |java.util.Arrays.sort($xs);
+         |java.util.Arrays.sort($ys);
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $xs.length && $j < $ys.length) {
+         |  if ($xs[$i] < $ys[$j]) { $i++; }
+         |  else if ($xs[$i] > $ys[$j]) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Hamming distance between two packed-bit ARRAY<LONG> columns in one
   * codegen'd pass — Σ Long.bitCount(x_i ^ y_i) over min-length words
   * (the DotProductF32 convention). Why an Expression: this is the
@@ -797,6 +869,12 @@ case class HammingWords(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** Column form of the codegen'd set-intersection count (see
+    * [[IntersectCountLong]]). */
+  def intersectCountLong(a: Column, b: Column): Column =
+    GraftBridge.column(
+      IntersectCountLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Column form of the codegen'd Hamming distance over packed words. */
   def hammingWords(a: Column, b: Column): Column =
     GraftBridge.column(

@@ -65,6 +65,7 @@ object Classify {
     var w = new Array[Double](dim)
     val spark = df.sparkSession
     import spark.implicits._
+    try {
     for (_ <- 0 until epochs) {
       // weights ride a broadcast ONE-ROW frame, not a typed literal: the
       // literal form re-generated (and re-compiled) the epoch stage's
@@ -88,8 +89,11 @@ object Classify {
       val g = agg.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       w = w.zipWithIndex.map { case (wi, i) => wi + lr * g.getOrElse(i, 0.0) }
     }
-    Dedup.releaseMaterialized(base)
     w
+    // finally, not post-loop (r12 ADVICE): an exception in an epoch's
+    // collect would otherwise leak the checkpoint — reliable-checkpoint
+    // files are never deleted for the app lifetime
+    } finally Dedup.releaseMaterialized(base)
   }
 
   /** Score every row with trained weights: margin = w · (x ++ 1.0).
@@ -440,8 +444,14 @@ object Classify {
         val byFeature = statRows.groupBy(_.getString(0))
         var best: Option[Stump] = None
         for (fn <- fcols) {
-          val rows = byFeature.getOrElse(fn, Array.empty[Row])
-            .sortBy(_.getLong(1))
+          val unsorted = byFeature.getOrElse(fn, Array.empty[Row])
+          // the training frame filters null feature cells, so a null
+          // bin here means that filter regressed — fail loudly rather
+          // than NPE inside sortBy (r12 ADVICE)
+          unsorted.foreach(r => require(!r.isNullAt(1),
+            s"boostedStumpsTrain: feature $fn produced a null bin — " +
+              "bin it upstream"))
+          val rows = unsorted.sortBy(_.getLong(1))
           require(rows.length <= maxBins,
             s"boostedStumpsTrain: feature $fn has ${rows.length} " +
               s"bins > maxBins=$maxBins — bin it upstream")

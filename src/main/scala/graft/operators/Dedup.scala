@@ -588,8 +588,7 @@ object Dedup {
       // explicit count: AQE would otherwise coalesce THE shared exchange
       // to 2-3 tasks on its (small) byte size and serialize every
       // downstream lead-window pass (the spreadBy rationale)
-      .repartition(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .repartition(workParallelism(docs.sparkSession), col("doc_id"))
     val ordered = Window.partitionBy("doc_id").orderBy("pos")
     // a full window exists at pos iff the last of its words does (words
     // are never null, so a null lead means the doc tail was crossed)
@@ -964,6 +963,36 @@ object Dedup {
   private[operators] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Partition count for the explicitly-pinned exchanges that feed
+    * heavy per-row work (interpreted sort-folds, per-token windows,
+    * within-group pair fan-out): the session's shuffle parallelism
+    * TIMES a small factor (`spark.graft.workTaskFactor`, default 4).
+    *
+    * r12 pinned these exchanges to exactly `spark.sql.shuffle
+    * .partitions` (= the core count in the bench), which fixed AQE's
+    * byte-blind coalescing but introduced two scale problems the
+    * r12 driver run exposed (37 queries ≥1.3× SLOWER at 32 cores than
+    * at 8; q_dedup_minhash 28.5 s vs 2.6 s):
+    *  - zero straggler slack (guide §2.6): with exactly one task per
+    *    core, one preempted/GC-stalled core elongates the whole stage
+    *    by its full task duration — and these are precisely the
+    *    longest tasks in the battery;
+    *  - unbounded concurrent state (guide §5): every core holds
+    *    1/cpus of the corpus's fold state (collect_list buffers,
+    *    window sort runs, aggregate hash maps) AT ONCE, so the whole
+    *    corpus sits in execution memory simultaneously and GC/spill
+    *    pressure grows with the core count.
+    * A small multiple keeps the spread scale-adaptive (still derived
+    * from the session conf, never a constant) while bounding the
+    * concurrently-live state to ~1/factor of the corpus and giving
+    * the scheduler slack to fill in behind stragglers. Results are
+    * unaffected: every consumer is keyed, and per-key fold order is
+    * partition-placement-independent. */
+  private[graft] def workParallelism(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt *
+      spark.conf.get("spark.graft.workTaskFactor", "4").toInt
+
   /** Keyed spread for the posting builders: one explicit-count hash
     * exchange on the document key, placed BEFORE the heavy
     * normalize/split/explode projection. Downstream per-document windows
@@ -975,8 +1004,7 @@ object Dedup {
     * corpus ran on 3 AQE-coalesced tasks, ~4 s of the dedup family's
     * wall; guide §2.5 — size on output work, not input bytes). */
   private[operators] def spreadBy(df: DataFrame, key: Column): DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+    df.repartition(workParallelism(df.sparkSession), key)
 
   /** Distinct w-shingles from an ALREADY-MATERIALIZED words-array column.
     *
@@ -1030,8 +1058,7 @@ object Dedup {
       .select(col("id"),
         posexplode(split(normalizeText(col("text")), " "))
           .as(Seq("pos", "word")))
-      .repartition(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions").toInt, col("id"))
+      .repartition(workParallelism(docs.sparkSession), col("id"))
     val ordered = Window.partitionBy("id").orderBy("pos")
     val perDoc = Window.partitionBy("id")
     posted
@@ -1404,7 +1431,11 @@ object Dedup {
       .join(shC, Seq("corpus_id"))
       .where(least(size(col("sh_a")), size(col("sh_b"))) >=
         lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // codegen'd sort-merge count (the sh arrays are duplicate-free by
+      // construction): |A∩B| identical to size(array_intersect), which
+      // was the verify stage's interpreted per-pair hot spot (r13)
+      .withColumn("inter", graft.functions.VectorExpressions
+        .intersectCountLong(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -2105,7 +2136,9 @@ object Dedup {
           .as("sh_b"))
       .where(least(size(col("sh_a")), size(col("sh_b"))) >=
         lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // codegen'd sort-merge count — see probeCorpus (r13)
+      .withColumn("inter", graft.functions.VectorExpressions
+        .intersectCountLong(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)

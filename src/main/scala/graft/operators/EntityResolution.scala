@@ -94,8 +94,7 @@ object EntityResolution {
     val sized = preGuarded.getOrElse(recs.join(
       recs.groupBy("blk").agg(count(lit(1)).as("blk_n")), Seq("blk"))
       .where(col("blk_n") <= maxBlock))
-      .repartition(recs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions").toInt, col("blk"))
+      .repartition(Dedup.workParallelism(recs.sparkSession), col("blk"))
     val a = sized.select(col("blk"), col("id").as("id_a"),
       col("norm").as("norm_a")).as("era")
     val b = sized.select(col("blk"), col("id").as("id_b"),

@@ -217,8 +217,14 @@ object Graph {
       edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
         .distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // explicit-count src exchange: the pair join's output fans out
+    // quadratically per source AFTER this exchange, which AQE's
+    // byte-based sizing cannot see (the lsh-band/entity-blk lesson,
+    // guide §2.5) — both self-join sides stay the identical subtree,
+    // so the exchange computes once and is reused
     val kept = e.join(deg.where(col("outdeg") <= maxSrcOutDegree), "src")
       .select("src", "dst")
+      .repartition(Dedup.workParallelism(edges.sparkSession), col("src"))
     val dropped = deg.where(col("outdeg") > maxSrcOutDegree)
       .agg(coalesce(count(lit(1)), lit(0L)).as("n_dropped_sources"))
     val pairs = kept.as("a").join(kept.as("b"),
@@ -508,15 +514,22 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct())
     var hubs = materialize(nodes.select(col("id"), lit(1L).as("h")))
     var auths: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val aSum = e.join(hubs.select(col("id").as("src"), col("h")),
           Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
-      val nextA = materialize(nodes.join(aSum, Seq("id"), "left")
-        .select(col("id"), coalesce(col("a"), lit(0L)).as("a")))
-      if (auths != null) releaseMaterialized(auths)
-      auths = nextA
-      val hSum = e.join(auths.select(col("id").as("dst"), col("a")),
+      val aFrame = nodes.join(aSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      // within a round the authority frame has exactly ONE consumer
+      // (the hub fold), so it chains LAZILY into the hub action — both
+      // per-round aggregates run in one job/materialize instead of two
+      // (r13; the walk-tier lazy-chaining lesson, guide §1.2). Only the
+      // LAST round's authorities are consumed again (totals + readout),
+      // so only that frame is materialized.
+      val aRef =
+        if (it == iters) { auths = materialize(aFrame); auths }
+        else aFrame
+      val hSum = e.join(aRef.select(col("id").as("dst"), col("a")),
           Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
       val nextH = materialize(nodes.join(hSum, Seq("id"), "left")
@@ -598,8 +611,11 @@ object Graph {
     val dropped = deg.where(col("deg") > maxCenterDegree)
       .agg(coalesce(count(lit(1)), lit(0L)).as("n_dropped_centers"))
     // wedge adjacency carries the CENTER's degree so the weighted
-    // scores fold without a per-wedge re-join against `deg`
+    // scores fold without a per-wedge re-join against `deg`; the
+    // explicit-count exchange pins the quadratic-per-center pair stage
+    // AQE would otherwise size by input bytes (the coCitation fix, r13)
     val wedgeAdj = sym.join(keptCenters, Seq("w"))
+      .repartition(Dedup.workParallelism(edges.sparkSession), col("w"))
     val cand = wedgeAdj.as("l").join(wedgeAdj.as("r"),
         col("l.w") === col("r.w") && col("l.n") < col("r.n"))
       .groupBy(col("l.n").as("a"), col("r.n").as("b"))

@@ -134,12 +134,16 @@ object Importance {
           .as("tgt_n"))
       .crossJoin(broadcast(totals))
       .withColumn("llr", llrCol(buckets))
-      .select(col("doc_id"), col("cnt"),
-        struct(col("bucket"), (col("cnt") * col("llr")).as("x")).as("__s"))
-      .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("n_grams"),
-        aggregate(array_sort(collect_list(col("__s"))), lit(0.0),
-          (acc, s) => acc + s.getField("x")).as("logw"))
+      .select(col("doc_id"), col("cnt"), col("bucket"),
+        (col("cnt") * col("llr")).as("x"))
+      // bucket-ordered fold through sequentialSumByKey (identical
+      // struct-sort-fold, identical struct field order/comparator) for
+      // its pinned keyed spread — the inline fold's state sat on
+      // whatever AQE left of the upstream exchange (r13, guide §2.5/§5)
+      .transform(cells => Similarity.sequentialSumByKey(cells,
+        Seq("doc_id"), "bucket", "x",
+        extraAggs = Seq(sum(col("cnt")).as("n_grams"))))
+      .select(col("doc_id"), col("n_grams"), col("__sum").as("logw"))
   }
 
   /** ln p̂_tgt − ln p̂_raw over (tgt_n, raw_n, tgt_t, raw_t) columns —
@@ -263,13 +267,12 @@ object Importance {
     val keep = gramCounts(batch, col(idCol), col(textCol), lit(false),
         n, buckets)
       .join(broadcast(llr), Seq("bucket"), "left")
-      .select(col("doc_id"),
-        struct(col("bucket"),
-          (col("cnt") * coalesce(col("llr"), lit(unseenLlr))).as("x"))
-          .as("__s"))
-      .groupBy("doc_id")
-      .agg(aggregate(array_sort(collect_list(col("__s"))), lit(0.0),
-        (acc, s) => acc + s.getField("x")).as("logw"))
+      .select(col("doc_id"), col("bucket"),
+        (col("cnt") * coalesce(col("llr"), lit(unseenLlr))).as("x"))
+      // same fold, same order — routed for the pinned spread (r13)
+      .transform(cells => Similarity.sequentialSumByKey(cells,
+        Seq("doc_id"), "bucket", "x"))
+      .select(col("doc_id"), col("__sum").as("logw"))
       .where(col("logw") >= minLogw)
       .select(col("doc_id").as(idCol))
     batch.join(keep, Seq(idCol))

@@ -96,24 +96,31 @@ object Perplexity {
     * 2/(c_ctx+V) — inverting exactly the ranking a perplexity gate
     * exists to provide. */
   def scoresAgainstModel(docs: DataFrame, id: Column, text: Column,
-                         model: DataFrame, v: DataFrame): DataFrame =
-    bigramCounts(docs, id, text)
+                         model: DataFrame, v: DataFrame): DataFrame = {
+    val cells = bigramCounts(docs, id, text)
       .join(model.select("w1", "w2", "c_big"),
         Seq("w1", "w2"), "left")
       .join(model.groupBy("w1").agg(max(col("c_ctx")).as("c_ctx")),
         Seq("w1"), "left")
       .crossJoin(broadcast(v.select(col("v"))))
-      .select(col("doc_id"), col("cnt"),
-        struct(col("w1"), col("w2"),
-          (col("cnt") * log(
-            (coalesce(col("c_big"), lit(0L)) + lit(1L)).cast("double") /
-              (coalesce(col("c_ctx"), lit(0L)) + col("v")).cast("double")))
-            .as("x")).as("__s"))
-      .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("n_bigrams"),
-        aggregate(array_sort(collect_list(col("__s"))), lit(0.0),
-          (acc, s) => acc + s.getField("x")).as("logprob"))
+      .select(col("doc_id"), col("cnt"), col("w1"), col("w2"),
+        (col("cnt") * log(
+          (coalesce(col("c_big"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c_ctx"), lit(0L)) + col("v")).cast("double")))
+          .as("x"))
+    // the (w1, w2)-ordered fold routes through sequentialSumByKeyOrdered
+    // (identical struct-sort-fold — the struct field order and comparator
+    // are unchanged) for its pinned keyed spread: inlined, the
+    // interpreted fold sat on whatever AQE's byte-blind sizing left of
+    // the join's exchange, with every doc's bigram structs buffered in
+    // however few tasks that was (r13; guide §2.5/§5)
+    Similarity.sequentialSumByKeyOrdered(cells, Seq("doc_id"),
+        Seq("w1", "w2"), "x",
+        extraAggs = Seq(sum(col("cnt")).as("n_bigrams")))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("__sum").as("logprob"))
       .withColumn("ppl", exp(-col("logprob") / col("n_bigrams")))
+  }
 
   /** Keep the `quota` most reference-like documents (lowest ppl, ties
     * to the lower doc_id) — the CCNet "head" cut with an explicit

@@ -214,24 +214,36 @@ object Pq {
                 deterministic: Boolean = false): DataFrame = {
     val cents = Similarity.kMeansCentroids(corpus, nCentroids, coarseIters,
       idCol, embCol, deterministic)
-    val (index, cb) = buildIvfPqIndex(corpus, cents, m, ksub, pqIters,
+    // storage behind the materialized residual frame intentionally
+    // survives (the tfidf `w` precedent): the returned result is lazy
+    // over the index projection
+    val (index, cb, _) = buildIvfPqIndex(corpus, cents, m, ksub, pqIters,
       idCol, embCol)
     adcSearch(index, probes, k, nProbe, cents, cb, idCol, embCol)
   }
 
   /** The IVF-PQ index frame (id, cluster, codes) plus its residual
-    * codebook, under the given coarse centroids. */
+    * codebook, under the given coarse centroids. Third element: the
+    * MATERIALIZED (id, cluster, resid) base the index projects from —
+    * the codebook sample collect and the encode pass are separate
+    * actions, so a lazy frame would run the corpus scan + nearest-
+    * centroid assignment + residual arithmetic twice (r13; measured as
+    * one full extra corpus pass per probe build). Callers that finish
+    * with the index (the persist path) release it; query-shaped callers
+    * let the storage back the lazy result. */
   private def buildIvfPqIndex(corpus: DataFrame,
                               cents: Array[Array[Double]],
                               m: Int, ksub: Int, pqIters: Int,
                               idCol: String, embCol: String)
-      : (DataFrame, Codebook) = {
+      : (DataFrame, Codebook, DataFrame) = {
     val dim = cents.head.length
     val centLit = typedlit(cents.map(_.map(_.toFloat).toSeq).toSeq)
     // float residual: float(emb) - float(centroid), elementwise FloatType
     // arithmetic (the SQL oracle mirrors it with the REAL-cast /
-    // double-rounding-safe form)
-    val assigned = corpus
+    // double-rounding-safe form). The raw emb column is dropped before
+    // the checkpoint — neither the codebook trainer (resid) nor the
+    // encode pass (resid, cluster) reads it.
+    val assigned = Dedup.materialize(corpus
       .select(col(idCol).as("id"), col(embCol).as("emb"))
       .where(wellFormedDim(col("emb"), dim))
       .select(col("id"), col("emb"),
@@ -239,12 +251,13 @@ object Pq {
           .nearestCentroid(col("emb"), cents).as("cluster"))
       .withColumn("resid", zip_with(col("emb"),
         element_at(centLit, col("cluster") + 1), (x, c) => x - c))
+      .select(col("id"), col("cluster"), col("resid")))
     val cb = pqTrain(assigned, m, ksub, pqIters, idCol = "id",
       embCol = "resid")
     // the stored index shape: (id, cluster, codes) — emb/resid dropped
     (assigned.select(col("id"), col("cluster"),
       graft.functions.VectorExpressions.pqEncode(col("resid"), cb.cents)
-        .as("codes")), cb)
+        .as("codes")), cb, assigned)
   }
 
   /** ADC search over an IVF-PQ index frame (id, cluster, codes): probes
@@ -310,16 +323,17 @@ object Pq {
     import spark.implicits._
     val cents = Similarity.kMeansCentroids(corpus, nCentroids, coarseIters,
       idCol, embCol, deterministic)
-    val (index, cb) = buildIvfPqIndex(corpus, cents, m, ksub, pqIters,
-      idCol, embCol)
+    val (index, cb, base) = buildIvfPqIndex(corpus, cents, m, ksub,
+      pqIters, idCol, embCol)
     // retract the OLD meta before any data overwrite (persistPcaModel
     // discipline): otherwise a crash mid-re-persist leaves new codes
     // readable under the old codebook/centroids — silently wrong ADC
     val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(metaDir)) fs.delete(metaDir, true)
-    index.write.mode("overwrite").partitionBy("cluster")
+    try index.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/vectors")
+    finally Dedup.releaseMaterialized(base) // last consumer: that write
     cents.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }
       .toDF("cluster", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")

@@ -220,7 +220,12 @@ object Recommend {
       val j = base.join(factors, Seq(other))
       val agged =
         if (deterministic)
-          j.groupBy(key).agg(collect_list(struct(col(other),
+          // explicit-count keyed exchange before the interpreted
+          // collect_list fold (the sequentialSumByKey posture, r13):
+          // AQE's byte-based sizing otherwise coalesces the fold stage,
+          // and exactly-cpus partitions would leave no straggler slack
+          j.repartition(Dedup.workParallelism(j.sparkSession), col(key))
+            .groupBy(key).agg(collect_list(struct(col(other),
               (col("r").cast("double") * col("f")).as("rv"),
               (col("f") * col("f")).as("ff"))).as("xs"))
             .select(col(key),
@@ -310,7 +315,9 @@ object Recommend {
           def fold(fld: String) =
             aggregate(array_sort(col("xs")), lit(0.0),
               (a, s) => a + s.getField(fld)).as(fld)
-          j.groupBy(key).agg(collect_list(terms).as("xs"))
+          // pinned keyed exchange before the fold — see alsRank1 (r13)
+          j.repartition(Dedup.workParallelism(j.sparkSession), col(key))
+            .groupBy(key).agg(collect_list(terms).as("xs"))
             .select(col(key), fold("b1"), fold("b2"), fold("s11"),
               fold("s12"), fold("s22"))
         } else

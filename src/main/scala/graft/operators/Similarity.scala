@@ -83,21 +83,37 @@ object Similarity {
                                         idCol: String,
                                         valCol: String,
                                         extraAggs: Seq[Column] = Nil)
+      : DataFrame =
+    sequentialSumByKeyOrdered(cells, keys, Seq(idCol), valCol, extraAggs)
+
+  /** [[sequentialSumByKey]] with a COMPOSITE fold order: cells are
+    * sorted by the `orderCols` tuple (struct comparison — column by
+    * column ascending), matching a sequential engine's
+    * `list_sum(list(v ORDER BY c1, c2, ...))`. The single-column form
+    * above delegates here so there is exactly one fold definition. */
+  private[graft] def sequentialSumByKeyOrdered(cells: DataFrame,
+                                               keys: Seq[String],
+                                               orderCols: Seq[String],
+                                               valCol: String,
+                                               extraAggs: Seq[Column] = Nil)
       : DataFrame = {
     // the fold below is INTERPRETED per-row work that AQE cannot see in
     // its byte-based sizing: without an explicit partition count the
     // post-shuffle stage coalesces to one task and the whole per-key
     // sort+fold serializes (measured ~230 ms/epoch on the perceptron's
     // 26k cells vs ~30 ms spread, r12 — the entity-levenshtein lesson,
-    // guide §2.5). The keyed repartition pins the session's shuffle
-    // parallelism and the groupBy reuses its partitioning, so no second
-    // exchange appears; per-key fold order (and thus every value) is
+    // guide §2.5). The keyed repartition pins Dedup.workParallelism
+    // (shuffle parallelism × slack factor — r13: exactly-one-task-per-
+    // core left no straggler slack and put every group's collect_list
+    // buffer in memory at once, see that scaladoc) and the groupBy
+    // reuses its partitioning, so no second exchange appears; per-key
+    // fold order (and thus every value) is
     // partition-placement-independent.
     val spreadCells = cells.repartition(
-      cells.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      keys.map(col): _*)
+      Dedup.workParallelism(cells.sparkSession), keys.map(col): _*)
     val agged = spreadCells.groupBy(keys.map(col): _*)
-      .agg(collect_list(struct(col(idCol), col(valCol))).as("__xs"),
+      .agg(collect_list(struct((orderCols :+ valCol).map(col): _*))
+          .as("__xs"),
         count(lit(1)).as("__count") +: extraAggs: _*)
     // caller-supplied extra aggregates (must be aliased) ride along in
     // the same single-pass aggregation
@@ -437,8 +453,8 @@ object Similarity {
     val banded = slim.select(col("id"),
         posexplode(bucketsExpr(col("emb"), dim, nBits, nTables,
           seedBase = 2000)).as(Seq("table", "bucket")))
-      .repartition(slim.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions").toInt, col("table"), col("bucket"))
+      .repartition(Dedup.workParallelism(slim.sparkSession),
+        col("table"), col("bucket"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -1109,8 +1125,17 @@ object Similarity {
     // posexploded cells would resize or contaminate cluster 0's mean.
     // The canonical dim is the first well-formed row's (probeDim).
     val dim = probeDim(emb.where(wellFormed(col(embCol))), embCol)
-    val slim = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .where(wellFormed(col("emb")) && size(col("emb")) === dim)
+    // materialized ONCE per training run: the seeding pass plus every
+    // Lloyd round is its own action (centroids are driver-side state),
+    // so a lazy frame re-runs the scan + well-formed filter once per
+    // round (r13; the perceptronTrain r12 lesson — at cluster scale
+    // this is `iters` full corpus re-reads for a frame that fits a
+    // checkpoint). Released in the finally: only driver-side centroid
+    // arrays leave this method.
+    val slim = Dedup.materialize(
+      emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+        .where(wellFormed(col("emb")) && size(col("emb")) === dim))
+    try {
     val seeds = seeding match {
       case KMeansSeeding.HashOrder =>
         slim.orderBy(md5(col("id").cast("string")), col("id")).limit(k)
@@ -1160,6 +1185,7 @@ object Similarity {
       r += 1
     }
     KMeansResult(cents, r)
+    } finally Dedup.releaseMaterialized(slim)
   }
 
   /** Greedy farthest-first seeds over a 4096-row hash-ordered sample

@@ -55,6 +55,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(r(1).isEmpty)
   }
 
+  test("IntersectCountLong equals size(array_intersect) on distinct " +
+    "arrays; null array -> null; disjoint/empty -> 0") {
+    import graft.functions.VectorExpressions
+    val rnd = new scala.util.Random(42)
+    // distinct-element arrays (the hashed-shingle contract), varied
+    // sizes and overlaps, plus the edges: empty, disjoint, identical
+    val rows: Seq[(Array[Long], Array[Long])] =
+      (0 until 50).map { _ =>
+        val universe = rnd.shuffle((0L until 200L).toVector)
+        (universe.take(rnd.nextInt(80)).toArray,
+          rnd.shuffle(universe).take(rnd.nextInt(80)).toArray)
+      } ++ Seq(
+        (Array.empty[Long], Array(1L, 2L)),
+        (Array(1L, 2L), Array(3L, 4L)),
+        (Array(5L, 1L, 9L), Array(5L, 1L, 9L)),
+        (null.asInstanceOf[Array[Long]], Array(1L)))
+    val df = rows.toDF("a", "b").select(
+      VectorExpressions.intersectCountLong(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+    df.as[(Option[Int], Option[Int])].collect().foreach { case (f, r) =>
+      assert(f === r)
+    }
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 1),
       k = 2)
