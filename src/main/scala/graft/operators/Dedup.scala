@@ -966,32 +966,27 @@ object Dedup {
   /** Partition count for the explicitly-pinned exchanges that feed
     * heavy per-row work (interpreted sort-folds, per-token windows,
     * within-group pair fan-out): the session's shuffle parallelism
-    * TIMES a small factor (`spark.graft.workTaskFactor`, default 4).
+    * TIMES `spark.graft.workTaskFactor` (default 1 — i.e. exactly the
+    * session's shuffle parallelism, the r12 shape).
     *
-    * r12 pinned these exchanges to exactly `spark.sql.shuffle
-    * .partitions` (= the core count in the bench), which fixed AQE's
-    * byte-blind coalescing but introduced two scale problems the
-    * r12 driver run exposed (37 queries ≥1.3× SLOWER at 32 cores than
-    * at 8; q_dedup_minhash 28.5 s vs 2.6 s):
-    *  - zero straggler slack (guide §2.6): with exactly one task per
-    *    core, one preempted/GC-stalled core elongates the whole stage
-    *    by its full task duration — and these are precisely the
-    *    longest tasks in the battery;
-    *  - unbounded concurrent state (guide §5): every core holds
-    *    1/cpus of the corpus's fold state (collect_list buffers,
-    *    window sort runs, aggregate hash maps) AT ONCE, so the whole
-    *    corpus sits in execution memory simultaneously and GC/spill
-    *    pressure grows with the core count.
-    * A small multiple keeps the spread scale-adaptive (still derived
-    * from the session conf, never a constant) while bounding the
-    * concurrently-live state to ~1/factor of the corpus and giving
-    * the scheduler slack to fill in behind stragglers. Results are
-    * unaffected: every consumer is keyed, and per-key fold order is
-    * partition-placement-independent. */
+    * The factor exists because exactly-one-task-per-core leaves zero
+    * straggler slack (guide §2.6) and puts every concurrent task's
+    * fold state (collect_list buffers, window sort runs) in execution
+    * memory at once (guide §5) — on a busy multi-tenant cluster a
+    * deployment should raise it to 2-4 for these stages. The LOCAL
+    * default stays 1: an interleaved A/B at sf0.1 local[32] with the
+    * heap pinned (r13: factor 4 vs 1, two runs each, alternating)
+    * measured factor 4 strictly slower on every family query
+    * (totals 42.8/38.8 s vs 27.9/30.4 s) — per-task work at this
+    * corpus size is milliseconds, so extra tasks are pure scheduling
+    * overhead, and the r12 32-core anti-scaling traced to the
+    * unpinned-heap GC pathology (see build.sbt/-Xms), not to the
+    * missing slack. Results are factor-independent: every consumer is
+    * keyed, and per-key fold order is placement-independent. */
   private[graft] def workParallelism(
       spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions").toInt *
-      spark.conf.get("spark.graft.workTaskFactor", "4").toInt
+      spark.conf.get("spark.graft.workTaskFactor", "1").toInt
 
   /** Keyed spread for the posting builders: one explicit-count hash
     * exchange on the document key, placed BEFORE the heavy
